@@ -1,0 +1,556 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.Geo
+
+/** The reference pipeline's operator inventory (SURVEY.md §2) re-keyed
+  * to the driver's `events` testdata table, per SURVEY.md §7.2:
+  * `user_id`≈VehicleNumber, `event_type`≈Lines, `ts`≈Time, and
+  * synthetic coordinates derived from `value` (pure arithmetic, so the
+  * DuckDB oracle reproduces them bit-exactly):
+  *
+  *   lat = 52.0 + value/1000  ∈ [52.0, 52.4]   (Warsaw bbox analog,
+  *   lon = 20.5 + value/500   ∈ [20.5, 21.3]    gtfstransformerSilver.py:42)
+  *
+  * Pipeline stages mirror /root/reference exactly:
+  *   silver   — explode/trim/cast/dropna/bbox/nonempty/dedup/sort
+  *              (gtfstransformerSilver.py:28-46)
+  *   enriched — lag×2, haversine, fuel, cost, Δt, speed, speed≤70
+  *              (gtfsGold.py:36-85)
+  *   report   — groupBy(line) with the 8 aggregates + cost_of_1km
+  *              (gtfsGold.py:94-105)
+  *
+  * Dedup is the deterministic row_number form (SURVEY.md §7.5 item 3),
+  * not raw dropDuplicates, so oracle comparison is reproducible.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Fuel constants from the reference config (.env.example:7-8). */
+  val FuelLPer100Km = 30.0
+  val FuelPricePln = 6.5
+  val MaxSpeedKmh = 70.0
+
+  private val tsFmt = "yyyy-MM-dd HH:mm:ss"
+  private val tsFmtSql = "%Y-%m-%d %H:%M:%S"
+
+  // ------------------------------------------------------------------
+  // Shared pipeline stages (Spark side)
+  // ------------------------------------------------------------------
+
+  /** Silver analog: project/trim/cast → dropna → bbox-analog → nonempty
+    * → deterministic dedup. gtfstransformerSilver.py:28-46. */
+  def silver(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val projected = ev
+      .select(
+        trim(col("event_type")).as("line"), // P3
+        col("user_id").as("vehicle"),
+        col("value"),
+        col("ts"),
+        to_date(col("ts")).as("date")) // P5
+      .na.drop("any") // P6
+      .filter(col("value").between(0.0, 400.0)) // P7 bbox analog
+      .filter(col("line") =!= "") // P8
+    // D1, deterministic form: one row per (vehicle, ts), full-row order
+    val w = Window.partitionBy("vehicle", "ts").orderBy("line", "value")
+    projected
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** Enriched per-ping analog: lag window, haversine segment, fuel,
+    * cost, Δt, speed, anomaly cut. gtfsGold.py:36-85. */
+  def enriched(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("vehicle").orderBy("ts") // W1
+    val lagged = silver(spark, dir)
+      .withColumn("prev_value", lag(col("value"), 1).over(w)) // W2
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+    val lat1 = lit(52.0) + col("prev_value") / 1000.0
+    val lon1 = lit(20.5) + col("prev_value") / 500.0
+    val lat2 = lit(52.0) + col("value") / 1000.0
+    val lon2 = lit(20.5) + col("value") / 500.0
+    lagged
+      // M1 + P11: null on first ping per vehicle → 0.0. Derived
+      // metrics are computed from the UNROUNDED distance: rounding
+      // first would give downstream products exact low-decimal
+      // structure, creating decimal-cast ties where engines' rounding
+      // rules diverge (HALF_UP on true expansion vs FP-scaled round).
+      .withColumn("dist_km_raw", coalesce(Geo.haversineKm(lat1, lon1, lat2, lon2), lit(0.0)))
+      .withColumn("dist_km", round(col("dist_km_raw"), 6))
+      // M2: unix-second difference (floor), long
+      .withColumn("diff_time_sec",
+        unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")))
+      // M3: constant arithmetic (gtfsGold.py:59-65)
+      .withColumn("fuel_l", col("dist_km_raw") / 100.0 * FuelLPer100Km)
+      .withColumn("cost_pln", col("fuel_l") * FuelPricePln)
+      // P10: guarded speed
+      .withColumn("speed_kmh",
+        when(col("diff_time_sec") > 0,
+          col("dist_km_raw") / col("diff_time_sec") * 3600.0).otherwise(0.0))
+      // P13: anomaly cut (gtfsGold.py:83)
+      .filter(col("speed_kmh") <= MaxSpeedKmh)
+  }
+
+  /** Daily report analog: 8 aggregates + cost_of_1km. gtfsGold.py:94-105. */
+  def report(spark: SparkSession, dir: String): DataFrame = {
+    enriched(spark, dir)
+      .groupBy("line") // A1
+      .agg(
+        Tables.dsum(col("dist_km_raw"), 6).as("total_distance_km"), // A2
+        Tables.dsum(col("cost_pln"), 6).as("total_cost_pln"), // A2
+        max(col("dist_km")).as("max_segment_km"), // A3
+        count(col("vehicle")).as("data_points_count"), // A4
+        (Tables.dsum(col("speed_kmh"), 6) / count(col("speed_kmh")).cast(DoubleType)).as("avg_speed"), // A5
+        round(max(col("speed_kmh")), 6).as("max_recorded_speed"), // A3
+        countDistinct(col("vehicle")).as("unique_vehicles_count"), // A6
+        (Tables.dsum(col("dist_km_raw"), 6) / countDistinct(col("vehicle")).cast(DoubleType)).as("avg_dist_per_vehicle")) // A7
+      // A8 + P12: derived post-agg column with div-by-zero guard
+      .withColumn("cost_of_1km",
+        expr("total_cost_pln / nullif(total_distance_km, 0.0)"))
+  }
+
+  // ------------------------------------------------------------------
+  // Shared pipeline stages (DuckDB oracle side) — textually parallel
+  // expression trees; see Geo.haversineSql for the determinism rules.
+  // ------------------------------------------------------------------
+
+  val silverCte: String =
+    """silver AS (
+      |  SELECT line, vehicle, value, ts, date FROM (
+      |    SELECT trim(event_type) AS line, user_id AS vehicle, value, ts,
+      |           CAST(ts AS DATE) AS date,
+      |           row_number() OVER (PARTITION BY user_id, ts
+      |                              ORDER BY trim(event_type), value) AS rn
+      |    FROM events
+      |    WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+      |      AND value IS NOT NULL AND ts IS NOT NULL
+      |      AND value BETWEEN 0.0 AND 400.0 AND trim(event_type) <> ''
+      |  ) t WHERE rn = 1
+      |)""".stripMargin
+
+  private val hav = Geo.haversineSql("lat1", "lon1", "lat2", "lon2")
+
+  val enrichedCte: String =
+    s"""$silverCte,
+       |lagged AS (
+       |  SELECT line, vehicle, value, ts, date,
+       |         lag(value) OVER w AS prev_value,
+       |         lag(ts) OVER w AS prev_ts
+       |  FROM silver
+       |  WINDOW w AS (PARTITION BY vehicle ORDER BY ts)
+       |),
+       |coords AS (
+       |  SELECT *,
+       |         52.0 + prev_value / 1000.0 AS lat1, 20.5 + prev_value / 500.0 AS lon1,
+       |         52.0 + value / 1000.0 AS lat2, 20.5 + value / 500.0 AS lon2
+       |  FROM lagged
+       |),
+       |seg AS (
+       |  SELECT *, COALESCE($hav, 0.0) AS dist_km_raw,
+       |         round(COALESCE($hav, 0.0), 6) AS dist_km,
+       |         CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) AS diff_time_sec
+       |  FROM coords
+       |),
+       |seg2 AS (
+       |  SELECT *, dist_km_raw / 100.0 * 30.0 AS fuel_l FROM seg
+       |),
+       |enriched0 AS (
+       |  SELECT *, fuel_l * 6.5 AS cost_pln,
+       |         CASE WHEN diff_time_sec > 0 THEN dist_km_raw / diff_time_sec * 3600.0 ELSE 0.0 END AS speed_kmh
+       |  FROM seg2
+       |),
+       |enriched AS (
+       |  SELECT * FROM enriched0 WHERE speed_kmh <= 70.0
+       |)""".stripMargin
+
+  val reportCte: String =
+    s"""$enrichedCte,
+       |report AS (
+       |  SELECT line,
+       |    CAST(sum(CAST(dist_km_raw AS DECIMAL(18,6))) AS DOUBLE) AS total_distance_km,
+       |    CAST(sum(CAST(cost_pln AS DECIMAL(18,6))) AS DOUBLE) AS total_cost_pln,
+       |    max(dist_km) AS max_segment_km,
+       |    count(vehicle) AS data_points_count,
+       |    CAST(sum(CAST(speed_kmh AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(speed_kmh) AS DOUBLE) AS avg_speed,
+       |    round(max(speed_kmh), 6) AS max_recorded_speed,
+       |    count(DISTINCT vehicle) AS unique_vehicles_count,
+       |    CAST(sum(CAST(dist_km_raw AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(DISTINCT vehicle) AS DOUBLE) AS avg_dist_per_vehicle
+       |  FROM enriched GROUP BY line
+       |),
+       |report2 AS (
+       |  SELECT *, total_cost_pln / nullif(total_distance_km, 0.0) AS cost_of_1km FROM report
+       |)""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Catalog entries
+  // ------------------------------------------------------------------
+
+  val queries: Map[String, Q] = Map(
+    // P1: explode / UNNEST (gtfstransformerSilver.py:28)
+    "p01_explode" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          explode(sequence(lit(1), col("l_linenumber"))).as("seg0"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("seg0").cast(LongType).as("seg"))),
+
+    // P2: nested-struct projection (gtfstransformerSilver.py:34-39)
+    "p02_struct" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(struct(col("l_orderkey").as("k"), col("l_quantity").as("q")).as("sdata"))
+        .select(col("sdata.k").as("k"), col("sdata.q").as("q"))),
+
+    // P3: trim
+    "p03_trim" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(trim(concat(lit("  "), col("event_type"), lit(" "))).as("line"))
+        .distinct().orderBy("line")),
+
+    // P4: casts incl. malformed-input → null under pre-ANSI semantics
+    "p04_cast" -> ((s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        col("user_id").cast(StringType).as("uid_str"),
+        floor(col("value")).cast(IntegerType).as("value_int"),
+        col("event_type").cast(DoubleType).as("bad_cast"))
+        .orderBy("event_id")),
+
+    // P5: to_date
+    "p05_to_date" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(to_date(col("ts")).cast(StringType).as("event_date"))
+        .distinct().orderBy("event_date")),
+
+    // P6: dropna
+    "p06_dropna" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"), expr("nullif(event_type, 'error')").as("etype"))
+        .na.drop("any").orderBy("event_id")),
+
+    // P7: inclusive range predicate
+    "p07_between" -> ((s, d) =>
+      Tables.events(s, d).select(col("event_id"), col("value"))
+        .filter(col("value").between(100.0, 200.0)).orderBy("event_id")),
+
+    // P8: equality predicates (date ==, nonempty string)
+    "p08_filter_eq" -> ((s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"), col("user_id"),
+        to_date(col("ts")).cast(StringType).as("event_date"),
+        trim(col("event_type")).as("line"))
+        .filter(col("event_date") === "2024-01-15")
+        .filter(col("line") =!= "").orderBy("event_id")),
+
+    // P9: null predicates + OR (data-quality count, gtfsGold.py:17-21)
+    "p09_nullcount" -> ((s, d) =>
+      Tables.events(s, d).select(
+        sum(when(col("event_type").isNull || col("user_id").isNull, 1L).otherwise(0L)).as("null_rows"),
+        count(lit(1)).as("total_rows"))),
+
+    // P10: when/otherwise
+    "p10_when" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(when(col("value") > 300.0, "high")
+          .when(col("value") > 100.0, "mid").otherwise("low").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n")).orderBy("bucket")),
+
+    // P11: coalesce
+    "p11_coalesce" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          coalesce(expr("nullif(event_type, 'click')"), lit("was_click")).as("etype"))
+        .orderBy("event_id")),
+
+    // P12: nullif div-by-zero guard
+    "p12_nullif" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(trim(col("event_type")).as("line"))
+        .agg(Tables.dsum(col("value"), 2).as("total_value"),
+          countDistinct(col("user_id")).as("users"))
+        .withColumn("value_per_user", expr("total_value / nullif(CAST(users AS DOUBLE), 0.0)"))
+        .withColumn("div0_guard", expr("total_value / nullif(total_value - total_value, 0.0)"))
+        .orderBy("line")),
+
+    // P13: filter on derived column
+    "p13_derived_filter" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"), round(col("value") * 3.6, 6).as("v36"))
+        .filter(col("v36") <= 900.0).orderBy("event_id")),
+
+    // M1: haversine segments
+    "m01_haversine" -> ((s, d) =>
+      enriched(s, d).select(col("vehicle"),
+        date_format(col("ts"), tsFmt).as("ts_s"), col("dist_km"))
+        .orderBy("vehicle", "ts_s")),
+
+    // M2: unix-timestamp diff
+    "m02_timediff" -> ((s, d) =>
+      enriched(s, d).select(col("vehicle"),
+        date_format(col("ts"), tsFmt).as("ts_s"), col("diff_time_sec"))
+        .orderBy("vehicle", "ts_s")),
+
+    // M3: constant arithmetic (fuel/cost)
+    "m03_fuel_cost" -> ((s, d) =>
+      enriched(s, d).select(col("vehicle"),
+        date_format(col("ts"), tsFmt).as("ts_s"),
+        round(col("fuel_l"), 6).as("fuel_l"), round(col("cost_pln"), 6).as("cost_pln"))
+        .orderBy("vehicle", "ts_s")),
+
+    // D1: deterministic dedup over artificially doubled input
+    "d01_dedup" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val doubled = ev.unionAll(ev)
+      val w = Window.partitionBy("user_id", "ts").orderBy("event_id", "event_type", "value")
+      doubled.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), tsFmt).as("ts_s"))
+        .orderBy("event_id")
+    }),
+
+    // O1: global multi-column sort (gtfstransformerSilver.py:46)
+    "o01_sort" -> ((s, d) =>
+      silver(s, d).select(col("line"), col("vehicle"), col("value"),
+        date_format(col("ts"), tsFmt).as("ts_s"), col("date").cast(StringType).as("date_s"))
+        .orderBy("line", "vehicle", "ts_s")),
+
+    // O2+O3: desc sort + top-k with total order (tie-break on line)
+    "o02_topk" -> ((s, d) =>
+      report(s, d).orderBy(col("total_cost_pln").desc, col("line").asc)
+        .limit(10).select(col("line"), col("total_cost_pln"))),
+
+    // O4: argmax without driver round-trips (SURVEY §7.6): most
+    // expensive line → its hardest-working vehicle (gtfsGold.py:110-126)
+    "o04_argmax" -> ((s, d) => {
+      val top = report(s, d)
+        .orderBy(col("total_cost_pln").desc, col("line").asc).limit(1)
+        .select(col("line"), col("total_cost_pln"))
+      val perVehicle = enriched(s, d)
+        .join(broadcast(top), "line")
+        .groupBy("line", "total_cost_pln", "vehicle")
+        .agg(Tables.dsum(col("dist_km"), 6).as("total_v_dist"))
+      perVehicle.orderBy(col("total_v_dist").desc, col("vehicle").asc).limit(1)
+        .select(col("line"), col("total_cost_pln"), col("vehicle"), col("total_v_dist"))
+    }),
+
+    // A1-A8: the daily report
+    "a01_report" -> ((s, d) => report(s, d).orderBy("line")),
+
+    // A9: secondary per-vehicle aggregate within one line
+    "a09_vehicle_agg" -> ((s, d) =>
+      enriched(s, d).filter(col("line") === "click")
+        .groupBy("vehicle").agg(Tables.dsum(col("dist_km"), 6).as("total_v_dist"))
+        .orderBy("vehicle")),
+
+    // A10: drop-rate diagnostics as a single distributed query (no
+    // eager count() actions — SURVEY §7.6)
+    "a10_counts" -> ((s, d) => {
+      val raw = Tables.events(s, d).select(count(lit(1)).as("raw_rows"))
+      val kept = silver(s, d).select(count(lit(1)).as("silver_rows"))
+      raw.crossJoin(kept)
+        .withColumn("dropped", col("raw_rows") - col("silver_rows"))
+        .withColumn("drop_pct",
+          round(col("dropped").cast(DoubleType) / col("raw_rows").cast(DoubleType) * 100.0, 4))
+    }),
+
+    // W1+W2: lag window ×3
+    "w01_lag" -> ((s, d) => {
+      val w = Window.partitionBy("vehicle").orderBy("ts")
+      silver(s, d)
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .withColumn("prev_ts_s", date_format(lag(col("ts"), 1).over(w), tsFmt))
+        .withColumn("prev_line", lag(col("line"), 1).over(w))
+        .select(col("vehicle"), date_format(col("ts"), tsFmt).as("ts_s"),
+          col("prev_value"), col("prev_ts_s"), col("prev_line"))
+        .orderBy("vehicle", "ts_s")
+    }),
+
+    // C1: cache() before multiple consumers (main.py:65)
+    "c01_cache" -> ((s, d) => {
+      val cached = silver(s, d).cache()
+      cached.groupBy("line")
+        .agg(count(lit(1)).as("n"), Tables.dsum(col("value"), 2).as("total_value"))
+        .orderBy("line")
+    }),
+
+    // Flagship TPC-H-style pricing summary over lineitem (bench
+    // headline; exercises A1-A7 at the largest table)
+    "q1_pricing" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          Tables.dsum(col("l_quantity"), 2).as("sum_qty"),
+          Tables.dsum(col("l_extendedprice"), 2).as("sum_base_price"),
+          Tables.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("sum_disc_price"),
+          // scale 6, not 4: price·(1−disc)·(1+tax) of 2-dp inputs has
+          // exact 6-decimal structure — a 4-dp decimal cast would tie
+          Tables.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), 6).as("sum_charge"),
+          (Tables.dsum(col("l_quantity"), 2) / count(col("l_quantity")).cast(DoubleType)).as("avg_qty"),
+          (Tables.dsum(col("l_extendedprice"), 2) / count(col("l_extendedprice")).cast(DoubleType)).as("avg_price"),
+          (Tables.dsum(col("l_discount"), 4) / count(col("l_discount")).cast(DoubleType)).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "p01_explode" ->
+      "SELECT l_orderkey, l_linenumber, CAST(unnest(generate_series(1, l_linenumber)) AS BIGINT) AS seg FROM lineitem",
+
+    "p02_struct" ->
+      "SELECT l_orderkey AS k, l_quantity AS q FROM lineitem",
+
+    "p03_trim" ->
+      "SELECT DISTINCT trim(concat('  ', event_type, ' ')) AS line FROM events ORDER BY line",
+
+    "p04_cast" ->
+      """SELECT event_id, CAST(user_id AS VARCHAR) AS uid_str,
+        |       CAST(floor(value) AS INT) AS value_int,
+        |       TRY_CAST(event_type AS DOUBLE) AS bad_cast
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "p05_to_date" ->
+      "SELECT DISTINCT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date FROM events ORDER BY event_date",
+
+    "p06_dropna" ->
+      """SELECT event_id, nullif(event_type, 'error') AS etype FROM events
+        |WHERE nullif(event_type, 'error') IS NOT NULL ORDER BY event_id""".stripMargin,
+
+    "p07_between" ->
+      "SELECT event_id, value FROM events WHERE value BETWEEN 100.0 AND 200.0 ORDER BY event_id",
+
+    "p08_filter_eq" ->
+      """SELECT event_id, user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
+        |       trim(event_type) AS line
+        |FROM events
+        |WHERE CAST(CAST(ts AS DATE) AS VARCHAR) = '2024-01-15' AND trim(event_type) <> ''
+        |ORDER BY event_id""".stripMargin,
+
+    "p09_nullcount" ->
+      """SELECT CAST(sum(CASE WHEN event_type IS NULL OR user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_rows,
+        |       count(*) AS total_rows FROM events""".stripMargin,
+
+    "p10_when" ->
+      """SELECT CASE WHEN value > 300.0 THEN 'high' WHEN value > 100.0 THEN 'mid' ELSE 'low' END AS bucket,
+        |       count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "p11_coalesce" ->
+      """SELECT event_id, COALESCE(nullif(event_type, 'click'), 'was_click') AS etype
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "p12_nullif" ->
+      """SELECT trim(event_type) AS line,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |       count(DISTINCT user_id) AS users,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / nullif(CAST(count(DISTINCT user_id) AS DOUBLE), 0.0) AS value_per_user,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / nullif(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) - CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS div0_guard
+        |FROM events GROUP BY 1 ORDER BY line""".stripMargin,
+
+    "p13_derived_filter" ->
+      """SELECT event_id, round(value * 3.6, 6) AS v36 FROM events
+        |WHERE round(value * 3.6, 6) <= 900.0 ORDER BY event_id""".stripMargin,
+
+    "m01_haversine" ->
+      s"""WITH $enrichedCte
+         |SELECT vehicle, strftime(ts, '$tsFmtSql') AS ts_s, dist_km
+         |FROM enriched ORDER BY vehicle, ts_s""".stripMargin,
+
+    "m02_timediff" ->
+      s"""WITH $enrichedCte
+         |SELECT vehicle, strftime(ts, '$tsFmtSql') AS ts_s, diff_time_sec
+         |FROM enriched ORDER BY vehicle, ts_s""".stripMargin,
+
+    "m03_fuel_cost" ->
+      s"""WITH $enrichedCte
+         |SELECT vehicle, strftime(ts, '$tsFmtSql') AS ts_s,
+         |       round(fuel_l, 6) AS fuel_l, round(cost_pln, 6) AS cost_pln
+         |FROM enriched ORDER BY vehicle, ts_s""".stripMargin,
+
+    "d01_dedup" ->
+      """WITH doubled AS (SELECT * FROM events UNION ALL SELECT * FROM events)
+        |SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, ts
+        |                               ORDER BY event_id, event_type, value) AS rn
+        |  FROM doubled) t
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "o01_sort" ->
+      s"""WITH $silverCte
+         |SELECT line, vehicle, value, strftime(ts, '$tsFmtSql') AS ts_s,
+         |       CAST(date AS VARCHAR) AS date_s
+         |FROM silver ORDER BY line, vehicle, ts_s""".stripMargin,
+
+    "o02_topk" ->
+      s"""WITH $reportCte
+         |SELECT line, total_cost_pln FROM report2
+         |ORDER BY total_cost_pln DESC, line ASC LIMIT 10""".stripMargin,
+
+    "o04_argmax" ->
+      s"""WITH $reportCte,
+         |top_line AS (
+         |  SELECT line, total_cost_pln FROM report2
+         |  ORDER BY total_cost_pln DESC, line ASC LIMIT 1
+         |),
+         |per_vehicle AS (
+         |  SELECT e.line, t.total_cost_pln, e.vehicle,
+         |         CAST(sum(CAST(e.dist_km AS DECIMAL(18,6))) AS DOUBLE) AS total_v_dist
+         |  FROM enriched e JOIN top_line t ON e.line = t.line
+         |  GROUP BY e.line, t.total_cost_pln, e.vehicle
+         |)
+         |SELECT line, total_cost_pln, vehicle, total_v_dist FROM per_vehicle
+         |ORDER BY total_v_dist DESC, vehicle ASC LIMIT 1""".stripMargin,
+
+    "a01_report" ->
+      s"""WITH $reportCte
+         |SELECT * FROM report2 ORDER BY line""".stripMargin,
+
+    "a09_vehicle_agg" ->
+      s"""WITH $enrichedCte
+         |SELECT vehicle, CAST(sum(CAST(dist_km AS DECIMAL(18,6))) AS DOUBLE) AS total_v_dist
+         |FROM enriched WHERE line = 'click' GROUP BY vehicle ORDER BY vehicle""".stripMargin,
+
+    "a10_counts" ->
+      s"""WITH $silverCte
+         |SELECT raw_rows, silver_rows, raw_rows - silver_rows AS dropped,
+         |       round(CAST(raw_rows - silver_rows AS DOUBLE) / CAST(raw_rows AS DOUBLE) * 100.0, 4) AS drop_pct
+         |FROM (SELECT count(*) AS raw_rows FROM events) a,
+         |     (SELECT count(*) AS silver_rows FROM silver) b""".stripMargin,
+
+    "w01_lag" ->
+      s"""WITH $silverCte
+         |SELECT vehicle, strftime(ts, '$tsFmtSql') AS ts_s,
+         |       lag(value) OVER w AS prev_value,
+         |       strftime(lag(ts) OVER w, '$tsFmtSql') AS prev_ts_s,
+         |       lag(line) OVER w AS prev_line
+         |FROM silver
+         |WINDOW w AS (PARTITION BY vehicle ORDER BY ts)
+         |ORDER BY vehicle, ts_s""".stripMargin,
+
+    "c01_cache" ->
+      s"""WITH $silverCte
+         |SELECT line, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         |FROM silver GROUP BY line ORDER BY line""".stripMargin,
+
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(l_quantity) AS DOUBLE) AS avg_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(l_extendedprice) AS DOUBLE) AS avg_price,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / CAST(count(l_discount) AS DOUBLE) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+  )
+}
