@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.ops.Relational
+import graft.ops.{Joins, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,8 +21,8 @@ object SparkEntry {
     Relational.report(spark, "/root/testdata/sf0.001").orderBy("line")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries
+    Relational.queries ++ Joins.queries
 
   def oracleSql: Map[String, String] =
-    Relational.oracle
+    Relational.oracle ++ Joins.oracle
 }

@@ -1,0 +1,230 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Join and set-operation catalog — extensions beyond the reference
+  * (SURVEY.md §2.7: the reference pipeline is single-table end to
+  * end), exercised over the TPC-H-ish testdata per SURVEY.md §7.4.
+  *
+  * Scale notes (100 TB posture):
+  *   - dimension joins broadcast explicitly (`broadcast(customer)` —
+  *     dims stay far under the driver limit even at SF100k);
+  *   - fact-fact joins (lineitem ⋈ orders) shuffle on the join key
+  *     and rely on AQE for skew/coalesce — at cluster scale these
+  *     tables would be co-bucketed on orderkey to eliminate the
+  *     exchange entirely;
+  *   - aggregates run partial (map-side) before the exchange — the
+  *     groupBy keys keep cardinality small, so the shuffle carries
+  *     pre-reduced rows.
+  */
+object Joins {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Broadcast hash equi-join: fact ⋈ small dim
+    "j01_broadcast_join" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(Tables.dsum(col("o_totalprice"), 2).as("segment_revenue"),
+          count(lit(1)).as("order_cnt"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // Shuffle (sort-merge) equi-join: fact ⋈ fact
+    "j02_sortmerge_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(Tables.dsum(col("l_extendedprice"), 2).as("priority_revenue"),
+          count(lit(1)).as("line_cnt"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Left-semi join (EXISTS)
+    "j03_semi_join" -> ((s, d) => {
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("c_custkey"))
+      Tables.customer(s, d).join(urgent, Seq("c_custkey"), "left_semi")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // Left-anti join (NOT EXISTS)
+    "j04_anti_join" -> ((s, d) => {
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("c_custkey"))
+      Tables.customer(s, d).join(urgent, Seq("c_custkey"), "left_anti")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // TPC-H Q3-shaped 3-way join with selective filters + top-k
+    "j05_top_orders" -> ((s, d) => {
+      val cutoff = java.sql.Timestamp.valueOf("1998-01-01 00:00:00")
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d).filter(col("o_orderdate") < lit(cutoff))
+      val li = Tables.lineitem(s, d).filter(col("l_shipdate") > lit(cutoff))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate_s"))
+        .agg(Tables.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    // TPC-H Q5-shaped 6-way join (region→nation→{supplier,customer}→
+    // orders→lineitem), local-supplier condition, revenue per nation
+    "j06_regional_revenue" -> ((s, d) => {
+      val lo = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+      val hi = java.sql.Timestamp.valueOf("1998-01-01 00:00:00")
+      val r = Tables.region(s, d).filter(col("r_name") === "EUROPE")
+      val n = Tables.nation(s, d)
+      val sup = Tables.supplier(s, d)
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit(lo) && col("o_orderdate") < lit(hi))
+      val li = Tables.lineitem(s, d)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(c),
+          o("o_custkey") === c("c_custkey") &&
+            c("c_nationkey") === sup("s_nationkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("n_name")
+        .agg(Tables.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name").asc)
+    }),
+
+    // Full outer join with coalesced counts
+    "j07_full_outer" -> ((s, d) => {
+      val custPerNation = Tables.customer(s, d)
+        .groupBy(col("c_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("customers"))
+      val supPerNation = Tables.supplier(s, d)
+        .groupBy(col("s_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("suppliers"))
+      custPerNation.join(supPerNation, Seq("nationkey"), "full_outer")
+        .select(col("nationkey").cast(IntegerType).as("nationkey"),
+          coalesce(col("customers"), lit(0L)).as("customers"),
+          coalesce(col("suppliers"), lit(0L)).as("suppliers"))
+        .orderBy("nationkey")
+    }),
+
+    // UNION (distinct set semantics)
+    "x01_union" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").cast(IntegerType).as("key"))
+        .union(Tables.supplier(s, d).select(col("s_nationkey").cast(IntegerType).as("key")))
+        .distinct().orderBy("key")),
+
+    // EXCEPT (distinct)
+    "x02_except" -> ((s, d) => {
+      val urgentCust = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey").as("key"))
+      val building = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("key"))
+      urgentCust.except(building).orderBy("key")
+    }),
+
+    // INTERSECT (distinct)
+    "x03_intersect" -> ((s, d) => {
+      val urgentCust = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey").as("key"))
+      val building = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("key"))
+      urgentCust.intersect(building).orderBy("key")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "j01_broadcast_join" ->
+      """SELECT c_mktsegment,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS segment_revenue,
+        |  count(*) AS order_cnt
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "j02_sortmerge_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS priority_revenue,
+        |  count(*) AS line_cnt
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "j03_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "j04_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "j05_top_orders" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate_s
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+
+    "j06_regional_revenue" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin,
+
+    "j07_full_outer" ->
+      """SELECT CAST(nationkey AS INT) AS nationkey,
+        |       COALESCE(customers, 0) AS customers,
+        |       COALESCE(suppliers, 0) AS suppliers
+        |FROM (SELECT c_nationkey AS nationkey, count(*) AS customers
+        |      FROM customer GROUP BY 1) c
+        |FULL OUTER JOIN (SELECT s_nationkey AS nationkey, count(*) AS suppliers
+        |      FROM supplier GROUP BY 1) s USING (nationkey)
+        |ORDER BY nationkey""".stripMargin,
+
+    "x01_union" ->
+      """SELECT CAST(c_nationkey AS INT) AS key FROM customer
+        |UNION
+        |SELECT CAST(s_nationkey AS INT) AS key FROM supplier
+        |ORDER BY key""".stripMargin,
+
+    "x02_except" ->
+      """SELECT o_custkey AS key FROM orders WHERE o_orderpriority = '1-URGENT'
+        |EXCEPT
+        |SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY key""".stripMargin,
+
+    "x03_intersect" ->
+      """SELECT o_custkey AS key FROM orders WHERE o_orderpriority = '1-URGENT'
+        |INTERSECT
+        |SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY key""".stripMargin
+  )
+}
