@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.ops.{Joins, Relational}
+import graft.ops.{Dedup, Joins, Multimodal, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,8 +21,10 @@ object SparkEntry {
     Relational.report(spark, "/root/testdata/sf0.001").orderBy("line")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Joins.queries
+    Relational.queries ++ Joins.queries ++ Dedup.queries ++
+      Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries
 
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ Joins.oracle
+    Relational.oracle ++ Joins.oracle ++ Dedup.oracle ++
+      Similarity.oracle ++ TextAnalysis.oracle ++ Multimodal.oracle
 }

@@ -1,0 +1,236 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Portable
+
+/** Deduplication operators for LLM training-data pipelines, over the
+  * `documents` table — extensions beyond the reference per the north
+  * star (BASELINE.json): exact, MinHash+LSH, SimHash, and n-gram
+  * Jaccard. Embedding-cosine near-dup lives in Similarity.
+  *
+  * Scale design: every operator is a pure shuffle-bounded dataflow —
+  * tokenize/shingle per row (narrow), hash-partition on signature or
+  * shingle (one exchange), pair-join only within buckets (LSH bands /
+  * shared shingles) so the candidate set stays near-linear instead of
+  * O(n²). At 100 TB the only quadratic step, within-bucket pairing,
+  * is bounded by band width tuning.
+  */
+object Dedup {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Number of minhash functions and LSH band layout (4 bands × 2). */
+  val MinhashK = 8
+  val Bands = 4
+
+  // Tokens: lowercase, whitespace-split, empties removed (trailing
+  // spaces exist in the data). Kept textually parallel with the SQL.
+  private val tokensExpr = "filter(split(lower(text), ' +'), t -> t <> '')"
+  private val tokensSql = "list_filter(regexp_split_to_array(lower(text), ' +'), t -> t <> '')"
+
+  // 3-word shingles (0-based in Spark, 1-based in DuckDB).
+  private val shinglesExpr =
+    """CASE WHEN size(tokens) >= 3
+      |  THEN transform(sequence(0, size(tokens) - 3),
+      |                 i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2]))
+      |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin
+  private val shinglesSql =
+    """CASE WHEN len(tokens) >= 3
+      |  THEN list_transform(generate_series(1, len(tokens) - 2),
+      |                      i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])
+      |  ELSE [] END""".stripMargin
+
+  /** Per-doc minhash signature frame: doc_id, sig_0..sig_{k-1}. */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .withColumn("tokens", expr(tokensExpr))
+      .withColumn("shingles", expr(shinglesExpr))
+    (0 until MinhashK).foldLeft(base) { (df, j) =>
+      df.withColumn(s"sig_$j",
+        expr(s"array_min(transform(shingles, s -> ${Portable.phashExpr(s"concat(s, '#$j')")}))"))
+    }.select(("doc_id" +: (0 until MinhashK).map(j => s"sig_$j")).map(col): _*)
+  }
+
+  /** Oracle CTE mirroring [[minhashSignatures]]. */
+  def minhashCte: String = {
+    val sigCols = (0 until MinhashK).map { j =>
+      s"list_min(list_transform(shingles, s -> ${Portable.phashSql(s"(s || '#$j')")})) AS sig_$j"
+    }.mkString(",\n    ")
+    s"""tok AS (
+       |  SELECT doc_id, $tokensSql AS tokens FROM documents
+       |),
+       |sh AS (
+       |  SELECT doc_id, $shinglesSql AS shingles FROM tok
+       |),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    $sigCols
+       |  FROM sh
+       |)""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup: canonical doc per distinct text (hash-groupBy —
+    // at scale this is one exchange on a 128-bit digest, never on the
+    // full text bytes)
+    "dd01_exact_dedup" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(col("text")).as("text_hash"))
+        .agg(min(col("doc_id")).as("canonical_doc_id"),
+          count(lit(1)).as("n_copies"))
+        .orderBy("text_hash")),
+
+    // MinHash signatures (k=8 over 3-word shingles)
+    "dd02_minhash_sig" -> ((s, d) =>
+      minhashSignatures(s, d).orderBy("doc_id")),
+
+    // MinHash-LSH candidate pairs: band on (sig_2b, sig_2b+1), join
+    // within band buckets, estimate Jaccard from full signatures
+    "dd03_lsh_pairs" -> ((s, d) => {
+      val sigs = minhashSignatures(s, d).cache()
+      val bandKeys = (0 until Bands).map(b =>
+        concat_ws(":", col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}")))
+      val bands = sigs.select(col("doc_id"),
+        posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.key") === col("b.key") && col("a.band") === col("b.band") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val sa = sigs.toDF("doc_a" +: (0 until MinhashK).map(j => s"a_sig_$j"): _*)
+      val sb = sigs.toDF("doc_b" +: (0 until MinhashK).map(j => s"b_sig_$j"): _*)
+      val matches = (0 until MinhashK)
+        .map(j => when(col(s"a_sig_$j") === col(s"b_sig_$j"), 1).otherwise(0))
+        .reduce(_ + _)
+      cand.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("est_jaccard", matches.cast("double") / MinhashK.toDouble)
+        .filter(col("est_jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "est_jaccard")
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // SimHash (32-bit) per document, via the relational explode form
+    // (token-hash → bit matrix → majority sign → weighted bit sum):
+    // scales as two narrow aggregations, no per-row quadratic work
+    "dd04_simhash" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .withColumn("tokens", expr(tokensExpr))
+        .select(col("doc_id"), explode(col("tokens")).as("t"))
+        .select(col("doc_id"), Portable.phash(col("t")).as("h"))
+      val bits = s.sql("SELECT explode(sequence(0, 31)) AS b")
+      toks.crossJoin(bits)
+        .groupBy("doc_id", "b")
+        .agg(sum(when(expr("(h >> b) % 2 = 1"), 1L).otherwise(-1L)).as("sgn"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("sgn") > 0, expr("shiftleft(1L, b)")).otherwise(0L)).as("simhash"))
+        .orderBy("doc_id")
+    }),
+
+    // n-gram (3-shingle) Jaccard similarity via inverted-index join:
+    // pairs form ONLY on shared shingles (near-linear candidate set)
+    "dd05_ngram_jaccard" -> ((s, d) => {
+      val sh = Tables.documents(s, d)
+        .withColumn("tokens", expr(tokensExpr))
+        .withColumn("shingles", expr(shinglesExpr))
+        .select(col("doc_id"), explode(expr("array_distinct(shingles)")).as("sh"))
+      val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val common = sh.as("a")
+        .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("common"))
+      common
+        .join(counts.toDF("doc_a", "n_a"), "doc_a")
+        .join(counts.toDF("doc_b", "n_b"), "doc_b")
+        .withColumn("jaccard",
+          col("common").cast("double") /
+            (col("n_a") + col("n_b") - col("common")).cast("double"))
+        .filter(col("jaccard") >= 0.3)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "dd01_exact_dedup" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc_id,
+        |       count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,
+
+    "dd02_minhash_sig" ->
+      s"""WITH $minhashCte
+         |SELECT * FROM sigs ORDER BY doc_id""".stripMargin,
+
+    "dd03_lsh_pairs" -> {
+      val bandSelects = (0 until Bands).map(b =>
+        s"SELECT doc_id, $b AS band, concat_ws(':', sig_${2 * b}, sig_${2 * b + 1}) AS key FROM sigs")
+        .mkString("\n  UNION ALL\n  ")
+      val matchSum = (0 until MinhashK)
+        .map(j => s"CASE WHEN sa.sig_$j = sb.sig_$j THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $minhashCte,
+         |bands AS (
+         |  $bandSelects
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.key = b.key AND a.band = b.band AND a.doc_id < b.doc_id
+         |)
+         |SELECT doc_a, doc_b,
+         |       CAST($matchSum AS DOUBLE) / 8.0 AS est_jaccard
+         |FROM cand
+         |JOIN sigs sa ON sa.doc_id = doc_a
+         |JOIN sigs sb ON sb.doc_id = doc_b
+         |WHERE CAST($matchSum AS DOUBLE) / 8.0 >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "dd04_simhash" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, $tokensSql AS tokens FROM documents
+         |),
+         |h AS (
+         |  SELECT doc_id, ${Portable.phashSql("t")} AS h
+         |  FROM (SELECT doc_id, unnest(tokens) AS t FROM tok) u
+         |),
+         |bits AS (
+         |  SELECT doc_id, b,
+         |         CAST(sum(CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS sgn
+         |  FROM h, (SELECT unnest(generate_series(0, 31)) AS b) bb
+         |  GROUP BY doc_id, b
+         |)
+         |SELECT doc_id,
+         |       CAST(sum(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dd05_ngram_jaccard" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, $tokensSql AS tokens FROM documents
+         |),
+         |shl AS (
+         |  SELECT doc_id, $shinglesSql AS shingles FROM tok
+         |),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(shingles)) AS sh FROM shl
+         |),
+         |counts AS (
+         |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+         |),
+         |common AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT doc_a, doc_b,
+         |       round(CAST(common AS DOUBLE) / CAST(n_a + n_b - common AS DOUBLE), 6) AS jaccard
+         |FROM (SELECT common.*, ca.n_sh AS n_a, cb.n_sh AS n_b
+         |      FROM common
+         |      JOIN counts ca ON ca.doc_id = doc_a
+         |      JOIN counts cb ON cb.doc_id = doc_b) t
+         |WHERE CAST(common AS DOUBLE) / CAST(n_a + n_b - common AS DOUBLE) >= 0.3
+         |ORDER BY doc_a, doc_b""".stripMargin
+  )
+}

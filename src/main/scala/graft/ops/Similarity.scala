@@ -1,0 +1,171 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Portable
+
+/** Similarity search over the `embeddings` table (`Array[Float]`
+  * column) — the north-star ANN operators (BASELINE.json).
+  *
+  * Cosine is computed with higher-order functions (`zip_with` +
+  * `aggregate`, codegen'd lambdas — no UDF), folding left so the sum
+  * order is fixed and the DuckDB oracle (`list_reduce`) reproduces it
+  * bit-for-bit.
+  *
+  * Scale design:
+  *   - brute-force kNN broadcasts the (tiny) query set against the
+  *     full corpus: one narrow pass, no shuffle until top-k;
+  *   - the LSH path buckets vectors by random-hyperplane sign bits;
+  *     candidate generation joins only within buckets (expected
+  *     corpus/2^planes per bucket), the classic sub-linear ANN
+  *     trade — at 100 TB the bucket table is the only shuffle;
+  *   - hyperplanes are deterministic literals inlined into the plan
+  *     (Portable.planes), so there is no per-row hashing cost and
+  *     the oracle sees identical planes by construction.
+  */
+object Similarity {
+  type Q = (SparkSession, String) => DataFrame
+
+  val KnnQueries = 5 // vec_id < 5 are the query vectors
+  val KnnK = 5
+  val LshPlanes = 6 // 2^6 = 64 buckets
+  val LshK = 3
+  val Dims = 64
+
+  /** Left-fold dot product a·b as a Spark SQL expression. */
+  private def dotExpr(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+
+  /** The same fold in DuckDB SQL (list_reduce has no seed; a fold of
+    * [v1..vn] from v1 equals Spark's 0.0-seeded fold bit-for-bit). */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(generate_series(1, $Dims), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  /** Embeddings with a precomputed L2 norm. */
+  private def normed(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .withColumn("norm", expr(s"sqrt(${dotExpr("embedding", "embedding")})"))
+
+  private val normedCte =
+    s"""e AS (
+       |  SELECT vec_id, label, embedding,
+       |         sqrt(${dotSql("embedding", "embedding")}) AS norm
+       |  FROM embeddings
+       |)""".stripMargin
+
+  /** Shared plane literals (deterministic, seed 42). */
+  private lazy val planes: Array[Array[Double]] = Portable.planes(LshPlanes, Dims)
+
+  /** Planes as a UNION ALL relation, in the given array-literal
+    * syntax. Spark: array(...); DuckDB: [...]. */
+  private def planesRelation(arrOpen: String, arrClose: String): String =
+    planes.zipWithIndex.map { case (p, i) =>
+      s"SELECT $i AS p, $arrOpen${p.mkString(", ")}$arrClose AS plane"
+    }.mkString("\n  UNION ALL\n  ")
+
+  val queries: Map[String, Q] = Map(
+    // Brute-force cosine top-k: the exact baseline
+    "sim01_knn" -> ((s, d) => {
+      val e = normed(s, d)
+      val q = e.filter(col("vec_id") < KnnQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("norm").as("qn"))
+      val t = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("te"), col("norm").as("tn"))
+      val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+      t.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+        .withColumn("cos", expr(dotExpr("qe", "te")) / (col("qn") * col("tn")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= KnnK)
+        .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cosine"))
+        .orderBy("query_id", "neighbor_id")
+    }),
+
+    // LSH-bucketed ANN: random-hyperplane sign buckets, exact cosine
+    // re-ranking within the query's bucket only
+    "sim02_lsh_ann" -> ((s, d) => {
+      val e = normed(s, d)
+      val planesDf = s.sql(planesRelation("array(", ")"))
+      val buckets = e.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(planesDf))
+        .withColumn("pdot", expr(dotExpr("embedding", "plane")))
+        .withColumn("bit",
+          expr("CASE WHEN pdot > 0.0 THEN shiftleft(CAST(1 AS BIGINT), p) ELSE CAST(0 AS BIGINT) END"))
+        .groupBy("vec_id").agg(sum(col("bit")).as("bucket"))
+      val eb = e.join(buckets, "vec_id")
+      val q = eb.filter(col("vec_id") < KnnQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("norm").as("qn"), col("bucket"))
+      val t = eb.select(col("vec_id").as("neighbor_id"), col("embedding").as("te"),
+        col("norm").as("tn"), col("bucket"))
+      val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+      t.join(broadcast(q), Seq("bucket"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("cos", expr(dotExpr("qe", "te")) / (col("qn") * col("tn")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= LshK)
+        .select(col("query_id"), col("neighbor_id"), col("bucket"),
+          round(col("cos"), 6).as("cosine"))
+        .orderBy("query_id", "neighbor_id")
+    }),
+
+    // Per-label centroids (vector aggregation via posexplode —
+    // partial aggregation makes this one narrow shuffle of
+    // labels × dims pre-reduced rows)
+    "sim03_centroids" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("label", "pos")
+        .agg((Tables.dsum(col("v").cast("double"), 8) / count(lit(1)).cast("double"))
+          .as("centroid"))
+        .orderBy("label", "pos"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "sim01_knn" ->
+      s"""WITH $normedCte,
+         |pairs AS (
+         |  SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+         |         ${dotSql("q.embedding", "t.embedding")} / (q.norm * t.norm) AS cos
+         |  FROM e q JOIN e t ON q.vec_id < $KnnQueries AND t.vec_id <> q.vec_id
+         |)
+         |SELECT query_id, neighbor_id, round(cos, 6) AS cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY cos DESC, neighbor_id ASC) AS rn
+         |  FROM pairs) t
+         |WHERE rn <= $KnnK ORDER BY query_id, neighbor_id""".stripMargin,
+
+    "sim02_lsh_ann" ->
+      s"""WITH $normedCte,
+         |planes AS (
+         |  ${planesRelation("[", "]")}
+         |),
+         |buckets AS (
+         |  SELECT vec_id,
+         |         CAST(sum(CASE WHEN ${dotSql("embedding", "plane")} > 0.0
+         |                       THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM e, planes GROUP BY vec_id
+         |),
+         |eb AS (
+         |  SELECT e.*, b.bucket FROM e JOIN buckets b USING (vec_id)
+         |),
+         |pairs AS (
+         |  SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id, q.bucket AS bucket,
+         |         ${dotSql("q.embedding", "t.embedding")} / (q.norm * t.norm) AS cos
+         |  FROM eb q JOIN eb t ON q.bucket = t.bucket
+         |   AND q.vec_id < $KnnQueries AND t.vec_id <> q.vec_id
+         |)
+         |SELECT query_id, neighbor_id, bucket, round(cos, 6) AS cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY cos DESC, neighbor_id ASC) AS rn
+         |  FROM pairs) t
+         |WHERE rn <= $LshK ORDER BY query_id, neighbor_id""".stripMargin,
+
+    "sim03_centroids" ->
+      s"""SELECT label, i - 1 AS pos,
+         |  CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,8))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS centroid
+         |FROM embeddings, (SELECT unnest(generate_series(1, $Dims)) AS i) ii
+         |GROUP BY label, pos ORDER BY label, pos""".stripMargin
+  )
+}

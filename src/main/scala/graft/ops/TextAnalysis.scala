@@ -1,0 +1,156 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Portable
+
+/** Text-analysis operators for LLM training-data pipelines over the
+  * `documents` table: token stats, quality scoring, language ID
+  * (stopword-count heuristic), and document fingerprinting (rolling
+  * hash). All computation is higher-order array functions over a
+  * single narrow pass — no shuffle at all until the (optional)
+  * ordering, so these scale linearly with corpus size.
+  */
+object TextAnalysis {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val tokensExpr = "filter(split(lower(text), ' +'), t -> t <> '')"
+  private val tokensSql = "list_filter(regexp_split_to_array(lower(text), ' +'), t -> t <> '')"
+
+  /** Stopword inventories per language for the lang-ID heuristic.
+    * (Deliberately tiny — this is an operator shape, not a model.) */
+  val LangStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "is", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "es" -> Seq("el", "los", "las", "de", "y", "es"),
+    "fr" -> Seq("le", "les", "et", "est", "une", "dans"))
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"t = '$w'").mkString("(", " OR ", ")")
+
+  val queries: Map[String, Q] = Map(
+    // Token counting: whitespace tokens + distinct + mean length
+    "tx01_token_stats" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("tokens", expr(tokensExpr))
+        .select(
+          col("doc_id"),
+          size(col("tokens")).cast("long").as("n_tokens"),
+          expr("CAST(size(array_distinct(tokens)) AS BIGINT)").as("n_distinct"),
+          expr("""CASE WHEN size(tokens) = 0 THEN NULL ELSE
+                 |round(CAST(aggregate(tokens, 0, (a, t) -> a + length(t)) AS DOUBLE)
+                 |      / CAST(size(tokens) AS DOUBLE), 6) END""".stripMargin)
+            .as("avg_token_len"))
+        .orderBy("doc_id")),
+
+    // Quality scoring: stopword / short-token ratios → score
+    "tx02_quality" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("tokens", expr(tokensExpr))
+        .withColumn("n", size(col("tokens")))
+        .withColumn("stop_cnt",
+          expr(s"size(filter(tokens, t -> ${inList(LangStopwords.flatMap(_._2))}))"))
+        .withColumn("short_cnt", expr("size(filter(tokens, t -> length(t) <= 2))"))
+        .select(
+          col("doc_id"),
+          expr("CAST(length(text) AS BIGINT)").as("n_chars_actual"),
+          expr("round(CAST(stop_cnt AS DOUBLE) / CAST(nullif(n, 0) AS DOUBLE), 6)")
+            .as("stopword_ratio"),
+          expr("round(CAST(short_cnt AS DOUBLE) / CAST(nullif(n, 0) AS DOUBLE), 6)")
+            .as("short_ratio"),
+          expr("""round(1.0 - 0.5 * (CAST(stop_cnt AS DOUBLE) / CAST(nullif(n, 0) AS DOUBLE))
+                 |          - 0.5 * (CAST(short_cnt AS DOUBLE) / CAST(nullif(n, 0) AS DOUBLE)), 6)""".stripMargin)
+            .as("quality_score"))
+        .orderBy("doc_id")),
+
+    // Language ID: per-language stopword hit counts, argmax with a
+    // fixed tie order (en > de > es > fr)
+    "tx03_langid" -> ((s, d) => {
+      val base = Tables.documents(s, d).withColumn("tokens", expr(tokensExpr))
+      val scored = LangStopwords.foldLeft(base) { case (df, (lang, words)) =>
+        df.withColumn(s"${lang}_score",
+          expr(s"CAST(size(filter(tokens, t -> ${inList(words)})) AS BIGINT)"))
+      }
+      scored.select(
+        col("doc_id"), col("lang"),
+        expr("""CASE WHEN en_score >= de_score AND en_score >= es_score AND en_score >= fr_score THEN 'en'
+               |     WHEN de_score >= es_score AND de_score >= fr_score THEN 'de'
+               |     WHEN es_score >= fr_score THEN 'es'
+               |     ELSE 'fr' END""".stripMargin).as("predicted_lang"),
+        col("en_score"), col("de_score"), col("es_score"), col("fr_score"))
+        .orderBy("doc_id")
+    }),
+
+    // Document fingerprint: rolling polynomial hash over token
+    // hashes, mod 1e9+7 (all exact integer math)
+    "tx04_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("tokens", expr(tokensExpr))
+        .select(col("doc_id"),
+          expr(s"""aggregate(transform(tokens, t -> ${Portable.phashExpr("t")} % 1000003),
+                  |          CAST(0 AS BIGINT),
+                  |          (h, x) -> ((h * 31) + x) % 1000000007)""".stripMargin)
+            .as("fingerprint"))
+        .orderBy("doc_id"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "tx01_token_stats" ->
+      s"""WITH tok AS (SELECT doc_id, $tokensSql AS tokens FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(tokens) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(tokens)) AS BIGINT) AS n_distinct,
+         |  CASE WHEN len(tokens) = 0 THEN NULL ELSE
+         |    round(CAST(list_reduce(list_prepend(0, list_transform(tokens, t -> length(t))), (a, b) -> a + b) AS DOUBLE)
+         |          / CAST(len(tokens) AS DOUBLE), 6) END AS avg_token_len
+         |FROM tok ORDER BY doc_id""".stripMargin,
+
+    "tx02_quality" -> {
+      val allStops = inList(LangStopwords.flatMap(_._2))
+      s"""WITH tok AS (SELECT doc_id, text, $tokensSql AS tokens FROM documents),
+         |c AS (
+         |  SELECT doc_id, text, len(tokens) AS n,
+         |         len(list_filter(tokens, t -> $allStops)) AS stop_cnt,
+         |         len(list_filter(tokens, t -> length(t) <= 2)) AS short_cnt
+         |  FROM tok
+         |)
+         |SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars_actual,
+         |  round(CAST(stop_cnt AS DOUBLE) / CAST(nullif(n, 0) AS DOUBLE), 6) AS stopword_ratio,
+         |  round(CAST(short_cnt AS DOUBLE) / CAST(nullif(n, 0) AS DOUBLE), 6) AS short_ratio,
+         |  round(1.0 - 0.5 * (CAST(stop_cnt AS DOUBLE) / CAST(nullif(n, 0) AS DOUBLE))
+         |            - 0.5 * (CAST(short_cnt AS DOUBLE) / CAST(nullif(n, 0) AS DOUBLE)), 6) AS quality_score
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
+
+    "tx03_langid" -> {
+      val scores = LangStopwords.map { case (lang, words) =>
+        s"len(list_filter(tokens, t -> ${inList(words)}))::BIGINT AS ${lang}_score"
+      }.mkString(",\n         ")
+      s"""WITH tok AS (SELECT doc_id, lang, $tokensSql AS tokens FROM documents),
+         |sc AS (
+         |  SELECT doc_id, lang,
+         |         $scores
+         |  FROM tok
+         |)
+         |SELECT doc_id, lang,
+         |  CASE WHEN en_score >= de_score AND en_score >= es_score AND en_score >= fr_score THEN 'en'
+         |       WHEN de_score >= es_score AND de_score >= fr_score THEN 'de'
+         |       WHEN es_score >= fr_score THEN 'es'
+         |       ELSE 'fr' END AS predicted_lang,
+         |  en_score, de_score, es_score, fr_score
+         |FROM sc ORDER BY doc_id""".stripMargin
+    },
+
+    "tx04_fingerprint" ->
+      s"""WITH tok AS (SELECT doc_id, $tokensSql AS tokens FROM documents)
+         |SELECT doc_id,
+         |  CAST(list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |                 list_transform(tokens, t -> ${Portable.phashSql("t")} % 1000003)),
+         |    (h, x) -> ((h * 31) + x) % 1000000007) AS BIGINT) AS fingerprint
+         |FROM tok ORDER BY doc_id""".stripMargin
+  )
+}
