@@ -2,6 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
 import graft.ops.{Dedup, Joins, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,9 +23,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Joins.queries ++ Dedup.queries ++
-      Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries
+      Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries ++
+      Streams.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Joins.oracle ++ Dedup.oracle ++
-      Similarity.oracle ++ TextAnalysis.oracle ++ Multimodal.oracle
+      Similarity.oracle ++ TextAnalysis.oracle ++ Multimodal.oracle ++
+      Streams.oracle
 }

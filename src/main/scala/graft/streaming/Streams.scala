@@ -1,0 +1,138 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.gtfs.Schemas
+
+/** Structured Streaming variant of the GTFS pipeline (SURVEY.md §2.10
+  * — an extension: the reference is batch-only, its "streaming" is a
+  * 15 s polling loop, main.py:39-46), plus the windowed-aggregation
+  * operators (tumbling / sliding / session) as batch catalog entries
+  * over `events`.
+  *
+  * Streaming semantics upgrades over the reference's batch analogs:
+  *   - late data: a watermark on event time replaces the
+  *     date == current_date filter (which silently drops stale-clock
+  *     pings, gtfstransformerSilver.py:43);
+  *   - dedup across polls: `dropDuplicatesWithinWatermark` bounds the
+  *     dedup state that the batch `dropDuplicates` holds unbounded;
+  *   - the 15 s poll cadence becomes a real micro-batch trigger.
+  */
+object Streams {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Streaming bronze source: the same partitioned JSON layout the
+    * ingester writes (S3), consumed incrementally. */
+  def bronzeStream(spark: SparkSession, path: String): DataFrame = {
+    Tables.pin(spark)
+    spark.readStream
+      .option("multiline", "true")
+      .option("maxFilesPerTrigger", "8")
+      .schema(Schemas.bronzeSchema)
+      .json(path)
+  }
+
+  /** Streaming silver: the reference's clean/filter chain with a
+    * watermark + bounded-state dedup instead of the date filter +
+    * unbounded dropDuplicates. */
+  def silverStream(raw: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    raw.select(explode(col("result")).as("v"))
+      .select(
+        trim(col("v.Lines")).as("Lines"),
+        trim(col("v.VehicleNumber")).as("VehicleNumber"),
+        col("v.Lat").cast(DoubleType).as("Lat"),
+        col("v.Lon").cast(DoubleType).as("Lon"),
+        col("v.Time").cast(TimestampType).as("Time"))
+      .na.drop("any")
+      .filter(col("Lat").between(Schemas.LatMin, Schemas.LatMax) &&
+        col("Lon").between(Schemas.LonMin, Schemas.LonMax))
+      .filter(col("Lines") =!= "")
+      .withWatermark("Time", watermark)
+      .dropDuplicatesWithinWatermark("VehicleNumber", "Time")
+
+  /** Streaming per-line tumbling-window stats — the daily-report
+    * analog emitted continuously. */
+  def lineWindowStats(silver: DataFrame, window: String = "15 minutes"): DataFrame =
+    silver
+      .groupBy(org.apache.spark.sql.functions.window(col("Time"), window), col("Lines"))
+      // exact distinct aggregation is unsupported over streaming state;
+      // HLL approx is the streaming-native (and 100 TB-native) choice
+      .agg(count(lit(1)).as("pings"),
+        approx_count_distinct(col("VehicleNumber")).as("vehicles"))
+      .select(col("window.start").as("window_start"), col("Lines"),
+        col("pings"), col("vehicles"))
+
+  // ------------------------------------------------------------------
+  // Batch windowed-agg catalog entries (oracle-checked)
+  // ------------------------------------------------------------------
+
+  val queries: Map[String, Q] = Map(
+    // Tumbling event-time window (epoch-aligned, matches date_trunc)
+    "st01_tumbling_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Tables.dsum(col("value"), 2).as("total_value"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy("window_start", "event_type")),
+
+    // Sliding window (1 h size, 30 min slide → every event in 2 windows)
+    "st02_sliding_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n"))
+        .orderBy("window_start", "event_type")),
+
+    // Session window per user (1 h inactivity gap)
+    "st03_session_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "1 hour"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), Tables.dsum(col("value"), 2).as("session_value"))
+        .select(date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("user_id"), col("n_events"), col("session_value"))
+        .orderBy("user_id", "session_start"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "st01_tumbling_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |       event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    // each event belongs to windows starting at floor(epoch/1800)*1800
+    // and that minus 1800 (size = 2 × slide)
+    "st02_sliding_window" ->
+      """SELECT strftime(to_timestamp(CAST(floor(floor(epoch(ts)) / 1800) AS BIGINT) * 1800 - k * 1800),
+        |                '%Y-%m-%d %H:%M:%S') AS window_start,
+        |       event_type, count(*) AS n
+        |FROM events, (SELECT unnest([0, 1]) AS k) kk
+        |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    // session windows = gap-flag cumulative sum (classic sessionization)
+    "st03_session_window" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |               OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) >= 3600
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |),
+        |sessions AS (
+        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |                                   ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM flagged
+        |)
+        |SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start, user_id,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin
+  )
+}
