@@ -42,21 +42,33 @@ object Dedup {
       |                      i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])
       |  ELSE [] END""".stripMargin
 
+  /** MinHash mixing coefficients: the expensive md5 runs ONCE per
+    * shingle; the k hash families are derived by affine mixing mod
+    * 1e9+7 — exact integer math in both engines, and bounded so the
+    * multiply never overflows a BIGINT (base < 1e9+7, coeff < 1e5). */
+  val MixMod = 1000000007L
+  lazy val mixCoeffs: Array[(Long, Long)] = {
+    val rnd = new java.util.Random(7L)
+    Array.fill(MinhashK)((rnd.nextInt(99990) + 11L, rnd.nextInt(999999999).toLong))
+  }
+
   /** Per-doc minhash signature frame: doc_id, sig_0..sig_{k-1}. */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(spark, dir)
       .withColumn("tokens", expr(tokensExpr))
       .withColumn("shingles", expr(shinglesExpr))
-    (0 until MinhashK).foldLeft(base) { (df, j) =>
+      .withColumn("hh",
+        expr(s"transform(shingles, s -> ${Portable.phashExpr("s")} % $MixMod)"))
+    mixCoeffs.zipWithIndex.foldLeft(base) { case (df, ((a, b), j)) =>
       df.withColumn(s"sig_$j",
-        expr(s"array_min(transform(shingles, s -> ${Portable.phashExpr(s"concat(s, '#$j')")}))"))
+        expr(s"array_min(transform(hh, h -> (h * ${a}L + ${b}L) % $MixMod))"))
     }.select(("doc_id" +: (0 until MinhashK).map(j => s"sig_$j")).map(col): _*)
   }
 
   /** Oracle CTE mirroring [[minhashSignatures]]. */
   def minhashCte: String = {
-    val sigCols = (0 until MinhashK).map { j =>
-      s"list_min(list_transform(shingles, s -> ${Portable.phashSql(s"(s || '#$j')")})) AS sig_$j"
+    val sigCols = mixCoeffs.zipWithIndex.map { case ((a, b), j) =>
+      s"list_min(list_transform(hh, h -> (h * $a + $b) % $MixMod)) AS sig_$j"
     }.mkString(",\n    ")
     s"""tok AS (
        |  SELECT doc_id, $tokensSql AS tokens FROM documents
@@ -64,10 +76,15 @@ object Dedup {
        |sh AS (
        |  SELECT doc_id, $shinglesSql AS shingles FROM tok
        |),
+       |shh AS (
+       |  SELECT doc_id,
+       |         list_transform(shingles, s -> ${Portable.phashSql("s")} % $MixMod) AS hh
+       |  FROM sh
+       |),
        |sigs AS (
        |  SELECT doc_id,
        |    $sigCols
-       |  FROM sh
+       |  FROM shh
        |)""".stripMargin
   }
 
@@ -130,12 +147,18 @@ object Dedup {
     }),
 
     // n-gram (3-shingle) Jaccard similarity via inverted-index join:
-    // pairs form ONLY on shared shingles (near-linear candidate set)
+    // pairs form ONLY on shared shingles (near-linear candidate set).
+    // Shingles are 60-bit-hashed before the join — the exchange and
+    // join compare 8-byte keys instead of ~25-byte strings — and the
+    // hashed posting list is computed once and cached (it feeds both
+    // join sides and the per-doc counts).
     "dd05_ngram_jaccard" -> ((s, d) => {
       val sh = Tables.documents(s, d)
         .withColumn("tokens", expr(tokensExpr))
         .withColumn("shingles", expr(shinglesExpr))
-        .select(col("doc_id"), explode(expr("array_distinct(shingles)")).as("sh"))
+        .select(col("doc_id"),
+          explode(expr(s"array_distinct(transform(shingles, s -> ${graft.functions.Portable.phashExpr("s")}))")).as("sh"))
+        .cache()
       val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
       val common = sh.as("a")
         .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -214,7 +237,9 @@ object Dedup {
          |  SELECT doc_id, $shinglesSql AS shingles FROM tok
          |),
          |sh AS (
-         |  SELECT doc_id, unnest(list_distinct(shingles)) AS sh FROM shl
+         |  SELECT doc_id,
+         |         unnest(list_distinct(list_transform(shingles, s -> ${Portable.phashSql("s")}))) AS sh
+         |  FROM shl
          |),
          |counts AS (
          |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id

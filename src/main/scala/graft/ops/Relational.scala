@@ -99,8 +99,14 @@ object Relational {
   }
 
   /** Daily report analog: 8 aggregates + cost_of_1km. gtfsGold.py:94-105. */
-  def report(spark: SparkSession, dir: String): DataFrame = {
-    enriched(spark, dir)
+  def report(spark: SparkSession, dir: String): DataFrame =
+    reportFrom(enriched(spark, dir))
+
+  /** Report from an already-built enriched frame (lets callers cache
+    * and reuse the enrichment — fixes the reference's C2 recompute,
+    * gtfsGold.py:119). */
+  def reportFrom(enrichedDf: DataFrame): DataFrame = {
+    enrichedDf
       .groupBy("line") // A1
       .agg(
         Tables.dsum(col("dist_km_raw"), 6).as("total_distance_km"), // A2
@@ -328,10 +334,11 @@ object Relational {
     // O4: argmax without driver round-trips (SURVEY §7.6): most
     // expensive line → its hardest-working vehicle (gtfsGold.py:110-126)
     "o04_argmax" -> ((s, d) => {
-      val top = report(s, d)
+      val e = enriched(s, d).cache() // one enrichment feeds report + drill-down
+      val top = reportFrom(e)
         .orderBy(col("total_cost_pln").desc, col("line").asc).limit(1)
         .select(col("line"), col("total_cost_pln"))
-      val perVehicle = enriched(s, d)
+      val perVehicle = e
         .join(broadcast(top), "line")
         .groupBy("line", "total_cost_pln", "vehicle")
         .agg(Tables.dsum(col("dist_km"), 6).as("total_v_dist"))

