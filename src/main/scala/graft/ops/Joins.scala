@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -123,6 +124,37 @@ object Joins {
         .orderBy("nationkey")
     }),
 
+    // As-of join (time-series point-in-time correctness): each
+    // purchase gets the latest click of the same user at-or-before
+    // its timestamp. Composed from built-ins per the preference
+    // order — a tagged union + running `last(ignoreNulls)` window —
+    // which shuffles ONCE on user_id instead of doing a range join;
+    // the oracle uses DuckDB's native ASOF JOIN, so this also
+    // cross-checks the composition against a reference
+    // implementation of the semantics.
+    "j08_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value"), lit(0).as("side"),
+          lit(null).cast("long").as("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"), lit(1).as("side"),
+          col("event_id"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("side").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionAll(purchases)
+        .withColumn("click_ts",
+          last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
+        .withColumn("click_value",
+          last(when(col("side") === 0, col("value")), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"), col("value"),
+          date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts_s"),
+          col("click_value"))
+        .orderBy("event_id")
+    }),
+
     // UNION (distinct set semantics)
     "x01_union" -> ((s, d) =>
       Tables.customer(s, d).select(col("c_nationkey").cast(IntegerType).as("key"))
@@ -208,6 +240,16 @@ object Joins {
         |FULL OUTER JOIN (SELECT s_nationkey AS nationkey, count(*) AS suppliers
         |      FROM supplier GROUP BY 1) s USING (nationkey)
         |ORDER BY nationkey""".stripMargin,
+
+    "j08_asof_join" ->
+      """SELECT p.event_id, p.user_id,
+        |       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts_s, p.value,
+        |       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts_s,
+        |       c.value AS click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
 
     "x01_union" ->
       """SELECT CAST(c_nationkey AS INT) AS key FROM customer

@@ -386,6 +386,31 @@ object Relational {
         .orderBy("line")
     }),
 
+    // Rollup (hierarchical grouping sets) with grouping flags —
+    // engine extension; the reference has no grouping sets (§2.5)
+    "a11_rollup" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(trim(col("event_type")).as("line"),
+          to_date(col("ts")).cast(StringType).as("d"))
+        .rollup("line", "d")
+        .agg(count(lit(1)).as("n"),
+          grouping(col("line")).cast(IntegerType).as("g_line"),
+          grouping(col("d")).cast(IntegerType).as("g_d"))
+        .select(col("line"), col("d"), col("n"), col("g_line"), col("g_d"))
+        .orderBy(col("g_line"), col("g_d"),
+          coalesce(col("line"), lit("")), coalesce(col("d"), lit("")))),
+
+    // Pivot (event_type → columns) — engine extension
+    "a12_pivot" -> ((s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val pivoted = Tables.events(s, d)
+        .select(to_date(col("ts")).cast(StringType).as("d"), col("event_type"))
+        .groupBy("d").pivot("event_type", types).agg(count(lit(1)))
+      types.foldLeft(pivoted) { (df, t) => // absent combos: null → 0
+        df.withColumn(t, coalesce(col(t), lit(0L)))
+      }.orderBy("d")
+    }),
+
     // Flagship TPC-H-style pricing summary over lineitem (bench
     // headline; exercises A1-A7 at the largest table)
     "q1_pricing" -> ((s, d) =>
@@ -544,6 +569,24 @@ object Relational {
       s"""WITH $silverCte
          |SELECT line, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          |FROM silver GROUP BY line ORDER BY line""".stripMargin,
+
+    "a11_rollup" ->
+      """SELECT trim(event_type) AS line, CAST(CAST(ts AS DATE) AS VARCHAR) AS d,
+        |       count(*) AS n,
+        |       CAST(GROUPING(trim(event_type)) AS INT) AS g_line,
+        |       CAST(GROUPING(CAST(CAST(ts AS DATE) AS VARCHAR)) AS INT) AS g_d
+        |FROM events
+        |GROUP BY ROLLUP(line, d)
+        |ORDER BY g_line, g_d, COALESCE(line, ''), COALESCE(d, '')""".stripMargin,
+
+    "a12_pivot" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY 1 ORDER BY d""".stripMargin,
 
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, SparkEntry}
+
+/** Semantic checks of catalog operators over sf0.001 — invariants a
+  * correct implementation must satisfy regardless of data, plus a few
+  * pinned values. (Exact result parity is the DuckDB oracle's job —
+  * these specs guard the Scala side standalone.)
+  */
+class OpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("every catalog query has either an oracle or a documented omission") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle.isEmpty, s"queries without oracle: $noOracle")
+  }
+
+  test("silver analog: bbox, nonempty, dedup invariants") {
+    val silver = Relational.silver(spark, sf).cache()
+    assert(silver.filter(col("value") < 0.0 || col("value") > 400.0).count() === 0)
+    assert(silver.filter(col("line") === "").count() === 0)
+    val keys = silver.groupBy("vehicle", "ts").count().filter(col("count") > 1)
+    assert(keys.count() === 0, "dedup key uniqueness")
+  }
+
+  test("enriched: first ping per vehicle has zero dist and speed") {
+    val e = Relational.enriched(spark, sf)
+    val firsts = e.filter(col("prev_ts").isNull)
+    assert(firsts.count() > 0)
+    assert(firsts.filter(col("dist_km") =!= 0.0 || col("speed_kmh") =!= 0.0).count() === 0)
+    assert(e.filter(col("speed_kmh") > Relational.MaxSpeedKmh).count() === 0)
+  }
+
+  test("argmax agrees with report ordering") {
+    val top = q("o04_argmax").head()
+    val best = q("a01_report")
+      .orderBy(col("total_cost_pln").desc, col("line").asc).head()
+    assert(top.getAs[String]("line") === best.getAs[String]("line"))
+  }
+
+  test("set ops: union ⊇ intersect, except ∩ intersect = ∅") {
+    val union = q("x01_union").collect().map(_.getInt(0)).toSet
+    val except = q("x02_except").collect().map(_.getLong(0)).toSet
+    val intersect = q("x03_intersect").collect().map(_.getLong(0)).toSet
+    assert(except.intersect(intersect).isEmpty)
+    assert(union.nonEmpty)
+  }
+
+  test("minhash: identical docs get identical signatures") {
+    import spark.implicits._
+    // identical text ⇒ identical shingle set ⇒ identical minhash
+    val sigs = Dedup.minhashSignatures(spark, sf)
+      .join(graft.Tables.documents(spark, sf).select("doc_id", "text"), "doc_id")
+    val byText = sigs.groupBy("text")
+      .agg(countDistinct(concat_ws(":", (0 until Dedup.MinhashK).map(j => col(s"sig_$j")): _*))
+        .as("distinct_sigs"))
+    assert(byText.filter(col("distinct_sigs") > 1).count() === 0)
+  }
+
+  test("simhash of a doc is stable and 32-bit bounded") {
+    val sh = q("dd04_simhash")
+    assert(sh.filter(col("simhash") < 0L || col("simhash") >= (1L << 32)).count() === 0)
+  }
+
+  test("knn: cosine within [-1, 1] and k per query") {
+    val knn = q("sim01_knn").cache()
+    assert(knn.filter(col("cosine") > 1.000001 || col("cosine") < -1.000001).count() === 0)
+    val perQuery = knn.groupBy("query_id").count().collect()
+    assert(perQuery.forall(_.getLong(1) <= Similarity.KnnK))
+    assert(perQuery.length === Similarity.KnnQueries)
+  }
+
+  test("lsh ann neighbors are a subset of brute-force ranking candidates") {
+    // every LSH neighbor must share the query's bucket and its cosine
+    // must match the brute-force cosine for the same pair
+    val ann = q("sim02_lsh_ann").select("query_id", "neighbor_id", "cosine")
+    val bf = q("sim01_knn").select(
+      col("query_id"), col("neighbor_id"), col("cosine").as("bf_cosine"))
+    val joined = ann.join(bf, Seq("query_id", "neighbor_id"), "inner")
+    joined.collect().foreach { r =>
+      assert(math.abs(r.getAs[Double]("cosine") - r.getAs[Double]("bf_cosine")) < 1e-9)
+    }
+  }
+
+  test("as-of join: click_ts <= purchase ts, null only when no prior click") {
+    val asof = q("j08_asof_join")
+    assert(asof.filter(col("click_ts_s") > col("ts_s")).count() === 0)
+    assert(asof.count() > 0)
+  }
+
+  test("fingerprint is deterministic across runs") {
+    val a = q("tx04_fingerprint").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = q("tx04_fingerprint").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("media features: n_bytes matches text length for ascii corpus") {
+    val mm = q("mm01_media_features")
+      .join(graft.Tables.documents(spark, sf).select(col("doc_id"),
+        length(col("text")).cast("long").as("text_len")), "doc_id")
+    assert(mm.filter(col("n_bytes") =!= col("text_len")).count() === 0)
+  }
+}

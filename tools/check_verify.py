@@ -77,6 +77,12 @@ def main(sfdir, outdir):
         else:
             print(f"PASS {name} ({len(g)} rows)")
             n_pass += 1
+    missing = [k for k in oracle
+               if not os.path.isdir(os.path.join(outdir, k))]
+    for k in missing:
+        print(f"FAIL {k}: no parquet dump (query threw in Verify?)")
+        n_fail += 1
+        failures.append(k)
     print(f"\n{n_pass} pass, {n_fail} fail" + (f": {failures}" if failures else ""))
     return 1 if n_fail else 0
 
