@@ -52,14 +52,25 @@ object Dedup {
     Array.fill(MinhashK)((rnd.nextInt(99990) + 11L, rnd.nextInt(999999999).toLong))
   }
 
-  /** Per-doc minhash signature frame: doc_id, sig_0..sig_{k-1}. */
-  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(spark, dir)
+  private val sigCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Per-doc minhash signature frame: doc_id, sig_0..sig_{k-1}
+    * (memoized per session+dir — feeds dd02 and dd03). */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    sigCache.getOrElseUpdate((spark, dir), buildMinhashSignatures(spark, dir).cache())
+
+  private def buildMinhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    // The md5 pass is cached as its own frame: without the barrier,
+    // Catalyst's CollapseProject inlines `hh` into all k signature
+    // expressions and the md5 work runs k× (observed 4× slower).
+    val hashed = Tables.documents(spark, dir)
       .withColumn("tokens", expr(tokensExpr))
       .withColumn("shingles", expr(shinglesExpr))
-      .withColumn("hh",
-        expr(s"transform(shingles, s -> ${Portable.phashExpr("s")} % $MixMod)"))
-    mixCoeffs.zipWithIndex.foldLeft(base) { case (df, ((a, b), j)) =>
+      .select(col("doc_id"),
+        expr(s"transform(shingles, s -> ${Portable.phashExpr("s")} % $MixMod)").as("hh"))
+      .cache()
+    mixCoeffs.zipWithIndex.foldLeft(hashed) { case (df, ((a, b), j)) =>
       df.withColumn(s"sig_$j",
         expr(s"array_min(transform(hh, h -> (h * ${a}L + ${b}L) % $MixMod))"))
     }.select(("doc_id" +: (0 until MinhashK).map(j => s"sig_$j")).map(col): _*)
@@ -106,7 +117,7 @@ object Dedup {
     // MinHash-LSH candidate pairs: band on (sig_2b, sig_2b+1), join
     // within band buckets, estimate Jaccard from full signatures
     "dd03_lsh_pairs" -> ((s, d) => {
-      val sigs = minhashSignatures(s, d).cache()
+      val sigs = minhashSignatures(s, d)
       val bandKeys = (0 until Bands).map(b =>
         concat_ws(":", col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}")))
       val bands = sigs.select(col("doc_id"),

@@ -43,9 +43,23 @@ object Relational {
   // Shared pipeline stages (Spark side)
   // ------------------------------------------------------------------
 
+  /** Session-scoped memo of shared stage frames: many catalog queries
+    * consume silver/enriched — materialize each once per
+    * (session, dir) instead of recomputing the upstream pipeline per
+    * query (the C1 cache pattern, main.py:65, applied engine-wide). */
+  private val frameCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  private def memo(spark: SparkSession, dir: String, key: String)(
+      build: => DataFrame): DataFrame =
+    frameCache.getOrElseUpdate((spark, dir, key), build.cache())
+
   /** Silver analog: project/trim/cast → dropna → bbox-analog → nonempty
     * → deterministic dedup. gtfstransformerSilver.py:28-46. */
-  def silver(spark: SparkSession, dir: String): DataFrame = {
+  def silver(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "silver")(buildSilver(spark, dir))
+
+  private def buildSilver(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val projected = ev
       .select(
@@ -67,7 +81,10 @@ object Relational {
 
   /** Enriched per-ping analog: lag window, haversine segment, fuel,
     * cost, Δt, speed, anomaly cut. gtfsGold.py:36-85. */
-  def enriched(spark: SparkSession, dir: String): DataFrame = {
+  def enriched(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "enriched")(buildEnriched(spark, dir))
+
+  private def buildEnriched(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("vehicle").orderBy("ts") // W1
     val lagged = silver(spark, dir)
       .withColumn("prev_value", lag(col("value"), 1).over(w)) // W2
@@ -334,7 +351,7 @@ object Relational {
     // O4: argmax without driver round-trips (SURVEY §7.6): most
     // expensive line → its hardest-working vehicle (gtfsGold.py:110-126)
     "o04_argmax" -> ((s, d) => {
-      val e = enriched(s, d).cache() // one enrichment feeds report + drill-down
+      val e = enriched(s, d) // memoized: one enrichment feeds report + drill-down
       val top = reportFrom(e)
         .orderBy(col("total_cost_pln").desc, col("line").asc).limit(1)
         .select(col("line"), col("total_cost_pln"))

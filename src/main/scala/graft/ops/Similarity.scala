@@ -34,6 +34,8 @@ object Similarity {
   val LshPlanes = 6 // 2^6 = 64 buckets
   val LshK = 3
   val Dims = 64
+  val IvfCentroids = 16 // vec_id < 16 serve as coarse centroids
+  val IvfNProbe = 2
 
   /** Left-fold dot product a·b as a Spark SQL expression. */
   private def dotExpr(a: String, b: String): String =
@@ -119,6 +121,38 @@ object Similarity {
           .as("centroid"))
         .orderBy("label", "pos")),
 
+    // IVF-style ANN: coarse quantizer (first NCents vectors as
+    // centroids) → assign every vector to its nearest centroid →
+    // queries probe the NProbe nearest cells and re-rank exactly.
+    // The production scale path: candidate work drops from O(n) per
+    // query to O(n·nprobe/ncells), and the assignment pass is one
+    // broadcast-join scan.
+    "sim04_ivf_ann" -> ((s, d) => {
+      VectorExprs.register(s)
+      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val cents = e.filter(col("vec_id") < IvfCentroids)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+      val scored = e.crossJoin(broadcast(cents))
+        .withColumn("cos_c", expr("cosine_sim(embedding, ce)"))
+        .withColumn("crn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("cos_c").desc, col("cent_id").asc)))
+      val assigned = scored.filter(col("crn") === 1)
+        .select(col("vec_id"), col("cent_id").as("cluster"), col("embedding"))
+      val probes = scored.filter(col("vec_id") < KnnQueries && col("crn") <= IvfNProbe)
+        .select(col("vec_id").as("query_id"), col("cent_id").as("cluster"),
+          col("embedding").as("qe"))
+      val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+      assigned.join(broadcast(probes), Seq("cluster"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumnRenamed("vec_id", "neighbor_id")
+        .withColumn("cos", expr("cosine_sim(qe, embedding)"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= LshK)
+        .select(col("query_id"), col("neighbor_id"), col("cluster"),
+          round(col("cos"), 6).as("cosine"))
+        .orderBy("query_id", "neighbor_id")
+    }),
+
     // Embedding-cosine near-duplicate pairs (dedup family): label-
     // blocked pairwise cosine through the codegen kernel. Blocking
     // keys bound the quadratic term; at 100 TB the label would be an
@@ -171,6 +205,39 @@ object Similarity {
          |   AND q.vec_id < $KnnQueries AND t.vec_id <> q.vec_id
          |)
          |SELECT query_id, neighbor_id, bucket, round(cos, 6) AS cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY cos DESC, neighbor_id ASC) AS rn
+         |  FROM pairs) t
+         |WHERE rn <= $LshK ORDER BY query_id, neighbor_id""".stripMargin,
+
+    "sim04_ivf_ann" ->
+      s"""WITH $normedCte,
+         |cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS ce, norm AS cnorm
+         |  FROM e WHERE vec_id < $IvfCentroids
+         |),
+         |scored AS (
+         |  SELECT e.vec_id, e.embedding, e.norm, c.cent_id,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY ${dotSql("e.embedding", "c.ce")} / (e.norm * c.cnorm) DESC,
+         |                    c.cent_id ASC) AS crn
+         |  FROM e, cents c
+         |),
+         |assigned AS (
+         |  SELECT vec_id, cent_id AS cluster, embedding, norm
+         |  FROM scored WHERE crn = 1
+         |),
+         |probes AS (
+         |  SELECT vec_id AS query_id, cent_id AS cluster, embedding AS qe, norm AS qn
+         |  FROM scored WHERE vec_id < $KnnQueries AND crn <= $IvfNProbe
+         |),
+         |pairs AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id, a.cluster,
+         |         ${dotSql("p.qe", "a.embedding")} / (p.qn * a.norm) AS cos
+         |  FROM assigned a JOIN probes p USING (cluster)
+         |  WHERE a.vec_id <> p.query_id
+         |)
+         |SELECT query_id, neighbor_id, cluster, round(cos, 6) AS cosine FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |                               ORDER BY cos DESC, neighbor_id ASC) AS rn
          |  FROM pairs) t

@@ -26,11 +26,12 @@ object Streams {
 
   /** Streaming bronze source: the same partitioned JSON layout the
     * ingester writes (S3), consumed incrementally. */
-  def bronzeStream(spark: SparkSession, path: String): DataFrame = {
+  def bronzeStream(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 8): DataFrame = {
     Tables.pin(spark)
     spark.readStream
       .option("multiline", "true")
-      .option("maxFilesPerTrigger", "8")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .schema(Schemas.bronzeSchema)
       .json(path)
   }
@@ -64,6 +65,57 @@ object Streams {
         approx_count_distinct(col("VehicleNumber")).as("vehicles"))
       .select(col("window.start").as("window_start"), col("Lines"),
         col("pings"), col("vehicles"))
+
+  // ------------------------------------------------------------------
+  // Custom streaming state: trip segmentation
+  // ------------------------------------------------------------------
+
+  /** One GPS ping (input to trip segmentation). */
+  final case class Ping(VehicleNumber: String, Time: java.sql.Timestamp,
+      Lat: Double, Lon: Double)
+
+  /** Open-trip state carried across micro-batches. */
+  final case class TripState(startMs: Long, lastMs: Long, pings: Int)
+
+  /** A closed trip (emitted when a gap > gapSec is observed). */
+  final case class Trip(VehicleNumber: String, trip_start: java.sql.Timestamp,
+      trip_end: java.sql.Timestamp, pings: Int)
+
+  /** Per-vehicle trip segmentation with `flatMapGroupsWithState` —
+    * the KeyValueGroupedDataset custom-state operator (SURVEY.md
+    * §2.10 extension): pings of one vehicle separated by more than
+    * `gapSec` belong to different trips; a trip is emitted when the
+    * ping that closes it arrives. State is one small record per
+    * vehicle — bounded by fleet size, not stream length.
+    */
+  def tripSegments(silver: DataFrame, gapSec: Long = 1800): org.apache.spark.sql.Dataset[Trip] = {
+    import silver.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    silver.select("VehicleNumber", "Time", "Lat", "Lon").as[Ping]
+      .groupByKey(_.VehicleNumber)
+      .flatMapGroupsWithState[TripState, Trip](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (vehicle: String, pings: Iterator[Ping], state: GroupState[TripState]) =>
+          val sorted = pings.toSeq.sortBy(_.Time.getTime)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Trip]
+          var st = state.getOption.orNull
+          sorted.foreach { p =>
+            val t = p.Time.getTime
+            st match {
+              case null =>
+                st = TripState(t, t, 1)
+              case s if t - s.lastMs > gapSec * 1000 =>
+                out += Trip(vehicle, new java.sql.Timestamp(s.startMs),
+                  new java.sql.Timestamp(s.lastMs), s.pings)
+                st = TripState(t, t, 1)
+              case s =>
+                st = TripState(s.startMs, math.max(s.lastMs, t), s.pings + 1)
+            }
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
 
   // ------------------------------------------------------------------
   // Batch windowed-agg catalog entries (oracle-checked)

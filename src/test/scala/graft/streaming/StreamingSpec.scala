@@ -48,6 +48,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState segments trips across micro-batches") {
+    val dir = Files.createTempDirectory("graft-trips").toString
+    // batch 1: two pings 10 min apart (same trip)
+    writeBronze(dir, "b1.json",
+      rec("189", "8349", 52.2, 21.0, "2026-02-23 08:00:00"),
+      rec("189", "8349", 52.21, 21.01, "2026-02-23 08:10:00"))
+    // batch 2 (same dir, later file): a ping 3 h later → closes trip 1
+    writeBronze(dir, "b2.json",
+      rec("189", "8349", 52.25, 21.05, "2026-02-23 11:10:00"))
+
+    // one file per micro-batch → the gap is detected ACROSS batches,
+    // exercising the cross-batch GroupState
+    val silver = Streams.silverStream(Streams.bronzeStream(spark, dir, maxFilesPerTrigger = 1))
+    val trips = Streams.tripSegments(silver, gapSec = 1800)
+    val q = trips.writeStream
+      .format("memory").queryName("trips_out").outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("trips_out").collect()
+      assert(rows.length === 1, rows.mkString("; "))
+      val t = rows.head
+      assert(t.getAs[String]("VehicleNumber") === "8349")
+      assert(t.getAs[Int]("pings") === 2)
+      assert(t.getAs[java.sql.Timestamp]("trip_start").toString === "2026-02-23 08:00:00.0")
+      assert(t.getAs[java.sql.Timestamp]("trip_end").toString === "2026-02-23 08:10:00.0")
+    } finally q.stop()
+  }
+
   test("streaming windowed per-line stats emit after watermark") {
     val dir = Files.createTempDirectory("graft-stream2").toString
     writeBronze(dir, "b1.json",
