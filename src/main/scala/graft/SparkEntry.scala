@@ -24,10 +24,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Joins.queries ++ Dedup.queries ++
       Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries ++
-      Streams.queries
+      Multimodal.queries2 ++ Streams.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Joins.oracle ++ Dedup.oracle ++
       Similarity.oracle ++ TextAnalysis.oracle ++ Multimodal.oracle ++
-      Streams.oracle
+      Multimodal.oracle2 ++ Streams.oracle
 }

@@ -175,9 +175,9 @@ object Dedup {
         .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("common"))
-      common
-        .join(counts.toDF("doc_a", "n_a"), "doc_a")
-        .join(counts.toDF("doc_b", "n_b"), "doc_b")
+      common // per-doc counts are tiny → broadcast both lookups
+        .join(broadcast(counts.toDF("doc_a", "n_a")), "doc_a")
+        .join(broadcast(counts.toDF("doc_b", "n_b")), "doc_b")
         .withColumn("jaccard",
           col("common").cast("double") /
             (col("n_a") + col("n_b") - col("common")).cast("double"))

@@ -63,6 +63,54 @@ object Multimodal {
     })
   )
 
+  /** Frame-sampling parameters for the video-shaped stub: payload is
+    * treated as fixed-size frames; every SampleEvery-th frame is
+    * kept. */
+  val FrameBytes = 32
+  val SampleEvery = 4
+
+  val queries2: Map[String, Q] = Map(
+    // Video-shaped frame sampling: payload → frame index space →
+    // explode sampled frames → per-frame stub features + a "resize"
+    // (metadata transform). The explode/sequence shape is exactly a
+    // real frame sampler's plan; only the per-frame decode is fake.
+    "mm02_frame_sample" -> ((s, d) =>
+      graft.Tables.documents(s, d)
+        .select(col("doc_id"),
+          col("text").cast(BinaryType).as("payload"),
+          length(col("text")).as("n_chars"))
+        .withColumn("n_frames", expr(s"CAST(ceil(n_chars / $FrameBytes.0) AS INT)"))
+        .withColumn("frame_idx",
+          explode(expr(s"filter(sequence(0, n_frames - 1), i -> i % $SampleEvery = 0)")))
+        .select(
+          col("doc_id"), col("frame_idx"),
+          // stub per-frame feature: first byte of the frame (ASCII corpus)
+          expr(s"CAST(ascii(substring(CAST(payload AS STRING), frame_idx * $FrameBytes + 1, 1)) AS INT)")
+            .as("first_byte"),
+          // "resize": deterministic metadata transform of the fake dims
+          expr("CAST((doc_id % 640 + 1) DIV 2 AS INT)").as("resized_w"),
+          expr("CAST((doc_id % 480 + 1) DIV 2 AS INT)").as("resized_h"))
+        .orderBy("doc_id", "frame_idx"))
+  )
+
+  val oracle2: Map[String, String] = Map(
+    "mm02_frame_sample" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, text, CAST(ceil(strlen(text) / $FrameBytes.0) AS INT) AS n_frames
+         |  FROM documents
+         |),
+         |fr AS (
+         |  SELECT doc_id, text,
+         |         unnest(list_filter(generate_series(0, n_frames - 1), i -> i % $SampleEvery = 0)) AS frame_idx
+         |  FROM f
+         |)
+         |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+         |       CAST(unicode(substr(text, frame_idx * $FrameBytes + 1, 1)) AS INT) AS first_byte,
+         |       CAST((doc_id % 640 + 1) // 2 AS INT) AS resized_w,
+         |       CAST((doc_id % 480 + 1) // 2 AS INT) AS resized_h
+         |FROM fr ORDER BY doc_id, frame_idx""".stripMargin
+  )
+
   /** Oracle: the stub's arithmetic re-expressed over the (ASCII)
     * text — byte length == char length and byte value == codepoint
     * for this corpus, which keeps the plumbing verifiable. */

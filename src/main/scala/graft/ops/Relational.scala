@@ -428,6 +428,22 @@ object Relational {
       }.orderBy("d")
     }),
 
+    // SQL text interface: the same engine surface through spark.sql
+    // over registered views (the reference exposes only the DataFrame
+    // DSL — SURVEY §1.1 — this is the free Spark extension)
+    "sql01_text_interface" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("events_v")
+      s.sql("""
+        SELECT trim(event_type) AS line,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+               count(DISTINCT user_id) AS users
+        FROM events_v
+        WHERE value BETWEEN 0.0 AND 400.0
+        GROUP BY trim(event_type)
+        ORDER BY line""")
+    }),
+
     // Flagship TPC-H-style pricing summary over lineitem (bench
     // headline; exercises A1-A7 at the largest table)
     "q1_pricing" -> ((s, d) =>
@@ -604,6 +620,14 @@ object Relational {
         |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
         |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
         |FROM events GROUP BY 1 ORDER BY d""".stripMargin,
+
+    "sql01_text_interface" ->
+      """SELECT trim(event_type) AS line, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |       count(DISTINCT user_id) AS users
+        |FROM events
+        |WHERE value BETWEEN 0.0 AND 400.0
+        |GROUP BY trim(event_type) ORDER BY line""".stripMargin,
 
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
