@@ -25,6 +25,10 @@ object Dedup {
   val MinhashK = 8
   val Bands = 4
 
+  /** Stop-shingle document-frequency cap for dd05 (shingles more
+    * common than this carry no near-dup signal and cost df² pairs). */
+  val MaxShingleDf = 1000
+
   // Tokens: lowercase, whitespace-split, empties removed (trailing
   // spaces exist in the data). Kept textually parallel with the SQL.
   private val tokensExpr = "filter(split(lower(text), ' +'), t -> t <> '')"
@@ -159,17 +163,27 @@ object Dedup {
 
     // n-gram (3-shingle) Jaccard similarity via inverted-index join:
     // pairs form ONLY on shared shingles (near-linear candidate set).
-    // Shingles are 60-bit-hashed before the join — the exchange and
-    // join compare 8-byte keys instead of ~25-byte strings — and the
-    // hashed posting list is computed once and cached (it feeds both
-    // join sides and the per-doc counts).
+    // Two guards keep the posting-list pair generation from going
+    // quadratic at scale (a 10× dup-heavy corpus measured 102× slower
+    // without them — see ScaleStress):
+    //   1. near-dup runs over CANONICAL texts only (min doc_id per
+    //      distinct text) — exact duplicates are dd01's job, and they
+    //      multiply every posting list they touch;
+    //   2. stop-shingle cap: shingles appearing in > MaxShingleDf docs
+    //      are dropped (df² pair work, negligible signal).
+    // Shingles are 60-bit-hashed before the join — 8-byte keys — and
+    // the posting list is computed once and cached.
     "dd05_ngram_jaccard" -> ((s, d) => {
-      val sh = Tables.documents(s, d)
+      val canonical = Tables.documents(s, d)
+        .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      val sh0 = canonical
         .withColumn("tokens", expr(tokensExpr))
         .withColumn("shingles", expr(shinglesExpr))
         .select(col("doc_id"),
           explode(expr(s"array_distinct(transform(shingles, s -> ${graft.functions.Portable.phashExpr("s")}))")).as("sh"))
-        .cache()
+      val hot = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") > MaxShingleDf).select("sh")
+      val sh = sh0.join(broadcast(hot), Seq("sh"), "left_anti").cache()
       val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
       val common = sh.as("a")
         .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -241,16 +255,26 @@ object Dedup {
          |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "dd05_ngram_jaccard" ->
-      s"""WITH tok AS (
-         |  SELECT doc_id, $tokensSql AS tokens FROM documents
+      s"""WITH canonical AS (
+         |  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+         |),
+         |tok AS (
+         |  SELECT doc_id, $tokensSql AS tokens FROM canonical
          |),
          |shl AS (
          |  SELECT doc_id, $shinglesSql AS shingles FROM tok
          |),
-         |sh AS (
+         |sh0 AS (
          |  SELECT doc_id,
          |         unnest(list_distinct(list_transform(shingles, s -> ${Portable.phashSql("s")}))) AS sh
          |  FROM shl
+         |),
+         |hot AS (
+         |  SELECT sh FROM (SELECT sh, count(*) AS df FROM sh0 GROUP BY sh) t
+         |  WHERE df > $MaxShingleDf
+         |),
+         |sh AS (
+         |  SELECT * FROM sh0 WHERE sh NOT IN (SELECT sh FROM hot)
          |),
          |counts AS (
          |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id

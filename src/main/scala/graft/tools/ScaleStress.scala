@@ -1,0 +1,75 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-stress harness: replicates the sf0.1 testdata REPL× (with
+  * key perturbation so cardinalities scale too) into a temp dir, then
+  * times the headline catalog queries at 1× vs REPL× to expose any
+  * super-linear operator. Evidence for the 100 TB design review —
+  * run: tools/run.sh graft.tools.ScaleStress [repl]
+  */
+object ScaleStress {
+  def main(args: Array[String]): Unit = {
+    val repl = args.headOption.map(_.toInt).getOrElse(10)
+    val src = "/root/testdata/sf0.1"
+    val dst = s"/tmp/graft-scale-x$repl"
+    val cpus = Runtime.getRuntime.availableProcessors()
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.Tables.pin(spark)
+
+    // --- replicate with offset keys so join fan-outs stay realistic ---
+    def replicate(name: String, keyOffsets: Map[String, Long]): Unit = {
+      val base = spark.read.parquet(s"$src/$name.parquet")
+      val copies = spark.range(repl).select(col("id").as("__copy"))
+      val big = base.crossJoin(copies)
+      val shifted = keyOffsets.foldLeft(big) { case (df, (c, span)) =>
+        df.withColumn(c, col(c) + col("__copy") * span)
+      }.drop("__copy")
+      shifted.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+    }
+
+    if (!new java.io.File(s"$dst/lineitem.parquet").exists()) {
+      replicate("lineitem", Map("l_orderkey" -> 10000000L))
+      replicate("orders", Map("o_orderkey" -> 10000000L, "o_custkey" -> 1000000L))
+      replicate("customer", Map("c_custkey" -> 1000000L))
+      replicate("supplier", Map("s_suppkey" -> 100000L))
+      replicate("events", Map("event_id" -> 100000000L, "user_id" -> 100000L))
+      replicate("documents", Map("doc_id" -> 10000000L))
+      replicate("embeddings", Map("vec_id" -> 1000000L))
+      Seq("nation", "region", "part").foreach { t =>
+        spark.read.parquet(s"$src/$t.parquet")
+          .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      }
+    }
+
+    val headline = Seq("q1_pricing", "j02_sortmerge_join", "j06_regional_revenue",
+      "a01_report", "d01_dedup", "w01_lag", "dd01_exact_dedup", "dd02_minhash_sig",
+      "dd04_simhash", "dd05_ngram_jaccard", "tx04_fingerprint", "sim01_knn",
+      "st01_tumbling_window")
+
+    def timeAll(dir: String): Map[String, Double] =
+      headline.map { name =>
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(name)(spark, dir).count()
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
+
+    // warmup then measure
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    val base = timeAll(src)
+    val big = timeAll(dst)
+    println(f"${"query"}%-22s ${"1x_sec"}%8s ${s"${repl}x_sec"}%8s ${"ratio"}%6s")
+    headline.foreach { q =>
+      println(f"$q%-22s ${base(q)}%8.2f ${big(q)}%8.2f ${big(q) / base(q)}%6.1f")
+    }
+    spark.stop()
+  }
+}
