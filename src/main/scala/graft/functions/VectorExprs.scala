@@ -86,13 +86,87 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused MinHash mixing: one pass over a document's shingle-hash
+  * array computes all k affine-family minima
+  * `min_i (h_i·a_j + b_j) mod m`. The HOF formulation
+  * (`k × array_min(transform(...))`) either re-runs the upstream md5
+  * pass k times (after CollapseProject) or pays k interpreted-lambda
+  * sweeps; this expression is one codegen loop with the k updates
+  * unrolled. Math identical to the oracle's `list_min(list_transform)`.
+  * Returns null for an empty array (matching `array_min`'s null).
+  */
+case class MinhashMix(child: Expression, coeffs: Seq[(Long, Long)], mod: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val mins = Array.fill(coeffs.length)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < coeffs.length) {
+        val v = (h * coeffs(j)._1 + coeffs(j)._2) % mod
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val childGen = child.genCode(ctx)
+    val n = ctx.freshName("n")
+    val i = ctx.freshName("i")
+    val h = ctx.freshName("h")
+    val mins = ctx.freshName("mins")
+    val k = coeffs.length
+    val updates = coeffs.zipWithIndex.map { case ((a, b), j) =>
+      s"{ long v = ($h * ${a}L + ${b}L) % ${mod}L; if (v < $mins[$j]) $mins[$j] = v; }"
+    }.mkString("\n")
+    ev.copy(code =
+      code"""
+         |${childGen.code}
+         |boolean ${ev.isNull} = ${childGen.isNull};
+         |ArrayData ${ev.value} = null;
+         |if (!${ev.isNull}) {
+         |  int $n = ${childGen.value}.numElements();
+         |  if ($n == 0) { ${ev.isNull} = true; } else {
+         |    long[] $mins = new long[$k];
+         |    java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      long $h = ${childGen.value}.getLong($i);
+         |      $updates
+         |    }
+         |    ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($mins);
+         |  }
+         |}
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashMix =
+    copy(child = newChild)
+}
+
 object VectorExprs {
 
-  /** Register `cosine_sim` in the session's function registry so
-    * query builders can use it via `expr("cosine_sim(a, b)")`. */
-  def register(spark: SparkSession): Unit =
+  /** Register `cosine_sim` and `minhash_mix` in the session's
+    * function registry so query builders can use them via `expr`. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim",
       exprs => CosineSimilarity(exprs(0), exprs(1)),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_mix",
+      exprs => MinhashMix(exprs.head,
+        graft.ops.Dedup.mixCoeffs.toSeq, graft.ops.Dedup.MixMod),
+      "scala_udf")
+  }
 }

@@ -107,6 +107,24 @@ object GoldReport {
       .orderBy(col("total_v_dist").desc, col("VehicleNumber").asc) // O4
       .limit(1)
 
+  /** Speed-vs-time series for one vehicle — the data behind the
+    * reference's seaborn line chart (Figure_2; main.py:104-110).
+    * Chart rendering is presentation-layer and out of engine scope
+    * (SURVEY §2.1 S9); this emits the exact series it plots. */
+  def vehicleSpeedSeries(enriched: DataFrame, vehicle: DataFrame): DataFrame =
+    enriched
+      .join(broadcast(vehicle.select("VehicleNumber")), Seq("VehicleNumber"), "left_semi")
+      .select(col("VehicleNumber"), col("Time"), col("speed_kmh"))
+      .orderBy("Time")
+
+  /** Ordered (Lat, Lon) trajectory for one vehicle — the polyline the
+    * reference's Folium map draws (mapping.py:12-21). */
+  def vehicleTrajectory(enriched: DataFrame, vehicle: DataFrame): DataFrame =
+    enriched
+      .join(broadcast(vehicle.select("VehicleNumber")), Seq("VehicleNumber"), "left_semi")
+      .select(col("VehicleNumber"), col("Time"), col("Lat"), col("Lon"))
+      .orderBy("Time")
+
   /** Parquet sink for Gold (S7). The reference's `save_gold` would
     * throw — it partitions by a `date` column the report doesn't
     * carry (gtfsGold.py:136-137, latent bug; never called from

@@ -65,19 +65,20 @@ object Dedup {
     sigCache.getOrElseUpdate((spark, dir), buildMinhashSignatures(spark, dir).cache())
 
   private def buildMinhashSignatures(spark: SparkSession, dir: String): DataFrame = {
-    // The md5 pass is cached as its own frame: without the barrier,
-    // Catalyst's CollapseProject inlines `hh` into all k signature
-    // expressions and the md5 work runs k× (observed 4× slower).
-    val hashed = Tables.documents(spark, dir)
+    graft.functions.VectorExprs.register(spark)
+    // minhash_mix fuses the k affine minima into ONE codegen pass over
+    // the hashed shingles. The cache barrier before the per-column
+    // element_at split stops CollapseProject from inlining the whole
+    // md5 chain into each of the k projections (observed 4× slower).
+    val sigArray = Tables.documents(spark, dir)
       .withColumn("tokens", expr(tokensExpr))
       .withColumn("shingles", expr(shinglesExpr))
       .select(col("doc_id"),
-        expr(s"transform(shingles, s -> ${Portable.phashExpr("s")} % $MixMod)").as("hh"))
+        expr(s"minhash_mix(transform(shingles, s -> ${Portable.phashExpr("s")} % $MixMod))").as("sigs"))
       .cache()
-    mixCoeffs.zipWithIndex.foldLeft(hashed) { case (df, ((a, b), j)) =>
-      df.withColumn(s"sig_$j",
-        expr(s"array_min(transform(hh, h -> (h * ${a}L + ${b}L) % $MixMod))"))
-    }.select(("doc_id" +: (0 until MinhashK).map(j => s"sig_$j")).map(col): _*)
+    sigArray.select(
+      col("doc_id") +:
+        (0 until MinhashK).map(j => element_at(col("sigs"), j + 1).as(s"sig_$j")): _*)
   }
 
   /** Oracle CTE mirroring [[minhashSignatures]]. */

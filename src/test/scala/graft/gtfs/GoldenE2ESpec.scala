@@ -71,6 +71,24 @@ class GoldenE2ESpec extends SparkSpec {
     }
   }
 
+  test("vehicle speed series and trajectory (chart/map data) are well-formed") {
+    assume(available)
+    val enriched = GoldReport.enrichWithMetrics(silver)
+    val top = GoldReport.mostExpensiveLine(report)
+    val vehicle = GoldReport.hardestWorkingVehicle(
+      GoldReport.lineSlice(enriched, top))
+    val series = GoldReport.vehicleSpeedSeries(enriched, vehicle).collect()
+    val traj = GoldReport.vehicleTrajectory(enriched, vehicle).collect()
+    assert(series.nonEmpty && traj.length === series.length)
+    assert(series.forall(r => r.getAs[Double]("speed_kmh") >= 0.0 &&
+      r.getAs[Double]("speed_kmh") <= 70.0))
+    // trajectory stays inside the silver bbox
+    assert(traj.forall { r =>
+      val lat = r.getAs[Double]("Lat"); val lon = r.getAs[Double]("Lon")
+      lat >= 52.0 && lat <= 52.4 && lon >= 20.5 && lon <= 21.5
+    })
+  }
+
   test("hardest-working vehicle on line 189 is #8349 (~5.20 km)") {
     assume(available)
     val enriched = GoldReport.enrichWithMetrics(silver)
