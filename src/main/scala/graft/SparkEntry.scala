@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.ops.{Dedup, Joins, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.ops.{Breadth, Dedup, Joins, Multimodal, Relational, Similarity, TextAnalysis}
 import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -22,12 +22,12 @@ object SparkEntry {
     Relational.report(spark, "/root/testdata/sf0.001").orderBy("line")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Joins.queries ++ Dedup.queries ++
+    Relational.queries ++ Joins.queries ++ Breadth.queries ++ Dedup.queries ++
       Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries ++
       Multimodal.queries2 ++ Streams.queries
 
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ Joins.oracle ++ Dedup.oracle ++
+    Relational.oracle ++ Joins.oracle ++ Breadth.oracle ++ Dedup.oracle ++
       Similarity.oracle ++ TextAnalysis.oracle ++ Multimodal.oracle ++
       Multimodal.oracle2 ++ Streams.oracle
 }
