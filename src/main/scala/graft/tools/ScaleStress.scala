@@ -52,7 +52,8 @@ object ScaleStress {
 
     val headline = Seq("q1_pricing", "j02_sortmerge_join", "j06_regional_revenue",
       "a01_report", "d01_dedup", "w01_lag", "dd01_exact_dedup", "dd02_minhash_sig",
-      "dd04_simhash", "dd05_ngram_jaccard", "tx04_fingerprint", "sim01_knn",
+      "dd03_lsh_pairs", "dd04_simhash", "dd05_ngram_jaccard", "dd06_cosine_dup",
+      "tx04_fingerprint", "sim01_knn", "sim02_lsh_ann", "sim04_ivf_ann",
       "st01_tumbling_window")
 
     def timeAll(dir: String): Map[String, Double] =
