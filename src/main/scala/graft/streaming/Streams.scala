@@ -66,6 +66,31 @@ object Streams {
       .select(col("window.start").as("window_start"), col("Lines"),
         col("pings"), col("vehicles"))
 
+  /** Continuous gold refresh via foreachBatch: each micro-batch of
+    * silver rows is folded into a partitioned parquet gold table —
+    * the production sink pattern when the target (a table format /
+    * warehouse) needs batch-writer semantics. Returns the started
+    * query; callers own its lifecycle.
+    *
+    * Per-batch work reuses the batch enrichment + report builders —
+    * one code path for batch and streaming gold (no logic fork).
+    */
+  def goldRefresh(silver: DataFrame, outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    silver.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val withDate = batch.withColumn("date", to_date(col("Time")))
+          val report = graft.gtfs.GoldReport.createDailyReport(withDate)
+          report
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outDir)
+        }
+        ()
+      }
+      .start()
+
   // ------------------------------------------------------------------
   // Custom streaming state: trip segmentation
   // ------------------------------------------------------------------

@@ -77,6 +77,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch folds each micro-batch into the gold parquet") {
+    val dir = Files.createTempDirectory("graft-gold-src").toString
+    val out = Files.createTempDirectory("graft-gold-out").toString
+    val ckpt = Files.createTempDirectory("graft-gold-ckpt").toString
+    writeBronze(dir, "b1.json",
+      rec("189", "8349", 52.2, 21.0, "2026-02-23 08:00:00"),
+      rec("189", "8349", 52.21, 21.01, "2026-02-23 08:10:00"))
+    writeBronze(dir, "b2.json",
+      rec("523", "7000", 52.22, 21.02, "2026-02-23 09:00:00"))
+
+    val silver = Streams.silverStream(Streams.bronzeStream(spark, dir, maxFilesPerTrigger = 1))
+    val q = Streams.goldRefresh(silver, s"$out/gold", s"$ckpt/cp")
+    try {
+      q.processAllAvailable()
+      val gold = spark.read.parquet(s"$out/gold")
+      val lines = gold.select("Lines").collect().map(_.getString(0)).toSet
+      assert(lines === Set("189", "523"), gold.collect().mkString("; "))
+      // two micro-batches → two batch_ids
+      assert(gold.select("batch_id").distinct().count() === 2)
+    } finally q.stop()
+  }
+
   test("streaming windowed per-line stats emit after watermark") {
     val dir = Files.createTempDirectory("graft-stream2").toString
     writeBronze(dir, "b1.json",
