@@ -42,12 +42,28 @@ object GoldReport {
   def enrichWithMetrics(
       silver: DataFrame,
       fuelLPer100Km: Double = DefaultFuelLPer100Km,
-      fuelPricePln: Double = DefaultFuelPricePln): DataFrame = {
+      fuelPricePln: Double = DefaultFuelPricePln): DataFrame =
+    metricsFromPrevs(attachPrevs(silver), fuelLPer100Km, fuelPricePln)
+
+  /** Batch prev-ping attachment: window lag ×3 (W1+W2). The
+    * streaming path attaches the same three columns from GroupState
+    * instead (streaming/Streams.enrichedStream) so segments survive
+    * micro-batch boundaries; both feed [[metricsFromPrevs]]. */
+  def attachPrevs(silver: DataFrame): DataFrame = {
     val w = Window.partitionBy("VehicleNumber").orderBy("Time") // W1
     silver
       .withColumn("prev_lat", lag(col("Lat"), 1).over(w)) // W2
       .withColumn("prev_lon", lag(col("Lon"), 1).over(w))
       .withColumn("prev_time", lag(col("Time"), 1).over(w))
+  }
+
+  /** Metric derivation from attached prev columns — the single code
+    * path for batch and streaming enrichment. */
+  def metricsFromPrevs(
+      withPrevs: DataFrame,
+      fuelLPer100Km: Double = DefaultFuelLPer100Km,
+      fuelPricePln: Double = DefaultFuelPricePln): DataFrame =
+    withPrevs
       .withColumn("dist_km", coalesce( // M1 + P11
         Geo.haversineKm(col("prev_lat"), col("prev_lon"), col("Lat"), col("Lon")),
         lit(0.0)))
@@ -59,7 +75,6 @@ object GoldReport {
         when(col("diff_time_sec") > 0,
           col("dist_km") / col("diff_time_sec") * 3600.0).otherwise(0.0))
       .filter(col("speed_kmh") <= MaxSpeedKmh) // P13
-  }
 
   /** Daily per-line report (gtfsGold.py:89-108): quality gate +
     * enrich + groupBy(Lines) with 8 aggregates, desc-cost order,
@@ -67,10 +82,17 @@ object GoldReport {
   def createDailyReport(
       silver: DataFrame,
       fuelLPer100Km: Double = DefaultFuelLPer100Km,
-      fuelPricePln: Double = DefaultFuelPricePln): DataFrame = {
-    val enriched = enrichWithMetrics(silver, fuelLPer100Km, fuelPricePln)
+      fuelPricePln: Double = DefaultFuelPricePln): DataFrame =
+    reportFromEnriched(enrichWithMetrics(silver, fuelLPer100Km, fuelPricePln))
+
+  /** The report aggregation over an already-enriched frame, with
+    * configurable grouping keys (streaming gold groups by
+    * (date, Lines); the reference's batch report by Lines alone). */
+  def reportFromEnriched(
+      enriched: DataFrame,
+      groupKeys: Seq[String] = Seq("Lines")): DataFrame = {
     enriched
-      .groupBy("Lines") // A1
+      .groupBy(groupKeys.map(col): _*) // A1
       .agg(
         sum(col("dist_km")).as("total_distance_km"), // A2
         sum(col("cost_pln")).as("total_cost_pln"),

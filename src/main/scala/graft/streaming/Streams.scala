@@ -66,27 +66,71 @@ object Streams {
       .select(col("window.start").as("window_start"), col("Lines"),
         col("pings"), col("vehicles"))
 
-  /** Continuous gold refresh via foreachBatch: each micro-batch of
-    * silver rows is folded into a partitioned parquet gold table —
-    * the production sink pattern when the target (a table format /
-    * warehouse) needs batch-writer semantics. Returns the started
-    * query; callers own its lifecycle.
-    *
-    * Per-batch work reuses the batch enrichment + report builders —
-    * one code path for batch and streaming gold (no logic fork).
+  /** One silver ping (input to stateful enrichment). */
+  final case class SilverPing(Lines: String, VehicleNumber: String,
+      Lat: Double, Lon: Double, Time: java.sql.Timestamp)
+
+  /** Ping with state-attached previous-ping columns. */
+  final case class PingWithPrev(Lines: String, VehicleNumber: String,
+      Lat: Double, Lon: Double, Time: java.sql.Timestamp,
+      prev_lat: Option[Double], prev_lon: Option[Double],
+      prev_time: Option[java.sql.Timestamp])
+
+  /** Streaming enrichment: previous-ping columns come from per-vehicle
+    * GroupState instead of a batch lag window, so segments SURVIVE
+    * micro-batch boundaries (a per-batch lag would silently zero every
+    * boundary-spanning segment). Metric math is the shared
+    * GoldReport.metricsFromPrevs — one code path with batch. State is
+    * one ping per vehicle: bounded by fleet size.
+    */
+  def enrichedStream(silver: DataFrame,
+      fuelLPer100Km: Double = graft.gtfs.GoldReport.DefaultFuelLPer100Km,
+      fuelPricePln: Double = graft.gtfs.GoldReport.DefaultFuelPricePln): DataFrame = {
+    import silver.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val withPrevs = silver
+      .select("Lines", "VehicleNumber", "Lat", "Lon", "Time").as[SilverPing]
+      .groupByKey(_.VehicleNumber)
+      .flatMapGroupsWithState[SilverPing, PingWithPrev](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, pings: Iterator[SilverPing], state: GroupState[SilverPing]) =>
+          val sorted = pings.toSeq.sortBy(_.Time.getTime)
+          var prev = state.getOption
+          val out = sorted.map { p =>
+            val r = PingWithPrev(p.Lines, p.VehicleNumber, p.Lat, p.Lon, p.Time,
+              prev.map(_.Lat), prev.map(_.Lon), prev.map(_.Time))
+            prev = Some(p)
+            r
+          }
+          prev.foreach(state.update)
+          out.iterator
+      }
+    graft.gtfs.GoldReport.metricsFromPrevs(withPrevs.toDF(), fuelLPer100Km, fuelPricePln)
+  }
+
+  /** Continuous gold refresh: stateful enrichment → per-micro-batch
+    * (date, Lines) report partials appended as a batch_id partition.
+    * The write is an idempotent dynamic partition overwrite — a
+    * replayed batch (crash between write and checkpoint commit)
+    * rewrites its own batch_id partition instead of double-appending.
+    * Sum-style columns are additive partials; readers fold them by
+    * (date, Lines). Returns the started query; callers own its
+    * lifecycle.
     */
   def goldRefresh(silver: DataFrame, outDir: String,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
-    silver.writeStream
+    enrichedStream(silver).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (!batch.isEmpty) {
-          val withDate = batch.withColumn("date", to_date(col("Time")))
-          val report = graft.gtfs.GoldReport.createDailyReport(withDate)
-          report
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(outDir)
-        }
+        val report = graft.gtfs.GoldReport.reportFromEnriched(
+          batch.withColumn("date", to_date(col("Time"))),
+          groupKeys = Seq("date", "Lines"))
+        report
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outDir)
         ()
       }
       .start()

@@ -77,25 +77,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("foreachBatch folds each micro-batch into the gold parquet") {
+  test("gold refresh counts segments that span micro-batch boundaries") {
     val dir = Files.createTempDirectory("graft-gold-src").toString
     val out = Files.createTempDirectory("graft-gold-out").toString
     val ckpt = Files.createTempDirectory("graft-gold-ckpt").toString
     writeBronze(dir, "b1.json",
       rec("189", "8349", 52.2, 21.0, "2026-02-23 08:00:00"),
       rec("189", "8349", 52.21, 21.01, "2026-02-23 08:10:00"))
+    // same vehicle continues in the NEXT micro-batch: the 08:10→09:00
+    // segment must be attributed (GroupState prevs, not per-batch lag)
     writeBronze(dir, "b2.json",
-      rec("523", "7000", 52.22, 21.02, "2026-02-23 09:00:00"))
+      rec("189", "8349", 52.25, 21.05, "2026-02-23 09:00:00"))
 
     val silver = Streams.silverStream(Streams.bronzeStream(spark, dir, maxFilesPerTrigger = 1))
     val q = Streams.goldRefresh(silver, s"$out/gold", s"$ckpt/cp")
     try {
       q.processAllAvailable()
-      val gold = spark.read.parquet(s"$out/gold")
-      val lines = gold.select("Lines").collect().map(_.getString(0)).toSet
-      assert(lines === Set("189", "523"), gold.collect().mkString("; "))
-      // two micro-batches → two batch_ids
-      assert(gold.select("batch_id").distinct().count() === 2)
+      val gold = spark.table("parquet.`" + out + "/gold`")
+      val rows = gold.select("batch_id", "Lines", "total_distance_km").collect()
+        .map(r => (r.getAs[Number](0).longValue, r.getString(1), r.getDouble(2)))
+        .sortBy(_._1)
+      assert(rows.map(_._1).distinct.length === 2, rows.mkString("; "))
+      assert(rows.forall(_._2 === "189"))
+      // batch 2 holds exactly the cross-batch segment (~5 km);
+      // a per-batch lag window would have zeroed it
+      val lastBatchDist = rows.last._3
+      assert(lastBatchDist > 4.0 && lastBatchDist < 7.0, rows.mkString("; "))
     } finally q.stop()
   }
 
