@@ -100,6 +100,12 @@ case class MinhashMix(child: Expression, coeffs: Seq[(Long, Long)], mod: Long)
 
   override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
 
+  // empty input → null output even when the child is non-nullable
+  // (mirrors array_min's null-on-empty), so the default
+  // child.nullable inheritance would let the optimizer fold
+  // IsNotNull incorrectly
+  override def nullable: Boolean = true
+
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()

@@ -84,10 +84,13 @@ object GoldReport {
       fuelLPer100Km: Double = DefaultFuelLPer100Km,
       fuelPricePln: Double = DefaultFuelPricePln): DataFrame =
     reportFromEnriched(enrichWithMetrics(silver, fuelLPer100Km, fuelPricePln))
+      .orderBy(col("total_cost_pln").desc) // O2 (gtfsGold.py:103)
 
   /** The report aggregation over an already-enriched frame, with
-    * configurable grouping keys (streaming gold groups by
-    * (date, Lines); the reference's batch report by Lines alone). */
+    * configurable grouping keys. No ordering — the reference's desc
+    * sort belongs to the batch report consumer (createDailyReport);
+    * embedding it here would cost the streaming hot path a discarded
+    * range shuffle every micro-batch. */
   def reportFromEnriched(
       enriched: DataFrame,
       groupKeys: Seq[String] = Seq("Lines")): DataFrame = {
@@ -103,10 +106,30 @@ object GoldReport {
         countDistinct(col("VehicleNumber")).as("unique_vehicles_count"), // A6
         (sum(col("dist_km")) / countDistinct(col("VehicleNumber")))
           .as("avg_dist_per_vehicle")) // A7
-      .orderBy(col("total_cost_pln").desc) // O2
       .withColumn("cost_of_1km", // A8 + P12
         expr("total_cost_pln / nullif(total_distance_km, 0.0)"))
   }
+
+  /** MERGEABLE per-group partial aggregates for incremental (per
+    * micro-batch) gold: only columns a reader can fold across
+    * partials — sums and counts add, maxes take max; derive
+    * avg_speed = sum_speed_kmh / data_points_count and cost_of_1km =
+    * total_cost_pln / total_distance_km AFTER folding. Exact distinct
+    * vehicle counts are deliberately absent: they are not mergeable
+    * without a sketch, and emitting them per batch invites silent
+    * double counting. */
+  def partialReportFromEnriched(
+      enriched: DataFrame,
+      groupKeys: Seq[String]): DataFrame =
+    enriched
+      .groupBy(groupKeys.map(col): _*)
+      .agg(
+        sum(col("dist_km")).as("total_distance_km"),
+        sum(col("cost_pln")).as("total_cost_pln"),
+        max(col("dist_km")).as("max_segment_km"),
+        count(col("VehicleNumber")).as("data_points_count"),
+        sum(col("speed_kmh")).as("sum_speed_kmh"),
+        max(col("speed_kmh")).as("max_recorded_speed"))
 
   /** The most expensive line of the report (gtfsGold.py:110-117),
     * as a 1-row frame — no driver `first()` round-trip; total order

@@ -46,11 +46,13 @@ object SilverTransform {
     *
     * @param processingDate the reference uses `current_date()`
     *        (gtfstransformerSilver.py:43) — parameterized here so
-    *        historical captures are processable; defaults to today.
+    *        historical captures are processable; defaults to today in
+    *        UTC (the pinned session zone — a JVM-local-zone default
+    *        would silently mismatch `to_date` near midnight).
     */
   def transform(
       raw: DataFrame,
-      processingDate: LocalDate = LocalDate.now(),
+      processingDate: LocalDate = LocalDate.now(java.time.ZoneOffset.UTC),
       sorted: Boolean = false): DataFrame = {
     val exploded = raw.select(explode(col("result")).as("v")) // P1
     val projected = exploded.select( // P2-P5

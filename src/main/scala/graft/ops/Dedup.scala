@@ -60,9 +60,12 @@ object Dedup {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   /** Per-doc minhash signature frame: doc_id, sig_0..sig_{k-1}
-    * (memoized per session+dir — feeds dd02 and dd03). */
-  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
-    sigCache.getOrElseUpdate((spark, dir), buildMinhashSignatures(spark, dir).cache())
+    * (memoized per session+dir — feeds dd02 and dd03). The expensive
+    * stage is already cached inside the builder; no second cache. */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    sigCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    sigCache.getOrElseUpdate((spark, dir), buildMinhashSignatures(spark, dir))
+  }
 
   private def buildMinhashSignatures(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExprs.register(spark)
@@ -190,9 +193,9 @@ object Dedup {
         .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("common"))
-      common // per-doc counts are tiny → broadcast both lookups
-        .join(broadcast(counts.toDF("doc_a", "n_a")), "doc_a")
-        .join(broadcast(counts.toDF("doc_b", "n_b")), "doc_b")
+      common // counts grow with corpus size — let AQE pick the join
+        .join(counts.toDF("doc_a", "n_a"), "doc_a")
+        .join(counts.toDF("doc_b", "n_b"), "doc_b")
         .withColumn("jaccard",
           col("common").cast("double") /
             (col("n_a") + col("n_b") - col("common")).cast("double"))

@@ -51,8 +51,12 @@ object Relational {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
   private def memo(spark: SparkSession, dir: String, key: String)(
-      build: => DataFrame): DataFrame =
+      build: => DataFrame): DataFrame = {
+    // drop entries of stopped sessions so long-lived JVMs that cycle
+    // sessions (test suites, repeated benches) don't accumulate them
+    frameCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
     frameCache.getOrElseUpdate((spark, dir, key), build.cache())
+  }
 
   /** Silver analog: project/trim/cast → dropna → bbox-analog → nonempty
     * → deterministic dedup. gtfstransformerSilver.py:28-46. */

@@ -109,23 +109,26 @@ object Streams {
   }
 
   /** Continuous gold refresh: stateful enrichment → per-micro-batch
-    * (date, Lines) report partials appended as a batch_id partition.
-    * The write is an idempotent dynamic partition overwrite — a
-    * replayed batch (crash between write and checkpoint commit)
-    * rewrites its own batch_id partition instead of double-appending.
-    * Sum-style columns are additive partials; readers fold them by
-    * (date, Lines). Returns the started query; callers own its
-    * lifecycle.
+    * MERGEABLE (date, Lines) partials (GoldReport.
+    * partialReportFromEnriched — sums/counts/maxes only) written as a
+    * batch_id partition. The write is an idempotent dynamic partition
+    * overwrite — a replayed batch (crash between write and checkpoint
+    * commit) rewrites its own batch_id partition instead of
+    * double-appending. Readers fold partials by (date, Lines): sums
+    * and counts add, maxes take max, then derive
+    * avg_speed = sum_speed_kmh/data_points_count and
+    * cost_of_1km = total_cost_pln/total_distance_km. Returns the
+    * started query; callers own its lifecycle.
     */
   def goldRefresh(silver: DataFrame, outDir: String,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     enrichedStream(silver).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val report = graft.gtfs.GoldReport.reportFromEnriched(
+        val partials = graft.gtfs.GoldReport.partialReportFromEnriched(
           batch.withColumn("date", to_date(col("Time"))),
           groupKeys = Seq("date", "Lines"))
-        report
+        partials
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")

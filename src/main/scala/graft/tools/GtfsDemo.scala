@@ -33,8 +33,10 @@ object GtfsDemo {
 
     val raw = SilverTransform.readBronze(spark, bronzeDir)
     val silver = SilverTransform.transform(raw, date).cache()
-    val enriched = GoldReport.enrichWithMetrics(silver)
-    val report = GoldReport.createDailyReport(silver).cache()
+    val enriched = GoldReport.enrichWithMetrics(silver).cache()
+    // reuse the enriched frame (C2 fix) instead of re-enriching
+    val report = GoldReport.reportFromEnriched(enriched)
+      .orderBy(org.apache.spark.sql.functions.col("total_cost_pln").desc).cache()
 
     println(s"silver rows: ${silver.count()}")
     println("top-10 lines by fuel cost:")
