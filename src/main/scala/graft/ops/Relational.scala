@@ -387,6 +387,54 @@ object Relational {
           round(col("dropped").cast(DoubleType) / col("raw_rows").cast(DoubleType) * 100.0, 4))
     }),
 
+    // Ranking + running-frame windows (engine extension beyond the
+    // reference's lag-only window surface, SURVEY §2.6)
+    "w02_ranking" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id").asc)
+      val wt = Window.partitionBy("user_id").orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("value_rank", rank().over(w))
+        .withColumn("value_dense_rank", dense_rank().over(w))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("running_value",
+          sum(col("value").cast(DecimalType(18, 2))).over(wt).cast(DoubleType))
+        .select(col("event_id"), col("user_id"), col("value_rank"),
+          col("value_dense_rank"), col("rn"), col("running_value"))
+        .orderBy("event_id")
+    }),
+
+    // TPC-H Q17 shape: per-part average gate (join against an
+    // aggregate of the same fact table), global scalar result
+    "q17_small_qty" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val avgQty = li.groupBy(col("l_partkey").as("p_key"))
+        .agg((Tables.dsum(col("l_quantity"), 2) / count(col("l_quantity")).cast(DoubleType))
+          .as("avg_qty"))
+      li.join(avgQty, col("l_partkey") === col("p_key"))
+        .filter(col("l_quantity") < col("avg_qty") * 0.5)
+        .agg(Tables.dsum(col("l_extendedprice"), 2).as("total_price"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // TPC-H Q18 shape: HAVING gate on a grouped fact, re-joined to
+    // its dimensions, top-k
+    "q18_big_orders" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val big = li.groupBy("l_orderkey")
+        .agg(Tables.dsum(col("l_quantity"), 2).as("order_qty"))
+        .filter(col("order_qty") > 180.0)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      big.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .select(col("l_orderkey"), col("c_name"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate_s"),
+          col("order_qty"))
+        .orderBy(col("order_qty").desc, col("l_orderkey").asc)
+        .limit(20)
+    }),
+
     // W1+W2: lag window ×3
     "w01_lag" -> ((s, d) => {
       val w = Window.partitionBy("vehicle").orderBy("ts")
@@ -632,6 +680,40 @@ object Relational {
         |FROM events
         |WHERE value BETWEEN 0.0 AND 400.0
         |GROUP BY trim(event_type) ORDER BY line""".stripMargin,
+
+    "w02_ranking" ->
+      """SELECT event_id, user_id,
+        |       rank() OVER w AS value_rank,
+        |       dense_rank() OVER w AS value_dense_rank,
+        |       row_number() OVER w AS rn,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2)))
+        |            OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id ASC)
+        |ORDER BY event_id""".stripMargin,
+
+    "q17_small_qty" ->
+      """WITH avg_qty AS (
+        |  SELECT l_partkey AS p_key,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(l_quantity) AS DOUBLE) AS avg_qty
+        |  FROM lineitem GROUP BY l_partkey
+        |)
+        |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |       count(*) AS n_lines
+        |FROM lineitem JOIN avg_qty ON l_partkey = p_key
+        |WHERE l_quantity < avg_qty * 0.5""".stripMargin,
+
+    "q18_big_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS order_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 180.0
+        |)
+        |SELECT l_orderkey, c_name, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s, order_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY order_qty DESC, l_orderkey ASC LIMIT 20""".stripMargin,
 
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
