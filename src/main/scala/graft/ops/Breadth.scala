@@ -37,6 +37,22 @@ object Breadth {
           round(covar_samp(col("value"), col("epoch_s")), 2).as("covar_value_time"))
         .orderBy("line")),
 
+    // HLL approximate distinct — the 100 TB form of A6 (exact
+    // countDistinct shuffles an Expand of every key; the sketch is
+    // mergeable constant-size state). No DuckDB oracle: HLL
+    // implementations differ by design → driver does a rows-only
+    // check; BreadthSpec pins the error bound against exact.
+    "a15_approx_distinct" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(trim(col("event_type")).as("line"))
+        .agg(
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .withColumn("rel_err",
+          round(abs(col("approx_users") - col("exact_users")).cast(DoubleType) /
+            col("exact_users").cast(DoubleType), 4))
+        .orderBy("line")),
+
     // String function family
     "p14_string_funcs" -> ((s, d) =>
       Tables.documents(s, d).select(

@@ -15,9 +15,20 @@ class OpsSpec extends SparkSpec {
 
   private def q(name: String) = SparkEntry.queries(name)(spark, sf)
 
+  /** Queries whose semantics cannot hash-match a DuckDB oracle by
+    * design (documented in their builders); the driver records a
+    * rows-only check for these. */
+  private val documentedOmissions = Set("a15_approx_distinct")
+
   test("every catalog query has either an oracle or a documented omission") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle.isEmpty, s"queries without oracle: $noOracle")
+    assert(noOracle === documentedOmissions, s"queries without oracle: $noOracle")
+  }
+
+  test("approx distinct stays within 5% of exact") {
+    val rows = q("a15_approx_distinct").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Double]("rel_err") <= 0.05, r.toString))
   }
 
   test("silver analog: bbox, nonempty, dedup invariants") {
