@@ -496,6 +496,100 @@ object Relational {
         ORDER BY line""")
     }),
 
+    // O5: speed-vs-time series for the argmax vehicle — Figure_2's
+    // data series (main.py:104-110) as an oracle-checked catalog
+    // entry; the drill-down chain is all rank-and-filter, no driver
+    // round-trip
+    "o05_speed_series" -> ((s, d) => {
+      val e = enriched(s, d)
+      val top = reportFrom(e)
+        .orderBy(col("total_cost_pln").desc, col("line").asc).limit(1)
+        .select("line")
+      val veh = e.join(broadcast(top), "line")
+        .groupBy("line", "vehicle")
+        .agg(Tables.dsum(col("dist_km"), 6).as("total_v_dist"))
+        .orderBy(col("total_v_dist").desc, col("vehicle").asc).limit(1)
+        .select("line", "vehicle")
+      e.join(broadcast(veh), Seq("line", "vehicle"))
+        .select(col("vehicle"), date_format(col("ts"), tsFmt).as("ts_s"),
+          round(col("speed_kmh"), 6).as("speed_kmh"))
+        .orderBy("ts_s")
+    }),
+
+    // O6: ordered (lat, lon) trajectory polyline for the same argmax
+    // vehicle — the Folium map's data (mapping.py:12-21)
+    "o06_trajectory" -> ((s, d) => {
+      val e = enriched(s, d)
+      val top = reportFrom(e)
+        .orderBy(col("total_cost_pln").desc, col("line").asc).limit(1)
+        .select("line")
+      val veh = e.join(broadcast(top), "line")
+        .groupBy("line", "vehicle")
+        .agg(Tables.dsum(col("dist_km"), 6).as("total_v_dist"))
+        .orderBy(col("total_v_dist").desc, col("vehicle").asc).limit(1)
+        .select("line", "vehicle")
+      e.join(broadcast(veh), Seq("line", "vehicle"))
+        .select(col("vehicle"), date_format(col("ts"), tsFmt).as("ts_s"),
+          round(lit(52.0) + col("value") / 1000.0, 6).as("lat"),
+          round(lit(20.5) + col("value") / 500.0, 6).as("lon"))
+        .orderBy("ts_s")
+    }),
+
+    // W3: window-function breadth beyond lag/rank — lead, first_value
+    // with IGNORE NULLS, last_value / nth_value over the full
+    // partition frame, and a RANGE frame (trailing-hour sum keyed on
+    // event-time seconds, not row counts)
+    "w03_window_breadth" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val wRange = Window.partitionBy("user_id").orderBy(col("epoch_s"))
+        .rangeBetween(-3600L, 0L)
+      Tables.events(s, d)
+        .withColumn("epoch_s", unix_timestamp(col("ts")))
+        .withColumn("next_value", lead(col("value"), 1).over(w))
+        .withColumn("first_nonclick",
+          first(expr("nullif(event_type, 'click')"), ignoreNulls = true).over(w))
+        .withColumn("last_value_all", last(col("value")).over(wFull))
+        .withColumn("second_value", nth_value(col("value"), 2).over(wFull))
+        .withColumn("hour_sum",
+          sum(col("value").cast(DecimalType(18, 2))).over(wRange).cast(DoubleType))
+        .select(col("event_id"), col("user_id"), col("next_value"),
+          col("first_nonclick"), col("last_value_all"), col("second_value"),
+          col("hour_sum"))
+        .orderBy("event_id")
+    }),
+
+    // A16: full cube over (line, day) with grouping flags — completes
+    // the grouping-set family next to a11's rollup
+    "a16_cube" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(trim(col("event_type")).as("line"),
+          to_date(col("ts")).cast(StringType).as("d"))
+        .cube("line", "d")
+        .agg(count(lit(1)).as("n"),
+          grouping(col("line")).cast(IntegerType).as("g_line"),
+          grouping(col("d")).cast(IntegerType).as("g_d"))
+        .select(col("line"), col("d"), col("n"), col("g_line"), col("g_d"))
+        .orderBy(col("g_line"), col("g_d"),
+          coalesce(col("line"), lit("")), coalesce(col("d"), lit("")))),
+
+    // A17: top-k per group through the typed Aggregator API with a
+    // BOUNDED (≤ k entries) buffer — map-side partials shrink every
+    // partition to k rows per group before the exchange, unlike the
+    // row_number form that shuffles everything (the oracle IS that
+    // row_number form, proving the semantics equal)
+    "a17_topk_group" -> ((s, d) => {
+      val topk = udaf(new graft.functions.TopKByValue(5),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[graft.functions.TopKByValue.Entry]())
+      Tables.events(s, d)
+        .groupBy(trim(col("event_type")).as("line"))
+        .agg(topk(col("event_id"), col("value")).as("tk"))
+        .select(col("line"), posexplode(col("tk")).as(Seq("pos", "e")))
+        .select(col("line"), (col("pos") + 1).cast(IntegerType).as("rk"),
+          col("e.event_id").as("event_id"), col("e.value").as("value"))
+        .orderBy("line", "rk")
+    }),
+
     // Flagship TPC-H-style pricing summary over lineitem (bench
     // headline; exercises A1-A7 at the largest table)
     "q1_pricing" -> ((s, d) =>
@@ -714,6 +808,80 @@ object Relational {
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY order_qty DESC, l_orderkey ASC LIMIT 20""".stripMargin,
+
+    "o05_speed_series" ->
+      s"""WITH $reportCte,
+         |top_line AS (
+         |  SELECT line FROM report2 ORDER BY total_cost_pln DESC, line ASC LIMIT 1
+         |),
+         |top_vehicle AS (
+         |  SELECT e.line, e.vehicle
+         |  FROM enriched e JOIN top_line t ON e.line = t.line
+         |  GROUP BY e.line, e.vehicle
+         |  ORDER BY CAST(sum(CAST(e.dist_km AS DECIMAL(18,6))) AS DOUBLE) DESC, e.vehicle ASC
+         |  LIMIT 1
+         |)
+         |SELECT e.vehicle, strftime(e.ts, '$tsFmtSql') AS ts_s,
+         |       round(e.speed_kmh, 6) AS speed_kmh
+         |FROM enriched e JOIN top_vehicle v ON e.line = v.line AND e.vehicle = v.vehicle
+         |ORDER BY ts_s""".stripMargin,
+
+    "o06_trajectory" ->
+      s"""WITH $reportCte,
+         |top_line AS (
+         |  SELECT line FROM report2 ORDER BY total_cost_pln DESC, line ASC LIMIT 1
+         |),
+         |top_vehicle AS (
+         |  SELECT e.line, e.vehicle
+         |  FROM enriched e JOIN top_line t ON e.line = t.line
+         |  GROUP BY e.line, e.vehicle
+         |  ORDER BY CAST(sum(CAST(e.dist_km AS DECIMAL(18,6))) AS DOUBLE) DESC, e.vehicle ASC
+         |  LIMIT 1
+         |)
+         |SELECT e.vehicle, strftime(e.ts, '$tsFmtSql') AS ts_s,
+         |       round(lat2, 6) AS lat, round(lon2, 6) AS lon
+         |FROM enriched e JOIN top_vehicle v ON e.line = v.line AND e.vehicle = v.vehicle
+         |ORDER BY ts_s""".stripMargin,
+
+    "w03_window_breadth" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, value, ts,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+        |  FROM events
+        |)
+        |SELECT event_id, user_id,
+        |       lead(value) OVER wo AS next_value,
+        |       first_value(nullif(event_type, 'click') IGNORE NULLS)
+        |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_nonclick,
+        |       last_value(value) OVER wf AS last_value_all,
+        |       nth_value(value, 2) OVER wf AS second_value,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2)))
+        |            OVER (PARTITION BY user_id ORDER BY epoch_s
+        |                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hour_sum
+        |FROM ev
+        |WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id),
+        |       wf AS (PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY event_id""".stripMargin,
+
+    "a16_cube" ->
+      """SELECT trim(event_type) AS line, CAST(CAST(ts AS DATE) AS VARCHAR) AS d,
+        |       count(*) AS n,
+        |       CAST(GROUPING(trim(event_type)) AS INT) AS g_line,
+        |       CAST(GROUPING(CAST(CAST(ts AS DATE) AS VARCHAR)) AS INT) AS g_d
+        |FROM events
+        |GROUP BY CUBE(line, d)
+        |ORDER BY g_line, g_d, COALESCE(line, ''), COALESCE(d, '')""".stripMargin,
+
+    "a17_topk_group" ->
+      """SELECT line, rk, event_id, value FROM (
+        |  SELECT trim(event_type) AS line,
+        |         CAST(row_number() OVER (PARTITION BY trim(event_type)
+        |              ORDER BY value DESC, event_id ASC) AS INT) AS rk,
+        |         event_id, value
+        |  FROM events) t
+        |WHERE rk <= 5 ORDER BY line, rk""".stripMargin,
 
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,

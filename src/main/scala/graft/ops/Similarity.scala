@@ -36,12 +36,10 @@ object Similarity {
   val Dims = 64
   val IvfCentroids = 16 // vec_id < 16 serve as coarse centroids
   val IvfNProbe = 2
+  val DupNProbe = 2 // dd06: each vector joins its top-2 nearest cells
+  val DupThreshold = 0.4
 
-  /** Left-fold dot product a·b as a Spark SQL expression. */
-  private def dotExpr(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-
-  /** The same fold in DuckDB SQL (list_reduce has no seed; a fold of
+  /** The left-fold dot product in DuckDB SQL (list_reduce has no seed; a fold of
     * [v1..vn] from v1 equals Spark's 0.0-seeded fold bit-for-bit). */
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(generate_series(1, $Dims), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
@@ -88,9 +86,12 @@ object Similarity {
       VectorExprs.register(s)
       val e = Tables.embeddings(s, d)
       val planesDf = s.sql(planesRelation("array(", ")"))
+      // hot pass: P plane projections × every row — the fused codegen
+      // dot_product kernel, not the interpreted HOF fold (same left
+      // fold, bit-identical; see VectorExprs.DotProduct)
       val buckets = e.select(col("vec_id"), col("embedding"))
-        .crossJoin(broadcast(planesDf))
-        .withColumn("pdot", expr(dotExpr("embedding", "plane")))
+        .crossJoin(broadcast(planesDf.withColumn("plane", col("plane").cast("array<double>"))))
+        .withColumn("pdot", expr("dot_product(embedding, plane)"))
         .withColumn("bit",
           expr("CASE WHEN pdot > 0.0 THEN shiftleft(CAST(1 AS BIGINT), p) ELSE CAST(0 AS BIGINT) END"))
         .groupBy("vec_id").agg(sum(col("bit")).as("bucket"))
@@ -153,19 +154,50 @@ object Similarity {
         .orderBy("query_id", "neighbor_id")
     }),
 
-    // Embedding-cosine near-duplicate pairs (dedup family): label-
-    // blocked pairwise cosine through the codegen kernel. Blocking
-    // keys bound the quadratic term; at 100 TB the label would be an
-    // LSH bucket or cluster id.
+    // Embedding-cosine near-duplicate pairs (dedup family), blocked
+    // by IVF cluster so block size stays BOUNDED as the corpus grows
+    // (the SemDeDup shape): ncells = ⌈√n⌉ coarse cells, every vector
+    // multi-assigned to its DupNProbe nearest cells (so near-dups
+    // straddling a cell boundary still pair), candidate pairs form
+    // only within a shared cell, then one exact-cosine re-rank over
+    // candidates only. Total work O(n·√n) for both the assignment
+    // scan and the within-cell pairing — the optimum for flat coarse
+    // quantization — vs the old fixed-`label` blocking whose blocks
+    // grew linearly with the corpus (O(n²) pairing; measured 19× at
+    // 10× scale, SCALE_NOTES.md). ncells adapts via a broadcast
+    // 1-row count frame — no driver round-trip, no collect.
+    //
+    // Canonicalize-first (same guard as dd05, same rationale):
+    // near-dup pairing runs over DISTINCT embeddings only (min vec_id
+    // per vector) — exact-duplicate vectors are dd01's job, and every
+    // copy-set of size m would otherwise multiply its cells' pair
+    // work by m². Pairs among copies are recoverable from the
+    // canonical pair × the exact-dup groups.
     "dd06_cosine_dup" -> ((s, d) => {
       VectorExprs.register(s)
-      val e = Tables.embeddings(s, d).select("vec_id", "label", "embedding")
-      e.as("a").join(e.as("b"),
-          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-        .withColumn("cos", expr("cosine_sim(a.embedding, b.embedding)"))
-        .filter(col("cos") >= 0.4)
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          col("a.label").as("label"), round(col("cos"), 6).as("cosine"))
+      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+        .groupBy("embedding").agg(min(col("vec_id")).as("vec_id"))
+        .select("vec_id", "embedding")
+      val nc = e.agg(ceil(sqrt(count(lit(1)).cast("double"))).cast("long").as("ncells"))
+      val cents = e.crossJoin(broadcast(nc)).filter(col("vec_id") < col("ncells"))
+        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("cos_c", expr("cosine_sim(embedding, ce)"))
+        .withColumn("crn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("cos_c").desc, col("cent_id").asc)))
+        .filter(col("crn") <= DupNProbe)
+        .select(col("vec_id"), col("cent_id").as("cluster"))
+      // candidates carry only 8-byte ids; embeddings re-join AFTER the
+      // distinct so the pair dedup never hashes vector payloads
+      val cand = assigned.as("a").join(assigned.as("b"),
+          col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+        .distinct()
+      cand.join(e.toDF("vec_a", "ea"), "vec_a")
+        .join(e.toDF("vec_b", "eb"), "vec_b")
+        .withColumn("cos", expr("cosine_sim(ea, eb)"))
+        .filter(col("cos") >= DupThreshold)
+        .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cosine"))
         .orderBy("vec_a", "vec_b")
     })
   )
@@ -244,11 +276,42 @@ object Similarity {
          |WHERE rn <= $LshK ORDER BY query_id, neighbor_id""".stripMargin,
 
     "dd06_cosine_dup" ->
-      s"""WITH $normedCte
-         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
-         |       round(${dotSql("a.embedding", "b.embedding")} / (a.norm * b.norm), 6) AS cosine
-         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-         |WHERE ${dotSql("a.embedding", "b.embedding")} / (a.norm * b.norm) >= 0.4
+      s"""WITH canon AS (
+         |  SELECT min(vec_id) AS vec_id, embedding FROM embeddings GROUP BY embedding
+         |),
+         |e AS (
+         |  SELECT vec_id, embedding,
+         |         sqrt(${dotSql("embedding", "embedding")}) AS norm
+         |  FROM canon
+         |),
+         |nc AS (
+         |  SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS ncells FROM canon
+         |),
+         |cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS ce, norm AS cnorm
+         |  FROM e, nc WHERE vec_id < ncells
+         |),
+         |scored AS (
+         |  SELECT e.vec_id, c.cent_id,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY ${dotSql("e.embedding", "c.ce")} / (e.norm * c.cnorm) DESC,
+         |                    c.cent_id ASC) AS crn
+         |  FROM e, cents c
+         |),
+         |assigned AS (
+         |  SELECT vec_id, cent_id AS cluster FROM scored WHERE crn <= $DupNProbe
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |)
+         |SELECT vec_a, vec_b,
+         |       round(${dotSql("ea.embedding", "eb.embedding")} / (ea.norm * eb.norm), 6) AS cosine
+         |FROM cand
+         |JOIN e ea ON ea.vec_id = vec_a
+         |JOIN e eb ON eb.vec_id = vec_b
+         |WHERE ${dotSql("ea.embedding", "eb.embedding")} / (ea.norm * eb.norm) >= $DupThreshold
          |ORDER BY vec_a, vec_b""".stripMargin,
 
     "sim03_centroids" ->

@@ -70,6 +70,34 @@ class VectorExprsSpec extends SparkSpec {
     assert(r.isNullAt(0))
   }
 
+  test("dot_product equals the HOF fold bit-for-bit, mixed float/double sides") {
+    VectorExprs.register(spark)
+    val df = seeded(200, 64).toDF("id", "a")
+      .withColumn("b", expr("CAST(reverse(a) AS ARRAY<DOUBLE>)"))
+    val hof =
+      """aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+        |          CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
+    val rows = df.select(expr("dot_product(a, b)").as("fast"), expr(hof).as("ref")).collect()
+    rows.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+    // float×float side too
+    val ff = df.withColumn("bf", reverse(col("a")))
+      .select(expr("dot_product(a, bf)").as("fast"),
+        expr(hof.replace("b,", "bf,")).as("ref")).collect()
+    ff.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+  }
+
+  test("dot_product propagates nulls and rejects non-numeric arrays") {
+    VectorExprs.register(spark)
+    val df = Seq((1L, Some(Array(1.0f, 2.0f)), None: Option[Array[Float]]))
+      .toDF("id", "a", "b")
+    assert(df.select(expr("dot_product(a, b)")).head().isNullAt(0))
+    val bad = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(("x", "y")).toDF("a", "b").select(expr("dot_product(a, b)")).collect()
+    }
+    assert(bad.getMessage.toLowerCase.contains("dot_product") ||
+      bad.getMessage.toLowerCase.contains("data type"))
+  }
+
   test("minhash_mix equals the per-family HOF array_min and nulls on empty") {
     VectorExprs.register(spark)
     val df = Seq(

@@ -110,6 +110,67 @@ class OpsSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("a15 HLL sketches are mergeable: union of split sketches == whole sketch") {
+    // the reason HLL replaces exact countDistinct at 100 TB: partial
+    // sketches over arbitrary splits merge into EXACTLY the sketch of
+    // the whole — constant-size, associative, re-aggregatable state
+    val ev = graft.Tables.events(spark, sf)
+    val whole = ev.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+      .head().getLong(0)
+    val merged = ev
+      .withColumn("split", pmod(col("event_id"), lit(4)))
+      .groupBy("split").agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .head().getLong(0)
+    assert(merged === whole)
+    // and the split count is irrelevant: 7 splits give the same sketch
+    val merged7 = ev
+      .withColumn("split", pmod(col("event_id"), lit(7)))
+      .groupBy("split").agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .head().getLong(0)
+    assert(merged7 === whole)
+  }
+
+  test("typed TopK aggregator: bounded buffer, matches row_number semantics") {
+    val agg = new graft.functions.TopKByValue(3)
+    import graft.functions.TopKByValue.Entry
+    // buffer never exceeds k, regardless of input size or merge order
+    val entries = (1L to 100L).map(i => Entry(i, (i * 37 % 50).toDouble))
+    val buf = entries.foldLeft(agg.zero)(agg.reduce)
+    assert(buf.length === 3)
+    val (l, r) = entries.splitAt(41)
+    val split = agg.merge(l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+    assert(split === buf, "merge of partials equals single-pass reduce")
+    val want = entries.sortBy(e => (-e.value, e.event_id)).take(3)
+    assert(agg.finish(buf) === want)
+  }
+
+  test("a17 top-k per group: k rows per line, descending, distributed == oracle shape") {
+    val rows = q("a17_topk_group").collect()
+    val byLine = rows.groupBy(_.getAs[String]("line"))
+    byLine.foreach { case (_, rs) =>
+      assert(rs.length <= 5)
+      val vals = rs.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("value"))
+      assert(vals.zip(vals.tail).forall { case (a, b) => a >= b }, "values descend with rank")
+    }
+  }
+
+  test("dd06 cluster-blocked near-dups: canonical ids, pairs ordered, cosine ≥ threshold") {
+    val dup = q("dd06_cosine_dup").cache()
+    assert(dup.filter(col("vec_a") >= col("vec_b")).count() === 0)
+    assert(dup.filter(col("cosine") < Similarity.DupThreshold).count() === 0)
+    // every reported pair's cosine matches an independent brute-force
+    // computation (the blocking may MISS pairs, but never distorts one)
+    graft.functions.VectorExprs.register(spark)
+    val e = graft.Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val bf = dup
+      .join(e.toDF("vec_a", "ea"), "vec_a").join(e.toDF("vec_b", "eb"), "vec_b")
+      .withColumn("bf_cos", round(expr("cosine_sim(ea, eb)"), 6))
+    assert(bf.filter(abs(col("cosine") - col("bf_cos")) > 1e-9).count() === 0)
+  }
+
   test("media features: n_bytes matches text length for ascii corpus") {
     val mm = q("mm01_media_features")
       .join(graft.Tables.documents(spark, sf).select(col("doc_id"),
