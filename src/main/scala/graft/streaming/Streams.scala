@@ -36,10 +36,14 @@ object Streams {
       .json(path)
   }
 
-  /** Streaming silver: the reference's clean/filter chain with a
-    * watermark + bounded-state dedup instead of the date filter +
-    * unbounded dropDuplicates. */
-  def silverStream(raw: DataFrame, watermark: String = "10 minutes"): DataFrame =
+  /** Cleaned, watermarked ping stream WITHOUT dedup: the reference's
+    * clean/filter chain ending at `withWatermark`. Feed this to
+    * [[enrichedStream]], which performs its own EXACT deterministic
+    * dedup inside the stateful operator (same winner as the batch
+    * row_number dedup); feed [[silverStream]] (this + bounded-state
+    * dedup) to consumers that want deduped rows but don't care which
+    * duplicate payload survives. */
+  def cleanStream(raw: DataFrame, watermark: String = "10 minutes"): DataFrame =
     raw.select(explode(col("result")).as("v"))
       .select(
         trim(col("v.Lines")).as("Lines"),
@@ -52,6 +56,12 @@ object Streams {
         col("Lon").between(Schemas.LonMin, Schemas.LonMax))
       .filter(col("Lines") =!= "")
       .withWatermark("Time", watermark)
+
+  /** Streaming silver: [[cleanStream]] + watermark-bounded dedup
+    * (first arrival wins) instead of the batch's date filter +
+    * unbounded dropDuplicates. */
+  def silverStream(raw: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    cleanStream(raw, watermark)
       .dropDuplicatesWithinWatermark("VehicleNumber", "Time")
 
   /** Streaming per-line tumbling-window stats — the daily-report
@@ -76,34 +86,117 @@ object Streams {
       prev_lat: Option[Double], prev_lon: Option[Double],
       prev_time: Option[java.sql.Timestamp])
 
+  /** Per-vehicle enrichment state: the last EMITTED ping (the
+    * event-time predecessor of the next emission) plus the reorder
+    * buffer of pings not yet safe to emit. */
+  final case class EnrichState(prev: Option[SilverPing], buf: List[SilverPing])
+
   /** Streaming enrichment: previous-ping columns come from per-vehicle
     * GroupState instead of a batch lag window, so segments SURVIVE
     * micro-batch boundaries (a per-batch lag would silently zero every
     * boundary-spanning segment). Metric math is the shared
-    * GoldReport.metricsFromPrevs — one code path with batch. State is
-    * one ping per vehicle: bounded by fleet size.
+    * GoldReport.metricsFromPrevs — one code path with batch.
+    *
+    * The state is an EVENT-TIME REORDER BUFFER, which makes the
+    * operator equal to the batch `lag` window (a sort within each
+    * vehicle partition) even when micro-batches deliver a vehicle's
+    * pings slightly out of event-time order — e.g. Spark's file
+    * source interleaving same-mtime files, or a replayed/ backfilled
+    * feed. A ping is held until the vehicle's own max event time
+    * passes it by `reorderSec` (per-key punctuation — no global
+    * watermark dependency, so a stale-clocked vehicle running hours
+    * behind the fleet still flushes off its OWN later pings), then
+    * emitted in event-time order, paired with its true predecessor.
+    * Pings arriving at-or-before the already-emitted predecessor are
+    * dropped: at == a duplicate of an emitted key (dedup), < ==
+    * disorder beyond the horizon (standard late-data semantics).
+    *
+    * Dedup is done HERE, exactly: duplicate (VehicleNumber, Time)
+    * rows buffered within the horizon keep the minimum
+    * (Lines, Lat, Lon) payload — the same deterministic winner as
+    * the batch row_number dedup (SilverTransform D1) — so feeding the
+    * un-deduped [[cleanStream]] reproduces the batch pipeline
+    * BIT-EXACTLY (StreamingSpec's day=23 equivalence test). Feeding
+    * the pre-deduped [[silverStream]] also works; payload choice then
+    * belongs to the upstream first-arrival dedup.
+    *
+    * State TTL: state per key is one prev + the pings inside a
+    * `reorderSec` horizon — bounded by ping rate, not stream length.
+    * The 100 TB posture must also survive key churn: an event-time
+    * timeout fires once the watermark passes a vehicle's last ping +
+    * `stateTtlSec`; the buffer is FLUSHED in order (no data loss —
+    * this is also what emits each vehicle's tail pings) and the slot
+    * freed, so state tracks the ACTIVE key set. A vehicle returning
+    * after the TTL restarts at first-ping semantics (dist 0) — the
+    * same answer the batch pipeline gives a vehicle first seen that
+    * day.
     */
   def enrichedStream(silver: DataFrame,
       fuelLPer100Km: Double = graft.gtfs.GoldReport.DefaultFuelLPer100Km,
-      fuelPricePln: Double = graft.gtfs.GoldReport.DefaultFuelPricePln): DataFrame = {
+      fuelPricePln: Double = graft.gtfs.GoldReport.DefaultFuelPricePln,
+      reorderSec: Long = 60L,
+      stateTtlSec: Long = 7200L): DataFrame = {
     import silver.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+    // the batch dedup's deterministic pick: min (Lines, Lat, Lon)
+    def keepMin(a: SilverPing, b: SilverPing): SilverPing = {
+      val c = a.Lines.compareTo(b.Lines)
+      val aWins =
+        if (c != 0) c < 0
+        else if (a.Lat != b.Lat) a.Lat < b.Lat
+        else a.Lon <= b.Lon
+      if (aWins) a else b
+    }
+    // pair pings (already event-time-sorted) with their predecessors
+    def emitAll(ps: Seq[SilverPing], start: Option[SilverPing])
+        : (Seq[PingWithPrev], Option[SilverPing]) = {
+      var prev = start
+      val out = ps.map { p =>
+        val r = PingWithPrev(p.Lines, p.VehicleNumber, p.Lat, p.Lon, p.Time,
+          prev.map(_.Lat), prev.map(_.Lon), prev.map(_.Time))
+        prev = Some(p)
+        r
+      }
+      (out, prev)
+    }
+
     val withPrevs = silver
       .select("Lines", "VehicleNumber", "Lat", "Lon", "Time").as[SilverPing]
       .groupByKey(_.VehicleNumber)
-      .flatMapGroupsWithState[SilverPing, PingWithPrev](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: String, pings: Iterator[SilverPing], state: GroupState[SilverPing]) =>
-          val sorted = pings.toSeq.sortBy(_.Time.getTime)
-          var prev = state.getOption
-          val out = sorted.map { p =>
-            val r = PingWithPrev(p.Lines, p.VehicleNumber, p.Lat, p.Lon, p.Time,
-              prev.map(_.Lat), prev.map(_.Lon), prev.map(_.Time))
-            prev = Some(p)
-            r
+      .flatMapGroupsWithState[EnrichState, PingWithPrev](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, pings: Iterator[SilverPing], state: GroupState[EnrichState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last ping + TTL: the vehicle is gone —
+            // flush its tail in order, then free the slot
+            val st = state.get
+            state.remove()
+            emitAll(st.buf.sortBy(_.Time.getTime), st.prev)._1.iterator
+          } else {
+            val st = state.getOption.getOrElse(EnrichState(None, Nil))
+            val prevMs = st.prev.map(_.Time.getTime).getOrElse(Long.MinValue)
+            val byTime = scala.collection.mutable.TreeMap.empty[Long, SilverPing]
+            st.buf.foreach(p => byTime(p.Time.getTime) = p)
+            pings.foreach { p =>
+              val t = p.Time.getTime
+              if (t > prevMs)
+                byTime(t) = byTime.get(t).map(keepMin(p, _)).getOrElse(p)
+            }
+            if (byTime.isEmpty) Iterator.empty
+            else {
+              val maxMs = byTime.lastKey
+              val cut = maxMs - reorderSec * 1000L
+              val (ready, hold) = byTime.values.toList.partition(_.Time.getTime <= cut)
+              val (out, newPrev) = emitAll(ready, st.prev)
+              state.update(EnrichState(newPrev, hold))
+              // never set a timeout at/behind the current watermark
+              state.setTimeoutTimestamp(
+                math.max(maxMs + stateTtlSec * 1000L,
+                  state.getCurrentWatermarkMs() + 1L))
+              out.iterator
+            }
           }
-          prev.foreach(state.update)
-          out.iterator
       }
     graft.gtfs.GoldReport.metricsFromPrevs(withPrevs.toDF(), fuelLPer100Km, fuelPricePln)
   }
@@ -157,8 +250,13 @@ object Streams {
     * the KeyValueGroupedDataset custom-state operator (SURVEY.md
     * §2.10 extension): pings of one vehicle separated by more than
     * `gapSec` belong to different trips; a trip is emitted when the
-    * ping that closes it arrives. State is one small record per
-    * vehicle — bounded by fleet size, not stream length.
+    * ping that closes it arrives, OR when the event-time watermark
+    * passes its last ping + `gapSec` (timeout): once the watermark is
+    * beyond the gap, no in-watermark ping can ever extend the trip,
+    * so it is final — emit it and free the state. The timeout both
+    * bounds state under key churn and fixes the completeness hole of
+    * the NoTimeout version (a vehicle's LAST trip of the day was
+    * never emitted).
     */
   def tripSegments(silver: DataFrame, gapSec: Long = 1800): org.apache.spark.sql.Dataset[Trip] = {
     import silver.sparkSession.implicits._
@@ -166,26 +264,39 @@ object Streams {
     silver.select("VehicleNumber", "Time", "Lat", "Lon").as[Ping]
       .groupByKey(_.VehicleNumber)
       .flatMapGroupsWithState[TripState, Trip](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (vehicle: String, pings: Iterator[Ping], state: GroupState[TripState]) =>
-          val sorted = pings.toSeq.sortBy(_.Time.getTime)
-          val out = scala.collection.mutable.ArrayBuffer.empty[Trip]
-          var st = state.getOption.orNull
-          sorted.foreach { p =>
-            val t = p.Time.getTime
-            st match {
-              case null =>
-                st = TripState(t, t, 1)
-              case s if t - s.lastMs > gapSec * 1000 =>
-                out += Trip(vehicle, new java.sql.Timestamp(s.startMs),
-                  new java.sql.Timestamp(s.lastMs), s.pings)
-                st = TripState(t, t, 1)
-              case s =>
-                st = TripState(s.startMs, math.max(s.lastMs, t), s.pings + 1)
+          if (state.hasTimedOut) {
+            // watermark passed lastMs + gap: the open trip is final
+            val s = state.get
+            state.remove()
+            Iterator.single(Trip(vehicle, new java.sql.Timestamp(s.startMs),
+              new java.sql.Timestamp(s.lastMs), s.pings))
+          } else {
+            val sorted = pings.toSeq.sortBy(_.Time.getTime)
+            val out = scala.collection.mutable.ArrayBuffer.empty[Trip]
+            var st = state.getOption.orNull
+            sorted.foreach { p =>
+              val t = p.Time.getTime
+              st match {
+                case null =>
+                  st = TripState(t, t, 1)
+                case s if t - s.lastMs > gapSec * 1000 =>
+                  out += Trip(vehicle, new java.sql.Timestamp(s.startMs),
+                    new java.sql.Timestamp(s.lastMs), s.pings)
+                  st = TripState(t, t, 1)
+                case s =>
+                  st = TripState(s.startMs, math.max(s.lastMs, t), s.pings + 1)
+              }
             }
+            if (st != null) {
+              state.update(st)
+              state.setTimeoutTimestamp(
+                math.max(st.lastMs + gapSec * 1000L,
+                  state.getCurrentWatermarkMs() + 1L))
+            }
+            out.iterator
           }
-          if (st != null) state.update(st)
-          out.iterator
       }
   }
 

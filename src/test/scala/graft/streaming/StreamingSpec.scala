@@ -13,9 +13,18 @@ import graft.SparkSpec
   */
 class StreamingSpec extends SparkSpec {
 
+  // strictly increasing mtimes: FileStreamSource orders same-mtime
+  // files arbitrarily (sub-ms writes collide), which would randomize
+  // micro-batch arrival order in the one-file-per-trigger tests
+  private val mtimeClock = new java.util.concurrent.atomic.AtomicLong(
+    System.currentTimeMillis())
+
   private def writeBronze(dir: String, name: String, records: String*): Unit = {
     val body = s"""{"result": [${records.mkString(", ")}]}"""
-    Files.write(Paths.get(dir, name), body.getBytes(StandardCharsets.UTF_8))
+    val p = Paths.get(dir, name)
+    Files.write(p, body.getBytes(StandardCharsets.UTF_8))
+    Files.setLastModifiedTime(p,
+      java.nio.file.attribute.FileTime.fromMillis(mtimeClock.addAndGet(2000)))
   }
 
   private def rec(lines: String, vehicle: String, lat: Double, lon: Double,
@@ -88,6 +97,10 @@ class StreamingSpec extends SparkSpec {
     // segment must be attributed (GroupState prevs, not per-batch lag)
     writeBronze(dir, "b2.json",
       rec("189", "8349", 52.25, 21.05, "2026-02-23 09:00:00"))
+    // a different vehicle advances the watermark past 09:00 + TTL so
+    // 8349's buffered tail (the ~5 km segment) flushes via timeout
+    writeBronze(dir, "b3.json",
+      rec("523", "7000", 52.23, 21.03, "2026-02-23 12:00:00"))
 
     val silver = Streams.silverStream(Streams.bronzeStream(spark, dir, maxFilesPerTrigger = 1))
     val q = Streams.goldRefresh(silver, s"$out/gold", s"$ckpt/cp")
@@ -97,13 +110,231 @@ class StreamingSpec extends SparkSpec {
       val rows = gold.select("batch_id", "Lines", "total_distance_km").collect()
         .map(r => (r.getAs[Number](0).longValue, r.getString(1), r.getDouble(2)))
         .sortBy(_._1)
-      assert(rows.map(_._1).distinct.length === 2, rows.mkString("; "))
+      assert(rows.map(_._1).distinct.length === 3, rows.mkString("; "))
       assert(rows.forall(_._2 === "189"))
-      // batch 2 holds exactly the cross-batch segment (~5 km);
-      // a per-batch lag window would have zeroed it
+      // the timeout-flush batch holds exactly the cross-batch
+      // 08:10→09:00 segment (~5 km); a per-batch lag window would
+      // have zeroed it
       val lastBatchDist = rows.last._3
       assert(lastBatchDist > 4.0 && lastBatchDist < 7.0, rows.mkString("; "))
     } finally q.stop()
+  }
+
+  test("trip state times out via watermark: last trip of the day is emitted") {
+    val dir = Files.createTempDirectory("graft-trips-ttl").toString
+    writeBronze(dir, "b1.json",
+      rec("189", "8349", 52.2, 21.0, "2026-02-23 08:00:00"),
+      rec("189", "8349", 52.21, 21.01, "2026-02-23 08:10:00"))
+    // a DIFFERENT vehicle 12 h later advances the watermark far past
+    // 8349's last ping + gap → 8349's open trip can never be extended,
+    // so the event-time timeout emits it with no closing ping
+    writeBronze(dir, "b2.json",
+      rec("523", "7000", 52.22, 21.02, "2026-02-23 20:00:00"))
+
+    val silver = Streams.silverStream(Streams.bronzeStream(spark, dir, maxFilesPerTrigger = 1))
+    val trips = Streams.tripSegments(silver, gapSec = 1800)
+    val q = trips.writeStream
+      .format("memory").queryName("trips_ttl_out").outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("trips_ttl_out").collect()
+      // 8349's trip emitted by timeout; 7000's open trip is still
+      // within gap of the watermark and correctly stays open
+      assert(rows.length === 1, rows.mkString("; "))
+      val t = rows.head
+      assert(t.getAs[String]("VehicleNumber") === "8349")
+      assert(t.getAs[Int]("pings") === 2)
+      assert(t.getAs[java.sql.Timestamp]("trip_end").toString === "2026-02-23 08:10:00.0")
+    } finally q.stop()
+  }
+
+  test("enriched state TTL: vehicle returning after expiry restarts at first-ping semantics") {
+    val dir = Files.createTempDirectory("graft-enr-ttl").toString
+    writeBronze(dir, "b1.json",
+      rec("189", "8349", 52.2, 21.0, "2026-02-23 08:00:00"),
+      rec("189", "8349", 52.21, 21.01, "2026-02-23 08:10:00"))
+    // another vehicle at 15:00 pushes the watermark past 8349's
+    // last ping + TTL (2 h) → the no-data batch after it expires
+    // 8349's state
+    writeBronze(dir, "b2.json",
+      rec("523", "7000", 52.22, 21.02, "2026-02-23 15:00:00"))
+
+    val silver = Streams.silverStream(Streams.bronzeStream(spark, dir, maxFilesPerTrigger = 1))
+    val enriched = Streams.enrichedStream(silver)
+    val q = enriched.writeStream
+      .format("memory").queryName("enr_ttl_out").outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable() // b1, b2, then the watermark-advance batch fires the timeout
+      // phase 2: 8349 returns after its state expired → its ping must
+      // be a FIRST ping (dist 0), not a 08:10 → 20:00 segment
+      writeBronze(dir, "b3.json",
+        rec("189", "8349", 52.30, 21.10, "2026-02-23 20:00:00"))
+      q.processAllAvailable()
+      // phase 3: advance the watermark past 20:00 + TTL so the
+      // returning ping's buffered row flushes via its own timeout
+      writeBronze(dir, "b4.json",
+        rec("523", "7000", 52.23, 21.03, "2026-02-23 23:00:00"))
+      q.processAllAvailable()
+      val rows = spark.table("enr_ttl_out")
+        .filter(org.apache.spark.sql.functions.col("VehicleNumber") === "8349")
+        .collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("Time").toString, r.getAs[Double]("dist_km")))
+        .sortBy(_._1)
+      assert(rows.length === 3, rows.mkString("; "))
+      assert(rows.last._1 === "2026-02-23 20:00:00.0")
+      assert(rows.last._2 === 0.0,
+        s"state must have expired: got dist ${rows.last._2} for the returning ping")
+    } finally q.stop()
+  }
+
+  test("reorder buffer repairs cross-batch event-time disorder") {
+    val dir = Files.createTempDirectory("graft-reorder").toString
+    // arrival order 12:10, 12:00, 12:20 (forced via mtimes + one file
+    // per trigger) — event-time order is 12:00, 12:10, 12:20; the
+    // buffer must pair each ping with its EVENT-time predecessor,
+    // like the batch lag window, not its arrival predecessor
+    writeBronze(dir, "f1.json", rec("102", "1000", 52.21, 21.01, "2026-02-23 12:10:00"))
+    writeBronze(dir, "f2.json", rec("102", "1000", 52.20, 21.00, "2026-02-23 12:00:00"))
+    writeBronze(dir, "f3.json", rec("102", "1000", 52.22, 21.02, "2026-02-23 12:20:00"))
+    // a different vehicle far ahead advances the watermark past
+    // 12:20 + TTL → the tail flushes via timeout
+    writeBronze(dir, "f4.json", rec("523", "7000", 52.23, 21.03, "2026-02-23 18:00:00"))
+
+    val clean = Streams.cleanStream(Streams.bronzeStream(spark, dir, maxFilesPerTrigger = 1))
+    val q = Streams.enrichedStream(clean).writeStream
+      .format("memory").queryName("reorder_out").outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("reorder_out")
+        .filter(org.apache.spark.sql.functions.col("VehicleNumber") === "1000")
+        .select("Time", "prev_time").collect()
+        .map(r => (r.getAs[java.sql.Timestamp](0).toString,
+          Option(r.getAs[java.sql.Timestamp](1)).map(_.toString).orNull))
+        .sortBy(_._1)
+      assert(rows.toSeq === Seq(
+        ("2026-02-23 12:00:00.0", null),
+        ("2026-02-23 12:10:00.0", "2026-02-23 12:00:00.0"),
+        ("2026-02-23 12:20:00.0", "2026-02-23 12:10:00.0")), rows.mkString("; "))
+    } finally q.stop()
+  }
+
+  test("enrichment dedup keeps the batch-deterministic min payload across batches") {
+    val dir = Files.createTempDirectory("graft-dedup-min").toString
+    // duplicate (vehicle, time) key with CONFLICTING payloads in
+    // different micro-batches, larger payload arriving FIRST — the
+    // first-arrival dedup would keep 52.30, the batch row_number
+    // dedup keeps min (Lines, Lat, Lon) = 52.20; exact equivalence
+    // needs the latter
+    writeBronze(dir, "f1.json", rec("102", "1000", 52.30, 21.10, "2026-02-23 12:00:00"))
+    writeBronze(dir, "f2.json", rec("102", "1000", 52.20, 21.00, "2026-02-23 12:00:00"))
+    writeBronze(dir, "f3.json", rec("102", "1000", 52.21, 21.01, "2026-02-23 12:05:00"))
+    writeBronze(dir, "f4.json", rec("523", "7000", 52.23, 21.03, "2026-02-23 18:00:00"))
+
+    val clean = Streams.cleanStream(Streams.bronzeStream(spark, dir, maxFilesPerTrigger = 1))
+    val q = Streams.enrichedStream(clean).writeStream
+      .format("memory").queryName("dedupmin_out").outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("dedupmin_out")
+        .filter(org.apache.spark.sql.functions.col("VehicleNumber") === "1000")
+        .select("Time", "Lat").collect()
+        .map(r => (r.getAs[java.sql.Timestamp](0).toString, r.getAs[Double](1)))
+        .sortBy(_._1)
+      assert(rows.toSeq === Seq(
+        ("2026-02-23 12:00:00.0", 52.20),
+        ("2026-02-23 12:05:00.0", 52.21)), rows.mkString("; "))
+    } finally q.stop()
+  }
+
+  test("streaming gold partials over the real day=23 fold to the batch report") {
+    val day23 = "/root/reference/WAW/year=2026/month=02/day=23"
+    assume(new java.io.File(day23).isDirectory)
+    import org.apache.spark.sql.functions._
+    // copy the capture preserving mtimes: the file source's arrival
+    // jitter among same-mtime files (the disorder the reorder buffer
+    // must absorb) is reproduced, and the dir stays writable for the
+    // end-of-capture sentinel below
+    val src = Files.createTempDirectory("graft-e2e-src")
+    new java.io.File(day23).listFiles().sortBy(_.getName).foreach { f =>
+      Files.copy(f.toPath, src.resolve(f.getName),
+        java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
+    }
+    val out = Files.createTempDirectory("graft-e2e-gold").toString
+    val ckpt = Files.createTempDirectory("graft-e2e-ckpt").toString
+    val day = java.time.LocalDate.of(2026, 2, 23)
+
+    // UN-deduped clean stream: enrichedStream dedups exactly (min
+    // (Lines, Lat, Lon) payload — the batch row_number winner), so
+    // the comparison below is BIT-exact, not tolerance-based. The
+    // 25 h watermark covers stale-clock pings (up to ~5.2 h behind
+    // the fleet max); the day filter mirrors the batch transform's
+    // `date == processingDate` gate (SilverTransform:69).
+    val clean = Streams.cleanStream(
+      Streams.bronzeStream(spark, src.toString, maxFilesPerTrigger = 8), watermark = "25 hours")
+      .filter(to_date(col("Time")) === lit(java.sql.Date.valueOf(day)))
+    val q = Streams.goldRefresh(clean, s"$out/gold", s"$ckpt/cp")
+    try {
+      q.processAllAvailable()
+      // end-of-capture flush: a sentinel ping far in the future
+      // advances the watermark past every vehicle's last ping + TTL,
+      // firing the timeouts that emit the buffered tails. It
+      // postdates day=23, so the day filter keeps it out of the
+      // results (the watermark node sits upstream of the filter).
+      writeBronze(src.toString, "zz_sentinel.json",
+        rec("999", "SENTINEL", 52.2, 21.0, "2026-02-24 20:00:00"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val partials = spark.read.parquet(s"$out/gold")
+    assert(partials.select("batch_id").distinct().count() > 1,
+      "equivalence must span multiple micro-batch partials")
+
+    // fold per the goldRefresh contract: sums/counts add, maxes max,
+    // derive avg_speed and cost_of_1km AFTER folding
+    val folded = partials.groupBy("Lines").agg(
+      sum("total_distance_km").as("total_distance_km"),
+      sum("total_cost_pln").as("total_cost_pln"),
+      max("max_segment_km").as("max_segment_km"),
+      sum("data_points_count").as("data_points_count"),
+      sum("sum_speed_kmh").as("sum_speed_kmh"),
+      max("max_recorded_speed").as("max_recorded_speed"))
+      .withColumn("avg_speed", col("sum_speed_kmh") / col("data_points_count"))
+      .withColumn("cost_of_1km", expr("total_cost_pln / nullif(total_distance_km, 0.0)"))
+
+    val raw = graft.gtfs.SilverTransform.readBronze(spark, day23)
+    val batchSilver = graft.gtfs.SilverTransform.transform(raw, day)
+    val batchReport = graft.gtfs.GoldReport.createDailyReport(batchSilver)
+
+    val joined = folded.as("s")
+      .join(batchReport.as("b"), col("s.Lines") === col("b.Lines"), "full_outer")
+      .select(col("s.Lines").as("s_line"), col("b.Lines").as("b_line"),
+        col("s.total_distance_km").as("s_dist"), col("b.total_distance_km").as("b_dist"),
+        col("s.total_cost_pln").as("s_cost"), col("b.total_cost_pln").as("b_cost"),
+        col("s.avg_speed").as("s_avg"), col("b.avg_speed").as("b_avg"),
+        col("s.max_segment_km").as("s_maxseg"), col("b.max_segment_km").as("b_maxseg"),
+        col("s.max_recorded_speed").as("s_maxspd"), col("b.max_recorded_speed").as("b_maxspd"),
+        col("s.data_points_count").as("s_n"), col("b.data_points_count").as("b_n"))
+      .collect()
+
+    assert(joined.length === 238, s"expected 238 line groups, got ${joined.length}")
+    assert(joined.forall(r => !r.isNullAt(0) && !r.isNullAt(1)),
+      "every line must appear on both the streaming and batch side")
+    // per-row pairs are bit-identical; only summation ORDER differs
+    // (per-batch partial sums folded vs one shot), so sums agree to
+    // fp-associativity noise and counts/maxes agree exactly
+    def rel(a: Double, b: Double) = if (b == 0.0) math.abs(a) else math.abs(a - b) / math.abs(b)
+    joined.foreach { r =>
+      assert(r.getAs[Long]("s_n") === r.getAs[Long]("b_n"), r.toString)
+      assert(r.getAs[Double]("s_maxseg") === r.getAs[Double]("b_maxseg"), r.toString)
+      assert(r.getAs[Double]("s_maxspd") === r.getAs[Double]("b_maxspd"), r.toString)
+      assert(rel(r.getAs[Double]("s_dist"), r.getAs[Double]("b_dist")) < 1e-9, r.toString)
+      assert(rel(r.getAs[Double]("s_cost"), r.getAs[Double]("b_cost")) < 1e-9, r.toString)
+      assert(rel(r.getAs[Double]("s_avg"), r.getAs[Double]("b_avg")) < 1e-9, r.toString)
+    }
   }
 
   test("streaming windowed per-line stats emit after watermark") {
