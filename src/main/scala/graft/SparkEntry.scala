@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.ops.{Breadth, Dedup, Joins, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.ops.{Breadth, Curation, Dedup, Joins, Multimodal, Relational, Similarity, TextAnalysis}
 import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -23,11 +23,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Joins.queries ++ Breadth.queries ++ Dedup.queries ++
-      Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries ++
-      Multimodal.queries2 ++ Streams.queries
+      Similarity.queries ++ TextAnalysis.queries ++ Curation.queries ++
+      Multimodal.queries ++ Multimodal.queries2 ++ Streams.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Joins.oracle ++ Breadth.oracle ++ Dedup.oracle ++
-      Similarity.oracle ++ TextAnalysis.oracle ++ Multimodal.oracle ++
-      Multimodal.oracle2 ++ Streams.oracle
+      Similarity.oracle ++ TextAnalysis.oracle ++ Curation.oracle ++
+      Multimodal.oracle ++ Multimodal.oracle2 ++ Streams.oracle
 }

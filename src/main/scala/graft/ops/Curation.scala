@@ -1,0 +1,154 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Portable
+
+/** Dataset-curation operators for LLM training-data pipelines over
+  * `documents`: deterministic train/val/test splitting, stratified
+  * sampling, text normalization, and a C4/Gopher-style quality gate.
+  *
+  * Everything here is a SINGLE NARROW PASS over the corpus (the only
+  * shuffles are the tiny per-split / per-stratum summary aggregates),
+  * so the operators scale linearly and partition-locally at 100 TB.
+  *
+  * Splits and samples are HASH-deterministic (md5-prefix, `Portable`),
+  * not RNG-based (`rand()` / `sampleBy`): a retried task re-derives
+  * the same decision for every row, the assignment is reproducible
+  * across engines and runs (it is oracle-checked against DuckDB), and
+  * membership can be recomputed for any row at any time — the same
+  * retry-idempotence argument as `ops/Salting`. The two hash domains
+  * are salted apart so split and sample are independent.
+  */
+object Curation {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val tokensExpr = "filter(split(lower(text), ' +'), t -> t <> '')"
+  private val tokensSql = "list_filter(regexp_split_to_array(lower(text), ' +'), t -> t <> '')"
+
+  /** Per-mille keep thresholds per stratum for ds02 (src0 is
+    * over-represented in the corpus, so it is down-sampled hardest —
+    * the usual domain-rebalancing move). */
+  val SampleThresholds: Seq[(String, Int)] = Seq("src0" -> 100, "src1" -> 300)
+  val DefaultThreshold = 500
+
+  private def thresholdCase(colName: String): String =
+    SampleThresholds.map { case (s, t) => s"WHEN $colName = '$s' THEN $t" }
+      .mkString("CASE ", " ", s" ELSE $DefaultThreshold END")
+
+  val queries: Map[String, Q] = Map(
+    // Deterministic 90/5/5 train/val/test split: bucket by a 60-bit
+    // md5 prefix of the doc id — stable under retries, recomputable
+    // per-row, identical across engines
+    "ds01_hash_split" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("bucket", expr(s"${Portable.phashExpr("CAST(doc_id AS STRING)")} % 100"))
+        .withColumn("split",
+          expr("CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"))
+        .orderBy("split")),
+
+    // Stratified deterministic sampling: per-source keep rates via a
+    // salted hash threshold (per-mille); summary per stratum
+    "ds02_stratified_sample" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("keep_hash",
+          expr(s"${Portable.phashExpr("concat('smp|', CAST(doc_id AS STRING))")} % 1000"))
+        .filter(expr(s"keep_hash < ${thresholdCase("source")}"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).cast("long").as("kept_chars"))
+        .orderBy("source")),
+
+    // Text normalization (the canonicalize step dedup pipelines run
+    // before shingling): lowercase, strip non-alphanumerics,
+    // collapse whitespace
+    "tx05_normalize" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("norm",
+          expr("trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' '), ' +', ' '))"))
+        .select(col("doc_id"), col("norm"),
+          expr("CAST(size(split(norm, ' ')) AS BIGINT)").as("n_norm_tokens"))
+        .orderBy("doc_id")),
+
+    // C4/Gopher-style quality gate: token-count bounds, mean-word-
+    // length bounds, at-least-one-stopword, repetition cut via the
+    // distinct-token ratio; emits survivors with their features
+    "df01_quality_gate" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("tokens", expr(tokensExpr))
+        .withColumn("n", size(col("tokens")))
+        .withColumn("avg_len",
+          expr("CAST(aggregate(tokens, 0, (a, t) -> a + length(t)) AS DOUBLE) / CAST(nullif(n, 0) AS DOUBLE)"))
+        .withColumn("stop_cnt",
+          expr(s"size(filter(tokens, t -> ${TextAnalysis.LangStopwords.flatMap(_._2).map(w => s"t = '$w'").mkString("(", " OR ", ")")}))"))
+        .withColumn("distinct_ratio",
+          expr("CAST(size(array_distinct(tokens)) AS DOUBLE) / CAST(nullif(n, 0) AS DOUBLE)"))
+        .filter(col("n").between(20, 500) &&
+          col("avg_len").between(2.0, 12.0) &&
+          col("stop_cnt") >= 1 &&
+          col("distinct_ratio") >= 0.2)
+        .select(col("doc_id"),
+          col("n").cast("long").as("n_tokens"),
+          expr("round(avg_len, 6)").as("avg_token_len"),
+          expr("round(distinct_ratio, 6)").as("distinct_ratio"))
+        .orderBy("doc_id"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "ds01_hash_split" ->
+      s"""WITH b AS (
+         |  SELECT n_chars,
+         |         ${Portable.phashSql("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+         |  FROM documents
+         |)
+         |SELECT CASE WHEN bucket < 90 THEN 'train'
+         |            WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+         |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
+
+    "ds02_stratified_sample" ->
+      s"""WITH k AS (
+         |  SELECT source, n_chars,
+         |         ${Portable.phashSql("'smp|' || CAST(doc_id AS VARCHAR)")} % 1000 AS keep_hash
+         |  FROM documents
+         |)
+         |SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS kept_chars
+         |FROM k WHERE keep_hash < ${thresholdCase("source")}
+         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "tx05_normalize" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+        |  FROM documents
+        |)
+        |SELECT doc_id, norm,
+        |       CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_norm_tokens
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+    "df01_quality_gate" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, $tokensSql AS tokens FROM documents
+         |), f AS (
+         |  SELECT doc_id, len(tokens) AS n,
+         |    CAST(list_reduce(list_prepend(0, list_transform(tokens, t -> length(t))), (a, b) -> a + b) AS DOUBLE)
+         |      / CAST(nullif(len(tokens), 0) AS DOUBLE) AS avg_len,
+         |    len(list_filter(tokens, t -> ${TextAnalysis.LangStopwords.flatMap(_._2).map(w => s"t = '$w'").mkString("(", " OR ", ")")})) AS stop_cnt,
+         |    CAST(len(list_distinct(tokens)) AS DOUBLE)
+         |      / CAST(nullif(len(tokens), 0) AS DOUBLE) AS distinct_ratio
+         |  FROM tok
+         |)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+         |       round(avg_len, 6) AS avg_token_len,
+         |       round(distinct_ratio, 6) AS distinct_ratio
+         |FROM f
+         |WHERE n BETWEEN 20 AND 500 AND avg_len BETWEEN 2.0 AND 12.0
+         |  AND stop_cnt >= 1 AND distinct_ratio >= 0.2
+         |ORDER BY doc_id""".stripMargin
+  )
+}

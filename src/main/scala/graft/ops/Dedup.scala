@@ -67,6 +67,13 @@ object Dedup {
     sigCache.getOrElseUpdate((spark, dir), buildMinhashSignatures(spark, dir))
   }
 
+  /** Drop this session's memoized signature frames (bench/stress hook
+    * — see Relational.clearMemo). */
+  def clearMemo(spark: SparkSession): Unit =
+    sigCache.keys.filter(_._1 eq spark).foreach { k =>
+      sigCache.remove(k).foreach(_.unpersist())
+    }
+
   private def buildMinhashSignatures(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExprs.register(spark)
     // minhash_mix fuses the k affine minima into ONE codegen pass over

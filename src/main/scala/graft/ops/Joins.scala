@@ -155,6 +155,38 @@ object Joins {
         .orderBy("event_id")
     }),
 
+    // Range join (point-in-interval): count lineitems shipped inside
+    // each promo window, with NO key relation between the sides — a
+    // pure theta join. Spark's native plan for ts BETWEEN lo AND hi
+    // is a broadcast-nested-loop (O(n·m)); the scale path is INTERVAL
+    // BINNING: windows are ≤ 7 days, so each window overlaps ≤ 2
+    // week-bins (explode), each shipdate hashes to exactly 1 bin, and
+    // the join becomes a plain shuffled equi-join on the bin plus a
+    // residual BETWEEN filter — pair work bounded by bin occupancy,
+    // no broadcast needed (both sides may be fact-sized at 100 TB).
+    "j09_range_join" -> ((s, d) => {
+      val week = 604800L
+      val promo = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey").as("promo_key"),
+          col("o_orderdate").as("win_start"),
+          (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("win_end"))
+      val promoBins = promo.withColumn("bin",
+        explode(sequence(
+          floor(unix_timestamp(col("win_start")) / week).cast(LongType),
+          floor((unix_timestamp(col("win_end")) - 1) / week).cast(LongType))))
+      val li = Tables.lineitem(s, d)
+        .select(col("l_shipdate"), col("l_quantity"))
+        .withColumn("bin", floor(unix_timestamp(col("l_shipdate")) / week).cast(LongType))
+      promoBins.join(li, Seq("bin"))
+        .filter(col("l_shipdate") >= col("win_start") &&
+          col("l_shipdate") < col("win_end"))
+        .groupBy("promo_key")
+        .agg(count(lit(1)).as("n_shipped"),
+          Tables.dsum(col("l_quantity"), 2).as("qty"))
+        .orderBy("promo_key")
+    }),
+
     // UNION (distinct set semantics)
     "x01_union" -> ((s, d) =>
       Tables.customer(s, d).select(col("c_nationkey").cast(IntegerType).as("key"))
@@ -250,6 +282,19 @@ object Joins {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    "j09_range_join" ->
+      """WITH promo AS (
+        |  SELECT o_orderkey AS promo_key, o_orderdate AS win_start,
+        |         o_orderdate + INTERVAL 7 DAY AS win_end
+        |  FROM orders
+        |  WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 100 = 0
+        |)
+        |SELECT promo_key, count(*) AS n_shipped,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM promo JOIN lineitem
+        |  ON l_shipdate >= win_start AND l_shipdate < win_end
+        |GROUP BY promo_key ORDER BY promo_key""".stripMargin,
 
     "x01_union" ->
       """SELECT CAST(c_nationkey AS INT) AS key FROM customer

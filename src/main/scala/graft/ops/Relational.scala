@@ -58,6 +58,13 @@ object Relational {
     frameCache.getOrElseUpdate((spark, dir, key), build.cache())
   }
 
+  /** Drop this session's memoized stage frames (bench/stress hook —
+    * lets a harness re-measure cold builds instead of cache reads). */
+  def clearMemo(spark: SparkSession): Unit =
+    frameCache.keys.filter(_._1 eq spark).foreach { k =>
+      frameCache.remove(k).foreach(_.unpersist())
+    }
+
   /** Silver analog: project/trim/cast → dropna → bbox-analog → nonempty
     * → deterministic dedup. gtfstransformerSilver.py:28-46. */
   def silver(spark: SparkSession, dir: String): DataFrame =

@@ -56,12 +56,33 @@ object ScaleStress {
       "tx04_fingerprint", "sim01_knn", "sim02_lsh_ann", "sim04_ivf_ann",
       "st01_tumbling_window")
 
-    def timeAll(dir: String): Map[String, Double] =
+    // full reset: memoized stage frames + every cached relation go
+    // cold, so a re-sweep measures recompute, never a cache read
+    def coldReset(): Unit = {
+      graft.ops.Relational.clearMemo(spark)
+      graft.ops.Dedup.clearMemo(spark)
+      spark.catalog.clearCache()
+      System.gc()
+    }
+
+    def sweep(dir: String): Map[String, Double] =
       headline.map { name =>
         val t0 = System.nanoTime()
         graft.SparkEntry.queries(name)(spark, dir).count()
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
+
+    // min of two COLD sweeps: single-shot timings showed up to 30×
+    // one-off noise (GC pauses, first-plan JIT) masquerading as
+    // scaling bugs, while best-of-2 WITHOUT the reset times memo
+    // cache hits (~0 s) instead of the operator
+    def timeAll(dir: String): Map[String, Double] = {
+      val a = sweep(dir)
+      coldReset()
+      val b = sweep(dir)
+      coldReset()
+      headline.map(n => n -> math.min(a(n), b(n))).toMap
+    }
 
     // warmup then measure
     spark.range(1000000L).selectExpr("sum(id)").collect()

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, SparkEntry, Tables}
+
+/** Invariants for the dataset-curation operators (exact result parity
+  * is the DuckDB oracle's job — these guard semantics standalone). */
+class CurationSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("hash split partitions the corpus: counts sum to total, all three splits present") {
+    val total = Tables.documents(spark, sf).count()
+    val rows = q("ds01_hash_split").collect()
+      .map(r => r.getAs[String]("split") -> r.getAs[Long]("n_docs")).toMap
+    assert(rows.keySet === Set("train", "val", "test"))
+    assert(rows.values.sum === total)
+    // 90/5/5 targets, hash-binomial tolerance
+    val train = rows("train").toDouble / total
+    assert(train > 0.85 && train < 0.95, s"train fraction $train")
+  }
+
+  test("hash split and sample are deterministic across runs") {
+    assert(q("ds01_hash_split").collect().toSeq === q("ds01_hash_split").collect().toSeq)
+    assert(q("ds02_stratified_sample").collect().toSeq ===
+      q("ds02_stratified_sample").collect().toSeq)
+  }
+
+  test("stratified sample respects per-stratum rates within hash-binomial tolerance") {
+    val totals = Tables.documents(spark, sf).groupBy("source").count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    val kept = q("ds02_stratified_sample").collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_kept")).toMap
+    kept.foreach { case (src, n) =>
+      val target = Curation.SampleThresholds.toMap.getOrElse(src, Curation.DefaultThreshold) / 1000.0
+      val rate = n.toDouble / totals(src)
+      // ±4 binomial sigmas on the stratum size
+      val sigma = math.sqrt(target * (1 - target) / totals(src))
+      assert(math.abs(rate - target) < 4 * sigma + 0.01, s"$src rate $rate vs $target")
+    }
+  }
+
+  test("normalization is idempotent and emits only [a-z0-9 ] singles-spaced") {
+    val norm = q("tx05_normalize").select("norm")
+    val renorm = norm.withColumn("norm2",
+      expr("trim(regexp_replace(regexp_replace(lower(norm), '[^a-z0-9 ]', ' '), ' +', ' '))"))
+    assert(renorm.filter(col("norm") =!= col("norm2")).count() === 0)
+    assert(norm.filter(col("norm").rlike("[^a-z0-9 ]|  ")).count() === 0)
+  }
+
+  test("quality gate survivors all satisfy the published bounds") {
+    val rows = q("df01_quality_gate").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_tokens")
+      assert(n >= 20 && n <= 500, r.toString)
+      val avg = r.getAs[Double]("avg_token_len")
+      assert(avg >= 2.0 && avg <= 12.0, r.toString)
+      assert(r.getAs[Double]("distinct_ratio") >= 0.2, r.toString)
+    }
+    // and it actually gates something
+    assert(rows.length < Tables.documents(spark, sf).count())
+  }
+}
