@@ -503,6 +503,28 @@ object Relational {
         ORDER BY line""")
     }),
 
+    // Correlated subqueries through the SQL surface: a correlated
+    // scalar subquery + a correlated EXISTS. Catalyst DECORRELATES
+    // both into aggregate-and-join plans (RewriteCorrelatedScalarSubquery
+    // / RewritePredicateSubquery → left outer + left semi join), so
+    // what reads as a per-row nested loop executes as two hash joins —
+    // the plan a 100 TB engine needs
+    "sql02_correlated_subquery" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT o.o_orderkey, o.o_totalprice
+        FROM orders_v o
+        WHERE o.o_totalprice > 2 * (
+                SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                       / count(*)
+                FROM lineitem_v l WHERE l.l_orderkey = o.o_orderkey)
+          AND EXISTS (
+                SELECT 1 FROM lineitem_v l2
+                WHERE l2.l_orderkey = o.o_orderkey AND l2.l_quantity >= 45)
+        ORDER BY o.o_orderkey""")
+    }),
+
     // O5: speed-vs-time series for the argmax vehicle — Figure_2's
     // data series (main.py:104-110) as an oracle-checked catalog
     // entry; the drill-down chain is all rank-and-filter, no driver
@@ -781,6 +803,18 @@ object Relational {
         |FROM events
         |WHERE value BETWEEN 0.0 AND 400.0
         |GROUP BY trim(event_type) ORDER BY line""".stripMargin,
+
+    "sql02_correlated_subquery" ->
+      """SELECT o.o_orderkey, o.o_totalprice
+        |FROM orders o
+        |WHERE o.o_totalprice > 2 * (
+        |        SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |               / count(*)
+        |        FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+        |  AND EXISTS (
+        |        SELECT 1 FROM lineitem l2
+        |        WHERE l2.l_orderkey = o.o_orderkey AND l2.l_quantity >= 45)
+        |ORDER BY o.o_orderkey""".stripMargin,
 
     "w02_ranking" ->
       """SELECT event_id, user_id,

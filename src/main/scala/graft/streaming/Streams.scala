@@ -232,6 +232,37 @@ object Streams {
       .start()
 
   // ------------------------------------------------------------------
+  // Stream-stream join
+  // ------------------------------------------------------------------
+
+  /** Stream-stream INTERVAL join (attribution shape): pair each right
+    * event with the left events of the same key whose timestamps fall
+    * in [r.ts - windowSec, r.ts]. Both sides are watermarked — that is
+    * what lets Spark BOUND the join state: a buffered left row can be
+    * dropped once the watermark passes `l.ts + windowSec` (no future
+    * right row can reach back to it), and symmetric for the right.
+    * Without the time-range predicate the state is unbounded and the
+    * query is rightly rejected in append mode.
+    *
+    * Inputs are generic frames with (`key`, `ts`, payload...) — column
+    * names are parameters so the operator is reusable (clicks →
+    * purchases, impressions → conversions, sensor → alarm...).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      key: String, leftTs: String, rightTs: String,
+      windowSec: Long = 3600L,
+      leftWatermark: String = "10 minutes",
+      rightWatermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, leftWatermark)
+    val r = right.withWatermark(rightTs, rightWatermark)
+    l.join(r,
+      l(key) === r(key) &&
+        l(leftTs) >= r(rightTs) - expr(s"INTERVAL $windowSec SECONDS") &&
+        l(leftTs) <= r(rightTs))
+      .drop(r(key))
+  }
+
+  // ------------------------------------------------------------------
   // Custom streaming state: trip segmentation
   // ------------------------------------------------------------------
 

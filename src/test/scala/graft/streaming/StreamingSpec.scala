@@ -189,6 +189,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes purchases to in-window clicks") {
+    import org.apache.spark.sql.types._
+    val cdir = Files.createTempDirectory("graft-clicks").toString
+    val pdir = Files.createTempDirectory("graft-purch").toString
+    def writeJson(dir: String, name: String, lines: String*): Unit = {
+      val p = Paths.get(dir, name)
+      Files.write(p, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeClock.addAndGet(2000)))
+    }
+    // u1: two clicks inside the 1 h window (both pair), u2: click 3 h
+    // stale (no pair); the second click arrives in a LATER file so at
+    // least one pairing crosses a micro-batch boundary
+    writeJson(cdir, "c1.json",
+      """{"user": "u1", "click_ts": "2026-02-23 10:00:00", "click_id": 1}""",
+      """{"user": "u2", "click_ts": "2026-02-23 07:00:00", "click_id": 2}""")
+    writeJson(cdir, "c2.json",
+      """{"user": "u1", "click_ts": "2026-02-23 10:15:00", "click_id": 3}""")
+    writeJson(pdir, "p1.json",
+      """{"user": "u1", "purchase_ts": "2026-02-23 10:30:00", "amount": 9.5}""",
+      """{"user": "u2", "purchase_ts": "2026-02-23 10:40:00", "amount": 3.0}""")
+
+    val clickSchema = StructType(Seq(StructField("user", StringType),
+      StructField("click_ts", TimestampType), StructField("click_id", LongType)))
+    val purchSchema = StructType(Seq(StructField("user", StringType),
+      StructField("purchase_ts", TimestampType), StructField("amount", DoubleType)))
+    val clicks = spark.readStream.schema(clickSchema)
+      .option("maxFilesPerTrigger", "1").json(cdir)
+    val purchases = spark.readStream.schema(purchSchema)
+      .option("maxFilesPerTrigger", "1").json(pdir)
+
+    val joined = Streams.intervalJoin(clicks, purchases,
+      key = "user", leftTs = "click_ts", rightTs = "purchase_ts", windowSec = 3600)
+    val q = joined.writeStream
+      .format("memory").queryName("attrib_out").outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("attrib_out")
+        .select("user", "click_id", "amount").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows === Set(("u1", 1L, 9.5), ("u1", 3L, 9.5)), rows.toString)
+    } finally q.stop()
+  }
+
   test("reorder buffer repairs cross-batch event-time disorder") {
     val dir = Files.createTempDirectory("graft-reorder").toString
     // arrival order 12:10, 12:00, 12:20 (forced via mtimes + one file
