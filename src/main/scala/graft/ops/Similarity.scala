@@ -199,10 +199,53 @@ object Similarity {
         .filter(col("cos") >= DupThreshold)
         .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cosine"))
         .orderBy("vec_a", "vec_b")
+    }),
+
+    // Vector hygiene pass embedding pipelines run before indexing:
+    // L2 norm (codegen dot), max-abs scale, symmetric int8
+    // quantization. floor(x + 0.5) instead of round() keeps the
+    // half-case rule engine-independent; the quantized vector is
+    // summarized (sum/min/max — exact int math) so the compare stays
+    // scalar-typed. One narrow pass, no shuffle until the ORDER BY.
+    "sim05_norm_quant" -> ((s, d) => {
+      VectorExprs.register(s)
+      Tables.embeddings(s, d)
+        .withColumn("norm", sqrt(expr("dot_product(embedding, embedding)")))
+        .withColumn("qscale",
+          expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
+        .withColumn("qvec",
+          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / qscale * 127.0 + 0.5) AS INT))"))
+        .select(col("vec_id"),
+          round(col("norm"), 6).as("l2_norm"),
+          round(col("qscale"), 6).as("q_scale"),
+          expr("CAST(aggregate(qvec, 0, (a, x) -> a + x) AS BIGINT)").as("q_sum"),
+          expr("CAST(array_min(qvec) AS INT)").as("q_min"),
+          expr("CAST(array_max(qvec) AS INT)").as("q_max"))
+        .orderBy("vec_id")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "sim05_norm_quant" ->
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |         sqrt(${dotSql("embedding", "embedding")}) AS norm,
+         |         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS qscale,
+         |         embedding
+         |  FROM embeddings
+         |),
+         |qq AS (
+         |  SELECT vec_id, norm, qscale,
+         |         list_transform(embedding,
+         |           x -> CAST(floor(CAST(x AS DOUBLE) / qscale * 127.0 + 0.5) AS INT)) AS qvec
+         |  FROM q
+         |)
+         |SELECT vec_id, round(norm, 6) AS l2_norm, round(qscale, 6) AS q_scale,
+         |       CAST(list_reduce(list_prepend(0, qvec), (a, b) -> a + b) AS BIGINT) AS q_sum,
+         |       CAST(list_min(qvec) AS INT) AS q_min,
+         |       CAST(list_max(qvec) AS INT) AS q_max
+         |FROM qq ORDER BY vec_id""".stripMargin,
+
     "sim01_knn" ->
       s"""WITH $normedCte,
          |pairs AS (

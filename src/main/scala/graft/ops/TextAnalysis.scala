@@ -30,6 +30,13 @@ object TextAnalysis {
   private def inList(words: Seq[String]): String =
     words.map(w => s"t = '$w'").mkString("(", " OR ", ")")
 
+  /** GPT-2-ish pretokenizer pattern (contractions, space-prefixed
+    * letter runs, digit runs, punct runs), kept in the Java∩RE2
+    * common regex subset; SQL-literal form with doubled apostrophes
+    * so the SAME text drops into Spark `expr` and DuckDB SQL. */
+  val BpePattern =
+    "''s|''t|''re|''ve|''m|''ll|''d| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
   val queries: Map[String, Q] = Map(
     // Token counting: whitespace tokens + distinct + mean length
     "tx01_token_stats" -> ((s, d) =>
@@ -82,6 +89,27 @@ object TextAnalysis {
         col("en_score"), col("de_score"), col("es_score"), col("fr_score"))
         .orderBy("doc_id")
     }),
+
+    // BPE-ish regex tokenization (the GPT-2 pretokenizer shape:
+    // contractions, space-prefixed letter runs, digit runs, punct
+    // runs) — the token count an LLM data pipeline actually budgets
+    // by, plus fertility = regex tokens per whitespace word. The
+    // pattern stays in the Java∩RE2 common subset so Spark and the
+    // oracle match per-character.
+    "tx06_bpe_tokens" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("bpe",
+          expr(s"regexp_extract_all(lower(text), '$BpePattern', 0)"))
+        .withColumn("ws_n", expr(s"size($tokensExpr)"))
+        .select(col("doc_id"),
+          expr("CAST(size(bpe) AS BIGINT)").as("n_bpe_tokens"),
+          expr("""CASE WHEN size(bpe) = 0 THEN NULL ELSE
+                 |round(CAST(aggregate(bpe, 0, (a, t) -> a + length(t)) AS DOUBLE)
+                 |      / CAST(size(bpe) AS DOUBLE), 6) END""".stripMargin)
+            .as("avg_bpe_len"),
+          expr("round(CAST(size(bpe) AS DOUBLE) / CAST(nullif(ws_n, 0) AS DOUBLE), 6)")
+            .as("fertility"))
+        .orderBy("doc_id")),
 
     // Document fingerprint: rolling polynomial hash over token
     // hashes, mod 1e9+7 (all exact integer math)
@@ -151,6 +179,20 @@ object TextAnalysis {
          |    list_prepend(CAST(0 AS BIGINT),
          |                 list_transform(tokens, t -> ${Portable.phashSql("t")} % 1000003)),
          |    (h, x) -> ((h * 31) + x) % 1000000007) AS BIGINT) AS fingerprint
-         |FROM tok ORDER BY doc_id""".stripMargin
+         |FROM tok ORDER BY doc_id""".stripMargin,
+
+    "tx06_bpe_tokens" ->
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |         regexp_extract_all(lower(text), '$BpePattern') AS bpe,
+         |         len($tokensSql) AS ws_n
+         |  FROM documents
+         |)
+         |SELECT doc_id, CAST(len(bpe) AS BIGINT) AS n_bpe_tokens,
+         |  CASE WHEN len(bpe) = 0 THEN NULL ELSE
+         |    round(CAST(list_reduce(list_prepend(0, list_transform(bpe, t -> length(t))), (a, b) -> a + b) AS DOUBLE)
+         |          / CAST(len(bpe) AS DOUBLE), 6) END AS avg_bpe_len,
+         |  round(CAST(len(bpe) AS DOUBLE) / CAST(nullif(ws_n, 0) AS DOUBLE), 6) AS fertility
+         |FROM b ORDER BY doc_id""".stripMargin
   )
 }
