@@ -237,21 +237,33 @@ case class MinhashMix(child: Expression, coeffs: Seq[(Long, Long)], mod: Long)
 
 object VectorExprs {
 
+  /** The three function descriptions, shared by the session-local
+    * [[register]] path and the [[graft.GraftExtensions]] injection
+    * path (`spark.sql.extensions`). */
+  def descriptions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_sim" -> (exprs => CosineSimilarity(exprs(0), exprs(1))),
+    "dot_product" -> (exprs => DotProduct(exprs(0), exprs(1))),
+    "minhash_mix" -> (exprs => MinhashMix(exprs.head,
+      graft.ops.Dedup.mixCoeffs.toSeq, graft.ops.Dedup.MixMod)))
+
+  /** Inject the functions through the `SparkSessionExtensions` hook —
+    * how a production library ships them (set
+    * `spark.sql.extensions=graft.GraftExtensions` and every session
+    * resolves them with no imperative register call). */
+  def injectInto(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    descriptions.foreach { case (name, builder) =>
+      ext.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          getClass.getName, name),
+        builder))
+    }
+
   /** Register `cosine_sim` and `minhash_mix` in the session's
     * function registry so query builders can use them via `expr`. */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim",
-      exprs => CosineSimilarity(exprs(0), exprs(1)),
-      "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_product",
-      exprs => DotProduct(exprs(0), exprs(1)),
-      "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_mix",
-      exprs => MinhashMix(exprs.head,
-        graft.ops.Dedup.mixCoeffs.toSeq, graft.ops.Dedup.MixMod),
-      "scala_udf")
-  }
+  def register(spark: SparkSession): Unit =
+    descriptions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "scala_udf")
+    }
 }

@@ -23,6 +23,25 @@ class SilverSpec extends SparkSpec {
   private def bus(lines: String, vehicle: String, lat: Double, lon: Double,
       time: String): Row = Row(lines, vehicle, lat, lon, time)
 
+  test("corrupt bronze file degrades to a null envelope; good files survive") {
+    // a flaky feed writes garbage sometimes — the schema'd PERMISSIVE
+    // read must not fail the batch, and the transform must sweep the
+    // null envelope (explode of null → no rows) without losing the
+    // healthy files
+    val dir = java.nio.file.Files.createTempDirectory("graft-corrupt").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "good.json"),
+      """{"result": [{"Lines": "189", "VehicleNumber": "8349", "Lat": 52.2, "Lon": 21.0, "Time": "2026-02-23 08:00:00"}]}"""
+        .getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "bad.json"),
+      "{{{ not json at all".getBytes("UTF-8"))
+    val raw = SilverTransform.readBronze(spark, dir)
+    assert(raw.count() === 2)
+    assert(raw.filter(raw("result").isNull).count() === 1)
+    val silver = SilverTransform.transform(raw, D)
+    assert(silver.count() === 1)
+    assert(silver.collect()(0).getAs[String]("VehicleNumber") === "8349")
+  }
+
   test("dedup keeps one row per (VehicleNumber, Time)") { // test_silver.py:55-69
     val df = rawDf(
       bus("102", "1000", 52.2, 21.0, "2026-02-23 12:00:00"),
