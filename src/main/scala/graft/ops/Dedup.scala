@@ -209,6 +209,61 @@ object Dedup {
         .filter(col("jaccard") >= 0.3)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // Candidate pairs → duplicate CLUSTERS (connected components) with
+    // a canonical representative — the step that actually dedups a
+    // corpus: keep cluster_rep, drop the rest. Pregel-style min-label
+    // propagation: each iteration is one distributed join + aggregate,
+    // the driver sees only a scalar convergence count, and
+    // localCheckpoint() cuts the growing lineage (iterative-plan
+    // hygiene). Converges in O(component diameter) rounds — near-dup
+    // graphs are dense blobs with tiny diameters; a corpus with long
+    // chain topologies would switch to the large-star/small-star
+    // alternation, which is the same join primitive
+    "dd07_dup_clusters" -> ((s, d) => {
+      val pairs = queries("dd03_lsh_pairs")(s, d).select("doc_a", "doc_b").cache()
+      // Canonicalize-first (the dd05/dd06 guard, applied to the graph):
+      // docs with IDENTICAL full signatures always pair (they share
+      // every band), so they provably share a component — collapse
+      // each signature group to its min doc_id, iterate on the
+      // collapsed graph (dup multiplicity gone), and expand labels
+      // back through the doc→canonical map at the end. Output is
+      // bit-identical to iterating on the raw pair graph.
+      val sigs = minhashSignatures(s, d)
+      val sigKey = (0 until MinhashK).map(j => col(s"sig_$j"))
+      val docCanon = sigs
+        .withColumn("canon", min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(sigKey: _*)))
+        .select(col("doc_id"), col("canon")).cache()
+      val inPairs = pairs.select(col("doc_a").as("doc_id"))
+        .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+        .join(docCanon, "doc_id").cache()
+      val cPairs = pairs
+        .join(docCanon.toDF("doc_a", "canon_a"), "doc_a")
+        .join(docCanon.toDF("doc_b", "canon_b"), "doc_b")
+        .filter(col("canon_a") =!= col("canon_b"))
+        .select("canon_a", "canon_b").distinct()
+      val edges = cPairs.union(cPairs.select(col("canon_b"), col("canon_a")))
+        .toDF("src", "dst").cache()
+      var labels = inPairs.select(col("canon").as("node")).distinct()
+        .withColumn("label", col("node")).localCheckpoint()
+      var changed = 1L
+      while (changed > 0) {
+        // one join per round: keep the old label alongside the
+        // propagated min so the convergence count needs no re-join
+        val prop = edges.join(labels, edges("src") === labels("node"))
+          .groupBy(col("dst")).agg(min(col("label")).as("nlabel"))
+        val step = labels.join(prop, labels("node") === prop("dst"), "left")
+          .select(labels("node"), labels("label").as("old_label"),
+            least(labels("label"), coalesce(col("nlabel"), labels("label"))).as("label"))
+          .localCheckpoint()
+        changed = step.filter(col("label") < col("old_label")).count()
+        labels = step.select("node", "label")
+      }
+      inPairs.join(labels, inPairs("canon") === labels("node"))
+        .select(col("doc_id"), col("label").as("cluster_rep"))
+        .orderBy("doc_id")
     })
   )
 
@@ -245,6 +300,45 @@ object Dedup {
          |JOIN sigs sb ON sb.doc_id = doc_b
          |WHERE CAST($matchSum AS DOUBLE) / 8.0 >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "dd07_dup_clusters" -> {
+      val bandSelects = (0 until Bands).map(b =>
+        s"SELECT doc_id, $b AS band, concat_ws(':', sig_${2 * b}, sig_${2 * b + 1}) AS key FROM sigs")
+        .mkString("\n  UNION ALL\n  ")
+      val matchSum = (0 until MinhashK)
+        .map(j => s"CASE WHEN sa.sig_$j = sb.sig_$j THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      // min-label reachability as a recursive CTE: UNION dedups, so
+      // the fixpoint is the set of (node, reachable label) pairs;
+      // min(label) per node = the component's min doc_id
+      s"""WITH RECURSIVE $minhashCte,
+         |bands AS (
+         |  $bandSelects
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.key = b.key AND a.band = b.band AND a.doc_id < b.doc_id
+         |),
+         |p AS (
+         |  SELECT doc_a, doc_b FROM cand
+         |  JOIN sigs sa ON sa.doc_id = doc_a
+         |  JOIN sigs sb ON sb.doc_id = doc_b
+         |  WHERE CAST($matchSum AS DOUBLE) / 8.0 >= 0.5
+         |),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM p
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM p
+         |),
+         |cc(doc_id, label) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.doc_id = e.src
+         |)
+         |SELECT doc_id, min(label) AS cluster_rep
+         |FROM cc GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
 
     "dd04_simhash" ->

@@ -171,6 +171,19 @@ class OpsSpec extends SparkSpec {
     assert(bf.filter(abs(col("cosine") - col("bf_cos")) > 1e-9).count() === 0)
   }
 
+  test("dd07 clusters: rep is component minimum, every pair is intra-cluster") {
+    val labels = q("dd07_dup_clusters").cache()
+    val reps = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // rep ≤ member, and the rep labels itself
+    assert(reps.forall { case (d, r) => r <= d && reps(r) == r }, reps.toString)
+    // connectivity: both endpoints of every candidate pair share a rep
+    val pairs = q("dd03_lsh_pairs").select("doc_a", "doc_b").collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { p =>
+      assert(reps(p.getLong(0)) === reps(p.getLong(1)), p.toString)
+    }
+  }
+
   test("media features: n_bytes matches text length for ascii corpus") {
     val mm = q("mm01_media_features")
       .join(graft.Tables.documents(spark, sf).select(col("doc_id"),
