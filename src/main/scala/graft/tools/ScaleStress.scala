@@ -51,9 +51,12 @@ object ScaleStress {
     }
 
     val headline = Seq("q1_pricing", "j02_sortmerge_join", "j06_regional_revenue",
+      "j09_range_join", "sql02_correlated_subquery",
       "a01_report", "d01_dedup", "w01_lag", "dd01_exact_dedup", "dd02_minhash_sig",
       "dd03_lsh_pairs", "dd04_simhash", "dd05_ngram_jaccard", "dd06_cosine_dup",
-      "tx04_fingerprint", "sim01_knn", "sim02_lsh_ann", "sim04_ivf_ann",
+      "dd07_dup_clusters", "tx04_fingerprint", "tx06_bpe_tokens",
+      "ds01_hash_split", "ds02_stratified_sample", "df01_quality_gate",
+      "sim01_knn", "sim02_lsh_ann", "sim04_ivf_ann", "sim05_norm_quant",
       "st01_tumbling_window")
 
     // full reset: memoized stage frames + every cached relation go

@@ -184,6 +184,23 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("j09 binned range join equals the naive theta join") {
+    val binned = q("j09_range_join").collect().toSeq
+    // the O(n·m) broadcast-nested-loop form the binning replaces
+    val o = graft.Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderkey") % 100 === 0)
+      .select(col("o_orderkey").as("promo_key"),
+        col("o_orderdate").as("win_start"),
+        (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("win_end"))
+    val naive = graft.Tables.lineitem(spark, sf)
+      .join(o, col("l_shipdate") >= col("win_start") && col("l_shipdate") < col("win_end"))
+      .groupBy("promo_key")
+      .agg(count(lit(1)).as("n_shipped"),
+        graft.Tables.dsum(col("l_quantity"), 2).as("qty"))
+      .orderBy("promo_key").collect().toSeq
+    assert(binned === naive)
+  }
+
   test("media features: n_bytes matches text length for ascii corpus") {
     val mm = q("mm01_media_features")
       .join(graft.Tables.documents(spark, sf).select(col("doc_id"),
