@@ -187,6 +187,21 @@ object Joins {
         .orderBy("promo_key")
     }),
 
+    // Left outer join: every customer, order stats where they exist,
+    // explicit zero-fill for the null side
+    "j10_left_outer" -> ((s, d) => {
+      val orderAgg = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          Tables.dsum(col("o_totalprice"), 2).as("spend"))
+      Tables.customer(s, d).join(orderAgg, Seq("c_custkey"), "left_outer")
+        .select(col("c_custkey"),
+          col("c_mktsegment"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("spend"), lit(0.0)).as("spend"))
+        .orderBy("c_custkey")
+    }),
+
     // UNION (distinct set semantics)
     "x01_union" -> ((s, d) =>
       Tables.customer(s, d).select(col("c_nationkey").cast(IntegerType).as("key"))
@@ -209,6 +224,24 @@ object Joins {
       val building = Tables.customer(s, d)
         .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("key"))
       urgentCust.intersect(building).orderBy("key")
+    }),
+
+    // UNION ALL (bag semantics — no dedup shuffle) summarized
+    "x04_union_all" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").cast(IntegerType).as("key"))
+        .unionAll(Tables.supplier(s, d).select(col("s_nationkey").cast(IntegerType).as("key")))
+        .groupBy("key").agg(count(lit(1)).as("n"))
+        .orderBy("key")),
+
+    // EXCEPT ALL (multiset difference — keeps surplus multiplicity)
+    "x05_except_all" -> ((s, d) => {
+      val urgentCust = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey").as("key"))
+      val building = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("key"))
+      urgentCust.exceptAll(building)
+        .groupBy("key").agg(count(lit(1)).as("n"))
+        .orderBy("key")
     })
   )
 
@@ -296,6 +329,18 @@ object Joins {
         |  ON l_shipdate >= win_start AND l_shipdate < win_end
         |GROUP BY promo_key ORDER BY promo_key""".stripMargin,
 
+    "j10_left_outer" ->
+      """WITH oa AS (
+        |  SELECT o_custkey AS c_custkey, count(*) AS n_orders,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT c.c_custkey, c.c_mktsegment,
+        |       coalesce(oa.n_orders, 0) AS n_orders,
+        |       coalesce(oa.spend, 0.0) AS spend
+        |FROM customer c LEFT OUTER JOIN oa USING (c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
     "x01_union" ->
       """SELECT CAST(c_nationkey AS INT) AS key FROM customer
         |UNION
@@ -312,6 +357,20 @@ object Joins {
       """SELECT o_custkey AS key FROM orders WHERE o_orderpriority = '1-URGENT'
         |INTERSECT
         |SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING'
-        |ORDER BY key""".stripMargin
+        |ORDER BY key""".stripMargin,
+
+    "x04_union_all" ->
+      """SELECT key, count(*) AS n FROM (
+        |  SELECT CAST(c_nationkey AS INT) AS key FROM customer
+        |  UNION ALL
+        |  SELECT CAST(s_nationkey AS INT) AS key FROM supplier
+        |) u GROUP BY key ORDER BY key""".stripMargin,
+
+    "x05_except_all" ->
+      """SELECT key, count(*) AS n FROM (
+        |  SELECT o_custkey AS key FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  EXCEPT ALL
+        |  SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING'
+        |) e GROUP BY key ORDER BY key""".stripMargin
   )
 }
