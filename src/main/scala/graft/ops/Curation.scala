@@ -25,8 +25,8 @@ import graft.functions.Portable
 object Curation {
   type Q = (SparkSession, String) => DataFrame
 
-  private val tokensExpr = "filter(split(lower(text), ' +'), t -> t <> '')"
-  private val tokensSql = "list_filter(regexp_split_to_array(lower(text), ' +'), t -> t <> '')"
+  private val tokensExpr = TextAnalysis.tokensExpr
+  private val tokensSql = TextAnalysis.tokensSql
 
   /** Per-mille keep thresholds per stratum for ds02 (src0 is
     * over-represented in the corpus, so it is down-sampled hardest —
@@ -85,7 +85,7 @@ object Curation {
         .withColumn("avg_len",
           expr("CAST(aggregate(tokens, 0, (a, t) -> a + length(t)) AS DOUBLE) / CAST(nullif(n, 0) AS DOUBLE)"))
         .withColumn("stop_cnt",
-          expr(s"size(filter(tokens, t -> ${TextAnalysis.LangStopwords.flatMap(_._2).map(w => s"t = '$w'").mkString("(", " OR ", ")")}))"))
+          expr(s"size(filter(tokens, t -> ${TextAnalysis.inList(TextAnalysis.LangStopwords.flatMap(_._2))}))"))
         .withColumn("distinct_ratio",
           expr("CAST(size(array_distinct(tokens)) AS DOUBLE) / CAST(nullif(n, 0) AS DOUBLE)"))
         .filter(col("n").between(20, 500) &&
@@ -138,7 +138,7 @@ object Curation {
          |  SELECT doc_id, len(tokens) AS n,
          |    CAST(list_reduce(list_prepend(0, list_transform(tokens, t -> length(t))), (a, b) -> a + b) AS DOUBLE)
          |      / CAST(nullif(len(tokens), 0) AS DOUBLE) AS avg_len,
-         |    len(list_filter(tokens, t -> ${TextAnalysis.LangStopwords.flatMap(_._2).map(w => s"t = '$w'").mkString("(", " OR ", ")")})) AS stop_cnt,
+         |    len(list_filter(tokens, t -> ${TextAnalysis.inList(TextAnalysis.LangStopwords.flatMap(_._2))})) AS stop_cnt,
          |    CAST(len(list_distinct(tokens)) AS DOUBLE)
          |      / CAST(nullif(len(tokens), 0) AS DOUBLE) AS distinct_ratio
          |  FROM tok

@@ -31,8 +31,8 @@ object Dedup {
 
   // Tokens: lowercase, whitespace-split, empties removed (trailing
   // spaces exist in the data). Kept textually parallel with the SQL.
-  private val tokensExpr = "filter(split(lower(text), ' +'), t -> t <> '')"
-  private val tokensSql = "list_filter(regexp_split_to_array(lower(text), ' +'), t -> t <> '')"
+  private val tokensExpr = TextAnalysis.tokensExpr
+  private val tokensSql = TextAnalysis.tokensSql
 
   // 3-word shingles (0-based in Spark, 1-based in DuckDB).
   private val shinglesExpr =
@@ -56,15 +56,23 @@ object Dedup {
     Array.fill(MinhashK)((rnd.nextInt(99990) + 11L, rnd.nextInt(999999999).toLong))
   }
 
+  // the map stores the CACHED sigs-array stage itself (not the cheap
+  // per-column projection over it) so clearMemo's unpersist frees the
+  // actual cached relation — unpersisting an uncached projection is a
+  // silent no-op and would leave the rebuilt plan reading stale cache
   private val sigCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   /** Per-doc minhash signature frame: doc_id, sig_0..sig_{k-1}
     * (memoized per session+dir — feeds dd02 and dd03). The expensive
-    * stage is already cached inside the builder; no second cache. */
+    * stage is cached once; the projection over it is rebuilt per call
+    * (it is free). */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
     sigCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-    sigCache.getOrElseUpdate((spark, dir), buildMinhashSignatures(spark, dir))
+    val sigArray = sigCache.getOrElseUpdate((spark, dir), buildSigArray(spark, dir))
+    sigArray.select(
+      col("doc_id") +:
+        (0 until MinhashK).map(j => element_at(col("sigs"), j + 1).as(s"sig_$j")): _*)
   }
 
   /** Drop this session's memoized signature frames (bench/stress hook
@@ -74,21 +82,18 @@ object Dedup {
       sigCache.remove(k).foreach(_.unpersist())
     }
 
-  private def buildMinhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+  private def buildSigArray(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExprs.register(spark)
     // minhash_mix fuses the k affine minima into ONE codegen pass over
     // the hashed shingles. The cache barrier before the per-column
     // element_at split stops CollapseProject from inlining the whole
     // md5 chain into each of the k projections (observed 4× slower).
-    val sigArray = Tables.documents(spark, dir)
+    Tables.documents(spark, dir)
       .withColumn("tokens", expr(tokensExpr))
       .withColumn("shingles", expr(shinglesExpr))
       .select(col("doc_id"),
         expr(s"minhash_mix(transform(shingles, s -> ${Portable.phashExpr("s")} % $MixMod))").as("sigs"))
       .cache()
-    sigArray.select(
-      col("doc_id") +:
-        (0 until MinhashK).map(j => element_at(col("sigs"), j + 1).as(s"sig_$j")): _*)
   }
 
   /** Oracle CTE mirroring [[minhashSignatures]]. */
@@ -261,9 +266,15 @@ object Dedup {
         changed = step.filter(col("label") < col("old_label")).count()
         labels = step.select("node", "label")
       }
-      inPairs.join(labels, inPairs("canon") === labels("node"))
+      // materialize the (small) result, then release every frame this
+      // invocation pinned — a long-lived driver re-running the
+      // operator must not accumulate cached relations
+      val result = inPairs.join(labels, inPairs("canon") === labels("node"))
         .select(col("doc_id"), col("label").as("cluster_rep"))
         .orderBy("doc_id")
+        .localCheckpoint()
+      Seq(pairs, docCanon, inPairs, edges).foreach(_.unpersist())
+      result
     })
   )
 

@@ -150,10 +150,40 @@ object Relational {
         expr("total_cost_pln / nullif(total_distance_km, 0.0)"))
   }
 
+  /** The argmax drill-down shared by o05/o06: top line by total cost
+    * (tie-break line asc), then its hardest-working vehicle by summed
+    * distance (tie-break vehicle asc) — all rank-and-filter, no
+    * driver round-trip. One definition so a tie-break change can
+    * never desynchronize the two series. */
+  private def topVehicle(e: DataFrame): DataFrame = {
+    val top = reportFrom(e)
+      .orderBy(col("total_cost_pln").desc, col("line").asc).limit(1)
+      .select("line")
+    e.join(broadcast(top), "line")
+      .groupBy("line", "vehicle")
+      .agg(Tables.dsum(col("dist_km"), 6).as("total_v_dist"))
+      .orderBy(col("total_v_dist").desc, col("vehicle").asc).limit(1)
+      .select("line", "vehicle")
+  }
+
   // ------------------------------------------------------------------
   // Shared pipeline stages (DuckDB oracle side) — textually parallel
   // expression trees; see Geo.haversineSql for the determinism rules.
   // ------------------------------------------------------------------
+
+  /** top_line/top_vehicle CTE pair — the oracle mirror of
+    * [[topVehicle]], shared by the o05/o06 oracles. */
+  private val topVehicleCte: String =
+    """top_line AS (
+      |  SELECT line FROM report2 ORDER BY total_cost_pln DESC, line ASC LIMIT 1
+      |),
+      |top_vehicle AS (
+      |  SELECT e.line, e.vehicle
+      |  FROM enriched e JOIN top_line t ON e.line = t.line
+      |  GROUP BY e.line, e.vehicle
+      |  ORDER BY CAST(sum(CAST(e.dist_km AS DECIMAL(18,6))) AS DOUBLE) DESC, e.vehicle ASC
+      |  LIMIT 1
+      |)""".stripMargin
 
   val silverCte: String =
     """silver AS (
@@ -531,15 +561,7 @@ object Relational {
     // round-trip
     "o05_speed_series" -> ((s, d) => {
       val e = enriched(s, d)
-      val top = reportFrom(e)
-        .orderBy(col("total_cost_pln").desc, col("line").asc).limit(1)
-        .select("line")
-      val veh = e.join(broadcast(top), "line")
-        .groupBy("line", "vehicle")
-        .agg(Tables.dsum(col("dist_km"), 6).as("total_v_dist"))
-        .orderBy(col("total_v_dist").desc, col("vehicle").asc).limit(1)
-        .select("line", "vehicle")
-      e.join(broadcast(veh), Seq("line", "vehicle"))
+      e.join(broadcast(topVehicle(e)), Seq("line", "vehicle"))
         .select(col("vehicle"), date_format(col("ts"), tsFmt).as("ts_s"),
           round(col("speed_kmh"), 6).as("speed_kmh"))
         .orderBy("ts_s")
@@ -549,15 +571,7 @@ object Relational {
     // vehicle — the Folium map's data (mapping.py:12-21)
     "o06_trajectory" -> ((s, d) => {
       val e = enriched(s, d)
-      val top = reportFrom(e)
-        .orderBy(col("total_cost_pln").desc, col("line").asc).limit(1)
-        .select("line")
-      val veh = e.join(broadcast(top), "line")
-        .groupBy("line", "vehicle")
-        .agg(Tables.dsum(col("dist_km"), 6).as("total_v_dist"))
-        .orderBy(col("total_v_dist").desc, col("vehicle").asc).limit(1)
-        .select("line", "vehicle")
-      e.join(broadcast(veh), Seq("line", "vehicle"))
+      e.join(broadcast(topVehicle(e)), Seq("line", "vehicle"))
         .select(col("vehicle"), date_format(col("ts"), tsFmt).as("ts_s"),
           round(lit(52.0) + col("value") / 1000.0, 6).as("lat"),
           round(lit(20.5) + col("value") / 500.0, 6).as("lon"))
@@ -852,16 +866,7 @@ object Relational {
 
     "o05_speed_series" ->
       s"""WITH $reportCte,
-         |top_line AS (
-         |  SELECT line FROM report2 ORDER BY total_cost_pln DESC, line ASC LIMIT 1
-         |),
-         |top_vehicle AS (
-         |  SELECT e.line, e.vehicle
-         |  FROM enriched e JOIN top_line t ON e.line = t.line
-         |  GROUP BY e.line, e.vehicle
-         |  ORDER BY CAST(sum(CAST(e.dist_km AS DECIMAL(18,6))) AS DOUBLE) DESC, e.vehicle ASC
-         |  LIMIT 1
-         |)
+         |$topVehicleCte
          |SELECT e.vehicle, strftime(e.ts, '$tsFmtSql') AS ts_s,
          |       round(e.speed_kmh, 6) AS speed_kmh
          |FROM enriched e JOIN top_vehicle v ON e.line = v.line AND e.vehicle = v.vehicle
@@ -869,16 +874,7 @@ object Relational {
 
     "o06_trajectory" ->
       s"""WITH $reportCte,
-         |top_line AS (
-         |  SELECT line FROM report2 ORDER BY total_cost_pln DESC, line ASC LIMIT 1
-         |),
-         |top_vehicle AS (
-         |  SELECT e.line, e.vehicle
-         |  FROM enriched e JOIN top_line t ON e.line = t.line
-         |  GROUP BY e.line, e.vehicle
-         |  ORDER BY CAST(sum(CAST(e.dist_km AS DECIMAL(18,6))) AS DOUBLE) DESC, e.vehicle ASC
-         |  LIMIT 1
-         |)
+         |$topVehicleCte
          |SELECT e.vehicle, strftime(e.ts, '$tsFmtSql') AS ts_s,
          |       round(lat2, 6) AS lat, round(lon2, 6) AS lon
          |FROM enriched e JOIN top_vehicle v ON e.line = v.line AND e.vehicle = v.vehicle

@@ -214,7 +214,10 @@ object Similarity {
         .withColumn("qscale",
           expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
         .withColumn("qvec",
-          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / qscale * 127.0 + 0.5) AS INT))"))
+          // nullif guards the all-zero vector: null propagates to the
+          // int summaries identically in both engines, where a NaN
+          // would diverge (Spark casts NaN→0, DuckDB raises)
+          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / nullif(qscale, 0.0) * 127.0 + 0.5) AS INT))"))
         .select(col("vec_id"),
           round(col("norm"), 6).as("l2_norm"),
           round(col("qscale"), 6).as("q_scale"),
@@ -237,7 +240,7 @@ object Similarity {
          |qq AS (
          |  SELECT vec_id, norm, qscale,
          |         list_transform(embedding,
-         |           x -> CAST(floor(CAST(x AS DOUBLE) / qscale * 127.0 + 0.5) AS INT)) AS qvec
+         |           x -> CAST(floor(CAST(x AS DOUBLE) / nullif(qscale, 0.0) * 127.0 + 0.5) AS INT)) AS qvec
          |  FROM q
          |)
          |SELECT vec_id, round(norm, 6) AS l2_norm, round(qscale, 6) AS q_scale,

@@ -16,8 +16,12 @@ import graft.functions.Portable
 object TextAnalysis {
   type Q = (SparkSession, String) => DataFrame
 
-  private val tokensExpr = "filter(split(lower(text), ' +'), t -> t <> '')"
-  private val tokensSql = "list_filter(regexp_split_to_array(lower(text), ' +'), t -> t <> '')"
+  /** THE whitespace tokenizer, in Spark-SQL and DuckDB forms — the
+    * single definition every text-consuming operator family (tx, dd,
+    * ds/df) shares, so a tokenization tweak can never desynchronize
+    * them. */
+  val tokensExpr = "filter(split(lower(text), ' +'), t -> t <> '')"
+  val tokensSql = "list_filter(regexp_split_to_array(lower(text), ' +'), t -> t <> '')"
 
   /** Stopword inventories per language for the lang-ID heuristic.
     * (Deliberately tiny — this is an operator shape, not a model.) */
@@ -27,7 +31,9 @@ object TextAnalysis {
     "es" -> Seq("el", "los", "las", "de", "y", "es"),
     "fr" -> Seq("le", "les", "et", "est", "une", "dans"))
 
-  private def inList(words: Seq[String]): String =
+  /** `(t = 'w1' OR ...)` membership predicate over a lambda var `t` —
+    * shared with the curation quality gate. */
+  def inList(words: Seq[String]): String =
     words.map(w => s"t = '$w'").mkString("(", " OR ", ")")
 
   /** GPT-2-ish pretokenizer pattern (contractions, space-prefixed

@@ -183,8 +183,19 @@ object Streams {
               if (t > prevMs)
                 byTime(t) = byTime.get(t).map(keepMin(p, _)).getOrElse(p)
             }
-            if (byTime.isEmpty) Iterator.empty
-            else {
+            if (byTime.isEmpty) {
+              // every arriving ping was a duplicate/late drop. Spark
+              // CLEARS the timeout on each invocation — re-arm it from
+              // the stored state or the key is never TTL-reaped
+              state.getOption.foreach { prev =>
+                val lastMs = (prev.prev.map(_.Time.getTime) ++
+                  prev.buf.map(_.Time.getTime)).maxOption.getOrElse(0L)
+                state.setTimeoutTimestamp(
+                  math.max(lastMs + stateTtlSec * 1000L,
+                    state.getCurrentWatermarkMs() + 1L))
+              }
+              Iterator.empty
+            } else {
               val maxMs = byTime.lastKey
               val cut = maxMs - reorderSec * 1000L
               val (ready, hold) = byTime.values.toList.partition(_.Time.getTime <= cut)

@@ -13,10 +13,12 @@ class ExtensionsSpec extends AnyFunSuite {
     val prevActive = SparkSession.getActiveSession
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
+    // same master as SparkSpec: if this spec runs first, the JVM-wide
+    // SparkContext it creates must not pin later suites to fewer cores
     val s = SparkSession.builder()
-      .master("local[2]")
+      .master("local[4]")
       .appName("graft-ext-spec")
-      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
       .getOrCreate()
@@ -32,7 +34,12 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(r.getDouble(1) === 6.0)
       assert(r.getSeq[Long](2).length === graft.ops.Dedup.MinhashK)
     } finally {
-      // restore the suite-shared session for subsequent specs
+      // restore the suite-shared session for subsequent specs; if none
+      // existed, CLEAR ours so later suites build their own default
+      // (else they would silently inherit the extensions-injected
+      // session and stop exercising the imperative register path)
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)
     }
