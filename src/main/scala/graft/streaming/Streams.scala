@@ -122,14 +122,17 @@ object Streams {
     *
     * State TTL: state per key is one prev + the pings inside a
     * `reorderSec` horizon — bounded by ping rate, not stream length.
-    * The 100 TB posture must also survive key churn: an event-time
-    * timeout fires once the watermark passes a vehicle's last ping +
-    * `stateTtlSec`; the buffer is FLUSHED in order (no data loss —
-    * this is also what emits each vehicle's tail pings) and the slot
-    * freed, so state tracks the ACTIVE key set. A vehicle returning
-    * after the TTL restarts at first-ping semantics (dist 0) — the
-    * same answer the batch pipeline gives a vehicle first seen that
-    * day.
+    * The 100 TB posture must also survive key churn. Expiry has two
+    * layers with ONE semantics ("an event-time gap > stateTtlSec ends
+    * the episode; the next ping restarts at first-ping dist 0"):
+    * in-band, a key's new pings arriving an entire TTL past its
+    * stored state flush-and-reset it immediately — deterministic on
+    * event time, because timeout batches only run while the source is
+    * idle and a busy stream would otherwise carry the expired prev
+    * forward; and the watermark-driven event-time timeout FLUSHES the
+    * buffer in order (no data loss — this is also what emits each
+    * vehicle's tail pings) and frees the slot for keys that never
+    * return, so state tracks the ACTIVE key set.
     */
   def enrichedStream(silver: DataFrame,
       fuelLPer100Km: Double = graft.gtfs.GoldReport.DefaultFuelLPer100Km,
@@ -174,11 +177,31 @@ object Streams {
             state.remove()
             emitAll(st.buf.sortBy(_.Time.getTime), st.prev)._1.iterator
           } else {
-            val st = state.getOption.getOrElse(EnrichState(None, Nil))
+            val arrived = pings.toList
+            var st = state.getOption.getOrElse(EnrichState(None, Nil))
+            // In-band TTL: if the key's new pings sit an entire TTL
+            // past everything stored, the old episode is over — flush
+            // it and restart at first-ping semantics HERE, not just in
+            // the timeout callback. Timeout batches only run while the
+            // source is idle, so a busy stream could otherwise carry
+            // an expired episode's prev into the new one, making the
+            // TTL semantics depend on micro-batch arrival timing
+            // instead of event time. (The watermark timeout below
+            // remains the reaper for keys that never return.)
+            val storedMax = (st.prev.map(_.Time.getTime) ++
+              st.buf.map(_.Time.getTime)).maxOption
+            val newMin = arrived.map(_.Time.getTime).minOption
+            val expired = (storedMax, newMin) match {
+              case (Some(sm), Some(nm)) if nm - sm > stateTtlSec * 1000L =>
+                val out = emitAll(st.buf.sortBy(_.Time.getTime), st.prev)._1
+                st = EnrichState(None, Nil)
+                out
+              case _ => Nil
+            }
             val prevMs = st.prev.map(_.Time.getTime).getOrElse(Long.MinValue)
             val byTime = scala.collection.mutable.TreeMap.empty[Long, SilverPing]
             st.buf.foreach(p => byTime(p.Time.getTime) = p)
-            pings.foreach { p =>
+            arrived.foreach { p =>
               val t = p.Time.getTime
               if (t > prevMs)
                 byTime(t) = byTime.get(t).map(keepMin(p, _)).getOrElse(p)
@@ -205,7 +228,7 @@ object Streams {
               state.setTimeoutTimestamp(
                 math.max(maxMs + stateTtlSec * 1000L,
                   state.getCurrentWatermarkMs() + 1L))
-              out.iterator
+              (expired ++ out).iterator
             }
           }
       }
@@ -225,8 +248,10 @@ object Streams {
     * started query; callers own its lifecycle.
     */
   def goldRefresh(silver: DataFrame, outDir: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
-    enrichedStream(silver).writeStream
+      checkpointDir: String,
+      reorderSec: Long = 60L,
+      stateTtlSec: Long = 7200L): org.apache.spark.sql.streaming.StreamingQuery =
+    enrichedStream(silver, reorderSec = reorderSec, stateTtlSec = stateTtlSec).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val partials = graft.gtfs.GoldReport.partialReportFromEnriched(

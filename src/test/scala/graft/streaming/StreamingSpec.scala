@@ -189,6 +189,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a duplicates-only batch re-arms the TTL: state still expires") {
+    // Spark CLEARS the GroupState timeout on every invocation; a batch
+    // whose pings are all dropped as duplicates must re-arm it or the
+    // key's state never expires (found by review; pinned here)
+    val dir = Files.createTempDirectory("graft-rearm").toString
+    writeBronze(dir, "b1.json",
+      rec("102", "1000", 52.20, 21.00, "2026-02-23 10:00:00"),
+      rec("102", "1000", 52.21, 21.01, "2026-02-23 10:02:00"))
+    // duplicate of an already-emitted ping: the stateful op is invoked,
+    // drops everything, and must still re-set the timeout
+    writeBronze(dir, "b2.json",
+      rec("102", "1000", 52.20, 21.00, "2026-02-23 10:00:00"))
+    // watermark past 10:02 + TTL → state must be reaped
+    writeBronze(dir, "b3.json",
+      rec("523", "7000", 52.23, 21.03, "2026-02-23 14:00:00"))
+    // 1000 returns: MUST be a first ping (dist 0), not a 10:02→20:00 segment
+    writeBronze(dir, "b4.json",
+      rec("102", "1000", 52.30, 21.10, "2026-02-23 20:00:00"))
+    writeBronze(dir, "b5.json",
+      rec("523", "7000", 52.23, 21.03, "2026-02-23 23:30:00"))
+
+    val clean = Streams.cleanStream(Streams.bronzeStream(spark, dir, maxFilesPerTrigger = 1))
+    val q = Streams.enrichedStream(clean).writeStream
+      .format("memory").queryName("rearm_out").outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("rearm_out")
+        .filter(org.apache.spark.sql.functions.col("VehicleNumber") === "1000")
+        .select("Time", "dist_km").collect()
+        .map(r => (r.getAs[java.sql.Timestamp](0).toString, r.getAs[Double](1)))
+        .sortBy(_._1)
+      assert(rows.length === 3, rows.mkString("; "))
+      assert(rows(0)._2 === 0.0)
+      assert(rows(1)._2 > 0.0)
+      assert(rows(2) === ("2026-02-23 20:00:00.0", 0.0),
+        s"state must have been TTL-reaped before the return: ${rows(2)}")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join attributes purchases to in-window clicks") {
     import org.apache.spark.sql.types._
     val cdir = Files.createTempDirectory("graft-clicks").toString
@@ -321,16 +361,20 @@ class StreamingSpec extends SparkSpec {
     val clean = Streams.cleanStream(
       Streams.bronzeStream(spark, src.toString, maxFilesPerTrigger = 8), watermark = "25 hours")
       .filter(to_date(col("Time")) === lit(java.sql.Date.valueOf(day)))
-    val q = Streams.goldRefresh(clean, s"$out/gold", s"$ckpt/cp")
+    // TTL 25 h to match the watermark: whole-day batch parity means no
+    // intra-day episode expiry (stale-clock vehicles can jump hours
+    // between consecutive pings; batch lag pairs across any gap)
+    val q = Streams.goldRefresh(clean, s"$out/gold", s"$ckpt/cp", stateTtlSec = 25L * 3600L)
     try {
       q.processAllAvailable()
       // end-of-capture flush: a sentinel ping far in the future
-      // advances the watermark past every vehicle's last ping + TTL,
-      // firing the timeouts that emit the buffered tails. It
-      // postdates day=23, so the day filter keeps it out of the
-      // results (the watermark node sits upstream of the filter).
+      // advances the watermark past every vehicle's last ping + TTL
+      // (sentinel - 25 h watermark > last ping + 25 h TTL), firing
+      // the timeouts that emit the buffered tails. It postdates
+      // day=23, so the day filter keeps it out of the results (the
+      // watermark node sits upstream of the filter).
       writeBronze(src.toString, "zz_sentinel.json",
-        rec("999", "SENTINEL", 52.2, 21.0, "2026-02-24 20:00:00"))
+        rec("999", "SENTINEL", 52.2, 21.0, "2026-02-26 00:00:00"))
       q.processAllAvailable()
     } finally q.stop()
 
