@@ -122,17 +122,21 @@ object Streams {
     *
     * State TTL: state per key is one prev + the pings inside a
     * `reorderSec` horizon — bounded by ping rate, not stream length.
-    * The 100 TB posture must also survive key churn. Expiry has two
-    * layers with ONE semantics ("an event-time gap > stateTtlSec ends
-    * the episode; the next ping restarts at first-ping dist 0"):
-    * in-band, a key's new pings arriving an entire TTL past its
-    * stored state flush-and-reset it immediately — deterministic on
-    * event time, because timeout batches only run while the source is
-    * idle and a busy stream would otherwise carry the expired prev
-    * forward; and the watermark-driven event-time timeout FLUSHES the
+    * The 100 TB posture must also survive key churn. The semantics —
+    * "an event-time gap > stateTtlSec ends the episode; the next ping
+    * restarts at first-ping dist 0" — live in the PAIRING RULE
+    * itself: a ping whose predecessor is more than the TTL older
+    * pairs with none, wherever the two pings fell relative to
+    * micro-batch boundaries (same batch, adjacent batches, or either
+    * side of a timeout — the rule sees only event time, so batch
+    * packing can never change the output). The watermark-driven
+    * event-time timeout is then purely the REAPER: it FLUSHES the
     * buffer in order (no data loss — this is also what emits each
     * vehicle's tail pings) and frees the slot for keys that never
-    * return, so state tracks the ACTIVE key set.
+    * return, so state tracks the ACTIVE key set. (The timeout alone
+    * could not carry the semantics: it fires only when the watermark
+    * crosses the deadline before the key's next data batch, a race
+    * on arrival pacing.)
     */
   def enrichedStream(silver: DataFrame,
       fuelLPer100Km: Double = graft.gtfs.GoldReport.DefaultFuelLPer100Km,
@@ -151,13 +155,17 @@ object Streams {
         else a.Lon <= b.Lon
       if (aWins) a else b
     }
-    // pair pings (already event-time-sorted) with their predecessors
+    // pair pings (already event-time-sorted) with their predecessors,
+    // applying the TTL gap rule: a predecessor more than the TTL
+    // older is a different episode — pair with none (dist 0)
+    val ttlMs = stateTtlSec * 1000L
     def emitAll(ps: Seq[SilverPing], start: Option[SilverPing])
         : (Seq[PingWithPrev], Option[SilverPing]) = {
       var prev = start
       val out = ps.map { p =>
+        val linked = prev.filter(q => p.Time.getTime - q.Time.getTime <= ttlMs)
         val r = PingWithPrev(p.Lines, p.VehicleNumber, p.Lat, p.Lon, p.Time,
-          prev.map(_.Lat), prev.map(_.Lon), prev.map(_.Time))
+          linked.map(_.Lat), linked.map(_.Lon), linked.map(_.Time))
         prev = Some(p)
         r
       }
@@ -177,31 +185,11 @@ object Streams {
             state.remove()
             emitAll(st.buf.sortBy(_.Time.getTime), st.prev)._1.iterator
           } else {
-            val arrived = pings.toList
-            var st = state.getOption.getOrElse(EnrichState(None, Nil))
-            // In-band TTL: if the key's new pings sit an entire TTL
-            // past everything stored, the old episode is over — flush
-            // it and restart at first-ping semantics HERE, not just in
-            // the timeout callback. Timeout batches only run while the
-            // source is idle, so a busy stream could otherwise carry
-            // an expired episode's prev into the new one, making the
-            // TTL semantics depend on micro-batch arrival timing
-            // instead of event time. (The watermark timeout below
-            // remains the reaper for keys that never return.)
-            val storedMax = (st.prev.map(_.Time.getTime) ++
-              st.buf.map(_.Time.getTime)).maxOption
-            val newMin = arrived.map(_.Time.getTime).minOption
-            val expired = (storedMax, newMin) match {
-              case (Some(sm), Some(nm)) if nm - sm > stateTtlSec * 1000L =>
-                val out = emitAll(st.buf.sortBy(_.Time.getTime), st.prev)._1
-                st = EnrichState(None, Nil)
-                out
-              case _ => Nil
-            }
+            val st = state.getOption.getOrElse(EnrichState(None, Nil))
             val prevMs = st.prev.map(_.Time.getTime).getOrElse(Long.MinValue)
             val byTime = scala.collection.mutable.TreeMap.empty[Long, SilverPing]
             st.buf.foreach(p => byTime(p.Time.getTime) = p)
-            arrived.foreach { p =>
+            pings.foreach { p =>
               val t = p.Time.getTime
               if (t > prevMs)
                 byTime(t) = byTime.get(t).map(keepMin(p, _)).getOrElse(p)
@@ -209,7 +197,7 @@ object Streams {
             if (byTime.isEmpty) {
               // every arriving ping was a duplicate/late drop. Spark
               // CLEARS the timeout on each invocation — re-arm it from
-              // the stored state or the key is never TTL-reaped
+              // the stored state or the key is never reaped
               state.getOption.foreach { prev =>
                 val lastMs = (prev.prev.map(_.Time.getTime) ++
                   prev.buf.map(_.Time.getTime)).maxOption.getOrElse(0L)
@@ -228,7 +216,7 @@ object Streams {
               state.setTimeoutTimestamp(
                 math.max(maxMs + stateTtlSec * 1000L,
                   state.getCurrentWatermarkMs() + 1L))
-              (expired ++ out).iterator
+              out.iterator
             }
           }
       }

@@ -189,43 +189,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("a duplicates-only batch re-arms the TTL: state still expires") {
-    // Spark CLEARS the GroupState timeout on every invocation; a batch
-    // whose pings are all dropped as duplicates must re-arm it or the
-    // key's state never expires (found by review; pinned here)
-    val dir = Files.createTempDirectory("graft-rearm").toString
+  test("TTL gap rule is batch-packing independent: episode splits on event time alone") {
+    // the episode split must depend ONLY on the event-time gap, never
+    // on how pings pack into micro-batches (timeout batches race with
+    // data arrival, so a timeout-only TTL changes answers with pacing
+    // — found by review; pinned here for three packings)
+    val dir = Files.createTempDirectory("graft-ttlgap").toString
+    // vehicle 1000: gap spans batches, with a duplicates-only batch in
+    // between (the op is invoked, drops everything, and must still
+    // re-arm its reaper timeout)
     writeBronze(dir, "b1.json",
       rec("102", "1000", 52.20, 21.00, "2026-02-23 10:00:00"),
       rec("102", "1000", 52.21, 21.01, "2026-02-23 10:02:00"))
-    // duplicate of an already-emitted ping: the stateful op is invoked,
-    // drops everything, and must still re-set the timeout
     writeBronze(dir, "b2.json",
       rec("102", "1000", 52.20, 21.00, "2026-02-23 10:00:00"))
-    // watermark past 10:02 + TTL → state must be reaped
+    // vehicle 2000: the SAME shape of gap entirely inside one batch
     writeBronze(dir, "b3.json",
-      rec("523", "7000", 52.23, 21.03, "2026-02-23 14:00:00"))
-    // 1000 returns: MUST be a first ping (dist 0), not a 10:02→20:00 segment
+      rec("102", "2000", 52.20, 21.00, "2026-02-23 10:00:00"),
+      rec("102", "2000", 52.30, 21.10, "2026-02-23 20:00:00"))
+    // 1000 returns after the gap
     writeBronze(dir, "b4.json",
       rec("102", "1000", 52.30, 21.10, "2026-02-23 20:00:00"))
+    // watermark far enough to reap + flush every tail
     writeBronze(dir, "b5.json",
       rec("523", "7000", 52.23, 21.03, "2026-02-23 23:30:00"))
 
     val clean = Streams.cleanStream(Streams.bronzeStream(spark, dir, maxFilesPerTrigger = 1))
     val q = Streams.enrichedStream(clean).writeStream
-      .format("memory").queryName("rearm_out").outputMode("append")
+      .format("memory").queryName("ttlgap_out").outputMode("append")
       .start()
     try {
       q.processAllAvailable()
-      val rows = spark.table("rearm_out")
-        .filter(org.apache.spark.sql.functions.col("VehicleNumber") === "1000")
+      def rowsOf(v: String) = spark.table("ttlgap_out")
+        .filter(org.apache.spark.sql.functions.col("VehicleNumber") === v)
         .select("Time", "dist_km").collect()
         .map(r => (r.getAs[java.sql.Timestamp](0).toString, r.getAs[Double](1)))
-        .sortBy(_._1)
-      assert(rows.length === 3, rows.mkString("; "))
-      assert(rows(0)._2 === 0.0)
-      assert(rows(1)._2 > 0.0)
-      assert(rows(2) === ("2026-02-23 20:00:00.0", 0.0),
-        s"state must have been TTL-reaped before the return: ${rows(2)}")
+        .sortBy(_._1).toSeq
+      val v1 = rowsOf("1000")
+      assert(v1.length === 3, v1.mkString("; "))
+      assert(v1(0)._2 === 0.0)
+      assert(v1(1)._2 > 0.0)
+      assert(v1(2) === ("2026-02-23 20:00:00.0", 0.0),
+        s"cross-batch gap must split the episode: ${v1(2)}")
+      // identical answer for the identical event-time shape in ONE batch
+      val v2 = rowsOf("2000")
+      assert(v2 === Seq(("2026-02-23 10:00:00.0", 0.0), ("2026-02-23 20:00:00.0", 0.0)),
+        s"same-batch gap must split the episode identically: $v2")
     } finally q.stop()
   }
 
