@@ -235,6 +235,91 @@ case class MinhashMix(child: Expression, coeffs: Seq[(Long, Long)], mod: Long)
     copy(child = newChild)
 }
 
+/** Fused SimHash: one pass over a document's token-hash array
+  * computes the full 32-bit signature. The relational formulation
+  * (explode tokens × crossJoin 32 bit positions → two aggregations)
+  * multiplies the shuffled row volume by 32 before the first
+  * aggregate; this expression folds the whole bit-majority vote into
+  * a narrow per-row loop — zero shuffle, zero row inflation.
+  *
+  * Math identical to the relational/oracle form: per bit b,
+  * `sgn_b = Σ_tokens (bit b set ? +1 : -1)`; output bit b is set iff
+  * `sgn_b > 0` (ties → 0). Hashes are 60-bit non-negative
+  * ([[Portable.phash]]), so `(h >> b) & 1` matches `(h >> b) % 2 = 1`
+  * exactly. Returns null for an empty array — the relational form
+  * emits no row for a token-less doc, so callers filter nulls to
+  * keep the same row set.
+  */
+case class SimhashMix(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  // empty input → null output even when the child is non-nullable
+  // (same contract as MinhashMix above)
+  override def nullable: Boolean = true
+
+  private val Bits = 32
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val sgn = new Array[Int](Bits)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var b = 0
+      while (b < Bits) {
+        if (((h >>> b) & 1L) == 1L) sgn(b) += 1 else sgn(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < Bits) {
+      if (sgn(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val childGen = child.genCode(ctx)
+    val n = ctx.freshName("n")
+    val i = ctx.freshName("i")
+    val b = ctx.freshName("b")
+    val h = ctx.freshName("h")
+    val sgn = ctx.freshName("sgn")
+    ev.copy(code =
+      code"""
+         |${childGen.code}
+         |boolean ${ev.isNull} = ${childGen.isNull};
+         |long ${ev.value} = 0L;
+         |if (!${ev.isNull}) {
+         |  int $n = ${childGen.value}.numElements();
+         |  if ($n == 0) { ${ev.isNull} = true; } else {
+         |    int[] $sgn = new int[$Bits];
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      long $h = ${childGen.value}.getLong($i);
+         |      for (int $b = 0; $b < $Bits; $b++) {
+         |        if ((($h >>> $b) & 1L) == 1L) $sgn[$b]++; else $sgn[$b]--;
+         |      }
+         |    }
+         |    for (int $b = 0; $b < $Bits; $b++) {
+         |      if ($sgn[$b] > 0) ${ev.value} |= (1L << $b);
+         |    }
+         |  }
+         |}
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimhashMix =
+    copy(child = newChild)
+}
+
 object VectorExprs {
 
   /** The three function descriptions, shared by the session-local
@@ -244,7 +329,8 @@ object VectorExprs {
     "cosine_sim" -> (exprs => CosineSimilarity(exprs(0), exprs(1))),
     "dot_product" -> (exprs => DotProduct(exprs(0), exprs(1))),
     "minhash_mix" -> (exprs => MinhashMix(exprs.head,
-      graft.ops.Dedup.mixCoeffs.toSeq, graft.ops.Dedup.MixMod)))
+      graft.ops.Dedup.mixCoeffs.toSeq, graft.ops.Dedup.MixMod)),
+    "simhash_mix" -> (exprs => SimhashMix(exprs.head)))
 
   /** Inject the functions through the `SparkSessionExtensions` hook —
     * how a production library ships them (set

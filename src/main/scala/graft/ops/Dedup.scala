@@ -160,20 +160,21 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     }),
 
-    // SimHash (32-bit) per document, via the relational explode form
-    // (token-hash → bit matrix → majority sign → weighted bit sum):
-    // scales as two narrow aggregations, no per-row quadratic work
+    // SimHash (32-bit) per document, fused into ONE codegen pass
+    // (functions/VectorExprs.SimhashMix): token hashes → bit-majority
+    // vote → signature, all inside a narrow per-row loop. The earlier
+    // relational form (explode tokens × crossJoin 32 bits → two
+    // aggregations) shuffled 32× the token volume; this plan shuffles
+    // nothing but the final sort. The null filter keeps the row set
+    // identical to the relational/oracle form, which emits no row for
+    // a token-less doc.
     "dd04_simhash" -> ((s, d) => {
-      val toks = Tables.documents(s, d)
+      graft.functions.VectorExprs.register(s)
+      Tables.documents(s, d)
         .withColumn("tokens", expr(tokensExpr))
-        .select(col("doc_id"), explode(col("tokens")).as("t"))
-        .select(col("doc_id"), Portable.phash(col("t")).as("h"))
-      val bits = s.sql("SELECT explode(sequence(0, 31)) AS b")
-      toks.crossJoin(bits)
-        .groupBy("doc_id", "b")
-        .agg(sum(when(expr("(h >> b) % 2 = 1"), 1L).otherwise(-1L)).as("sgn"))
-        .groupBy("doc_id")
-        .agg(sum(when(col("sgn") > 0, expr("shiftleft(1L, b)")).otherwise(0L)).as("simhash"))
+        .select(col("doc_id"),
+          expr(s"simhash_mix(transform(tokens, t -> ${Portable.phashExpr("t")}))").as("simhash"))
+        .filter(col("simhash").isNotNull)
         .orderBy("doc_id")
     }),
 

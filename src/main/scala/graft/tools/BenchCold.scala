@@ -1,0 +1,70 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Per-query COLD benchmark: every catalog query timed from a cold
+  * start (shared memo frames dropped, cached relations unpersisted,
+  * a GC between queries), so the numbers attribute each operator's
+  * own work — unlike the driver's warm `graft.Bench`, where the
+  * first query in Map order to touch a shared memo pays its build
+  * (e.g. `j02_sortmerge_join` showing 9.27 s warm vs 0.97 s cold in
+  * round 2).
+  *
+  * Protocol mirrors `ScaleStress`: min of two full cold sweeps —
+  * single shots carried up to 30× one-off noise (GC pauses,
+  * first-plan JIT), while best-of-2 WITHOUT the reset times memo
+  * cache hits instead of the operator.
+  *
+  * Usage: `tools/run.sh graft.tools.BenchCold BENCH_COLD_r3.json`
+  * (dataset from SPARK_GRAFT_SF_DIR, default sf0.1).
+  */
+object BenchCold {
+  def main(args: Array[String]): Unit = {
+    val outPath = args.headOption.getOrElse("BENCH_COLD.json")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.Tables.pin(spark)
+
+    def coldReset(): Unit = {
+      graft.ops.Relational.clearMemo(spark)
+      graft.ops.Dedup.clearMemo(spark)
+      spark.catalog.clearCache()
+      System.gc()
+    }
+
+    // Warm the JVM once (codegen, parquet reader, shuffle machinery);
+    // the per-query resets below only drop DATA caches, not JIT state.
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    try { graft.SparkEntry.entry(spark).count() } catch { case _: Throwable => () }
+    coldReset()
+
+    val names = graft.SparkEntry.queries.keys.toSeq.sorted
+    def sweep(): Map[String, Double] = names.map { name =>
+      coldReset()
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, sfDir).count()
+      name -> (System.nanoTime() - t0) / 1e9
+    }.toMap
+
+    val a = sweep()
+    val b = sweep()
+    val best = names.map(n => n -> math.min(a(n), b(n)))
+    val total = best.map(_._2).sum
+    val qs = best.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
+    val json =
+      s"""{"metric":"total_cold","value":$total,"unit":"sec","protocol":"min-of-2 cold sweeps, memo+cache cleared per query","queries":$qs,"sf":"$sfDir"}"""
+    val w = new java.io.PrintWriter(outPath)
+    try w.println(json) finally w.close()
+    println(json)
+    spark.stop()
+  }
+}

@@ -50,7 +50,7 @@ object ScaleStress {
       }
     }
 
-    val headline = Seq("q1_pricing", "j02_sortmerge_join", "j06_regional_revenue",
+    val allHeadline = Seq("q1_pricing", "j02_sortmerge_join", "j06_regional_revenue",
       "j09_range_join", "sql02_correlated_subquery",
       "a01_report", "d01_dedup", "w01_lag", "dd01_exact_dedup", "dd02_minhash_sig",
       "dd03_lsh_pairs", "dd04_simhash", "dd05_ngram_jaccard", "dd06_cosine_dup",
@@ -58,6 +58,12 @@ object ScaleStress {
       "ds01_hash_split", "ds02_stratified_sample", "df01_quality_gate",
       "sim01_knn", "sim02_lsh_ann", "sim04_ivf_ann", "sim05_norm_quant",
       "st01_tumbling_window")
+    // SPARK_GRAFT_QUERIES=dd04_simhash,sim04_ivf_ann → time only those
+    // (fast iteration on one operator without the 25-query sweep)
+    val headline = sys.env.get("SPARK_GRAFT_QUERIES") match {
+      case Some(csv) => csv.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      case None      => allHeadline
+    }
 
     // full reset: memoized stage frames + every cached relation go
     // cold, so a re-sweep measures recompute, never a cache read
