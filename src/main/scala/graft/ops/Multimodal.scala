@@ -44,6 +44,22 @@ object Multimodal {
       (r.doc_id % 640 + 1).toInt, (r.doc_id % 480 + 1).toInt)
   }
 
+  /** The batched decode pass: per partition, group rows into
+    * [[DecodeBatchSize]] batches and decode each batch (one
+    * vectorized call in a real decoder). `grouped` naturally yields
+    * a short final batch and nothing for an empty partition, so any
+    * partitioning — including partitions smaller than a batch —
+    * decodes every row exactly once (MultimodalSpec). */
+  def decodeFeatures(media: org.apache.spark.sql.Dataset[MediaRow])
+      : org.apache.spark.sql.Dataset[MediaFeat] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(DecodeBatchSize).flatMap { batch =>
+        batch.iterator.map(decodeStub)
+      }
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     // Binary media column → batched mapPartitions decode → typed
     // feature frame. documents.text stands in for the media bytes.
@@ -54,12 +70,7 @@ object Multimodal {
           concat(lit("media/"), col("source")).as("mime"),
           col("text").cast(BinaryType).as("payload"))
         .as[MediaRow]
-      media.mapPartitions { it =>
-        it.grouped(DecodeBatchSize).flatMap { batch =>
-          // a real decoder would process `batch` as one vectorized call
-          batch.iterator.map(decodeStub)
-        }
-      }.toDF().orderBy("doc_id")
+      decodeFeatures(media).toDF().orderBy("doc_id")
     })
   )
 

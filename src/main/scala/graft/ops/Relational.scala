@@ -503,8 +503,12 @@ object Relational {
           grouping(col("line")).cast(IntegerType).as("g_line"),
           grouping(col("d")).cast(IntegerType).as("g_d"))
         .select(col("line"), col("d"), col("n"), col("g_line"), col("g_d"))
+        // isnull() before the coalesce tiebreak: a NULL data group and
+        // an ''-valued data group would otherwise share a sort key,
+        // leaving their order engine-dependent (oracle-hash flake)
         .orderBy(col("g_line"), col("g_d"),
-          coalesce(col("line"), lit("")), coalesce(col("d"), lit("")))),
+          col("line").isNull, coalesce(col("line"), lit("")),
+          col("d").isNull, coalesce(col("d"), lit("")))),
 
     // Pivot (event_type → columns) — engine extension
     "a12_pivot" -> ((s, d) => {
@@ -613,8 +617,11 @@ object Relational {
           grouping(col("line")).cast(IntegerType).as("g_line"),
           grouping(col("d")).cast(IntegerType).as("g_d"))
         .select(col("line"), col("d"), col("n"), col("g_line"), col("g_d"))
+        // isnull() before the coalesce tiebreak — same rationale as
+        // a11_rollup above
         .orderBy(col("g_line"), col("g_d"),
-          coalesce(col("line"), lit("")), coalesce(col("d"), lit("")))),
+          col("line").isNull, coalesce(col("line"), lit("")),
+          col("d").isNull, coalesce(col("d"), lit("")))),
 
     // A17: top-k per group through the typed Aggregator API with a
     // BOUNDED (≤ k entries) buffer — map-side partials shrink every
@@ -799,7 +806,8 @@ object Relational {
         |       CAST(GROUPING(CAST(CAST(ts AS DATE) AS VARCHAR)) AS INT) AS g_d
         |FROM events
         |GROUP BY ROLLUP(line, d)
-        |ORDER BY g_line, g_d, COALESCE(line, ''), COALESCE(d, '')""".stripMargin,
+        |ORDER BY g_line, g_d, (line IS NULL), COALESCE(line, ''),
+        |         (d IS NULL), COALESCE(d, '')""".stripMargin,
 
     "a12_pivot" ->
       """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d,
@@ -909,7 +917,8 @@ object Relational {
         |       CAST(GROUPING(CAST(CAST(ts AS DATE) AS VARCHAR)) AS INT) AS g_d
         |FROM events
         |GROUP BY CUBE(line, d)
-        |ORDER BY g_line, g_d, COALESCE(line, ''), COALESCE(d, '')""".stripMargin,
+        |ORDER BY g_line, g_d, (line IS NULL), COALESCE(line, ''),
+        |         (d IS NULL), COALESCE(d, '')""".stripMargin,
 
     "a17_topk_group" ->
       """SELECT line, rk, event_id, value FROM (

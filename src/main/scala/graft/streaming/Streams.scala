@@ -172,6 +172,27 @@ object Streams {
       (out, prev)
     }
 
+    // Timeout arming, shared by every branch. Spark CLEARS the
+    // timeout on each invocation, so every path must re-arm it.
+    // While the reorder buffer holds pings, the deadline is the
+    // EARLIEST held ping + reorderSec — once the watermark passes
+    // that, the ping is safe to emit (nothing at-or-before it can
+    // still arrive in-watermark) and waiting the full TTL would be a
+    // tail-latency hole for keys that just stopped sending. With an
+    // empty buffer the deadline is lastMs + TTL: pure state reaping.
+    // Never at/behind the current watermark (Spark rejects it).
+    val ttlArmMs = stateTtlSec * 1000L
+    def armTimeout(state: org.apache.spark.sql.streaming.GroupState[EnrichState],
+        st: EnrichState): Unit = {
+      val wmNext = state.getCurrentWatermarkMs() + 1L
+      val deadline = st.buf.map(_.Time.getTime).minOption match {
+        case Some(earliestHeld) => earliestHeld + reorderSec * 1000L
+        case None =>
+          (st.prev.map(_.Time.getTime).getOrElse(0L)) + ttlArmMs
+      }
+      state.setTimeoutTimestamp(math.max(deadline, wmNext))
+    }
+
     val withPrevs = silver
       .select("Lines", "VehicleNumber", "Lat", "Lon", "Time").as[SilverPing]
       .groupByKey(_.VehicleNumber)
@@ -179,43 +200,59 @@ object Streams {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (_: String, pings: Iterator[SilverPing], state: GroupState[EnrichState]) =>
           if (state.hasTimedOut) {
-            // watermark passed last ping + TTL: the vehicle is gone —
-            // flush its tail in order, then free the slot
+            // The deadline passed with no data. Flush every held ping
+            // the watermark has certified (wm ≥ t + reorderSec: no
+            // in-watermark row can precede it), in order; then either
+            // re-arm for the remainder, keep the bare prev for
+            // episode-linking until its TTL, or reap the slot.
             val st = state.get
-            state.remove()
-            emitAll(st.buf.sortBy(_.Time.getTime), st.prev)._1.iterator
+            val wm = state.getCurrentWatermarkMs()
+            val cut = wm - reorderSec * 1000L
+            val sorted = st.buf.sortBy(_.Time.getTime)
+            val (ready, stillHeld) = sorted.partition(_.Time.getTime <= cut)
+            val (out, newPrev) = emitAll(ready, st.prev)
+            val lastMs = (newPrev.map(_.Time.getTime) ++
+              stillHeld.map(_.Time.getTime)).maxOption.getOrElse(0L)
+            if (stillHeld.isEmpty && wm >= lastMs + ttlArmMs) {
+              state.remove() // true TTL reap: the vehicle is gone
+            } else {
+              val next = EnrichState(newPrev, stillHeld)
+              state.update(next)
+              armTimeout(state, next)
+            }
+            out.iterator
           } else {
             val st = state.getOption.getOrElse(EnrichState(None, Nil))
             val prevMs = st.prev.map(_.Time.getTime).getOrElse(Long.MinValue)
+            // Defensive late-data drop: FlatMapGroupsWithStateExec
+            // already filters rows below the watermark before the
+            // function runs (verified empirically — StreamingSpec);
+            // repeating the predicate here makes the invariant local
+            // instead of inherited, so a Spark-side change cannot
+            // silently hand us rows that would emit behind an
+            // already-flushed predecessor.
+            val wmMs = state.getCurrentWatermarkMs()
             val byTime = scala.collection.mutable.TreeMap.empty[Long, SilverPing]
             st.buf.foreach(p => byTime(p.Time.getTime) = p)
             pings.foreach { p =>
               val t = p.Time.getTime
-              if (t > prevMs)
+              if (t > prevMs && t >= wmMs)
                 byTime(t) = byTime.get(t).map(keepMin(p, _)).getOrElse(p)
             }
             if (byTime.isEmpty) {
-              // every arriving ping was a duplicate/late drop. Spark
-              // CLEARS the timeout on each invocation — re-arm it from
-              // the stored state or the key is never reaped
-              state.getOption.foreach { prev =>
-                val lastMs = (prev.prev.map(_.Time.getTime) ++
-                  prev.buf.map(_.Time.getTime)).maxOption.getOrElse(0L)
-                state.setTimeoutTimestamp(
-                  math.max(lastMs + stateTtlSec * 1000L,
-                    state.getCurrentWatermarkMs() + 1L))
-              }
+              // every arriving ping was a duplicate/late drop —
+              // re-arm from the stored state or the key is never
+              // flushed/reaped
+              state.getOption.foreach(armTimeout(state, _))
               Iterator.empty
             } else {
               val maxMs = byTime.lastKey
               val cut = maxMs - reorderSec * 1000L
               val (ready, hold) = byTime.values.toList.partition(_.Time.getTime <= cut)
               val (out, newPrev) = emitAll(ready, st.prev)
-              state.update(EnrichState(newPrev, hold))
-              // never set a timeout at/behind the current watermark
-              state.setTimeoutTimestamp(
-                math.max(maxMs + stateTtlSec * 1000L,
-                  state.getCurrentWatermarkMs() + 1L))
+              val next = EnrichState(newPrev, hold)
+              state.update(next)
+              armTimeout(state, next)
               out.iterator
             }
           }
@@ -312,6 +349,14 @@ object Streams {
     * bounds state under key churn and fixes the completeness hole of
     * the NoTimeout version (a vehicle's LAST trip of the day was
     * never emitted).
+    *
+    * "Final" leans on late rows being dropped: Spark's
+    * FlatMapGroupsWithStateExec filters input rows below the
+    * watermark before this function runs, and the function repeats
+    * that predicate itself (defense in depth), so a ping older than
+    * the watermark can never recreate state after a timeout emitted
+    * the trip — without the drop, such a ping would start a second,
+    * overlapping trip for the same vehicle.
     */
   def tripSegments(silver: DataFrame, gapSec: Long = 1800): org.apache.spark.sql.Dataset[Trip] = {
     import silver.sparkSession.implicits._
@@ -328,7 +373,11 @@ object Streams {
             Iterator.single(Trip(vehicle, new java.sql.Timestamp(s.startMs),
               new java.sql.Timestamp(s.lastMs), s.pings))
           } else {
-            val sorted = pings.toSeq.sortBy(_.Time.getTime)
+            // explicit late-data drop (see scaladoc): rows below the
+            // watermark must not reopen an emitted trip
+            val wmMs = state.getCurrentWatermarkMs()
+            val sorted = pings.toSeq.filter(_.Time.getTime >= wmMs)
+              .sortBy(_.Time.getTime)
             val out = scala.collection.mutable.ArrayBuffer.empty[Trip]
             var st = state.getOption.orNull
             sorted.foreach { p =>

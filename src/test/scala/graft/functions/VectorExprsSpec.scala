@@ -98,6 +98,52 @@ class VectorExprsSpec extends SparkSpec {
       bad.getMessage.toLowerCase.contains("data type"))
   }
 
+  test("cosine_sim and dot_product null on length mismatch, like the HOF form") {
+    VectorExprs.register(spark)
+    val df = Seq((1L, Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f)))
+      .toDF("id", "a", "b")
+    val hofDot =
+      """aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+        |          CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
+    val r = df.select(
+      expr("cosine_sim(a, b)").as("c"),
+      expr("dot_product(a, b)").as("d"),
+      expr(hofDot).as("ref")).head()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+    // interpreted path agrees
+    val tA = org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)
+    val litA = org.apache.spark.sql.catalyst.expressions.Literal.create(Array(1.0f, 2.0f, 3.0f), tA)
+    val litB = org.apache.spark.sql.catalyst.expressions.Literal.create(Array(4.0f, 5.0f), tA)
+    assert(CosineSimilarity(litA, litB).eval(null) == null)
+    assert(DotProduct(litA, litB).eval(null) == null)
+  }
+
+  test("simhash_mix equals the relational bit-majority form, nulls on empty") {
+    VectorExprs.register(spark)
+    val df = Seq(
+      (1L, Seq(0x5L, 0x3L, 0x1L)),
+      (2L, Seq(0xFFFFFFFFL)),
+      (3L, Seq.empty[Long]))
+      .toDF("id", "hh")
+    val got = df.select(col("id"), expr("simhash_mix(hh)").as("s"))
+      .collect().map(r => r.getLong(0) -> Option(r.getAs[java.lang.Long]("s"))).toMap
+    // relational reference: explode × 32 bits → majority vote → bit sum
+    val ref = df.select(col("id"), explode(col("hh")).as("h"))
+      .crossJoin(spark.sql("SELECT explode(sequence(0, 31)) AS b"))
+      .groupBy("id", "b")
+      .agg(sum(when(expr("(h >> b) % 2 = 1"), 1L).otherwise(-1L)).as("sgn"))
+      .groupBy("id")
+      .agg(sum(when(col("sgn") > 0, expr("shiftleft(1L, b)")).otherwise(0L)).as("s"))
+      .collect().map(r => r.getLong(0) -> Option(java.lang.Long.valueOf(r.getLong(1)))).toMap
+    assert(got(1L) === ref(1L))
+    assert(got(2L) === ref(2L))
+    assert(got(3L) === None) // relational form emits no row; expression yields null
+    // interpreted path agrees with codegen
+    val tL = org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)
+    val lit = org.apache.spark.sql.catalyst.expressions.Literal.create(Array(0x5L, 0x3L, 0x1L), tL)
+    assert(SimhashMix(lit).eval(null) === got(1L).get.longValue)
+  }
+
   test("minhash_mix equals the per-family HOF array_min and nulls on empty") {
     VectorExprs.register(spark)
     val df = Seq(

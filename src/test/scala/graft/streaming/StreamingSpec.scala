@@ -315,6 +315,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("held tail flushes reorderSec after the watermark passes it, not at TTL") {
+    val dir = Files.createTempDirectory("graft-tail-live").toString
+    // vehicle 8349 sends two pings then goes quiet; its 08:10 ping is
+    // held in the reorder buffer. Another vehicle advances the
+    // watermark to 08:50 — far SHORT of 08:10 + TTL (2 h) but past
+    // 08:10 + reorderSec (60 s). The timeout must flush the held ping
+    // then, not hold it for the remaining ~1.3 h of event time.
+    writeBronze(dir, "f1.json",
+      rec("189", "8349", 52.20, 21.00, "2026-02-23 08:00:00"),
+      rec("189", "8349", 52.21, 21.01, "2026-02-23 08:10:00"))
+    writeBronze(dir, "f2.json", rec("523", "7000", 52.23, 21.03, "2026-02-23 09:00:00"))
+
+    val clean = Streams.cleanStream(Streams.bronzeStream(spark, dir, maxFilesPerTrigger = 1))
+    val q = Streams.enrichedStream(clean).writeStream // default TTL 7200 s
+      .format("memory").queryName("tail_live_out").outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("tail_live_out")
+        .filter(org.apache.spark.sql.functions.col("VehicleNumber") === "8349")
+        .select("Time", "prev_time").collect()
+        .map(r => (r.getAs[java.sql.Timestamp](0).toString,
+          Option(r.getAs[java.sql.Timestamp](1)).map(_.toString).orNull))
+        .sortBy(_._1)
+      // watermark is 08:50 (09:00 − 10 min) — nowhere near 10:10
+      // (= 08:10 + TTL), yet the held 08:10 ping is out, correctly
+      // paired with its 08:00 predecessor
+      assert(rows.toSeq === Seq(
+        ("2026-02-23 08:00:00.0", null),
+        ("2026-02-23 08:10:00.0", "2026-02-23 08:00:00.0")), rows.mkString("; "))
+    } finally q.stop()
+  }
+
   test("enrichment dedup keeps the batch-deterministic min payload across batches") {
     val dir = Files.createTempDirectory("graft-dedup-min").toString
     // duplicate (vehicle, time) key with CONFLICTING payloads in
