@@ -202,6 +202,30 @@ object Joins {
         .orderBy("c_custkey")
     }),
 
+    // Stream-stream INTERVAL join, oracle-checked through its BATCH
+    // execution: Streams.intervalJoin runs unchanged on batch frames
+    // (withWatermark is a no-op outside streaming), so the exact
+    // operator code that runs under watermarked state-pruning in a
+    // StreamingQuery (StreamingSpec's attribution test) is
+    // hash-checked here against a DuckDB range-predicate join.
+    // Attribution shape: every click in the hour before a purchase,
+    // rolled up per purchase.
+    "j11_interval_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"),
+          col("value").as("click_value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      graft.streaming.Streams.intervalJoin(clicks, purchases,
+          key = "user_id", leftTs = "click_ts", rightTs = "ts",
+          windowSec = 3600L)
+        .groupBy("event_id")
+        .agg(count(lit(1)).as("n_clicks"),
+          Tables.dsum(col("click_value"), 2).as("click_value"))
+        .orderBy("event_id")
+    }),
+
     // UNION (distinct set semantics)
     "x01_union" -> ((s, d) =>
       Tables.customer(s, d).select(col("c_nationkey").cast(IntegerType).as("key"))
@@ -340,6 +364,16 @@ object Joins {
         |       coalesce(oa.spend, 0.0) AS spend
         |FROM customer c LEFT OUTER JOIN oa USING (c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+
+    "j11_interval_join" ->
+      """SELECT p.event_id, count(*) AS n_clicks,
+        |       CAST(sum(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE) AS click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = p.user_id
+        | AND c.ts >= p.ts - INTERVAL 3600 SECOND
+        | AND c.ts <= p.ts
+        |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin,
 
     "x01_union" ->
       """SELECT CAST(c_nationkey AS INT) AS key FROM customer
