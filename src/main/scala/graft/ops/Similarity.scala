@@ -201,6 +201,65 @@ object Similarity {
         .orderBy("vec_a", "vec_b")
     }),
 
+    // Two-level (hierarchical) IVF ANN — the next rung above sim04's
+    // flat quantizer (SCALE_NOTES knob table). Flat IVF with √n cells
+    // pays n·√n dot products in the assignment pass; here level 1 has
+    // c1 = ⌈n^¼⌉ coarse cells and each L1 cell c2 = ⌈n^¼⌉ sub-cells,
+    // so every vector scores c1 + c2 ≈ 2·n^¼ centroids instead of √n
+    // (n=10⁹: ~356 vs ~31623 — the difference between "scales to
+    // 10 B vectors" and "scales to 1 T"). Leaf count c1·c2 ≈ √n keeps
+    // per-cell occupancy ≈ √n, same probe cost as sim04.
+    //
+    // Determinism (oracle-mirrorable, no trained k-means): L1
+    // centroids are the first c1 vectors by vec_id; each L1 cell's
+    // sub-centroids are its c2 lowest-vec_id members. Sizes come from
+    // a broadcast 1-row count frame — no collect; n^¼ is
+    // sqrt(sqrt(n)) (two IEEE-exact sqrts, never pow — libm parity).
+    // Queries probe their own L1 cell's IvfNProbe nearest sub-cells,
+    // then re-rank exactly.
+    "sim06_ivf2_ann" -> ((s, d) => {
+      VectorExprs.register(s)
+      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val sizes = e.agg(
+        ceil(sqrt(sqrt(count(lit(1)).cast("double")))).cast("long").as("c1"))
+      // L1: assign every vector to its nearest of the first c1 vectors
+      val l1cents = e.crossJoin(broadcast(sizes)).filter(col("vec_id") < col("c1"))
+        .select(col("vec_id").as("g"), col("embedding").as("g_ce"))
+      val l1 = e.crossJoin(broadcast(l1cents))
+        .withColumn("cos_g", expr("cosine_sim(embedding, g_ce)"))
+        .withColumn("grn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("cos_g").desc, col("g").asc)))
+        .filter(col("grn") === 1)
+        .select(col("vec_id"), col("g"), col("embedding"))
+      // L2: each cell's c2 (= c1) lowest-vec_id members are its
+      // sub-centroids — c1·c2 ≈ √n rows, broadcastable at any n that
+      // fits a flat index at all
+      val l2cents = l1
+        .withColumn("srn", row_number().over(
+          Window.partitionBy("g").orderBy(col("vec_id").asc)))
+        .crossJoin(broadcast(sizes)).filter(col("srn") <= col("c1"))
+        .select(col("g"), col("vec_id").as("sub"), col("embedding").as("s_ce"))
+      val scored = l1.join(broadcast(l2cents), Seq("g"))
+        .withColumn("cos_s", expr("cosine_sim(embedding, s_ce)"))
+        .withColumn("srn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("cos_s").desc, col("sub").asc)))
+      val assigned = scored.filter(col("srn") === 1)
+        .select(col("vec_id"), col("g"), col("sub"), col("embedding"))
+      val probes = scored.filter(col("vec_id") < KnnQueries && col("srn") <= IvfNProbe)
+        .select(col("vec_id").as("query_id"), col("g"), col("sub"),
+          col("embedding").as("qe"))
+      val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+      assigned.join(broadcast(probes), Seq("g", "sub"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumnRenamed("vec_id", "neighbor_id")
+        .withColumn("cos", expr("cosine_sim(qe, embedding)"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= LshK)
+        .select(col("query_id"), col("neighbor_id"), col("g").as("l1_cell"),
+          col("sub").as("l2_cell"), round(col("cos"), 6).as("cosine"))
+        .orderBy("query_id", "neighbor_id")
+    }),
+
     // Vector hygiene pass embedding pipelines run before indexing:
     // L2 norm (codegen dot), max-abs scale, symmetric int8
     // quantization. floor(x + 0.5) instead of round() keeps the
@@ -316,6 +375,57 @@ object Similarity {
          |  WHERE a.vec_id <> p.query_id
          |)
          |SELECT query_id, neighbor_id, cluster, round(cos, 6) AS cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY cos DESC, neighbor_id ASC) AS rn
+         |  FROM pairs) t
+         |WHERE rn <= $LshK ORDER BY query_id, neighbor_id""".stripMargin,
+
+    "sim06_ivf2_ann" ->
+      s"""WITH $normedCte,
+         |sizes AS (
+         |  SELECT CAST(ceil(sqrt(sqrt(count(*)))) AS BIGINT) AS c1 FROM embeddings
+         |),
+         |l1cents AS (
+         |  SELECT vec_id AS g, embedding AS g_ce, norm AS g_norm
+         |  FROM e, sizes WHERE vec_id < c1
+         |),
+         |l1 AS (
+         |  SELECT vec_id, g, embedding, norm FROM (
+         |    SELECT e.vec_id, c.g, e.embedding, e.norm,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${dotSql("e.embedding", "c.g_ce")} / (e.norm * c.g_norm) DESC,
+         |                      c.g ASC) AS grn
+         |    FROM e, l1cents c) t
+         |  WHERE grn = 1
+         |),
+         |l2cents AS (
+         |  SELECT g, vec_id AS sub, embedding AS s_ce, norm AS s_norm FROM (
+         |    SELECT l1.*, row_number() OVER (PARTITION BY g ORDER BY vec_id ASC) AS srn
+         |    FROM l1) t, sizes
+         |  WHERE srn <= c1
+         |),
+         |scored AS (
+         |  SELECT l1.vec_id, l1.g, c.sub, l1.embedding, l1.norm,
+         |         row_number() OVER (PARTITION BY l1.vec_id
+         |           ORDER BY ${dotSql("l1.embedding", "c.s_ce")} / (l1.norm * c.s_norm) DESC,
+         |                    c.sub ASC) AS srn
+         |  FROM l1 JOIN l2cents c ON l1.g = c.g
+         |),
+         |assigned AS (
+         |  SELECT vec_id, g, sub, embedding, norm FROM scored WHERE srn = 1
+         |),
+         |probes AS (
+         |  SELECT vec_id AS query_id, g, sub, embedding AS qe, norm AS qn
+         |  FROM scored WHERE vec_id < $KnnQueries AND srn <= $IvfNProbe
+         |),
+         |pairs AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id, a.g AS l1_cell,
+         |         a.sub AS l2_cell,
+         |         ${dotSql("p.qe", "a.embedding")} / (p.qn * a.norm) AS cos
+         |  FROM assigned a JOIN probes p ON a.g = p.g AND a.sub = p.sub
+         |  WHERE a.vec_id <> p.query_id
+         |)
+         |SELECT query_id, neighbor_id, l1_cell, l2_cell, round(cos, 6) AS cosine FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |                               ORDER BY cos DESC, neighbor_id ASC) AS rn
          |  FROM pairs) t

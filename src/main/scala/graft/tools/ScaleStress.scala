@@ -56,7 +56,8 @@ object ScaleStress {
       "dd03_lsh_pairs", "dd04_simhash", "dd05_ngram_jaccard", "dd06_cosine_dup",
       "dd07_dup_clusters", "tx04_fingerprint", "tx06_bpe_tokens",
       "ds01_hash_split", "ds02_stratified_sample", "df01_quality_gate",
-      "sim01_knn", "sim02_lsh_ann", "sim04_ivf_ann", "sim05_norm_quant",
+      "sim01_knn", "sim02_lsh_ann", "sim04_ivf_ann", "sim06_ivf2_ann",
+      "sim05_norm_quant",
       "st01_tumbling_window")
     // SPARK_GRAFT_QUERIES=dd04_simhash,sim04_ivf_ann → time only those
     // (fast iteration on one operator without the 25-query sweep)
