@@ -36,6 +36,36 @@ object ScaleStress {
       shifted.write.mode("overwrite").parquet(s"$dst/$name.parquet")
     }
 
+    // --- calendar-extended replication: copies shift FORWARD IN TIME
+    // instead of stacking onto the same dates, so temporal density
+    // (rows per day) stays constant as the data grows — the honest
+    // scale axis for time-range operators like j09, whose per-window
+    // match count is density-proportional. 2600 days > the base span
+    // (1995-01..2001-11 ≈ 2500 d) keeps copies disjoint even after
+    // the +7-day window extension. ---
+    val calDst = s"/tmp/graft-scale-cal-x$repl"
+    val CalShiftDays = 2600L
+    def replicateCal(name: String, keyOffsets: Map[String, Long],
+        dateCols: Seq[String]): Unit = {
+      val base = spark.read.parquet(s"$src/$name.parquet")
+      val copies = spark.range(repl).select(col("id").as("__copy"))
+      val big = base.crossJoin(copies)
+      val shifted = keyOffsets.foldLeft(big) { case (df, (c, span)) =>
+        df.withColumn(c, col(c) + col("__copy") * span)
+      }
+      val dated = dateCols.foldLeft(shifted) { (df, c) =>
+        df.withColumn(c,
+          col(c) + expr(s"make_interval(0, 0, 0, CAST(__copy * $CalShiftDays AS INT), 0, 0, 0)"))
+      }.drop("__copy")
+      dated.write.mode("overwrite").parquet(s"$calDst/$name.parquet")
+    }
+
+    if (!new java.io.File(s"$calDst/lineitem.parquet").exists()) {
+      replicateCal("lineitem", Map("l_orderkey" -> 10000000L), Seq("l_shipdate"))
+      replicateCal("orders",
+        Map("o_orderkey" -> 10000000L, "o_custkey" -> 1000000L), Seq("o_orderdate"))
+    }
+
     if (!new java.io.File(s"$dst/lineitem.parquet").exists()) {
       replicate("lineitem", Map("l_orderkey" -> 10000000L))
       replicate("orders", Map("o_orderkey" -> 10000000L, "o_custkey" -> 1000000L))
@@ -101,6 +131,26 @@ object ScaleStress {
     println(f"${"query"}%-22s ${"1x_sec"}%8s ${s"${repl}x_sec"}%8s ${"ratio"}%6s")
     headline.foreach { q =>
       println(f"$q%-22s ${base(q)}%8.2f ${big(q)}%8.2f ${big(q) / base(q)}%6.1f")
+    }
+
+    // time-range operators again, on the calendar-extended axis
+    // (constant density): the ratio here is the honest linearity
+    // measurement for j09 — the density dataset above multiplies
+    // matches per window by repl on top of the row growth
+    if (headline.contains("j09_range_join")) {
+      def timeCal(dir: String): Double = {
+        def one(): Double = {
+          coldReset()
+          val t0 = System.nanoTime()
+          graft.SparkEntry.queries("j09_range_join")(spark, dir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        math.min(one(), one())
+      }
+      // reuse the 1x base dir: at repl=1 the two axes coincide
+      val c1 = timeCal(src)
+      val cN = timeCal(calDst)
+      println(f"${"j09_range_join@cal"}%-22s $c1%8.2f $cN%8.2f ${cN / c1}%6.1f")
     }
     spark.stop()
   }
