@@ -20,6 +20,18 @@ object Schemas {
     StructField("Lon", DoubleType),
     StructField("Time", StringType))) // "yyyy-MM-dd HH:mm:ss", zone-less
 
+  /** Layout-evolution variant: the live feed's 6th field `Brigade`
+    * (SURVEY.md §1.3) declared instead of projected away. Old
+    * 5-field files read under this schema yield null Brigade —
+    * JSON schema-on-read absorbs the layout drift, so one scan
+    * spans both generations of bronze files. */
+  val busSchemaV2: StructType =
+    busSchema.add(StructField("Brigade", StringType))
+
+  /** Envelope for [[busSchemaV2]]. */
+  val bronzeSchemaV2: StructType = StructType(Seq(
+    StructField("result", ArrayType(busSchemaV2))))
+
   /** Poll-file envelope: {"result": [ {bus}, ... ]}
     * (gtfstransformerSilver.py:20-22). */
   val bronzeSchema: StructType = StructType(Seq(

@@ -40,6 +40,21 @@ object SilverTransform {
       .json(path)
   }
 
+  /** Layout-evolution scan: declares the live feed's 6th field
+    * `Brigade` ([[Schemas.bronzeSchemaV2]]) so one read spans old
+    * 5-field and new 6-field bronze files — old files surface a null
+    * Brigade (JSON schema-on-read), new files carry the value. Pair
+    * with `transform(..., carryCols = Seq("Brigade"))` to keep the
+    * column through silver without widening the contract's null
+    * gate. */
+  def readBronzeEvolved(spark: SparkSession, path: String): DataFrame = {
+    graft.Tables.pin(spark)
+    spark.read
+      .option("multiline", "true")
+      .schema(Schemas.bronzeSchemaV2)
+      .json(path)
+  }
+
   /** The Silver transform (gtfstransformerSilver.py:28-46):
     * explode → project/trim/cast/to_date → dropna → bbox → date ==
     * processingDate → Lines ≠ "" → dedup(VehicleNumber, Time) → sort.
@@ -49,28 +64,38 @@ object SilverTransform {
     *        historical captures are processable; defaults to today in
     *        UTC (the pinned session zone — a JVM-local-zone default
     *        would silently mismatch `to_date` near midnight).
+    * @param carryCols extra envelope fields carried through silver
+    *        as nullable strings (layout evolution, e.g. `Brigade`).
+    *        Carried columns are OUTSIDE the contract's null gate —
+    *        an old-layout row with a null carried value survives —
+    *        and are appended to the dedup tiebreak so the surviving
+    *        duplicate stays deterministic.
     */
   def transform(
       raw: DataFrame,
       processingDate: LocalDate = LocalDate.now(java.time.ZoneOffset.UTC),
-      sorted: Boolean = false): DataFrame = {
+      sorted: Boolean = false,
+      carryCols: Seq[String] = Nil): DataFrame = {
     val exploded = raw.select(explode(col("result")).as("v")) // P1
-    val projected = exploded.select( // P2-P5
+    val projected = exploded.select(Seq( // P2-P5
       trim(col("v.Lines")).as("Lines"),
       trim(col("v.VehicleNumber")).as("VehicleNumber"),
       col("v.Lat").cast(DoubleType).as("Lat"),
       col("v.Lon").cast(DoubleType).as("Lon"),
       col("v.Time").cast(TimestampType).as("Time"), // pre-ANSI: null on malformed
-      to_date(col("v.Time")).as("date"))
+      to_date(col("v.Time")).as("date")) ++
+      carryCols.map(c => col(s"v.$c").cast(StringType).as(c)): _*)
     val cleaned = projected
-      .na.drop("any") // P6 — sweeps failed casts
+      // P6 — sweeps failed casts; restricted to the contract columns
+      // so a null CARRIED value (old-layout file) is not a drop
+      .na.drop("any", Schemas.silverColumns)
       .filter(col("Lat").between(Schemas.LatMin, Schemas.LatMax) &&
         col("Lon").between(Schemas.LonMin, Schemas.LonMax)) // P7
       .filter(col("date") === lit(java.sql.Date.valueOf(processingDate))) // P8
       .filter(col("Lines") =!= "") // P8
     // D1, deterministic form (SURVEY.md §7.5 item 3)
     val w = Window.partitionBy("VehicleNumber", "Time")
-      .orderBy("Lines", "Lat", "Lon")
+      .orderBy(("Lines" +: "Lat" +: "Lon" +: carryCols).map(col): _*)
     val deduped = cleaned
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)

@@ -38,6 +38,44 @@ class StorageSpec extends SparkSpec {
     }
   }
 
+  test("layout evolution: old 5-field and new 6-field bronze in one read, silver contract preserved") {
+    import java.nio.charset.StandardCharsets
+    val dir = Files.createTempDirectory("graft-evolve").toString
+    // old layout: the reference's 5 declared fields
+    Files.write(java.nio.file.Paths.get(dir, "old.json"),
+      """{"result": [{"Lines": "102", "VehicleNumber": "1000", "Lat": 52.2, "Lon": 21.0, "Time": "2026-02-23 12:00:00"}]}"""
+        .getBytes(StandardCharsets.UTF_8))
+    // new layout: the live feed's 6th field Brigade carried
+    Files.write(java.nio.file.Paths.get(dir, "new.json"),
+      """{"result": [{"Lines": "523", "VehicleNumber": "7000", "Lat": 52.3, "Lon": 21.1, "Time": "2026-02-23 13:00:00", "Brigade": "3"}]}"""
+        .getBytes(StandardCharsets.UTF_8))
+
+    val raw = graft.gtfs.SilverTransform.readBronzeEvolved(spark, dir)
+    val silver = graft.gtfs.SilverTransform.transform(raw,
+      processingDate = java.time.LocalDate.of(2026, 2, 23),
+      carryCols = Seq("Brigade"))
+    val rows = silver.collect().map(r =>
+      r.getAs[String]("VehicleNumber") -> Option(r.getAs[String]("Brigade"))).toMap
+    // both generations survive one scan; the old row is NOT nulled
+    // out of existence by the contract's dropna
+    assert(rows === Map("1000" -> None, "7000" -> Some("3")))
+    // contract columns all present alongside the carried one
+    assert(graft.gtfs.Schemas.silverColumns.toSet.subsetOf(silver.columns.toSet))
+
+    // parquet leg: a silver sink written across the layout change
+    // reads back as one table under mergeSchema
+    val sink = Files.createTempDirectory("graft-evolve-sink").toString
+    val old5 = silver.filter(col("VehicleNumber") === "1000").drop("Brigade")
+    val new6 = silver.filter(col("VehicleNumber") === "7000")
+    old5.write.mode("append").parquet(sink)
+    new6.write.mode("append").parquet(sink)
+    val merged = spark.read.option("mergeSchema", "true").parquet(sink)
+    assert(merged.columns.contains("Brigade"))
+    val back = merged.collect().map(r =>
+      r.getAs[String]("VehicleNumber") -> Option(r.getAs[String]("Brigade"))).toMap
+    assert(back === Map("1000" -> None, "7000" -> Some("3")))
+  }
+
   test("date-partitioned layout is read with partition pruning, not a full scan") {
     val dir = Files.createTempDirectory("graft-prune").toString
     val ev = Tables.events(spark, sf)
