@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -38,6 +39,20 @@ object Curation {
     SampleThresholds.map { case (s, t) => s"WHEN $colName = '$s' THEN $t" }
       .mkString("CASE ", " ", s" ELSE $DefaultThreshold END")
 
+  /** Context-window capacity (tokens) and prefix-sum bucket count for
+    * ds03. PackBuckets bounds every window function in the plan: the
+    * cross-bucket offset window runs over PackBuckets ROWS (not n),
+    * the within-bucket cumsum partitions n/PackBuckets rows each. */
+  val PackWindow = 512L
+  val PackBuckets = 32L
+
+  /** PII redaction patterns (cur02), in the Java∩RE2 common subset so
+    * Spark and DuckDB match per-character. Emails and long digit runs
+    * — the two highest-volume PII classes a pretraining scrub targets
+    * first. */
+  val EmailRe = "[a-z0-9._]+@[a-z0-9._]+"
+  val LongNumRe = "[0-9]{6,}"
+
   val queries: Map[String, Q] = Map(
     // Deterministic 90/5/5 train/val/test split: bucket by a 60-bit
     // md5 prefix of the doc id — stable under retries, recomputable
@@ -73,6 +88,64 @@ object Curation {
           expr("trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' '), ' +', ' '))"))
         .select(col("doc_id"), col("norm"),
           expr("CAST(size(split(norm, ' ')) AS BIGINT)").as("n_norm_tokens"))
+        .orderBy("doc_id")),
+
+    // Context-window packing: concatenate the corpus token stream in
+    // doc_id order and chunk it into PackWindow-token training
+    // windows — each doc reports the window span it lands in (the
+    // pack-and-chunk step that turns a curated corpus into LLM
+    // training sequences). The global running offset is a TWO-PHASE
+    // DISTRIBUTED PREFIX SUM, not a single-partition window: docs
+    // range-bucket by id (PackBuckets buckets), per-bucket token
+    // totals (tiny agg) prefix-sum across the ≤PackBuckets-row frame,
+    // and the within-bucket cumsum partitions by bucket — no window
+    // in the plan ever sees more than n/PackBuckets rows, so the
+    // operator scales where the naive `OVER (ORDER BY doc_id)` global
+    // sort-to-one-reducer (which IS the DuckDB oracle form) would
+    // stall at 100 TB. Exact integer math end to end.
+    "ds03_context_pack" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .withColumn("n", expr(s"CAST(size($tokensExpr) AS BIGINT)"))
+        .filter(col("n") > 0)
+        .select("doc_id", "n")
+      val mx = toks.agg(max(col("doc_id")).as("mx"))
+      val bucketed = toks.crossJoin(broadcast(mx))
+        .withColumn("bsz", expr(s"CAST(ceil((CAST(mx AS DOUBLE) + 1.0) / $PackBuckets) AS BIGINT)"))
+        .withColumn("bucket", expr("doc_id DIV bsz"))
+        .select("doc_id", "n", "bucket")
+      val bucketTotals = bucketed.groupBy("bucket").agg(sum(col("n")).as("btot"))
+      val bucketOffsets = bucketTotals
+        .withColumn("boff",
+          coalesce(sum(col("btot")).over(
+            Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+        .select("bucket", "boff")
+      val wIn = Window.partitionBy("bucket").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      bucketed.join(broadcast(bucketOffsets), "bucket")
+        .withColumn("off", col("boff") + coalesce(sum(col("n")).over(wIn), lit(0L)))
+        .select(col("doc_id"), col("n").as("n_tokens"),
+          expr(s"off DIV $PackWindow").as("first_window"),
+          expr(s"(off + n - 1) DIV $PackWindow").as("last_window"))
+        .orderBy("doc_id")
+    }),
+
+    // PII redaction: scrub emails and long digit runs before
+    // training. One narrow regexp pass per row (codegen'd string
+    // kernels, no UDF); emits match counts and the scrubbed text's
+    // length + md5 so the compare stays compact while still pinning
+    // the exact redacted bytes.
+    "cur02_pii_redact" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("n_emails",
+          expr(s"CAST(size(regexp_extract_all(lower(text), '$EmailRe', 0)) AS BIGINT)"))
+        .withColumn("n_longnums",
+          expr(s"CAST(size(regexp_extract_all(lower(text), '$LongNumRe', 0)) AS BIGINT)"))
+        .withColumn("redacted",
+          expr(s"regexp_replace(regexp_replace(lower(text), '$EmailRe', '<EMAIL>'), '$LongNumRe', '<NUM>')"))
+        .select(col("doc_id"), col("n_emails"), col("n_longnums"),
+          expr("CAST(length(redacted) AS BIGINT)").as("redacted_len"),
+          expr("substring(md5(redacted), 1, 16)").as("redacted_md5"))
         .orderBy("doc_id")),
 
     // C4/Gopher-style quality gate: token-count bounds, mean-word-
@@ -130,6 +203,39 @@ object Curation {
         |SELECT doc_id, norm,
         |       CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_norm_tokens
         |FROM n ORDER BY doc_id""".stripMargin,
+
+    // the oracle is DELIBERATELY the naive single-partition global
+    // cumsum — tiny-scale-correct, 100 TB-wrong — proving the
+    // distributed two-phase prefix sum computes the same function
+    "ds03_context_pack" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, CAST(len($tokensSql) AS BIGINT) AS n FROM documents
+         |),
+         |t AS (SELECT doc_id, n FROM tok WHERE n > 0),
+         |c AS (
+         |  SELECT doc_id, n,
+         |         CAST(COALESCE(sum(n) OVER (ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+         |  FROM t
+         |)
+         |SELECT doc_id, n AS n_tokens,
+         |       CAST(off // $PackWindow AS BIGINT) AS first_window,
+         |       CAST((off + n - 1) // $PackWindow AS BIGINT) AS last_window
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "cur02_pii_redact" ->
+      s"""WITH r AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(lower(text), '$EmailRe')) AS BIGINT) AS n_emails,
+         |    CAST(len(regexp_extract_all(lower(text), '$LongNumRe')) AS BIGINT) AS n_longnums,
+         |    regexp_replace(regexp_replace(lower(text), '$EmailRe', '<EMAIL>', 'g'),
+         |                   '$LongNumRe', '<NUM>', 'g') AS redacted
+         |  FROM documents
+         |)
+         |SELECT doc_id, n_emails, n_longnums,
+         |       CAST(length(redacted) AS BIGINT) AS redacted_len,
+         |       substring(md5(redacted), 1, 16) AS redacted_md5
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     "df01_quality_gate" ->
       s"""WITH tok AS (

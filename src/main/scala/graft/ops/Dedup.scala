@@ -34,17 +34,10 @@ object Dedup {
   private val tokensExpr = TextAnalysis.tokensExpr
   private val tokensSql = TextAnalysis.tokensSql
 
-  // 3-word shingles (0-based in Spark, 1-based in DuckDB).
-  private val shinglesExpr =
-    """CASE WHEN size(tokens) >= 3
-      |  THEN transform(sequence(0, size(tokens) - 3),
-      |                 i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2]))
-      |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin
-  private val shinglesSql =
-    """CASE WHEN len(tokens) >= 3
-      |  THEN list_transform(generate_series(1, len(tokens) - 2),
-      |                      i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])
-      |  ELSE [] END""".stripMargin
+  // 3-word shingles — the shared definition (TextAnalysis owns the
+  // text-expression vocabulary; tx08 uses the same shingles)
+  private val shinglesExpr = TextAnalysis.shinglesExpr
+  private val shinglesSql = TextAnalysis.shinglesSql
 
   /** MinHash mixing coefficients: the expensive md5 runs ONCE per
     * shingle; the k hash families are derived by affine mixing mod

@@ -28,4 +28,24 @@ object Salting {
       explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Split-join: salt ONLY the known hot keys. Blanket salting
+    * replicates the ENTIRE right side ×buckets — measured 6-9× worse
+    * than doing nothing on a fact-sized right side (tools/SkewBench,
+    * SCALE_NOTES) — while the split form replicates just the hot
+    * keys' right rows (|hotKeys| × buckets extra rows total) and
+    * leaves the cold majority on the plain equi-join path. Hot keys
+    * come from the caller (a prior count or a heavy-hitter sketch);
+    * semantics equal the plain inner join (SaltingSpec).
+    */
+  def skewSplitJoin(large: DataFrame, small: DataFrame, key: String,
+      hotKeys: Seq[Long], buckets: Int, saltSource: String): DataFrame = {
+    val hot = saltedInnerJoin(
+      large.filter(col(key).isin(hotKeys: _*)),
+      small.filter(col(key).isin(hotKeys: _*)),
+      key, buckets, saltSource)
+    val cold = large.filter(!col(key).isin(hotKeys: _*))
+      .join(small.filter(!col(key).isin(hotKeys: _*)), Seq(key))
+    hot.select(cold.columns.map(col): _*).unionAll(cold)
+  }
 }

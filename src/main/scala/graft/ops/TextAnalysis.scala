@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -23,6 +24,19 @@ object TextAnalysis {
   val tokensExpr = "filter(split(lower(text), ' +'), t -> t <> '')"
   val tokensSql = "list_filter(regexp_split_to_array(lower(text), ' +'), t -> t <> '')"
 
+  /** 3-word shingles over a `tokens` column (0-based arrays in Spark,
+    * 1-based in DuckDB) — shared by the dedup family and tx08. */
+  val shinglesExpr =
+    """CASE WHEN size(tokens) >= 3
+      |  THEN transform(sequence(0, size(tokens) - 3),
+      |                 i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2]))
+      |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin
+  val shinglesSql =
+    """CASE WHEN len(tokens) >= 3
+      |  THEN list_transform(generate_series(1, len(tokens) - 2),
+      |                      i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])
+      |  ELSE [] END""".stripMargin
+
   /** Stopword inventories per language for the lang-ID heuristic.
     * (Deliberately tiny — this is an operator shape, not a model.) */
   val LangStopwords: Seq[(String, Seq[String])] = Seq(
@@ -35,6 +49,9 @@ object TextAnalysis {
     * shared with the curation quality gate. */
   def inList(words: Seq[String]): String =
     words.map(w => s"t = '$w'").mkString("(", " OR ", ")")
+
+  /** Top-k terms kept per document by tx07. */
+  val TfidfTopK = 3
 
   /** GPT-2-ish pretokenizer pattern (contractions, space-prefixed
     * letter runs, digit runs, punct runs), kept in the Java∩RE2
@@ -117,6 +134,52 @@ object TextAnalysis {
             .as("fertility"))
         .orderBy("doc_id")),
 
+    // TF-IDF top terms per document — the inverted-index shape:
+    // explode → per-(doc,term) tf → per-term df → score join → top-k
+    // per doc. Both aggregations are partial (map-side combined); the
+    // only exchanges are on (doc_id,term) and term — the classic
+    // linear indexing dataflow, no broadcast of anything corpus-sized
+    // (N rides a 1-row broadcast). ln() is libm: its output is
+    // rounded to 6 dp at the projection boundary (oracle-parity
+    // rule); rank ties on equal (tf, df) resolve by term asc.
+    "tx07_tfidf" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(expr(s"array_distinct($tokensExpr)")).as("term"))
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(expr(tokensExpr)).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tok.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("term").asc)
+      tf.join(df, "term").crossJoin(broadcast(n))
+        .withColumn("score",
+          expr("CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= TfidfTopK)
+        .select(col("doc_id"), col("rk").cast("int").as("rk"), col("term"),
+          col("tf"), col("df"), round(col("score"), 6).as("tfidf"))
+        .orderBy("doc_id", "rk")
+    }),
+
+    // Gopher-style repetition signal: the fraction of a document's
+    // 3-gram shingles that are repeats (1 - distinct/total). One
+    // narrow HOF pass, no shuffle until the sort — the standard
+    // within-doc duplication gate an LLM data pipeline applies before
+    // any cross-doc dedup.
+    "tx08_repetition" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("tokens", expr(tokensExpr))
+        .withColumn("sh", expr(shinglesExpr))
+        .select(col("doc_id"),
+          expr("CAST(size(sh) AS BIGINT)").as("n_shingles"),
+          expr("CAST(size(array_distinct(sh)) AS BIGINT)").as("n_distinct"),
+          expr("""CASE WHEN size(sh) = 0 THEN NULL ELSE
+                 |round(1.0 - CAST(size(array_distinct(sh)) AS DOUBLE)
+                 |            / CAST(size(sh) AS DOUBLE), 6) END""".stripMargin)
+            .as("rep_ratio"))
+        .orderBy("doc_id")),
+
     // Document fingerprint: rolling polynomial hash over token
     // hashes, mod 1e9+7 (all exact integer math)
     "tx04_fingerprint" -> ((s, d) =>
@@ -177,6 +240,43 @@ object TextAnalysis {
          |  en_score, de_score, es_score, fr_score
          |FROM sc ORDER BY doc_id""".stripMargin
     },
+
+    "tx07_tfidf" ->
+      s"""WITH tok AS (SELECT doc_id, $tokensSql AS tokens FROM documents),
+         |tf AS (
+         |  SELECT doc_id, unnest(tokens) AS term FROM tok
+         |),
+         |tfc AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2
+         |),
+         |dfc AS (
+         |  SELECT term, count(*) AS df FROM (
+         |    SELECT doc_id, unnest(list_distinct(tokens)) AS term FROM tok) t
+         |  GROUP BY 1
+         |),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT doc_id, term, tf, df,
+         |         CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS score,
+         |         row_number() OVER (PARTITION BY doc_id
+         |                            ORDER BY CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) DESC,
+         |                                     term ASC) AS rk
+         |  FROM tfc JOIN dfc USING (term), n
+         |)
+         |SELECT doc_id, CAST(rk AS INT) AS rk, term, tf, df,
+         |       round(score, 6) AS tfidf
+         |FROM scored WHERE rk <= $TfidfTopK ORDER BY doc_id, rk""".stripMargin,
+
+    "tx08_repetition" ->
+      s"""WITH tok AS (SELECT doc_id, $tokensSql AS tokens FROM documents),
+         |sh AS (SELECT doc_id, $shinglesSql AS sh FROM tok)
+         |SELECT doc_id,
+         |  CAST(len(sh) AS BIGINT) AS n_shingles,
+         |  CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct,
+         |  CASE WHEN len(sh) = 0 THEN NULL ELSE
+         |    round(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE)
+         |                / CAST(len(sh) AS DOUBLE), 6) END AS rep_ratio
+         |FROM sh ORDER BY doc_id""".stripMargin,
 
     "tx04_fingerprint" ->
       s"""WITH tok AS (SELECT doc_id, $tokensSql AS tokens FROM documents)

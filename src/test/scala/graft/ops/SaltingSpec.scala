@@ -34,6 +34,27 @@ class SaltingSpec extends SparkSpec {
     assert(plain.getLong(2) === salted.getLong(2))
   }
 
+  test("hot-only split join equals plain join on 90%-skewed data") {
+    val fact = spark.range(100000L)
+      .select(col("id"),
+        when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id") % 100).as("k"),
+        (col("id") * 3).as("payload"))
+    val dim = spark.range(100L).select(col("id").as("k"), concat(lit("d"), col("id")).as("name"))
+
+    val plain = fact.join(dim, "k")
+      .agg(count(lit(1)).as("n"), sum(col("payload")).as("s"),
+        countDistinct(col("name")).as("d"))
+      .head()
+    val split = Salting.skewSplitJoin(fact, dim, "k",
+        hotKeys = Seq(7L), buckets = 16, saltSource = "id")
+      .agg(count(lit(1)).as("n"), sum(col("payload")).as("s"),
+        countDistinct(col("name")).as("d"))
+      .head()
+    assert(plain.getLong(0) === split.getLong(0))
+    assert(plain.getLong(1) === split.getLong(1))
+    assert(plain.getLong(2) === split.getLong(2))
+  }
+
   test("hot key fans out across salt buckets") {
     val fact = spark.range(10000L)
       .select(col("id"), lit(7L).as("k"), col("id").as("payload"))
