@@ -14,10 +14,12 @@ import graft.Tables
   * Scale notes (100 TB posture):
   *   - dimension joins broadcast explicitly (`broadcast(customer)` —
   *     dims stay far under the driver limit even at SF100k);
-  *   - fact-fact joins (lineitem ⋈ orders) shuffle on the join key
-  *     and rely on AQE for skew/coalesce — at cluster scale these
-  *     tables would be co-bucketed on orderkey to eliminate the
-  *     exchange entirely;
+  *   - fact-fact joins (lineitem ⋈ orders) shuffle on the join key;
+  *     AQE handles unknown skew at runtime, and for KNOWN hot keys
+  *     `Salting.skewSplitJoin` measures ~2× faster than AQE's split
+  *     (blanket salting is 16× WORSE — see SCALE_NOTES "Skew join");
+  *     at cluster scale these tables would be co-bucketed on
+  *     orderkey to eliminate the exchange entirely;
   *   - aggregates run partial (map-side) before the exchange — the
   *     groupBy keys keep cardinality small, so the shuffle carries
   *     pre-reduced rows.
