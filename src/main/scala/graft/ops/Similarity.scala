@@ -222,14 +222,21 @@ object Similarity {
       val e = Tables.embeddings(s, d).select("vec_id", "embedding")
       val sizes = e.agg(
         ceil(sqrt(sqrt(count(lit(1)).cast("double")))).cast("long").as("c1"))
-      // L1: assign every vector to its nearest of the first c1 vectors
+      // L1: assign every vector to its nearest of the first c1 vectors.
+      // The argmax is a max(struct(cos, -g, g)) AGGREGATE, not a
+      // row_number window: partial aggregation collapses the n·c1
+      // scored rows to n on the map side BEFORE the exchange, where
+      // the window form would shuffle (and sort) all n·c1 rows.
+      // struct ordering (cos desc via max, then smallest g via -g) is
+      // exactly the window's (cos DESC, g ASC) tiebreak.
       val l1cents = e.crossJoin(broadcast(sizes)).filter(col("vec_id") < col("c1"))
         .select(col("vec_id").as("g"), col("embedding").as("g_ce"))
       val l1 = e.crossJoin(broadcast(l1cents))
         .withColumn("cos_g", expr("cosine_sim(embedding, g_ce)"))
-        .withColumn("grn", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("cos_g").desc, col("g").asc)))
-        .filter(col("grn") === 1)
+        .groupBy("vec_id")
+        .agg(max(struct(col("cos_g"), (-col("g")).as("neg_g"), col("g"))).as("best"))
+        .select(col("vec_id"), col("best.g").as("g"))
+        .join(e, "vec_id")
         .select(col("vec_id"), col("g"), col("embedding"))
       // L2: each cell's c2 (= c1) lowest-vec_id members are its
       // sub-centroids — c1·c2 ≈ √n rows, broadcastable at any n that
