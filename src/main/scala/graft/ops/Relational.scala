@@ -559,6 +559,31 @@ object Relational {
         ORDER BY o.o_orderkey""")
     }),
 
+    // Recursive CTE through the SQL surface (Spark 4's WITH
+    // RECURSIVE → UnionLoop): walk each document's doubling-chain
+    // ancestry (edges d → 2d over the corpus id space) up to its odd
+    // root. The edge relation is a strictly-increasing DAG, so the
+    // UNION ALL recursion terminates by construction; depth ∝ log₂ n
+    // (9 levels at 500 docs, 40 at a trillion — recursion depth is
+    // the one dimension that does NOT grow linearly with the corpus).
+    // Identical SQL text runs on DuckDB as the oracle.
+    "sql03_recursive_cte" -> ((s, d) => {
+      Tables.documents(s, d).createOrReplaceTempView("documents_v")
+      s.sql("""
+        WITH RECURSIVE anc(doc_id, root, depth) AS (
+          SELECT doc_id, doc_id, 0
+          FROM documents_v
+          WHERE doc_id % 2 = 1 OR doc_id = 0
+          UNION ALL
+          SELECT d.doc_id, a.root, a.depth + 1
+          FROM anc a
+          JOIN documents_v d ON d.doc_id = a.doc_id * 2 AND d.doc_id > 0
+        )
+        SELECT doc_id, root, CAST(depth AS INT) AS depth
+        FROM anc
+        ORDER BY doc_id""")
+    }),
+
     // O5: speed-vs-time series for the argmax vehicle — Figure_2's
     // data series (main.py:104-110) as an oracle-checked catalog
     // entry; the drill-down chain is all rank-and-filter, no driver
@@ -837,6 +862,20 @@ object Relational {
         |        SELECT 1 FROM lineitem l2
         |        WHERE l2.l_orderkey = o.o_orderkey AND l2.l_quantity >= 45)
         |ORDER BY o.o_orderkey""".stripMargin,
+
+    "sql03_recursive_cte" ->
+      """WITH RECURSIVE anc(doc_id, root, depth) AS (
+        |  SELECT doc_id, doc_id, 0
+        |  FROM documents
+        |  WHERE doc_id % 2 = 1 OR doc_id = 0
+        |  UNION ALL
+        |  SELECT d.doc_id, a.root, a.depth + 1
+        |  FROM anc a
+        |  JOIN documents d ON d.doc_id = a.doc_id * 2 AND d.doc_id > 0
+        |)
+        |SELECT doc_id, root, CAST(depth AS INT) AS depth
+        |FROM anc
+        |ORDER BY doc_id""".stripMargin,
 
     "w02_ranking" ->
       """SELECT event_id, user_id,
