@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+
+import graft.SparkSpec
+
+/** Catalog-wide physical-plan lint — the 100 TB guards that hold for
+  * EVERY query, not just the ones with dedicated plan tests:
+  *
+  *   1. no CartesianProductExec anywhere (an unbroadcast cross join
+  *      of two big sides is never acceptable);
+  *   2. every BroadcastNestedLoopJoin broadcasts a provably tiny
+  *      side (≤ 1 MB by optimizer estimate) — the pattern the engine
+  *      uses deliberately for 1-row count/size frames and constant
+  *      relations (plane literals, bit tables), which must never
+  *      silently grow into a corpus-sized broadcast;
+  *   3. parquet scans under selective filters report PushedFilters
+  *      (spot-checked on representative queries — pushdown is plan
+  *      structure, so one green query pins the mechanism).
+  */
+class PlanLintSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def collectAll(plan: SparkPlan): Seq[SparkPlan] = {
+    val expanded = plan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    expanded +: (expanded.children.flatMap(collectAll) ++
+      expanded.subqueries.flatMap(collectAll))
+  }
+
+  test("no catalog query plans a cartesian product; all BNLJ sides are tiny") {
+    val MaxBroadcastBytes = 1L << 20
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      val nodes = collectAll(df.queryExecution.executedPlan)
+      val cartesian = nodes.collect { case c: CartesianProductExec => c }
+      assert(cartesian.isEmpty, s"$name plans CartesianProduct")
+      nodes.collect { case b: BroadcastNestedLoopJoinExec => b }.foreach { b =>
+        val broadcastSide = b.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildRight => b.right
+          case _ => b.left
+        }
+        // not every exec node carries a logicalLink (exchange
+        // wrappers, reused stages) — take the smallest estimate
+        // available anywhere in the broadcast subtree
+        val estimates = collectAll(broadcastSide)
+          .flatMap(_.logicalLink).map(_.stats.sizeInBytes)
+        assert(estimates.nonEmpty,
+          s"$name BroadcastNestedLoopJoin side has no size estimate")
+        assert(estimates.min <= MaxBroadcastBytes,
+          s"$name BroadcastNestedLoopJoin side estimated at ${estimates.min} bytes")
+      }
+    }
+  }
+
+  test("selective filters reach the parquet scan as PushedFilters") {
+    Seq("p07_between", "p08_filter_eq").foreach { name =>
+      val df = graft.SparkEntry.queries(name)(spark, sf)
+      val formatted = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(formatted.contains("PushedFilters: ["), s"$name: no PushedFilters")
+      assert(!formatted.contains("PushedFilters: []"), s"$name: empty PushedFilters")
+    }
+  }
+}

@@ -468,6 +468,44 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stateful enrichment runs on the RocksDB state store (the 100 TB state backend)") {
+    // HDFSBackedStateStore holds every key's state on the executor
+    // heap — fine for tests, a hard wall at 100 TB key cardinality.
+    // RocksDBStateStoreProvider spills to local disk; this pins that
+    // the engine's flatMapGroupsWithState operators run (and produce
+    // the same rows) under it.
+    val dir = Files.createTempDirectory("graft-rocksdb").toString
+    writeBronze(dir, "f1.json",
+      rec("189", "8349", 52.20, 21.00, "2026-02-23 08:00:00"),
+      rec("189", "8349", 52.21, 21.01, "2026-02-23 08:10:00"))
+    writeBronze(dir, "f2.json", rec("523", "7000", 52.23, 21.03, "2026-02-23 09:00:00"))
+
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val clean = Streams.cleanStream(Streams.bronzeStream(spark, dir, maxFilesPerTrigger = 1))
+      val q = Streams.enrichedStream(clean).writeStream
+        .format("memory").queryName("rocksdb_out").outputMode("append")
+        .start()
+      try {
+        q.processAllAvailable()
+        val rows = spark.table("rocksdb_out")
+          .filter(org.apache.spark.sql.functions.col("VehicleNumber") === "8349")
+          .select("Time", "prev_time").collect()
+          .map(r => (r.getAs[java.sql.Timestamp](0).toString,
+            Option(r.getAs[java.sql.Timestamp](1)).map(_.toString).orNull))
+          .sortBy(_._1)
+        assert(rows.toSeq === Seq(
+          ("2026-02-23 08:00:00.0", null),
+          ("2026-02-23 08:10:00.0", "2026-02-23 08:00:00.0")), rows.mkString("; "))
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming windowed per-line stats emit after watermark") {
     val dir = Files.createTempDirectory("graft-stream2").toString
     writeBronze(dir, "b1.json",
