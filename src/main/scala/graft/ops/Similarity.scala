@@ -267,6 +267,57 @@ object Similarity {
         .orderBy("query_id", "neighbor_id")
     }),
 
+    // Near-duplicate pairs under TWO-LEVEL blocking — dd06's
+    // hierarchical sibling (the dd-side of the sim06 quantizer): L1
+    // c1 = ⌈n^¼⌉ coarse cells assign by argmax (max(struct)
+    // aggregate, map-side combined), L2 sub-cells multi-assign top-2
+    // within the L1 cell so near-dups straddling a sub-cell boundary
+    // still pair. Assignment cost 2·n^¼ per vector vs dd06's √n;
+    // within-leaf pairing stays bounded by leaf occupancy ≈ n/√n.
+    // Recall trade vs dd06: pairs straddling an L1 boundary are not
+    // candidates (the flat top-2 can reach across any two cells) —
+    // the standard hierarchical-IVF recall/cost trade, stated rather
+    // than hidden.
+    "dd08_cosine_dup2" -> ((s, d) => {
+      VectorExprs.register(s)
+      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+        .groupBy("embedding").agg(min(col("vec_id")).as("vec_id"))
+        .select("vec_id", "embedding")
+      val sizes = e.agg(
+        ceil(sqrt(sqrt(count(lit(1)).cast("double")))).cast("long").as("c1"))
+      val l1cents = e.crossJoin(broadcast(sizes)).filter(col("vec_id") < col("c1"))
+        .select(col("vec_id").as("g"), col("embedding").as("g_ce"))
+      val l1 = e.crossJoin(broadcast(l1cents))
+        .withColumn("cos_g", expr("cosine_sim(embedding, g_ce)"))
+        .groupBy("vec_id")
+        .agg(max(struct(col("cos_g"), (-col("g")).as("neg_g"), col("g"))).as("best"))
+        .select(col("vec_id"), col("best.g").as("g"))
+        .join(e, "vec_id")
+        .select(col("vec_id"), col("g"), col("embedding"))
+      val l2cents = l1
+        .withColumn("srn", row_number().over(
+          Window.partitionBy("g").orderBy(col("vec_id").asc)))
+        .crossJoin(broadcast(sizes)).filter(col("srn") <= col("c1"))
+        .select(col("g"), col("vec_id").as("sub"), col("embedding").as("s_ce"))
+      val assigned = l1.join(broadcast(l2cents), Seq("g"))
+        .withColumn("cos_s", expr("cosine_sim(embedding, s_ce)"))
+        .withColumn("srn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("cos_s").desc, col("sub").asc)))
+        .filter(col("srn") <= DupNProbe)
+        .select(col("vec_id"), col("g"), col("sub"))
+      val cand = assigned.as("a").join(assigned.as("b"),
+          col("a.g") === col("b.g") && col("a.sub") === col("b.sub") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+        .distinct()
+      cand.join(e.toDF("vec_a", "ea"), "vec_a")
+        .join(e.toDF("vec_b", "eb"), "vec_b")
+        .withColumn("cos", expr("cosine_sim(ea, eb)"))
+        .filter(col("cos") >= DupThreshold)
+        .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cosine"))
+        .orderBy("vec_a", "vec_b")
+    }),
+
     // Vector hygiene pass embedding pipelines run before indexing:
     // L2 norm (codegen dot), max-abs scale, symmetric int8
     // quantization. floor(x + 0.5) instead of round() keeps the
@@ -468,6 +519,59 @@ object Similarity {
          |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
          |  FROM assigned a JOIN assigned b
          |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |)
+         |SELECT vec_a, vec_b,
+         |       round(${dotSql("ea.embedding", "eb.embedding")} / (ea.norm * eb.norm), 6) AS cosine
+         |FROM cand
+         |JOIN e ea ON ea.vec_id = vec_a
+         |JOIN e eb ON eb.vec_id = vec_b
+         |WHERE ${dotSql("ea.embedding", "eb.embedding")} / (ea.norm * eb.norm) >= $DupThreshold
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "dd08_cosine_dup2" ->
+      s"""WITH canon AS (
+         |  SELECT min(vec_id) AS vec_id, embedding FROM embeddings GROUP BY embedding
+         |),
+         |e AS (
+         |  SELECT vec_id, embedding,
+         |         sqrt(${dotSql("embedding", "embedding")}) AS norm
+         |  FROM canon
+         |),
+         |sizes AS (
+         |  SELECT CAST(ceil(sqrt(sqrt(count(*)))) AS BIGINT) AS c1 FROM canon
+         |),
+         |l1cents AS (
+         |  SELECT vec_id AS g, embedding AS g_ce, norm AS g_norm
+         |  FROM e, sizes WHERE vec_id < c1
+         |),
+         |l1 AS (
+         |  SELECT vec_id, g, embedding, norm FROM (
+         |    SELECT e.vec_id, c.g, e.embedding, e.norm,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${dotSql("e.embedding", "c.g_ce")} / (e.norm * c.g_norm) DESC,
+         |                      c.g ASC) AS grn
+         |    FROM e, l1cents c) t
+         |  WHERE grn = 1
+         |),
+         |l2cents AS (
+         |  SELECT g, vec_id AS sub, embedding AS s_ce, norm AS s_norm FROM (
+         |    SELECT l1.*, row_number() OVER (PARTITION BY g ORDER BY vec_id ASC) AS srn
+         |    FROM l1) t, sizes
+         |  WHERE srn <= c1
+         |),
+         |assigned AS (
+         |  SELECT vec_id, g, sub FROM (
+         |    SELECT l1.vec_id, l1.g, c.sub,
+         |           row_number() OVER (PARTITION BY l1.vec_id
+         |             ORDER BY ${dotSql("l1.embedding", "c.s_ce")} / (l1.norm * c.s_norm) DESC,
+         |                      c.sub ASC) AS srn
+         |    FROM l1 JOIN l2cents c ON l1.g = c.g) t
+         |  WHERE srn <= $DupNProbe
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM assigned a JOIN assigned b
+         |    ON a.g = b.g AND a.sub = b.sub AND a.vec_id < b.vec_id
          |)
          |SELECT vec_a, vec_b,
          |       round(${dotSql("ea.embedding", "eb.embedding")} / (ea.norm * eb.norm), 6) AS cosine
