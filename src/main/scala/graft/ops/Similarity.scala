@@ -54,6 +54,41 @@ object Similarity {
   /** Shared plane literals (deterministic, seed 42). */
   private lazy val planes: Array[Array[Double]] = Portable.planes(LshPlanes, Dims)
 
+  /** Two-level deterministic quantizer shared by sim06 and dd08:
+    * every vector of `e` (vec_id, embedding) scored against the
+    * sub-centroids of its own L1 cell. L1 has c1 = ⌈n^¼⌉ cells (the
+    * first vectors by id; argmax by max(struct) aggregate so the
+    * n·c1 scored rows collapse map-side before the exchange); each
+    * L1 cell's c2 = c1 lowest-id members are its sub-centroids
+    * (c1·c2 ≈ √n rows, broadcastable). Returns (vec_id, g, sub,
+    * embedding, srn) where srn ranks sub-cells by (cos DESC, sub
+    * ASC) within the vector's L1 cell. Sizes ride a broadcast 1-row
+    * count frame — no collect; n^¼ is sqrt(sqrt(n)) (two IEEE-exact
+    * sqrts, never pow — libm parity). */
+  private def twoLevelScored(e: DataFrame): DataFrame = {
+    val sizes = e.agg(
+      ceil(sqrt(sqrt(count(lit(1)).cast("double")))).cast("long").as("c1"))
+    val l1cents = e.crossJoin(broadcast(sizes)).filter(col("vec_id") < col("c1"))
+      .select(col("vec_id").as("g"), col("embedding").as("g_ce"))
+    val l1 = e.crossJoin(broadcast(l1cents))
+      .withColumn("cos_g", expr("cosine_sim(embedding, g_ce)"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("cos_g"), (-col("g")).as("neg_g"), col("g"))).as("best"))
+      .select(col("vec_id"), col("best.g").as("g"))
+      .join(e, "vec_id")
+      .select(col("vec_id"), col("g"), col("embedding"))
+    val l2cents = l1
+      .withColumn("srn", row_number().over(
+        Window.partitionBy("g").orderBy(col("vec_id").asc)))
+      .crossJoin(broadcast(sizes)).filter(col("srn") <= col("c1"))
+      .select(col("g"), col("vec_id").as("sub"), col("embedding").as("s_ce"))
+    l1.join(broadcast(l2cents), Seq("g"))
+      .withColumn("cos_s", expr("cosine_sim(embedding, s_ce)"))
+      .withColumn("srn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("cos_s").desc, col("sub").asc)))
+      .select(col("vec_id"), col("g"), col("sub"), col("embedding"), col("srn"))
+  }
+
   /** Planes as a UNION ALL relation, in the given array-literal
     * syntax. Spark: array(...); DuckDB: [...]. */
   private def planesRelation(arrOpen: String, arrClose: String): String =
@@ -220,36 +255,7 @@ object Similarity {
     "sim06_ivf2_ann" -> ((s, d) => {
       VectorExprs.register(s)
       val e = Tables.embeddings(s, d).select("vec_id", "embedding")
-      val sizes = e.agg(
-        ceil(sqrt(sqrt(count(lit(1)).cast("double")))).cast("long").as("c1"))
-      // L1: assign every vector to its nearest of the first c1 vectors.
-      // The argmax is a max(struct(cos, -g, g)) AGGREGATE, not a
-      // row_number window: partial aggregation collapses the n·c1
-      // scored rows to n on the map side BEFORE the exchange, where
-      // the window form would shuffle (and sort) all n·c1 rows.
-      // struct ordering (cos desc via max, then smallest g via -g) is
-      // exactly the window's (cos DESC, g ASC) tiebreak.
-      val l1cents = e.crossJoin(broadcast(sizes)).filter(col("vec_id") < col("c1"))
-        .select(col("vec_id").as("g"), col("embedding").as("g_ce"))
-      val l1 = e.crossJoin(broadcast(l1cents))
-        .withColumn("cos_g", expr("cosine_sim(embedding, g_ce)"))
-        .groupBy("vec_id")
-        .agg(max(struct(col("cos_g"), (-col("g")).as("neg_g"), col("g"))).as("best"))
-        .select(col("vec_id"), col("best.g").as("g"))
-        .join(e, "vec_id")
-        .select(col("vec_id"), col("g"), col("embedding"))
-      // L2: each cell's c2 (= c1) lowest-vec_id members are its
-      // sub-centroids — c1·c2 ≈ √n rows, broadcastable at any n that
-      // fits a flat index at all
-      val l2cents = l1
-        .withColumn("srn", row_number().over(
-          Window.partitionBy("g").orderBy(col("vec_id").asc)))
-        .crossJoin(broadcast(sizes)).filter(col("srn") <= col("c1"))
-        .select(col("g"), col("vec_id").as("sub"), col("embedding").as("s_ce"))
-      val scored = l1.join(broadcast(l2cents), Seq("g"))
-        .withColumn("cos_s", expr("cosine_sim(embedding, s_ce)"))
-        .withColumn("srn", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("cos_s").desc, col("sub").asc)))
+      val scored = twoLevelScored(e)
       val assigned = scored.filter(col("srn") === 1)
         .select(col("vec_id"), col("g"), col("sub"), col("embedding"))
       val probes = scored.filter(col("vec_id") < KnnQueries && col("srn") <= IvfNProbe)
@@ -283,26 +289,7 @@ object Similarity {
       val e = Tables.embeddings(s, d).select("vec_id", "embedding")
         .groupBy("embedding").agg(min(col("vec_id")).as("vec_id"))
         .select("vec_id", "embedding")
-      val sizes = e.agg(
-        ceil(sqrt(sqrt(count(lit(1)).cast("double")))).cast("long").as("c1"))
-      val l1cents = e.crossJoin(broadcast(sizes)).filter(col("vec_id") < col("c1"))
-        .select(col("vec_id").as("g"), col("embedding").as("g_ce"))
-      val l1 = e.crossJoin(broadcast(l1cents))
-        .withColumn("cos_g", expr("cosine_sim(embedding, g_ce)"))
-        .groupBy("vec_id")
-        .agg(max(struct(col("cos_g"), (-col("g")).as("neg_g"), col("g"))).as("best"))
-        .select(col("vec_id"), col("best.g").as("g"))
-        .join(e, "vec_id")
-        .select(col("vec_id"), col("g"), col("embedding"))
-      val l2cents = l1
-        .withColumn("srn", row_number().over(
-          Window.partitionBy("g").orderBy(col("vec_id").asc)))
-        .crossJoin(broadcast(sizes)).filter(col("srn") <= col("c1"))
-        .select(col("g"), col("vec_id").as("sub"), col("embedding").as("s_ce"))
-      val assigned = l1.join(broadcast(l2cents), Seq("g"))
-        .withColumn("cos_s", expr("cosine_sim(embedding, s_ce)"))
-        .withColumn("srn", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("cos_s").desc, col("sub").asc)))
+      val assigned = twoLevelScored(e)
         .filter(col("srn") <= DupNProbe)
         .select(col("vec_id"), col("g"), col("sub"))
       val cand = assigned.as("a").join(assigned.as("b"),
