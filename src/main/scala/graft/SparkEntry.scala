@@ -24,10 +24,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Joins.queries ++ Breadth.queries ++ Dedup.queries ++
       Similarity.queries ++ TextAnalysis.queries ++ Curation.queries ++
-      Multimodal.queries ++ Multimodal.queries2 ++ Streams.queries
+      Multimodal.queries ++ Multimodal.queries2 ++ Multimodal.queries3 ++
+      Streams.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Joins.oracle ++ Breadth.oracle ++ Dedup.oracle ++
       Similarity.oracle ++ TextAnalysis.oracle ++ Curation.oracle ++
-      Multimodal.oracle ++ Multimodal.oracle2 ++ Streams.oracle
+      Multimodal.oracle ++ Multimodal.oracle2 ++ Multimodal.oracle3 ++
+      Streams.oracle
 }

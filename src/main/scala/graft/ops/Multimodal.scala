@@ -104,6 +104,46 @@ object Multimodal {
         .orderBy("doc_id", "frame_idx"))
   )
 
+  /** Chunk size for the mm03 manifest. */
+  val ChunkBytes = 64
+
+  val queries3: Map[String, Q] = Map(
+    // Chunk-digest manifest: fixed-size chunks of the media payload,
+    // one digest row each — the content-addressable index media
+    // dedup/delta-sync pipelines build before any byte shipping.
+    // explode(sequence) over in-row offsets: embarrassingly parallel,
+    // no shuffle until the sort. (Text stands in for the payload —
+    // ASCII corpus, byte length == char length, mm01 precedent.)
+    "mm03_chunk_manifest" -> ((s, d) =>
+      graft.Tables.documents(s, d)
+        .withColumn("n_chunks", expr(s"CAST(ceil(length(text) / $ChunkBytes.0) AS INT)"))
+        .withColumn("chunk_idx", explode(expr("sequence(0, n_chunks - 1)")))
+        .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
+          expr(s"substring(md5(substring(text, chunk_idx * $ChunkBytes + 1, $ChunkBytes)), 1, 16)")
+            .as("chunk_md5"),
+          expr(s"CAST(length(substring(text, chunk_idx * $ChunkBytes + 1, $ChunkBytes)) AS INT)")
+            .as("chunk_len"))
+        .orderBy("doc_id", "chunk_idx"))
+  )
+
+  val oracle3: Map[String, String] = Map(
+    "mm03_chunk_manifest" ->
+      s"""WITH c AS (
+         |  SELECT doc_id, text,
+         |         CAST(ceil(strlen(text) / $ChunkBytes.0) AS INT) AS n_chunks
+         |  FROM documents
+         |),
+         |x AS (
+         |  SELECT doc_id, text,
+         |         unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+         |  FROM c
+         |)
+         |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+         |       substring(md5(substring(text, chunk_idx * $ChunkBytes + 1, $ChunkBytes)), 1, 16) AS chunk_md5,
+         |       CAST(strlen(substring(text, chunk_idx * $ChunkBytes + 1, $ChunkBytes)) AS INT) AS chunk_len
+         |FROM x ORDER BY doc_id, chunk_idx""".stripMargin
+  )
+
   val oracle2: Map[String, String] = Map(
     "mm02_frame_sample" ->
       s"""WITH f AS (

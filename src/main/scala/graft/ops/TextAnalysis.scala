@@ -180,6 +180,30 @@ object TextAnalysis {
             .as("rep_ratio"))
         .orderBy("doc_id")),
 
+    // Token-distribution Shannon entropy per doc — the diversity
+    // signal quality pipelines pair with tx08's repetition ratio
+    // (low entropy = boilerplate/keyword stuffing). One narrow HOF
+    // pass; the distinct-token array is SORTED before the fold so
+    // both engines accumulate in the same order (list_distinct's
+    // order is not contractual), and ln() output is rounded at the
+    // projection boundary per the parity rules.
+    "tx09_entropy" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("tokens", expr(tokensExpr))
+        .withColumn("n", size(col("tokens")))
+        .withColumn("dt", expr("array_sort(array_distinct(tokens))"))
+        .select(col("doc_id"),
+          col("n").cast("long").as("n_tokens"),
+          expr("CAST(size(dt) AS BIGINT)").as("n_distinct"),
+          expr("""CASE WHEN n = 0 THEN NULL ELSE
+                 |round(-aggregate(
+                 |  transform(dt, t ->
+                 |    (CAST(size(filter(tokens, u -> u = t)) AS DOUBLE) / CAST(n AS DOUBLE))
+                 |    * ln(CAST(size(filter(tokens, u -> u = t)) AS DOUBLE) / CAST(n AS DOUBLE))),
+                 |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v), 6) END""".stripMargin)
+            .as("entropy"))
+        .orderBy("doc_id")),
+
     // Document fingerprint: rolling polynomial hash over token
     // hashes, mod 1e9+7 (all exact integer math)
     "tx04_fingerprint" -> ((s, d) =>
@@ -277,6 +301,24 @@ object TextAnalysis {
          |    round(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE)
          |                / CAST(len(sh) AS DOUBLE), 6) END AS rep_ratio
          |FROM sh ORDER BY doc_id""".stripMargin,
+
+    "tx09_entropy" ->
+      s"""WITH tok AS (SELECT doc_id, $tokensSql AS tokens FROM documents),
+         |c AS (
+         |  SELECT doc_id, tokens, len(tokens) AS n,
+         |         list_sort(list_distinct(tokens)) AS dt
+         |  FROM tok
+         |)
+         |SELECT doc_id,
+         |  CAST(n AS BIGINT) AS n_tokens,
+         |  CAST(len(dt) AS BIGINT) AS n_distinct,
+         |  CASE WHEN n = 0 THEN NULL ELSE
+         |    round(-list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(dt, t ->
+         |        (CAST(len(list_filter(tokens, u -> u = t)) AS DOUBLE) / CAST(n AS DOUBLE))
+         |        * ln(CAST(len(list_filter(tokens, u -> u = t)) AS DOUBLE) / CAST(n AS DOUBLE)))),
+         |      (a, b) -> a + b), 6) END AS entropy
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     "tx04_fingerprint" ->
       s"""WITH tok AS (SELECT doc_id, $tokensSql AS tokens FROM documents)

@@ -85,7 +85,8 @@ object ScaleStress {
       "a01_report", "d01_dedup", "w01_lag", "dd01_exact_dedup", "dd02_minhash_sig",
       "dd03_lsh_pairs", "dd04_simhash", "dd05_ngram_jaccard", "dd06_cosine_dup",
       "dd07_dup_clusters", "dd08_cosine_dup2", "tx04_fingerprint", "tx06_bpe_tokens",
-      "ds01_hash_split", "ds02_stratified_sample", "df01_quality_gate",
+      "ds01_hash_split", "ds02_stratified_sample", "ds03_context_pack",
+      "df01_quality_gate", "tx07_tfidf",
       "sim01_knn", "sim02_lsh_ann", "sim04_ivf_ann", "sim06_ivf2_ann",
       "sim05_norm_quant",
       "st01_tumbling_window")
