@@ -32,11 +32,12 @@ object SilverTransform {
     * root lets partition pruning replace the reference's manual
     * `glob.glob` path construction (main.py:50-53, SURVEY.md §4).
     */
-  def readBronze(spark: SparkSession, path: String): DataFrame = {
+  def readBronze(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType = Schemas.bronzeSchema): DataFrame = {
     graft.Tables.pin(spark)
     spark.read
       .option("multiline", "true")
-      .schema(Schemas.bronzeSchema)
+      .schema(schema)
       .json(path)
   }
 
@@ -47,13 +48,8 @@ object SilverTransform {
     * with `transform(..., carryCols = Seq("Brigade"))` to keep the
     * column through silver without widening the contract's null
     * gate. */
-  def readBronzeEvolved(spark: SparkSession, path: String): DataFrame = {
-    graft.Tables.pin(spark)
-    spark.read
-      .option("multiline", "true")
-      .schema(Schemas.bronzeSchemaV2)
-      .json(path)
-  }
+  def readBronzeEvolved(spark: SparkSession, path: String): DataFrame =
+    readBronze(spark, path, Schemas.bronzeSchemaV2)
 
   /** The Silver transform (gtfstransformerSilver.py:28-46):
     * explode → project/trim/cast/to_date → dropna → bbox → date ==

@@ -91,8 +91,12 @@ object Multimodal {
           col("text").cast(BinaryType).as("payload"),
           length(col("text")).as("n_chars"))
         .withColumn("n_frames", expr(s"CAST(ceil(n_chars / $FrameBytes.0) AS INT)"))
+        // same empty guard as mm03: sequence(0, -1) = [0, -1] in
+        // Spark, and the filter would keep the spurious frame 0
         .withColumn("frame_idx",
-          explode(expr(s"filter(sequence(0, n_frames - 1), i -> i % $SampleEvery = 0)")))
+          explode(expr(
+            s"""CASE WHEN n_frames <= 0 THEN CAST(array() AS ARRAY<INT>)
+               |ELSE filter(sequence(0, n_frames - 1), i -> i % $SampleEvery = 0) END""".stripMargin)))
         .select(
           col("doc_id"), col("frame_idx"),
           // stub per-frame feature: first byte of the frame (ASCII corpus)
@@ -117,7 +121,11 @@ object Multimodal {
     "mm03_chunk_manifest" -> ((s, d) =>
       graft.Tables.documents(s, d)
         .withColumn("n_chunks", expr(s"CAST(ceil(length(text) / $ChunkBytes.0) AS INT)"))
-        .withColumn("chunk_idx", explode(expr("sequence(0, n_chunks - 1)")))
+        // empty guard: Spark's sequence(0, -1) DESCENDS to [0, -1]
+        // (default step -1) where DuckDB's generate_series yields [] —
+        // an empty payload must emit no chunk rows in both engines
+        .withColumn("chunk_idx", explode(expr(
+          "CASE WHEN n_chunks <= 0 THEN CAST(array() AS ARRAY<INT>) ELSE sequence(0, n_chunks - 1) END")))
         .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
           expr(s"substring(md5(substring(text, chunk_idx * $ChunkBytes + 1, $ChunkBytes)), 1, 16)")
             .as("chunk_md5"),

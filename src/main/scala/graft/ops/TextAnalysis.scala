@@ -150,15 +150,19 @@ object TextAnalysis {
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val df = tok.groupBy("term").agg(count(lit(1)).as("df"))
       val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      // rank on the ROUNDED score: ln is libm, so ranking raw
+      // doubles would let a 1-ulp JVM-vs-DuckDB difference flip
+      // which term survives the top-k (oracle-parity rule); at 6 dp
+      // both engines see the same key, ties break on term
       val w = Window.partitionBy("doc_id")
-        .orderBy(col("score").desc, col("term").asc)
+        .orderBy(col("tfidf").desc, col("term").asc)
       tf.join(df, "term").crossJoin(broadcast(n))
-        .withColumn("score",
-          expr("CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))"))
+        .withColumn("tfidf",
+          expr("round(CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6)"))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= TfidfTopK)
         .select(col("doc_id"), col("rk").cast("int").as("rk"), col("term"),
-          col("tf"), col("df"), round(col("score"), 6).as("tfidf"))
+          col("tf"), col("df"), col("tfidf"))
         .orderBy("doc_id", "rk")
     }),
 
@@ -192,14 +196,18 @@ object TextAnalysis {
         .withColumn("tokens", expr(tokensExpr))
         .withColumn("n", size(col("tokens")))
         .withColumn("dt", expr("array_sort(array_distinct(tokens))"))
+        // one count scan per distinct term (the count feeds both p
+        // and ln p); `0.0 -` instead of unary minus so an all-same-
+        // token doc yields +0.0 in both engines (Spark's round drops
+        // the -0.0 sign, DuckDB's keeps it)
+        .withColumn("cnts",
+          expr("transform(dt, t -> CAST(size(filter(tokens, u -> u = t)) AS DOUBLE))"))
         .select(col("doc_id"),
           col("n").cast("long").as("n_tokens"),
           expr("CAST(size(dt) AS BIGINT)").as("n_distinct"),
           expr("""CASE WHEN n = 0 THEN NULL ELSE
-                 |round(-aggregate(
-                 |  transform(dt, t ->
-                 |    (CAST(size(filter(tokens, u -> u = t)) AS DOUBLE) / CAST(n AS DOUBLE))
-                 |    * ln(CAST(size(filter(tokens, u -> u = t)) AS DOUBLE) / CAST(n AS DOUBLE))),
+                 |round(0.0 - aggregate(
+                 |  transform(cnts, c -> (c / CAST(n AS DOUBLE)) * ln(c / CAST(n AS DOUBLE))),
                  |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v), 6) END""".stripMargin)
             .as("entropy"))
         .orderBy("doc_id")),
@@ -281,14 +289,13 @@ object TextAnalysis {
          |n AS (SELECT count(*) AS n_docs FROM documents),
          |scored AS (
          |  SELECT doc_id, term, tf, df,
-         |         CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS score,
+         |         round(CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS tfidf,
          |         row_number() OVER (PARTITION BY doc_id
-         |                            ORDER BY CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) DESC,
+         |                            ORDER BY round(CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) DESC,
          |                                     term ASC) AS rk
          |  FROM tfc JOIN dfc USING (term), n
          |)
-         |SELECT doc_id, CAST(rk AS INT) AS rk, term, tf, df,
-         |       round(score, 6) AS tfidf
+         |SELECT doc_id, CAST(rk AS INT) AS rk, term, tf, df, tfidf
          |FROM scored WHERE rk <= $TfidfTopK ORDER BY doc_id, rk""".stripMargin,
 
     "tx08_repetition" ->
@@ -308,17 +315,22 @@ object TextAnalysis {
          |  SELECT doc_id, tokens, len(tokens) AS n,
          |         list_sort(list_distinct(tokens)) AS dt
          |  FROM tok
+         |),
+         |cc AS (
+         |  SELECT doc_id, n, dt,
+         |         list_transform(dt, t ->
+         |           CAST(len(list_filter(tokens, u -> u = t)) AS DOUBLE)) AS cnts
+         |  FROM c
          |)
          |SELECT doc_id,
          |  CAST(n AS BIGINT) AS n_tokens,
          |  CAST(len(dt) AS BIGINT) AS n_distinct,
          |  CASE WHEN n = 0 THEN NULL ELSE
-         |    round(-list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |      list_transform(dt, t ->
-         |        (CAST(len(list_filter(tokens, u -> u = t)) AS DOUBLE) / CAST(n AS DOUBLE))
-         |        * ln(CAST(len(list_filter(tokens, u -> u = t)) AS DOUBLE) / CAST(n AS DOUBLE)))),
+         |    round(0.0 - list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(cnts, c ->
+         |        (c / CAST(n AS DOUBLE)) * ln(c / CAST(n AS DOUBLE)))),
          |      (a, b) -> a + b), 6) END AS entropy
-         |FROM c ORDER BY doc_id""".stripMargin,
+         |FROM cc ORDER BY doc_id""".stripMargin,
 
     "tx04_fingerprint" ->
       s"""WITH tok AS (SELECT doc_id, $tokensSql AS tokens FROM documents)

@@ -60,12 +60,6 @@ object ScaleStress {
       dated.write.mode("overwrite").parquet(s"$calDst/$name.parquet")
     }
 
-    if (!new java.io.File(s"$calDst/lineitem.parquet").exists()) {
-      replicateCal("lineitem", Map("l_orderkey" -> 10000000L), Seq("l_shipdate"))
-      replicateCal("orders",
-        Map("o_orderkey" -> 10000000L, "o_custkey" -> 1000000L), Seq("o_orderdate"))
-    }
-
     if (!new java.io.File(s"$dst/lineitem.parquet").exists()) {
       replicate("lineitem", Map("l_orderkey" -> 10000000L))
       replicate("orders", Map("o_orderkey" -> 10000000L, "o_custkey" -> 1000000L))
@@ -137,8 +131,15 @@ object ScaleStress {
     // time-range operators again, on the calendar-extended axis
     // (constant density): the ratio here is the honest linearity
     // measurement for j09 — the density dataset above multiplies
-    // matches per window by repl on top of the row growth
+    // matches per window by repl on top of the row growth. The cal
+    // replica is built lazily here, so SPARK_GRAFT_QUERIES runs that
+    // exclude j09 never pay for it.
     if (headline.contains("j09_range_join")) {
+      if (!new java.io.File(s"$calDst/lineitem.parquet").exists()) {
+        replicateCal("lineitem", Map("l_orderkey" -> 10000000L), Seq("l_shipdate"))
+        replicateCal("orders",
+          Map("o_orderkey" -> 10000000L, "o_custkey" -> 1000000L), Seq("o_orderdate"))
+      }
       def timeCal(dir: String): Double = {
         def one(): Double = {
           coldReset()
@@ -148,8 +149,9 @@ object ScaleStress {
         }
         math.min(one(), one())
       }
-      // reuse the 1x base dir: at repl=1 the two axes coincide
-      val c1 = timeCal(src)
+      // at repl=1 the two axes coincide — the base sweep already
+      // holds j09's min-of-2 cold time on src; don't re-measure it
+      val c1 = base("j09_range_join")
       val cN = timeCal(calDst)
       println(f"${"j09_range_join@cal"}%-22s $c1%8.2f $cN%8.2f ${cN / c1}%6.1f")
     }

@@ -40,6 +40,25 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeFeatures(media).count() === 0L)
   }
 
+  test("empty payload emits no chunk or frame rows (sequence(0,-1) guard)") {
+    // Spark's sequence(0, -1) DESCENDS to [0, -1]; without the guard
+    // an empty doc would emit spurious chunk/frame rows where the
+    // DuckDB oracle emits none
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-empty-doc").toString
+    Seq(
+      (0L, "", "en", "src0", 0L),
+      (1L, "some payload bytes here", "en", "src0", 23L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val chunks = Multimodal.queries3("mm03_chunk_manifest")(spark, dir)
+    assert(chunks.filter(org.apache.spark.sql.functions.col("doc_id") === 0L).count() === 0)
+    assert(chunks.filter(org.apache.spark.sql.functions.col("doc_id") === 1L).count() === 1)
+    val frames = Multimodal.queries2("mm02_frame_sample")(spark, dir)
+    assert(frames.filter(org.apache.spark.sql.functions.col("doc_id") === 0L).count() === 0)
+    assert(frames.filter(org.apache.spark.sql.functions.col("doc_id") === 1L).count() === 1)
+  }
+
   test("decodeStub is bounded: checksum reads at most 64 bytes") {
     val big = MediaRow(7L, "media/x", Array.fill[Byte](1 << 20)(1))
     val small = MediaRow(7L, "media/x", Array.fill[Byte](64)(1))
