@@ -46,6 +46,18 @@ object Curation {
   val PackWindow = 512L
   val PackBuckets = 32L
 
+  /** Target language mixture for cur03 (domain/language rebalancing).
+    * Weights sum to 1; the achievable corpus cap is set by the
+    * scarcest language relative to its target share. */
+  val LangTargets: Seq[(String, Double)] = Seq(
+    "en" -> 0.4, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.1, "zh" -> 0.1)
+
+  /** ds04 epoch-shuffle layout: the 60-bit portable hash is
+    * range-bucketed on its top bits so bucket order == hash order
+    * (2^60 / 2^55 = 32 buckets — the prefix-sum frame stays tiny). */
+  val ShuffleSeed = "ep1"
+  val ShuffleBucketWidth = 1L << 55
+
   /** PII redaction patterns (cur02), in the Java∩RE2 common subset so
     * Spark and DuckDB match per-character. Emails and long digit runs
     * — the two highest-volume PII classes a pretraining scrub targets
@@ -148,6 +160,69 @@ object Curation {
           expr("substring(md5(redacted), 1, 16)").as("redacted_md5"))
         .orderBy("doc_id")),
 
+    // Domain-mixture rebalancing: down-sample each language to a
+    // target mixture (LangTargets). The achievable corpus cap is
+    // C = min over languages of n_lang / w_lang (the scarcest
+    // language pins the total); each language then keeps
+    // min(1, C·w/n) of its docs via the deterministic salted-hash
+    // threshold (per-million integer compare — same retry-idempotent,
+    // engine-portable design as ds01/ds02). Dataflow: per-language
+    // counts (tiny agg) → 1-row cap → per-language thresholds, all
+    // broadcast back onto the corpus scan — the full pass stays
+    // narrow, so the operator is one scan + two broadcast joins at
+    // any scale. All double arithmetic is written with identical
+    // operation order in both engines (IEEE-deterministic), and the
+    // emitted threshold is an integer.
+    "cur03_domain_mix" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      val weights = LangTargets
+        .map { case (l, w) => s"SELECT '$l' AS lang, CAST($w AS DOUBLE) AS w" }
+        .mkString("\n UNION ALL\n ")
+      val rated = counts.join(broadcast(s.sql(weights)), "lang")
+      val cap = rated.agg(min(expr("CAST(n AS DOUBLE) / w")).as("cap"))
+      val thr = rated.crossJoin(broadcast(cap))
+        .withColumn("thr", expr(
+          "CAST(floor(least(CAST(1 AS DOUBLE), (cap * w) / CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT)"))
+        .select("lang", "n", "thr")
+      docs.join(broadcast(thr), "lang")
+        .filter(expr(
+          s"${Portable.phashExpr("concat('mix|', CAST(doc_id AS STRING))")} % 1000000 < thr"))
+        .groupBy("lang")
+        .agg(max(col("n")).as("n_docs"), max(col("thr")).as("keep_per_million"),
+          count(lit(1)).as("n_kept"))
+        .orderBy("lang")
+    }),
+
+    // Deterministic epoch shuffle: a seeded global permutation of the
+    // corpus (pos, doc_id) — the "shuffle the training data each
+    // epoch" step, reproducible per seed and retry-idempotent because
+    // order comes from the portable hash, not an RNG. The global
+    // row_number is the same TWO-PHASE DISTRIBUTED PREFIX SUM as
+    // ds03: range-bucket on the hash's top bits (bucket order ==
+    // hash order), per-bucket counts prefix-sum across a ≤32-row
+    // frame, within-bucket row_number — no window ever sees more
+    // than n/32 rows, where the oracle's naive global
+    // `row_number() OVER (ORDER BY h)` would sort to one reducer.
+    "ds04_epoch_shuffle" -> ((s, d) => {
+      val h = Tables.documents(s, d)
+        .withColumn("h", expr(
+          s"${Portable.phashExpr(s"concat('$ShuffleSeed|', CAST(doc_id AS STRING))")}"))
+        .withColumn("bucket", expr(s"h DIV ${ShuffleBucketWidth}"))
+        .select("doc_id", "h", "bucket")
+      val offs = h.groupBy("bucket").agg(count(lit(1)).as("bn"))
+        .withColumn("boff",
+          coalesce(sum(col("bn")).over(
+            Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+        .select("bucket", "boff")
+      val wIn = Window.partitionBy("bucket").orderBy("h", "doc_id")
+      h.join(broadcast(offs), "bucket")
+        .withColumn("pos", col("boff") + row_number().over(wIn).cast("long") - 1)
+        .select("pos", "doc_id")
+        .orderBy("pos")
+    }),
+
     // C4/Gopher-style quality gate: token-count bounds, mean-word-
     // length bounds, at-least-one-stopword, repetition cut via the
     // distinct-token ratio; emits survivors with their features
@@ -222,6 +297,44 @@ object Curation {
          |       CAST(off // $PackWindow AS BIGINT) AS first_window,
          |       CAST((off + n - 1) // $PackWindow AS BIGINT) AS last_window
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    "cur03_domain_mix" -> {
+      val weightRows = LangTargets
+        .map { case (l, w) => s"SELECT '$l' AS lang, CAST($w AS DOUBLE) AS w" }
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH w AS (
+         |  $weightRows
+         |),
+         |counts AS (
+         |  SELECT lang, count(*) AS n FROM documents GROUP BY lang
+         |),
+         |rated AS (
+         |  SELECT counts.lang, n, w FROM counts JOIN w ON counts.lang = w.lang
+         |),
+         |cap AS (
+         |  SELECT min(CAST(n AS DOUBLE) / w) AS cap FROM rated
+         |),
+         |thr AS (
+         |  SELECT lang, n,
+         |         CAST(floor(least(CAST(1 AS DOUBLE), (cap * w) / CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS thr
+         |  FROM rated, cap
+         |)
+         |SELECT d.lang AS lang, max(n) AS n_docs, max(thr) AS keep_per_million,
+         |       count(*) AS n_kept
+         |FROM documents d JOIN thr ON d.lang = thr.lang
+         |WHERE ${Portable.phashSql("'mix|' || CAST(doc_id AS VARCHAR)")} % 1000000 < thr
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+    },
+
+    "ds04_epoch_shuffle" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |         ${Portable.phashSql(s"'$ShuffleSeed|' || CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents
+         |)
+         |SELECT CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS pos,
+         |       doc_id
+         |FROM h ORDER BY pos""".stripMargin,
 
     "cur02_pii_redact" ->
       s"""WITH r AS (

@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Data-quality expectations — the validation gate a pipeline runs on
+  * every ingested batch before publishing it downstream (the
+  * Deequ/Great-Expectations operator shape, re-expressed as plain
+  * declarative Spark).
+  *
+  * Engine design, sized for 100 TB:
+  *   - ALL row-level rules over one table fuse into a SINGLE scan —
+  *     `expect` turns N predicates into N conditional-sum aggregates
+  *     in one `agg`, so rule count never multiplies I/O. The
+  *     wide 1-row result is then `stack`ed to the long
+  *     (rule, checked, violations) report shape; both steps stay
+  *     inside whole-stage codegen.
+  *   - Cross-table rules (referential integrity, key uniqueness) are
+  *     the standard join-shaped checks: a left-anti join against the
+  *     parent's key projection (broadcast when the parent is small,
+  *     shuffled-hash otherwise — Catalyst's choice), and a
+  *     count-vs-count-distinct partial aggregate.
+  *   - The report is a handful of rows regardless of input size; the
+  *     only full-data work is the fused scans and the one anti-join.
+  *
+  * A clean dataset yields zero-violation rows — those rows ARE the
+  * signal (the suite proves the invariants hold); the two policy
+  * rules fire on the synthetic data to exercise non-zero counting.
+  */
+object DataQuality {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** One row-level expectation: `violation` is a SQL boolean over the
+    * table's columns, true where the row VIOLATES the rule. */
+  final case class Expectation(name: String, violation: String)
+
+  /** Fuse all row-level rules over one table into a single scan:
+    * one conditional sum per rule + the row count, then stack the
+    * 1-row wide result into (rule, checked, violations) rows. */
+  def expect(df: DataFrame, rules: Seq[Expectation]): DataFrame = {
+    require(rules.nonEmpty, "expect() needs at least one rule")
+    val aggs = count(lit(1)).cast("long").as("checked") +:
+      rules.map(r => sum(when(expr(r.violation), 1L).otherwise(0L))
+        .cast("long").as(r.name))
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = rules.map(r => s"'${r.name}', ${r.name}").mkString(", ")
+    wide.selectExpr(s"stack(${rules.size}, $stackArgs) AS (rule, violations)",
+        "checked")
+      .select("rule", "checked", "violations")
+  }
+
+  /** Referential-integrity check: child rows whose `childKey` has no
+    * match in the parent's `parentKey` (left-anti join). */
+  def expectFk(name: String, child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String): DataFrame = {
+    val orphans = child
+      .join(parent.select(parentKey), col(childKey) === col(parentKey), "left_anti")
+      .agg(count(lit(1)).cast("long").as("violations"))
+    child.agg(count(lit(1)).cast("long").as("checked"))
+      .crossJoin(orphans)
+      .select(lit(name).as("rule"), col("checked"), col("violations"))
+  }
+
+  /** Key-uniqueness check: rows beyond the first per key value. */
+  def expectUnique(name: String, df: DataFrame, key: String): DataFrame =
+    df.agg(count(lit(1)).cast("long").as("checked"),
+        (count(lit(1)) - countDistinct(col(key))).cast("long").as("violations"))
+      .select(lit(name).as("rule"), col("checked"), col("violations"))
+
+  /** The lineitem/orders expectation suite behind dq01. */
+  val LineitemRules = Seq(
+    Expectation("l01_quantity_range",
+      "l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50"),
+    Expectation("l02_discount_range",
+      "l_discount IS NULL OR l_discount < 0 OR l_discount > CAST('0.1' AS DOUBLE)"),
+    Expectation("l03_price_positive",
+      "l_extendedprice IS NULL OR l_extendedprice <= 0"),
+    // policy rules — fire on the synthetic data (non-zero counting path)
+    Expectation("l04_unit_price_floor",
+      "l_extendedprice < l_quantity * CAST(1000 AS DOUBLE)"),
+    Expectation("l05_promo_discount",
+      "l_discount >= CAST('0.08' AS DOUBLE) AND l_quantity < 5"))
+
+  val OrdersRules = Seq(
+    Expectation("o01_status_domain",
+      "o_orderstatus IS NULL OR o_orderstatus NOT IN ('F', 'O', 'P')"),
+    Expectation("o02_totalprice_positive",
+      "o_totalprice IS NULL OR o_totalprice <= 0"))
+
+  val queries: Map[String, Q] = Map(
+    "dq01_expectations" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val ord = Tables.orders(s, d)
+      expect(li, LineitemRules)
+        .unionByName(expect(ord, OrdersRules))
+        .unionByName(expectFk("x01_lineitem_order_fk",
+          li, "l_orderkey", ord, "o_orderkey"))
+        .unionByName(expectUnique("x02_orderkey_unique", ord, "o_orderkey"))
+        .orderBy("rule")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "dq01_expectations" -> {
+      def rowRule(table: String, r: Expectation): String =
+        s"""SELECT '${r.name}' AS rule, count(*) AS checked,
+           |  CAST(sum(CASE WHEN ${r.violation} THEN 1 ELSE 0 END) AS BIGINT) AS violations
+           |FROM $table""".stripMargin
+      val rows =
+        LineitemRules.map(rowRule("lineitem", _)) ++
+          OrdersRules.map(rowRule("orders", _)) ++
+          Seq(
+            """SELECT 'x01_lineitem_order_fk' AS rule,
+              |  (SELECT count(*) FROM lineitem) AS checked,
+              |  (SELECT count(*) FROM lineitem l
+              |   WHERE NOT EXISTS (SELECT 1 FROM orders o
+              |                     WHERE o.o_orderkey = l.l_orderkey)) AS violations""".stripMargin,
+            """SELECT 'x02_orderkey_unique' AS rule, count(*) AS checked,
+              |  CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS violations
+              |FROM orders""".stripMargin)
+      rows.mkString("", "\nUNION ALL\n", "\nORDER BY rule")
+    }
+  )
+}

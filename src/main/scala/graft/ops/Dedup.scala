@@ -89,6 +89,16 @@ object Dedup {
       .cache()
   }
 
+  /** Shared oracle fragments for the LSH family (dd03/dd07/dd09):
+    * band-key projection over `sigs` and the signature match-count
+    * sum between aliases `sa`/`sb`. */
+  private lazy val bandSelects: String = (0 until Bands).map(b =>
+    s"SELECT doc_id, $b AS band, concat_ws(':', sig_${2 * b}, sig_${2 * b + 1}) AS key FROM sigs")
+    .mkString("\n  UNION ALL\n  ")
+  private lazy val matchSum: String = (0 until MinhashK)
+    .map(j => s"CASE WHEN sa.sig_$j = sb.sig_$j THEN 1 ELSE 0 END")
+    .mkString(" + ")
+
   /** Oracle CTE mirroring [[minhashSignatures]]. */
   def minhashCte: String = {
     val sigCols = mixCoeffs.zipWithIndex.map { case ((a, b), j) =>
@@ -269,6 +279,34 @@ object Dedup {
         .localCheckpoint()
       Seq(pairs, docCanon, inPairs, edges).foreach(_.unpersist())
       result
+    }),
+
+    // Edit-distance verification — the precision stage a production
+    // dedup pipeline runs AFTER candidate generation: LSH candidates
+    // (dd03, already bucket-bounded and near-linear) are joined back
+    // to their texts and confirmed with true Levenshtein similarity
+    // 1 - dist/max(len). Levenshtein is O(len_a·len_b) per pair — the
+    // reason it can never run all-pairs — but over the LSH candidate
+    // set it is linear in candidates; the two text joins broadcast or
+    // hash-partition on doc_id (Catalyst's choice), and texts never
+    // participate in a shuffle key. At 100 TB the further refinement
+    // is Spark's 3-arg bounded levenshtein(l, r, threshold), which
+    // abandons a pair early once the distance bound is exceeded; not
+    // used here because the 2-arg form is what the oracle can mirror.
+    "dd09_editdist_verify" -> ((s, d) => {
+      val cand = queries("dd03_lsh_pairs")(s, d).select("doc_a", "doc_b")
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      cand
+        .join(docs.toDF("doc_a", "text_a"), "doc_a")
+        .join(docs.toDF("doc_b", "text_b"), "doc_b")
+        .withColumn("edit_dist", levenshtein(col("text_a"), col("text_b")).cast("long"))
+        .withColumn("edit_sim",
+          round(lit(1.0) - col("edit_dist").cast("double") /
+            nullif(greatest(length(col("text_a")), length(col("text_b"))), lit(0))
+              .cast("double"), 6))
+        .filter(col("edit_sim") >= 0.8)
+        .select("doc_a", "doc_b", "edit_dist", "edit_sim")
+        .orderBy("doc_a", "doc_b")
     })
   )
 
@@ -282,13 +320,7 @@ object Dedup {
       s"""WITH $minhashCte
          |SELECT * FROM sigs ORDER BY doc_id""".stripMargin,
 
-    "dd03_lsh_pairs" -> {
-      val bandSelects = (0 until Bands).map(b =>
-        s"SELECT doc_id, $b AS band, concat_ws(':', sig_${2 * b}, sig_${2 * b + 1}) AS key FROM sigs")
-        .mkString("\n  UNION ALL\n  ")
-      val matchSum = (0 until MinhashK)
-        .map(j => s"CASE WHEN sa.sig_$j = sb.sig_$j THEN 1 ELSE 0 END")
-        .mkString(" + ")
+    "dd03_lsh_pairs" ->
       s"""WITH $minhashCte,
          |bands AS (
          |  $bandSelects
@@ -304,16 +336,9 @@ object Dedup {
          |JOIN sigs sa ON sa.doc_id = doc_a
          |JOIN sigs sb ON sb.doc_id = doc_b
          |WHERE CAST($matchSum AS DOUBLE) / 8.0 >= 0.5
-         |ORDER BY doc_a, doc_b""".stripMargin
-    },
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dd07_dup_clusters" -> {
-      val bandSelects = (0 until Bands).map(b =>
-        s"SELECT doc_id, $b AS band, concat_ws(':', sig_${2 * b}, sig_${2 * b + 1}) AS key FROM sigs")
-        .mkString("\n  UNION ALL\n  ")
-      val matchSum = (0 until MinhashK)
-        .map(j => s"CASE WHEN sa.sig_$j = sb.sig_$j THEN 1 ELSE 0 END")
-        .mkString(" + ")
       // min-label reachability as a recursive CTE: UNION dedups, so
       // the fixpoint is the set of (node, reachable label) pairs;
       // min(label) per node = the component's min doc_id
@@ -401,6 +426,35 @@ object Dedup {
          |      JOIN counts ca ON ca.doc_id = doc_a
          |      JOIN counts cb ON cb.doc_id = doc_b) t
          |WHERE CAST(common AS DOUBLE) / CAST(n_a + n_b - common AS DOUBLE) >= 0.3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dd09_editdist_verify" ->
+      s"""WITH $minhashCte,
+         |bands AS (
+         |  $bandSelects
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.key = b.key AND a.band = b.band AND a.doc_id < b.doc_id
+         |),
+         |p AS (
+         |  SELECT doc_a, doc_b FROM cand
+         |  JOIN sigs sa ON sa.doc_id = doc_a
+         |  JOIN sigs sb ON sb.doc_id = doc_b
+         |  WHERE CAST($matchSum AS DOUBLE) / 8.0 >= 0.5
+         |),
+         |v AS (
+         |  SELECT doc_a, doc_b,
+         |         CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
+         |         round(1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE) /
+         |               CAST(nullif(greatest(length(da.text), length(db.text)), 0) AS DOUBLE), 6) AS edit_sim
+         |  FROM p
+         |  JOIN documents da ON da.doc_id = doc_a
+         |  JOIN documents db ON db.doc_id = doc_b
+         |)
+         |SELECT doc_a, doc_b, edit_dist, edit_sim
+         |FROM v WHERE edit_sim >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin
   )
 }

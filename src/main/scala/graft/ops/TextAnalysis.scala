@@ -37,6 +37,22 @@ object TextAnalysis {
       |                      i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])
       |  ELSE [] END""".stripMargin
 
+  /** 2-word shingles over a `tokens` column — tx10's corpus-level
+    * n-gram unit (3-word shingles stay the dedup-family unit). */
+  val bigramsExpr =
+    """CASE WHEN size(tokens) >= 2
+      |  THEN transform(sequence(0, size(tokens) - 2),
+      |                 i -> concat_ws(' ', tokens[i], tokens[i+1]))
+      |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin
+  val bigramsSql =
+    """CASE WHEN len(tokens) >= 2
+      |  THEN list_transform(generate_series(1, len(tokens) - 1),
+      |                      i -> tokens[i] || ' ' || tokens[i+1])
+      |  ELSE [] END""".stripMargin
+
+  /** Corpus n-grams kept by tx10. */
+  val NgramTopK = 50
+
   /** Stopword inventories per language for the lang-ID heuristic.
     * (Deliberately tiny — this is an operator shape, not a model.) */
   val LangStopwords: Seq[(String, Seq[String])] = Seq(
@@ -222,7 +238,31 @@ object TextAnalysis {
                   |          CAST(0 AS BIGINT),
                   |          (h, x) -> ((h * 31) + x) % 1000000007)""".stripMargin)
             .as("fingerprint"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Corpus-level top-k n-grams (bigrams): term frequency + document
+    // frequency over the whole corpus — the vocabulary/boilerplate
+    // profiling pass pipelines run before choosing stop-lists or
+    // tokenizer merges. Dataflow: narrow shingle pass → explode →
+    // ONE hash aggregation on the ngram (tf via count, df via
+    // count(distinct doc_id) — Spark plans the distinct as a
+    // two-stage partial aggregate, both map-side combined) → global
+    // top-k, which executes as TakeOrderedAndProject (per-partition
+    // heaps + driver merge of k rows), never a full sort. The sort
+    // key (tf desc, ngram asc) is total, so LIMIT is deterministic.
+    // At 100 TB the same plan holds; if exact df per ngram ever
+    // dominates, the documented relaxation is approx_count_distinct
+    // (HLL, a15's sketch) — not used here because the oracle compare
+    // needs exact counts.
+    "tx10_ngram_topk" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("tokens", expr(tokensExpr))
+        .withColumn("bigrams", expr(bigramsExpr))
+        .select(col("doc_id"), explode(col("bigrams")).as("ngram"))
+        .groupBy("ngram")
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("tf").desc, col("ngram").asc)
+        .limit(NgramTopK))
   )
 
   val oracle: Map[String, String] = Map(
@@ -353,6 +393,20 @@ object TextAnalysis {
          |    round(CAST(list_reduce(list_prepend(0, list_transform(bpe, t -> length(t))), (a, b) -> a + b) AS DOUBLE)
          |          / CAST(len(bpe) AS DOUBLE), 6) END AS avg_bpe_len,
          |  round(CAST(len(bpe) AS DOUBLE) / CAST(nullif(ws_n, 0) AS DOUBLE), 6) AS fertility
-         |FROM b ORDER BY doc_id""".stripMargin
+         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "tx10_ngram_topk" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, $tokensSql AS tokens FROM documents
+         |),
+         |bg AS (
+         |  SELECT doc_id, $bigramsSql AS bigrams FROM tok
+         |),
+         |ng AS (
+         |  SELECT doc_id, unnest(bigrams) AS ngram FROM bg
+         |)
+         |SELECT ngram, count(*) AS tf, count(DISTINCT doc_id) AS df
+         |FROM ng GROUP BY ngram
+         |ORDER BY tf DESC, ngram ASC LIMIT $NgramTopK""".stripMargin
   )
 }
