@@ -181,6 +181,92 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared L2 distance `Σ (a_i - b_i)²` between two vectors
+  * (`array<float>` or `array<double>` on either side, mixed allowed).
+  *
+  * Exists for the product-quantization kernels (Similarity sim07):
+  * encoding scores every vector's subspace slice against K codewords
+  * and the ADC table scores every query against every codeword — both
+  * are tight multiply-add loops where the HOF
+  * `aggregate(zip_with(...))` form pays an interpreted lambda per
+  * element (same ~20× measurement as CosineSimilarity/DotProduct).
+  *
+  * Numerics: a single left-to-right fold `d += (a[i]-b[i])·(a[i]-b[i])`
+  * in double — bit-for-bit equal to the HOF form and to DuckDB's
+  * seedless `list_reduce` over the per-element squared differences.
+  * Length mismatch → null, exactly like the HOF form.
+  */
+case class SquaredL2(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  // null on length mismatch even for non-nullable children
+  override def nullable: Boolean = true
+
+  private def elemOk(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (elemOk(left.dataType) && elemOk(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"sq_dist expects array<float|double> on both sides, got " +
+          s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
+    val lf = isFloat(left)
+    val rf = isFloat(right)
+    val n = x.numElements()
+    var d = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      val diff = xi - yi
+      d += diff * diff
+      i += 1
+    }
+    d
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val diff = ctx.freshName("diff")
+      def get(arr: String, fl: Boolean) =
+        if (fl) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $d = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $diff = ${get(a, isFloat(left))} - ${get(b, isFloat(right))};
+         |    $d += $diff * $diff;
+         |  }
+         |  ${ev.value} = $d;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SquaredL2 =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Fused MinHash mixing: one pass over a document's shingle-hash
   * array computes all k affine-family minima
   * `min_i (h_i·a_j + b_j) mod m`. The HOF formulation
@@ -348,6 +434,7 @@ object VectorExprs {
   def descriptions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> (exprs => CosineSimilarity(exprs(0), exprs(1))),
     "dot_product" -> (exprs => DotProduct(exprs(0), exprs(1))),
+    "sq_dist" -> (exprs => SquaredL2(exprs(0), exprs(1))),
     "minhash_mix" -> (exprs => MinhashMix(exprs.head,
       graft.ops.Dedup.mixCoeffs.toSeq, graft.ops.Dedup.MixMod)),
     "simhash_mix" -> (exprs => SimhashMix(exprs.head)))

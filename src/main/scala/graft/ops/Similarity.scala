@@ -39,10 +39,30 @@ object Similarity {
   val DupNProbe = 2 // dd06: each vector joins its top-2 nearest cells
   val DupThreshold = 0.4
 
+  /** Product quantization (sim07): M subspaces × SubDims dims; K
+    * codewords per subspace (the K lowest-id vectors' subvectors —
+    * the same "leading vectors as deterministic k-means seed"
+    * convention as IVF's centroids). 64 float dims compress to
+    * M log2(K) = 12 bits per vector. */
+  val PqM = 4
+  val PqSubDims = Dims / PqM // 16
+  val PqK = 8
+
   /** The left-fold dot product in DuckDB SQL (list_reduce has no seed; a fold of
     * [v1..vn] from v1 equals Spark's 0.0-seeded fold bit-for-bit). */
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(generate_series(1, $Dims), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  /** Squared L2 between subspace m of `a` and `b` in DuckDB SQL — the
+    * same left fold as the codegen `sq_dist` over a `slice`, written
+    * against the full arrays with an index offset. The squared
+    * difference is spelled `(x-y)*(x-y)` (never pow — libm parity). */
+  private def sqDistSql(a: String, b: String, m: Int): String = {
+    val off = m * PqSubDims
+    def el(c: String) = s"CAST($c[i + $off] AS DOUBLE)"
+    s"list_reduce(list_transform(generate_series(1, $PqSubDims), " +
+      s"i -> (${el(a)} - ${el(b)}) * (${el(a)} - ${el(b)})), (x, y) -> x + y)"
+  }
 
   private val normedCte =
     s"""e AS (
@@ -329,6 +349,63 @@ object Similarity {
           expr("CAST(array_min(qvec) AS INT)").as("q_min"),
           expr("CAST(array_max(qvec) AS INT)").as("q_max"))
         .orderBy("vec_id")
+    }),
+
+    // Product quantization + asymmetric-distance (ADC) search — the
+    // memory-side of the ANN stack: every vector compresses to
+    // M=4 codes of 3 bits (12 bits vs 256 float bytes, ~170×), and
+    // queries scan CODES, not vectors. Dataflow:
+    //   encode: corpus × K-codeword broadcast → M fused sq_dist
+    //     kernels per row (codegen, no HOF lambda) → per-subspace
+    //     argmin via min(struct(d2, code)) — a map-side-combinable
+    //     aggregate, one exchange on vec_id;
+    //   ADC: each query precomputes its M×K distance table (tiny,
+    //     broadcast); candidate distance = M table lookups summed in
+    //     fixed textual order (IEEE-deterministic) — the corpus-side
+    //     scan touches only the 4-code tuples;
+    //   top-k per query = TakeOrdered-shaped window, ties on adc
+    //     break by neighbor_id.
+    // At 100 TB this is the operator that makes exhaustive rerank
+    // feasible: the code table is ~0.5 GB per billion vectors, and
+    // the ADC scan composes with IVF cell pruning (sim04/sim06) the
+    // same way FAISS IVFPQ does — probe cells first, ADC within.
+    "sim07_pq_adc" -> ((s, d) => {
+      VectorExprs.register(s)
+      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val cb = e.filter(col("vec_id") < PqK)
+        .select(col("vec_id").as("code"), col("embedding").as("cw"))
+      def sub(c: String, m: Int) = s"slice($c, ${m * PqSubDims + 1}, $PqSubDims)"
+      val scored = (0 until PqM).foldLeft(e.crossJoin(broadcast(cb))) { (df, m) =>
+        df.withColumn(s"d$m", expr(s"sq_dist(${sub("embedding", m)}, ${sub("cw", m)})"))
+      }
+      val aggCols = (0 until PqM).map(m =>
+        min(struct(col(s"d$m").as("d"), col("code").as("code"))).as(s"b$m"))
+      val codes = scored.groupBy("vec_id")
+        .agg(aggCols.head, aggCols.tail: _*)
+        .select(col("vec_id") +:
+          (0 until PqM).map(m => col(s"b$m.code").as(s"c$m")): _*)
+      val q = e.filter(col("vec_id") < KnnQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val qtabs = (0 until PqM).map { m =>
+        q.crossJoin(cb)
+          .select(col("query_id").as(s"q$m"), col("code").as(s"qc$m"),
+            expr(s"sq_dist(${sub("qe", m)}, ${sub("cw", m)})").as(s"qd$m"))
+      }
+      val joined = (1 until PqM).foldLeft(
+        codes.join(broadcast(qtabs(0)), col("c0") === col("qc0"))
+          .withColumnRenamed("q0", "query_id")) { (df, m) =>
+        df.join(broadcast(qtabs(m)),
+          col("query_id") === col(s"q$m") && col(s"c$m") === col(s"qc$m"))
+      }
+      val w = Window.partitionBy("query_id").orderBy(col("adc").asc, col("vec_id").asc)
+      joined
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("adc", expr("qd0 + qd1 + qd2 + qd3"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= KnnK)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(col("adc"), 6).as("adc_dist"))
+        .orderBy("query_id", "neighbor_id")
     })
   )
 
@@ -572,6 +649,61 @@ object Similarity {
       s"""SELECT label, i - 1 AS pos,
          |  CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,8))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS centroid
          |FROM embeddings, (SELECT unnest(generate_series(1, $Dims)) AS i) ii
-         |GROUP BY label, pos ORDER BY label, pos""".stripMargin
+         |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+
+    "sim07_pq_adc" -> {
+      val dCols = (0 until PqM)
+        .map(m => s"${sqDistSql("e.embedding", "cb.cw", m)} AS d$m").mkString(",\n    ")
+      val rCols = (0 until PqM)
+        .map(m => s"row_number() OVER (PARTITION BY vec_id ORDER BY d$m, code) AS r$m")
+        .mkString(",\n    ")
+      val cCols = (0 until PqM)
+        .map(m => s"max(CASE WHEN r$m = 1 THEN code END) AS c$m").mkString(",\n    ")
+      val qdCols = (0 until PqM)
+        .map(m => s"${sqDistSql("q.qe", "cb.cw", m)} AS qd$m").mkString(",\n    ")
+      val tJoins = (1 until PqM)
+        .map(m => s"JOIN qtab t$m ON t$m.query_id = t0.query_id AND t$m.code = codes.c$m")
+        .mkString("\n  ")
+      s"""WITH cb AS (
+         |  SELECT vec_id AS code, embedding AS cw FROM embeddings WHERE vec_id < $PqK
+         |),
+         |scored AS (
+         |  SELECT e.vec_id, cb.code,
+         |    $dCols
+         |  FROM embeddings e CROSS JOIN cb
+         |),
+         |rn AS (
+         |  SELECT vec_id, code,
+         |    $rCols
+         |  FROM scored
+         |),
+         |codes AS (
+         |  SELECT vec_id,
+         |    $cCols
+         |  FROM rn GROUP BY vec_id
+         |),
+         |q AS (
+         |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < $KnnQueries
+         |),
+         |qtab AS (
+         |  SELECT q.query_id, cb.code,
+         |    $qdCols
+         |  FROM q CROSS JOIN cb
+         |),
+         |j AS (
+         |  SELECT t0.query_id, codes.vec_id AS neighbor_id,
+         |         t0.qd0 + t1.qd1 + t2.qd2 + t3.qd3 AS adc
+         |  FROM codes
+         |  JOIN qtab t0 ON t0.code = codes.c0
+         |  $tJoins
+         |  WHERE codes.vec_id <> t0.query_id
+         |)
+         |SELECT query_id, neighbor_id, round(adc, 6) AS adc_dist
+         |FROM (SELECT j.*,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rk
+         |      FROM j) t
+         |WHERE rk <= $KnnK
+         |ORDER BY query_id, neighbor_id""".stripMargin
+    }
   )
 }
