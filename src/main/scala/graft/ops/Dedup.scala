@@ -59,10 +59,15 @@ object Dedup {
   /** Per-doc minhash signature frame: doc_id, sig_0..sig_{k-1}
     * (memoized per session+dir — feeds dd02 and dd03). The expensive
     * stage is cached once; the projection over it is rebuilt per call
-    * (it is free). */
-  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    * (it is free). With `canonical = true` the pipeline signs only
+    * the canonical doc per distinct text (min doc_id) — dd09's
+    * guard: exact-duplicate multiplicity inflates every LSH bucket
+    * quadratically, and those pairs carry no near-dup information. */
+  def minhashSignatures(spark: SparkSession, dir: String,
+      canonical: Boolean = false): DataFrame = {
     sigCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-    val sigArray = sigCache.getOrElseUpdate((spark, dir), buildSigArray(spark, dir))
+    val key = (spark, if (canonical) s"$dir#canonical" else dir)
+    val sigArray = sigCache.getOrElseUpdate(key, buildSigArray(spark, dir, canonical))
     sigArray.select(
       col("doc_id") +:
         (0 until MinhashK).map(j => element_at(col("sigs"), j + 1).as(s"sig_$j")): _*)
@@ -75,13 +80,18 @@ object Dedup {
       sigCache.remove(k).foreach(_.unpersist())
     }
 
-  private def buildSigArray(spark: SparkSession, dir: String): DataFrame = {
+  private def buildSigArray(spark: SparkSession, dir: String,
+      canonical: Boolean = false): DataFrame = {
     graft.functions.VectorExprs.register(spark)
+    val docs0 = Tables.documents(spark, dir)
+    val docs =
+      if (canonical) docs0.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      else docs0
     // minhash_mix fuses the k affine minima into ONE codegen pass over
     // the hashed shingles. The cache barrier before the per-column
     // element_at split stops CollapseProject from inlining the whole
     // md5 chain into each of the k projections (observed 4× slower).
-    Tables.documents(spark, dir)
+    docs
       .withColumn("tokens", expr(tokensExpr))
       .withColumn("shingles", expr(shinglesExpr))
       .select(col("doc_id"),
@@ -99,13 +109,17 @@ object Dedup {
     .map(j => s"CASE WHEN sa.sig_$j = sb.sig_$j THEN 1 ELSE 0 END")
     .mkString(" + ")
 
-  /** Oracle CTE mirroring [[minhashSignatures]]. */
-  def minhashCte: String = {
+  /** Oracle CTE mirroring [[minhashSignatures]]; `src` is the doc
+    * relation to sign (dd09 signs a `canonical` CTE instead of the
+    * raw table). */
+  def minhashCte: String = minhashCteFrom("documents")
+
+  def minhashCteFrom(src: String): String = {
     val sigCols = mixCoeffs.zipWithIndex.map { case ((a, b), j) =>
       s"list_min(list_transform(hh, h -> (h * $a + $b) % $MixMod)) AS sig_$j"
     }.mkString(",\n    ")
     s"""tok AS (
-       |  SELECT doc_id, $tokensSql AS tokens FROM documents
+       |  SELECT doc_id, $tokensSql AS tokens FROM $src
        |),
        |sh AS (
        |  SELECT doc_id, $shinglesSql AS shingles FROM tok
@@ -120,6 +134,33 @@ object Dedup {
        |    $sigCols
        |  FROM shh
        |)""".stripMargin
+  }
+
+  /** Band candidate pairs over a signature frame, kept when the
+    * full-signature match count estimates Jaccard ≥ 0.5 — the shared
+    * LSH pair generator (dd03 runs it over all docs; dd09 over
+    * canonical docs only). Pairs form ONLY within band buckets, so
+    * the candidate set stays near-linear in corpus size. */
+  private def lshVerifiedPairs(sigs: DataFrame): DataFrame = {
+    val bandKeys = (0 until Bands).map(b =>
+      concat_ws(":", col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}")))
+    val bands = sigs.select(col("doc_id"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.key") === col("b.key") && col("a.band") === col("b.band") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sa = sigs.toDF("doc_a" +: (0 until MinhashK).map(j => s"a_sig_$j"): _*)
+    val sb = sigs.toDF("doc_b" +: (0 until MinhashK).map(j => s"b_sig_$j"): _*)
+    val matches = (0 until MinhashK)
+      .map(j => when(col(s"a_sig_$j") === col(s"b_sig_$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("est_jaccard", matches.cast("double") / MinhashK.toDouble)
+      .filter(col("est_jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "est_jaccard")
   }
 
   val queries: Map[String, Q] = Map(
@@ -139,29 +180,9 @@ object Dedup {
 
     // MinHash-LSH candidate pairs: band on (sig_2b, sig_2b+1), join
     // within band buckets, estimate Jaccard from full signatures
-    "dd03_lsh_pairs" -> ((s, d) => {
-      val sigs = minhashSignatures(s, d)
-      val bandKeys = (0 until Bands).map(b =>
-        concat_ws(":", col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}")))
-      val bands = sigs.select(col("doc_id"),
-        posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
-      val cand = bands.as("a")
-        .join(bands.as("b"),
-          col("a.key") === col("b.key") && col("a.band") === col("b.band") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      val sa = sigs.toDF("doc_a" +: (0 until MinhashK).map(j => s"a_sig_$j"): _*)
-      val sb = sigs.toDF("doc_b" +: (0 until MinhashK).map(j => s"b_sig_$j"): _*)
-      val matches = (0 until MinhashK)
-        .map(j => when(col(s"a_sig_$j") === col(s"b_sig_$j"), 1).otherwise(0))
-        .reduce(_ + _)
-      cand.join(sa, "doc_a").join(sb, "doc_b")
-        .withColumn("est_jaccard", matches.cast("double") / MinhashK.toDouble)
-        .filter(col("est_jaccard") >= 0.5)
-        .select("doc_a", "doc_b", "est_jaccard")
-        .orderBy("doc_a", "doc_b")
-    }),
+    "dd03_lsh_pairs" -> ((s, d) =>
+      lshVerifiedPairs(minhashSignatures(s, d))
+        .orderBy("doc_a", "doc_b")),
 
     // SimHash (32-bit) per document, fused into ONE codegen pass
     // (functions/VectorExprs.SimhashMix): token hashes → bit-majority
@@ -196,11 +217,17 @@ object Dedup {
     "dd05_ngram_jaccard" -> ((s, d) => {
       val canonical = Tables.documents(s, d)
         .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      // explode_outer + isnotnull, not plain explode: inner explode
+      // makes the optimizer infer a `size(...) > 0` pre-Generate
+      // filter that re-evaluates the whole tokenize→shingle→hash HOF
+      // chain a second time per row (measured ~2× on this, the
+      // query's dominant narrow stage)
       val sh0 = canonical
         .withColumn("tokens", expr(tokensExpr))
         .withColumn("shingles", expr(shinglesExpr))
         .select(col("doc_id"),
-          explode(expr(s"array_distinct(transform(shingles, s -> ${graft.functions.Portable.phashExpr("s")}))")).as("sh"))
+          explode_outer(expr(s"array_distinct(transform(shingles, s -> ${graft.functions.Portable.phashExpr("s")}))")).as("sh"))
+        .filter(col("sh").isNotNull)
       val hot = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
         .filter(col("df") > MaxShingleDf).select("sh")
       val sh = sh0.join(broadcast(hot), Seq("sh"), "left_anti").cache()
@@ -283,18 +310,26 @@ object Dedup {
 
     // Edit-distance verification — the precision stage a production
     // dedup pipeline runs AFTER candidate generation: LSH candidates
-    // (dd03, already bucket-bounded and near-linear) are joined back
-    // to their texts and confirmed with true Levenshtein similarity
-    // 1 - dist/max(len). Levenshtein is O(len_a·len_b) per pair — the
-    // reason it can never run all-pairs — but over the LSH candidate
-    // set it is linear in candidates; the two text joins broadcast or
-    // hash-partition on doc_id (Catalyst's choice), and texts never
-    // participate in a shuffle key. At 100 TB the further refinement
-    // is Spark's 3-arg bounded levenshtein(l, r, threshold), which
-    // abandons a pair early once the distance bound is exceeded; not
-    // used here because the 2-arg form is what the oracle can mirror.
+    // are joined back to their texts and confirmed with true
+    // Levenshtein similarity 1 - dist/max(len). Two guards make it
+    // scale:
+    //   1. canonicalize-first (the dd05 guard): signatures are built
+    //      over the canonical doc per distinct text only. Exact
+    //      duplicates are dd01's job, they inflate every LSH bucket
+    //      quadratically in copy count (a 10× dup-stacked corpus
+    //      measured 73× slower without this), and their pairs carry
+    //      zero near-dup information;
+    //   2. pairs form only within LSH bands (near-linear candidate
+    //      set), so the O(len_a·len_b) Levenshtein — the reason this
+    //      can never run all-pairs — is paid once per candidate.
+    // The text joins hash-partition on doc_id; texts never enter a
+    // shuffle key. At 100 TB the further refinement is Spark's 3-arg
+    // bounded levenshtein(l, r, threshold), which abandons a pair
+    // early once the bound is exceeded; not used here because the
+    // 2-arg form is what the oracle can mirror.
     "dd09_editdist_verify" -> ((s, d) => {
-      val cand = queries("dd03_lsh_pairs")(s, d).select("doc_a", "doc_b")
+      val cand = lshVerifiedPairs(minhashSignatures(s, d, canonical = true))
+        .select("doc_a", "doc_b")
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       cand
         .join(docs.toDF("doc_a", "text_a"), "doc_a")
@@ -429,7 +464,10 @@ object Dedup {
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dd09_editdist_verify" ->
-      s"""WITH $minhashCte,
+      s"""WITH canonical AS (
+         |  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+         |),
+         |${minhashCteFrom("canonical")},
          |bands AS (
          |  $bandSelects
          |),

@@ -159,10 +159,15 @@ object TextAnalysis {
     // rounded to 6 dp at the projection boundary (oracle-parity
     // rule); rank ties on equal (tf, df) resolve by term asc.
     "tx07_tfidf" -> ((s, d) => {
+      // explode_outer + isnotnull (not plain explode) on both token
+      // streams: inner explode's inferred `size(...) > 0` filter
+      // re-runs the tokenize HOF chain a second time per row
       val tok = Tables.documents(s, d)
-        .select(col("doc_id"), explode(expr(s"array_distinct($tokensExpr)")).as("term"))
+        .select(col("doc_id"), explode_outer(expr(s"array_distinct($tokensExpr)")).as("term"))
+        .filter(col("term").isNotNull)
       val tf = Tables.documents(s, d)
-        .select(col("doc_id"), explode(expr(tokensExpr)).as("term"))
+        .select(col("doc_id"), explode_outer(expr(tokensExpr)).as("term"))
+        .filter(col("term").isNotNull)
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val df = tok.groupBy("term").agg(count(lit(1)).as("df"))
       val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
@@ -254,13 +259,26 @@ object TextAnalysis {
     // dominates, the documented relaxation is approx_count_distinct
     // (HLL, a15's sketch) — not used here because the oracle compare
     // needs exact counts.
+    // Two plan-shape choices matter here:
+    //   - explode_OUTER + isnotnull, not plain explode: the optimizer
+    //     infers a `size(bigrams) > 0` pre-Generate filter for inner
+    //     explode, and that predicate re-evaluates the whole
+    //     tokenize+shingle HOF chain a second time per row (2× the
+    //     dominant cost; the outer form generates one null instead
+    //     and the post-filter is a cheap column test);
+    //   - df via an explicit (ngram, doc_id) pre-aggregate rather
+    //     than count(distinct doc_id): per-doc repeats collapse
+    //     map-side before the exchange, where the Expand-based
+    //     distinct plan ships every exploded row twice.
     "tx10_ngram_topk" -> ((s, d) =>
       Tables.documents(s, d)
         .withColumn("tokens", expr(tokensExpr))
         .withColumn("bigrams", expr(bigramsExpr))
-        .select(col("doc_id"), explode(col("bigrams")).as("ngram"))
+        .select(col("doc_id"), explode_outer(col("bigrams")).as("ngram"))
+        .filter(col("ngram").isNotNull)
+        .groupBy("ngram", "doc_id").agg(count(lit(1)).as("c"))
         .groupBy("ngram")
-        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+        .agg(sum(col("c")).cast("long").as("tf"), count(lit(1)).as("df"))
         .orderBy(col("tf").desc, col("ngram").asc)
         .limit(NgramTopK))
   )
