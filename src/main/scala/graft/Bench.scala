@@ -32,8 +32,9 @@ object Bench {
     "sim01_knn", "sim02_lsh_ann", "sim04_ivf_ann", "sim06_ivf2_ann",
     "tx01_token_stats", "tx07_tfidf", "df01_quality_gate", "ds03_context_pack",
     "st03_session_window", "sql03_recursive_cte", "mm01_media_features",
-    "tx10_ngram_topk", "cur03_domain_mix", "ds04_epoch_shuffle",
-    "dq01_expectations", "dd09_editdist_verify", "sim07_pq_adc")
+    "tx10_ngram_topk", "tx11_chunk_windows", "cur03_domain_mix",
+    "ds04_epoch_shuffle", "dq01_expectations", "dd09_editdist_verify",
+    "sim07_pq_adc")
 
   private def fmt(v: Double): String = f"$v%.3f"
 

@@ -53,6 +53,11 @@ object TextAnalysis {
   /** Corpus n-grams kept by tx10. */
   val NgramTopK = 50
 
+  /** tx11 sliding-window chunking: window/stride in tokens (16-token
+    * overlap) — the RAG/embedding chunking shape. */
+  val ChunkWindow = 64L
+  val ChunkStride = 48L
+
   /** Stopword inventories per language for the lang-ID heuristic.
     * (Deliberately tiny — this is an operator shape, not a model.) */
   val LangStopwords: Seq[(String, Seq[String])] = Seq(
@@ -280,7 +285,33 @@ object TextAnalysis {
         .groupBy("ngram")
         .agg(sum(col("c")).cast("long").as("tf"), count(lit(1)).as("df"))
         .orderBy(col("tf").desc, col("ngram").asc)
-        .limit(NgramTopK))
+        .limit(NgramTopK)),
+
+    // Sliding-window document chunking — the retrieval/embedding prep
+    // step: each doc splits into ChunkWindow-token chunks advancing by
+    // ChunkStride (16-token overlap), each chunk pinned by a compact
+    // digest. One narrow pass (tokenize → per-doc chunk-index sequence
+    // → explode_outer → slice + digest); no shuffle until the final
+    // sort, so it scales linearly in corpus bytes. Chunk count is
+    // ceil(n/stride) — the last chunk may run short; empty docs chunk
+    // to nothing. At 100 TB the chunk table feeds the embedding pass
+    // (mapInPandas batch shape, see Multimodal) and the digest column
+    // makes re-embedding incremental (content-addressed skip).
+    "tx11_chunk_windows" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("tokens", expr(tokensExpr))
+        .withColumn("n", expr("CAST(size(tokens) AS BIGINT)"))
+        .select(col("doc_id"), col("tokens"), col("n"),
+          explode_outer(expr(
+            s"CASE WHEN n > 0 THEN sequence(CAST(0 AS BIGINT), CAST(ceil(CAST(n AS DOUBLE) / $ChunkStride) AS BIGINT) - 1) ELSE CAST(array() AS ARRAY<BIGINT>) END"))
+            .as("chunk_id"))
+        .filter(col("chunk_id").isNotNull)
+        .withColumn("start_tok", expr(s"chunk_id * $ChunkStride"))
+        .withColumn("n_tok", expr(s"least(CAST($ChunkWindow AS BIGINT), n - start_tok)"))
+        .select(col("doc_id"), col("chunk_id"), col("start_tok"), col("n_tok"),
+          expr(s"substring(md5(concat_ws(' ', slice(tokens, CAST(start_tok + 1 AS INT), CAST(n_tok AS INT)))), 1, 16)")
+            .as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -425,6 +456,29 @@ object TextAnalysis {
          |)
          |SELECT ngram, count(*) AS tf, count(DISTINCT doc_id) AS df
          |FROM ng GROUP BY ngram
-         |ORDER BY tf DESC, ngram ASC LIMIT $NgramTopK""".stripMargin
+         |ORDER BY tf DESC, ngram ASC LIMIT $NgramTopK""".stripMargin,
+
+    "tx11_chunk_windows" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, $tokensSql AS tokens FROM documents
+         |),
+         |t AS (
+         |  SELECT doc_id, tokens, CAST(len(tokens) AS BIGINT) AS n FROM tok
+         |),
+         |c AS (
+         |  SELECT doc_id, tokens, n,
+         |         unnest(CASE WHEN n > 0
+         |           THEN generate_series(CAST(0 AS BIGINT), CAST(ceil(CAST(n AS DOUBLE) / $ChunkStride) AS BIGINT) - 1)
+         |           ELSE [] END) AS chunk_id
+         |  FROM t
+         |)
+         |SELECT doc_id, chunk_id,
+         |       chunk_id * $ChunkStride AS start_tok,
+         |       least(CAST($ChunkWindow AS BIGINT), n - chunk_id * $ChunkStride) AS n_tok,
+         |       substring(md5(array_to_string(
+         |         tokens[CAST(chunk_id * $ChunkStride + 1 AS BIGINT) :
+         |                CAST(chunk_id * $ChunkStride + least(CAST($ChunkWindow AS BIGINT), n - chunk_id * $ChunkStride) AS BIGINT)],
+         |         ' ')), 1, 16) AS chunk_md5
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin
   )
 }

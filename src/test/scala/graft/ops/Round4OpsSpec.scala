@@ -37,6 +37,38 @@ class Round4OpsSpec extends SparkSpec {
     assert(recount === top.getAs[Long]("tf"))
   }
 
+  // ---- tx11 sliding-window chunking ---------------------------------
+
+  test("tx11: chunk spans tile each doc with stride overlap and cover every token") {
+    val chunks = q("tx11_chunk_windows").collect()
+    assert(chunks.nonEmpty)
+    val byDoc = chunks.groupBy(_.getAs[Long]("doc_id"))
+    val nTok = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        expr(s"CAST(size(${TextAnalysis.tokensExpr}) AS BIGINT)").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byDoc.foreach { case (doc, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("chunk_id"))
+      assert(sorted.map(_.getAs[Long]("chunk_id")).sameElements(sorted.indices.map(_.toLong)))
+      sorted.foreach { r =>
+        val (start, len) = (r.getAs[Long]("start_tok"), r.getAs[Long]("n_tok"))
+        assert(start === r.getAs[Long]("chunk_id") * TextAnalysis.ChunkStride)
+        assert(len >= 1 && len <= TextAnalysis.ChunkWindow)
+        assert(start + len <= nTok(doc))
+      }
+      // last chunk reaches the end of the doc; consecutive chunks overlap
+      val last = sorted.last
+      assert(last.getAs[Long]("start_tok") + last.getAs[Long]("n_tok") === nTok(doc))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("start_tok") <
+            a.getAs[Long]("start_tok") + a.getAs[Long]("n_tok"),
+            s"doc $doc: gap between chunks")
+        case _ => ()
+      }
+    }
+  }
+
   // ---- cur03 domain mixture -----------------------------------------
 
   test("cur03: the scarcest-relative-to-target language keeps ~everything and no lang exceeds its corpus") {
