@@ -36,7 +36,10 @@ object Bench {
     "ds04_epoch_shuffle", "dq01_expectations", "dd09_editdist_verify",
     "sim07_pq_adc")
 
-  private def fmt(v: Double): String = f"$v%.3f"
+  // Locale.ROOT: the f-interpolator honors the default locale, and a
+  // comma decimal separator would corrupt the JSON
+  private def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -44,6 +44,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
           s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
   }
 
+  private def anyContainsNull: Boolean = Seq(left, right).exists(
+    _.dataType.asInstanceOf[ArrayType].containsNull)
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -54,6 +57,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var nb = 0.0
     var i = 0
     while (i < n) {
+      // null element → null result, matching the HOF/list_reduce forms
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getFloat(i).toDouble
       val yi = y.getFloat(i).toDouble
       dot += xi * yi
@@ -73,6 +78,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      // generated only when a side's schema admits null elements —
+      // the common non-null case keeps the branch-free hot loop
+      val nullGuard =
+        if (anyContainsNull)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
@@ -80,13 +91,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  int $n = $a.numElements();
          |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullGuard
          |    double $xi = (double) $a.getFloat($i);
          |    double $yi = (double) $b.getFloat($i);
          |    $dot += $xi * $yi;
          |    $na += $xi * $xi;
          |    $nb += $yi * $yi;
          |  }
-         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
          |}
        """.stripMargin
     })
@@ -137,6 +151,9 @@ case class DotProduct(left: Expression, right: Expression)
   private def isFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  private def anyContainsNull: Boolean = Seq(left, right).exists(
+    _.dataType.asInstanceOf[ArrayType].containsNull)
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -147,6 +164,8 @@ case class DotProduct(left: Expression, right: Expression)
     var dot = 0.0
     var i = 0
     while (i < n) {
+      // null element → null result, matching the HOF/list_reduce forms
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xi * yi
@@ -162,6 +181,10 @@ case class DotProduct(left: Expression, right: Expression)
       val dot = ctx.freshName("dot")
       def get(arr: String, fl: Boolean) =
         if (fl) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+      val nullGuard =
+        if (anyContainsNull)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
@@ -169,9 +192,12 @@ case class DotProduct(left: Expression, right: Expression)
          |  int $n = $a.numElements();
          |  double $dot = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullGuard
          |    $dot += ${get(a, isFloat(left))} * ${get(b, isFloat(right))};
          |  }
-         |  ${ev.value} = $dot;
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot;
+         |  }
          |}
        """.stripMargin
     })
@@ -220,6 +246,9 @@ case class SquaredL2(left: Expression, right: Expression)
   private def isFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  private def anyContainsNull: Boolean = Seq(left, right).exists(
+    _.dataType.asInstanceOf[ArrayType].containsNull)
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -230,6 +259,8 @@ case class SquaredL2(left: Expression, right: Expression)
     var d = 0.0
     var i = 0
     while (i < n) {
+      // null element → null result, matching the HOF/list_reduce forms
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       val diff = xi - yi
@@ -247,6 +278,10 @@ case class SquaredL2(left: Expression, right: Expression)
       val diff = ctx.freshName("diff")
       def get(arr: String, fl: Boolean) =
         if (fl) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+      val nullGuard =
+        if (anyContainsNull)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
@@ -254,10 +289,13 @@ case class SquaredL2(left: Expression, right: Expression)
          |  int $n = $a.numElements();
          |  double $d = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullGuard
          |    double $diff = ${get(a, isFloat(left))} - ${get(b, isFloat(right))};
          |    $d += $diff * $diff;
          |  }
-         |  ${ev.value} = $d;
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $d;
+         |  }
          |}
        """.stripMargin
     })

@@ -41,8 +41,10 @@ object DataQuality {
     * 1-row wide result into (rule, checked, violations) rows. */
   def expect(df: DataFrame, rules: Seq[Expectation]): DataFrame = {
     require(rules.nonEmpty, "expect() needs at least one rule")
+    // coalesce: sum over an EMPTY batch is NULL, and a validation
+    // gate must report 0 violations / 0 checked there, not null
     val aggs = count(lit(1)).cast("long").as("checked") +:
-      rules.map(r => sum(when(expr(r.violation), 1L).otherwise(0L))
+      rules.map(r => coalesce(sum(when(expr(r.violation), 1L).otherwise(0L)), lit(0L))
         .cast("long").as(r.name))
     val wide = df.agg(aggs.head, aggs.tail: _*)
     val stackArgs = rules.map(r => s"'${r.name}', ${r.name}").mkString(", ")
@@ -106,7 +108,7 @@ object DataQuality {
     "dq01_expectations" -> {
       def rowRule(table: String, r: Expectation): String =
         s"""SELECT '${r.name}' AS rule, count(*) AS checked,
-           |  CAST(sum(CASE WHEN ${r.violation} THEN 1 ELSE 0 END) AS BIGINT) AS violations
+           |  CAST(coalesce(sum(CASE WHEN ${r.violation} THEN 1 ELSE 0 END), 0) AS BIGINT) AS violations
            |FROM $table""".stripMargin
       val rows =
         LineitemRules.map(rowRule("lineitem", _)) ++

@@ -366,11 +366,11 @@ object Dedup {
          |    ON a.key = b.key AND a.band = b.band AND a.doc_id < b.doc_id
          |)
          |SELECT doc_a, doc_b,
-         |       CAST($matchSum AS DOUBLE) / 8.0 AS est_jaccard
+         |       CAST($matchSum AS DOUBLE) / $MinhashK.0 AS est_jaccard
          |FROM cand
          |JOIN sigs sa ON sa.doc_id = doc_a
          |JOIN sigs sb ON sb.doc_id = doc_b
-         |WHERE CAST($matchSum AS DOUBLE) / 8.0 >= 0.5
+         |WHERE CAST($matchSum AS DOUBLE) / $MinhashK.0 >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dd07_dup_clusters" -> {
@@ -390,7 +390,7 @@ object Dedup {
          |  SELECT doc_a, doc_b FROM cand
          |  JOIN sigs sa ON sa.doc_id = doc_a
          |  JOIN sigs sb ON sb.doc_id = doc_b
-         |  WHERE CAST($matchSum AS DOUBLE) / 8.0 >= 0.5
+         |  WHERE CAST($matchSum AS DOUBLE) / $MinhashK.0 >= 0.5
          |),
          |edges AS (
          |  SELECT doc_a AS src, doc_b AS dst FROM p
@@ -480,16 +480,21 @@ object Dedup {
          |  SELECT doc_a, doc_b FROM cand
          |  JOIN sigs sa ON sa.doc_id = doc_a
          |  JOIN sigs sb ON sb.doc_id = doc_b
-         |  WHERE CAST($matchSum AS DOUBLE) / 8.0 >= 0.5
+         |  WHERE CAST($matchSum AS DOUBLE) / $MinhashK.0 >= 0.5
          |),
-         |v AS (
+         |d AS (
+         |  -- levenshtein once per pair (no CSE guarantee across select items)
          |  SELECT doc_a, doc_b,
          |         CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
-         |         round(1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE) /
-         |               CAST(nullif(greatest(length(da.text), length(db.text)), 0) AS DOUBLE), 6) AS edit_sim
+         |         CAST(nullif(greatest(length(da.text), length(db.text)), 0) AS DOUBLE) AS mx
          |  FROM p
          |  JOIN documents da ON da.doc_id = doc_a
          |  JOIN documents db ON db.doc_id = doc_b
+         |),
+         |v AS (
+         |  SELECT doc_a, doc_b, edit_dist,
+         |         round(1.0 - CAST(edit_dist AS DOUBLE) / mx, 6) AS edit_sim
+         |  FROM d
          |)
          |SELECT doc_a, doc_b, edit_dist, edit_sim
          |FROM v WHERE edit_sim >= 0.8

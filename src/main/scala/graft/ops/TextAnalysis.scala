@@ -293,8 +293,12 @@ object TextAnalysis {
     // digest. One narrow pass (tokenize → per-doc chunk-index sequence
     // → explode_outer → slice + digest); no shuffle until the final
     // sort, so it scales linearly in corpus bytes. Chunk count is
-    // ceil(n/stride) — the last chunk may run short; empty docs chunk
-    // to nothing. At 100 TB the chunk table feeds the embedding pass
+    // 1 + ceil(max(0, n - window)/stride) — one window, plus a stride
+    // advance per remaining tail; the last chunk may run short but is
+    // never a subsequence of its predecessor (a plain ceil(n/stride)
+    // emits a fully-contained duplicate tail chunk whenever
+    // n mod stride ∈ (0, window - stride]). Empty docs chunk to
+    // nothing. At 100 TB the chunk table feeds the embedding pass
     // (mapInPandas batch shape, see Multimodal) and the digest column
     // makes re-embedding incremental (content-addressed skip).
     "tx11_chunk_windows" -> ((s, d) =>
@@ -303,7 +307,7 @@ object TextAnalysis {
         .withColumn("n", expr("CAST(size(tokens) AS BIGINT)"))
         .select(col("doc_id"), col("tokens"), col("n"),
           explode_outer(expr(
-            s"CASE WHEN n > 0 THEN sequence(CAST(0 AS BIGINT), CAST(ceil(CAST(n AS DOUBLE) / $ChunkStride) AS BIGINT) - 1) ELSE CAST(array() AS ARRAY<BIGINT>) END"))
+            s"CASE WHEN n > 0 THEN sequence(CAST(0 AS BIGINT), CAST(ceil(CAST(greatest(n - $ChunkWindow, 0) AS DOUBLE) / $ChunkStride) AS BIGINT)) ELSE CAST(array() AS ARRAY<BIGINT>) END"))
             .as("chunk_id"))
         .filter(col("chunk_id").isNotNull)
         .withColumn("start_tok", expr(s"chunk_id * $ChunkStride"))
@@ -468,7 +472,7 @@ object TextAnalysis {
          |c AS (
          |  SELECT doc_id, tokens, n,
          |         unnest(CASE WHEN n > 0
-         |           THEN generate_series(CAST(0 AS BIGINT), CAST(ceil(CAST(n AS DOUBLE) / $ChunkStride) AS BIGINT) - 1)
+         |           THEN generate_series(CAST(0 AS BIGINT), CAST(ceil(CAST(greatest(n - $ChunkWindow, 0) AS DOUBLE) / $ChunkStride) AS BIGINT))
          |           ELSE [] END) AS chunk_id
          |  FROM t
          |)

@@ -58,8 +58,10 @@ object BenchCold {
     val b = sweep()
     val best = names.map(n => n -> math.min(a(n), b(n)))
     val total = best.map(_._2).sum
-    val qs = best.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
+    // Locale.ROOT — a comma-decimal default locale would corrupt the JSON
+    val qs = best.map { case (k, v) =>
+      "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"total_cold","value":$total,"unit":"sec","protocol":"min-of-2 cold sweeps, memo+cache cleared per query","queries":$qs,"sf":"$sfDir"}"""
     val w = new java.io.PrintWriter(outPath)

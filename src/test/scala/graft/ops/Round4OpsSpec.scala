@@ -64,6 +64,11 @@ class Round4OpsSpec extends SparkSpec {
           assert(b.getAs[Long]("start_tok") <
             a.getAs[Long]("start_tok") + a.getAs[Long]("n_tok"),
             s"doc $doc: gap between chunks")
+          // every chunk must EXTEND coverage — a chunk fully contained
+          // in its predecessor is redundant work downstream
+          assert(b.getAs[Long]("start_tok") + b.getAs[Long]("n_tok") >
+            a.getAs[Long]("start_tok") + a.getAs[Long]("n_tok"),
+            s"doc $doc: chunk contained in predecessor")
         case _ => ()
       }
     }
@@ -167,13 +172,13 @@ class Round4OpsSpec extends SparkSpec {
     }
   }
 
-  test("dd09: exact duplicate texts verify with edit distance zero") {
+  test("dd09: canonicalize-first means every verified pair is a GENUINE near-dup (distance >= 1)") {
+    // signatures are built over one canonical doc per distinct text,
+    // so candidate pairs are always between distinct texts — a
+    // zero-distance pair would mean exact dups leaked past the guard
     val zeroPairs = q("dd09_editdist_verify")
       .filter(col("edit_dist") === 0L).count()
-    val hasExactDups = q("dd01_exact_dedup")
-      .filter(col("n_copies") > 1).count() > 0
-    assert(!hasExactDups || zeroPairs > 0,
-      "corpus has exact dups but none verified at distance 0")
+    assert(zeroPairs === 0L, "exact-duplicate pair leaked past canonicalize-first")
   }
 
   // ---- sim07 product quantization -----------------------------------
@@ -205,5 +210,9 @@ class Round4OpsSpec extends SparkSpec {
     val mismatch = spark.sql(
       "SELECT sq_dist(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS v")
     assert(mismatch.collect().head.isNullAt(0))
+    // null element → null, matching the HOF form (not a silent 0.0)
+    val nullElem = spark.sql(
+      "SELECT sq_dist(array(CAST(NULL AS DOUBLE), CAST(1.0 AS DOUBLE)), array(CAST(0.0 AS DOUBLE), CAST(1.0 AS DOUBLE))) AS v")
+    assert(nullElem.collect().head.isNullAt(0))
   }
 }
