@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for cosine similarity over two
   * `array<float>` embedding columns, with whole-stage codegen.
@@ -305,6 +306,113 @@ case class SquaredL2(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused per-document token statistics: one pass over a `tokens`
+  * array computes the five counters the text-quality family reads —
+  * token count, total character length, stopword hits, short-token
+  * hits (numChars ≤ shortLen), and distinct-token count — as a
+  * struct<n, len_sum, stop_cnt, short_cnt, n_distinct : bigint>.
+  *
+  * Replaces three-to-four interpreted higher-order passes per row
+  * (`aggregate(+length)`, `size(filter(stopword))`,
+  * `size(filter(length≤k))`, `size(array_distinct)`) in
+  * tx01/tx02/df01 with a single fused loop. All counters are exact
+  * integers, so each field is value-identical to its HOF form (and
+  * to the DuckDB list_* oracle forms): `length()` is numChars,
+  * stopword membership is string equality, and distinct counting by
+  * hash set equals `array_distinct`'s first-occurrence cardinality.
+  * Null array → null; a null ELEMENT → null (the HOF forms poison
+  * their folds the same way).
+  */
+case class TokenStats(child: Expression, stopwords: Seq[String], shortLen: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", org.apache.spark.sql.types.LongType, nullable = false),
+    StructField("len_sum", org.apache.spark.sql.types.LongType, nullable = false),
+    StructField("stop_cnt", org.apache.spark.sql.types.LongType, nullable = false),
+    StructField("short_cnt", org.apache.spark.sql.types.LongType, nullable = false),
+    StructField("n_distinct", org.apache.spark.sql.types.LongType, nullable = false)))
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"token_stats expects array<string>, got ${t.catalogString}")
+    }
+
+  @transient private lazy val stopSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String]()
+    stopwords.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var lenSum = 0L
+    var stop = 0L
+    var short = 0L
+    val seen = new java.util.HashSet[UTF8String]()
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      val t = arr.getUTF8String(i)
+      val len = t.numChars()
+      lenSum += len
+      if (len <= shortLen) short += 1
+      if (stopSet.contains(t)) stop += 1
+      seen.add(t)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n.toLong, lenSum, stop, short, seen.size.toLong))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val stopRef = ctx.addReferenceObj("stopSet", stopSet, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val lenSum = ctx.freshName("lenSum")
+      val stop = ctx.freshName("stop")
+      val shortC = ctx.freshName("shortC")
+      val seen = ctx.freshName("seen")
+      val t = ctx.freshName("t")
+      val len = ctx.freshName("len")
+      val containsNull = child.dataType.asInstanceOf[ArrayType].containsNull
+      val nullGuard =
+        if (containsNull)
+          s"if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
+      s"""
+         |int $n = $a.numElements();
+         |long $lenSum = 0L, $stop = 0L, $shortC = 0L;
+         |java.util.HashSet $seen = new java.util.HashSet();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $nullGuard
+         |  UTF8String $t = $a.getUTF8String($i);
+         |  int $len = $t.numChars();
+         |  $lenSum += $len;
+         |  if ($len <= $shortLen) $shortC++;
+         |  if ($stopRef.contains($t)) $stop++;
+         |  $seen.add($t);
+         |}
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |    new Object[]{(long) $n, $lenSum, $stop, $shortC, (long) $seen.size()});
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenStats =
+    copy(child = newChild)
+}
+
 /** Fused MinHash mixing: one pass over a document's shingle-hash
   * array computes all k affine-family minima
   * `min_i (h_i·a_j + b_j) mod m`. The HOF formulation
@@ -473,6 +581,9 @@ object VectorExprs {
     "cosine_sim" -> (exprs => CosineSimilarity(exprs(0), exprs(1))),
     "dot_product" -> (exprs => DotProduct(exprs(0), exprs(1))),
     "sq_dist" -> (exprs => SquaredL2(exprs(0), exprs(1))),
+    "token_stats" -> (exprs => TokenStats(exprs.head,
+      graft.ops.TextAnalysis.LangStopwords.flatMap(_._2),
+      graft.ops.TextAnalysis.ShortTokenLen)),
     "minhash_mix" -> (exprs => MinhashMix(exprs.head,
       graft.ops.Dedup.mixCoeffs.toSeq, graft.ops.Dedup.MixMod)),
     "simhash_mix" -> (exprs => SimhashMix(exprs.head)))

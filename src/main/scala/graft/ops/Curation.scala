@@ -225,17 +225,21 @@ object Curation {
 
     // C4/Gopher-style quality gate: token-count bounds, mean-word-
     // length bounds, at-least-one-stopword, repetition cut via the
-    // distinct-token ratio; emits survivors with their features
-    "df01_quality_gate" -> ((s, d) =>
+    // distinct-token ratio; emits survivors with their features.
+    // All counters come from the ONE fused token_stats codegen pass
+    // (functions/VectorExprs) instead of three interpreted HOF
+    // sweeps; each field is exact-integer-identical to the HOF form,
+    // so the oracle SQL is unchanged.
+    "df01_quality_gate" -> ((s, d) => {
+      graft.functions.VectorExprs.register(s)
       Tables.documents(s, d)
-        .withColumn("tokens", expr(tokensExpr))
-        .withColumn("n", size(col("tokens")))
+        .withColumn("ts", expr(s"token_stats($tokensExpr)"))
+        .withColumn("n", col("ts.n"))
         .withColumn("avg_len",
-          expr("CAST(aggregate(tokens, 0, (a, t) -> a + length(t)) AS DOUBLE) / CAST(nullif(n, 0) AS DOUBLE)"))
-        .withColumn("stop_cnt",
-          expr(s"size(filter(tokens, t -> ${TextAnalysis.inList(TextAnalysis.LangStopwords.flatMap(_._2))}))"))
+          expr("CAST(ts.len_sum AS DOUBLE) / CAST(nullif(ts.n, 0) AS DOUBLE)"))
+        .withColumn("stop_cnt", col("ts.stop_cnt"))
         .withColumn("distinct_ratio",
-          expr("CAST(size(array_distinct(tokens)) AS DOUBLE) / CAST(nullif(n, 0) AS DOUBLE)"))
+          expr("CAST(ts.n_distinct AS DOUBLE) / CAST(nullif(ts.n, 0) AS DOUBLE)"))
         .filter(col("n").between(20, 500) &&
           col("avg_len").between(2.0, 12.0) &&
           col("stop_cnt") >= 1 &&
@@ -244,7 +248,8 @@ object Curation {
           col("n").cast("long").as("n_tokens"),
           expr("round(avg_len, 6)").as("avg_token_len"),
           expr("round(distinct_ratio, 6)").as("distinct_ratio"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")
+    })
   )
 
   val oracle: Map[String, String] = Map(

@@ -74,6 +74,10 @@ object TextAnalysis {
   /** Top-k terms kept per document by tx07. */
   val TfidfTopK = 3
 
+  /** "Short token" length bound shared by tx02 and the fused
+    * `token_stats` kernel. */
+  val ShortTokenLen = 2
+
   /** GPT-2-ish pretokenizer pattern (contractions, space-prefixed
     * letter runs, digit runs, punct runs), kept in the Java∩RE2
     * common regex subset; SQL-literal form with doubled apostrophes
@@ -82,28 +86,34 @@ object TextAnalysis {
     "''s|''t|''re|''ve|''m|''ll|''d| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
 
   val queries: Map[String, Q] = Map(
-    // Token counting: whitespace tokens + distinct + mean length
-    "tx01_token_stats" -> ((s, d) =>
+    // Token counting: whitespace tokens + distinct + mean length.
+    // All counters come from ONE fused codegen pass (token_stats,
+    // functions/VectorExprs) instead of three interpreted HOF sweeps;
+    // every field is exact-integer-identical to the HOF form, so the
+    // oracle SQL is unchanged.
+    "tx01_token_stats" -> ((s, d) => {
+      graft.functions.VectorExprs.register(s)
       Tables.documents(s, d)
-        .withColumn("tokens", expr(tokensExpr))
+        .withColumn("ts", expr(s"token_stats($tokensExpr)"))
         .select(
           col("doc_id"),
-          size(col("tokens")).cast("long").as("n_tokens"),
-          expr("CAST(size(array_distinct(tokens)) AS BIGINT)").as("n_distinct"),
-          expr("""CASE WHEN size(tokens) = 0 THEN NULL ELSE
-                 |round(CAST(aggregate(tokens, 0, (a, t) -> a + length(t)) AS DOUBLE)
-                 |      / CAST(size(tokens) AS DOUBLE), 6) END""".stripMargin)
+          col("ts.n").as("n_tokens"),
+          col("ts.n_distinct").as("n_distinct"),
+          expr("""CASE WHEN ts.n = 0 THEN NULL ELSE
+                 |round(CAST(ts.len_sum AS DOUBLE)
+                 |      / CAST(ts.n AS DOUBLE), 6) END""".stripMargin)
             .as("avg_token_len"))
-        .orderBy("doc_id")),
+        .orderBy("doc_id")
+    }),
 
     // Quality scoring: stopword / short-token ratios → score
-    "tx02_quality" -> ((s, d) =>
+    "tx02_quality" -> ((s, d) => {
+      graft.functions.VectorExprs.register(s)
       Tables.documents(s, d)
-        .withColumn("tokens", expr(tokensExpr))
-        .withColumn("n", size(col("tokens")))
-        .withColumn("stop_cnt",
-          expr(s"size(filter(tokens, t -> ${inList(LangStopwords.flatMap(_._2))}))"))
-        .withColumn("short_cnt", expr("size(filter(tokens, t -> length(t) <= 2))"))
+        .withColumn("ts", expr(s"token_stats($tokensExpr)"))
+        .withColumn("n", col("ts.n"))
+        .withColumn("stop_cnt", col("ts.stop_cnt"))
+        .withColumn("short_cnt", col("ts.short_cnt"))
         .select(
           col("doc_id"),
           expr("CAST(length(text) AS BIGINT)").as("n_chars_actual"),
@@ -114,7 +124,8 @@ object TextAnalysis {
           expr("""round(1.0 - 0.5 * (CAST(stop_cnt AS DOUBLE) / CAST(nullif(n, 0) AS DOUBLE))
                  |          - 0.5 * (CAST(short_cnt AS DOUBLE) / CAST(nullif(n, 0) AS DOUBLE)), 6)""".stripMargin)
             .as("quality_score"))
-        .orderBy("doc_id")),
+        .orderBy("doc_id")
+    }),
 
     // Language ID: per-language stopword hit counts, argmax with a
     // fixed tie order (en > de > es > fr)

@@ -196,6 +196,21 @@ class Round4OpsSpec extends SparkSpec {
     }
   }
 
+  test("token_stats matches every HOF counter exactly across the corpus") {
+    graft.functions.VectorExprs.register(spark)
+    val stops = TextAnalysis.inList(TextAnalysis.LangStopwords.flatMap(_._2))
+    val cmp = Tables.documents(spark, sf)
+      .withColumn("tokens", expr(TextAnalysis.tokensExpr))
+      .withColumn("ts", expr("token_stats(tokens)"))
+      .filter(
+        col("ts.n") =!= expr("CAST(size(tokens) AS BIGINT)") ||
+        col("ts.len_sum") =!= expr("CAST(aggregate(tokens, 0, (a, t) -> a + length(t)) AS BIGINT)") ||
+        col("ts.stop_cnt") =!= expr(s"CAST(size(filter(tokens, t -> $stops)) AS BIGINT)") ||
+        col("ts.short_cnt") =!= expr(s"CAST(size(filter(tokens, t -> length(t) <= ${TextAnalysis.ShortTokenLen})) AS BIGINT)") ||
+        col("ts.n_distinct") =!= expr("CAST(size(array_distinct(tokens)) AS BIGINT)"))
+    assert(cmp.count() === 0)
+  }
+
   test("sq_dist matches the HOF fold bit-for-bit and nulls on length mismatch") {
     graft.functions.VectorExprs.register(spark)
     val e = Tables.embeddings(spark, sf).limit(50)
