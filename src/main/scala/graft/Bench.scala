@@ -33,8 +33,8 @@ object Bench {
     "tx01_token_stats", "tx07_tfidf", "df01_quality_gate", "ds03_context_pack",
     "st03_session_window", "sql03_recursive_cte", "mm01_media_features",
     "tx10_ngram_topk", "tx11_chunk_windows", "cur03_domain_mix",
-    "ds04_epoch_shuffle", "dq01_expectations", "dd09_editdist_verify",
-    "sim07_pq_adc")
+    "ds04_epoch_shuffle", "dq01_expectations", "dq02_profile",
+    "dd09_editdist_verify", "sim07_pq_adc")
 
   // Locale.ROOT: the f-interpolator honors the default locale, and a
   // comma decimal separator would corrupt the JSON

@@ -158,6 +158,26 @@ class Round4OpsSpec extends SparkSpec {
     assert(!plan.contains("Union"), s"expected a single fused scan, got:\n$plan")
   }
 
+  // ---- dq02 column profiler -----------------------------------------
+
+  test("dq02: one row per profiled column; counts and ranges are internally consistent") {
+    val rows = q("dq02_profile").collect()
+    val expected = (DataQuality.ProfileNumericCols ++ DataQuality.ProfileStringCols).toSet
+    assert(rows.map(_.getAs[String]("col_name")).toSet === expected)
+    val nLi = Tables.lineitem(spark, sf).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_rows") === nLi)
+      assert(r.getAs[Long]("n_null") >= 0 && r.getAs[Long]("n_null") <= nLi)
+      assert(r.getAs[Long]("n_distinct") <= nLi - r.getAs[Long]("n_null"))
+      val c = r.getAs[String]("col_name")
+      if (DataQuality.ProfileNumericCols.contains(c)) {
+        assert(r.getAs[Double]("min_d") <= r.getAs[Double]("max_d"))
+      } else {
+        assert(r.isNullAt(r.fieldIndex("min_d")) && r.isNullAt(r.fieldIndex("max_d")))
+      }
+    }
+  }
+
   // ---- dd09 edit-distance verification ------------------------------
 
   test("dd09: verified pairs are a subset of dd03 candidates, with sim >= 0.8") {
