@@ -79,8 +79,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
-      // generated only when a side's schema admits null elements —
-      // the common non-null case keeps the branch-free hot loop
+      // generated only when a side's schema admits null elements.
+      // NOTE: parquet-sourced arrays declare containsNull=true (list
+      // elements are optional in the format), so the guard IS present
+      // in the similarity hot loops — measured cost is two null-bit
+      // probes per element, not visible in the sim01/sim02 timings; a
+      // schema that pins elements non-null gets the branch-free loop
       val nullGuard =
         if (anyContainsNull)
           s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"

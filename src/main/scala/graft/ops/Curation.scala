@@ -226,14 +226,24 @@ object Curation {
     // C4/Gopher-style quality gate: token-count bounds, mean-word-
     // length bounds, at-least-one-stopword, repetition cut via the
     // distinct-token ratio; emits survivors with their features.
-    // All counters come from the ONE fused token_stats codegen pass
+    // All counters come from the fused token_stats codegen pass
     // (functions/VectorExprs) instead of three interpreted HOF
     // sweeps; each field is exact-integer-identical to the HOF form,
     // so the oracle SQL is unchanged.
+    //
+    // The explode(array(...)) wrapper is a MATERIALIZATION BARRIER:
+    // without it, predicate pushdown substitutes the `ts` alias into
+    // the filter condition and the kernel (plus the tokenizer chain)
+    // re-embeds once per predicate leaf — 13 occurrences in the
+    // physical plan, the History-#7 pathology. Predicates on a
+    // GENERATED attribute cannot push below the Generate, and the
+    // inferred size(array(x)) > 0 pre-filter constant-folds away, so
+    // the kernel runs exactly once per row.
     "df01_quality_gate" -> ((s, d) => {
       graft.functions.VectorExprs.register(s)
       Tables.documents(s, d)
-        .withColumn("ts", expr(s"token_stats($tokensExpr)"))
+        .select(col("doc_id"),
+          explode(array(expr(s"token_stats($tokensExpr)"))).as("ts"))
         .withColumn("n", col("ts.n"))
         .withColumn("avg_len",
           expr("CAST(ts.len_sum AS DOUBLE) / CAST(nullif(ts.n, 0) AS DOUBLE)"))
