@@ -65,6 +65,40 @@ object Curation {
   val EmailRe = "[a-z0-9._]+@[a-z0-9._]+"
   val LongNumRe = "[0-9]{6,}"
 
+  /** The df01 quality-gate transform over a (doc_id, text) frame —
+    * UNORDERED and fully stateless/narrow, so the same function runs
+    * over a batch frame (the df01 catalog query adds the output sort)
+    * or a streaming frame (StreamingSpec runs it under
+    * Trigger.AvailableNow and gets batch-identical survivors; sorts
+    * are illegal on streams, which is why the ordering lives at the
+    * catalog boundary). Requires `token_stats` to be registered. */
+  def qualityGate(docs: DataFrame): DataFrame =
+    docs
+      // explode(array(...)) is a MATERIALIZATION BARRIER: without it,
+      // predicate pushdown substitutes the `ts` alias into the filter
+      // condition and the kernel (plus the tokenizer chain) re-embeds
+      // once per predicate leaf — 13 occurrences in the physical
+      // plan, the History-#7 pathology. Predicates on a GENERATED
+      // attribute cannot push below the Generate, and the inferred
+      // size(array(x)) > 0 pre-filter constant-folds away, so the
+      // kernel runs exactly once per row.
+      .select(col("doc_id"),
+        explode(array(expr(s"token_stats($tokensExpr)"))).as("ts"))
+      .withColumn("n", col("ts.n"))
+      .withColumn("avg_len",
+        expr("CAST(ts.len_sum AS DOUBLE) / CAST(nullif(ts.n, 0) AS DOUBLE)"))
+      .withColumn("stop_cnt", col("ts.stop_cnt"))
+      .withColumn("distinct_ratio",
+        expr("CAST(ts.n_distinct AS DOUBLE) / CAST(nullif(ts.n, 0) AS DOUBLE)"))
+      .filter(col("n").between(20, 500) &&
+        col("avg_len").between(2.0, 12.0) &&
+        col("stop_cnt") >= 1 &&
+        col("distinct_ratio") >= 0.2)
+      .select(col("doc_id"),
+        col("n").cast("long").as("n_tokens"),
+        expr("round(avg_len, 6)").as("avg_token_len"),
+        expr("round(distinct_ratio, 6)").as("distinct_ratio"))
+
   val queries: Map[String, Q] = Map(
     // Deterministic 90/5/5 train/val/test split: bucket by a 60-bit
     // md5 prefix of the doc id — stable under retries, recomputable
@@ -229,36 +263,12 @@ object Curation {
     // All counters come from the fused token_stats codegen pass
     // (functions/VectorExprs) instead of three interpreted HOF
     // sweeps; each field is exact-integer-identical to the HOF form,
-    // so the oracle SQL is unchanged.
-    //
-    // The explode(array(...)) wrapper is a MATERIALIZATION BARRIER:
-    // without it, predicate pushdown substitutes the `ts` alias into
-    // the filter condition and the kernel (plus the tokenizer chain)
-    // re-embeds once per predicate leaf — 13 occurrences in the
-    // physical plan, the History-#7 pathology. Predicates on a
-    // GENERATED attribute cannot push below the Generate, and the
-    // inferred size(array(x)) > 0 pre-filter constant-folds away, so
-    // the kernel runs exactly once per row.
+    // so the oracle SQL is unchanged. See [[qualityGate]] for the
+    // transform (shared with the streaming path) and its
+    // materialization barrier.
     "df01_quality_gate" -> ((s, d) => {
       graft.functions.VectorExprs.register(s)
-      Tables.documents(s, d)
-        .select(col("doc_id"),
-          explode(array(expr(s"token_stats($tokensExpr)"))).as("ts"))
-        .withColumn("n", col("ts.n"))
-        .withColumn("avg_len",
-          expr("CAST(ts.len_sum AS DOUBLE) / CAST(nullif(ts.n, 0) AS DOUBLE)"))
-        .withColumn("stop_cnt", col("ts.stop_cnt"))
-        .withColumn("distinct_ratio",
-          expr("CAST(ts.n_distinct AS DOUBLE) / CAST(nullif(ts.n, 0) AS DOUBLE)"))
-        .filter(col("n").between(20, 500) &&
-          col("avg_len").between(2.0, 12.0) &&
-          col("stop_cnt") >= 1 &&
-          col("distinct_ratio") >= 0.2)
-        .select(col("doc_id"),
-          col("n").cast("long").as("n_tokens"),
-          expr("round(avg_len, 6)").as("avg_token_len"),
-          expr("round(distinct_ratio, 6)").as("distinct_ratio"))
-        .orderBy("doc_id")
+      qualityGate(Tables.documents(s, d)).orderBy("doc_id")
     })
   )
 

@@ -31,6 +31,34 @@ class StreamingSpec extends SparkSpec {
       time: String): String =
     s"""{"Lines": "$lines", "VehicleNumber": "$vehicle", "Lat": $lat, "Lon": $lon, "Time": "$time", "Brigade": "1"}"""
 
+  test("the LLM quality gate composes with Structured Streaming: streamed survivors equal batch") {
+    graft.functions.VectorExprs.register(spark)
+    val sf = "/root/testdata/sf0.001"
+    val batchDocs = graft.Tables.documents(spark, sf)
+    // stage the corpus as a streaming source directory (two files →
+    // at least two micro-batches under maxFilesPerTrigger = 1)
+    val srcDir = Files.createTempDirectory("graft-stream-docs").toString
+    batchDocs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$srcDir/part_a")
+    batchDocs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 =!= 0)
+      .write.mode("overwrite").parquet(s"$srcDir/part_b")
+    val stream = spark.readStream
+      .schema(batchDocs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$srcDir/part_*")
+    val q = graft.ops.Curation.qualityGate(stream)
+      .writeStream
+      .format("memory")
+      .queryName("stream_quality")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("stream_quality").orderBy("doc_id").collect()
+    val batch = graft.SparkEntry.queries("df01_quality_gate")(spark, sf).collect()
+    assert(streamed.length === batch.length)
+    assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+  }
+
   test("streaming silver dedups across micro-batches and filters bbox") {
     val dir = Files.createTempDirectory("graft-stream").toString
     // file 1: two good records (one duplicated), one Kraków outlier
