@@ -334,7 +334,14 @@ object Dedup {
       cand
         .join(docs.toDF("doc_a", "text_a"), "doc_a")
         .join(docs.toDF("doc_b", "text_b"), "doc_b")
-        .withColumn("edit_dist", levenshtein(col("text_a"), col("text_b")).cast("long"))
+        // explode(array(...)) barrier (the df01 pattern): the filter
+        // on edit_sim would otherwise inline the levenshtein alias and
+        // the O(len_a·len_b) kernel would run twice per pair (filter +
+        // projection — 2 occurrences in the physical plan). Predicates
+        // on a generated attribute stay above the Generate.
+        .select(col("doc_a"), col("doc_b"), col("text_a"), col("text_b"),
+          explode(array(levenshtein(col("text_a"), col("text_b")).cast("long")))
+            .as("edit_dist"))
         .withColumn("edit_sim",
           round(lit(1.0) - col("edit_dist").cast("double") /
             nullif(greatest(length(col("text_a")), length(col("text_b"))), lit(0))
