@@ -222,12 +222,17 @@ object Dedup {
       // filter that re-evaluates the whole tokenize→shingle→hash HOF
       // chain a second time per row (measured ~2× on this, the
       // query's dominant narrow stage)
+      // sh0 is cached (not just the post-cap frame): both `hot` and
+      // `sh` consume it, and without the cache each would re-run the
+      // tokenize→shingle→hash→distinct chain over the corpus (the
+      // plan showed the chain at two compute sites)
       val sh0 = canonical
         .withColumn("tokens", expr(tokensExpr))
         .withColumn("shingles", expr(shinglesExpr))
         .select(col("doc_id"),
           explode_outer(expr(s"array_distinct(transform(shingles, s -> ${graft.functions.Portable.phashExpr("s")}))")).as("sh"))
         .filter(col("sh").isNotNull)
+        .cache()
       val hot = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
         .filter(col("df") > MaxShingleDf).select("sh")
       val sh = sh0.join(broadcast(hot), Seq("sh"), "left_anti").cache()
