@@ -29,6 +29,18 @@ object Dedup {
     * common than this carry no near-dup signal and cost df² pairs). */
   val MaxShingleDf = 1000
 
+  /** dd10 decontamination: 1-in-EvalMod docs form the held-out eval
+    * set (hash-deterministic, salted apart from ds01's split domain).
+    * A train doc is flagged when ≥ DecontamMinRatio of its distinct
+    * shingles appear in the eval index (with an absolute ≥ 2 floor —
+    * one shared 60-bit shingle hash is collision-grade noise). The
+    * ratio threshold sits well above the corpus's measured shared-
+    * vocabulary background (~0.05 mean overlap from common phrases)
+    * and well below real contamination (near-copies measure ≥ 0.15). */
+  val EvalMod = 20
+  val DecontamMinOverlap = 2
+  val DecontamMinRatio = 0.1
+
   // Tokens: lowercase, whitespace-split, empties removed (trailing
   // spaces exist in the data). Kept textually parallel with the SQL.
   private val tokensExpr = TextAnalysis.tokensExpr
@@ -354,6 +366,53 @@ object Dedup {
         .filter(col("edit_sim") >= 0.8)
         .select("doc_a", "doc_b", "edit_dist", "edit_sim")
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // Benchmark decontamination — the gate a pretraining pipeline runs
+    // before any eval is trusted: flag every TRAIN doc that shares
+    // n-gram shingles with the held-out EVAL set (GPT-3-style n-gram
+    // overlap; 3-word shingles here, mirroring the dedup family's
+    // vocabulary). Shape is the whole scale story:
+    //   - the eval index is distinct hashed shingles over a 1-in-20
+    //     hash-held-out slice — eval benchmarks are bounded (MBs) no
+    //     matter how large the train corpus grows, so the index is
+    //     BROADCAST and the train side never shuffles its postings:
+    //     the scan stays narrow, the broadcast-hash-join probe is
+    //     map-side, and the only exchange carries one pre-reduced
+    //     (doc_id, n_hit) row per CONTAMINATED doc — O(hits), not
+    //     O(corpus);
+    //   - unlike dd05 there is no df² pair risk: the eval side is a
+    //     distinct set, so each train posting matches at most once
+    //     (a production run would still drop boilerplate shingles
+    //     from the eval index — the MaxShingleDf knob — to keep the
+    //     flag's precision, not for cost).
+    // Every copy of a contaminated text must be flagged, so this runs
+    // over RAW docs, not dd05's canonical slice.
+    "dd10_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("tokens", expr(tokensExpr))
+        .withColumn("shingles", expr(shinglesExpr))
+        .withColumn("is_eval",
+          expr(s"${Portable.phashExpr("concat('ev:', CAST(doc_id AS STRING))")} % $EvalMod = 0"))
+        .select(col("doc_id"), col("is_eval"),
+          expr(s"array_distinct(transform(shingles, s -> ${Portable.phashExpr("s")}))").as("shs"))
+        .cache() // two consumers: eval index + train postings
+      val evalSh = docs.filter(col("is_eval"))
+        .select(explode(col("shs")).as("sh")).distinct()
+      val train = docs.filter(!col("is_eval"))
+        .select(col("doc_id"), size(col("shs")).as("n_sh"),
+          explode_outer(col("shs")).as("sh"))
+        .filter(col("sh").isNotNull)
+      train.join(broadcast(evalSh), Seq("sh"))
+        .groupBy("doc_id", "n_sh")
+        .agg(count(lit(1)).as("n_hit"))
+        .filter(col("n_hit") >= DecontamMinOverlap &&
+          col("n_hit").cast("double") / col("n_sh").cast("double") >= DecontamMinRatio)
+        .select(col("doc_id"), col("n_hit"),
+          col("n_sh").cast("long").as("n_sh"),
+          round(col("n_hit").cast("double") / col("n_sh").cast("double"), 6)
+            .as("contamination"))
+        .orderBy("doc_id")
     })
   )
 
@@ -510,6 +569,33 @@ object Dedup {
          |)
          |SELECT doc_a, doc_b, edit_dist, edit_sim
          |FROM v WHERE edit_sim >= 0.8
-         |ORDER BY doc_a, doc_b""".stripMargin
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dd10_decontaminate" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, $tokensSql AS tokens FROM documents
+         |),
+         |shl AS (
+         |  SELECT doc_id, $shinglesSql AS shingles FROM tok
+         |),
+         |post AS (
+         |  SELECT doc_id,
+         |         ${Portable.phashSql("'ev:' || CAST(doc_id AS VARCHAR)")} % $EvalMod = 0 AS is_eval,
+         |         unnest(list_distinct(list_transform(shingles, s -> ${Portable.phashSql("s")}))) AS sh
+         |  FROM shl
+         |),
+         |ev AS (SELECT DISTINCT sh FROM post WHERE is_eval),
+         |tr AS (SELECT doc_id, sh FROM post WHERE NOT is_eval),
+         |n AS (SELECT doc_id, count(*) AS n_sh FROM tr GROUP BY 1),
+         |hits AS (
+         |  SELECT tr.doc_id, count(*) AS n_hit
+         |  FROM tr JOIN ev USING (sh) GROUP BY 1
+         |)
+         |SELECT h.doc_id, n_hit, n_sh,
+         |       round(CAST(n_hit AS DOUBLE) / CAST(n_sh AS DOUBLE), 6) AS contamination
+         |FROM hits h JOIN n USING (doc_id)
+         |WHERE n_hit >= $DecontamMinOverlap
+         |  AND CAST(n_hit AS DOUBLE) / CAST(n_sh AS DOUBLE) >= $DecontamMinRatio
+         |ORDER BY doc_id""".stripMargin
   )
 }
