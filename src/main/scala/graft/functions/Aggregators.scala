@@ -53,3 +53,37 @@ class TopKByValue(k: Int)
   override def bufferEncoder: Encoder[List[Entry]] = ExpressionEncoder[List[Entry]]()
   override def outputEncoder: Encoder[Seq[Entry]] = ExpressionEncoder[Seq[Entry]]()
 }
+
+/** Mergeable Bloom-filter build as a typed `Aggregator`: the buffer
+  * is a fixed-size bitset (`mWords` 64-bit words), `reduce` sets the
+  * k bit positions computed for each key, and `merge` is bitwise OR —
+  * the property that makes the build DISTRIBUTED: every partition
+  * builds a partial filter map-side and the exchange carries one
+  * `mWords`-word bitset per partition, never the key stream.
+  *
+  * Bit positions are computed IN THE PLAN (see `Joins.bloomPosExpr`)
+  * and fed to the aggregator as an array column, so the build and
+  * probe sides share one SQL fragment — a single source of truth for
+  * the hash family, with no JVM-side hashing to drift from it.
+  */
+class BloomAgg(mWords: Int)
+    extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
+  require(mWords > 0, "bitset must be non-empty")
+
+  override def zero: Array[Long] = new Array[Long](mWords)
+  override def reduce(buf: Array[Long], positions: Seq[Long]): Array[Long] = {
+    positions.foreach { p =>
+      buf((p >>> 6).toInt) |= 1L << (p & 63)
+    }
+    buf
+  }
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < mWords) { a(i) |= b(i); i += 1 }
+    a
+  }
+  override def finish(r: Array[Long]): Seq[Long] = r.toSeq
+
+  override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+}

@@ -27,6 +27,29 @@ import graft.Tables
 object Joins {
   type Q = (SparkSession, String) => DataFrame
 
+  /** bf01 bloom layout: 2^17 bits (16 KB broadcast) × 4 probes. At the
+    * build cardinality this sizes to (~15k keys at sf0.1) the FP rate
+    * is (1 − e^(−kn/m))^k ≈ 2%; at cluster scale m is sized from an
+    * n estimate (count or HLL sketch) to hold the same rate — the
+    * filter stays KBs–MBs while the key set it replaces is GBs. */
+  val BloomBits = 1L << 17
+  val BloomK = 4
+  val HotOrderPrice = 450000.0
+
+  /** The k bit positions for `key` — ONE SQL fragment shared by the
+    * bloom build (fed to `BloomAgg`) and the probe (`bloomProbeExpr`),
+    * so the hash family cannot drift between sides. Double hashing
+    * (Kirsch–Mitzenmacher): pos_i = h1 + i·h2 mod m; overflow wraps,
+    * pmod keeps positions non-negative. */
+  def bloomPosExpr(key: String): String =
+    s"transform(sequence(0, ${BloomK - 1}), i -> " +
+      s"pmod(xxhash64($key) + i * xxhash64($key, 1L), ${BloomBits}L))"
+
+  /** Membership probe: every position's bit set in the `bf` bitset. */
+  def bloomProbeExpr(bf: String, key: String): String =
+    s"forall(${bloomPosExpr(key)}, p -> " +
+      s"(shiftright(element_at($bf, CAST(p DIV 64 AS INT) + 1), CAST(p % 64 AS INT)) & 1) = 1)"
+
   val queries: Map[String, Q] = Map(
     // Broadcast hash equi-join: fact ⋈ small dim
     "j01_broadcast_join" -> ((s, d) => {
@@ -268,6 +291,40 @@ object Joins {
       urgentCust.exceptAll(building)
         .groupBy("key").agg(count(lit(1)).as("n"))
         .orderBy("key")
+    }),
+
+    // Bloom-filter pre-filtered semi-join — the sketch-based shuffle
+    // reducer every warehouse engine ships as "runtime filters", here
+    // explicit and library-controlled. The build side's keys fold into
+    // a 16 KB mergeable bitset (functions/BloomAgg: map-side partial
+    // filters, bitwise-OR merge — the exchange carries bitsets, never
+    // keys), which is BROADCAST onto the probe side as a 1-row frame;
+    // the probe is a narrow codegen'd filter. Only rows surviving the
+    // bloom (true matches + ~2% FPs) enter the exact semi-join, whose
+    // shuffle shrinks by the filter's selectivity — at 100 TB that is
+    // the difference between shuffling the full probe table and
+    // shuffling just the candidate rows. The exact semi-join then
+    // removes FPs, so the result is EXACTLY the plain semi-join (the
+    // oracle): the bloom is a transparent physical optimization, never
+    // a semantic one.
+    "bf01_bloom_semi" -> ((s, d) => {
+      val bloomAgg = udaf(new graft.functions.BloomAgg((BloomBits / 64).toInt),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+      val hot = Tables.orders(s, d)
+        .filter(col("o_totalprice") > HotOrderPrice)
+        .select(col("o_custkey"))
+      val bloom = hot.select(expr(bloomPosExpr("o_custkey")).as("ps"))
+        .agg(bloomAgg(col("ps")).as("bf"))
+      val pre = Tables.customer(s, d)
+        .crossJoin(broadcast(bloom)) // 1-row, 16 KB: broadcast-tiny
+        .filter(expr(bloomProbeExpr("bf", "c_custkey")))
+        .drop("bf")
+      pre.join(hot.withColumnRenamed("o_custkey", "c_custkey"),
+          Seq("c_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_hot_customers"),
+          Tables.dsum(col("c_acctbal"), 2).as("hot_acctbal"))
+        .orderBy("c_mktsegment")
     })
   )
 
@@ -407,6 +464,19 @@ object Joins {
         |  SELECT o_custkey AS key FROM orders WHERE o_orderpriority = '1-URGENT'
         |  EXCEPT ALL
         |  SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING'
-        |) e GROUP BY key ORDER BY key""".stripMargin
+        |) e GROUP BY key ORDER BY key""".stripMargin,
+
+    // the bloom prefilter is physically transparent: the oracle is the
+    // plain EXISTS semi-join
+    "bf01_bloom_semi" ->
+      s"""SELECT c_mktsegment,
+         |       count(*) AS n_hot_customers,
+         |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS hot_acctbal
+         |FROM customer c
+         |WHERE EXISTS (SELECT 1 FROM orders o
+         |              WHERE o.o_custkey = c.c_custkey
+         |                AND o.o_totalprice > $HotOrderPrice)
+         |GROUP BY c_mktsegment
+         |ORDER BY c_mktsegment""".stripMargin
   )
 }

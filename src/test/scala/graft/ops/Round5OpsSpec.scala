@@ -57,4 +57,42 @@ class Round5OpsSpec extends SparkSpec {
         assert(flagged.contains(id), s"doc $id over threshold but not flagged")
     }
   }
+
+  // ---- bf01 bloom-filter semi-join ----------------------------------
+
+  test("bf01: bloom prefilter passes every true key (no false negatives) at a low FP rate") {
+    val bloomAgg = udaf(new graft.functions.BloomAgg((Joins.BloomBits / 64).toInt),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+    val hot = Tables.orders(spark, sf)
+      .filter(col("o_totalprice") > Joins.HotOrderPrice).select(col("o_custkey"))
+    val bloom = hot.select(expr(Joins.bloomPosExpr("o_custkey")).as("ps"))
+      .agg(bloomAgg(col("ps")).as("bf"))
+    val preKeys = Tables.customer(spark, sf).crossJoin(broadcast(bloom))
+      .filter(expr(Joins.bloomProbeExpr("bf", "c_custkey")))
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val custKeys = Tables.customer(spark, sf)
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val trueKeys = hot.distinct().collect().map(_.getLong(0)).toSet.intersect(custKeys)
+    assert(trueKeys.nonEmpty)
+    assert(trueKeys.subsetOf(preKeys), "bloom dropped a true key — must be impossible")
+    val negatives = custKeys.size - trueKeys.size
+    val fps = (preKeys -- trueKeys).size
+    assert(negatives == 0 || fps.toDouble / negatives < 0.05,
+      s"FP rate ${fps.toDouble / negatives} above the designed ~2%")
+  }
+
+  test("BloomAgg: OR-merge of partial filters equals the single-pass build") {
+    val agg = new graft.functions.BloomAgg(8)
+    val positions = Seq(Seq(0L, 63L, 64L), Seq(7L, 200L), Seq(511L, 64L), Seq(3L))
+    val single = positions.foldLeft(agg.zero)(agg.reduce)
+    val (left, right) = positions.splitAt(2)
+    val merged = agg.merge(
+      left.foldLeft(agg.zero)(agg.reduce),
+      right.foldLeft(agg.zero)(agg.reduce))
+    assert(single.toSeq === merged.toSeq)
+    // and every fed position reads back as set
+    positions.flatten.foreach { p =>
+      assert(((single((p >>> 6).toInt) >> (p & 63)) & 1L) === 1L)
+    }
+  }
 }
