@@ -1,0 +1,190 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Portable
+
+/** Incremental-maintenance operators — the warehouse surface a
+  * pipeline needs once tables stop being immutable: SCD2 dimension
+  * versioning (MERGE-shaped upsert) and CDC-style snapshot diffing.
+  *
+  * Both are ONE hash-shuffle on the merge key — the update/diff
+  * stream joins the base exactly once, and every derived row is
+  * emitted in that single pass (no second scan per change class). At
+  * cluster scale the base table would be bucketed on the key, making
+  * the join exchange-free on the big side; the update batch is
+  * typically small enough to broadcast outright.
+  *
+  * The "update batches" are hash-derived slices of the base tables
+  * (`Portable` md5 domains, salted apart) so the operators are
+  * deterministic and oracle-checkable without writable state.
+  */
+object Incremental {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** u01: 3-in-10 customers re-segmented + balance-adjusted; 1-in-100
+    * appears as a brand-new key (insert). */
+  val UpdateMod = 10
+  val UpdateKeep = 3
+  val InsertMod = 100
+  val InsertKeyOffset = 10000000L
+  val DimValidFrom = "2024-01-01"
+  val MergeEffective = "2024-06-01"
+
+  /** cdc01: snapshots A/B each drop a different 1-in-20 key slice;
+    * 1-in-10 of the surviving keys carry a changed payload in B. */
+  val SnapMod = 20
+  val ChangeMod = 10
+  val PriceDelta = 10.0
+
+  private def slice(salt: String, key: Column): Column =
+    expr(s"${Portable.phashExpr(s"concat('$salt', CAST(${key.toString} AS STRING))")}")
+
+  private def sliceSql(salt: String, key: String): String =
+    Portable.phashSql(s"'$salt' || CAST($key AS VARCHAR)")
+
+  /** The deterministic u01 update batch: re-segmentations (+100.0 to
+    * the balance, 'R-' segment prefix) plus synthetic new keys. */
+  private def updateBatch(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val upd = c
+      .filter(slice("u1:", col("c_custkey")) % UpdateMod < UpdateKeep)
+      .select(col("c_custkey"),
+        concat(lit("R-"), col("c_mktsegment")).as("c_mktsegment"),
+        (col("c_acctbal") + 100.0).as("c_acctbal"))
+    val ins = c
+      .filter(slice("i1:", col("c_custkey")) % InsertMod === 0)
+      .select((col("c_custkey") + InsertKeyOffset).as("c_custkey"),
+        col("c_mktsegment"), col("c_acctbal"))
+    upd.unionByName(ins)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // SCD2 MERGE: one full-outer join of dim × update batch, one pass
+    // emitting 1-2 versioned rows per key via an in-plan array
+    // explode — never one scan per change class. Unchanged keys stay
+    // current; changed keys close the old version at the effective
+    // date and open a new current one; new keys open at the effective
+    // date. Change detection compares the tracked attributes (not row
+    // identity), so a no-op update collapses to the existing version.
+    "u01_scd2_merge" -> ((s, d) => {
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      val upd = updateBatch(s, d)
+      val j = dim.as("d").join(upd.as("u"),
+        col("d.c_custkey") === col("u.c_custkey"), "full_outer")
+      val changed = col("d.c_custkey").isNotNull && col("u.c_custkey").isNotNull &&
+        (col("d.c_mktsegment") =!= col("u.c_mktsegment") ||
+          col("d.c_acctbal") =!= col("u.c_acctbal"))
+      val oldRow = when(col("d.c_custkey").isNotNull, struct(
+        col("d.c_custkey").as("c_custkey"),
+        col("d.c_mktsegment").as("c_mktsegment"),
+        col("d.c_acctbal").as("c_acctbal"),
+        lit(DimValidFrom).cast("date").as("valid_from"),
+        when(changed, lit(MergeEffective).cast("date"))
+          .otherwise(lit(null).cast("date")).as("valid_to"),
+        when(changed, 0).otherwise(1).as("is_current")))
+      val newRow = when(col("u.c_custkey").isNotNull &&
+          (col("d.c_custkey").isNull || changed), struct(
+        col("u.c_custkey").as("c_custkey"),
+        col("u.c_mktsegment").as("c_mktsegment"),
+        col("u.c_acctbal").as("c_acctbal"),
+        lit(MergeEffective).cast("date").as("valid_from"),
+        lit(null).cast("date").as("valid_to"),
+        lit(1).as("is_current")))
+      j.select(explode(filter(array(oldRow, newRow), _.isNotNull)).as("r"))
+        .select(col("r.*"))
+        .orderBy("c_custkey", "valid_from")
+    }),
+
+    // CDC snapshot diff: classify every key of two table snapshots as
+    // added / removed / updated in ONE full-outer join (unchanged
+    // rows drop out). The payload compare is on the tracked column,
+    // so a re-written-but-identical row is not a change.
+    "cdc01_snapshot_diff" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val snapA = o.filter(slice("a:", col("o_orderkey")) % SnapMod =!= 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val snapB = o.filter(slice("b:", col("o_orderkey")) % SnapMod =!= 0)
+        .select(col("o_orderkey"),
+          when(slice("m:", col("o_orderkey")) % ChangeMod === 0,
+            col("o_totalprice") + PriceDelta)
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+      val j = snapA.as("a").join(snapB.as("b"),
+        col("a.o_orderkey") === col("b.o_orderkey"), "full_outer")
+      j.select(
+          coalesce(col("a.o_orderkey"), col("b.o_orderkey")).as("o_orderkey"),
+          when(col("a.o_orderkey").isNull, "added")
+            .when(col("b.o_orderkey").isNull, "removed")
+            .when(col("a.o_totalprice") =!= col("b.o_totalprice"), "updated")
+            .as("change_type"),
+          col("a.o_totalprice").as("old_price"),
+          col("b.o_totalprice").as("new_price"))
+        .filter(col("change_type").isNotNull)
+        .orderBy("o_orderkey")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "u01_scd2_merge" ->
+      s"""WITH upd AS (
+         |  SELECT c_custkey, 'R-' || c_mktsegment AS c_mktsegment,
+         |         c_acctbal + 100.0 AS c_acctbal
+         |  FROM customer
+         |  WHERE ${sliceSql("u1:", "c_custkey")} % $UpdateMod < $UpdateKeep
+         |  UNION ALL
+         |  SELECT c_custkey + $InsertKeyOffset, c_mktsegment, c_acctbal
+         |  FROM customer
+         |  WHERE ${sliceSql("i1:", "c_custkey")} % $InsertMod = 0
+         |),
+         |j AS (
+         |  SELECT d.c_custkey AS dk, d.c_mktsegment AS dseg, d.c_acctbal AS dbal,
+         |         u.c_custkey AS uk, u.c_mktsegment AS useg, u.c_acctbal AS ubal
+         |  FROM customer d FULL OUTER JOIN upd u ON d.c_custkey = u.c_custkey
+         |),
+         |cls AS (
+         |  SELECT *, dk IS NOT NULL AND uk IS NOT NULL
+         |              AND (dseg <> useg OR dbal <> ubal) AS changed
+         |  FROM j
+         |)
+         |SELECT dk AS c_custkey, dseg AS c_mktsegment, dbal AS c_acctbal,
+         |       DATE '$DimValidFrom' AS valid_from,
+         |       CASE WHEN changed THEN DATE '$MergeEffective' END AS valid_to,
+         |       CASE WHEN changed THEN 0 ELSE 1 END AS is_current
+         |FROM cls WHERE dk IS NOT NULL
+         |UNION ALL
+         |SELECT uk, useg, ubal, DATE '$MergeEffective', NULL, 1
+         |FROM cls WHERE uk IS NOT NULL AND (dk IS NULL OR changed)
+         |ORDER BY c_custkey, valid_from""".stripMargin,
+
+    "cdc01_snapshot_diff" ->
+      s"""WITH a AS (
+         |  SELECT o_orderkey, o_totalprice FROM orders
+         |  WHERE ${sliceSql("a:", "o_orderkey")} % $SnapMod <> 0
+         |),
+         |b AS (
+         |  SELECT o_orderkey,
+         |         CASE WHEN ${sliceSql("m:", "o_orderkey")} % $ChangeMod = 0
+         |              THEN o_totalprice + $PriceDelta ELSE o_totalprice END AS o_totalprice
+         |  FROM orders
+         |  WHERE ${sliceSql("b:", "o_orderkey")} % $SnapMod <> 0
+         |),
+         |j AS (
+         |  SELECT a.o_orderkey AS ak, a.o_totalprice AS ap,
+         |         b.o_orderkey AS bk, b.o_totalprice AS bp
+         |  FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+         |)
+         |SELECT coalesce(ak, bk) AS o_orderkey,
+         |       CASE WHEN ak IS NULL THEN 'added'
+         |            WHEN bk IS NULL THEN 'removed'
+         |            WHEN ap <> bp THEN 'updated' END AS change_type,
+         |       ap AS old_price, bp AS new_price
+         |FROM j
+         |WHERE CASE WHEN ak IS NULL THEN 'added'
+         |           WHEN bk IS NULL THEN 'removed'
+         |           WHEN ap <> bp THEN 'updated' END IS NOT NULL
+         |ORDER BY o_orderkey""".stripMargin
+  )
+}

@@ -95,4 +95,57 @@ class Round5OpsSpec extends SparkSpec {
       assert(((single((p >>> 6).toInt) >> (p & 63)) & 1L) === 1L)
     }
   }
+
+  // ---- u01 SCD2 merge ----------------------------------------------
+
+  test("u01: every key has exactly one current version and a gap-free version chain") {
+    val rows = q("u01_scd2_merge").collect()
+    assert(rows.nonEmpty)
+    val byKey = rows.groupBy(_.getAs[Long]("c_custkey"))
+    val nBase = Tables.customer(spark, sf).count()
+    assert(byKey.size >= nBase, "merge lost base keys")
+    byKey.foreach { case (k, vs) =>
+      assert(vs.length <= 2, s"key $k has ${vs.length} versions after one merge")
+      assert(vs.count(_.getAs[Int]("is_current") == 1) === 1, s"key $k current-count != 1")
+      vs.foreach { v =>
+        val current = v.getAs[Int]("is_current") == 1
+        assert(current === (v.getAs[java.sql.Date]("valid_to") == null),
+          s"key $k: is_current must equal open-ended valid_to")
+      }
+      if (vs.length == 2) {
+        val sorted = vs.sortBy(_.getAs[java.sql.Date]("valid_from").toString)
+        assert(sorted.head.getAs[java.sql.Date]("valid_to").toString ===
+          sorted.last.getAs[java.sql.Date]("valid_from").toString,
+          s"key $k: version chain has a gap")
+      }
+    }
+    // inserts exist, carry synthetic keys, and open at the effective date
+    val inserts = byKey.filter(_._1 >= Incremental.InsertKeyOffset)
+    assert(inserts.nonEmpty)
+    inserts.values.foreach { vs =>
+      assert(vs.length === 1 &&
+        vs.head.getAs[java.sql.Date]("valid_from").toString === Incremental.MergeEffective)
+    }
+  }
+
+  // ---- cdc01 snapshot diff -----------------------------------------
+
+  test("cdc01: change classes are shape-consistent and updates differ by exactly the delta") {
+    val rows = q("cdc01_snapshot_diff").collect()
+    assert(rows.nonEmpty)
+    val types = rows.groupBy(_.getAs[String]("change_type")).view.mapValues(_.length).toMap
+    assert(Set("added", "removed", "updated").subsetOf(types.keySet),
+      s"expected all three change classes, got $types")
+    rows.foreach { r =>
+      val (o, n) = (Option(r.get(r.fieldIndex("old_price"))).map(_.asInstanceOf[Double]),
+        Option(r.get(r.fieldIndex("new_price"))).map(_.asInstanceOf[Double]))
+      r.getAs[String]("change_type") match {
+        case "added" => assert(o.isEmpty && n.nonEmpty)
+        case "removed" => assert(o.nonEmpty && n.isEmpty)
+        case "updated" =>
+          assert(o.nonEmpty && n.nonEmpty)
+          assert(math.abs(n.get - o.get - Incremental.PriceDelta) < 1e-9)
+      }
+    }
+  }
 }
