@@ -124,6 +124,52 @@ object Incremental {
           col("b.o_totalprice").as("new_price"))
         .filter(col("change_type").isNotNull)
         .orderBy("o_orderkey")
+    }),
+
+    // Incremental view maintenance: refresh a materialized aggregate
+    // by folding the CDC delta into it — V' = V ⊕ γ(Δ) — instead of
+    // rescanning the base. The delta contributions (+new/+1 for adds,
+    // −old/−1 for removes, new−old/0 for updates) union with the
+    // standing view and one re-aggregate absorbs them; all sums stay
+    // DECIMAL until the final projection, so the incremental path is
+    // EXACTLY equal to the full recompute over snapshot B (the
+    // oracle — that equality is the IVM correctness property). At
+    // 100 TB the standing view is a stored table of group cardinality
+    // and only γ(Δ) touches data proportional to the change stream.
+    "ivm01_delta_agg" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val dec = (c: Column) => c.cast(org.apache.spark.sql.types.DecimalType(18, 2))
+      val snapA = o.filter(slice("a:", col("o_orderkey")) % SnapMod =!= 0)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      val snapB = o.filter(slice("b:", col("o_orderkey")) % SnapMod =!= 0)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          when(slice("m:", col("o_orderkey")) % ChangeMod === 0,
+            col("o_totalprice") + PriceDelta)
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+      // the standing view γ(A) — at scale this is a READ of the
+      // stored materialization, not a scan of A
+      val view = snapA.groupBy(col("o_orderpriority"))
+        .agg(sum(dec(col("o_totalprice"))).as("rev"),
+          count(lit(1)).as("n"))
+      // γ(Δ): contributions from the same one-pass diff as cdc01
+      val j = snapA.as("a").join(snapB.as("b"),
+        col("a.o_orderkey") === col("b.o_orderkey"), "full_outer")
+      val delta = j.select(
+          coalesce(col("b.o_orderpriority"), col("a.o_orderpriority")).as("o_orderpriority"),
+          when(col("a.o_orderkey").isNull, dec(col("b.o_totalprice")))
+            .when(col("b.o_orderkey").isNull, -dec(col("a.o_totalprice")))
+            .otherwise(dec(col("b.o_totalprice")) - dec(col("a.o_totalprice"))).as("rev"),
+          when(col("a.o_orderkey").isNull, 1L)
+            .when(col("b.o_orderkey").isNull, -1L)
+            .otherwise(0L).as("n"))
+        .filter(col("rev") =!= dec(lit(0)) || col("n") =!= 0)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("rev")).as("rev"), sum(col("n")).as("n"))
+      view.unionByName(delta)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("rev")).cast("double").as("priority_revenue"),
+          sum(col("n")).as("order_cnt"))
+        .orderBy("o_orderpriority")
     })
   )
 
@@ -185,6 +231,22 @@ object Incremental {
          |WHERE CASE WHEN ak IS NULL THEN 'added'
          |           WHEN bk IS NULL THEN 'removed'
          |           WHEN ap <> bp THEN 'updated' END IS NOT NULL
-         |ORDER BY o_orderkey""".stripMargin
+         |ORDER BY o_orderkey""".stripMargin,
+
+    // the IVM correctness property: the delta-folded view equals the
+    // full recompute over snapshot B
+    "ivm01_delta_agg" ->
+      s"""WITH b AS (
+         |  SELECT o_orderkey, o_orderpriority,
+         |         CASE WHEN ${sliceSql("m:", "o_orderkey")} % $ChangeMod = 0
+         |              THEN o_totalprice + $PriceDelta ELSE o_totalprice END AS o_totalprice
+         |  FROM orders
+         |  WHERE ${sliceSql("b:", "o_orderkey")} % $SnapMod <> 0
+         |)
+         |SELECT o_orderpriority,
+         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS priority_revenue,
+         |       count(*) AS order_cnt
+         |FROM b GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin
   )
 }

@@ -86,7 +86,9 @@ object ScaleStress {
       "st01_tumbling_window",
       "tx10_ngram_topk", "tx11_chunk_windows", "cur03_domain_mix",
       "ds04_epoch_shuffle", "dq01_expectations", "dq02_profile",
-      "dd09_editdist_verify", "sim07_pq_adc")
+      "dd09_editdist_verify", "sim07_pq_adc",
+      "dd10_decontaminate", "bf01_bloom_semi", "u01_scd2_merge",
+      "cdc01_snapshot_diff", "ivm01_delta_agg")
     // SPARK_GRAFT_QUERIES=dd04_simhash,sim04_ivf_ann → time only those
     // (fast iteration on one operator without the 25-query sweep)
     val headline = sys.env.get("SPARK_GRAFT_QUERIES") match {

@@ -148,4 +148,34 @@ class Round5OpsSpec extends SparkSpec {
       }
     }
   }
+
+  // ---- ivm01 incremental view maintenance ---------------------------
+
+  test("ivm01: delta-folded view equals the full recompute and the delta is non-trivial") {
+    val inc = q("ivm01_delta_agg").collect()
+      .map(r => r.getAs[String]("o_orderpriority") ->
+        (r.getAs[Double]("priority_revenue"), r.getAs[Long]("order_cnt"))).toMap
+    assert(inc.nonEmpty)
+    // independent full recompute over snapshot B
+    val o = Tables.orders(spark, sf)
+    val bSlice = expr(s"${Portable.phashExpr("concat('b:', CAST(o_orderkey AS STRING))")} % ${Incremental.SnapMod}")
+    val mSlice = expr(s"${Portable.phashExpr("concat('m:', CAST(o_orderkey AS STRING))")} % ${Incremental.ChangeMod}")
+    val full = o.filter(bSlice =!= 0)
+      .select(col("o_orderpriority"),
+        when(mSlice === 0, col("o_totalprice") + Incremental.PriceDelta)
+          .otherwise(col("o_totalprice")).as("p"))
+      .groupBy("o_orderpriority")
+      .agg(Tables.dsum(col("p"), 2).as("rev"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getAs[String]("o_orderpriority") ->
+        (r.getAs[Double]("rev"), r.getAs[Long]("n"))).toMap
+    assert(inc === full, "incremental refresh diverged from full recompute")
+    // and the maintenance actually moved the view: γ(A) differs from γ(B)
+    val aSlice = expr(s"${Portable.phashExpr("concat('a:', CAST(o_orderkey AS STRING))")} % ${Incremental.SnapMod}")
+    val viewA = o.filter(aSlice =!= 0).groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[String]("o_orderpriority") -> r.getAs[Long]("n")).toMap
+    assert(inc.exists { case (k, (_, n)) => viewA.get(k).exists(_ != n) },
+      "delta was a no-op — the test would prove nothing")
+  }
 }
