@@ -34,7 +34,8 @@ object Bench {
     "st03_session_window", "sql03_recursive_cte", "mm01_media_features",
     "tx10_ngram_topk", "tx11_chunk_windows", "cur03_domain_mix",
     "ds04_epoch_shuffle", "dq01_expectations", "dq02_profile",
-    "dd09_editdist_verify", "sim07_pq_adc")
+    "dd09_editdist_verify", "sim07_pq_adc",
+    "dd10_decontaminate", "ivm01_delta_agg")
 
   // Locale.ROOT: the f-interpolator honors the default locale, and a
   // comma decimal separator would corrupt the JSON
