@@ -1,0 +1,168 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Behavioral-analytics operators over the `events` stream table —
+  * the classic product-analytics trio (cohort retention, ordered
+  * funnel, gap sessionization) that any complete engine's users
+  * reach for next after the reference's per-line reports
+  * (/root/reference/gtfsGold.py — daily aggregates are the same
+  * shape one level up).
+  *
+  * Scale posture (100 TB): all three operators shuffle exactly once
+  * on `user_id` (the window/group key) and then once more on the
+  * tiny result key (cohort week / stage / session). User-keyed state
+  * is the textbook partitionable dimension — no skew (users are
+  * hash-distributed), no broadcast, no driver state. The per-user
+  * partition sort the windows need is exactly what Spark's
+  * WindowExec does after the single exchange; AQE coalesces the
+  * small result-side shuffles.
+  */
+object Analytics {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Session gap: a quiet stretch of more than 6 event-time hours
+    * ends the session (events are ~1/user/11h on the synthetic
+    * table; 30 min would degenerate to singletons).
+    */
+  val SessionGapSec = 21600L
+
+  /** events with the columns the three operators share. `epoch_s` is
+    * floor-seconds (matches DuckDB `floor(epoch(ts))` — see
+    * Breadth.a14), so gap arithmetic is exact integer math in both
+    * engines.
+    */
+  private def ev(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("user_id"), col("event_id"), col("event_type"), col("ts"),
+      floor(col("ts").cast(DoubleType)).cast(LongType).as("epoch_s"))
+
+  val queries: Map[String, Q] = Map(
+    // Cohort retention: cohort = user's first ISO week (Monday
+    // date_trunc), weeks_since = (activity week - cohort week)/7,
+    // cell = distinct active users. One user-partition window min
+    // computes the cohort without a self-join.
+    "r01_retention" -> ((s, d) => {
+      val wu = Window.partitionBy("user_id")
+      ev(s, d)
+        .select(col("user_id"),
+          to_date(date_trunc("week", col("ts"))).as("wk"))
+        .withColumn("cohort", min(col("wk")).over(wu))
+        .groupBy(col("cohort"),
+          (datediff(col("wk"), col("cohort")) / 7).cast(LongType).as("weeks_since"))
+        .agg(countDistinct(col("user_id")).as("users"))
+        .select(col("cohort").cast(StringType).as("cohort_week"),
+          col("weeks_since"), col("users"))
+        .orderBy("cohort_week", "weeks_since")
+    }),
+
+    // Ordered funnel view → click → purchase: stage k counts users
+    // whose earliest stage-k event at-or-after their stage-(k-1)
+    // entry exists. Chained user-partition window mins (each select
+    // is a separate Window pass over the SAME partitioning, so the
+    // exchange is planned once) — no self-joins, no collect.
+    "f01_funnel" -> ((s, d) => {
+      val wu = Window.partitionBy("user_id")
+      ev(s, d)
+        .withColumn("t1",
+          min(when(col("event_type") === "view", col("epoch_s"))).over(wu))
+        .withColumn("t2",
+          min(when(col("event_type") === "click" &&
+            col("epoch_s") >= col("t1"), col("epoch_s"))).over(wu))
+        .withColumn("t3",
+          min(when(col("event_type") === "purchase" &&
+            col("epoch_s") >= col("t2"), col("epoch_s"))).over(wu))
+        .agg(
+          countDistinct(when(col("t1").isNotNull, col("user_id"))).as("users_view"),
+          countDistinct(when(col("t2").isNotNull, col("user_id"))).as("users_click"),
+          countDistinct(when(col("t3").isNotNull, col("user_id"))).as("users_purchase"))
+    }),
+
+    // Gap sessionization (batch analog of st03's session window):
+    // session break = gap > SessionGapSec; session ordinal = running
+    // sum of breaks; then per-session shape stats. lag + running sum
+    // share one user-partition sort.
+    "w04_sessionize" -> ((s, d) => {
+      val wo = Window.partitionBy("user_id").orderBy(col("epoch_s"), col("event_id"))
+      ev(s, d)
+        .withColumn("brk",
+          when(col("epoch_s") - lag(col("epoch_s"), 1).over(wo) > SessionGapSec, 1L)
+            .otherwise(0L))
+        .withColumn("session_id",
+          sum(col("brk")).over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)) + 1L)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("epoch_s")).as("started_s"),
+          (max(col("epoch_s")) - min(col("epoch_s"))).as("duration_s"))
+        .orderBy("user_id", "session_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "r01_retention" ->
+      """WITH wk AS (
+        |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events
+        |),
+        |c AS (
+        |  SELECT user_id, wk, min(wk) OVER (PARTITION BY user_id) AS cohort FROM wk
+        |)
+        |SELECT CAST(cohort AS VARCHAR) AS cohort_week,
+        |       CAST(date_diff('day', cohort, wk) / 7 AS BIGINT) AS weeks_since,
+        |       count(DISTINCT user_id) AS users
+        |FROM c GROUP BY 1, 2 ORDER BY cohort_week, weeks_since""".stripMargin,
+
+    "f01_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+        |  FROM events
+        |),
+        |s1 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'view' THEN epoch_s END)
+        |              OVER (PARTITION BY user_id) AS t1 FROM e
+        |),
+        |s2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND epoch_s >= t1
+        |                     THEN epoch_s END)
+        |              OVER (PARTITION BY user_id) AS t2 FROM s1
+        |),
+        |s3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND epoch_s >= t2
+        |                     THEN epoch_s END)
+        |              OVER (PARTITION BY user_id) AS t3 FROM s2
+        |)
+        |SELECT count(DISTINCT CASE WHEN t1 IS NOT NULL THEN user_id END) AS users_view,
+        |       count(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END) AS users_click,
+        |       count(DISTINCT CASE WHEN t3 IS NOT NULL THEN user_id END) AS users_purchase
+        |FROM s3""".stripMargin,
+
+    "w04_sessionize" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id,
+         |         CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+         |  FROM events
+         |),
+         |g AS (
+         |  SELECT *, CASE WHEN epoch_s - lag(epoch_s) OVER w > ${SessionGapSec}
+         |                 THEN 1 ELSE 0 END AS brk
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s, event_id)
+         |),
+         |sess AS (
+         |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY epoch_s, event_id
+         |                           ROWS UNBOUNDED PRECEDING) + 1 AS session_id
+         |  FROM g
+         |)
+         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+         |       count(*) AS n_events,
+         |       min(epoch_s) AS started_s,
+         |       max(epoch_s) - min(epoch_s) AS duration_s
+         |FROM sess GROUP BY user_id, session_id
+         |ORDER BY user_id, session_id""".stripMargin
+  )
+}

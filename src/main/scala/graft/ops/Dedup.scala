@@ -413,6 +413,41 @@ object Dedup {
           round(col("n_hit").cast("double") / col("n_sh").cast("double"), 6)
             .as("contamination"))
         .orderBy("doc_id")
+    }),
+
+    // Substring-level duplication (the unit below whole-doc near-dup:
+    // repeated SPANS, per Lee et al. 2022 "Deduplicating Training
+    // Data Makes Language Models Better" — their suffix-array ExactSubstr
+    // re-expressed as a dataflow): a doc's 5-token k-grams that occur
+    // in ≥ 2 distinct documents are duplicated spans; report each
+    // doc's distinct-gram count, duplicated-gram count, and fraction.
+    // The distributed form hashes each k-gram to 60 bits so the
+    // exchange moves fixed-width longs, never text; the gram-df table
+    // groups on that key (map-side combinable) and joins back on the
+    // same key — at 100 TB both shuffles hash-partition evenly
+    // (k-gram frequencies are zipf but the ≥2-doc test needs only
+    // distinct doc counts, no pair blowup, unlike dd05's within-
+    // bucket joins). Docs shorter than 5 tokens have no spans and no
+    // row (none exist in this corpus; min length is 10).
+    "dd11_substring_dup" -> ((s, d) => {
+      val grams = Tables.documents(s, d)
+        .withColumn("tokens", expr(tokensExpr))
+        .select(col("doc_id"),
+          explode(expr(
+            """CASE WHEN size(tokens) >= 5
+              |  THEN array_distinct(transform(sequence(0, size(tokens) - 5),
+              |    i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2], tokens[i+3], tokens[i+4])))
+              |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)).as("gram"))
+        .select(col("doc_id"), Portable.phash(col("gram")).as("gh"))
+      val gramDf = grams.groupBy("gh")
+        .agg(countDistinct(col("doc_id")).as("ndocs"))
+      grams.join(gramDf, "gh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
+        .withColumn("dup_frac",
+          round(col("n_dup_grams").cast("double") / col("n_grams").cast("double"), 6))
+        .orderBy("doc_id")
     })
   )
 
@@ -596,6 +631,31 @@ object Dedup {
          |FROM hits h JOIN n USING (doc_id)
          |WHERE n_hit >= $DecontamMinOverlap
          |  AND CAST(n_hit AS DOUBLE) / CAST(n_sh AS DOUBLE) >= $DecontamMinRatio
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    "dd11_substring_dup" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, $tokensSql AS tokens FROM documents
+         |),
+         |g0 AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(tokens) >= 5
+         |           THEN list_distinct(list_transform(generate_series(1, len(tokens) - 4),
+         |             i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2] || ' ' || tokens[i+3] || ' ' || tokens[i+4]))
+         |           ELSE [] END AS grams
+         |  FROM tok
+         |),
+         |g AS (
+         |  SELECT doc_id, ${Portable.phashSql("gram")} AS gh
+         |  FROM (SELECT doc_id, unnest(grams) AS gram FROM g0)
+         |),
+         |df AS (SELECT gh, count(DISTINCT doc_id) AS ndocs FROM g GROUP BY gh)
+         |SELECT g.doc_id,
+         |       count(*) AS n_grams,
+         |       CAST(sum(CASE WHEN df.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+         |       round(CAST(sum(CASE WHEN df.ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         |             / CAST(count(*) AS DOUBLE), 6) AS dup_frac
+         |FROM g JOIN df USING (gh)
+         |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -38,6 +38,7 @@ object Similarity {
   val IvfNProbe = 2
   val DupNProbe = 2 // dd06: each vector joins its top-2 nearest cells
   val DupThreshold = 0.4
+  val RangeTau = 0.2 // sim08: radius-search cosine threshold
 
   /** Product quantization (sim07): M subspaces × SubDims dims; K
     * codewords per subspace (the K lowest-id vectors' subvectors —
@@ -406,6 +407,30 @@ object Similarity {
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           round(col("adc"), 6).as("adc_dist"))
         .orderBy("query_id", "neighbor_id")
+    }),
+
+    // Radius (range) search — the other half of the similarity API:
+    // not "k nearest" but "ALL neighbors with cosine ≥ τ" (the query
+    // shape dedup thresholding and contrastive-pair mining actually
+    // issue). Exact form: broadcast query set, one narrow codegen
+    // pass over the corpus, filter — no shuffle at all until the
+    // final ORDER BY, and no window (k-NN's rank is the part that
+    // needs per-query state; radius search is embarrassingly
+    // parallel). At 100 TB the same τ-filter composes with the IVF
+    // cell pruning of sim04/sim06 exactly as dd06/dd08 do for the
+    // pairwise variant: probe cells whose centroid cosine can still
+    // clear τ, then run this exact pass within.
+    "sim08_range_search" -> ((s, d) => {
+      VectorExprs.register(s)
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < KnnQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      e.select(col("vec_id").as("neighbor_id"), col("embedding").as("te"))
+        .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+        .withColumn("cos", expr("cosine_sim(qe, te)"))
+        .filter(col("cos") >= RangeTau)
+        .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cosine"))
+        .orderBy("query_id", "neighbor_id")
     })
   )
 
@@ -442,6 +467,14 @@ object Similarity {
          |                               ORDER BY cos DESC, neighbor_id ASC) AS rn
          |  FROM pairs) t
          |WHERE rn <= $KnnK ORDER BY query_id, neighbor_id""".stripMargin,
+
+    "sim08_range_search" ->
+      s"""WITH $normedCte
+         |SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+         |       round(${dotSql("q.embedding", "t.embedding")} / (q.norm * t.norm), 6) AS cosine
+         |FROM e q JOIN e t ON q.vec_id < $KnnQueries AND t.vec_id <> q.vec_id
+         |WHERE ${dotSql("q.embedding", "t.embedding")} / (q.norm * t.norm) >= $RangeTau
+         |ORDER BY query_id, neighbor_id""".stripMargin,
 
     "sim02_lsh_ann" ->
       s"""WITH $normedCte,

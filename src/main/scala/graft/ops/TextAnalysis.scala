@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.Tables
 import graft.functions.Portable
@@ -326,7 +327,39 @@ object TextAnalysis {
         .select(col("doc_id"), col("chunk_id"), col("start_tok"), col("n_tok"),
           expr(s"substring(md5(concat_ws(' ', slice(tokens, CAST(start_tok + 1 AS INT), CAST(n_tok AS INT)))), 1, 16)")
             .as("chunk_md5"))
-        .orderBy("doc_id", "chunk_id"))
+        .orderBy("doc_id", "chunk_id")),
+
+    // Corpus-trained unigram LM scoring — the perplexity-proxy
+    // quality signal (CCNet/KenLM's role, unigram order): pass 1
+    // aggregates token counts over the whole corpus (map-side
+    // combinable, vocab-sized result); pass 2 joins each doc's
+    // tokens to the BROADCAST model and averages the add-one-
+    // smoothed negative log-likelihood -ln((c+1)/(N+V)) per doc.
+    // Natural-language vocab is bounded (zipf: ~10⁷ entries at
+    // 100 TB ≈ a few hundred MB) so the model broadcast holds at
+    // scale; high avg_nll = out-of-distribution / junk text, the
+    // standard filter axis. The per-doc mean is decimal-exact
+    // (Tables.dsum rationale): addends are identical doubles in both
+    // engines (ln parity — tx09), fixed to 8 decimals, summed
+    // exactly — immune to grouping order.
+    "lm01_unigram_lm" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(expr(tokensExpr)).as("tok"))
+      val model = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      val stats = model.agg(
+        sum(col("c")).cast(DoubleType).as("N"),
+        count(lit(1)).cast(DoubleType).as("V"))
+      toks.join(broadcast(model), "tok")
+        .crossJoin(broadcast(stats))
+        .withColumn("nll", expr("0.0 - ln((CAST(c AS DOUBLE) + 1.0) / (N + V))"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          (sum(col("nll").cast(DecimalType(18, 8))).cast(DoubleType) /
+            count(lit(1)).cast(DoubleType)).as("raw_nll"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("raw_nll"), 6).as("avg_nll"))
+        .orderBy("doc_id")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -494,6 +527,18 @@ object TextAnalysis {
          |         tokens[CAST(chunk_id * $ChunkStride + 1 AS BIGINT) :
          |                CAST(chunk_id * $ChunkStride + least(CAST($ChunkWindow AS BIGINT), n - chunk_id * $ChunkStride) AS BIGINT)],
          |         ' ')), 1, 16) AS chunk_md5
-         |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "lm01_unigram_lm" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($tokensSql) AS tok FROM documents
+         |),
+         |cnt AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+         |st AS (SELECT CAST(sum(c) AS DOUBLE) AS N, CAST(count(*) AS DOUBLE) AS V FROM cnt)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |       round(CAST(sum(CAST(0.0 - ln((CAST(c AS DOUBLE) + 1.0) / (N + V)) AS DECIMAL(18,8))) AS DOUBLE)
+         |             / CAST(count(*) AS DOUBLE), 6) AS avg_nll
+         |FROM tok JOIN cnt USING (tok), st
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, SparkEntry, Tables}
+
+/** Invariants for the round-4 continuation operators (behavioral
+  * analytics, LM scoring, substring dedup, range search) — exact
+  * result parity is the DuckDB oracle's job; these guard semantics
+  * standalone. */
+class AnalyticsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  // --- r01_retention -------------------------------------------------
+
+  test("retention: week-0 cohort sizes sum to the distinct-user count") {
+    val rows = q("r01_retention").collect()
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    val week0 = rows.filter(_.getAs[Long]("weeks_since") == 0L)
+      .map(_.getAs[Long]("users")).sum
+    assert(week0 === users, "every user is active in their own cohort week")
+  }
+
+  test("retention: no cohort cell exceeds its week-0 cohort size") {
+    val rows = q("r01_retention").collect()
+      .map(r => (r.getAs[String]("cohort_week"), r.getAs[Long]("weeks_since"),
+        r.getAs[Long]("users")))
+    val base = rows.filter(_._2 == 0L).map(t => t._1 -> t._3).toMap
+    rows.foreach { case (c, _, n) =>
+      assert(n <= base(c), s"cohort $c cell $n > base ${base(c)}")
+    }
+  }
+
+  // --- f01_funnel ----------------------------------------------------
+
+  test("funnel stages are monotone non-increasing") {
+    val r = q("f01_funnel").collect().head
+    val (v, c, p) = (r.getAs[Long]("users_view"),
+      r.getAs[Long]("users_click"), r.getAs[Long]("users_purchase"))
+    assert(v >= c && c >= p, s"funnel $v -> $c -> $p must narrow")
+    assert(v > 0, "synthetic events contain views")
+  }
+
+  test("funnel ordering matters: stage-2 users all have a view at-or-before a click") {
+    // recompute stage-2 membership independently with a self-join
+    val e = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        floor(col("ts").cast("double")).cast("long").as("s"))
+    val views = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("s").as("t1"))
+    val expected = e.filter(col("event_type") === "click")
+      .join(views, "user_id")
+      .filter(col("s") >= col("t1"))
+      .select("user_id").distinct().count()
+    val got = q("f01_funnel").collect().head.getAs[Long]("users_click")
+    assert(got === expected)
+  }
+
+  // --- w04_sessionize ------------------------------------------------
+
+  test("sessionize: event counts sum to table size; session ids are dense from 1") {
+    val rows = q("w04_sessionize").collect()
+    assert(rows.map(_.getAs[Long]("n_events")).sum ===
+      Tables.events(spark, sf).count())
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rs) =>
+      val ids = rs.map(_.getAs[Long]("session_id")).sorted
+      assert(ids.head === 1L && ids === (1L to ids.length).toArray.toSeq,
+        "per-user session ids must be 1..n with no gaps")
+    }
+  }
+
+  test("sessionize: singleton sessions have zero duration, multi-event ones respect the gap") {
+    q("w04_sessionize").collect().foreach { r =>
+      val (n, dur) = (r.getAs[Long]("n_events"), r.getAs[Long]("duration_s"))
+      if (n == 1L) assert(dur === 0L)
+      else assert(dur >= 0L && dur <= (n - 1) * Analytics.SessionGapSec,
+        s"$n events cannot span more than (n-1) max gaps")
+    }
+  }
+
+  // --- lm01_unigram_lm -----------------------------------------------
+
+  test("unigram LM: every doc scored, nll positive, rare-token docs score higher") {
+    val rows = q("lm01_unigram_lm").collect()
+    assert(rows.length === Tables.documents(spark, sf).count())
+    assert(rows.forall(_.getAs[Double]("avg_nll") > 0.0),
+      "probabilities < 1 make -ln positive")
+    // the corpus-wide mean nll must sit below ln(N+V) (the score of a
+    // token never seen once) — sanity that the model is actually used
+    val n = Tables.documents(spark, sf)
+      .select(explode(expr(TextAnalysis.tokensExpr)).as("t")).count()
+    rows.foreach(r => assert(r.getAs[Double]("avg_nll") < math.log(n.toDouble + 1)))
+  }
+
+  // --- dd11_substring_dup --------------------------------------------
+
+  test("substring dup: fractions in [0,1], dup grams <= total grams, planted dup detected") {
+    val rows = q("dd11_substring_dup").collect()
+    rows.foreach { r =>
+      val (n, dup, f) = (r.getAs[Long]("n_grams"), r.getAs[Long]("n_dup_grams"),
+        r.getAs[Double]("dup_frac"))
+      assert(dup <= n && f >= 0.0 && f <= 1.0)
+    }
+    // exact-duplicate texts exist in the synthetic corpus (dd01's
+    // subject) — those docs must show 100% span duplication
+    val dupDocs = Tables.documents(spark, sf)
+      .groupBy("text").count().filter(col("count") >= 2).count()
+    if (dupDocs > 0)
+      assert(rows.exists(_.getAs[Double]("dup_frac") == 1.0),
+        "full-text duplicates must be fully span-duplicated")
+  }
+
+  // --- sim08_range_search --------------------------------------------
+
+  test("range search returns exactly the tau-ball and agrees with brute-force kNN scores") {
+    val rows = q("sim08_range_search").collect()
+    assert(rows.forall(_.getAs[Double]("cosine") >= Similarity.RangeTau))
+    // cross-check against sim01: any kNN neighbor with cos >= tau must
+    // appear in the range result with the identical rounded score
+    val knn = q("sim01_knn").collect()
+      .filter(_.getAs[Double]("cosine") >= Similarity.RangeTau)
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("cosine")).toMap
+    val range = rows.map(r => (r.getAs[Long]("query_id"),
+      r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cosine")).toMap
+    knn.foreach { case (k, cos) =>
+      assert(range.get(k).contains(cos), s"kNN pair $k missing from range result")
+    }
+  }
+}
