@@ -101,6 +101,40 @@ object Analytics {
           min(col("epoch_s")).as("started_s"),
           (max(col("epoch_s")) - min(col("epoch_s"))).as("duration_s"))
         .orderBy("user_id", "session_id")
+    }),
+
+    // Time-series regularization: hourly per-line counts on a COMPLETE
+    // hour spine (empty hours zero-filled) with the hourly mean value
+    // forward-filled across gaps (last observation carried forward) —
+    // the resample step every downstream model/report needs before
+    // treating event data as a regular series. The spine is built
+    // in-plan from a 1-row min/max frame (sequence + explode — no
+    // collect, no driver loop); the grid is spine × distinct lines
+    // (tiny × tiny); the ffill is one window pass per line. At 100 TB
+    // the spine stays calendar-bounded (a decade ≈ 90k hours) and the
+    // heavy side — the hourly aggregate — is one map-side-combinable
+    // exchange; leading nulls before a line's first observation stay
+    // null by LOCF definition. Hourly means are decimal-exact
+    // (Tables.davg) so the fill copies bit-identical doubles.
+    "ts01_gapfill" -> ((s, d) => {
+      val e = Tables.events(s, d).select(
+        trim(col("event_type")).as("line"),
+        date_trunc("hour", col("ts")).as("h"), col("value"))
+      val hourly = e.groupBy("line", "h").agg(
+        count(lit(1)).as("n_events"),
+        Tables.davg(col("value")).as("avg_v"))
+      val spine = e.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+        .crossJoin(broadcast(e.select("line").distinct()))
+      val w = Window.partitionBy("line").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(hourly, Seq("line", "h"), "left")
+        .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+        .withColumn("ffill", last(col("avg_v"), ignoreNulls = true).over(w))
+        .select(col("line"),
+          date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
+          col("n_events"), round(col("ffill"), 6).as("avg_value_ffill"))
+        .orderBy("line", "hour_ts")
     })
   )
 
@@ -163,6 +197,34 @@ object Analytics {
          |       min(epoch_s) AS started_s,
          |       max(epoch_s) - min(epoch_s) AS duration_s
          |FROM sess GROUP BY user_id, session_id
-         |ORDER BY user_id, session_id""".stripMargin
+         |ORDER BY user_id, session_id""".stripMargin,
+
+    "ts01_gapfill" ->
+      """WITH e AS (
+        |  SELECT trim(event_type) AS line, date_trunc('hour', ts) AS h, value
+        |  FROM events
+        |),
+        |hourly AS (
+        |  SELECT line, h, count(*) AS n_events,
+        |         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |           / CAST(count(value) AS DOUBLE) AS avg_v
+        |  FROM e GROUP BY line, h
+        |),
+        |span AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
+        |spine AS (
+        |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM span
+        |),
+        |grid AS (
+        |  SELECT l.line, s.h FROM spine s CROSS JOIN (SELECT DISTINCT line FROM e) l
+        |),
+        |j AS (
+        |  SELECT g.line, g.h, coalesce(n_events, 0) AS n_events, avg_v
+        |  FROM grid g LEFT JOIN hourly USING (line, h)
+        |)
+        |SELECT line, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_ts, n_events,
+        |       round(last_value(avg_v IGNORE NULLS) OVER (
+        |         PARTITION BY line ORDER BY h
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS avg_value_ffill
+        |FROM j ORDER BY line, hour_ts""".stripMargin
   )
 }

@@ -257,6 +257,43 @@ object Curation {
         .orderBy("pos")
     }),
 
+    // Curriculum ordering: rank the corpus easy → hard on an exact
+    // difficulty proxy (mean token length — integer sums, so the
+    // score is a deterministic double in both engines) and cut the
+    // ranking into 4 equal stages with plain integer arithmetic
+    // (stage = 1 + (rank-1)*4 div n — never the builtin ntile, whose
+    // tie placement is engine-defined). The global rank reuses
+    // ds03/ds04's two-phase distributed prefix sum, bucketing on
+    // floor(score*1000) (monotone in score, so bucket order == score
+    // order): per-bucket counts prefix-sum across a tiny frame, then
+    // within-bucket row_number — no window sees more than one
+    // bucket's rows where the oracle's naive global ORDER BY sorts on
+    // one reducer. Intra-stage example order for training is ds04's
+    // epoch shuffle composed downstream; this operator owns the
+    // difficulty axis.
+    "ds05_curriculum" -> ((s, d) => {
+      val scored = Tables.documents(s, d)
+        .withColumn("tokens", expr(TextAnalysis.tokensExpr))
+        .withColumn("score", expr(
+          "CAST(aggregate(tokens, 0, (a, t) -> a + length(t)) AS DOUBLE) / CAST(size(tokens) AS DOUBLE)"))
+        .withColumn("bucket", expr("CAST(floor(score * 1000.0) AS BIGINT)"))
+        .select("doc_id", "score", "bucket")
+      val offs = scored.groupBy("bucket").agg(count(lit(1)).as("bn"))
+        .withColumn("boff",
+          coalesce(sum(col("bn")).over(
+            Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+        .select("bucket", "boff")
+      val n1 = scored.agg(count(lit(1)).as("n_total"))
+      val wIn = Window.partitionBy("bucket").orderBy("score", "doc_id")
+      scored.join(broadcast(offs), "bucket")
+        .withColumn("pos", col("boff") + row_number().over(wIn).cast("long"))
+        .crossJoin(broadcast(n1))
+        .withColumn("stage", expr("CAST(1 + ((pos - 1) * 4) DIV n_total AS INT)"))
+        .select(col("doc_id"), col("stage"), col("pos"), round(col("score"), 6).as("score"))
+        .orderBy("pos")
+    }),
+
     // C4/Gopher-style quality gate: token-count bounds, mean-word-
     // length bounds, at-least-one-stopword, repetition cut via the
     // distinct-token ratio; emits survivors with their features.
@@ -393,6 +430,29 @@ object Curation {
          |FROM f
          |WHERE n BETWEEN 20 AND 500 AND avg_len BETWEEN 2.0 AND 12.0
          |  AND stop_cnt >= 1 AND distinct_ratio >= 0.2
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    // The naive one-reducer global sort IS the oracle form (same
+    // stance as ds03/ds04: the engine plan is the scalable variant).
+    "ds05_curriculum" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, $tokensSql AS tokens FROM documents
+         |),
+         |sc AS (
+         |  SELECT doc_id,
+         |    CAST(list_reduce(list_prepend(0, list_transform(tokens, t -> length(t))), (a, b) -> a + b) AS DOUBLE)
+         |      / CAST(len(tokens) AS DOUBLE) AS score
+         |  FROM tok
+         |),
+         |r AS (
+         |  SELECT doc_id, score,
+         |         row_number() OVER (ORDER BY score, doc_id) AS pos,
+         |         count(*) OVER () AS n_total
+         |  FROM sc
+         |)
+         |SELECT doc_id,
+         |       CAST(1 + ((pos - 1) * 4) // n_total AS INT) AS stage,
+         |       pos, round(score, 6) AS score
+         |FROM r ORDER BY pos""".stripMargin
   )
 }

@@ -157,7 +157,36 @@ object DataQuality {
 
     "dq02_profile" -> ((s, d) =>
       profile(Tables.lineitem(s, d), ProfileNumericCols, ProfileStringCols)
-        .orderBy("col_name"))
+        .orderBy("col_name")),
+
+    // Statistical anomaly gate: flag events whose value sits more than
+    // 3 population-σ from its event-type mean — the per-batch outlier
+    // sweep that runs next to the rule gate (dq01) in a production
+    // ingest. Two passes: a per-type moment aggregate (5 rows,
+    // broadcast back), then one narrow scan computing z. The moments
+    // are decimal-exact (Tables.dsum of value and value² — never the
+    // builtin stddev, whose merge order differs across engines), so
+    // mean/sd/z are identical IEEE doubles on both sides and the
+    // |z| > 3 boundary cannot flake. At 100 TB both passes are one
+    // map-side-combinable exchange + one broadcast join — the scan
+    // dominates, as it should.
+    "dq03_anomaly" -> ((s, d) => {
+      val e = Tables.events(s, d).select(
+        col("event_id"), trim(col("event_type")).as("line"), col("value"))
+      val st = e.groupBy("line").agg(
+        count(lit(1)).cast("double").as("n"),
+        Tables.dsum(col("value"), 6).as("s1"),
+        Tables.dsum(col("value") * col("value"), 6).as("s2"))
+        .withColumn("mean", col("s1") / col("n"))
+        .withColumn("sd",
+          sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1.0)))
+        .select("line", "mean", "sd")
+      e.join(broadcast(st), "line")
+        .withColumn("z", (col("value") - col("mean")) / col("sd"))
+        .filter(abs(col("z")) > 3.0)
+        .select(col("event_id"), col("line"), col("value"), round(col("z"), 6).as("z"))
+        .orderBy("event_id")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -194,6 +223,26 @@ object DataQuality {
       val rows = ProfileNumericCols.map(colRow(_, numeric = true)) ++
         ProfileStringCols.map(colRow(_, numeric = false))
       rows.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
-    }
+    },
+
+    "dq03_anomaly" ->
+      """WITH e AS (
+        |  SELECT event_id, trim(event_type) AS line, value FROM events
+        |),
+        |st AS (
+        |  SELECT line, CAST(count(*) AS DOUBLE) AS n,
+        |         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+        |         CAST(sum(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE) AS s2
+        |  FROM e GROUP BY line
+        |),
+        |m AS (
+        |  SELECT line, s1 / n AS mean,
+        |         sqrt((s2 - s1 * s1 / n) / (n - 1.0)) AS sd
+        |  FROM st
+        |)
+        |SELECT event_id, e.line, value, round((value - mean) / sd, 6) AS z
+        |FROM e JOIN m USING (line)
+        |WHERE abs((value - mean) / sd) > 3.0
+        |ORDER BY event_id""".stripMargin
   )
 }

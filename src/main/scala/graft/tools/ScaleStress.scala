@@ -88,7 +88,9 @@ object ScaleStress {
       "ds04_epoch_shuffle", "dq01_expectations", "dq02_profile",
       "dd09_editdist_verify", "sim07_pq_adc",
       "dd10_decontaminate", "bf01_bloom_semi", "u01_scd2_merge",
-      "cdc01_snapshot_diff", "ivm01_delta_agg")
+      "cdc01_snapshot_diff", "ivm01_delta_agg",
+      "r01_retention", "f01_funnel", "w04_sessionize",
+      "lm01_unigram_lm", "dd11_substring_dup", "sim08_range_search")
     // SPARK_GRAFT_QUERIES=dd04_simhash,sim04_ivf_ann → time only those
     // (fast iteration on one operator without the 25-query sweep)
     val headline = sys.env.get("SPARK_GRAFT_QUERIES") match {

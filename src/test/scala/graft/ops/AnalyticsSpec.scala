@@ -113,6 +113,60 @@ class AnalyticsSpec extends SparkSpec {
         "full-text duplicates must be fully span-duplicated")
   }
 
+  // --- ts01_gapfill --------------------------------------------------
+
+  test("gapfill: complete hour spine per line, zero-filled counts sum to table size") {
+    val rows = q("ts01_gapfill").collect()
+    val lines = rows.map(_.getAs[String]("line")).distinct
+    val perLine = rows.groupBy(_.getAs[String]("line")).view.mapValues(_.length).toMap
+    // every line covers the same full spine
+    assert(perLine.values.toSet.size === 1, s"unequal spine coverage: $perLine")
+    assert(rows.map(_.getAs[Long]("n_events")).sum ===
+      Tables.events(spark, sf).count())
+    assert(lines.nonEmpty)
+  }
+
+  test("gapfill: ffill value on an empty hour equals the previous non-empty hour's mean") {
+    val rows = q("ts01_gapfill").collect()
+      .groupBy(_.getAs[String]("line")).view.mapValues(_.sortBy(_.getAs[String]("hour_ts")))
+    rows.foreach { case (_, rs) =>
+      var lastNonEmpty: Option[Double] = None
+      rs.foreach { r =>
+        val filled = Option(r.getAs[java.lang.Double]("avg_value_ffill")).map(_.doubleValue)
+        if (r.getAs[Long]("n_events") == 0L) {
+          assert(filled === lastNonEmpty, "empty hour must carry the last observation")
+        } else lastNonEmpty = filled
+      }
+    }
+  }
+
+  // --- dq03_anomaly --------------------------------------------------
+
+  test("anomaly: flagged rows are a small tail and every |z| exceeds 3") {
+    val rows = q("dq03_anomaly").collect()
+    val total = Tables.events(spark, sf).count()
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("z")) > 3.0))
+    // 3-sigma two-tailed mass is ~0.27% for gaussian-ish data; allow 5%
+    assert(rows.length < total * 0.05, s"${rows.length} of $total flagged")
+  }
+
+  // --- ds05_curriculum -----------------------------------------------
+
+  test("curriculum: positions are a permutation, stages are contiguous quartiles, score non-decreasing") {
+    val rows = q("ds05_curriculum").collect()
+    val n = rows.length
+    assert(n === Tables.documents(spark, sf).count())
+    assert(rows.map(_.getAs[Long]("pos")).sorted.toSeq === (1L to n).toSeq)
+    val byPos = rows.sortBy(_.getAs[Long]("pos"))
+    byPos.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("score") <= b.getAs[Double]("score"))
+      assert(a.getAs[Int]("stage") <= b.getAs[Int]("stage"))
+    }
+    val sizes = rows.groupBy(_.getAs[Int]("stage")).view.mapValues(_.length).toMap
+    assert(sizes.keySet === Set(1, 2, 3, 4))
+    assert(sizes.values.max - sizes.values.min <= 1, s"stage sizes $sizes")
+  }
+
   // --- sim08_range_search --------------------------------------------
 
   test("range search returns exactly the tau-ball and agrees with brute-force kNN scores") {
