@@ -103,6 +103,28 @@ object Analytics {
         .orderBy("user_id", "session_id")
     }),
 
+    // First-order Markov transition matrix over per-user event
+    // sequences — the sequence-model summary (next-event priors,
+    // funnel leakage, session-flow graphs) built from the same single
+    // user-partition sort the other operators share: lead(1) pairs,
+    // pair counts (map-side combinable), then row-normalization over
+    // a per-from_type window (5 rows per partition — trivially
+    // bounded since the event-type alphabet is small by definition).
+    "r02_transitions" -> ((s, d) => {
+      val wo = Window.partitionBy("user_id").orderBy(col("epoch_s"), col("event_id"))
+      val pairs = ev(s, d)
+        .withColumn("next_type", lead(col("event_type"), 1).over(wo))
+        .filter(col("next_type").isNotNull)
+        .groupBy(trim(col("event_type")).as("from_type"),
+          trim(col("next_type")).as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val wf = Window.partitionBy("from_type")
+      pairs
+        .withColumn("p", round(
+          col("n").cast(DoubleType) / sum(col("n")).over(wf).cast(DoubleType), 6))
+        .orderBy("from_type", "to_type")
+    }),
+
     // Time-series regularization: hourly per-line counts on a COMPLETE
     // hour spine (empty hours zero-filled) with the hourly mean value
     // forward-filled across gaps (last observation carried forward) —
@@ -198,6 +220,27 @@ object Analytics {
          |       max(epoch_s) - min(epoch_s) AS duration_s
          |FROM sess GROUP BY user_id, session_id
          |ORDER BY user_id, session_id""".stripMargin,
+
+    "r02_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+        |  FROM events
+        |),
+        |p AS (
+        |  SELECT trim(event_type) AS from_type,
+        |         trim(lead(event_type) OVER (
+        |           PARTITION BY user_id ORDER BY epoch_s, event_id)) AS to_type
+        |  FROM e
+        |),
+        |c AS (
+        |  SELECT from_type, to_type, count(*) AS n
+        |  FROM p WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+        |)
+        |SELECT from_type, to_type, n,
+        |       round(CAST(n AS DOUBLE)
+        |             / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
 
     "ts01_gapfill" ->
       """WITH e AS (

@@ -113,6 +113,21 @@ class AnalyticsSpec extends SparkSpec {
         "full-text duplicates must be fully span-duplicated")
   }
 
+  // --- r02_transitions -----------------------------------------------
+
+  test("transitions: rows per from_type sum to probability 1 and pair counts to n-1 per user") {
+    val rows = q("r02_transitions").collect()
+    rows.groupBy(_.getAs[String]("from_type")).foreach { case (ft, rs) =>
+      val pSum = rs.map(_.getAs[Double]("p")).sum
+      assert(math.abs(pSum - 1.0) < 1e-4, s"$ft probabilities sum to $pSum")
+    }
+    // total transition count = sum over users of (events - 1)
+    val expected = Tables.events(spark, sf)
+      .groupBy("user_id").count()
+      .agg(sum(expr("count - 1"))).collect().head.getLong(0)
+    assert(rows.map(_.getAs[Long]("n")).sum === expected)
+  }
+
   // --- ts01_gapfill --------------------------------------------------
 
   test("gapfill: complete hour spine per line, zero-filled counts sum to table size") {
