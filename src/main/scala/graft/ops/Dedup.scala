@@ -25,6 +25,11 @@ object Dedup {
   val MinhashK = 8
   val Bands = 4
 
+  /** g01 power-iteration count (fixed — rank ordering stabilizes in
+    * a handful of rounds on near-dup components, whose diameter is
+    * small by construction). */
+  val PrIters = 5
+
   /** Stop-shingle document-frequency cap for dd05 (shingles more
     * common than this carry no near-dup signal and cost df² pairs). */
   val MaxShingleDf = 1000
@@ -448,6 +453,55 @@ object Dedup {
         .withColumn("dup_frac",
           round(col("n_dup_grams").cast("double") / col("n_grams").cast("double"), 6))
         .orderBy("doc_id")
+    }),
+
+    // PageRank over the near-dup graph (dd07's sibling: CC answers
+    // "which docs form one duplicate family", PageRank answers "which
+    // doc is the family's center" — the natural canonical-document
+    // pick when quality signals tie). Fixed PrIters power iterations,
+    // damping 0.85; per-node rank starts at 1/N. Each iteration is
+    // ONE join (ranks ⋈ edges on src) + one map-side-combinable
+    // aggregate on dst — the Pregel shape, exactly dd07's dataflow
+    // with sum instead of min — and frames are localCheckpoint'ed
+    // per round (lineage hygiene; plans stay O(1) deep). In-sums are
+    // decimal-exact (DECIMAL(28,14)): contribution addends are
+    // identical doubles in both engines by induction from the exact
+    // 1/N start, so five chained float iterations stay bit-identical
+    // where a double sum would drift with grouping order. Damping
+    // constants are literal 0.15/0.85 on BOTH sides — never
+    // (1 - 0.85), which rounds differently than the 0.15 literal.
+    "g01_pagerank" -> ((s, d) => {
+      val pairs = lshVerifiedPairs(minhashSignatures(s, d))
+        .select("doc_a", "doc_b").cache()
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .cache()
+      val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+        .cache()
+      val nF = deg.agg(count(lit(1)).cast("double").as("n_nodes"))
+      val r0 = deg.crossJoin(broadcast(nF))
+        .select(col("node"), (lit(1.0) / col("n_nodes")).as("r"))
+        .localCheckpoint()
+      val rN = (1 to PrIters).foldLeft(r0) { (rk, _) =>
+        val contrib = rk.join(deg, "node")
+          .select(col("node").as("src"),
+            (col("r") / col("deg").cast("double")).as("c"))
+        val sums = edges.join(contrib, "src")
+          .groupBy(col("dst").as("node"))
+          .agg(sum(col("c").cast(org.apache.spark.sql.types.DecimalType(28, 14)))
+            .cast("double").as("in_sum"))
+        deg.crossJoin(broadcast(nF)).join(sums, Seq("node"), "left")
+          .select(col("node"),
+            (lit(0.15) / col("n_nodes") +
+              lit(0.85) * coalesce(col("in_sum"), lit(0.0))).as("r"))
+          .localCheckpoint()
+      }
+      val result = rN
+        .select(col("node").as("doc_id"), round(col("r"), 8).as("pagerank"))
+        .orderBy("doc_id")
+        .localCheckpoint()
+      Seq(pairs, edges, deg).foreach(_.unpersist())
+      result
     })
   )
 
@@ -656,6 +710,46 @@ object Dedup {
          |       round(CAST(sum(CASE WHEN df.ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
          |             / CAST(count(*) AS DOUBLE), 6) AS dup_frac
          |FROM g JOIN df USING (gh)
-         |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin
+         |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin,
+
+    "g01_pagerank" -> {
+      def iter(k: Int): String =
+        s"""it$k AS (
+           |  SELECT d.node,
+           |         0.15 / n.n_nodes + 0.85 * coalesce(s.in_sum, 0.0) AS r
+           |  FROM deg d CROSS JOIN n
+           |  LEFT JOIN (
+           |    SELECT e.dst AS node,
+           |           CAST(sum(CAST(p.r / CAST(dg.deg AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) AS in_sum
+           |    FROM edges e JOIN it${k - 1} p ON p.node = e.src
+           |    JOIN deg dg ON dg.node = e.src
+           |    GROUP BY e.dst) s ON s.node = d.node
+           |)""".stripMargin
+      s"""WITH $minhashCte,
+         |bands AS (
+         |  $bandSelects
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.key = b.key AND a.band = b.band AND a.doc_id < b.doc_id
+         |),
+         |p0 AS (
+         |  SELECT doc_a, doc_b FROM cand
+         |  JOIN sigs sa ON sa.doc_id = doc_a
+         |  JOIN sigs sb ON sb.doc_id = doc_b
+         |  WHERE CAST($matchSum AS DOUBLE) / $MinhashK.0 >= 0.5
+         |),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM p0
+         |  UNION ALL SELECT doc_b, doc_a FROM p0
+         |),
+         |deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+         |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_nodes FROM deg),
+         |it0 AS (SELECT node, 1.0 / n_nodes AS r FROM deg, n),
+         |${(1 to PrIters).map(iter).mkString(",\n")}
+         |SELECT node AS doc_id, round(r, 8) AS pagerank
+         |FROM it$PrIters ORDER BY doc_id""".stripMargin
+    }
   )
 }

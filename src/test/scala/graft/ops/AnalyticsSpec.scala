@@ -182,6 +182,18 @@ class AnalyticsSpec extends SparkSpec {
     assert(sizes.values.max - sizes.values.min <= 1, s"stage sizes $sizes")
   }
 
+  // --- g01_pagerank --------------------------------------------------
+
+  test("pagerank: probability mass is conserved and ranks are positive") {
+    val rows = q("g01_pagerank").collect()
+    assert(rows.nonEmpty, "the sf0.001 corpus contains near-dup pairs")
+    rows.foreach(r => assert(r.getAs[Double]("pagerank") > 0.0))
+    // no dangling nodes (every graph node has degree >= 1), so the
+    // power iteration conserves total mass 1 up to rounding
+    val mass = rows.map(_.getAs[Double]("pagerank")).sum
+    assert(math.abs(mass - 1.0) < 1e-4, s"mass $mass")
+  }
+
   // --- sim08_range_search --------------------------------------------
 
   test("range search returns exactly the tau-ball and agrees with brute-force kNN scores") {
