@@ -35,10 +35,32 @@ object PlanScan {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.Tables.pin(spark)
+    // Effective plan text for counting: flat per-node verbose strings
+    // of the plan tree (+ subqueries), with each DISTINCT cached
+    // relation's build plan counted ONCE. treeString reprints a
+    // cached subtree under every InMemoryTableScan consumer (runtime
+    // computes it once), which false-flagged dd05's twice-consumed
+    // posting cache as an 8× recompute.
+    def effectiveText(p: org.apache.spark.sql.execution.SparkPlan,
+        seen: scala.collection.mutable.Set[AnyRef]): String = {
+      val own = p.collectWithSubqueries { case n => n.verboseString(Int.MaxValue) }
+        .mkString("\n")
+      val cached = p.collectWithSubqueries {
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          s.relation
+      }
+      val extra = cached.flatMap { r =>
+        if (seen.add(r.cacheBuilder)) Some(effectiveText(r.cachedPlan, seen)) else None
+      }
+      (own +: extra).mkString("\n")
+    }
+
     var flagged = 0
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val plan = effectiveText(
+          fn(spark, sfDir).queryExecution.executedPlan,
+          scala.collection.mutable.Set.empty[AnyRef])
         val lower = plan.toLowerCase
         markers.foreach { case (m, limit) =>
           // word boundary: "aggregate(" must not match "HashAggregate("
