@@ -481,7 +481,11 @@ object Dedup {
       val nF = deg.agg(count(lit(1)).cast("double").as("n_nodes"))
       val r0 = deg.crossJoin(broadcast(nF))
         .select(col("node"), (lit(1.0) / col("n_nodes")).as("r"))
-        .localCheckpoint()
+      // Fixed iteration count → ONE lazy chained plan (each round's
+      // edges/deg reference hits the cache): no per-round action, no
+      // per-round materialization. dd07 checkpoints per round because
+      // its loop is unbounded (lineage would grow with the data); a
+      // constant 5 rounds is a constant plan depth.
       val rN = (1 to PrIters).foldLeft(r0) { (rk, _) =>
         val contrib = rk.join(deg, "node")
           .select(col("node").as("src"),
@@ -494,7 +498,6 @@ object Dedup {
           .select(col("node"),
             (lit(0.15) / col("n_nodes") +
               lit(0.85) * coalesce(col("in_sum"), lit(0.0))).as("r"))
-          .localCheckpoint()
       }
       val result = rN
         .select(col("node").as("doc_id"), round(col("r"), 8).as("pagerank"))
