@@ -472,6 +472,42 @@ object Relational {
         .limit(20)
     }),
 
+    // TPC-H Q3 shape: segment-filtered 3-table join, grouped revenue,
+    // top-k by revenue (the shipping-priority query). Dimension side
+    // broadcasts (segment filter cuts it 5×); fact⋈fact stays a
+    // shuffle join that AQE sizes. Revenue uses dsum at scale 4
+    // (price·(1−disc) of 2-dp inputs has exact 4-decimal structure —
+    // the q1_pricing rule).
+    "q3_shipping_priority" -> ((s, d) => {
+      val cutoff = lit(java.sql.Timestamp.valueOf("1998-06-01 00:00:00"))
+      val c = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val o = Tables.orders(s, d).filter(col("o_orderdate") < cutoff)
+      val li = Tables.lineitem(s, d).filter(col("l_shipdate") > cutoff)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate_s"),
+          col("o_orderpriority"))
+        .agg(Tables.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    // W5: ratio-rank family — percent_rank and cume_dist (exact
+    // rationals over a unique total order, so the doubles are
+    // engine-identical before the display rounding)
+    "w05_rank_ratios" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("value").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume_d"))
+        .orderBy("event_id")
+    }),
+
     // W1+W2: lag window ×3
     "w01_lag" -> ((s, d) => {
       val w = Window.partitionBy("vehicle").orderBy("ts")
@@ -910,6 +946,28 @@ object Relational {
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY order_qty DESC, l_orderkey ASC LIMIT 20""".stripMargin,
+
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s,
+        |       o_orderpriority,
+        |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+
+    "w05_rank_ratios" ->
+      """SELECT event_id, user_id,
+        |       round(percent_rank() OVER w, 6) AS pct_rank,
+        |       round(cume_dist() OVER w, 6) AS cume_d
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY value ASC, event_id ASC)
+        |ORDER BY event_id""".stripMargin,
 
     "o05_speed_series" ->
       s"""WITH $reportCte,
