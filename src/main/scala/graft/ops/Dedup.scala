@@ -476,11 +476,16 @@ object Dedup {
       val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
         .cache()
+      val nF = edges.select("src").distinct()
+        .agg(count(lit(1)).cast("double").as("n_nodes"))
+      // node frame carries degree AND the teleport term 0.15/N so the
+      // loop body never re-joins the 1-row count frame
       val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+        .crossJoin(broadcast(nF))
+        .select(col("node"), col("deg"), (lit(0.15) / col("n_nodes")).as("base"),
+          col("n_nodes"))
         .cache()
-      val nF = deg.agg(count(lit(1)).cast("double").as("n_nodes"))
-      val r0 = deg.crossJoin(broadcast(nF))
-        .select(col("node"), (lit(1.0) / col("n_nodes")).as("r"))
+      val r0 = deg.select(col("node"), (lit(1.0) / col("n_nodes")).as("r"))
       // Fixed iteration count → ONE lazy chained plan (each round's
       // edges/deg reference hits the cache): no per-round action, no
       // per-round materialization. dd07 checkpoints per round because
@@ -494,10 +499,9 @@ object Dedup {
           .groupBy(col("dst").as("node"))
           .agg(sum(col("c").cast(org.apache.spark.sql.types.DecimalType(28, 14)))
             .cast("double").as("in_sum"))
-        deg.crossJoin(broadcast(nF)).join(sums, Seq("node"), "left")
+        deg.join(sums, Seq("node"), "left")
           .select(col("node"),
-            (lit(0.15) / col("n_nodes") +
-              lit(0.85) * coalesce(col("in_sum"), lit(0.0))).as("r"))
+            (col("base") + lit(0.85) * coalesce(col("in_sum"), lit(0.0))).as("r"))
       }
       val result = rN
         .select(col("node").as("doc_id"), round(col("r"), 8).as("pagerank"))
