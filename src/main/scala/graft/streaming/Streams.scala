@@ -323,6 +323,19 @@ object Streams {
       .drop(r(key))
   }
 
+  /** Stream-static dimension enrichment — the third streaming join
+    * class next to stream-stream ([[intervalJoin]]) and the stateful
+    * operators: a streaming fact left-joined to a STATIC dimension.
+    * No watermark and no join state — each micro-batch plans a plain
+    * batch join, and the static side is re-resolved per batch (a dim
+    * table updated between batches is picked up on the next trigger).
+    * The broadcast hint keeps every micro-batch's join map-side; at
+    * 100 TB this is the streaming mirror of j01 (dims broadcast,
+    * facts never shuffle on the dim key).
+    */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   // ------------------------------------------------------------------
   // Custom streaming state: trip segmentation
   // ------------------------------------------------------------------

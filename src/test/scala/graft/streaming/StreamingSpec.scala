@@ -59,6 +59,35 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
   }
 
+  test("stream-static dimension enrichment equals the batch join") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val events = graft.Tables.events(spark, sf)
+    val srcDir = Files.createTempDirectory("graft-stream-ev").toString
+    events.filter(col("event_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$srcDir/part_a")
+    events.filter(col("event_id") % 2 =!= 0)
+      .write.mode("overwrite").parquet(s"$srcDir/part_b")
+    val dim = events.select("user_id").distinct()
+      .withColumn("tier", (col("user_id") % 3).cast("int"))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$srcDir/part_a").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$srcDir/part_*")
+    val q = graft.streaming.Streams.enrichWithDim(stream, dim, "user_id")
+      .select("event_id", "user_id", "tier")
+      .writeStream.format("memory").queryName("dim_enriched")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("dim_enriched").orderBy("event_id").collect()
+    val batch = graft.streaming.Streams.enrichWithDim(events, dim, "user_id")
+      .select("event_id", "user_id", "tier").orderBy("event_id").collect()
+    assert(streamed.length === batch.length)
+    assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+    assert(streamed.forall(!_.isNullAt(2)), "every event user has a tier")
+  }
+
   test("streaming silver dedups across micro-batches and filters bbox") {
     val dir = Files.createTempDirectory("graft-stream").toString
     // file 1: two good records (one duplicated), one Kraków outlier
