@@ -557,6 +557,22 @@ object Relational {
       }.orderBy("d")
     }),
 
+    // Unpivot (wide metrics → long) — a12's inverse, completing the
+    // reshape pair: per-day wide aggregates melted to (day, metric,
+    // value) via stack(). All metrics are cast to DOUBLE up front so
+    // the stacked value column has one type; the oracle is the
+    // engine-portable UNION ALL form.
+    "a19_unpivot" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(to_date(col("ts")).cast(StringType).as("day"))
+        .agg(count(lit(1)).cast(DoubleType).as("n_events"),
+          countDistinct(col("user_id")).cast(DoubleType).as("n_users"),
+          Tables.dsum(col("value"), 4).as("sum_value"))
+        .select(col("day"),
+          expr("stack(3, 'n_events', n_events, 'n_users', n_users, 'sum_value', sum_value) AS (metric, value_d)"))
+        .orderBy("day", "metric")
+    }),
+
     // SQL text interface: the same engine surface through spark.sql
     // over registered views (the reference exposes only the DataFrame
     // DSL — SURVEY §1.1 — this is the free Spark extension)
@@ -878,6 +894,20 @@ object Relational {
         |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
         |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
         |FROM events GROUP BY 1 ORDER BY d""".stripMargin,
+
+    "a19_unpivot" ->
+      """WITH wide AS (
+        |  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        |         CAST(count(*) AS DOUBLE) AS n_events,
+        |         CAST(count(DISTINCT user_id) AS DOUBLE) AS n_users,
+        |         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT day, metric, value_d FROM (
+        |  SELECT day, 'n_events' AS metric, n_events AS value_d FROM wide
+        |  UNION ALL SELECT day, 'n_users', n_users FROM wide
+        |  UNION ALL SELECT day, 'sum_value', sum_value FROM wide)
+        |ORDER BY day, metric""".stripMargin,
 
     "sql01_text_interface" ->
       """SELECT trim(event_type) AS line, count(*) AS n,
