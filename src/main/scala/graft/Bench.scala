@@ -36,7 +36,8 @@ object Bench {
     "ds04_epoch_shuffle", "dq01_expectations", "dq02_profile",
     "dd09_editdist_verify", "sim07_pq_adc",
     "dd10_decontaminate", "ivm01_delta_agg",
-    "dd11_substring_dup", "lm01_unigram_lm", "w04_sessionize")
+    "dd11_substring_dup", "lm01_unigram_lm", "w04_sessionize",
+    "g01_pagerank")
 
   // Locale.ROOT: the f-interpolator honors the default locale, and a
   // comma decimal separator would corrupt the JSON

@@ -278,17 +278,21 @@ object Curation {
           "CAST(aggregate(tokens, 0, (a, t) -> a + length(t)) AS DOUBLE) / CAST(size(tokens) AS DOUBLE)"))
         .withColumn("bucket", expr("CAST(floor(score * 1000.0) AS BIGINT)"))
         .select("doc_id", "score", "bucket")
+      // n_total rides the same tiny bucket frame as the offsets (a
+      // full-frame window sum) — deriving it from `scored` again
+      // would re-run the tokenize+score scan a third time
       val offs = scored.groupBy("bucket").agg(count(lit(1)).as("bn"))
         .withColumn("boff",
           coalesce(sum(col("bn")).over(
             Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)),
             lit(0L)))
-        .select("bucket", "boff")
-      val n1 = scored.agg(count(lit(1)).as("n_total"))
+        .withColumn("n_total", sum(col("bn")).over(
+          Window.orderBy("bucket").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select("bucket", "boff", "n_total")
       val wIn = Window.partitionBy("bucket").orderBy("score", "doc_id")
       scored.join(broadcast(offs), "bucket")
         .withColumn("pos", col("boff") + row_number().over(wIn).cast("long"))
-        .crossJoin(broadcast(n1))
         .withColumn("stage", expr("CAST(1 + ((pos - 1) * 4) DIV n_total AS INT)"))
         .select(col("doc_id"), col("stage"), col("pos"), round(col("score"), 6).as("score"))
         .orderBy("pos")

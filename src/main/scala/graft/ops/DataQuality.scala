@@ -160,7 +160,7 @@ object DataQuality {
         .orderBy("col_name")),
 
     // Statistical anomaly gate: flag events whose value sits more than
-    // 3 population-σ from its event-type mean — the per-batch outlier
+    // 3 sample-σ (Bessel, n−1) from its event-type mean — the per-batch outlier
     // sweep that runs next to the rule gate (dq01) in a production
     // ingest. Two passes: a per-type moment aggregate (5 rows,
     // broadcast back), then one narrow scan computing z. The moments

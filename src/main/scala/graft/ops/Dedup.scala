@@ -503,12 +503,16 @@ object Dedup {
           .select(col("node"),
             (col("base") + lit(0.85) * coalesce(col("in_sum"), lit(0.0))).as("r"))
       }
-      val result = rN
-        .select(col("node").as("doc_id"), round(col("r"), 8).as("pagerank"))
+      // Fully LAZY result (unlike dd07, whose convergence loop forces
+      // actions): nothing executes at construction time, so the plan
+      // gate (PlanScan) sees the real five-iteration join tree, and
+      // building the frame costs nothing. The cached pairs/edges/deg
+      // frames stay registered — Spark's cache manager dedups by
+      // analyzed plan, so re-invocations share one entry rather than
+      // leak, and the bench/stress cold protocols drop it via
+      // clearCache.
+      rN.select(col("node").as("doc_id"), round(col("r"), 8).as("pagerank"))
         .orderBy("doc_id")
-        .localCheckpoint()
-      Seq(pairs, edges, deg).foreach(_.unpersist())
-      result
     })
   )
 

@@ -499,8 +499,11 @@ object Relational {
     // rationals over a unique total order, so the doubles are
     // engine-identical before the display rounding)
     "w05_rank_ratios" -> ((s, d) => {
+      // asc_nulls_last pins the NULL placement to DuckDB's ASC
+      // default (NULLS LAST) — Spark's ASC default is NULLS FIRST,
+      // a latent parity break the moment a NULL value appears
       val w = Window.partitionBy("user_id")
-        .orderBy(col("value").asc, col("event_id").asc)
+        .orderBy(col("value").asc_nulls_last, col("event_id").asc)
       Tables.events(s, d)
         .select(col("event_id"), col("user_id"),
           round(percent_rank().over(w), 6).as("pct_rank"),
