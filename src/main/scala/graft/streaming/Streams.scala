@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -321,6 +321,51 @@ object Streams {
         l(leftTs) >= r(rightTs) - expr(s"INTERVAL $windowSec SECONDS") &&
         l(leftTs) <= r(rightTs))
       .drop(r(key))
+  }
+
+  // ------------------------------------------------------------------
+  // transformWithState — the Spark 4 arbitrary-state API (v2)
+  // ------------------------------------------------------------------
+
+  /** Output row of [[runningCounts]]: one per (user, micro-batch). */
+  final case class UserCount(user_id: Long, n_events: Long)
+
+  /** Per-user running event counter on `transformWithState` — the
+    * Spark 4 replacement for `mapGroupsWithState` and the state API
+    * the 100 TB posture standardizes on: typed, NAMED state handles
+    * (`ValueState`/`ListState`/`MapState`, each independently
+    * TTL-able), timers decoupled from state, and a contract that
+    * REQUIRES the RocksDB provider — disk-spilling state is the
+    * default, not an opt-in. The processor keeps one ValueState[Long]
+    * per user and emits the running total once per micro-batch; the
+    * legacy operators (tripSegments, enrichedStream) stay on
+    * flatMapGroupsWithState to cover both API generations.
+    */
+  class RunningCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Long, UserCount] {
+    @transient private var count: org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      count = getHandle.getValueState[Long]("n", Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Long],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[UserCount] = {
+      val n = (if (count.exists()) count.get() else 0L) + rows.size
+      count.update(n)
+      Iterator.single(UserCount(key, n))
+    }
+  }
+
+  /** `events`-shaped frame (streaming or batch-testable via
+    * AvailableNow) → per-user running counts, OutputMode.Update. */
+  def runningCounts(events: DataFrame): Dataset[UserCount] = {
+    import events.sparkSession.implicits._
+    events.select(col("user_id").cast("long")).as[Long]
+      .groupByKey(identity)
+      .transformWithState(new RunningCountProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        Encoders.product[UserCount])
   }
 
   /** Stream-static dimension enrichment — the third streaming join

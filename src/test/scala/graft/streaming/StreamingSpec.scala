@@ -88,6 +88,45 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.forall(!_.isNullAt(2)), "every event user has a tier")
   }
 
+  test("transformWithState running counts converge to the batch per-user counts") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val events = graft.Tables.events(spark, sf)
+    val srcDir = Files.createTempDirectory("graft-tws-ev").toString
+    events.filter(col("event_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$srcDir/part_a")
+    events.filter(col("event_id") % 2 =!= 0)
+      .write.mode("overwrite").parquet(s"$srcDir/part_b")
+    // transformWithState requires the RocksDB provider by contract
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(s"$srcDir/part_a").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$srcDir/part_*")
+      val q = graft.streaming.Streams.runningCounts(stream)
+        .writeStream.format("memory").queryName("tws_counts")
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      // Update mode emits one running total per (user, batch); the
+      // last (= max) emission per user must equal the batch count
+      val streamed = spark.table("tws_counts")
+        .groupBy("user_id")
+        .agg(org.apache.spark.sql.functions.max("n_events").as("n_events"))
+        .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_events")).toMap
+      val batch = events.groupBy("user_id").count()
+        .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("count")).toMap
+      assert(streamed === batch)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming silver dedups across micro-batches and filters bbox") {
     val dir = Files.createTempDirectory("graft-stream").toString
     // file 1: two good records (one duplicated), one Kraków outlier
