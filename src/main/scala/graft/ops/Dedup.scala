@@ -444,6 +444,11 @@ object Dedup {
               |    i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2], tokens[i+3], tokens[i+4])))
               |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)).as("gram"))
         .select(col("doc_id"), Portable.phash(col("gram")).as("gh"))
+        // cached for its two consumers (gram-df build + the join
+        // back), exactly dd05's posting-stream rationale: the
+        // tokenize→gram→md5 chain is the dominant narrow stage and
+        // would otherwise run twice
+        .cache()
       val gramDf = grams.groupBy("gh")
         .agg(countDistinct(col("doc_id")).as("ndocs"))
       grams.join(gramDf, "gh")
