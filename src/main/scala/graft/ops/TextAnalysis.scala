@@ -343,6 +343,10 @@ object TextAnalysis {
     // engines (ln parity — tx09), fixed to 8 decimals, summed
     // exactly — immune to grouping order.
     "lm01_unigram_lm" -> ((s, d) => {
+      // `toks` deliberately NOT cached despite two consumers (model
+      // build + probe): recompute is one split+explode — cheap,
+      // unlike dd05/dd11's md5 chains — and pinning a corpus-sized
+      // token stream is exactly what the 100 TB posture avoids
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), explode(expr(tokensExpr)).as("tok"))
       val model = toks.groupBy("tok").agg(count(lit(1)).as("c"))
