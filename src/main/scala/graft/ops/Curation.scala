@@ -298,6 +298,28 @@ object Curation {
         .orderBy("pos")
     }),
 
+    // Quality-WEIGHTED sampling (the DCLM-style move past ds02's flat
+    // per-stratum rates): each doc keeps with probability equal to
+    // its distinct-token ratio — higher-diversity docs oversampled —
+    // decided by a salted deterministic hash, so the sample is
+    // retry-idempotent and recomputable per row like ds01/ds02. The
+    // keep test is PURE INTEGER math (h·n < nd·10⁶ — both sides
+    // exact longs), so there is no float threshold to flake and the
+    // oracle mirrors it verbatim. One narrow pass; the only shuffle
+    // is the output sort.
+    "ds06_weighted_sample" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("tokens", expr(tokensExpr))
+        .withColumn("n", expr("CAST(size(tokens) AS BIGINT)"))
+        .withColumn("nd", expr("CAST(size(array_distinct(tokens)) AS BIGINT)"))
+        .filter(col("n") > 0)
+        .withColumn("h",
+          expr(s"${Portable.phashExpr("concat('ws|', CAST(doc_id AS STRING))")} % 1000000"))
+        .filter(col("h") * col("n") < col("nd") * lit(1000000L))
+        .select(col("doc_id"), col("n").as("n_tokens"), col("nd").as("n_distinct"),
+          round(col("nd").cast("double") / col("n").cast("double"), 6).as("keep_p"))
+        .orderBy("doc_id")),
+
     // C4/Gopher-style quality gate: token-count bounds, mean-word-
     // length bounds, at-least-one-stopword, repetition cut via the
     // distinct-token ratio; emits survivors with their features.
@@ -434,6 +456,22 @@ object Curation {
          |FROM f
          |WHERE n BETWEEN 20 AND 500 AND avg_len BETWEEN 2.0 AND 12.0
          |  AND stop_cnt >= 1 AND distinct_ratio >= 0.2
+         |ORDER BY doc_id""".stripMargin,
+
+    "ds06_weighted_sample" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, $tokensSql AS tokens FROM documents
+         |),
+         |f AS (
+         |  SELECT doc_id,
+         |         CAST(len(tokens) AS BIGINT) AS n,
+         |         CAST(len(list_distinct(tokens)) AS BIGINT) AS nd,
+         |         ${Portable.phashSql("'ws|' || CAST(doc_id AS VARCHAR)")} % 1000000 AS h
+         |  FROM tok WHERE len(tokens) > 0
+         |)
+         |SELECT doc_id, n AS n_tokens, nd AS n_distinct,
+         |       round(CAST(nd AS DOUBLE) / CAST(n AS DOUBLE), 6) AS keep_p
+         |FROM f WHERE h * n < nd * 1000000
          |ORDER BY doc_id""".stripMargin,
 
     // The naive one-reducer global sort IS the oracle form (same

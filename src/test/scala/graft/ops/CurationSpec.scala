@@ -27,6 +27,24 @@ class CurationSpec extends SparkSpec {
     assert(q("ds01_hash_split").collect().toSeq === q("ds01_hash_split").collect().toSeq)
     assert(q("ds02_stratified_sample").collect().toSeq ===
       q("ds02_stratified_sample").collect().toSeq)
+    assert(q("ds06_weighted_sample").collect().toSeq ===
+      q("ds06_weighted_sample").collect().toSeq)
+  }
+
+  test("weighted sample keeps at roughly the mean weight, never above p=1 docs' certainty") {
+    val weights = Tables.documents(spark, sf)
+      .withColumn("tokens", expr(TextAnalysis.tokensExpr))
+      .filter(expr("size(tokens) > 0"))
+      .selectExpr("CAST(size(array_distinct(tokens)) AS DOUBLE) / CAST(size(tokens) AS DOUBLE) AS w")
+      .collect().map(_.getDouble(0))
+    val kept = q("ds06_weighted_sample").collect()
+    val expected = weights.sum
+    val sigma = math.sqrt(weights.map(w => w * (1 - w)).sum)
+    assert(math.abs(kept.length - expected) < 4 * sigma + 1,
+      s"kept ${kept.length}, expected ~$expected (sigma $sigma)")
+    kept.foreach { r =>
+      assert(r.getAs[Double]("keep_p") > 0.0 && r.getAs[Double]("keep_p") <= 1.0)
+    }
   }
 
   test("stratified sample respects per-stratum rates within hash-binomial tolerance") {
