@@ -92,7 +92,9 @@ object ScaleStress {
       "r01_retention", "f01_funnel", "w04_sessionize",
       "lm01_unigram_lm", "dd11_substring_dup", "sim08_range_search",
       "r02_transitions", "ts01_gapfill", "dq03_anomaly", "ds05_curriculum",
-      "g01_pagerank")
+      "g01_pagerank",
+      "ds06_weighted_sample", "q3_shipping_priority", "w05_rank_ratios",
+      "a19_unpivot")
     // SPARK_GRAFT_QUERIES=dd04_simhash,sim04_ivf_ann → time only those
     // (fast iteration on one operator without the 25-query sweep)
     val headline = sys.env.get("SPARK_GRAFT_QUERIES") match {
