@@ -518,6 +518,34 @@ object Dedup {
       // clearCache.
       rN.select(col("node").as("doc_id"), round(col("r"), 8).as("pagerank"))
         .orderBy("doc_id")
+    }),
+
+    // The dedup DECISION stage: within each near-dup cluster (dd07's
+    // components) keep the highest-quality member, not the min-id one
+    // — quality = distinct-token ratio (an exact rational, same axis
+    // the df01 gate and ds06 sampler use), ties broken by doc_id. A
+    // per-cluster row_number window picks the survivor; clusters are
+    // near-dup families, so partitions are small by construction.
+    // This is what a production pipeline actually executes after
+    // dd03/dd07: "which copy do we train on".
+    "cur05_keep_best" -> ((s, d) => {
+      val clusters = queries("dd07_dup_clusters")(s, d)
+        .select(col("doc_id"), col("cluster_rep"))
+      val q = Tables.documents(s, d)
+        .withColumn("tokens", expr(tokensExpr))
+        .filter(expr("size(tokens) > 0"))
+        .select(col("doc_id"),
+          expr("CAST(size(array_distinct(tokens)) AS DOUBLE) / CAST(size(tokens) AS DOUBLE)")
+            .as("q"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster_rep").orderBy(col("q").desc, col("doc_id").asc)
+      clusters.join(q, "doc_id")
+        .withColumn("rn", row_number().over(w))
+        .groupBy("cluster_rep")
+        .agg(max(when(col("rn") === 1, col("doc_id"))).as("best_doc"),
+          count(lit(1)).as("n_members"),
+          round(max(when(col("rn") === 1, col("q"))), 6).as("best_q"))
+        .orderBy("cluster_rep")
     })
   )
 
@@ -766,6 +794,54 @@ object Dedup {
          |${(1 to PrIters).map(iter).mkString(",\n")}
          |SELECT node AS doc_id, round(r, 8) AS pagerank
          |FROM it$PrIters ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    "cur05_keep_best" ->
+      s"""WITH RECURSIVE $minhashCte,
+         |bands AS (
+         |  $bandSelects
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.key = b.key AND a.band = b.band AND a.doc_id < b.doc_id
+         |),
+         |p AS (
+         |  SELECT doc_a, doc_b FROM cand
+         |  JOIN sigs sa ON sa.doc_id = doc_a
+         |  JOIN sigs sb ON sb.doc_id = doc_b
+         |  WHERE CAST($matchSum AS DOUBLE) / $MinhashK.0 >= 0.5
+         |),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM p
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM p
+         |),
+         |cc(doc_id, label) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.doc_id = e.src
+         |),
+         |labels AS (
+         |  SELECT doc_id, min(label) AS cluster_rep FROM cc GROUP BY doc_id
+         |),
+         |tok2 AS (SELECT doc_id, $tokensSql AS tokens FROM documents),
+         |q AS (
+         |  SELECT doc_id,
+         |         CAST(len(list_distinct(tokens)) AS DOUBLE)
+         |           / CAST(len(tokens) AS DOUBLE) AS q
+         |  FROM tok2 WHERE len(tokens) > 0
+         |),
+         |ranked AS (
+         |  SELECT l.cluster_rep, l.doc_id, q.q,
+         |         row_number() OVER (PARTITION BY l.cluster_rep
+         |                            ORDER BY q.q DESC, l.doc_id ASC) AS rn
+         |  FROM labels l JOIN q USING (doc_id)
+         |)
+         |SELECT cluster_rep,
+         |       max(CASE WHEN rn = 1 THEN doc_id END) AS best_doc,
+         |       count(*) AS n_members,
+         |       round(max(CASE WHEN rn = 1 THEN q END), 6) AS best_q
+         |FROM ranked GROUP BY cluster_rep ORDER BY cluster_rep""".stripMargin
   )
 }

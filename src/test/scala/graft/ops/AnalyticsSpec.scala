@@ -194,6 +194,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(mass - 1.0) < 1e-4, s"mass $mass")
   }
 
+  // --- cur05_keep_best -----------------------------------------------
+
+  test("keep-best: survivor belongs to its cluster and has the cluster-max quality") {
+    val clusters = q("dd07_dup_clusters").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_rep")).toMap
+    val rows = q("cur05_keep_best").collect()
+    assert(rows.nonEmpty)
+    val sizes = clusters.groupBy(_._2).view.mapValues(_.size).toMap
+    rows.foreach { r =>
+      val (rep, best, n) = (r.getAs[Long]("cluster_rep"),
+        r.getAs[Long]("best_doc"), r.getAs[Long]("n_members"))
+      assert(clusters.get(best).contains(rep), s"survivor $best not in cluster $rep")
+      assert(n >= 2, "a dup cluster has at least two members")
+      assert(n === sizes(rep).toLong)
+    }
+  }
+
   // --- sim08_range_search --------------------------------------------
 
   test("range search returns exactly the tau-ball and agrees with brute-force kNN scores") {
