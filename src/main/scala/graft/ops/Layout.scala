@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Data-layout clustering — the write-side half of the 100 TB story
+  * (the read side being partition pruning + min-max skipping, §2.1 /
+  * BucketingSpec): Z-ORDER the fact table on two join/filter keys by
+  * bit-interleaving them into one sort key, then show the payoff
+  * directly — per-output-file min/max spans that are tight on BOTH
+  * dimensions at once, which is what lets a scan skip files for
+  * predicates on either key (the Delta/Iceberg OPTIMIZE ZORDER
+  * mechanism, built from first principles).
+  *
+  * Everything is exact integer math (shifts/masks — identical in both
+  * engines), and the file assignment is the ds03/ds04 two-phase
+  * distributed prefix sum over zval range-buckets (bucket = top 5
+  * bits, monotone in zval), so no window ever sees more than one
+  * bucket where the oracle's naive global `row_number() OVER (ORDER
+  * BY zval)` sorts on one reducer.
+  */
+object Layout {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Bits interleaved per key (l_partkey < 2^15, l_suppkey < 2^10 on
+    * every fixture — 16 covers both with headroom). */
+  val ZBits = 16
+
+  /** Output files the clustered table is notionally split into. */
+  val ZFiles = 32L
+
+  /** Spark SQL text of the bit-interleave of `a` (even bit lanes) and
+    * `b` (odd lanes). */
+  private def zvalExpr(a: String, b: String): String =
+    (0 until ZBits).map { i =>
+      s"shiftleft(shiftright(CAST($a AS BIGINT), $i) & 1, ${2 * i}) + " +
+        s"shiftleft(shiftright(CAST($b AS BIGINT), $i) & 1, ${2 * i + 1})"
+    }.mkString(" + ")
+
+  /** DuckDB SQL text of the same interleave. */
+  private def zvalSql(a: String, b: String): String =
+    (0 until ZBits).map { i =>
+      s"(((CAST($a AS BIGINT) >> $i) & 1) << ${2 * i}) + " +
+        s"(((CAST($b AS BIGINT) >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+
+  val queries: Map[String, Q] = Map(
+    // Z-order lineitem on (l_partkey, l_suppkey), split into ZFiles
+    // equal-row files, report each file's key spans. Tight spans on
+    // BOTH columns = skippable files for predicates on EITHER.
+    "z01_zorder_layout" -> ((s, d) => {
+      val rows = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
+          expr(zvalExpr("l_partkey", "l_suppkey")).as("zval"))
+        .withColumn("bucket", expr("zval DIV " + (1L << (2 * ZBits - 5))))
+      val offs = rows.groupBy("bucket").agg(count(lit(1)).as("bn"))
+        .withColumn("boff",
+          coalesce(sum(col("bn")).over(
+            Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+        .withColumn("n_total", sum(col("bn")).over(
+          Window.orderBy("bucket").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select("bucket", "boff", "n_total")
+      val wIn = Window.partitionBy("bucket")
+        .orderBy("zval", "l_orderkey", "l_linenumber")
+      rows.join(broadcast(offs), "bucket")
+        .withColumn("pos", col("boff") + row_number().over(wIn).cast("long"))
+        .withColumn("file_id",
+          expr(s"CAST(((pos - 1) * $ZFiles) DIV n_total AS INT)"))
+        .groupBy("file_id")
+        .agg(count(lit(1)).as("n_rows"),
+          (max(col("l_partkey")) - min(col("l_partkey"))).as("partkey_span"),
+          (max(col("l_suppkey")) - min(col("l_suppkey"))).as("suppkey_span"),
+          min(col("zval")).as("z_min"), max(col("zval")).as("z_max"))
+        .orderBy("file_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    // The one-reducer global sort IS the oracle form (ds03/ds04/ds05
+    // stance: the engine plan is the scalable variant).
+    "z01_zorder_layout" ->
+      s"""WITH z AS (
+         |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |         ${zvalSql("l_partkey", "l_suppkey")} AS zval
+         |  FROM lineitem
+         |),
+         |r AS (
+         |  SELECT *, row_number() OVER (ORDER BY zval, l_orderkey, l_linenumber) AS pos,
+         |         count(*) OVER () AS n_total
+         |  FROM z
+         |)
+         |SELECT CAST(((pos - 1) * $ZFiles) // n_total AS INT) AS file_id,
+         |       count(*) AS n_rows,
+         |       max(l_partkey) - min(l_partkey) AS partkey_span,
+         |       max(l_suppkey) - min(l_suppkey) AS suppkey_span,
+         |       min(zval) AS z_min, max(zval) AS z_max
+         |FROM r GROUP BY 1 ORDER BY file_id""".stripMargin
+  )
+}

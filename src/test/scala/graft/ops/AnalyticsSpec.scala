@@ -211,6 +211,36 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  // --- z01_zorder_layout ---------------------------------------------
+
+  test("z-order files are tight on BOTH keys at once — the min-max skipping payoff") {
+    val rows = q("z01_zorder_layout").collect()
+    assert(rows.length === Layout.ZFiles)
+    val li = Tables.lineitem(spark, sf)
+      .agg(expr("max(l_partkey) - min(l_partkey)"), expr("max(l_suppkey) - min(l_suppkey)"))
+      .collect().head
+    val (pRange, sRange) = (li.getLong(0).toDouble, li.getLong(1).toDouble)
+    // average per-file span must be far below the full range on both
+    // dims simultaneously (a single-column sort would leave the OTHER
+    // column's span at ~the full range in every file)
+    val pAvg = rows.map(_.getAs[Long]("partkey_span")).sum.toDouble / rows.length
+    val sAvg = rows.map(_.getAs[Long]("suppkey_span")).sum.toDouble / rows.length
+    assert(pAvg < pRange / 4, s"partkey avg span $pAvg vs range $pRange")
+    // tightness below the file count is only possible when the key's
+    // range exceeds it (at sf0.001 only ~10 suppliers exist, so every
+    // file necessarily sees most of them)
+    if (sRange >= 4 * Layout.ZFiles)
+      assert(sAvg < sRange / 4, s"suppkey avg span $sAvg vs range $sRange")
+    // z ranges of consecutive files are disjoint (it IS a clustering)
+    val byFile = rows.sortBy(_.getAs[Int]("file_id"))
+    byFile.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("z_max") <= b.getAs[Long]("z_min"),
+        "files must be contiguous, non-overlapping z ranges")
+    }
+    // row counts are balanced (equal-height split)
+    assert(rows.map(_.getAs[Long]("n_rows")).toSet.size <= 2)
+  }
+
   // --- sim08_range_search --------------------------------------------
 
   test("range search returns exactly the tau-ball and agrees with brute-force kNN scores") {
