@@ -34,7 +34,7 @@ object Layout {
 
   /** Spark SQL text of the bit-interleave of `a` (even bit lanes) and
     * `b` (odd lanes). */
-  private def zvalExpr(a: String, b: String): String =
+  def zvalExpr(a: String, b: String): String =
     (0 until ZBits).map { i =>
       s"shiftleft(shiftright(CAST($a AS BIGINT), $i) & 1, ${2 * i}) + " +
         s"shiftleft(shiftright(CAST($b AS BIGINT), $i) & 1, ${2 * i + 1})"

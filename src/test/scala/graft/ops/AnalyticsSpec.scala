@@ -241,6 +241,37 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_rows")).toSet.size <= 2)
   }
 
+  test("z-order skips files under a key predicate where a row-order layout cannot") {
+    val rows = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").cast("long"), col("l_linenumber").cast("long"),
+        col("l_partkey").cast("long"), col("l_suppkey").cast("long"))
+      .withColumn("zval", expr(Layout.zvalExpr("l_partkey", "l_suppkey")))
+      .collect()
+    val nFiles = 32
+    val fileSize = math.ceil(rows.length / nFiles.toDouble).toInt
+    def ranges(sorted: Seq[org.apache.spark.sql.Row]) =
+      sorted.grouped(fileSize).map { f =>
+        val ks = f.map(_.getAs[Long]("l_partkey"))
+        (ks.min, ks.max)
+      }.toSeq
+    val zLayout = ranges(rows.sortBy(r =>
+      (r.getAs[Long]("zval"), r.getAs[Long]("l_orderkey"), r.getAs[Long]("l_linenumber"))))
+    val rowLayout = ranges(rows.sortBy(r =>
+      (r.getAs[Long]("l_orderkey"), r.getAs[Long]("l_linenumber"))))
+    // a partkey window 1/32 of the key range — the shape a min-max
+    // index answers per file
+    val all = rows.map(_.getAs[Long]("l_partkey"))
+    val (kMin, kMax) = (all.min, all.max)
+    val w = math.max(1L, (kMax - kMin) / nFiles)
+    val (pLo, pHi) = (kMin + 10 * w, kMin + 11 * w)
+    def hit(rs: Seq[(Long, Long)]) = rs.count { case (lo, hi) => hi >= pLo && lo <= pHi }
+    val (zHit, rowHit) = (hit(zLayout), hit(rowLayout))
+    // the row-order layout scans essentially everything; z-order reads
+    // a small fraction of the files
+    assert(rowHit >= nFiles * 3 / 4, s"row layout hit $rowHit")
+    assert(zHit <= nFiles / 4, s"z layout hit $zHit of $nFiles")
+  }
+
   // --- sim08_range_search --------------------------------------------
 
   test("range search returns exactly the tau-ball and agrees with brute-force kNN scores") {
