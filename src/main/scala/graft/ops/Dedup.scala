@@ -447,7 +447,13 @@ object Dedup {
         // cached for its two consumers (gram-df build + the join
         // back), exactly dd05's posting-stream rationale: the
         // tokenize→gram→md5 chain is the dominant narrow stage and
-        // would otherwise run twice
+        // would otherwise run twice. Like dd05's sh0/sh (and unlike
+        // dd07, whose loop already forces execution and can therefore
+        // materialize-then-unpersist), the entry stays lazy, so the
+        // cache persists for the session: the cache manager dedups
+        // re-invocations by analyzed plan and the cold protocols drop
+        // it via clearCache; at 100 TB this is where a serialized
+        // storage level or checkpoint replaces MEMORY_AND_DISK.
         .cache()
       val gramDf = grams.groupBy("gh")
         .agg(countDistinct(col("doc_id")).as("ndocs"))

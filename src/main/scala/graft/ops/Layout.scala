@@ -52,7 +52,19 @@ object Layout {
     // equal-row files, report each file's key spans. Tight spans on
     // BOTH columns = skippable files for predicates on EITHER.
     "z01_zorder_layout" -> ((s, d) => {
+      // zvalExpr reads only the low ZBits of each key — a wider key
+      // would interleave WRONG (key 2^16+1 clusters with key 1) with
+      // no error. assert_true turns that silent corruption into a
+      // loud failure: the 1-row bounds frame rides a broadcast, and
+      // the guard lives in a FILTER (returns null = keep-all when the
+      // precondition holds) so column pruning cannot drop it.
+      val lim = 1L << ZBits
+      val bounds = Tables.lineitem(s, d)
+        .agg(max(col("l_partkey")).as("mx_p"), max(col("l_suppkey")).as("mx_s"))
       val rows = Tables.lineitem(s, d)
+        .crossJoin(broadcast(bounds))
+        .filter(assert_true(col("mx_p") < lim && col("mx_s") < lim,
+          lit(s"z01: key exceeds $ZBits bits — widen Layout.ZBits")).isNull)
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_partkey"), col("l_suppkey"),
           expr(zvalExpr("l_partkey", "l_suppkey")).as("zval"))

@@ -29,9 +29,29 @@ class ContractSpec extends AnyFunSuite {
       s"exception list names absent queries: ${obsoleteExceptions.mkString(", ")}")
   }
 
-  test("catalog names follow the family_slug convention and are unique per family ordinal") {
+  test("catalog names follow the family_slug convention") {
     val re = "^[a-z]+[0-9]+[a-z0-9]*(_[a-z0-9]+)*$".r
     val bad = SparkEntry.queries.keySet.filterNot(n => re.matches(n))
     assert(bad.isEmpty, s"non-conforming names: ${bad.toSeq.sorted.mkString(", ")}")
+  }
+
+  test("no cross-module name collisions: Map ++ must not silently drop an entry") {
+    // mirror SparkEntry's composition — a duplicate key across two
+    // module maps would vanish in ++ (last map wins) with no failure
+    val modules: Seq[(String, Map[String, _])] = Seq(
+      "Relational" -> ops.Relational.queries, "Joins" -> ops.Joins.queries,
+      "Breadth" -> ops.Breadth.queries, "Dedup" -> ops.Dedup.queries,
+      "Similarity" -> ops.Similarity.queries, "TextAnalysis" -> ops.TextAnalysis.queries,
+      "Curation" -> ops.Curation.queries, "Multimodal" -> ops.Multimodal.queries,
+      "Multimodal2" -> ops.Multimodal.queries2, "Multimodal3" -> ops.Multimodal.queries3,
+      "DataQuality" -> ops.DataQuality.queries, "Incremental" -> ops.Incremental.queries,
+      "Streams" -> streaming.Streams.queries, "Analytics" -> ops.Analytics.queries,
+      "Layout" -> ops.Layout.queries)
+    val all = modules.flatMap { case (m, q) => q.keys.map(_ -> m) }
+    val dups = all.groupBy(_._1).filter(_._2.size > 1)
+    assert(dups.isEmpty,
+      s"duplicate catalog names across modules: ${dups.map { case (k, ms) => s"$k in ${ms.map(_._2).mkString("+")}" }.mkString("; ")}")
+    assert(all.size === SparkEntry.queries.size,
+      "SparkEntry.queries lost entries to Map ++ overwrites")
   }
 }

@@ -111,7 +111,8 @@ class StreamingSpec extends SparkSpec {
         .outputMode("update")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(120000)
+      try assert(q.awaitTermination(120000), "streaming query timed out")
+      finally q.stop()
       // Update mode emits one running total per (user, batch); the
       // last (= max) emission per user must equal the batch count
       val streamed = spark.table("tws_counts")
