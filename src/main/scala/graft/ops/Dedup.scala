@@ -126,6 +126,27 @@ object Dedup {
     .map(j => s"CASE WHEN sa.sig_$j = sb.sig_$j THEN 1 ELSE 0 END")
     .mkString(" + ")
 
+  /** Oracle CTE chain ending in `p(doc_a, doc_b)` — the verified LSH
+    * pair set [[lshVerifiedPairs]] computes over all docs. Shared by
+    * the graph family (g01 here, g02 in [[Graph]]), so the two sides
+    * of every graph oracle agree on the edge set by construction. */
+  private[ops] lazy val lshPairsCte: String =
+    s"""$minhashCte,
+       |bands AS (
+       |  $bandSelects
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.key = b.key AND a.band = b.band AND a.doc_id < b.doc_id
+       |),
+       |p AS (
+       |  SELECT doc_a, doc_b FROM cand
+       |  JOIN sigs sa ON sa.doc_id = doc_a
+       |  JOIN sigs sb ON sb.doc_id = doc_b
+       |  WHERE CAST($matchSum AS DOUBLE) / $MinhashK.0 >= 0.5
+       |)""".stripMargin
+
   /** Oracle CTE mirroring [[minhashSignatures]]; `src` is the doc
     * relation to sign (dd09 signs a `canonical` CTE instead of the
     * raw table). */
@@ -158,7 +179,7 @@ object Dedup {
     * LSH pair generator (dd03 runs it over all docs; dd09 over
     * canonical docs only). Pairs form ONLY within band buckets, so
     * the candidate set stays near-linear in corpus size. */
-  private def lshVerifiedPairs(sigs: DataFrame): DataFrame = {
+  private[ops] def lshVerifiedPairs(sigs: DataFrame): DataFrame = {
     val bandKeys = (0 until Bands).map(b =>
       concat_ws(":", col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}")))
     val bands = sigs.select(col("doc_id"),

@@ -1,0 +1,165 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Portable
+
+/** Graph-analytics operators — the family dd07 (connected components)
+  * and g01 (PageRank) opened, extended with the two other primitives
+  * a data-curation pipeline reaches for:
+  *
+  *   - g02: bounded multi-source BFS over the near-dup graph —
+  *     "quarantine propagation": given a seed set of flagged docs,
+  *     find every doc within k near-dup hops and how far out it sits
+  *     (the blast radius of a contamination / takedown event);
+  *   - g03: per-node triangle counting over the part co-purchase
+  *     graph — the local-clustering signal (recommendation strength,
+  *     community density) on a graph that is NOT the planted near-dup
+  *     blobs but an organically dense co-occurrence structure.
+  *
+  * Scale posture: both are pure join dataflows on hash-partitioned
+  * edge frames — the Pregel shape dd07/g01 established. BFS does one
+  * join + distinct per round (frontier-driven: work is proportional
+  * to the frontier, not the graph) with `localCheckpoint` lineage
+  * hygiene per round and a scalar-only driver loop. Triangles do one
+  * self-join to enumerate wedges and one hash probe to close them;
+  * the id-orientation used here matches the oracle, and the 100 TB
+  * refinement is degree orientation (orient each edge toward the
+  * higher-degree endpoint), which bounds the wedge intermediate by
+  * graph arboricity instead of max degree.
+  */
+object Graph {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** g02: 1-in-SeedMod nodes (hash-chosen, salted apart from every
+    * other hash domain) are BFS seeds; expansion stops at MaxHops —
+    * the bound that keeps the recursive oracle finite on cyclic
+    * graphs and mirrors how a real quarantine sweep is depth-capped. */
+  val SeedMod = 8
+  val MaxHops = 6
+
+  private def seedPred(c: String): String =
+    s"${Portable.phashExpr(s"concat('g2:', CAST($c AS STRING))")} % $SeedMod = 0"
+
+  val queries: Map[String, Q] = Map(
+    // Bounded multi-source BFS (min-hop labels). Frontier loop: round
+    // k joins ONLY the round-(k-1) frontier against the edge frame,
+    // so per-round work tracks the frontier size — on a 100 TB graph
+    // with bounded expansion this is the difference between k scans
+    // of the discovered set and k scans of everything. The driver
+    // sees one scalar (frontier size) per round; labels are
+    // localCheckpoint'ed per round (dd07's unbounded-loop hygiene).
+    // First discovery = minimum hop count on an unweighted graph, so
+    // the frontier order IS the min-hop order — no re-labeling pass.
+    "g02_bfs_hops" -> ((s, d) => {
+      val pairs = Dedup.lshVerifiedPairs(Dedup.minhashSignatures(s, d))
+        .select("doc_a", "doc_b").cache()
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .cache()
+      val nodes = edges.select(col("src").as("doc_id")).distinct()
+      var labels = nodes
+        .withColumn("hops",
+          when(expr(seedPred("doc_id")), 0L).otherwise(lit(null).cast("long")))
+        .localCheckpoint()
+      var frontier = labels.filter(col("hops") === 0L)
+      var k = 1L
+      var more = frontier.count() > 0
+      while (more && k <= MaxHops) {
+        val reached = frontier.join(edges, frontier("doc_id") === edges("src"))
+          .select(col("dst").as("doc_id")).distinct()
+        val step = labels
+          .join(reached.withColumn("nh", lit(k)), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("hops"), col("nh")).as("hops"))
+          .localCheckpoint()
+        frontier = step.filter(col("hops") === k)
+        more = frontier.count() > 0
+        labels = step
+        k += 1
+      }
+      val result = labels.filter(col("hops").isNotNull)
+        .orderBy("doc_id")
+        .localCheckpoint()
+      Seq(pairs, edges).foreach(_.unpersist())
+      result
+    }),
+
+    // Per-node triangle counts on the part co-purchase graph (parts
+    // sharing an order). Edge build: the within-order pair join is
+    // quadratic in basket size — bounded by TPC-H's ≤7-line orders;
+    // a marketplace with 10⁴-item baskets caps or samples baskets
+    // first. Enumeration: wedges a<b<c via one self-join on the
+    // oriented edge list, closed by one hash probe; each triangle is
+    // found exactly once, then credited to its three corners with an
+    // in-plan explode (no second enumeration). The edge frame is
+    // cached above its three join consumers; cold protocols drop it
+    // via clearCache (g01's convention for lazy results).
+    "g03_triangles" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      val e = li.as("a")
+        .join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+        .distinct()
+        .cache()
+      val tri = e.as("e1")
+        .join(e.as("e2"), col("e1.pb") === col("e2.pa"))
+        .join(e.as("e3"),
+          col("e3.pa") === col("e1.pa") && col("e3.pb") === col("e2.pb"))
+        .select(col("e1.pa").as("a"), col("e1.pb").as("b"), col("e2.pb").as("c"))
+      tri
+        .select(explode(array(col("a"), col("b"), col("c"))).as("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(count(lit(1)).as("n_triangles"))
+        .orderBy("l_partkey")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    // min-hop as a depth-bounded recursive CTE: UNION dedups
+    // (doc_id, hops) states and hops is capped at MaxHops, so the
+    // fixpoint is finite even on cycles; min(hops) per node is the
+    // BFS distance.
+    "g02_bfs_hops" ->
+      s"""WITH RECURSIVE ${Dedup.lshPairsCte},
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM p
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM p
+         |),
+         |nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+         |bfs(doc_id, hops) AS (
+         |  SELECT doc_id, 0 FROM nodes
+         |  WHERE ${Portable.phashSql("'g2:' || CAST(doc_id AS VARCHAR)")} % $SeedMod = 0
+         |  UNION
+         |  SELECT e.dst, b.hops + 1
+         |  FROM bfs b JOIN edges e ON b.doc_id = e.src
+         |  WHERE b.hops < $MaxHops
+         |)
+         |SELECT doc_id, CAST(min(hops) AS BIGINT) AS hops
+         |FROM bfs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "g03_triangles" ->
+      """WITH e AS (
+        |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |),
+        |t AS (
+        |  SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+        |  FROM e e1 JOIN e e2 ON e1.pb = e2.pa
+        |  JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+        |),
+        |r AS (
+        |  SELECT a AS l_partkey FROM t
+        |  UNION ALL SELECT b FROM t
+        |  UNION ALL SELECT c FROM t
+        |)
+        |SELECT l_partkey, count(*) AS n_triangles
+        |FROM r GROUP BY l_partkey ORDER BY l_partkey""".stripMargin
+  )
+}
