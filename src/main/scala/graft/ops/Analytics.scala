@@ -157,6 +157,42 @@ object Analytics {
           date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
           col("n_events"), round(col("ffill"), 6).as("avg_value_ffill"))
         .orderBy("line", "hour_ts")
+    }),
+
+    // Rolling 3-hour window stats over the per-line hourly series —
+    // ts01's sibling with a RANGE frame instead of a spine: the frame
+    // is bounded by the EVENT-TIME axis (epoch seconds in
+    // [h-7200, h]), not by row offsets, so gaps in the series shrink
+    // the window instead of silently stretching it across missing
+    // hours — the semantic difference between RANGE and ROWS that
+    // matters on irregular series. The heavy exchange is the hourly
+    // pre-aggregate (map-side combinable); the window pass then sorts
+    // only the tiny per-line hourly frame. Rolling sums stay DECIMAL
+    // through the frame aggregation (both engines may evaluate
+    // sliding frames with different add/evict orders — exact decimal
+    // addition is order-immune where double addition is not) and cast
+    // to double only at the final projection.
+    "ts02_rolling" -> ((s, d) => {
+      val e = Tables.events(s, d).select(
+        trim(col("event_type")).as("line"),
+        date_trunc("hour", col("ts")).as("h"), col("value"))
+      val hourly = e.groupBy("line", "h").agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 4))).as("dec_v"),
+        count(col("value")).as("n_v"))
+      val w = Window.partitionBy("line").orderBy(col("epoch_s"))
+        .rangeBetween(-7200L, 0L)
+      hourly
+        .withColumn("epoch_s", floor(col("h").cast(DoubleType)).cast(LongType))
+        .withColumn("roll_hours", count(lit(1)).over(w))
+        .withColumn("roll_events", sum(col("n_events")).over(w))
+        .withColumn("roll_avg", round(
+          sum(col("dec_v")).over(w).cast(DoubleType) /
+            sum(col("n_v")).over(w).cast(DoubleType), 6))
+        .select(col("line"),
+          date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
+          col("n_events"), col("roll_hours"), col("roll_events"), col("roll_avg"))
+        .orderBy("line", "hour_ts")
     })
   )
 
@@ -268,6 +304,28 @@ object Analytics {
         |       round(last_value(avg_v IGNORE NULLS) OVER (
         |         PARTITION BY line ORDER BY h
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS avg_value_ffill
-        |FROM j ORDER BY line, hour_ts""".stripMargin
+        |FROM j ORDER BY line, hour_ts""".stripMargin,
+
+    "ts02_rolling" ->
+      """WITH e AS (
+        |  SELECT trim(event_type) AS line, date_trunc('hour', ts) AS h, value
+        |  FROM events
+        |),
+        |hourly AS (
+        |  SELECT line, h, count(*) AS n_events,
+        |         sum(CAST(value AS DECIMAL(18,4))) AS dec_v,
+        |         count(value) AS n_v,
+        |         CAST(floor(epoch(h)) AS BIGINT) AS epoch_s
+        |  FROM e GROUP BY line, h
+        |)
+        |SELECT line, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_ts, n_events,
+        |       count(*) OVER w AS roll_hours,
+        |       CAST(sum(n_events) OVER w AS BIGINT) AS roll_events,
+        |       round(CAST(sum(dec_v) OVER w AS DOUBLE)
+        |             / CAST(sum(n_v) OVER w AS DOUBLE), 6) AS roll_avg
+        |FROM hourly
+        |WINDOW w AS (PARTITION BY line ORDER BY epoch_s
+        |             RANGE BETWEEN 7200 PRECEDING AND CURRENT ROW)
+        |ORDER BY line, hour_ts""".stripMargin
   )
 }

@@ -320,6 +320,31 @@ object Curation {
           round(col("nd").cast("double") / col("n").cast("double"), 6).as("keep_p"))
         .orderBy("doc_id")),
 
+    // Leakage-safe train/val/test split — ds01's hash split made
+    // near-dup-aware: the split unit is the dd07 duplicate CLUSTER,
+    // not the document, so two near-copies can never land in
+    // different splits (the classic eval-contamination leak: a test
+    // doc whose near-twin was trained on). Every doc hashes on its
+    // cluster representative (singletons on themselves) with ds01's
+    // 90/5/5 bucket layout on a salted domain. Cost shape: dd07's
+    // component labels + one broadcast-ish left join (the cluster
+    // frame is dup-family-sized, tiny relative to the corpus) + the
+    // narrow per-row hash — the split itself adds no new shuffle
+    // beyond the label join.
+    "ds07_leakage_safe_split" -> ((s, d) => {
+      val clusters = Dedup.queries("dd07_dup_clusters")(s, d)
+        .select("doc_id", "cluster_rep")
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(clusters, Seq("doc_id"), "left")
+        .withColumn("gk", coalesce(col("cluster_rep"), col("doc_id")))
+        .withColumn("bucket",
+          expr(s"${Portable.phashExpr("concat('s7|', CAST(gk AS STRING))")} % 100"))
+        .select(col("doc_id"),
+          expr("CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END")
+            .as("split"))
+        .orderBy("doc_id")
+    }),
+
     // C4/Gopher-style quality gate: token-count bounds, mean-word-
     // length bounds, at-least-one-stopword, repetition cut via the
     // distinct-token ratio; emits survivors with their features.
@@ -495,6 +520,24 @@ object Curation {
          |SELECT doc_id,
          |       CAST(1 + ((pos - 1) * 4) // n_total AS INT) AS stage,
          |       pos, round(score, 6) AS score
-         |FROM r ORDER BY pos""".stripMargin
+         |FROM r ORDER BY pos""".stripMargin,
+
+    // the cluster labels come from dd07's recursive-CTE oracle,
+    // nested as a subquery so both sides split on the identical
+    // component structure
+    "ds07_leakage_safe_split" ->
+      s"""WITH clusters AS (
+         |  SELECT * FROM ( ${Dedup.oracle("dd07_dup_clusters")} ) t
+         |),
+         |g AS (
+         |  SELECT d.doc_id,
+         |         coalesce(c.cluster_rep, d.doc_id) AS gk
+         |  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+         |)
+         |SELECT doc_id,
+         |       CASE WHEN ${Portable.phashSql("'s7|' || CAST(gk AS VARCHAR)")} % 100 < 90 THEN 'train'
+         |            WHEN ${Portable.phashSql("'s7|' || CAST(gk AS VARCHAR)")} % 100 < 95 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM g ORDER BY doc_id""".stripMargin
   )
 }

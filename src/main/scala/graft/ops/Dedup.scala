@@ -34,6 +34,12 @@ object Dedup {
     * common than this carry no near-dup signal and cost df² pairs). */
   val MaxShingleDf = 1000
 
+  /** dd12 sorted-neighborhood: window width (each doc is compared to
+    * the next SnmWindow docs in blocking-key order) and the
+    * fixed-width prefix of the sorted-token string used as the key. */
+  val SnmWindow = 8
+  val SnmKeyLen = 64
+
   /** dd10 decontamination: 1-in-EvalMod docs form the held-out eval
     * set (hash-deterministic, salted apart from ds01's split domain).
     * A train doc is flagged when ≥ DecontamMinRatio of its distinct
@@ -547,6 +553,68 @@ object Dedup {
         .orderBy("doc_id")
     }),
 
+    // Sorted-neighborhood dedup (SNM) — the third candidate-generation
+    // strategy next to LSH banding (dd03) and posting-list joins
+    // (dd05): sort the corpus by a blocking key, compare each doc only
+    // to its SnmWindow successors in sort order, verify candidates
+    // with exact shingle Jaccard. Key = fixed-width prefix of the
+    // SORTED token string (the classic ER choice: token-bag-similar
+    // docs collide regardless of word order, and the truncation makes
+    // the sort key constant-width). Candidate count is exactly n·W —
+    // linear by construction, no df²/bucket-occupancy failure mode at
+    // all; the trade is recall (near-dups whose sorted-token prefixes
+    // diverge are missed), which is why production systems run SNM as
+    // one of several passes with different keys.
+    //
+    // Scale shape: the global rank is ds04/ds05's two-phase
+    // distributed prefix sum (per-bucket counts prefix-summed across
+    // a tiny frame, then within-bucket row_number — no window sees
+    // more than one bucket), candidates come from an EQUI-join on
+    // rank+offset (explode of W offsets, hash join — never a range
+    // self-join), and the shingle arrays are joined in only for the
+    // n·W candidate pairs (dd09's pattern: texts/arrays never ride
+    // the candidate shuffle). The 2-char bucket prefix assumes
+    // roughly uniform key mass per prefix; a skewed 100 TB corpus
+    // picks bucket boundaries from a key sample instead (range
+    // partitioner), same dataflow.
+    "dd12_snm_pairs" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val base = Tables.documents(s, d)
+        .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+        .withColumn("tokens", expr(tokensExpr))
+        .withColumn("shingles", expr(shinglesExpr))
+        .select(col("doc_id"),
+          expr(s"substring(concat_ws(' ', array_sort(tokens)), 1, $SnmKeyLen)").as("key"),
+          expr(s"array_distinct(transform(shingles, s -> ${Portable.phashExpr("s")}))").as("sha"))
+        .withColumn("bucket", expr("substring(key, 1, 2)"))
+        .cache() // two consumers: bucket offsets + the ranked join
+      val offs = base.groupBy("bucket").agg(count(lit(1)).as("bn"))
+        .withColumn("boff",
+          coalesce(sum(col("bn")).over(
+            W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+        .select("bucket", "boff")
+      val wIn = W.partitionBy("bucket").orderBy("key", "doc_id")
+      val ranked = base.join(broadcast(offs), "bucket")
+        .withColumn("rk", col("boff") + row_number().over(wIn).cast("long"))
+        .select("doc_id", "rk")
+      val cand = ranked.toDF("da", "rka")
+        .withColumn("nbr", explode(expr(s"sequence(rka + 1, rka + $SnmWindow)")))
+        .join(ranked.toDF("db", "nbr"), "nbr")
+        .select("da", "db")
+      val hs = base.select("doc_id", "sha")
+      cand
+        .join(hs.toDF("da", "ha"), "da")
+        .join(hs.toDF("db", "hb"), "db")
+        .withColumn("common", expr("size(array_intersect(ha, hb))").cast("long"))
+        .withColumn("jaccard", col("common").cast("double") /
+          (expr("size(ha) + size(hb)").cast("long") - col("common")).cast("double"))
+        .filter(col("jaccard") >= 0.3)
+        .select(least(col("da"), col("db")).as("doc_a"),
+          greatest(col("da"), col("db")).as("doc_b"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // The dedup DECISION stage: within each near-dup cluster (dd07's
     // components) keep the highest-quality member, not the min-id one
     // — quality = distinct-token ratio (an exact rational, same axis
@@ -869,6 +937,41 @@ object Dedup {
          |       max(CASE WHEN rn = 1 THEN doc_id END) AS best_doc,
          |       count(*) AS n_members,
          |       round(max(CASE WHEN rn = 1 THEN q END), 6) AS best_q
-         |FROM ranked GROUP BY cluster_rep ORDER BY cluster_rep""".stripMargin
+         |FROM ranked GROUP BY cluster_rep ORDER BY cluster_rep""".stripMargin,
+
+    "dd12_snm_pairs" ->
+      s"""WITH c AS (
+         |  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+         |),
+         |tok AS (
+         |  SELECT doc_id, $tokensSql AS tokens FROM c
+         |),
+         |shl AS (
+         |  SELECT doc_id, tokens, $shinglesSql AS shingles FROM tok
+         |),
+         |base AS (
+         |  SELECT doc_id,
+         |         substr(array_to_string(list_sort(tokens), ' '), 1, $SnmKeyLen) AS key,
+         |         list_distinct(list_transform(shingles, s -> ${Portable.phashSql("s")})) AS sha
+         |  FROM shl
+         |),
+         |r AS (
+         |  SELECT doc_id, sha, row_number() OVER (ORDER BY key, doc_id) AS rk FROM base
+         |),
+         |cand AS (
+         |  SELECT a.doc_id AS da, a.sha AS ha, b.doc_id AS db, b.sha AS hb
+         |  FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + $SnmWindow
+         |),
+         |j AS (
+         |  SELECT da, db,
+         |         len(list_filter(ha, x -> list_contains(hb, x))) AS common,
+         |         len(ha) AS na, len(hb) AS nb
+         |  FROM cand
+         |)
+         |SELECT least(da, db) AS doc_a, greatest(da, db) AS doc_b,
+         |       round(CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE), 6) AS jaccard
+         |FROM j
+         |WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.3
+         |ORDER BY doc_a, doc_b""".stripMargin
   )
 }

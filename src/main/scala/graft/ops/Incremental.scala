@@ -39,6 +39,11 @@ object Incremental {
   val ChangeMod = 10
   val PriceDelta = 10.0
 
+  /** u02: the two point-in-time probes — one before the merge
+    * effective date (old versions answer), one at it (closed versions
+    * excluded, new versions + inserts answer). */
+  val AsOfEarly = "2024-03-01"
+
   private def slice(salt: String, key: Column): Column =
     expr(s"${Portable.phashExpr(s"concat('$salt', CAST(${key.toString} AS STRING))")}")
 
@@ -97,6 +102,34 @@ object Incremental {
       j.select(explode(filter(array(oldRow, newRow), _.isNotNull)).as("r"))
         .select(col("r.*"))
         .orderBy("c_custkey", "valid_from")
+    }),
+
+    // Point-in-time (as-of) lookup over the SCD2 dimension — the read
+    // side of u01's write side, and the reason SCD2 exists: "what did
+    // the dimension say on date D". A version is active at D when
+    // valid_from <= D < coalesce(valid_to, ∞); probing two dates that
+    // straddle the merge shows the same keys answering with different
+    // attribute versions. The probe-date frame is a 2-row broadcast
+    // against the dimension scan — ONE narrow pass however many
+    // as-of dates are probed at once (the batch-backfill shape: a
+    // feature-store rebuild probes thousands of training timestamps
+    // in one such pass instead of one dimension scan per date). At
+    // 100 TB the dimension would additionally be partitioned by
+    // valid_from range so a point-in-time probe prunes closed
+    // versions at the file level.
+    "u02_scd2_asof" -> ((s, d) => {
+      val dim2 = queries("u01_scd2_merge")(s, d)
+      val asof = dim2.sparkSession.range(1)
+        .select(explode(array(
+          lit(AsOfEarly).cast("date"),
+          lit(MergeEffective).cast("date"))).as("as_of"))
+      dim2.crossJoin(broadcast(asof))
+        .filter(col("valid_from") <= col("as_of") &&
+          (col("valid_to").isNull || col("valid_to") > col("as_of")))
+        .groupBy("as_of")
+        .agg(count(lit(1)).as("n_customers"),
+          Tables.dsum(col("c_acctbal"), 2).as("total_bal"))
+        .orderBy("as_of")
     }),
 
     // CDC snapshot diff: classify every key of two table snapshots as
@@ -173,9 +206,10 @@ object Incremental {
     })
   )
 
-  val oracle: Map[String, String] = Map(
-    "u01_scd2_merge" ->
-      s"""WITH upd AS (
+  /** u01's oracle text, shared so u02's point-in-time oracle probes
+    * the exact same versioned relation. */
+  private lazy val u01Sql: String =
+    s"""WITH upd AS (
          |  SELECT c_custkey, 'R-' || c_mktsegment AS c_mktsegment,
          |         c_acctbal + 100.0 AS c_acctbal
          |  FROM customer
@@ -203,7 +237,23 @@ object Incremental {
          |UNION ALL
          |SELECT uk, useg, ubal, DATE '$MergeEffective', NULL, 1
          |FROM cls WHERE uk IS NOT NULL AND (dk IS NULL OR changed)
-         |ORDER BY c_custkey, valid_from""".stripMargin,
+         |ORDER BY c_custkey, valid_from""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "u01_scd2_merge" -> u01Sql,
+
+    "u02_scd2_asof" ->
+      s"""WITH dim2 AS (
+         |  SELECT * FROM ( $u01Sql ) t
+         |),
+         |d AS (
+         |  SELECT unnest([DATE '$AsOfEarly', DATE '$MergeEffective']) AS as_of
+         |)
+         |SELECT as_of, count(*) AS n_customers,
+         |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+         |FROM dim2 CROSS JOIN d
+         |WHERE valid_from <= as_of AND (valid_to IS NULL OR valid_to > as_of)
+         |GROUP BY as_of ORDER BY as_of""".stripMargin,
 
     "cdc01_snapshot_diff" ->
       s"""WITH a AS (

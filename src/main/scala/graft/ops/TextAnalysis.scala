@@ -59,6 +59,12 @@ object TextAnalysis {
   val ChunkWindow = 64L
   val ChunkStride = 48L
 
+  /** tx12: vocabulary size for the coverage gate — deliberately
+    * smaller than the synthetic corpus's 31-token vocabulary so the
+    * OOV signal is non-degenerate at test scale; a production run
+    * sizes this to the tokenizer vocab (10⁴-10⁵). */
+  val VocabTopK = 16
+
   /** Stopword inventories per language for the lang-ID heuristic.
     * (Deliberately tiny — this is an operator shape, not a model.) */
   val LangStopwords: Seq[(String, Seq[String])] = Seq(
@@ -329,6 +335,36 @@ object TextAnalysis {
             .as("chunk_md5"))
         .orderBy("doc_id", "chunk_id")),
 
+    // Vocabulary coverage / OOV-rate gate — the tokenizer-fit signal
+    // a pretraining pipeline checks before committing a corpus to a
+    // fixed vocab: build the top-V vocabulary by corpus frequency
+    // (ties broken lexically so the cut is deterministic), then score
+    // each doc by the fraction of its tokens falling outside it.
+    // Two passes over the token stream: the vocab build reduces to a
+    // vocab-sized frame via TakeOrderedAndProject (top-V never sorts
+    // the full count frame), and the scoring pass probes the
+    // BROADCAST vocab — the dd10/lm01 asymmetry: the model side is
+    // bounded (tokenizer vocabs are 10⁴-10⁵ entries at any corpus
+    // size) while the corpus side stays narrow. High OOV-rate docs
+    // are the ones a subword tokenizer will shred into char-level
+    // fragments — the standard exclusion/re-train trigger.
+    "tx12_vocab_coverage" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .withColumn("tokens", expr(tokensExpr))
+        .filter(expr("size(tokens) > 0"))
+        .select(col("doc_id"), explode(col("tokens")).as("token"))
+      val vocab = toks.groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc).limit(VocabTopK)
+        .select(col("token"), lit(1).as("in_vocab"))
+      toks.join(broadcast(vocab), Seq("token"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_rate",
+          round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6))
+        .orderBy("doc_id")
+    }),
+
     // Corpus-trained unigram LM scoring — the perplexity-proxy
     // quality signal (CCNet/KenLM's role, unigram order): pass 1
     // aggregates token counts over the whole corpus (map-side
@@ -543,6 +579,25 @@ object TextAnalysis {
          |       round(CAST(sum(CAST(0.0 - ln((CAST(c AS DOUBLE) + 1.0) / (N + V)) AS DECIMAL(18,8))) AS DOUBLE)
          |             / CAST(count(*) AS DOUBLE), 6) AS avg_nll
          |FROM tok JOIN cnt USING (tok), st
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "tx12_vocab_coverage" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, $tokensSql AS tokens FROM documents
+         |),
+         |t AS (
+         |  SELECT doc_id, unnest(tokens) AS token FROM tok WHERE len(tokens) > 0
+         |),
+         |v AS (
+         |  SELECT token FROM (
+         |    SELECT token, count(*) AS n FROM t GROUP BY token
+         |    ORDER BY n DESC, token ASC LIMIT $VocabTopK) x
+         |)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |       CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |       round(CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |             / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+         |FROM t LEFT JOIN v ON t.token = v.token
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

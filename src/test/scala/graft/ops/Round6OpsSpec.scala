@@ -1,0 +1,153 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, SparkSpec, Tables}
+
+/** Invariants for the round-4 second-continuation operators (SNM
+  * dedup, SCD2 as-of, rolling windows, vocab coverage, leakage-safe
+  * split) — exact result parity is the DuckDB oracle's job; these
+  * re-derive the semantics independently. */
+class Round6OpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  // ---- dd12 sorted-neighborhood pairs -------------------------------
+
+  /** Reference SNM in plain Scala: sorted-token-prefix key order,
+    * window of SnmWindow successors, exact shingle Jaccard. */
+  test("dd12: equals a full in-memory SNM recompute") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val canon = docs.groupBy(_._2).map { case (t, g) => (g.map(_._1).min, t) }.toSeq
+    def toks(t: String) = t.toLowerCase.split(" +").filter(_.nonEmpty).toSeq
+    def shingles(ts: Seq[String]) =
+      if (ts.length < 3) Set.empty[String]
+      else ts.sliding(3).map(_.mkString(" ")).toSet
+    val keyed = canon.map { case (id, t) =>
+      (id, toks(t).sorted.mkString(" ").take(Dedup.SnmKeyLen), shingles(toks(t)))
+    }.sortBy(k => (k._2, k._1))
+    val expected = (for {
+      i <- keyed.indices
+      j <- (i + 1) to math.min(i + Dedup.SnmWindow, keyed.length - 1)
+      a = keyed(i); b = keyed(j)
+      common = (a._3 & b._3).size
+      union = a._3.size + b._3.size - common
+      if union > 0 && common.toDouble / union >= 0.3
+    } yield (math.min(a._1, b._1), math.max(a._1, b._1),
+      math.round(common.toDouble / union * 1e6) / 1e6)).toSet
+    val got = q("dd12_snm_pairs").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    assert(got.nonEmpty, "sf0.001 contains near-dup pairs with shared token bags")
+    assert(got === expected)
+  }
+
+  // ---- u02 SCD2 point-in-time lookup --------------------------------
+
+  test("u02: pre-merge probe sees the base dimension; at-merge probe sees upserts") {
+    val rows = q("u02_scd2_asof").collect()
+      .map(r => r.getAs[java.sql.Date]("as_of").toString ->
+        (r.getAs[Long]("n_customers"), r.getAs[Double]("total_bal"))).toMap
+    assert(rows.keySet === Set(Incremental.AsOfEarly, Incremental.MergeEffective))
+    val base = Tables.customer(spark, sf).count()
+    // before the merge: every base customer active in its original
+    // version, no inserts visible
+    assert(rows(Incremental.AsOfEarly)._1 === base)
+    // at the merge date: closed versions are replaced 1:1, inserts add
+    val inserts = Tables.customer(spark, sf)
+      .filter(expr(s"${graft.functions.Portable.phashExpr("concat('i1:', CAST(c_custkey AS STRING))")} % ${Incremental.InsertMod} = 0"))
+      .count()
+    assert(rows(Incremental.MergeEffective)._1 === base + inserts)
+  }
+
+  test("u02: as-of rows are consistent with filtering u01's output directly") {
+    val dim2 = q("u01_scd2_merge").cache()
+    val expected = Seq(Incremental.AsOfEarly, Incremental.MergeEffective).map { dStr =>
+      val d = java.sql.Date.valueOf(dStr)
+      val active = dim2.filter(col("valid_from") <= lit(d) &&
+        (col("valid_to").isNull || col("valid_to") > lit(d)))
+      dStr -> active.count()
+    }.toMap
+    val got = q("u02_scd2_asof").collect()
+      .map(r => r.getAs[java.sql.Date]("as_of").toString -> r.getAs[Long]("n_customers"))
+      .toMap
+    assert(got === expected)
+    dim2.unpersist()
+  }
+
+  // ---- ts02 rolling range-frame window ------------------------------
+
+  test("ts02: rolling sums equal a per-line recompute over the event-time axis") {
+    val rows = q("ts02_rolling").collect().map(r =>
+      (r.getAs[String]("line"), r.getAs[String]("hour_ts"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("roll_hours"), r.getAs[Long]("roll_events")))
+    assert(rows.nonEmpty)
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+    val byLine = rows.groupBy(_._1)
+    byLine.foreach { case (_, rs) =>
+      val hours = rs.map { t =>
+        val ep = java.time.LocalDateTime.parse(t._2, fmt)
+          .toEpochSecond(java.time.ZoneOffset.UTC)
+        (ep, t._3, t._4, t._5)
+      }.sortBy(_._1)
+      hours.foreach { case (ep, _, rollH, rollE) =>
+        val inFrame = hours.filter(h => h._1 >= ep - 7200 && h._1 <= ep)
+        assert(rollH === inFrame.length.toLong, s"roll_hours at $ep")
+        assert(rollE === inFrame.map(_._2).sum, s"roll_events at $ep")
+      }
+    }
+  }
+
+  test("ts02: a gap shrinks the frame instead of stretching it (RANGE semantics)") {
+    // hourly rows are sparse on the sf0.001 events table, so some row
+    // must have fewer than 3 hours in its 3-hour frame while having a
+    // predecessor row — the RANGE-vs-ROWS distinction made observable
+    val rows = q("ts02_rolling").collect()
+    val shrunk = rows.exists(r => r.getAs[Long]("roll_hours") < 3L)
+    assert(shrunk, "expected at least one gap-shrunk frame in a sparse series")
+  }
+
+  // ---- tx12 vocabulary coverage -------------------------------------
+
+  test("tx12: equals an in-memory top-V vocab recount") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def toks(t: String) = t.toLowerCase.split(" +").filter(_.nonEmpty).toSeq
+    val all = docs.flatMap { case (_, t) => toks(t) }
+    val vocab = all.groupBy(identity).view.mapValues(_.length).toSeq
+      .sortBy { case (t, n) => (-n, t) }.take(TextAnalysis.VocabTopK)
+      .map(_._1).toSet
+    val expected = docs.flatMap { case (id, t) =>
+      val ts = toks(t)
+      if (ts.isEmpty) None
+      else Some((id, ts.length.toLong, ts.count(x => !vocab.contains(x)).toLong))
+    }.toSet
+    val got = q("tx12_vocab_coverage").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_oov"))).toSet
+    assert(got === expected)
+    assert(got.exists(_._3 > 0), "V < corpus vocab, so some OOV tokens exist")
+  }
+
+  // ---- ds07 leakage-safe split --------------------------------------
+
+  test("ds07: no duplicate cluster spans two splits; singletons follow their own hash") {
+    val split = q("ds07_leakage_safe_split").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val clusters = q("dd07_dup_clusters").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_rep"))
+    assert(clusters.nonEmpty)
+    clusters.groupBy(_._2).foreach { case (rep, members) =>
+      val splits = members.map(m => split(m._1)).distinct
+      assert(splits.length === 1, s"cluster $rep spans splits $splits")
+    }
+    assert(split.values.toSet.subsetOf(Set("train", "val", "test")))
+    assert(split.size === Tables.documents(spark, sf).count())
+    // train dominates under the 90/5/5 layout
+    val n = split.size.toDouble
+    assert(split.values.count(_ == "train") / n > 0.7)
+  }
+}
