@@ -37,7 +37,7 @@ object Bench {
     "dd09_editdist_verify", "sim07_pq_adc",
     "dd10_decontaminate", "ivm01_delta_agg",
     "dd11_substring_dup", "lm01_unigram_lm", "w04_sessionize",
-    "g01_pagerank")
+    "g01_pagerank", "g03_triangles", "dd12_snm_pairs", "ds07_leakage_safe_split")
 
   // Locale.ROOT: the f-interpolator honors the default locale, and a
   // comma decimal separator would corrupt the JSON

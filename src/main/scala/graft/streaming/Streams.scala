@@ -381,6 +381,25 @@ object Streams {
   def enrichWithDim(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
 
+  /** st04: 1-in-ReplayMod events are redelivered ReplayDelaySec later
+    * (the at-least-once duplicate model for the batch analog and the
+    * streaming spec). */
+  val ReplayMod = 10
+  val ReplayDelaySec = 30
+
+  /** At-least-once → effectively-once: drop redelivered copies of an
+    * event while its key state is younger than the watermark delay.
+    * `dropDuplicatesWithinWatermark` is the bounded-state form of
+    * batch `dropDuplicates` — state for a key is freed once the
+    * watermark passes its event time + delay, so the dedup map scales
+    * with the redelivery horizon (minutes of traffic), not the stream
+    * history. First ARRIVAL wins inside the horizon; the batch
+    * catalog analog (`st04_stream_dedup`) resolves the same keys by
+    * event-time minimum, the deterministic arrival-order-free form.
+    */
+  def dedupWithinWatermark(events: DataFrame, delay: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", delay).dropDuplicatesWithinWatermark("event_id")
+
   // ------------------------------------------------------------------
   // Custom streaming state: trip segmentation
   // ------------------------------------------------------------------
@@ -492,7 +511,29 @@ object Streams {
         .agg(count(lit(1)).as("n_events"), Tables.dsum(col("value"), 2).as("session_value"))
         .select(date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
           col("user_id"), col("n_events"), col("session_value"))
-        .orderBy("user_id", "session_start"))
+        .orderBy("user_id", "session_start")),
+
+    // Batch analog of [[dedupWithinWatermark]]: the event stream plus
+    // a hash-chosen redelivered slice (same event_id, 30 s later —
+    // the at-least-once duplicate model), resolved to one row per key
+    // by event-time minimum. n_seen exposes which keys were actually
+    // redelivered, so the oracle checks the dedup did real work. One
+    // hash exchange on event_id — exactly the state partitioning the
+    // streaming operator uses.
+    "st04_stream_dedup" -> ((s, d) => {
+      val e = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        trim(col("event_type")).as("event_type"), col("ts"))
+      val replay = e.filter(expr(
+          s"${graft.functions.Portable.phashExpr("concat('rp:', CAST(event_id AS STRING))")} % $ReplayMod = 0"))
+        .withColumn("ts", col("ts") + expr(s"INTERVAL $ReplayDelaySec SECONDS"))
+      e.unionByName(replay)
+        .groupBy("event_id")
+        .agg(max(col("user_id")).as("user_id"),
+          max(col("event_type")).as("event_type"),
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("first_ts"),
+          count(lit(1)).as("n_seen"))
+        .orderBy("event_id")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -530,6 +571,23 @@ object Streams {
         |       count(*) AS n_events,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
         |FROM sessions GROUP BY user_id, session_id
-        |ORDER BY user_id, session_start""".stripMargin
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "st04_stream_dedup" ->
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, trim(event_type) AS event_type, ts FROM events
+         |),
+         |u AS (
+         |  SELECT * FROM e
+         |  UNION ALL
+         |  SELECT event_id, user_id, event_type,
+         |         ts + INTERVAL $ReplayDelaySec SECOND AS ts
+         |  FROM e
+         |  WHERE ${graft.functions.Portable.phashSql("'rp:' || CAST(event_id AS VARCHAR)")} % $ReplayMod = 0
+         |)
+         |SELECT event_id, max(user_id) AS user_id, max(event_type) AS event_type,
+         |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+         |       count(*) AS n_seen
+         |FROM u GROUP BY event_id ORDER BY event_id""".stripMargin
   )
 }

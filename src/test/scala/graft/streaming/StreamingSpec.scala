@@ -629,4 +629,36 @@ class StreamingSpec extends SparkSpec {
       assert(rows.contains(("2026-02-23 12:00:00.0", "523", 1L, 1L)), rows.mkString("; "))
     } finally q.stop()
   }
+
+  test("dropDuplicatesWithinWatermark drops an in-horizon redelivery, keeps first arrival") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val dir = Files.createTempDirectory("graft-stream-dedup").toString
+    // batch 0: two events (the 10:10 event drives the watermark)
+    Seq((1L, 7L, "view", ts("2024-01-01 10:00:00")),
+        (2L, 8L, "click", ts("2024-01-01 10:10:00")))
+      .toDF("event_id", "user_id", "event_type", "ts")
+      .write.parquet(s"$dir/part_a")
+    Thread.sleep(1100) // file-source order is by mod time: originals first
+    // batch 1: event 1 redelivered 30 s later — inside the 1 h horizon
+    Seq((1L, 7L, "view", ts("2024-01-01 10:00:30")))
+      .toDF("event_id", "user_id", "event_type", "ts")
+      .write.parquet(s"$dir/part_b")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/part_a").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/part_*")
+    val q = Streams.dedupWithinWatermark(stream)
+      .writeStream.format("memory").queryName("stream_dedup")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val rows = spark.table("stream_dedup")
+      .select(col("event_id"), col("ts")).collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1).toString).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(1L, 2L), s"one row per key: $rows")
+    assert(rows.toMap.apply(1L) === "2024-01-01 10:00:00.0",
+      "the first arrival's payload survives, the redelivery is dropped")
+  }
 }
