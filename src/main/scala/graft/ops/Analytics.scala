@@ -32,6 +32,11 @@ object Analytics {
     */
   val SessionGapSec = 21600L
 
+  /** at01: a purchase is credited to the user's last click at most
+    * this many event-time seconds before it (7 days — the standard
+    * attribution lookback). */
+  val AttribWindowSec = 604800L
+
   /** events with the columns the three operators share. `epoch_s` is
     * floor-seconds (matches DuckDB `floor(epoch(ts))` — see
     * Breadth.a14), so gap arithmetic is exact integer math in both
@@ -123,6 +128,34 @@ object Analytics {
         .withColumn("p", round(
           col("n").cast(DoubleType) / sum(col("n")).over(wf).cast(DoubleType), 6))
         .orderBy("from_type", "to_type")
+    }),
+
+    // Last-touch conversion attribution — f01's funnel made
+    // row-level: each purchase is credited to the user's most recent
+    // click within the 7-day lookback (null = unattributed organic
+    // conversion). ONE user-partition window pass: two LOCF columns
+    // (click epoch + click id, both `last(..., ignoreNulls)` over the
+    // same frame, so they always describe the same click row) carried
+    // forward along the per-user timeline — never a purchases×clicks
+    // self-join, which would be quadratic in per-user activity and a
+    // second exchange. The window cut is applied AFTER the carry, so
+    // an out-of-window click yields null rather than falling back to
+    // an older one (last-touch semantics, not any-touch).
+    "at01_attribution" -> ((s, d) => {
+      val wo = Window.partitionBy("user_id").orderBy(col("epoch_s"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val isClick = trim(col("event_type")) === "click"
+      ev(s, d)
+        .withColumn("click_ep",
+          last(when(isClick, col("epoch_s")), ignoreNulls = true).over(wo))
+        .withColumn("click_id",
+          last(when(isClick, col("event_id")), ignoreNulls = true).over(wo))
+        .filter(trim(col("event_type")) === "purchase")
+        .withColumn("gap", col("epoch_s") - col("click_ep"))
+        .select(col("event_id"), col("user_id"),
+          when(col("gap") <= AttribWindowSec, col("click_id")).as("click_event_id"),
+          when(col("gap") <= AttribWindowSec, col("gap")).as("gap_s"))
+        .orderBy("event_id")
     }),
 
     // Time-series regularization: hourly per-line counts on a COMPLETE
@@ -326,6 +359,29 @@ object Analytics {
         |FROM hourly
         |WINDOW w AS (PARTITION BY line ORDER BY epoch_s
         |             RANGE BETWEEN 7200 PRECEDING AND CURRENT ROW)
-        |ORDER BY line, hour_ts""".stripMargin
+        |ORDER BY line, hour_ts""".stripMargin,
+
+    "at01_attribution" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, trim(event_type) AS et,
+         |         CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+         |  FROM events
+         |),
+         |l AS (
+         |  SELECT *,
+         |         last_value(CASE WHEN et = 'click' THEN epoch_s END IGNORE NULLS)
+         |           OVER w AS click_ep,
+         |         last_value(CASE WHEN et = 'click' THEN event_id END IGNORE NULLS)
+         |           OVER w AS click_id
+         |  FROM e
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s, event_id
+         |               ROWS UNBOUNDED PRECEDING)
+         |)
+         |SELECT event_id, user_id,
+         |       CASE WHEN epoch_s - click_ep <= $AttribWindowSec THEN click_id END
+         |         AS click_event_id,
+         |       CASE WHEN epoch_s - click_ep <= $AttribWindowSec
+         |            THEN epoch_s - click_ep END AS gap_s
+         |FROM l WHERE et = 'purchase' ORDER BY event_id""".stripMargin
   )
 }

@@ -40,8 +40,28 @@ object Graph {
   val SeedMod = 8
   val MaxHops = 6
 
+  /** g04: result cap — the top-K strongest unlinked pairs. */
+  val LinkTopK = 100
+
   private def seedPred(c: String): String =
     s"${Portable.phashExpr(s"concat('g2:', CAST($c AS STRING))")} % $SeedMod = 0"
+
+  /** Distinct oriented co-purchase edges (pa < pb): parts sharing an
+    * order. Shared by g03 (triangles) and g04 (link prediction). */
+  private def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    li.as("a")
+      .join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      .distinct()
+  }
+
+  private val copurchaseEdgesSql: String =
+    """SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey""".stripMargin
 
   val queries: Map[String, Q] = Map(
     // Bounded multi-source BFS (min-hop labels). Frontier loop: round
@@ -98,14 +118,7 @@ object Graph {
     // cached above its three join consumers; cold protocols drop it
     // via clearCache (g01's convention for lazy results).
     "g03_triangles" -> ((s, d) => {
-      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-      val e = li.as("a")
-        .join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
-        .distinct()
-        .cache()
+      val e = copurchaseEdges(s, d).cache()
       val tri = e.as("e1")
         .join(e.as("e2"), col("e1.pb") === col("e2.pa"))
         .join(e.as("e3"),
@@ -116,6 +129,35 @@ object Graph {
         .groupBy("l_partkey")
         .agg(count(lit(1)).as("n_triangles"))
         .orderBy("l_partkey")
+    }),
+
+    // Common-neighbor link prediction on the co-purchase graph — the
+    // recommendation primitive: score every UNLINKED part pair by the
+    // Jaccard of their neighborhoods ("bought alongside the same
+    // partners, never together"). Same wedge join as g03 (so the same
+    // degree-orientation refinement applies at 100 TB), closed by an
+    // anti-join against the edge set instead of a closing probe;
+    // candidate scores collapse map-side per (x, y) before the
+    // exchange, and the top-K cut is TakeOrdered (never a full sort
+    // of the candidate space). Scores are exact rationals from
+    // degree/common counts — no float accumulation.
+    "g04_link_predict" -> ((s, d) => {
+      val e = copurchaseEdges(s, d).cache()
+      val und = e.select(col("pa").as("a"), col("pb").as("b"))
+        .union(e.select(col("pb").as("a"), col("pa").as("b")))
+      val deg = und.groupBy("a").agg(count(lit(1)).as("deg"))
+      val cn = und.toDF("x", "m").join(und.toDF("y", "m"), "m")
+        .filter(col("x") < col("y"))
+        .groupBy("x", "y").agg(count(lit(1)).as("common"))
+      cn.join(e.toDF("x", "y"), Seq("x", "y"), "left_anti")
+        .join(deg.toDF("x", "deg_x"), "x")
+        .join(deg.toDF("y", "deg_y"), "y")
+        .withColumn("score", round(col("common").cast("double") /
+          (col("deg_x") + col("deg_y") - col("common")).cast("double"), 6))
+        .orderBy(col("score").desc, col("x"), col("y"))
+        .limit(LinkTopK)
+        .select(col("x").as("part_a"), col("y").as("part_b"),
+          col("common"), col("score"))
     })
   )
 
@@ -144,10 +186,8 @@ object Graph {
          |FROM bfs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "g03_triangles" ->
-      """WITH e AS (
-        |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
-        |  FROM lineitem a JOIN lineitem b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      s"""WITH e AS (
+        |  $copurchaseEdgesSql
         |),
         |t AS (
         |  SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
@@ -160,6 +200,31 @@ object Graph {
         |  UNION ALL SELECT c FROM t
         |)
         |SELECT l_partkey, count(*) AS n_triangles
-        |FROM r GROUP BY l_partkey ORDER BY l_partkey""".stripMargin
+        |FROM r GROUP BY l_partkey ORDER BY l_partkey""".stripMargin,
+
+    "g04_link_predict" ->
+      s"""WITH e AS (
+         |  $copurchaseEdgesSql
+         |),
+         |und AS (
+         |  SELECT pa AS a, pb AS b FROM e
+         |  UNION ALL
+         |  SELECT pb, pa FROM e
+         |),
+         |deg AS (SELECT a, count(*) AS deg FROM und GROUP BY a),
+         |cn AS (
+         |  SELECT n1.a AS x, n2.a AS y, count(*) AS common
+         |  FROM und n1 JOIN und n2 ON n1.b = n2.b AND n1.a < n2.a
+         |  GROUP BY 1, 2
+         |),
+         |ne AS (
+         |  SELECT cn.* FROM cn LEFT JOIN e ON e.pa = cn.x AND e.pb = cn.y
+         |  WHERE e.pa IS NULL
+         |)
+         |SELECT x AS part_a, y AS part_b, common,
+         |       round(CAST(common AS DOUBLE)
+         |             / CAST(dx.deg + dy.deg - common AS DOUBLE), 6) AS score
+         |FROM ne JOIN deg dx ON dx.a = x JOIN deg dy ON dy.a = y
+         |ORDER BY score DESC, part_a, part_b LIMIT $LinkTopK""".stripMargin
   )
 }

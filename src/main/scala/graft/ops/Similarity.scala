@@ -431,6 +431,44 @@ object Similarity {
         .filter(col("cos") >= RangeTau)
         .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cosine"))
         .orderBy("query_id", "neighbor_id")
+    }),
+
+    // Corpus covariance of the embedding space (upper triangle +
+    // diagonal) — the statistics behind whitening / OPQ rotation /
+    // Mahalanobis scoring, and the moment computation every vector
+    // pipeline eventually needs. Shape: ONE narrow generate emits the
+    // D(D+1)/2 upper-triangle products per row (never the D² square,
+    // and never a row×row self-join), and the per-(i,j) sums collapse
+    // map-side before one exchange of O(D²) groups; per-dim sums ride
+    // the same pattern. Addends are float→double exact casts fixed to
+    // DECIMAL(28,12) (the lm01/tx09 parity rationale), so the sums
+    // are grouping-order-immune; covariance assembles from the exact
+    // sums with one double expression per cell. At 100 TB: output is
+    // D²-bounded (constant), input pass is linear and combinable —
+    // the textbook mergeable moment sketch.
+    "sim09_covariance" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+      val e = Tables.embeddings(s, d).select(col("embedding"))
+      val sums = e.select(posexplode(col("embedding")).as(Seq("i", "x")))
+        .groupBy("i")
+        .agg(sum(col("x").cast("double").cast(dec)).as("sx"))
+      val prods = e.select(explode(expr(
+          s"""flatten(transform(sequence(0, ${Dims - 1}),
+             |  i -> transform(sequence(i, ${Dims - 1}),
+             |    j -> struct(i AS i, j AS j,
+             |      CAST(embedding[i] AS DOUBLE) * CAST(embedding[j] AS DOUBLE) AS p))))""".stripMargin))
+          .as("t"))
+        .select(col("t.i").as("i"), col("t.j").as("j"), col("t.p").as("p"))
+        .groupBy("i", "j")
+        .agg(sum(col("p").cast(dec)).as("sxy"), count(lit(1)).as("n"))
+      prods
+        .join(sums.toDF("i", "sxi"), "i")
+        .join(sums.toDF("j", "sxj"), "j")
+        .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+          round(col("sxy").cast("double") / col("n").cast("double") -
+            (col("sxi").cast("double") / col("n").cast("double")) *
+              (col("sxj").cast("double") / col("n").cast("double")), 6).as("cov"))
+        .orderBy("i", "j")
     })
   )
 
@@ -737,6 +775,38 @@ object Similarity {
          |      FROM j) t
          |WHERE rk <= $KnnK
          |ORDER BY query_id, neighbor_id""".stripMargin
-    }
+    },
+
+    // `+ 0.0` on cov: DuckDB's round keeps the -0.0 sign on a cell
+    // that rounds to zero from below, Spark's drops it (tx09
+    // precedent); x + 0.0 is the identity everywhere except -0.0.
+    "sim09_covariance" ->
+      s"""WITH p AS (
+         |  SELECT ii.i AS i, jj.j AS j,
+         |         CAST(embedding[ii.i + 1] AS DOUBLE)
+         |           * CAST(embedding[jj.j + 1] AS DOUBLE) AS p
+         |  FROM embeddings,
+         |       generate_series(0, ${Dims - 1}) AS ii(i),
+         |       generate_series(0, ${Dims - 1}) AS jj(j)
+         |  WHERE jj.j >= ii.i
+         |),
+         |prods AS (
+         |  SELECT i, j, sum(CAST(p AS DECIMAL(28,12))) AS sxy, count(*) AS n
+         |  FROM p GROUP BY i, j
+         |),
+         |sums AS (
+         |  SELECT t.i AS i,
+         |         sum(CAST(CAST(embedding[t.i + 1] AS DOUBLE) AS DECIMAL(28,12))) AS sx
+         |  FROM embeddings, generate_series(0, ${Dims - 1}) AS t(i)
+         |  GROUP BY t.i
+         |)
+         |SELECT CAST(prods.i AS BIGINT) AS i, CAST(prods.j AS BIGINT) AS j,
+         |       round(CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+         |             - (CAST(si.sx AS DOUBLE) / CAST(n AS DOUBLE))
+         |               * (CAST(sj.sx AS DOUBLE) / CAST(n AS DOUBLE)), 6) + 0.0 AS cov
+         |FROM prods
+         |JOIN sums si ON si.i = prods.i
+         |JOIN sums sj ON sj.i = prods.j
+         |ORDER BY i, j""".stripMargin
   )
 }

@@ -80,4 +80,35 @@ class GraphSpec extends SparkSpec {
     assert(got.nonEmpty, "sf0.001 co-purchase graph contains triangles")
     assert(got === counts.toMap, "operator counts equal brute-force recount")
   }
+
+  // --- g04_link_predict ----------------------------------------------
+
+  test("link prediction: top-K equals a brute-force neighborhood-Jaccard recount, no edges leak in") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { basket =>
+      val parts = basket.map(_._2).distinct.sorted
+      for (i <- parts.indices; j <- (i + 1) until parts.length)
+        yield (parts(i), parts(j))
+    }.toSet
+    val nbrs = (edges ++ edges.map { case (a, b) => (b, a) })
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val cands = (for {
+      (x, nx) <- nbrs.toSeq; (y, ny) <- nbrs.toSeq if x < y
+      if !edges.contains((x, y))
+      common = nx.intersect(ny).size if common > 0
+    } yield {
+      val score = common.toDouble / (nx.size + ny.size - common)
+      (x, y, common.toLong, math.round(score * 1e6) / 1e6)
+    }).sortBy(t => (-t._4, t._1, t._2)).take(Graph.LinkTopK)
+    val got = q("g04_link_predict").collect()
+      .map(r => (r.getAs[Long]("part_a"), r.getAs[Long]("part_b"),
+        r.getAs[Long]("common"), r.getAs[Double]("score")))
+      .sortBy(t => (-t._4, t._1, t._2))
+    assert(got.nonEmpty)
+    got.foreach { case (a, b, _, _) =>
+      assert(!edges.contains((a, b)), s"existing edge ($a,$b) reported as prediction")
+    }
+    assert(got.toSeq === cands)
+  }
 }

@@ -132,6 +132,52 @@ class Round6OpsSpec extends SparkSpec {
     assert(got.exists(_._3 > 0), "V < corpus vocab, so some OOV tokens exist")
   }
 
+  // ---- at01 last-touch attribution ----------------------------------
+
+  test("at01: equals a per-user timeline replay; out-of-window clicks never attribute") {
+    val events = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), trim(col("event_type")).as("et"),
+        floor(col("ts").cast("double")).cast("long").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val expected = events.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val timeline = rows.sortBy(r => (r._4, r._2))
+      var lastClick: Option[(Long, Long)] = None // (epoch, event_id)
+      timeline.flatMap { case (uid, eid, et, s) =>
+        if (et == "click") { lastClick = Some((s, eid)); None }
+        else if (et == "purchase") {
+          val attr = lastClick.filter(c => s - c._1 <= Analytics.AttribWindowSec)
+          Some((eid, uid, attr.map(_._2), attr.map(c => s - c._1)))
+        } else None
+      }
+    }.toSet
+    val got = q("at01_attribution").collect().map { r =>
+      (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        Option(r.getAs[java.lang.Long]("click_event_id")).map(_.longValue),
+        Option(r.getAs[java.lang.Long]("gap_s")).map(_.longValue))
+    }.toSet
+    assert(got === expected)
+    assert(got.exists(_._3.nonEmpty), "some purchases are attributed")
+  }
+
+  // ---- sim09 embedding covariance -----------------------------------
+
+  test("sim09: matches a dense double recompute and has PSD-consistent diagonals") {
+    val M = Tables.embeddings(spark, sf).select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val n = M.length.toDouble
+    val dims = M.head.length
+    val mean = Array.tabulate(dims)(i => M.map(_(i)).sum / n)
+    val got = q("sim09_covariance").collect()
+      .map(r => (r.getAs[Long]("i"), r.getAs[Long]("j")) -> r.getAs[Double]("cov"))
+      .toMap
+    assert(got.size === dims * (dims + 1) / 2)
+    got.foreach { case ((i, j), cov) =>
+      val ref = M.map(v => v(i.toInt) * v(j.toInt)).sum / n - mean(i.toInt) * mean(j.toInt)
+      assert(math.abs(cov - ref) < 2e-6, s"cell ($i,$j): $cov vs $ref")
+      if (i == j) assert(cov >= 0.0, s"negative variance at $i")
+    }
+  }
+
   // ---- ds07 leakage-safe split --------------------------------------
 
   test("ds07: no duplicate cluster spans two splits; singletons follow their own hash") {
