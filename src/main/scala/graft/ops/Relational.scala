@@ -495,6 +495,43 @@ object Relational {
         .limit(10)
     }),
 
+    // TPC-H Q5 shape: the 6-table snowflake join (region → nation →
+    // {customer, supplier} → orders → lineitem) with the
+    // local-supplier correlation c_nationkey = s_nationkey. Join
+    // strategy by size class: nation/supplier broadcast (dimension
+    // side, region filter cuts nations 5×); lineitem⋈orders is the
+    // fact-fact shuffle pair AQE sizes; customer is deliberately NOT
+    // hinted — at TPC-H scale it is 10⁵ rows/SF, the classic
+    // "too big to hint blindly, small enough for AQE's runtime
+    // broadcast promotion" middle class, and the date filter on
+    // orders prunes before the join. Revenue uses the q1/q3 dsum-at-
+    // scale-4 rule.
+    "q5_local_supplier" -> ((s, d) => {
+      val lo = lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+      val hi = lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))
+      val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+        .select("r_regionkey")
+      val n = Tables.nation(s, d)
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .select("o_orderkey", "o_custkey")
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      val su = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(c, col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(Tables.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name").asc)
+    }),
+
     // W5: ratio-rank family — percent_rank and cume_dist (exact
     // rationals over a unique total order, so the doubles are
     // engine-identical before the display rounding)
@@ -993,6 +1030,21 @@ object Relational {
         |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
         |GROUP BY 1, 2, 3
         |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name ASC""".stripMargin,
 
     "w05_rank_ratios" ->
       """SELECT event_id, user_id,

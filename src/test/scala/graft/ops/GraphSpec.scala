@@ -84,7 +84,11 @@ class GraphSpec extends SparkSpec {
   // --- g04_link_predict ----------------------------------------------
 
   test("link prediction: top-K equals a brute-force neighborhood-Jaccard recount, no edges leak in") {
-    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey")
+    // mirror the operator's one-year shipdate window
+    val li = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+      .select("l_orderkey", "l_partkey")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val edges = li.groupBy(_._1).values.flatMap { basket =>
       val parts = basket.map(_._2).distinct.sorted

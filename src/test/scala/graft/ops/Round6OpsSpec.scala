@@ -178,6 +178,37 @@ class Round6OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- q5 local-supplier snowflake ----------------------------------
+
+  test("q5: one row per region nation; revenue only from local-supplier lineitems") {
+    val rows = q("q5_local_supplier").collect()
+      .map(r => r.getAs[String]("n_name") -> r.getAs[Double]("revenue")).toMap
+    val asiaNations = Tables.nation(spark, sf)
+      .join(Tables.region(spark, sf).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_name").collect().map(_.getString(0)).toSet
+    assert(rows.keySet.subsetOf(asiaNations))
+    rows.values.foreach(v => assert(v > 0.0))
+    // cross-check one nation's revenue with an independent SQL-text plan
+    val n0 = rows.keySet.min
+    spark.read.parquet(s"$sf/lineitem.parquet").createOrReplaceTempView("v_li")
+    spark.read.parquet(s"$sf/orders.parquet").createOrReplaceTempView("v_o")
+    spark.read.parquet(s"$sf/customer.parquet").createOrReplaceTempView("v_c")
+    spark.read.parquet(s"$sf/supplier.parquet").createOrReplaceTempView("v_s")
+    spark.read.parquet(s"$sf/nation.parquet").createOrReplaceTempView("v_n")
+    val ref = spark.sql(
+      s"""SELECT CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS rev
+         |FROM v_li JOIN v_o ON l_orderkey = o_orderkey
+         |JOIN v_s ON l_suppkey = s_suppkey
+         |JOIN v_c ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+         |JOIN v_n ON s_nationkey = n_nationkey
+         |WHERE n_name = '$n0'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'""".stripMargin)
+      .collect().head.getDouble(0)
+    assert(rows(n0) === ref)
+  }
+
   // ---- ds07 leakage-safe split --------------------------------------
 
   test("ds07: no duplicate cluster spans two splits; singletons follow their own hash") {
