@@ -606,6 +606,10 @@ object Dedup {
         .join(hs.toDF("da", "ha"), "da")
         .join(hs.toDF("db", "hb"), "db")
         .withColumn("common", expr("size(array_intersect(ha, hb))").cast("long"))
+        // common > 0 guard: two sub-3-token docs have EMPTY shingle
+        // sets, and 0/0 = NaN sorts above every double in Spark, so
+        // the >= 0.3 filter alone would emit a bogus NaN-scored pair
+        .filter(col("common") > 0)
         .withColumn("jaccard", col("common").cast("double") /
           (expr("size(ha) + size(hb)").cast("long") - col("common")).cast("double"))
         .filter(col("jaccard") >= 0.3)
@@ -676,21 +680,7 @@ object Dedup {
       // min-label reachability as a recursive CTE: UNION dedups, so
       // the fixpoint is the set of (node, reachable label) pairs;
       // min(label) per node = the component's min doc_id
-      s"""WITH RECURSIVE $minhashCte,
-         |bands AS (
-         |  $bandSelects
-         |),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.key = b.key AND a.band = b.band AND a.doc_id < b.doc_id
-         |),
-         |p AS (
-         |  SELECT doc_a, doc_b FROM cand
-         |  JOIN sigs sa ON sa.doc_id = doc_a
-         |  JOIN sigs sb ON sb.doc_id = doc_b
-         |  WHERE CAST($matchSum AS DOUBLE) / $MinhashK.0 >= 0.5
-         |),
+      s"""WITH RECURSIVE $lshPairsCte,
          |edges AS (
          |  SELECT doc_a AS src, doc_b AS dst FROM p
          |  UNION ALL
@@ -892,21 +882,7 @@ object Dedup {
     },
 
     "cur05_keep_best" ->
-      s"""WITH RECURSIVE $minhashCte,
-         |bands AS (
-         |  $bandSelects
-         |),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.key = b.key AND a.band = b.band AND a.doc_id < b.doc_id
-         |),
-         |p AS (
-         |  SELECT doc_a, doc_b FROM cand
-         |  JOIN sigs sa ON sa.doc_id = doc_a
-         |  JOIN sigs sb ON sb.doc_id = doc_b
-         |  WHERE CAST($matchSum AS DOUBLE) / $MinhashK.0 >= 0.5
-         |),
+      s"""WITH RECURSIVE $lshPairsCte,
          |edges AS (
          |  SELECT doc_a AS src, doc_b AS dst FROM p
          |  UNION ALL
@@ -971,7 +947,8 @@ object Dedup {
          |SELECT least(da, db) AS doc_a, greatest(da, db) AS doc_b,
          |       round(CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE), 6) AS jaccard
          |FROM j
-         |WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.3
+         |WHERE common > 0
+         |  AND CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.3
          |ORDER BY doc_a, doc_b""".stripMargin
   )
 }

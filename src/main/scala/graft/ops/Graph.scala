@@ -157,8 +157,8 @@ object Graph {
     // signals decay, and the wedge volume Σ deg² grows quadratically
     // in per-node degree as history accumulates — the time window is
     // the knob that keeps the candidate space bounded as the fact
-    // table grows (measured: the full-history graph at sf0.1 costs
-    // ~17× the windowed one on this query alone).
+    // table grows (measured: the full-history graph at sf0.1 cost
+    // 34.2 s vs 4.0 s windowed — 8.5× — on this query alone).
     "g04_link_predict" -> ((s, d) => {
       val e = copurchaseEdges(s, d,
         Some(("1996-01-01 00:00:00", "1997-01-01 00:00:00"))).cache()

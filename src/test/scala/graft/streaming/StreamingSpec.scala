@@ -635,16 +635,25 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val dir = Files.createTempDirectory("graft-stream-dedup").toString
+    // FileStreamSource orders same-mtime files arbitrarily — stamp
+    // each batch's part files with the monotonic mtimeClock so the
+    // originals are always the first micro-batch
+    def stamp(sub: String): Unit =
+      Files.walk(Paths.get(dir, sub)).filter(Files.isRegularFile(_)).forEach { p =>
+        Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(mtimeClock.addAndGet(2000)))
+      }
     // batch 0: two events (the 10:10 event drives the watermark)
     Seq((1L, 7L, "view", ts("2024-01-01 10:00:00")),
         (2L, 8L, "click", ts("2024-01-01 10:10:00")))
       .toDF("event_id", "user_id", "event_type", "ts")
       .write.parquet(s"$dir/part_a")
-    Thread.sleep(1100) // file-source order is by mod time: originals first
+    stamp("part_a")
     // batch 1: event 1 redelivered 30 s later — inside the 1 h horizon
     Seq((1L, 7L, "view", ts("2024-01-01 10:00:30")))
       .toDF("event_id", "user_id", "event_type", "ts")
       .write.parquet(s"$dir/part_b")
+    stamp("part_b")
     val stream = spark.readStream
       .schema(spark.read.parquet(s"$dir/part_a").schema)
       .option("maxFilesPerTrigger", "1")
