@@ -186,6 +186,29 @@ object DataQuality {
         .filter(abs(col("z")) > 3.0)
         .select(col("event_id"), col("line"), col("value"), round(col("z"), 6).as("z"))
         .orderBy("event_id")
+    }),
+
+    // Order-independent table fingerprint — the reconciliation
+    // primitive for migrations/backfills at 100 TB: per month, a row
+    // count plus a bit_xor fold of a 60-bit row digest. XOR is
+    // commutative/associative, so the checksum is identical under ANY
+    // partitioning, shuffle order, or parallelism — two pipelines
+    // agree iff their row multisets agree per group (XOR cancels
+    // duplicate pairs; the count catches even-multiplicity edits) —
+    // and it aggregates map-side like any sum. The digest covers the
+    // payload columns with the double cast through DECIMAL(18,2)
+    // first: double→string formatting is engine-specific, fixed-scale
+    // decimal→string is not (the dsum rationale, applied to hashing).
+    "dq04_table_checksum" -> ((s, d) => {
+      val payload = "concat_ws('|', CAST(o_orderkey AS STRING), " +
+        "CAST(o_custkey AS STRING), o_orderstatus, " +
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING), o_orderpriority)"
+      Tables.orders(s, d)
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+          expr(graft.functions.Portable.phashExpr(payload)).as("h"))
+        .groupBy("month")
+        .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("checksum"))
+        .orderBy("month")
     })
   )
 
@@ -243,6 +266,16 @@ object DataQuality {
         |SELECT event_id, e.line, value, round((value - mean) / sd, 6) AS z
         |FROM e JOIN m USING (line)
         |WHERE abs((value - mean) / sd) > 3.0
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    "dq04_table_checksum" -> {
+      val payload = "concat_ws('|', CAST(o_orderkey AS VARCHAR), " +
+        "CAST(o_custkey AS VARCHAR), o_orderstatus, " +
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), o_orderpriority)"
+      s"""SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         |       count(*) AS n_rows,
+         |       bit_xor(${graft.functions.Portable.phashSql(payload)}) AS checksum
+         |FROM orders GROUP BY 1 ORDER BY month""".stripMargin
+    }
   )
 }

@@ -532,6 +532,34 @@ object Relational {
         .orderBy(col("revenue").desc, col("n_name").asc)
     }),
 
+    // TPC-H Q10 shape: the returned-item report — which customers
+    // returned the most revenue in a quarter. lineitem filters on
+    // returnflag BEFORE the join (the R slice is ~25% of the fact),
+    // orders prunes to the quarter, customer joins on the shuffled
+    // key, nation broadcasts. Group keys carry the customer
+    // attributes (TPC-H's layout) so the aggregate is one exchange on
+    // c_custkey-equivalent keys; top-20 via TakeOrdered.
+    "q10_returned_items" -> ((s, d) => {
+      val lo = lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+      val hi = lit(java.sql.Timestamp.valueOf("1996-04-01 00:00:00"))
+      val li = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .select("o_orderkey", "o_custkey")
+      val c = Tables.customer(s, d)
+        .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+      val n = Tables.nation(s, d).select("n_nationkey", "n_name")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(Tables.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+
     // W5: ratio-rank family — percent_rank and cume_dist (exact
     // rationals over a unique total order, so the doubles are
     // engine-identical before the display rounding)
@@ -1045,6 +1073,19 @@ object Relational {
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name ASC""".stripMargin,
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
 
     "w05_rank_ratios" ->
       """SELECT event_id, user_id,

@@ -31,6 +31,9 @@ object Similarity {
 
   val KnnQueries = 5 // vec_id < 5 are the query vectors
   val KnnK = 5
+
+  /** sim10: top outliers reported by the Mahalanobis gate. */
+  val MahalTopK = 20
   val LshPlanes = 6 // 2^6 = 64 buckets
   val LshK = 3
   val Dims = 64
@@ -469,6 +472,43 @@ object Similarity {
             (col("sxi").cast("double") / col("n").cast("double")) *
               (col("sxj").cast("double") / col("n").cast("double")), 6).as("cov"))
         .orderBy("i", "j")
+    }),
+
+    // Diagonal-Mahalanobis outlier scoring — sim09's moments put to
+    // work: each vector scored by Σ (xᵢ-μᵢ)²/σᵢ² against the corpus
+    // per-dimension mean/variance (the whitened distance under a
+    // diagonal covariance; the full-matrix form needs a linear solve,
+    // which is a driver/BLAS job, not a dataflow). Moments come from
+    // the same decimal-exact sums (one linear pass, D-row result,
+    // BROADCAST to the scoring pass); per-vector terms are fixed to
+    // decimal before the per-vector sum so the 64-addend fold is
+    // grouping-order-immune. Top-20 by TakeOrdered. A constant
+    // dimension (σ²=0) contributes 0 by definition on both sides —
+    // never a 0/0. This is the standard embedding-space anomaly gate
+    // (corrupt vectors, wrong-model embeddings, adversarial inputs).
+    "sim10_mahalanobis" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+      val x = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "xf")))
+        .withColumn("x", col("xf").cast("double"))
+      val mom = x.groupBy("i").agg(
+          sum(col("x").cast(dec)).as("sx"),
+          sum((col("x") * col("x")).cast(dec)).as("sxx"),
+          count(lit(1)).as("n"))
+        .select(col("i"),
+          (col("sx").cast("double") / col("n").cast("double")).as("mu"),
+          (col("sxx").cast("double") / col("n").cast("double") -
+            (col("sx").cast("double") / col("n").cast("double")) *
+              (col("sx").cast("double") / col("n").cast("double"))).as("v"))
+      x.join(broadcast(mom), "i")
+        .withColumn("term",
+          expr("CASE WHEN v > 0 THEN (x - mu) * (x - mu) / v ELSE 0.0 END"))
+        .groupBy("vec_id")
+        .agg(sum(col("term").cast(org.apache.spark.sql.types.DecimalType(28, 10)))
+          .cast("double").as("m"))
+        .select(col("vec_id"), round(col("m"), 6).as("mahalanobis"))
+        .orderBy(col("mahalanobis").desc, col("vec_id").asc)
+        .limit(MahalTopK)
     })
   )
 
@@ -807,6 +847,31 @@ object Similarity {
          |FROM prods
          |JOIN sums si ON si.i = prods.i
          |JOIN sums sj ON sj.i = prods.j
-         |ORDER BY i, j""".stripMargin
+         |ORDER BY i, j""".stripMargin,
+
+    "sim10_mahalanobis" ->
+      s"""WITH x AS (
+         |  SELECT vec_id, t.i AS i, CAST(embedding[t.i + 1] AS DOUBLE) AS x
+         |  FROM embeddings, generate_series(0, ${Dims - 1}) AS t(i)
+         |),
+         |mom AS (
+         |  SELECT i,
+         |         CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+         |           / CAST(count(*) AS DOUBLE) AS mu,
+         |         CAST(sum(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE)
+         |           / CAST(count(*) AS DOUBLE)
+         |         - (CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+         |              / CAST(count(*) AS DOUBLE))
+         |           * (CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+         |              / CAST(count(*) AS DOUBLE)) AS v
+         |  FROM x GROUP BY i
+         |)
+         |SELECT vec_id,
+         |       round(CAST(sum(CAST(
+         |         CASE WHEN v > 0 THEN (x - mu) * (x - mu) / v ELSE 0.0 END
+         |         AS DECIMAL(28,10))) AS DOUBLE), 6) AS mahalanobis
+         |FROM x JOIN mom USING (i)
+         |GROUP BY vec_id
+         |ORDER BY mahalanobis DESC, vec_id ASC LIMIT $MahalTopK""".stripMargin
   )
 }

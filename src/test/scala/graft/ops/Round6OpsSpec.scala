@@ -209,6 +209,87 @@ class Round6OpsSpec extends SparkSpec {
     assert(rows(n0) === ref)
   }
 
+  // ---- dq04 table checksum ------------------------------------------
+
+  test("dq04: checksum is partitioning-invariant and catches a single-row edit") {
+    val base = q("dq04_table_checksum").collect()
+      .map(r => r.getAs[String]("month") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("checksum"))).toMap
+    assert(base.nonEmpty)
+    val payload = "concat_ws('|', CAST(o_orderkey AS STRING), " +
+      "CAST(o_custkey AS STRING), o_orderstatus, " +
+      "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING), o_orderpriority)"
+    def fingerprint(df: org.apache.spark.sql.DataFrame) = df
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        expr(graft.functions.Portable.phashExpr(payload)).as("h"))
+      .groupBy("month")
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("checksum"))
+      .collect()
+      .map(r => r.getAs[String]("month") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("checksum"))).toMap
+    // any repartitioning/shuffle order produces the identical fingerprint
+    val shuffled = fingerprint(Tables.orders(spark, sf).repartition(7))
+    assert(shuffled === base)
+    // a one-cent edit to one row flips exactly that month's checksum
+    val firstKey = Tables.orders(spark, sf)
+      .orderBy("o_orderkey").select("o_orderkey").limit(1)
+      .collect().head.getLong(0)
+    val mutated = fingerprint(Tables.orders(spark, sf)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") === firstKey, col("o_totalprice") + 0.01)
+          .otherwise(col("o_totalprice"))))
+    val changed = mutated.filter { case (m, v) => base(m) != v }
+    assert(changed.size === 1, s"exactly one month's checksum changes: $changed")
+    assert(changed.head._2._1 === base(changed.head._1)._1, "row count unchanged")
+  }
+
+  // ---- sim10 diagonal Mahalanobis -----------------------------------
+
+  test("sim10: top-k matches a dense recompute of the whitened distance") {
+    val M = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val n = M.length.toDouble
+    val dims = M.head._2.length
+    val mu = Array.tabulate(dims)(i => M.map(_._2(i)).sum / n)
+    val v = Array.tabulate(dims)(i =>
+      M.map(x => x._2(i) * x._2(i)).sum / n - mu(i) * mu(i))
+    val scores = M.map { case (id, x) =>
+      id -> (0 until dims).map(i =>
+        if (v(i) > 0) (x(i) - mu(i)) * (x(i) - mu(i)) / v(i) else 0.0).sum
+    }.toMap
+    val got = q("sim10_mahalanobis").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("mahalanobis")))
+    assert(got.length === math.min(Similarity.MahalTopK, M.length))
+    got.foreach { case (id, m) =>
+      assert(math.abs(m - scores(id)) < 2e-5, s"vec $id: $m vs ${scores(id)}")
+      assert(m >= 0.0)
+    }
+    // the reported set IS the top-k of the dense recompute
+    val expectedTop = scores.toSeq.sortBy { case (id, s) => (-s, id) }
+      .take(got.length).map(_._1).toSet
+    assert(got.map(_._1).toSet === expectedTop)
+  }
+
+  // ---- q10 returned items -------------------------------------------
+
+  test("q10: top row's revenue matches an independent SQL-text recompute") {
+    val rows = q("q10_returned_items").collect()
+    assert(rows.length === 20)
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b }, "sorted desc")
+    val top = rows.head
+    spark.read.parquet(s"$sf/lineitem.parquet").createOrReplaceTempView("w_li")
+    spark.read.parquet(s"$sf/orders.parquet").createOrReplaceTempView("w_o")
+    val ref = spark.sql(
+      s"""SELECT CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+         |FROM w_li JOIN w_o ON l_orderkey = o_orderkey
+         |WHERE l_returnflag = 'R' AND o_custkey = ${top.getAs[Long]("c_custkey")}
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin)
+      .collect().head.getDouble(0)
+    assert(top.getAs[Double]("revenue") === ref)
+  }
+
   // ---- ds07 leakage-safe split --------------------------------------
 
   test("ds07: no duplicate cluster spans two splits; singletons follow their own hash") {
