@@ -180,6 +180,38 @@ object Joins {
         .orderBy("event_id")
     }),
 
+    // Forward as-of join — j08's mirror and the LABEL-GENERATION
+    // primitive: each click gets the user's NEXT purchase at-or-after
+    // its timestamp ("did this click convert, and to what"). Same
+    // tagged-union + one-user-shuffle shape as j08, with the running
+    // `last` flipped to a `first(ignoreNulls)` over the FORWARD frame
+    // (currentRow → unboundedFollowing); a same-instant purchase
+    // sorts after the click (side ordering), so "at-or-after"
+    // includes it on both sides. Oracle: DuckDB's native ASOF with
+    // the <= direction.
+    "j12_asof_forward" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value"), lit(0).as("side"),
+          col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"), lit(1).as("side"),
+          lit(null).cast("long").as("event_id"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("side").asc)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      clicks.unionAll(purchases)
+        .withColumn("purchase_ts",
+          first(when(col("side") === 1, col("ts")), ignoreNulls = true).over(w))
+        .withColumn("purchase_value",
+          first(when(col("side") === 1, col("value")), ignoreNulls = true).over(w))
+        .filter(col("side") === 0)
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"), col("value"),
+          date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts_s"),
+          col("purchase_value"))
+        .orderBy("event_id")
+    }),
+
     // Range join (point-in-interval): count lineitems shipped inside
     // each promo window, with NO key relation between the sides — a
     // pure theta join. Spark's native plan for ts BETWEEN lo AND hi
@@ -398,6 +430,16 @@ object Joins {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    "j12_asof_forward" ->
+      """SELECT c.event_id, c.user_id,
+        |       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS ts_s, c.value,
+        |       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts_s,
+        |       p.value AS purchase_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts <= p.ts
+        |ORDER BY c.event_id""".stripMargin,
 
     "j09_range_join" ->
       """WITH promo AS (

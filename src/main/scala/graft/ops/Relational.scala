@@ -576,6 +576,49 @@ object Relational {
         .orderBy("event_id")
     }),
 
+    // W6: ABC/Pareto analysis — parts ranked by revenue, cumulative
+    // revenue share, classed A (first 80% of revenue) / B (next 15%)
+    // / C (tail). The global cumulative sum uses ds04/ds05's
+    // two-phase distributed prefix pattern, transposed to a SUM:
+    // bucket = -floor(rev/100) (monotone in DESC revenue, so bucket
+    // order == rank order), per-bucket revenue totals prefix-summed
+    // across the tiny bucket frame, within-bucket running sum over
+    // only that bucket's rows — no window sees the full table where
+    // the oracle's naive global ORDER BY cumsum runs on one reducer
+    // (the ds05 stance: the engine plan is the scalable variant, the
+    // oracle the readable one). All accumulation stays DECIMAL to the
+    // final share division; the class test compares the same two
+    // doubles in both engines, so the 0.80/0.95 boundaries cannot
+    // flake.
+    "w06_abc_pareto" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+      val rev = Tables.lineitem(s, d)
+        .groupBy("l_partkey")
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec))
+          .as("rev"))
+        .withColumn("bucket",
+          expr("CAST(-floor(CAST(rev AS DOUBLE) / 100.0) AS BIGINT)"))
+      val buckets = rev.groupBy("bucket").agg(sum(col("rev")).as("btot"))
+        .withColumn("boff",
+          sum(col("btot")).over(
+            Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("total",
+          sum(col("btot")).over(Window.orderBy("bucket").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select("bucket", "boff", "total")
+      val wIn = Window.partitionBy("bucket")
+        .orderBy(col("rev").desc, col("l_partkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rev.join(broadcast(buckets), "bucket")
+        .withColumn("cum", expr("coalesce(boff, 0)") + sum(col("rev")).over(wIn))
+        .withColumn("share", col("cum").cast("double") / col("total").cast("double"))
+        .select(col("l_partkey"), col("rev").cast("double").as("revenue"),
+          round(col("share"), 6).as("cum_share"),
+          when(col("share") <= 0.80, "A")
+            .when(col("share") <= 0.95, "B").otherwise("C").as("abc_class"))
+        .orderBy(col("revenue").desc, col("l_partkey").asc)
+    }),
+
     // W1+W2: lag window ×3
     "w01_lag" -> ((s, d) => {
       val w = Window.partitionBy("vehicle").orderBy("ts")
@@ -1086,6 +1129,28 @@ object Relational {
         |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
         |GROUP BY c_custkey, c_name, c_acctbal, n_name
         |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+
+    // the naive one-reducer global cumsum IS the oracle form (ds05's
+    // stance: the engine plan is the scalable two-phase variant)
+    "w06_abc_pareto" ->
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |         sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS rev
+        |  FROM lineitem GROUP BY 1
+        |),
+        |c AS (
+        |  SELECT l_partkey, rev,
+        |         sum(rev) OVER (ORDER BY rev DESC, l_partkey
+        |                        ROWS UNBOUNDED PRECEDING) AS cum,
+        |         sum(rev) OVER () AS total
+        |  FROM rev
+        |)
+        |SELECT l_partkey, CAST(rev AS DOUBLE) AS revenue,
+        |       round(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6) AS cum_share,
+        |       CASE WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.80 THEN 'A'
+        |            WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.95 THEN 'B'
+        |            ELSE 'C' END AS abc_class
+        |FROM c ORDER BY revenue DESC, l_partkey ASC""".stripMargin,
 
     "w05_rank_ratios" ->
       """SELECT event_id, user_id,

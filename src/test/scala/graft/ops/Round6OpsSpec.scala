@@ -290,6 +290,61 @@ class Round6OpsSpec extends SparkSpec {
     assert(top.getAs[Double]("revenue") === ref)
   }
 
+  // ---- j12 forward as-of join ---------------------------------------
+
+  test("j12: equals a per-user forward replay; unconverted clicks stay null") {
+    val events = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val expected = events.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val purchases = rows.filter(_._3 == "purchase").map(_._4).sorted
+      rows.filter(_._3 == "click").map { case (uid, eid, _, us) =>
+        (eid, uid, purchases.find(_ >= us))
+      }
+    }.toSet
+    val got = q("j12_asof_forward").collect().map { r =>
+      val pts = Option(r.getAs[String]("purchase_ts_s"))
+      (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"), pts)
+    }.toSet
+    // compare on second-truncated timestamps (the operator's display format)
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+      .withZone(java.time.ZoneOffset.UTC)
+    val expectedFmt = expected.map { case (e, u, us) =>
+      (e, u, us.map(x => fmt.format(java.time.Instant.ofEpochSecond(x / 1000000L))))
+    }
+    assert(got === expectedFmt)
+    assert(got.exists(_._3.isEmpty), "some clicks never convert")
+    assert(got.exists(_._3.nonEmpty), "some clicks convert")
+  }
+
+  // ---- w06 ABC / Pareto ---------------------------------------------
+
+  test("w06: cumulative share is monotone, ends at 1, and classes partition the ranking") {
+    val rows = q("w06_abc_pareto").collect().map(r =>
+      (r.getAs[Long]("l_partkey"), r.getAs[Double]("revenue"),
+        r.getAs[Double]("cum_share"), r.getAs[String]("abc_class")))
+    assert(rows.nonEmpty)
+    // ranking order: revenue non-increasing, share non-decreasing
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 >= b._2 && a._3 <= b._3 + 1e-9)
+    }
+    assert(math.abs(rows.last._3 - 1.0) < 1e-9, "total share is 1")
+    // classes appear in A..B..C blocks along the ranking
+    val classSeq = rows.map(_._4).distinct
+    assert(classSeq === classSeq.sorted, s"class blocks ordered: $classSeq")
+    assert(rows.map(_._4).toSet === Set("A", "B", "C"))
+    // exact recompute of the shares from BigDecimal revenue sums
+    val revs = rows.map(t => (t._1, BigDecimal(t._2).setScale(4)))
+    val total = revs.map(_._2).sum
+    var cum = BigDecimal(0)
+    revs.zip(rows).foreach { case ((_, r), (_, _, share, _)) =>
+      cum += r
+      val ref = (cum.toDouble / total.toDouble * 1e6).round / 1e6
+      assert(math.abs(share - ref) < 2e-6, s"share $share vs $ref")
+    }
+  }
+
   // ---- ds07 leakage-safe split --------------------------------------
 
   test("ds07: no duplicate cluster spans two splits; singletons follow their own hash") {
