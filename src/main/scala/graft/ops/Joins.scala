@@ -197,7 +197,12 @@ object Joins {
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("ts"), col("value"), lit(1).as("side"),
           lit(null).cast("long").as("event_id"))
-      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("side").asc)
+      // `value` as third sort key: (ts, side) alone is not a total
+      // order over purchase rows, so two same-instant purchases would
+      // make first() arbitrary — no such tie exists in the fixtures,
+      // but determinism should not depend on that
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("side").asc, col("value").asc)
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
       clicks.unionAll(purchases)
         .withColumn("purchase_ts",

@@ -216,17 +216,10 @@ class Round6OpsSpec extends SparkSpec {
       .map(r => r.getAs[String]("month") ->
         (r.getAs[Long]("n_rows"), r.getAs[Long]("checksum"))).toMap
     assert(base.nonEmpty)
-    val payload = "concat_ws('|', CAST(o_orderkey AS STRING), " +
-      "CAST(o_custkey AS STRING), o_orderstatus, " +
-      "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING), o_orderpriority)"
-    def fingerprint(df: org.apache.spark.sql.DataFrame) = df
-      .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
-        expr(graft.functions.Portable.phashExpr(payload)).as("h"))
-      .groupBy("month")
-      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("checksum"))
-      .collect()
-      .map(r => r.getAs[String]("month") ->
-        (r.getAs[Long]("n_rows"), r.getAs[Long]("checksum"))).toMap
+    def fingerprint(df: org.apache.spark.sql.DataFrame) =
+      DataQuality.orderFingerprint(df).collect()
+        .map(r => r.getAs[String]("month") ->
+          (r.getAs[Long]("n_rows"), r.getAs[Long]("checksum"))).toMap
     // any repartitioning/shuffle order produces the identical fingerprint
     val shuffled = fingerprint(Tables.orders(spark, sf).repartition(7))
     assert(shuffled === base)
