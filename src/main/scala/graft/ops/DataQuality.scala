@@ -199,7 +199,40 @@ object DataQuality {
     // payload columns with the double cast through DECIMAL(18,2)
     // first: double→string formatting is engine-specific, fixed-scale
     // decimal→string is not (the dsum rationale, applied to hashing).
-    "dq04_table_checksum" -> ((s, d) => orderFingerprint(Tables.orders(s, d)))
+    "dq04_table_checksum" -> ((s, d) => orderFingerprint(Tables.orders(s, d))),
+
+    // Distribution-drift monitor — per-token KL(A||B) between two
+    // hash-halves of the corpus, the shift detector a training
+    // pipeline runs between crawl snapshots / data sources before
+    // trusting a mixture (here the halves are hash-derived so the
+    // operator is deterministic and the expected drift is ~0 — the
+    // null-hypothesis calibration). Add-one smoothing over the JOINT
+    // vocab keeps every term defined when a token is absent from one
+    // half. Two map-side-combinable aggregates (token counts, then
+    // the 1-row totals broadcast back); token-level terms let the
+    // report name the drivers instead of one opaque divergence
+    // number. lm01's parity rules: integer counts, identical double
+    // division trees, ln parity, round at the projection.
+    "dq05_dist_drift" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .withColumn("half", expr(
+          s"${graft.functions.Portable.phashExpr("concat('h2|', CAST(doc_id AS STRING))")} % 2"))
+        .withColumn("tokens", expr(TextAnalysis.tokensExpr))
+        .select(col("half"), explode(col("tokens")).as("token"))
+      val counts = toks.groupBy("token").agg(
+        sum(when(col("half") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("n_b"))
+      val tot = counts.agg(sum(col("n_a")).as("na"), sum(col("n_b")).as("nb"),
+        count(lit(1)).as("v"))
+      counts.crossJoin(broadcast(tot))
+        .withColumn("p_a",
+          (col("n_a") + 1L).cast("double") / (col("na") + col("v")).cast("double"))
+        .withColumn("p_b",
+          (col("n_b") + 1L).cast("double") / (col("nb") + col("v")).cast("double"))
+        .select(col("token"), col("n_a"), col("n_b"),
+          round(col("p_a") * log(col("p_a") / col("p_b")), 8).as("kl_term"))
+        .orderBy("token")
+    })
   )
 
   /** dq04's fingerprint transform over an orders-shaped frame —
@@ -280,6 +313,33 @@ object DataQuality {
          |       count(*) AS n_rows,
          |       bit_xor(${graft.functions.Portable.phashSql(payload)}) AS checksum
          |FROM orders GROUP BY 1 ORDER BY month""".stripMargin
-    }
+    },
+
+    // `+ 0.0` on kl_term: a token slightly MORE likely in B rounds to
+    // zero from below; Spark's round drops the -0.0 sign, DuckDB's
+    // keeps it (the sim09/tx09 precedent)
+    "dq05_dist_drift" ->
+      s"""WITH tok AS (
+         |  SELECT ${graft.functions.Portable.phashSql("'h2|' || CAST(doc_id AS VARCHAR)")} % 2 AS half,
+         |         unnest(${TextAnalysis.tokensSql}) AS token
+         |  FROM documents
+         |),
+         |counts AS (
+         |  SELECT token,
+         |         CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |         CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+         |  FROM tok GROUP BY token
+         |),
+         |tot AS (
+         |  SELECT CAST(sum(n_a) AS BIGINT) AS na, CAST(sum(n_b) AS BIGINT) AS nb,
+         |         count(*) AS v
+         |  FROM counts
+         |)
+         |SELECT token, n_a, n_b,
+         |       round((CAST(n_a + 1 AS DOUBLE) / CAST(na + v AS DOUBLE))
+         |             * ln((CAST(n_a + 1 AS DOUBLE) / CAST(na + v AS DOUBLE))
+         |                  / (CAST(n_b + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE))), 8)
+         |         + 0.0 AS kl_term
+         |FROM counts, tot ORDER BY token""".stripMargin
   )
 }

@@ -44,6 +44,11 @@ object Incremental {
     * excluded, new versions + inserts answer). */
   val AsOfEarly = "2024-03-01"
 
+  /** u03: 1-in-20 keys arrive as deletes (salted apart from the
+    * update/insert domains); a key both updated and deleted is a
+    * DELETE (the CDC convention: the tombstone is the final word). */
+  val DeleteMod = 20
+
   private def slice(salt: String, key: Column): Column =
     expr(s"${Portable.phashExpr(s"concat('$salt', CAST(${key.toString} AS STRING))")}")
 
@@ -92,6 +97,46 @@ object Incremental {
           .otherwise(lit(null).cast("date")).as("valid_to"),
         when(changed, 0).otherwise(1).as("is_current")))
       val newRow = when(col("u.c_custkey").isNotNull &&
+          (col("d.c_custkey").isNull || changed), struct(
+        col("u.c_custkey").as("c_custkey"),
+        col("u.c_mktsegment").as("c_mktsegment"),
+        col("u.c_acctbal").as("c_acctbal"),
+        lit(MergeEffective).cast("date").as("valid_from"),
+        lit(null).cast("date").as("valid_to"),
+        lit(1).as("is_current")))
+      j.select(explode(filter(array(oldRow, newRow), _.isNotNull)).as("r"))
+        .select(col("r.*"))
+        .orderBy("c_custkey", "valid_from")
+    }),
+
+    // SCD2 MERGE with DELETES — u01 completed to the full CRUD
+    // triangle: the change stream now carries updates, inserts, AND
+    // tombstones, still ONE full-outer join + one in-plan explode.
+    // A deleted key's current version closes at the effective date
+    // with NO successor row (the SCD2 representation of "gone":
+    // history is preserved, nothing is current); a key both updated
+    // and deleted is a delete — the tombstone is the final word, the
+    // CDC compaction convention. Same single-shuffle posture as u01.
+    "u03_merge_delete" -> ((s, d) => {
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      val upd = updateBatch(s, d)
+      val deleted = slice("d1:", coalesce(col("d.c_custkey"), col("u.c_custkey"))) %
+        DeleteMod === 0
+      val j = dim.as("d").join(upd.as("u"),
+        col("d.c_custkey") === col("u.c_custkey"), "full_outer")
+      val changed = col("d.c_custkey").isNotNull && col("u.c_custkey").isNotNull &&
+        (col("d.c_mktsegment") =!= col("u.c_mktsegment") ||
+          col("d.c_acctbal") =!= col("u.c_acctbal"))
+      val oldRow = when(col("d.c_custkey").isNotNull, struct(
+        col("d.c_custkey").as("c_custkey"),
+        col("d.c_mktsegment").as("c_mktsegment"),
+        col("d.c_acctbal").as("c_acctbal"),
+        lit(DimValidFrom).cast("date").as("valid_from"),
+        when(deleted || changed, lit(MergeEffective).cast("date"))
+          .otherwise(lit(null).cast("date")).as("valid_to"),
+        when(deleted || changed, 0).otherwise(1).as("is_current")))
+      val newRow = when(!deleted && col("u.c_custkey").isNotNull &&
           (col("d.c_custkey").isNull || changed), struct(
         col("u.c_custkey").as("c_custkey"),
         col("u.c_mktsegment").as("c_mktsegment"),
@@ -241,6 +286,38 @@ object Incremental {
 
   val oracle: Map[String, String] = Map(
     "u01_scd2_merge" -> u01Sql,
+
+    "u03_merge_delete" ->
+      s"""WITH upd AS (
+         |  SELECT c_custkey, 'R-' || c_mktsegment AS c_mktsegment,
+         |         c_acctbal + 100.0 AS c_acctbal
+         |  FROM customer
+         |  WHERE ${sliceSql("u1:", "c_custkey")} % $UpdateMod < $UpdateKeep
+         |  UNION ALL
+         |  SELECT c_custkey + $InsertKeyOffset, c_mktsegment, c_acctbal
+         |  FROM customer
+         |  WHERE ${sliceSql("i1:", "c_custkey")} % $InsertMod = 0
+         |),
+         |j AS (
+         |  SELECT d.c_custkey AS dk, d.c_mktsegment AS dseg, d.c_acctbal AS dbal,
+         |         u.c_custkey AS uk, u.c_mktsegment AS useg, u.c_acctbal AS ubal
+         |  FROM customer d FULL OUTER JOIN upd u ON d.c_custkey = u.c_custkey
+         |),
+         |cls AS (
+         |  SELECT *, dk IS NOT NULL AND uk IS NOT NULL
+         |              AND (dseg <> useg OR dbal <> ubal) AS changed,
+         |         ${sliceSql("d1:", "coalesce(dk, uk)")} % $DeleteMod = 0 AS deleted
+         |  FROM j
+         |)
+         |SELECT dk AS c_custkey, dseg AS c_mktsegment, dbal AS c_acctbal,
+         |       DATE '$DimValidFrom' AS valid_from,
+         |       CASE WHEN deleted OR changed THEN DATE '$MergeEffective' END AS valid_to,
+         |       CASE WHEN deleted OR changed THEN 0 ELSE 1 END AS is_current
+         |FROM cls WHERE dk IS NOT NULL
+         |UNION ALL
+         |SELECT uk, useg, ubal, DATE '$MergeEffective', NULL, 1
+         |FROM cls WHERE NOT deleted AND uk IS NOT NULL AND (dk IS NULL OR changed)
+         |ORDER BY c_custkey, valid_from""".stripMargin,
 
     "u02_scd2_asof" ->
       s"""WITH dim2 AS (

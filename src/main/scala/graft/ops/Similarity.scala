@@ -509,8 +509,76 @@ object Similarity {
         .select(col("vec_id"), round(col("m"), 6).as("mahalanobis"))
         .orderBy(col("mahalanobis").desc, col("vec_id").asc)
         .limit(MahalTopK)
+    }),
+
+    // ANN quality, measured AS a dataflow — the evaluation loop every
+    // ANN deployment needs: per query, how many of the IVF index's
+    // answers (sim04, top-LshK) are in the brute-force ground truth
+    // (sim01, top-KnnK). Composes the two existing catalog frames
+    // with one key-join + count; at 100 TB this runs over a SAMPLED
+    // query set (ground truth is the O(n) brute pass, the expensive
+    // side) on a schedule, and the precision column is the recall/
+    // nprobe tuning signal for sim04's knob table.
+    "sim11_ann_recall" -> ((s, d) => {
+      val bf = queries("sim01_knn")(s, d).select("query_id", "neighbor_id")
+      val iv = queries("sim04_ivf_ann")(s, d)
+        .select(col("query_id"), col("neighbor_id"))
+      iv.join(bf.withColumn("hit", lit(1L)), Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hit"))
+        .withColumn("precision",
+          round(col("n_hit").cast("double") / lit(LshK.toDouble), 6))
+        .orderBy("query_id")
     })
   )
+
+  /** sim01/sim04 oracle texts, extracted so sim11's evaluation
+    * oracle nests the exact relations it grades. */
+  private lazy val sim01Sql: String =
+    s"""WITH $normedCte,
+       |pairs AS (
+       |  SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+       |         ${dotSql("q.embedding", "t.embedding")} / (q.norm * t.norm) AS cos
+       |  FROM e q JOIN e t ON q.vec_id < $KnnQueries AND t.vec_id <> q.vec_id
+       |)
+       |SELECT query_id, neighbor_id, round(cos, 6) AS cosine FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY cos DESC, neighbor_id ASC) AS rn
+       |  FROM pairs) t
+       |WHERE rn <= $KnnK ORDER BY query_id, neighbor_id""".stripMargin
+
+  private lazy val sim04Sql: String =
+    s"""WITH $normedCte,
+       |cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS ce, norm AS cnorm
+       |  FROM e WHERE vec_id < $IvfCentroids
+       |),
+       |scored AS (
+       |  SELECT e.vec_id, e.embedding, e.norm, c.cent_id,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY ${dotSql("e.embedding", "c.ce")} / (e.norm * c.cnorm) DESC,
+       |                    c.cent_id ASC) AS crn
+       |  FROM e, cents c
+       |),
+       |assigned AS (
+       |  SELECT vec_id, cent_id AS cluster, embedding, norm
+       |  FROM scored WHERE crn = 1
+       |),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cent_id AS cluster, embedding AS qe, norm AS qn
+       |  FROM scored WHERE vec_id < $KnnQueries AND crn <= $IvfNProbe
+       |),
+       |pairs AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id, a.cluster,
+       |         ${dotSql("p.qe", "a.embedding")} / (p.qn * a.norm) AS cos
+       |  FROM assigned a JOIN probes p USING (cluster)
+       |  WHERE a.vec_id <> p.query_id
+       |)
+       |SELECT query_id, neighbor_id, cluster, round(cos, 6) AS cosine FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY cos DESC, neighbor_id ASC) AS rn
+       |  FROM pairs) t
+       |WHERE rn <= $LshK ORDER BY query_id, neighbor_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "sim05_norm_quant" ->
@@ -533,18 +601,7 @@ object Similarity {
          |       CAST(list_max(qvec) AS INT) AS q_max
          |FROM qq ORDER BY vec_id""".stripMargin,
 
-    "sim01_knn" ->
-      s"""WITH $normedCte,
-         |pairs AS (
-         |  SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
-         |         ${dotSql("q.embedding", "t.embedding")} / (q.norm * t.norm) AS cos
-         |  FROM e q JOIN e t ON q.vec_id < $KnnQueries AND t.vec_id <> q.vec_id
-         |)
-         |SELECT query_id, neighbor_id, round(cos, 6) AS cosine FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id
-         |                               ORDER BY cos DESC, neighbor_id ASC) AS rn
-         |  FROM pairs) t
-         |WHERE rn <= $KnnK ORDER BY query_id, neighbor_id""".stripMargin,
+    "sim01_knn" -> sim01Sql,
 
     "sim08_range_search" ->
       s"""WITH $normedCte
@@ -580,38 +637,21 @@ object Similarity {
          |  FROM pairs) t
          |WHERE rn <= $LshK ORDER BY query_id, neighbor_id""".stripMargin,
 
-    "sim04_ivf_ann" ->
-      s"""WITH $normedCte,
-         |cents AS (
-         |  SELECT vec_id AS cent_id, embedding AS ce, norm AS cnorm
-         |  FROM e WHERE vec_id < $IvfCentroids
+    "sim04_ivf_ann" -> sim04Sql,
+
+    "sim11_ann_recall" ->
+      s"""WITH bf AS (
+         |  SELECT query_id, neighbor_id FROM ( $sim01Sql ) t1
          |),
-         |scored AS (
-         |  SELECT e.vec_id, e.embedding, e.norm, c.cent_id,
-         |         row_number() OVER (PARTITION BY e.vec_id
-         |           ORDER BY ${dotSql("e.embedding", "c.ce")} / (e.norm * c.cnorm) DESC,
-         |                    c.cent_id ASC) AS crn
-         |  FROM e, cents c
-         |),
-         |assigned AS (
-         |  SELECT vec_id, cent_id AS cluster, embedding, norm
-         |  FROM scored WHERE crn = 1
-         |),
-         |probes AS (
-         |  SELECT vec_id AS query_id, cent_id AS cluster, embedding AS qe, norm AS qn
-         |  FROM scored WHERE vec_id < $KnnQueries AND crn <= $IvfNProbe
-         |),
-         |pairs AS (
-         |  SELECT p.query_id, a.vec_id AS neighbor_id, a.cluster,
-         |         ${dotSql("p.qe", "a.embedding")} / (p.qn * a.norm) AS cos
-         |  FROM assigned a JOIN probes p USING (cluster)
-         |  WHERE a.vec_id <> p.query_id
+         |iv AS (
+         |  SELECT query_id, neighbor_id FROM ( $sim04Sql ) t2
          |)
-         |SELECT query_id, neighbor_id, cluster, round(cos, 6) AS cosine FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id
-         |                               ORDER BY cos DESC, neighbor_id ASC) AS rn
-         |  FROM pairs) t
-         |WHERE rn <= $LshK ORDER BY query_id, neighbor_id""".stripMargin,
+         |SELECT iv.query_id,
+         |       CAST(count(bf.neighbor_id) AS BIGINT) AS n_hit,
+         |       round(CAST(count(bf.neighbor_id) AS DOUBLE) / $LshK.0, 6) AS precision
+         |FROM iv LEFT JOIN bf
+         |  ON iv.query_id = bf.query_id AND iv.neighbor_id = bf.neighbor_id
+         |GROUP BY iv.query_id ORDER BY iv.query_id""".stripMargin,
 
     "sim06_ivf2_ann" ->
       s"""WITH $normedCte,

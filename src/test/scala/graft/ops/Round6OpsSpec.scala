@@ -338,6 +338,65 @@ class Round6OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- u03 SCD2 merge with deletes ----------------------------------
+
+  test("u03: tombstoned keys close without a successor; the tombstone beats an update") {
+    import graft.functions.Portable
+    val rows = q("u03_merge_delete").collect()
+    val byKey = rows.groupBy(_.getAs[Long]("c_custkey"))
+    val deleted = Tables.customer(spark, sf)
+      .filter(expr(s"${Portable.phashExpr("concat('d1:', CAST(c_custkey AS STRING))")} % ${Incremental.DeleteMod} = 0"))
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    assert(deleted.nonEmpty)
+    deleted.foreach { k =>
+      val versions = byKey(k)
+      assert(versions.length === 1, s"deleted key $k has no successor version")
+      assert(versions.head.getAs[Int]("is_current") === 0)
+      assert(versions.head.getAs[java.sql.Date]("valid_to") != null)
+    }
+    // every surviving current version is exactly one per non-deleted key
+    byKey.foreach { case (k, vs) =>
+      val cur = vs.count(_.getAs[Int]("is_current") == 1)
+      if (deleted.contains(k)) assert(cur === 0) else assert(cur === 1, s"key $k")
+    }
+  }
+
+  // ---- dq05 distribution drift --------------------------------------
+
+  test("dq05: KL is non-negative and near zero for hash-halves; counts reconcile") {
+    val rows = q("dq05_dist_drift").collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("n_a"),
+        r.getAs[Long]("n_b"), r.getAs[Double]("kl_term")))
+    assert(rows.nonEmpty)
+    val kl = rows.map(_._4).sum
+    assert(kl >= -1e-6, s"KL(A||B) >= 0 (Gibbs): $kl")
+    assert(kl < 0.05, s"hash halves of one corpus barely drift: $kl")
+    val total = rows.map(r => r._2 + r._3).sum
+    val direct = Tables.documents(spark, sf)
+      .select(explode(expr(TextAnalysis.tokensExpr)).as("t")).count()
+    assert(total === direct, "per-token half counts cover every token occurrence")
+  }
+
+  // ---- sim11 ANN precision ------------------------------------------
+
+  test("sim11: precision equals a direct intersect of the two catalog frames") {
+    val bf = q("sim01_knn").collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val iv = q("sim04_ivf_ann").collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    val expected = iv.groupBy(_._1).view
+      .mapValues(ns => ns.count(bf.contains).toLong).toMap
+    val got = q("sim11_ann_recall").collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Long]("n_hit"), r.getAs[Double]("precision"))).toMap
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (qid, (nHit, p)) =>
+      assert(nHit === expected(qid))
+      assert(math.abs(p - nHit.toDouble / Similarity.LshK) < 1e-9)
+      assert(p >= 0.0 && p <= 1.0)
+    }
+  }
+
   // ---- ds07 leakage-safe split --------------------------------------
 
   test("ds07: no duplicate cluster spans two splits; singletons follow their own hash") {
