@@ -44,9 +44,11 @@ object Incremental {
     * excluded, new versions + inserts answer). */
   val AsOfEarly = "2024-03-01"
 
-  /** u03: 1-in-20 keys arrive as deletes (salted apart from the
-    * update/insert domains); a key both updated and deleted is a
-    * DELETE (the CDC convention: the tombstone is the final word). */
+  /** u03: 1-in-20 EXISTING dimension keys arrive as tombstones (the
+    * predicate is dim-side — a tombstone for an unknown key is a
+    * MERGE no-op, so the insert stream is never affected); a key both
+    * updated and deleted is a DELETE (the CDC convention: the
+    * tombstone is the final word). */
   val DeleteMod = 20
 
   private def slice(salt: String, key: Column): Column =
@@ -71,83 +73,61 @@ object Incremental {
     upd.unionByName(ins)
   }
 
+  /** The shared SCD2 merge dataflow: one full-outer join of
+    * dim × update batch, one pass emitting 0-2 versioned rows per key
+    * via an in-plan array explode — never one scan per change class.
+    * Unchanged keys stay current; changed keys close the old version
+    * at the effective date and open a new current one; new keys open
+    * at the effective date; change detection compares the tracked
+    * attributes (not row identity), so a no-op update collapses.
+    * With `withDeletes`, tombstones target EXISTING dimension keys
+    * (the predicate is on the dim side — a tombstone for an unknown
+    * key is a no-op, the MERGE convention): a deleted key's current
+    * version closes with NO successor, and a key both updated and
+    * deleted is a delete — the tombstone is the final word (CDC
+    * compaction). */
+  private def scd2Merge(s: SparkSession, d: String, withDeletes: Boolean): DataFrame = {
+    val dim = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    val upd = updateBatch(s, d)
+    val j = dim.as("d").join(upd.as("u"),
+      col("d.c_custkey") === col("u.c_custkey"), "full_outer")
+    val deleted =
+      if (withDeletes)
+        col("d.c_custkey").isNotNull &&
+          slice("d1:", col("d.c_custkey")) % DeleteMod === 0
+      else lit(false)
+    val changed = col("d.c_custkey").isNotNull && col("u.c_custkey").isNotNull &&
+      (col("d.c_mktsegment") =!= col("u.c_mktsegment") ||
+        col("d.c_acctbal") =!= col("u.c_acctbal"))
+    val oldRow = when(col("d.c_custkey").isNotNull, struct(
+      col("d.c_custkey").as("c_custkey"),
+      col("d.c_mktsegment").as("c_mktsegment"),
+      col("d.c_acctbal").as("c_acctbal"),
+      lit(DimValidFrom).cast("date").as("valid_from"),
+      when(deleted || changed, lit(MergeEffective).cast("date"))
+        .otherwise(lit(null).cast("date")).as("valid_to"),
+      when(deleted || changed, 0).otherwise(1).as("is_current")))
+    val newRow = when(!deleted && col("u.c_custkey").isNotNull &&
+        (col("d.c_custkey").isNull || changed), struct(
+      col("u.c_custkey").as("c_custkey"),
+      col("u.c_mktsegment").as("c_mktsegment"),
+      col("u.c_acctbal").as("c_acctbal"),
+      lit(MergeEffective).cast("date").as("valid_from"),
+      lit(null).cast("date").as("valid_to"),
+      lit(1).as("is_current")))
+    j.select(explode(filter(array(oldRow, newRow), _.isNotNull)).as("r"))
+      .select(col("r.*"))
+      .orderBy("c_custkey", "valid_from")
+  }
+
   val queries: Map[String, Q] = Map(
-    // SCD2 MERGE: one full-outer join of dim × update batch, one pass
-    // emitting 1-2 versioned rows per key via an in-plan array
-    // explode — never one scan per change class. Unchanged keys stay
-    // current; changed keys close the old version at the effective
-    // date and open a new current one; new keys open at the effective
-    // date. Change detection compares the tracked attributes (not row
-    // identity), so a no-op update collapses to the existing version.
-    "u01_scd2_merge" -> ((s, d) => {
-      val dim = Tables.customer(s, d)
-        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
-      val upd = updateBatch(s, d)
-      val j = dim.as("d").join(upd.as("u"),
-        col("d.c_custkey") === col("u.c_custkey"), "full_outer")
-      val changed = col("d.c_custkey").isNotNull && col("u.c_custkey").isNotNull &&
-        (col("d.c_mktsegment") =!= col("u.c_mktsegment") ||
-          col("d.c_acctbal") =!= col("u.c_acctbal"))
-      val oldRow = when(col("d.c_custkey").isNotNull, struct(
-        col("d.c_custkey").as("c_custkey"),
-        col("d.c_mktsegment").as("c_mktsegment"),
-        col("d.c_acctbal").as("c_acctbal"),
-        lit(DimValidFrom).cast("date").as("valid_from"),
-        when(changed, lit(MergeEffective).cast("date"))
-          .otherwise(lit(null).cast("date")).as("valid_to"),
-        when(changed, 0).otherwise(1).as("is_current")))
-      val newRow = when(col("u.c_custkey").isNotNull &&
-          (col("d.c_custkey").isNull || changed), struct(
-        col("u.c_custkey").as("c_custkey"),
-        col("u.c_mktsegment").as("c_mktsegment"),
-        col("u.c_acctbal").as("c_acctbal"),
-        lit(MergeEffective).cast("date").as("valid_from"),
-        lit(null).cast("date").as("valid_to"),
-        lit(1).as("is_current")))
-      j.select(explode(filter(array(oldRow, newRow), _.isNotNull)).as("r"))
-        .select(col("r.*"))
-        .orderBy("c_custkey", "valid_from")
-    }),
+    // SCD2 MERGE (updates + inserts) — see [[scd2Merge]]
+    "u01_scd2_merge" -> ((s, d) => scd2Merge(s, d, withDeletes = false)),
 
     // SCD2 MERGE with DELETES — u01 completed to the full CRUD
-    // triangle: the change stream now carries updates, inserts, AND
-    // tombstones, still ONE full-outer join + one in-plan explode.
-    // A deleted key's current version closes at the effective date
-    // with NO successor row (the SCD2 representation of "gone":
-    // history is preserved, nothing is current); a key both updated
-    // and deleted is a delete — the tombstone is the final word, the
-    // CDC compaction convention. Same single-shuffle posture as u01.
-    "u03_merge_delete" -> ((s, d) => {
-      val dim = Tables.customer(s, d)
-        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
-      val upd = updateBatch(s, d)
-      val deleted = slice("d1:", coalesce(col("d.c_custkey"), col("u.c_custkey"))) %
-        DeleteMod === 0
-      val j = dim.as("d").join(upd.as("u"),
-        col("d.c_custkey") === col("u.c_custkey"), "full_outer")
-      val changed = col("d.c_custkey").isNotNull && col("u.c_custkey").isNotNull &&
-        (col("d.c_mktsegment") =!= col("u.c_mktsegment") ||
-          col("d.c_acctbal") =!= col("u.c_acctbal"))
-      val oldRow = when(col("d.c_custkey").isNotNull, struct(
-        col("d.c_custkey").as("c_custkey"),
-        col("d.c_mktsegment").as("c_mktsegment"),
-        col("d.c_acctbal").as("c_acctbal"),
-        lit(DimValidFrom).cast("date").as("valid_from"),
-        when(deleted || changed, lit(MergeEffective).cast("date"))
-          .otherwise(lit(null).cast("date")).as("valid_to"),
-        when(deleted || changed, 0).otherwise(1).as("is_current")))
-      val newRow = when(!deleted && col("u.c_custkey").isNotNull &&
-          (col("d.c_custkey").isNull || changed), struct(
-        col("u.c_custkey").as("c_custkey"),
-        col("u.c_mktsegment").as("c_mktsegment"),
-        col("u.c_acctbal").as("c_acctbal"),
-        lit(MergeEffective).cast("date").as("valid_from"),
-        lit(null).cast("date").as("valid_to"),
-        lit(1).as("is_current")))
-      j.select(explode(filter(array(oldRow, newRow), _.isNotNull)).as("r"))
-        .select(col("r.*"))
-        .orderBy("c_custkey", "valid_from")
-    }),
+    // triangle in the same single-shuffle dataflow; see [[scd2Merge]]
+    "u03_merge_delete" -> ((s, d) => scd2Merge(s, d, withDeletes = true)),
 
     // Point-in-time (as-of) lookup over the SCD2 dimension — the read
     // side of u01's write side, and the reason SCD2 exists: "what did
@@ -251,27 +231,35 @@ object Incremental {
     })
   )
 
+  /** The shared update-batch + full-outer-join CTE chain ending in
+    * `j(dk, dseg, dbal, uk, useg, ubal)` — one textual source for
+    * u01's, u02's, and u03's oracles. */
+  private lazy val mergeCte: String =
+    s"""upd AS (
+       |  SELECT c_custkey, 'R-' || c_mktsegment AS c_mktsegment,
+       |         c_acctbal + 100.0 AS c_acctbal
+       |  FROM customer
+       |  WHERE ${sliceSql("u1:", "c_custkey")} % $UpdateMod < $UpdateKeep
+       |  UNION ALL
+       |  SELECT c_custkey + $InsertKeyOffset, c_mktsegment, c_acctbal
+       |  FROM customer
+       |  WHERE ${sliceSql("i1:", "c_custkey")} % $InsertMod = 0
+       |),
+       |j AS (
+       |  SELECT d.c_custkey AS dk, d.c_mktsegment AS dseg, d.c_acctbal AS dbal,
+       |         u.c_custkey AS uk, u.c_mktsegment AS useg, u.c_acctbal AS ubal
+       |  FROM customer d FULL OUTER JOIN upd u ON d.c_custkey = u.c_custkey
+       |)""".stripMargin
+
+  private val changedSql: String =
+    "dk IS NOT NULL AND uk IS NOT NULL AND (dseg <> useg OR dbal <> ubal)"
+
   /** u01's oracle text, shared so u02's point-in-time oracle probes
     * the exact same versioned relation. */
   private lazy val u01Sql: String =
-    s"""WITH upd AS (
-         |  SELECT c_custkey, 'R-' || c_mktsegment AS c_mktsegment,
-         |         c_acctbal + 100.0 AS c_acctbal
-         |  FROM customer
-         |  WHERE ${sliceSql("u1:", "c_custkey")} % $UpdateMod < $UpdateKeep
-         |  UNION ALL
-         |  SELECT c_custkey + $InsertKeyOffset, c_mktsegment, c_acctbal
-         |  FROM customer
-         |  WHERE ${sliceSql("i1:", "c_custkey")} % $InsertMod = 0
-         |),
-         |j AS (
-         |  SELECT d.c_custkey AS dk, d.c_mktsegment AS dseg, d.c_acctbal AS dbal,
-         |         u.c_custkey AS uk, u.c_mktsegment AS useg, u.c_acctbal AS ubal
-         |  FROM customer d FULL OUTER JOIN upd u ON d.c_custkey = u.c_custkey
-         |),
+    s"""WITH $mergeCte,
          |cls AS (
-         |  SELECT *, dk IS NOT NULL AND uk IS NOT NULL
-         |              AND (dseg <> useg OR dbal <> ubal) AS changed
+         |  SELECT *, $changedSql AS changed
          |  FROM j
          |)
          |SELECT dk AS c_custkey, dseg AS c_mktsegment, dbal AS c_acctbal,
@@ -288,25 +276,11 @@ object Incremental {
     "u01_scd2_merge" -> u01Sql,
 
     "u03_merge_delete" ->
-      s"""WITH upd AS (
-         |  SELECT c_custkey, 'R-' || c_mktsegment AS c_mktsegment,
-         |         c_acctbal + 100.0 AS c_acctbal
-         |  FROM customer
-         |  WHERE ${sliceSql("u1:", "c_custkey")} % $UpdateMod < $UpdateKeep
-         |  UNION ALL
-         |  SELECT c_custkey + $InsertKeyOffset, c_mktsegment, c_acctbal
-         |  FROM customer
-         |  WHERE ${sliceSql("i1:", "c_custkey")} % $InsertMod = 0
-         |),
-         |j AS (
-         |  SELECT d.c_custkey AS dk, d.c_mktsegment AS dseg, d.c_acctbal AS dbal,
-         |         u.c_custkey AS uk, u.c_mktsegment AS useg, u.c_acctbal AS ubal
-         |  FROM customer d FULL OUTER JOIN upd u ON d.c_custkey = u.c_custkey
-         |),
+      s"""WITH $mergeCte,
          |cls AS (
-         |  SELECT *, dk IS NOT NULL AND uk IS NOT NULL
-         |              AND (dseg <> useg OR dbal <> ubal) AS changed,
-         |         ${sliceSql("d1:", "coalesce(dk, uk)")} % $DeleteMod = 0 AS deleted
+         |  SELECT *, $changedSql AS changed,
+         |         dk IS NOT NULL
+         |           AND ${sliceSql("d1:", "dk")} % $DeleteMod = 0 AS deleted
          |  FROM j
          |)
          |SELECT dk AS c_custkey, dseg AS c_mktsegment, dbal AS c_acctbal,

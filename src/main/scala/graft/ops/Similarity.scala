@@ -512,22 +512,36 @@ object Similarity {
     }),
 
     // ANN quality, measured AS a dataflow — the evaluation loop every
-    // ANN deployment needs: per query, how many of the IVF index's
-    // answers (sim04, top-LshK) are in the brute-force ground truth
-    // (sim01, top-KnnK). Composes the two existing catalog frames
-    // with one key-join + count; at 100 TB this runs over a SAMPLED
-    // query set (ground truth is the O(n) brute pass, the expensive
-    // side) on a schedule, and the precision column is the recall/
-    // nprobe tuning signal for sim04's knob table.
+    // ANN deployment needs: per query, what fraction of the IVF
+    // index's returned answers (sim04, top-LshK) are in the
+    // brute-force ground truth (sim01, top-KnnK). True precision:
+    // the denominator is the ACTUAL returned count (a query whose
+    // probed cells hold fewer than LshK members is not penalized for
+    // the short list), and the query spine comes from the query-set
+    // definition itself, so a query with NO candidates reports
+    // (0, 0, null) instead of vanishing. Composes the two existing
+    // catalog frames with one key-join + count; at 100 TB this runs
+    // over a SAMPLED query set (ground truth is the O(n) brute pass,
+    // the expensive side) on a schedule, and the precision column is
+    // the nprobe tuning signal for sim04's knob table.
     "sim11_ann_recall" -> ((s, d) => {
       val bf = queries("sim01_knn")(s, d).select("query_id", "neighbor_id")
       val iv = queries("sim04_ivf_ann")(s, d)
         .select(col("query_id"), col("neighbor_id"))
-      iv.join(bf.withColumn("hit", lit(1L)), Seq("query_id", "neighbor_id"), "left")
+      val spine = Tables.embeddings(s, d)
+        .filter(col("vec_id") < KnnQueries)
+        .select(col("vec_id").as("query_id"))
+      val perQuery = iv
+        .join(bf.withColumn("hit", lit(1L)), Seq("query_id", "neighbor_id"), "left")
         .groupBy("query_id")
-        .agg(sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hit"))
-        .withColumn("precision",
-          round(col("n_hit").cast("double") / lit(LshK.toDouble), 6))
+        .agg(count(lit(1)).as("n_ret"),
+          sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hit"))
+      spine.join(perQuery, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_ret"), lit(0L)).as("n_ret"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round(col("n_hit").cast("double") / col("n_ret").cast("double"), 6)
+            .as("precision"))
         .orderBy("query_id")
     })
   )
@@ -645,13 +659,24 @@ object Similarity {
          |),
          |iv AS (
          |  SELECT query_id, neighbor_id FROM ( $sim04Sql ) t2
+         |),
+         |per_query AS (
+         |  SELECT iv.query_id,
+         |         count(*) AS n_ret,
+         |         CAST(count(bf.neighbor_id) AS BIGINT) AS n_hit
+         |  FROM iv LEFT JOIN bf
+         |    ON iv.query_id = bf.query_id AND iv.neighbor_id = bf.neighbor_id
+         |  GROUP BY iv.query_id
+         |),
+         |spine AS (
+         |  SELECT vec_id AS query_id FROM embeddings WHERE vec_id < $KnnQueries
          |)
-         |SELECT iv.query_id,
-         |       CAST(count(bf.neighbor_id) AS BIGINT) AS n_hit,
-         |       round(CAST(count(bf.neighbor_id) AS DOUBLE) / $LshK.0, 6) AS precision
-         |FROM iv LEFT JOIN bf
-         |  ON iv.query_id = bf.query_id AND iv.neighbor_id = bf.neighbor_id
-         |GROUP BY iv.query_id ORDER BY iv.query_id""".stripMargin,
+         |SELECT s.query_id,
+         |       CAST(coalesce(n_ret, 0) AS BIGINT) AS n_ret,
+         |       coalesce(n_hit, CAST(0 AS BIGINT)) AS n_hit,
+         |       round(CAST(n_hit AS DOUBLE) / CAST(n_ret AS DOUBLE), 6) AS precision
+         |FROM spine s LEFT JOIN per_query p ON p.query_id = s.query_id
+         |ORDER BY s.query_id""".stripMargin,
 
     "sim06_ivf2_ann" ->
       s"""WITH $normedCte,

@@ -384,16 +384,26 @@ class Round6OpsSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     val iv = q("sim04_ivf_ann").collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
-    val expected = iv.groupBy(_._1).view
+    val returned = iv.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val hits = iv.groupBy(_._1).view
       .mapValues(ns => ns.count(bf.contains).toLong).toMap
     val got = q("sim11_ann_recall").collect()
       .map(r => r.getAs[Long]("query_id") ->
-        (r.getAs[Long]("n_hit"), r.getAs[Double]("precision"))).toMap
-    assert(got.keySet === expected.keySet)
-    got.foreach { case (qid, (nHit, p)) =>
-      assert(nHit === expected(qid))
-      assert(math.abs(p - nHit.toDouble / Similarity.LshK) < 1e-9)
-      assert(p >= 0.0 && p <= 1.0)
+        (r.getAs[Long]("n_ret"), r.getAs[Long]("n_hit"),
+          Option(r.getAs[java.lang.Double]("precision")).map(_.doubleValue))).toMap
+    // spine covers every query in the query-set definition, even ones
+    // the index returned nothing for
+    val spine = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < Similarity.KnnQueries)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got.keySet === spine)
+    got.foreach { case (qid, (nRet, nHit, p)) =>
+      assert(nRet === returned.getOrElse(qid, 0L))
+      assert(nHit === hits.getOrElse(qid, 0L))
+      if (nRet > 0) {
+        assert(math.abs(p.get - nHit.toDouble / nRet) < 1e-6)
+        assert(p.get >= 0.0 && p.get <= 1.0)
+      } else assert(p.isEmpty, "no candidates -> null precision")
     }
   }
 
