@@ -24,11 +24,11 @@ import graft.functions.Portable
   * join + distinct per round (frontier-driven: work is proportional
   * to the frontier, not the graph) with `localCheckpoint` lineage
   * hygiene per round and a scalar-only driver loop. Triangles do one
-  * self-join to enumerate wedges and one hash probe to close them;
-  * the id-orientation used here matches the oracle, and the 100 TB
-  * refinement is degree orientation (orient each edge toward the
-  * higher-degree endpoint), which bounds the wedge intermediate by
-  * graph arboricity instead of max degree.
+  * self-join to enumerate wedges and one hash probe to close them,
+  * with the edges DEGREE-ORIENTED first (toward the higher-(degree,
+  * id) endpoint), which bounds the wedge intermediate by Σ outdeg² —
+  * O(m^1.5) total on any graph — instead of Σ deg², which is
+  * unbounded under degree skew.
   */
 object Graph {
   type Q = (SparkSession, String) => DataFrame
@@ -46,9 +46,17 @@ object Graph {
   private def seedPred(c: String): String =
     s"${Portable.phashExpr(s"concat('g2:', CAST($c AS STRING))")} % $SeedMod = 0"
 
-  /** Distinct oriented co-purchase edges (pa < pb): parts sharing an
-    * order. Shared by g03 (triangles, full history) and g04 (link
-    * prediction, shipdate-windowed). */
+  /** g03/g04: one-year shipdate window on the co-purchase graph.
+    * Both queries read a signal that decays with time (clustering,
+    * recommendation), and the window is the knob that keeps the edge
+    * set bounded as the fact table grows — measured on g04 at sf0.1:
+    * 34.2 s full-history vs 4.0 s windowed (8.5×). */
+  val CopurchaseWindow: (String, String) =
+    ("1996-01-01 00:00:00", "1997-01-01 00:00:00")
+
+  /** Distinct canonical co-purchase edges (pa < pb): parts sharing an
+    * order. Shared by g03 (triangles) and g04 (link prediction), both
+    * shipdate-windowed to [[CopurchaseWindow]]. */
   private def copurchaseEdges(s: SparkSession, d: String,
       window: Option[(String, String)] = None): DataFrame = {
     val li0 = Tables.lineitem(s, d)
@@ -122,19 +130,47 @@ object Graph {
     // sharing an order). Edge build: the within-order pair join is
     // quadratic in basket size — bounded by TPC-H's ≤7-line orders;
     // a marketplace with 10⁴-item baskets caps or samples baskets
-    // first. Enumeration: wedges a<b<c via one self-join on the
-    // oriented edge list, closed by one hash probe; each triangle is
-    // found exactly once, then credited to its three corners with an
-    // in-plan explode (no second enumeration). The edge frame is
-    // cached above its three join consumers; cold protocols drop it
-    // via clearCache (g01's convention for lazy results).
+    // first. Enumeration is DEGREE-ORIENTED (Chiba–Nishizeki / the
+    // "forward" algorithm): orient every undirected edge toward the
+    // higher-(degree, id) endpoint, enumerate wedges as out-neighbor
+    // pairs of the lower-rank corner, and close each with one hash
+    // probe against the oriented list. The wedge intermediate is then
+    // Σ outdeg(v)² with outdeg bounded by O(√m) on any graph (vs
+    // Σ deg(v)² under arbitrary orientation, unbounded under skew) —
+    // the refinement that keeps the join bounded when one blockbuster
+    // part co-occurs with everything. Each triangle surfaces exactly
+    // once (its corners are rank-ordered), then is credited to all
+    // three corners with an in-plan explode. The graph is windowed to
+    // one year of shipments like g04 — clustering is a recency
+    // signal, and the window caps edge-set densification as history
+    // accumulates. Counts are orientation-invariant, so the oracle
+    // mirrors the same oriented enumeration only to stay cheap, not
+    // to force agreement.
     "g03_triangles" -> ((s, d) => {
-      val e = copurchaseEdges(s, d).cache()
-      val tri = e.as("e1")
-        .join(e.as("e2"), col("e1.pb") === col("e2.pa"))
-        .join(e.as("e3"),
-          col("e3.pa") === col("e1.pa") && col("e3.pb") === col("e2.pb"))
-        .select(col("e1.pa").as("a"), col("e1.pb").as("b"), col("e2.pb").as("c"))
+      val e = copurchaseEdges(s, d, Some(CopurchaseWindow)).cache()
+      val deg = e.select(col("pa").as("v")).union(e.select(col("pb").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      // Orient toward the higher rank, rank = (deg, id). Edges arrive
+      // canonical (pa < pb), so the tie on degree keeps pa → pb.
+      val oriented = e
+        .join(deg.toDF("pa", "deg_a"), "pa")
+        .join(deg.toDF("pb", "deg_b"), "pb")
+        .select(
+          when(col("deg_a") <= col("deg_b"), col("pa")).otherwise(col("pb")).as("src"),
+          when(col("deg_a") <= col("deg_b"), col("pb")).otherwise(col("pa")).as("dst"))
+      // Carry the dst rank so the wedge join can order the two outer
+      // corners without a third join back to the degree frame.
+      val out = oriented
+        .join(deg.toDF("dst", "ddeg"), "dst")
+        .select("src", "dst", "ddeg")
+        .cache()
+      val tri = out.as("e1")
+        .join(out.as("e2"),
+          col("e1.src") === col("e2.src") &&
+            (col("e1.ddeg") < col("e2.ddeg") ||
+              (col("e1.ddeg") === col("e2.ddeg") && col("e1.dst") < col("e2.dst"))))
+        .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+        .join(out.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
       tri
         .select(explode(array(col("a"), col("b"), col("c"))).as("l_partkey"))
         .groupBy("l_partkey")
@@ -145,8 +181,10 @@ object Graph {
     // Common-neighbor link prediction on the co-purchase graph — the
     // recommendation primitive: score every UNLINKED part pair by the
     // Jaccard of their neighborhoods ("bought alongside the same
-    // partners, never together"). Same wedge join as g03 (so the same
-    // degree-orientation refinement applies at 100 TB), closed by an
+    // partners, never together"). Same wedge shape as g03 but over
+    // the undirected list (both orientations of every wedge are
+    // needed to score its endpoints; g03's degree-orientation trick
+    // applies only when each wedge may be counted once), closed by an
     // anti-join against the edge set instead of a closing probe;
     // candidate scores collapse map-side per (x, y) before the
     // exchange, and the top-K cut is TakeOrdered (never a full sort
@@ -160,8 +198,7 @@ object Graph {
     // table grows (measured: the full-history graph at sf0.1 cost
     // 34.2 s vs 4.0 s windowed — 8.5× — on this query alone).
     "g04_link_predict" -> ((s, d) => {
-      val e = copurchaseEdges(s, d,
-        Some(("1996-01-01 00:00:00", "1997-01-01 00:00:00"))).cache()
+      val e = copurchaseEdges(s, d, Some(CopurchaseWindow)).cache()
       val und = e.select(col("pa").as("a"), col("pb").as("b"))
         .union(e.select(col("pb").as("a"), col("pa").as("b")))
       val deg = und.groupBy("a").agg(count(lit(1)).as("deg"))
@@ -204,14 +241,32 @@ object Graph {
          |SELECT doc_id, CAST(min(hops) AS BIGINT) AS hops
          |FROM bfs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // Oriented enumeration mirrored from the operator: per-node
+    // triangle counts are orientation-invariant, so this mirror is a
+    // cost choice (bounded wedge set in DuckDB too), not a parity
+    // requirement.
     "g03_triangles" ->
       s"""WITH e AS (
-        |  ${copurchaseEdgesSql()}
+        |  ${copurchaseEdgesSql(Some(CopurchaseWindow))}
+        |),
+        |deg AS (
+        |  SELECT v, count(*) AS deg FROM (
+        |    SELECT pa AS v FROM e UNION ALL SELECT pb FROM e
+        |  ) GROUP BY v
+        |),
+        |o AS (
+        |  SELECT CASE WHEN da.deg <= db.deg THEN e.pa ELSE e.pb END AS src,
+        |         CASE WHEN da.deg <= db.deg THEN e.pb ELSE e.pa END AS dst
+        |  FROM e JOIN deg da ON da.v = e.pa JOIN deg db ON db.v = e.pb
+        |),
+        |oo AS (
+        |  SELECT o.src, o.dst, d.deg AS ddeg FROM o JOIN deg d ON d.v = o.dst
         |),
         |t AS (
-        |  SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
-        |  FROM e e1 JOIN e e2 ON e1.pb = e2.pa
-        |  JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+        |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        |  FROM oo e1 JOIN oo e2 ON e1.src = e2.src
+        |   AND (e1.ddeg < e2.ddeg OR (e1.ddeg = e2.ddeg AND e1.dst < e2.dst))
+        |  JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst
         |),
         |r AS (
         |  SELECT a AS l_partkey FROM t
@@ -223,7 +278,7 @@ object Graph {
 
     "g04_link_predict" ->
       s"""WITH e AS (
-         |  ${copurchaseEdgesSql(Some(("1996-01-01 00:00:00", "1997-01-01 00:00:00")))}
+         |  ${copurchaseEdgesSql(Some(CopurchaseWindow))}
          |),
          |und AS (
          |  SELECT pa AS a, pb AS b FROM e

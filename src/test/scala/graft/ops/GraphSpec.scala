@@ -62,7 +62,14 @@ class GraphSpec extends SparkSpec {
   // --- g03_triangles -------------------------------------------------
 
   test("triangles: per-node counts equal a brute-force recount of the co-purchase graph") {
-    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey")
+    // mirror the operator's one-year shipdate window; the brute-force
+    // recount below is orientation-free, so it also certifies that the
+    // degree-oriented enumeration is count-invariant
+    val (lo, hi) = Graph.CopurchaseWindow
+    val li = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf(lo)) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf(hi)))
+      .select("l_orderkey", "l_partkey")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val edges = li.groupBy(_._1).values.flatMap { basket =>
       val parts = basket.map(_._2).distinct.sorted
@@ -85,9 +92,10 @@ class GraphSpec extends SparkSpec {
 
   test("link prediction: top-K equals a brute-force neighborhood-Jaccard recount, no edges leak in") {
     // mirror the operator's one-year shipdate window
+    val (lo, hi) = Graph.CopurchaseWindow
     val li = Tables.lineitem(spark, sf)
-      .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
-        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+      .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf(lo)) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf(hi)))
       .select("l_orderkey", "l_partkey")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val edges = li.groupBy(_._1).values.flatMap { basket =>
