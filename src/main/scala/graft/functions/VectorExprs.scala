@@ -590,7 +590,13 @@ object VectorExprs {
       graft.ops.TextAnalysis.ShortTokenLen)),
     "minhash_mix" -> (exprs => MinhashMix(exprs.head,
       graft.ops.Dedup.mixCoeffs.toSeq, graft.ops.Dedup.MixMod)),
-    "simhash_mix" -> (exprs => SimhashMix(exprs.head)))
+    "simhash_mix" -> (exprs => SimhashMix(exprs.head)),
+    // aggregates: the analyzer wraps a bare AggregateFunction in
+    // AggregateExpression(Complete) on resolution
+    "moment_partials" -> (exprs =>
+      MomentPartials(exprs.head, graft.ops.Similarity.Dims, diag = false)),
+    "dim_moments" -> (exprs =>
+      MomentPartials(exprs.head, graft.ops.Similarity.Dims, diag = true)))
 
   /** Inject the functions through the `SparkSessionExtensions` hook —
     * how a production library ships them (set

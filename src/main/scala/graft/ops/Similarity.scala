@@ -439,34 +439,36 @@ object Similarity {
     // Corpus covariance of the embedding space (upper triangle +
     // diagonal) — the statistics behind whitening / OPQ rotation /
     // Mahalanobis scoring, and the moment computation every vector
-    // pipeline eventually needs. Shape: ONE narrow generate emits the
-    // D(D+1)/2 upper-triangle products per row (never the D² square,
-    // and never a row×row self-join), and the per-(i,j) sums collapse
-    // map-side before one exchange of O(D²) groups; per-dim sums ride
-    // the same pattern. Addends are float→double exact casts fixed to
-    // DECIMAL(28,12) (the lm01/tx09 parity rationale), so the sums
-    // are grouping-order-immune; covariance assembles from the exact
-    // sums with one double expression per cell. At 100 TB: output is
-    // D²-bounded (constant), input pass is linear and combinable —
-    // the textbook mergeable moment sketch.
+    // pipeline eventually needs. Production shape (round 5): ONE
+    // custom TypedImperativeAggregate ([[graft.functions
+    // .MomentPartials]]) folds each row's D(D+1)/2 products straight
+    // into a per-partition array of exact DECIMAL(28,12) sums —
+    // zero row inflation, one shuffle of partition-count buffers
+    // (~16 KB each), and bit-identical to the old explode-then-
+    // hash-aggregate plan because decimal addition is associative
+    // (the explode form survives as [[covarianceExplode]], equality
+    // spec-asserted per round). The one-row moment result then
+    // explodes into D² tiny rows for the final assembly — broadcast
+    // joins over frames of at most 2,080 rows. At 100 TB: input pass
+    // is linear and combinable, aggregation state is D²-bounded —
+    // the textbook mergeable moment sketch, now without paying a
+    // 2,080× generate into the scan.
     "sim09_covariance" -> ((s, d) => {
-      val dec = org.apache.spark.sql.types.DecimalType(28, 12)
-      val e = Tables.embeddings(s, d).select(col("embedding"))
-      val sums = e.select(posexplode(col("embedding")).as(Seq("i", "x")))
-        .groupBy("i")
-        .agg(sum(col("x").cast("double").cast(dec)).as("sx"))
-      val prods = e.select(explode(expr(
+      VectorExprs.register(s)
+      val agg = Tables.embeddings(s, d)
+        .agg(expr("moment_partials(embedding)").as("m"), count(lit(1)).as("n"))
+      val sums = agg.select(posexplode(col("m.sx")).as(Seq("i", "sx")))
+      val prods = agg.select(col("n"), posexplode(col("m.sxy")).as(Seq("pos", "sxy")))
+      // row-major (i, j ≥ i) slot order, mirrored from the aggregate
+      val mapping = s.range(1).select(posexplode(expr(
           s"""flatten(transform(sequence(0, ${Dims - 1}),
              |  i -> transform(sequence(i, ${Dims - 1}),
-             |    j -> struct(i AS i, j AS j,
-             |      CAST(embedding[i] AS DOUBLE) * CAST(embedding[j] AS DOUBLE) AS p))))""".stripMargin))
-          .as("t"))
-        .select(col("t.i").as("i"), col("t.j").as("j"), col("t.p").as("p"))
-        .groupBy("i", "j")
-        .agg(sum(col("p").cast(dec)).as("sxy"), count(lit(1)).as("n"))
-      prods
-        .join(sums.toDF("i", "sxi"), "i")
-        .join(sums.toDF("j", "sxj"), "j")
+             |    j -> struct(i AS i, j AS j))))""".stripMargin))
+          .as(Seq("pos", "t")))
+        .select(col("pos"), col("t.i").as("i"), col("t.j").as("j"))
+      prods.join(broadcast(mapping), "pos")
+        .join(broadcast(sums.toDF("i", "sxi")), "i")
+        .join(broadcast(sums.toDF("j", "sxj")), "j")
         .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
           round(col("sxy").cast("double") / col("n").cast("double") -
             (col("sxi").cast("double") / col("n").cast("double")) *
@@ -478,34 +480,53 @@ object Similarity {
     // work: each vector scored by Σ (xᵢ-μᵢ)²/σᵢ² against the corpus
     // per-dimension mean/variance (the whitened distance under a
     // diagonal covariance; the full-matrix form needs a linear solve,
-    // which is a driver/BLAS job, not a dataflow). Moments come from
-    // the same decimal-exact sums (one linear pass, D-row result,
-    // BROADCAST to the scoring pass); per-vector terms are fixed to
-    // decimal before the per-vector sum so the 64-addend fold is
-    // grouping-order-immune. Top-20 by TakeOrdered. A constant
-    // dimension (σ²=0) contributes 0 by definition on both sides —
-    // never a 0/0. This is the standard embedding-space anomaly gate
-    // (corrupt vectors, wrong-model embeddings, adversarial inputs).
+    // which is a driver/BLAS job, not a dataflow). Production shape
+    // (round 5): moments come from the diag-mode
+    // [[graft.functions.MomentPartials]] aggregate (one pass, 2D
+    // decimal sums, no posexplode), broadcast as ONE row of μ/σ²
+    // arrays; scoring is a per-row decimal left fold over the 64
+    // dims (`aggregate` HOF) — no 64× row inflation and NO shuffle
+    // at all until the final top-20 TakeOrdered, vs the old plan's
+    // 64×-row hash aggregate over every vec_id. Decimal addends keep
+    // the fold grouping-order-immune, so the result is bit-identical
+    // to the old explode plan ([[mahalanobisExplode]], equality
+    // spec-asserted). A constant dimension (σ²=0) contributes 0 by
+    // definition on both sides — never a 0/0. This is the standard
+    // embedding-space anomaly gate (corrupt vectors, wrong-model
+    // embeddings, adversarial inputs).
     "sim10_mahalanobis" -> ((s, d) => {
-      val dec = org.apache.spark.sql.types.DecimalType(28, 12)
-      val x = Tables.embeddings(s, d)
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "xf")))
-        .withColumn("x", col("xf").cast("double"))
-      val mom = x.groupBy("i").agg(
-          sum(col("x").cast(dec)).as("sx"),
-          sum((col("x") * col("x")).cast(dec)).as("sxx"),
-          count(lit(1)).as("n"))
-        .select(col("i"),
-          (col("sx").cast("double") / col("n").cast("double")).as("mu"),
-          (col("sxx").cast("double") / col("n").cast("double") -
-            (col("sx").cast("double") / col("n").cast("double")) *
-              (col("sx").cast("double") / col("n").cast("double"))).as("v"))
-      x.join(broadcast(mom), "i")
-        .withColumn("term",
-          expr("CASE WHEN v > 0 THEN (x - mu) * (x - mu) / v ELSE 0.0 END"))
-        .groupBy("vec_id")
-        .agg(sum(col("term").cast(org.apache.spark.sql.types.DecimalType(28, 10)))
-          .cast("double").as("m"))
+      VectorExprs.register(s)
+      val emb = Tables.embeddings(s, d)
+      val mom = emb
+        .agg(expr("dim_moments(embedding)").as("m"), count(lit(1)).as("n"))
+        .select(
+          expr("transform(m.sx, s -> CAST(s AS DOUBLE) / CAST(n AS DOUBLE))")
+            .as("mu"),
+          expr(s"""transform(sequence(0, ${Dims - 1}), i ->
+               |  CAST(m.sxx[i] AS DOUBLE) / CAST(n AS DOUBLE)
+               |  - (CAST(m.sx[i] AS DOUBLE) / CAST(n AS DOUBLE))
+               |    * (CAST(m.sx[i] AS DOUBLE) / CAST(n AS DOUBLE)))""".stripMargin)
+            .as("v"))
+      // The fold carries the UNSCALED value of the scale-10 decimal
+      // sum as a BIGINT: SQL decimal addition always promotes
+      // precision (DECIMAL(38,10)+DECIMAL(28,10) → DECIMAL(38,9),
+      // losing the last digit), so a direct decimal fold cannot
+      // reproduce Sum's overflow-checked DECIMAL(38,10) accumulator —
+      // integer addition of unscaled values can, exactly. Each term
+      // rounds to DECIMAL(28,10) first (the same addend the old
+      // explode plan summed); ×10¹⁰ and the final /10¹⁰ are exact
+      // integer-valued decimal ops at these magnitudes.
+      emb.crossJoin(broadcast(mom))
+        .select(col("vec_id"),
+          expr(s"""CAST(CAST(aggregate(sequence(0, ${Dims - 1}),
+               |  CAST(0 AS BIGINT),
+               |  (acc, i) -> acc + CAST(CAST(
+               |    CASE WHEN v[i] > 0 THEN
+               |      (CAST(embedding[i] AS DOUBLE) - mu[i])
+               |        * (CAST(embedding[i] AS DOUBLE) - mu[i]) / v[i]
+               |    ELSE 0.0 END AS DECIMAL(28,10)) * 10000000000 AS BIGINT))
+               |  AS DECIMAL(28,0)) / 10000000000 AS DOUBLE)""".stripMargin)
+            .as("m"))
         .select(col("vec_id"), round(col("m"), 6).as("mahalanobis"))
         .orderBy(col("mahalanobis").desc, col("vec_id").asc)
         .limit(MahalTopK)
@@ -545,6 +566,65 @@ object Similarity {
         .orderBy("query_id")
     })
   )
+
+  /** Round-4 explode formulation of sim09, kept as the parity
+    * cross-check for the [[graft.functions.MomentPartials]]
+    * production path (spec-asserted bit-equal): one generate of the
+    * D(D+1)/2 upper-triangle products per row into a hash aggregate
+    * of DECIMAL(28,12) sums. Same addends, same exact sums — 2,080×
+    * row inflation into the scan, which is why it is no longer the
+    * catalog default. */
+  private[graft] def covarianceExplode(s: SparkSession, d: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    val e = Tables.embeddings(s, d).select(col("embedding"))
+    val sums = e.select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy("i")
+      .agg(sum(col("x").cast("double").cast(dec)).as("sx"))
+    val prods = e.select(explode(expr(
+        s"""flatten(transform(sequence(0, ${Dims - 1}),
+           |  i -> transform(sequence(i, ${Dims - 1}),
+           |    j -> struct(i AS i, j AS j,
+           |      CAST(embedding[i] AS DOUBLE) * CAST(embedding[j] AS DOUBLE) AS p))))""".stripMargin))
+        .as("t"))
+      .select(col("t.i").as("i"), col("t.j").as("j"), col("t.p").as("p"))
+      .groupBy("i", "j")
+      .agg(sum(col("p").cast(dec)).as("sxy"), count(lit(1)).as("n"))
+    prods
+      .join(sums.toDF("i", "sxi"), "i")
+      .join(sums.toDF("j", "sxj"), "j")
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        round(col("sxy").cast("double") / col("n").cast("double") -
+          (col("sxi").cast("double") / col("n").cast("double")) *
+            (col("sxj").cast("double") / col("n").cast("double")), 6).as("cov"))
+      .orderBy("i", "j")
+  }
+
+  /** Round-4 explode formulation of sim10 — parity cross-check for
+    * the dim_moments + per-row-fold production path above. */
+  private[graft] def mahalanobisExplode(s: SparkSession, d: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    val x = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "xf")))
+      .withColumn("x", col("xf").cast("double"))
+    val mom = x.groupBy("i").agg(
+        sum(col("x").cast(dec)).as("sx"),
+        sum((col("x") * col("x")).cast(dec)).as("sxx"),
+        count(lit(1)).as("n"))
+      .select(col("i"),
+        (col("sx").cast("double") / col("n").cast("double")).as("mu"),
+        (col("sxx").cast("double") / col("n").cast("double") -
+          (col("sx").cast("double") / col("n").cast("double")) *
+            (col("sx").cast("double") / col("n").cast("double"))).as("v"))
+    x.join(broadcast(mom), "i")
+      .withColumn("term",
+        expr("CASE WHEN v > 0 THEN (x - mu) * (x - mu) / v ELSE 0.0 END"))
+      .groupBy("vec_id")
+      .agg(sum(col("term").cast(org.apache.spark.sql.types.DecimalType(28, 10)))
+        .cast("double").as("m"))
+      .select(col("vec_id"), round(col("m"), 6).as("mahalanobis"))
+      .orderBy(col("mahalanobis").desc, col("vec_id").asc)
+      .limit(MahalTopK)
+  }
 
   /** sim01/sim04 oracle texts, extracted so sim11's evaluation
     * oracle nests the exact relations it grades. */
