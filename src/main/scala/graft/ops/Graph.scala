@@ -83,45 +83,46 @@ object Graph {
   }
 
   val queries: Map[String, Q] = Map(
-    // Bounded multi-source BFS (min-hop labels). Frontier loop: round
-    // k joins ONLY the round-(k-1) frontier against the edge frame,
-    // so per-round work tracks the frontier size — on a 100 TB graph
-    // with bounded expansion this is the difference between k scans
-    // of the discovered set and k scans of everything. The driver
-    // sees one scalar (frontier size) per round; labels are
-    // localCheckpoint'ed per round (dd07's unbounded-loop hygiene).
-    // First discovery = minimum hop count on an unweighted graph, so
-    // the frontier order IS the min-hop order — no re-labeling pass.
+    // Bounded multi-source BFS (min-hop labels), frontier-DELTA form
+    // (round 5): round k joins ONLY the round-(k-1) frontier against
+    // the edge frame, anti-joins the reached set against the
+    // discovered-so-far frame, and keeps just the round's DELTA
+    // `(doc_id, hops=k)` — the full label frame is never rewritten
+    // (the round-4 shape re-materialized ALL node labels every
+    // round, so k rounds cost k full label passes). Discovered-so-far
+    // is a lazy union of per-round localCheckpoint'ed deltas: each
+    // anti-join scans only already-materialized output-sized frames,
+    // and the final result is that same union, ordered — per-round
+    // work tracks the frontier and the discovered set, never the
+    // graph. First discovery = minimum hop count on an unweighted
+    // graph, so no re-labeling pass exists. The driver sees one
+    // scalar (delta size) per round.
     "g02_bfs_hops" -> ((s, d) => {
       val pairs = Dedup.lshVerifiedPairs(Dedup.minhashSignatures(s, d))
         .select("doc_a", "doc_b").cache()
       val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
         .cache()
-      val nodes = edges.select(col("src").as("doc_id")).distinct()
-      var labels = nodes
-        .withColumn("hops",
-          when(expr(seedPred("doc_id")), 0L).otherwise(lit(null).cast("long")))
+      var frontier = edges.select(col("src").as("doc_id")).distinct()
+        .filter(expr(seedPred("doc_id")))
+        .withColumn("hops", lit(0L))
         .localCheckpoint()
-      var frontier = labels.filter(col("hops") === 0L)
+      var discovered = frontier
       var k = 1L
       var more = frontier.count() > 0
       while (more && k <= MaxHops) {
         val reached = frontier.join(edges, frontier("doc_id") === edges("src"))
           .select(col("dst").as("doc_id")).distinct()
-        val step = labels
-          .join(reached.withColumn("nh", lit(k)), Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("hops"), col("nh")).as("hops"))
+        val delta = reached
+          .join(discovered, Seq("doc_id"), "left_anti")
+          .withColumn("hops", lit(k))
           .localCheckpoint()
-        frontier = step.filter(col("hops") === k)
-        more = frontier.count() > 0
-        labels = step
+        more = delta.count() > 0
+        discovered = discovered.union(delta)
+        frontier = delta
         k += 1
       }
-      val result = labels.filter(col("hops").isNotNull)
-        .orderBy("doc_id")
-        .localCheckpoint()
+      val result = discovered.orderBy("doc_id").localCheckpoint()
       Seq(pairs, edges).foreach(_.unpersist())
       result
     }),
