@@ -1,5 +1,10 @@
 package graft.ops
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.BinaryType
@@ -13,63 +18,125 @@ import org.apache.spark.sql.types.BinaryType
   * partition, groups it into fixed-size batches (the shape a real
   * decoder library would want), and emits typed feature rows.
   *
-  * STUB NOTE: this container has no image/audio codecs, so
-  * [[decodeStub]] is a clearly-marked deterministic fake "decoder"
-  * (byte length / bounded checksum / synthetic dimensions). The
-  * Spark-side plumbing — binary column, metadata schema, batch
-  * iteration, partitioning — is real and oracle-checked; swapping
-  * [[decodeStub]] for a JNI/codec call is the only change needed for
-  * real media.
+  * The image path is REAL (round 5; no codec stub): mm01 synthesizes
+  * genuine PNG payloads in-plan (`javax.imageio` encode — the
+  * container ships no media files, so the fixture is generated from
+  * deterministic doc-derived parameters), then decodes them from
+  * bytes with `ImageIO.read` inside the batched `mapPartitions` and
+  * emits decoded width/height/band-count/pixel-checksum. Because the
+  * encode parameters are pure arithmetic over `documents`, the DuckDB
+  * oracle reproduces the expected features independently — a decode
+  * that faked its output would hash-mismatch. Only mm02's per-frame
+  * "resize" metadata remains arithmetic (a video codec genuinely
+  * isn't available); its sampling plan shape is the real one.
   */
 object Multimodal {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Batch size handed to the (stubbed) decoder — the tunable that
-    * would control decoder memory at scale. */
+  /** Batch size handed to the decoder — the tunable that would
+    * control decoder memory at scale. */
   val DecodeBatchSize = 64
+
+  /** Pixels (row-major prefix) folded into the decode checksum. */
+  val ChecksumPixels = 64
 
   /** Opaque media row: payload is a binary column. */
   final case class MediaRow(doc_id: Long, mime: String, payload: Array[Byte])
 
-  /** Typed decode output. */
-  final case class MediaFeat(doc_id: Long, mime: String, n_bytes: Long,
-      checksum64: Long, width: Int, height: Int)
+  /** Typed decode output: decoded-from-bytes image features. A
+    * payload the codec rejects quarantines as (-1, -1, 0, -1) — the
+    * row a production pipeline routes to a dead-letter sink rather
+    * than dropping silently. */
+  final case class MediaFeat(doc_id: Long, mime: String, width: Int,
+      height: Int, channels: Int, pix_checksum: Long)
 
-  /** STUB decoder: deterministic fake features in place of a real
-    * codec (none available in this container). Bounded work per row
-    * regardless of payload size (first 64 bytes only). */
-  def decodeStub(r: MediaRow): MediaFeat = {
-    val checksum = r.payload.take(64).foldLeft(0L)((a, b) => a + (b & 0xff))
-    MediaFeat(r.doc_id, r.mime, r.payload.length.toLong, checksum,
-      (r.doc_id % 640 + 1).toInt, (r.doc_id % 480 + 1).toInt)
+  /** Deterministic PNG fixture: dims and pixel bytes derive from
+    * (doc_id, text) so the oracle can predict the DECODED features
+    * arithmetically. Odd doc_ids encode 8-bit grayscale, even RGB
+    * (all three channels equal), so both common raster layouts flow
+    * through the decoder. Pixel (x, y) carries text byte
+    * `(y·w + x) mod len` (0 for an empty doc) — ASCII corpus, so
+    * byte == codepoint on the oracle side. */
+  def encodePng(docId: Long, text: String): Array[Byte] = {
+    val w = (docId % 64 + 1).toInt
+    val h = (docId % 48 + 1).toInt
+    val gray = docId % 2 == 1
+    val img = new BufferedImage(w, h,
+      if (gray) BufferedImage.TYPE_BYTE_GRAY else BufferedImage.TYPE_3BYTE_BGR)
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = if (bytes.isEmpty) 0 else bytes((y * w + x) % bytes.length) & 0xff
+        if (gray) raster.setSample(x, y, 0, v)
+        else img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL decode: `ImageIO.read` on the payload bytes (PNG/JPEG/GIF/
+    * BMP — the JDK's built-in readers; no external codecs). Features
+    * come from the decoded raster, not from metadata: width/height,
+    * band count (1 for grayscale, 3 for RGB), and a checksum over the
+    * first [[ChecksumPixels]] pixels' band-0 samples (bounded work
+    * per row regardless of image size). */
+  def decodeImage(r: MediaRow): MediaFeat = {
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(r.payload))
+      catch { case _: java.io.IOException => null }
+    if (img == null) MediaFeat(r.doc_id, r.mime, -1, -1, 0, -1L)
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val raster = img.getRaster
+      val n = math.min(ChecksumPixels.toLong, w.toLong * h).toInt
+      var sum = 0L
+      var i = 0
+      while (i < n) {
+        sum += raster.getSample(i % w, i / w, 0)
+        i += 1
+      }
+      MediaFeat(r.doc_id, r.mime, w, h, raster.getNumBands, sum)
+    }
   }
 
   /** The batched decode pass: per partition, group rows into
     * [[DecodeBatchSize]] batches and decode each batch (one
-    * vectorized call in a real decoder). `grouped` naturally yields
-    * a short final batch and nothing for an empty partition, so any
-    * partitioning — including partitions smaller than a batch —
-    * decodes every row exactly once (MultimodalSpec). */
+    * vectorized call in a decoder with batch APIs). `grouped`
+    * naturally yields a short final batch and nothing for an empty
+    * partition, so any partitioning — including partitions smaller
+    * than a batch — decodes every row exactly once (MultimodalSpec). */
   def decodeFeatures(media: org.apache.spark.sql.Dataset[MediaRow])
       : org.apache.spark.sql.Dataset[MediaFeat] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.grouped(DecodeBatchSize).flatMap { batch =>
-        batch.iterator.map(decodeStub)
+        batch.iterator.map(decodeImage)
       }
     }
   }
 
   val queries: Map[String, Q] = Map(
-    // Binary media column → batched mapPartitions decode → typed
-    // feature frame. documents.text stands in for the media bytes.
+    // Binary media column → batched mapPartitions decode (REAL
+    // ImageIO, see object doc) → typed feature frame. The encode
+    // stage stands in for reading media bytes off object storage;
+    // everything downstream of the binary column is exactly the
+    // production dataflow.
     "mm01_media_features" -> ((s, d) => {
       import s.implicits._
       val media = graft.Tables.documents(s, d)
-        .select(col("doc_id"),
-          concat(lit("media/"), col("source")).as("mime"),
-          col("text").cast(BinaryType).as("payload"))
-        .as[MediaRow]
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          MediaRow(id, "image/png", encodePng(id, Option(text).getOrElse("")))
+        })
       decodeFeatures(media).toDF().orderBy("doc_id")
     })
   )
@@ -170,21 +237,31 @@ object Multimodal {
          |FROM fr ORDER BY doc_id, frame_idx""".stripMargin
   )
 
-  /** Oracle: the stub's arithmetic re-expressed over the (ASCII)
-    * text — byte length == char length and byte value == codepoint
-    * for this corpus, which keeps the plumbing verifiable. */
+  /** Oracle: the DECODED features re-derived arithmetically from the
+    * encode parameters (dims/channels from doc_id, pixel bytes from
+    * the ASCII text — byte == codepoint for this corpus). The Spark
+    * side must round-trip real PNG bytes through `ImageIO` to
+    * reproduce these numbers; a decoder that echoed metadata instead
+    * of decoding would still pass, but one that decoded WRONGLY
+    * (dims, band count, or any of the first 64 pixel samples)
+    * hash-mismatches. */
   val oracle: Map[String, String] = Map(
     "mm01_media_features" ->
-      """SELECT doc_id,
-        |  'media/' || source AS mime,
-        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+      s"""SELECT doc_id,
+        |  'image/png' AS mime,
+        |  CAST(doc_id % 64 + 1 AS INT) AS width,
+        |  CAST(doc_id % 48 + 1 AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 3 END AS INT) AS channels,
         |  CAST(list_reduce(
         |    list_prepend(CAST(0 AS BIGINT),
-        |      list_transform(generate_series(1, least(strlen(text), 64)),
-        |                     i -> CAST(unicode(substr(text, i, 1)) AS BIGINT))),
-        |    (a, b) -> a + b) AS BIGINT) AS checksum64,
-        |  CAST(doc_id % 640 + 1 AS INT) AS width,
-        |  CAST(doc_id % 480 + 1 AS INT) AS height
+        |      list_transform(
+        |        generate_series(0, CAST(least($ChecksumPixels,
+        |          (doc_id % 64 + 1) * (doc_id % 48 + 1)) AS INT) - 1),
+        |        i -> CAST(CASE WHEN strlen(text) = 0 THEN 0
+        |                  ELSE unicode(substr(text,
+        |                    CAST(i % strlen(text) AS INT) + 1, 1))
+        |                  END AS BIGINT))),
+        |    (a, b) -> a + b) AS BIGINT) AS pix_checksum
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

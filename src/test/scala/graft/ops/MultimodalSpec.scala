@@ -3,14 +3,16 @@ package graft.ops
 import graft.SparkSpec
 import graft.ops.Multimodal.{MediaRow, MediaFeat}
 
-/** Boundary behavior of the batched media decode: partitions smaller
-  * than a decode batch, empty partitions, and an empty dataset must
-  * all decode every present row exactly once. */
+/** Boundary behavior of the batched media decode (partitions smaller
+  * than a decode batch, empty partitions, empty dataset must all
+  * decode every present row exactly once) plus the REAL ImageIO
+  * round-trip: encoded PNG bytes must decode back to the exact
+  * dimensions, band count, and pixel samples they were built from. */
 class MultimodalSpec extends SparkSpec {
 
   private def rows(n: Int): Seq[MediaRow] =
-    (0 until n).map(i => MediaRow(i.toLong, s"media/m$i",
-      s"payload-$i".getBytes("UTF-8")))
+    (0 until n).map(i => MediaRow(i.toLong, "image/png",
+      Multimodal.encodePng(i.toLong, s"payload-$i")))
 
   test("decode covers partitions smaller than DecodeBatchSize and empty partitions") {
     import spark.implicits._
@@ -22,7 +24,37 @@ class MultimodalSpec extends SparkSpec {
     assert(out.length === n)
     assert(out.map(_.doc_id).toSeq === (0L until n.toLong))
     // features equal the direct single-row decode — batching is shape only
-    assert(out.toSeq === rows(n).map(Multimodal.decodeStub))
+    assert(out.toSeq === rows(n).map(Multimodal.decodeImage))
+  }
+
+  test("PNG round-trip: decoded features equal the encode parameters, both raster layouts") {
+    // doc_id 7 → odd → 8-bit grayscale (1 band); doc_id 10 → even →
+    // RGB (3 bands). Dims and pixels are doc-derived arithmetic.
+    val text = "The quick brown fox jumps over the lazy dog"
+    Seq(7L, 10L).foreach { id =>
+      val feat = Multimodal.decodeImage(
+        MediaRow(id, "image/png", Multimodal.encodePng(id, text)))
+      assert(feat.width === (id % 64 + 1).toInt)
+      assert(feat.height === (id % 48 + 1).toInt)
+      assert(feat.channels === (if (id % 2 == 1) 1 else 3))
+      val bytes = text.getBytes("US-ASCII")
+      val n = math.min(Multimodal.ChecksumPixels, feat.width * feat.height)
+      val want = (0 until n).map(i => (bytes(i % bytes.length) & 0xff).toLong).sum
+      assert(feat.pix_checksum === want)
+    }
+  }
+
+  test("undecodable payload quarantines instead of throwing") {
+    val bad = Multimodal.decodeImage(
+      MediaRow(3L, "image/png", Array[Byte](1, 2, 3, 4, 5)))
+    assert(bad === Multimodal.MediaFeat(3L, "image/png", -1, -1, 0, -1L))
+  }
+
+  test("empty text encodes an all-zero 1x1-or-larger image that decodes cleanly") {
+    val feat = Multimodal.decodeImage(
+      MediaRow(49L, "image/png", Multimodal.encodePng(49L, "")))
+    assert(feat.width === 50 && feat.height === 2)
+    assert(feat.pix_checksum === 0L)
   }
 
   test("decode of a partition exactly at and one over the batch size") {
@@ -59,12 +91,13 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.filter(org.apache.spark.sql.functions.col("doc_id") === 1L).count() === 1)
   }
 
-  test("decodeStub is bounded: checksum reads at most 64 bytes") {
-    val big = MediaRow(7L, "media/x", Array.fill[Byte](1 << 20)(1))
-    val small = MediaRow(7L, "media/x", Array.fill[Byte](64)(1))
-    val a = Multimodal.decodeStub(big)
-    val b = Multimodal.decodeStub(small)
-    assert(a.checksum64 === b.checksum64) // same first-64 prefix
-    assert(a.n_bytes === (1L << 20))
+  test("decode checksum is bounded: at most ChecksumPixels samples regardless of image size") {
+    // doc_id 63 → 64×16 = 1024 pixels, every pixel 'a' (text "a"
+    // repeats): the checksum must fold exactly ChecksumPixels of
+    // them, not the full raster
+    val big = Multimodal.decodeImage(
+      MediaRow(63L, "image/png", Multimodal.encodePng(63L, "a")))
+    assert(big.width === 64 && big.height === 16)
+    assert(big.pix_checksum === Multimodal.ChecksumPixels.toLong * 'a'.toLong)
   }
 }
