@@ -178,8 +178,18 @@ object DataQuality {
         Tables.dsum(col("value"), 6).as("s1"),
         Tables.dsum(col("value") * col("value"), 6).as("s2"))
         .withColumn("mean", col("s1") / col("n"))
-        .withColumn("sd",
-          sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1.0)))
+        .withColumn("variance",
+          (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1.0))
+        // degenerate-group guard: n=1 yields variance=NaN (÷(n−1)=0)
+        // and a constant group yields 0 (or a tiny float negative) →
+        // z=NaN/±Inf, and Spark's comparisons treat NaN as LARGER
+        // than any double, so |z|>3 would pass garbage rows. The
+        // guard compares the variance (not sqrt of it) so NaN never
+        // reaches a cross-engine comparison: DuckDB mirrors the same
+        // `var > 0` predicate. A group too small or too flat to
+        // define a z-score emits nothing.
+        .filter(col("n") > 1.0 && col("variance") > 0.0)
+        .withColumn("sd", sqrt(col("variance")))
         .select("line", "mean", "sd")
       e.join(broadcast(st), "line")
         .withColumn("z", (col("value") - col("mean")) / col("sd"))
@@ -299,6 +309,7 @@ object DataQuality {
         |  SELECT line, s1 / n AS mean,
         |         sqrt((s2 - s1 * s1 / n) / (n - 1.0)) AS sd
         |  FROM st
+        |  WHERE n > 1.0 AND (s2 - s1 * s1 / n) / (n - 1.0) > 0.0
         |)
         |SELECT event_id, e.line, value, round((value - mean) / sd, 6) AS z
         |FROM e JOIN m USING (line)

@@ -500,8 +500,10 @@ object Dedup {
     // damping 0.85; per-node rank starts at 1/N. Each iteration is
     // ONE join (ranks ⋈ edges on src) + one map-side-combinable
     // aggregate on dst — the Pregel shape, exactly dd07's dataflow
-    // with sum instead of min — and frames are localCheckpoint'ed
-    // per round (lineage hygiene; plans stay O(1) deep). In-sums are
+    // with sum instead of min — chained as one lazy fixed-depth plan
+    // (no per-round checkpoint: see the loop comment below for why a
+    // CONSTANT iteration count needs none where dd07's unbounded
+    // loop does). In-sums are
     // decimal-exact (DECIMAL(28,14)): contribution addends are
     // identical doubles in both engines by induction from the exact
     // 1/N start, so five chained float iterations stay bit-identical

@@ -40,7 +40,11 @@ object Graph {
   val SeedMod = 8
   val MaxHops = 6
 
-  /** g04: result cap — the top-K strongest unlinked pairs. */
+  /** g04: result cap — the top-K strongest unlinked pairs. The
+    * LIMIT cut is deterministic across engines only because both
+    * sides order by the ROUNDED score (identical doubles by the
+    * exact-rational construction) then (part_a, part_b) — a total
+    * order with no ties left to the engine. */
   val LinkTopK = 100
 
   private def seedPred(c: String): String =

@@ -165,6 +165,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.length < total * 0.05, s"${rows.length} of $total flagged")
   }
 
+  test("anomaly: degenerate groups (n=1, constant-valued) emit nothing instead of NaN/Inf z") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dq03-degenerate").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // "solo": one row (sd undefined); "flat": constant values (sd=0);
+    // "real": a populated group with one obvious outlier
+    val rows =
+      Seq((1L, "solo", 5.0)) ++
+      (2L to 11L).map(i => (i, "flat", 7.5)) ++
+      // outlier stays inside dq03's DECIMAL(18,6) window for value²
+      ((12L to 41L).map(i => (i, "real", 10.0 + (i % 3) * 0.1)) :+ (42L, "real", 1000.0))
+    rows.map { case (id, t, v) => (id, t, v, t0) }
+      .toDF("event_id", "event_type", "value", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("dq03_anomaly")(spark, dir).collect()
+    assert(out.nonEmpty, "the planted outlier must be flagged")
+    out.foreach { r =>
+      val z = r.getAs[Double]("z")
+      assert(!z.isNaN && !z.isInfinite, s"degenerate z leaked: $z")
+      assert(r.getAs[String]("line") === "real")
+    }
+  }
+
   // --- ds05_curriculum -----------------------------------------------
 
   test("curriculum: positions are a permutation, stages are contiguous quartiles, score non-decreasing") {
