@@ -44,13 +44,19 @@ object Similarity {
   val RangeTau = 0.2 // sim08: radius-search cosine threshold
 
   /** Product quantization (sim07): M subspaces × SubDims dims; K
-    * codewords per subspace (the K lowest-id vectors' subvectors —
-    * the same "leading vectors as deterministic k-means seed"
-    * convention as IVF's centroids). 64 float dims compress to
-    * M log2(K) = 12 bits per vector. */
+    * codewords per subspace. 64 float dims compress to
+    * M log2(K) = 12 bits per vector. Codebooks are TRAINED (round
+    * 5): [[PqTrainIters]] deterministic per-subspace Lloyd
+    * iterations from the first-PqK seed (the same "leading vectors
+    * as deterministic k-means seed" convention as IVF's centroids) —
+    * assignment by (sq_dist, code) rank, update by decimal-exact
+    * per-dim means, empty clusters retain their previous codeword.
+    * Every step is mirrored in the DuckDB oracle, so the TRAINING
+    * dataflow itself is hash-checked, not just the search. */
   val PqM = 4
   val PqSubDims = Dims / PqM // 16
   val PqK = 8
+  val PqTrainIters = 2
 
   /** The left-fold dot product in DuckDB SQL (list_reduce has no seed; a fold of
     * [v1..vn] from v1 equals Spark's 0.0-seeded fold bit-for-bit). */
@@ -66,6 +72,119 @@ object Similarity {
     def el(c: String) = s"CAST($c[i + $off] AS DOUBLE)"
     s"list_reduce(list_transform(generate_series(1, $PqSubDims), " +
       s"i -> (${el(a)} - ${el(b)}) * (${el(a)} - ${el(b)})), (x, y) -> x + y)"
+  }
+
+  /** The PQ codebook as a DuckDB CTE chain ending in `cb(code, cw)`:
+    * untrained = the raw first-PqK vectors; trained = the
+    * [[PqTrainIters]]-iteration Lloyd mirror of
+    * [[pqTrainedCodebook]], step for step (assignment ranked by
+    * (sq_dist, code); decimal-exact per-dim means; empty clusters
+    * retain the previous codeword via the LEFT JOIN coalesce). */
+  private def pqCodebookSql(trained: Boolean): String = {
+    if (!trained)
+      s"""cb AS (
+         |  SELECT vec_id AS code, embedding AS cw FROM embeddings WHERE vec_id < $PqK
+         |)""".stripMargin
+    else {
+      def dist(vec: String, cw: String, m: String) = {
+        def el = s"CAST($vec[i + $m * $PqSubDims] AS DOUBLE)"
+        s"list_reduce(list_transform(generate_series(1, $PqSubDims), " +
+          s"i -> ($el - $cw[i]) * ($el - $cw[i])), (x, y) -> x + y)"
+      }
+      val iters = (1 to PqTrainIters).map { t =>
+        val prev = s"cb${t - 1}"
+        s"""a$t AS (
+           |  SELECT vec_id, m, code FROM (
+           |    SELECT v.vec_id, c.m, c.code,
+           |           row_number() OVER (PARTITION BY v.vec_id, c.m
+           |             ORDER BY ${dist("v.embedding", "c.cw", "c.m")}, c.code) AS rn
+           |    FROM embeddings v CROSS JOIN $prev c
+           |  ) WHERE rn = 1
+           |),
+           |m$t AS (
+           |  SELECT a.m, a.code, t.i AS pos,
+           |         CAST(sum(CAST(CAST(v.embedding[t.i + a.m * $PqSubDims + 1] AS DOUBLE)
+           |           AS DECIMAL(18,8))) AS DOUBLE)
+           |           / CAST(count(*) AS DOUBLE) AS mean
+           |  FROM a$t a JOIN embeddings v USING (vec_id),
+           |       generate_series(0, ${PqSubDims - 1}) AS t(i)
+           |  GROUP BY a.m, a.code, t.i
+           |),
+           |g$t AS (SELECT m, code, list(mean ORDER BY pos) AS cw FROM m$t GROUP BY m, code),
+           |cb$t AS (
+           |  SELECT c.m, c.code, coalesce(g.cw, c.cw) AS cw
+           |  FROM $prev c LEFT JOIN g$t g ON g.m = c.m AND g.code = c.code
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""cb0 AS (
+         |  SELECT mm.m AS m, vec_id AS code,
+         |         list_transform(generate_series(1, $PqSubDims),
+         |           i -> CAST(embedding[i + mm.m * $PqSubDims] AS DOUBLE)) AS cw
+         |  FROM embeddings, generate_series(0, ${PqM - 1}) AS mm(m)
+         |  WHERE vec_id < $PqK
+         |),
+         |$iters,
+         |cb AS (
+         |  SELECT code, flatten(list(cw ORDER BY m)) AS cw
+         |  FROM cb$PqTrainIters GROUP BY code
+         |)""".stripMargin
+    }
+  }
+
+  /** sim07's full encode+ADC oracle over either codebook mode —
+    * shared by the sim07 entry (trained) and sim12's side-by-side
+    * evaluation (both). */
+  private def pqAdcSql(trained: Boolean): String = {
+    val dCols = (0 until PqM)
+      .map(m => s"${sqDistSql("e.embedding", "cb.cw", m)} AS d$m").mkString(",\n    ")
+    val rCols = (0 until PqM)
+      .map(m => s"row_number() OVER (PARTITION BY vec_id ORDER BY d$m, code) AS r$m")
+      .mkString(",\n    ")
+    val cCols = (0 until PqM)
+      .map(m => s"max(CASE WHEN r$m = 1 THEN code END) AS c$m").mkString(",\n    ")
+    val qdCols = (0 until PqM)
+      .map(m => s"${sqDistSql("q.qe", "cb.cw", m)} AS qd$m").mkString(",\n    ")
+    val tJoins = (1 until PqM)
+      .map(m => s"JOIN qtab t$m ON t$m.query_id = t0.query_id AND t$m.code = codes.c$m")
+      .mkString("\n  ")
+    s"""WITH ${pqCodebookSql(trained)},
+       |scored AS (
+       |  SELECT e.vec_id, cb.code,
+       |    $dCols
+       |  FROM embeddings e CROSS JOIN cb
+       |),
+       |rn AS (
+       |  SELECT vec_id, code,
+       |    $rCols
+       |  FROM scored
+       |),
+       |codes AS (
+       |  SELECT vec_id,
+       |    $cCols
+       |  FROM rn GROUP BY vec_id
+       |),
+       |q AS (
+       |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < $KnnQueries
+       |),
+       |qtab AS (
+       |  SELECT q.query_id, cb.code,
+       |    $qdCols
+       |  FROM q CROSS JOIN cb
+       |),
+       |j AS (
+       |  SELECT t0.query_id, codes.vec_id AS neighbor_id,
+       |         t0.qd0 + t1.qd1 + t2.qd2 + t3.qd3 AS adc
+       |  FROM codes
+       |  JOIN qtab t0 ON t0.code = codes.c0
+       |  $tJoins
+       |  WHERE codes.vec_id <> t0.query_id
+       |)
+       |SELECT query_id, neighbor_id, round(adc, 6) AS adc_dist
+       |FROM (SELECT j.*,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rk
+       |      FROM j) t
+       |WHERE rk <= $KnnK
+       |ORDER BY query_id, neighbor_id""".stripMargin
   }
 
   private val normedCte =
@@ -373,44 +492,10 @@ object Similarity {
     // feasible: the code table is ~0.5 GB per billion vectors, and
     // the ADC scan composes with IVF cell pruning (sim04/sim06) the
     // same way FAISS IVFPQ does — probe cells first, ADC within.
-    "sim07_pq_adc" -> ((s, d) => {
-      VectorExprs.register(s)
-      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
-      val cb = e.filter(col("vec_id") < PqK)
-        .select(col("vec_id").as("code"), col("embedding").as("cw"))
-      def sub(c: String, m: Int) = s"slice($c, ${m * PqSubDims + 1}, $PqSubDims)"
-      val scored = (0 until PqM).foldLeft(e.crossJoin(broadcast(cb))) { (df, m) =>
-        df.withColumn(s"d$m", expr(s"sq_dist(${sub("embedding", m)}, ${sub("cw", m)})"))
-      }
-      val aggCols = (0 until PqM).map(m =>
-        min(struct(col(s"d$m").as("d"), col("code").as("code"))).as(s"b$m"))
-      val codes = scored.groupBy("vec_id")
-        .agg(aggCols.head, aggCols.tail: _*)
-        .select(col("vec_id") +:
-          (0 until PqM).map(m => col(s"b$m.code").as(s"c$m")): _*)
-      val q = e.filter(col("vec_id") < KnnQueries)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-      val qtabs = (0 until PqM).map { m =>
-        q.crossJoin(cb)
-          .select(col("query_id").as(s"q$m"), col("code").as(s"qc$m"),
-            expr(s"sq_dist(${sub("qe", m)}, ${sub("cw", m)})").as(s"qd$m"))
-      }
-      val joined = (1 until PqM).foldLeft(
-        codes.join(broadcast(qtabs(0)), col("c0") === col("qc0"))
-          .withColumnRenamed("q0", "query_id")) { (df, m) =>
-        df.join(broadcast(qtabs(m)),
-          col("query_id") === col(s"q$m") && col(s"c$m") === col(s"qc$m"))
-      }
-      val w = Window.partitionBy("query_id").orderBy(col("adc").asc, col("vec_id").asc)
-      joined
-        .filter(col("vec_id") =!= col("query_id"))
-        .withColumn("adc", expr("qd0 + qd1 + qd2 + qd3"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= KnnK)
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          round(col("adc"), 6).as("adc_dist"))
-        .orderBy("query_id", "neighbor_id")
-    }),
+    // Codebooks are Lloyd-TRAINED ([[pqTrainedCodebook]]); the
+    // untrained first-PqK variant survives as [[pqAdc]]'s other mode
+    // for sim12's trained-vs-seed recall evaluation.
+    "sim07_pq_adc" -> ((s, d) => pqAdc(s, d, trained = true)),
 
     // Radius (range) search — the other half of the similarity API:
     // not "k nearest" but "ALL neighbors with cosine ≥ τ" (the query
@@ -564,8 +649,135 @@ object Similarity {
           round(col("n_hit").cast("double") / col("n_ret").cast("double"), 6)
             .as("precision"))
         .orderBy("query_id")
+    }),
+
+    // Does PQ training pay? — the evaluation that justifies sim07's
+    // Lloyd iterations AS a measured dataflow: per query, how many of
+    // the ADC top-K (trained codebook vs the first-PqK seed) land in
+    // the exact-kNN ground truth (sim01). Same spine/count shape as
+    // sim11; both PQ variants and the ground truth are full dataflow
+    // relations, so the comparison itself is oracle-hash-checked. At
+    // 100 TB this runs on a sampled query set next to sim11 — the
+    // retrain/no-retrain decision signal for the index build.
+    "sim12_pq_train_eval" -> ((s, d) => {
+      val bf = queries("sim01_knn")(s, d).select("query_id", "neighbor_id")
+      def hits(pq: DataFrame, out: String): DataFrame = pq
+        .select("query_id", "neighbor_id")
+        .join(bf.withColumn("hit", lit(1L)), Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(sum(coalesce(col("hit"), lit(0L))).cast("long").as(out))
+      val spine = Tables.embeddings(s, d)
+        .filter(col("vec_id") < KnnQueries)
+        .select(col("vec_id").as("query_id"))
+      spine
+        .join(hits(pqAdc(s, d, trained = false), "n_hit_seed"), Seq("query_id"), "left")
+        .join(hits(pqAdc(s, d, trained = true), "n_hit_trained"), Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hit_seed"), lit(0L)).as("n_hit_seed"),
+          coalesce(col("n_hit_trained"), lit(0L)).as("n_hit_trained"))
+        .orderBy("query_id")
     })
   )
+
+  /** Per-subspace Lloyd-trained PQ codebook: [[PqTrainIters]]
+    * deterministic iterations from the first-[[PqK]] seed. Returns
+    * one row per code with the full-[[Dims]] `array<double>`
+    * codeword (subspace codewords concatenated in m order), the
+    * layout [[pqAdc]] slices. Assignment ranks by (sq_dist, code) —
+    * a total order, no engine-left ties; update is the decimal-exact
+    * per-dim mean (Tables.dsum scale 8, the sim03 convention); a
+    * codeword that attracts no vectors RETAINS its previous value
+    * (the standard empty-cluster rule, and the deterministic one).
+    * Scale: each iteration is one broadcast-join scan (n·M·K fused
+    * codegen distances) + one posexplode aggregate of n·SubDims rows
+    * — the same shapes sim04/sim03 already run; the codebook frame
+    * itself is M·K rows, always broadcast-size. */
+  private[graft] def pqTrainedCodebook(s: SparkSession, d: String): DataFrame = {
+    VectorExprs.register(s)
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val subExpr = s"""transform(sequence(0, ${PqM - 1}), m -> struct(m AS m,
+                     |  transform(slice(embedding, m * $PqSubDims + 1, $PqSubDims),
+                     |    x -> CAST(x AS DOUBLE)) AS sv))""".stripMargin
+    var cb = e.filter(col("vec_id") < PqK)
+      .select(col("vec_id").as("code"), explode(expr(subExpr)).as("t"))
+      .select(col("t.m").as("m"), col("code"), col("t.sv").as("cw"))
+      .localCheckpoint()
+    val subs = e
+      .select(col("vec_id"), explode(expr(subExpr)).as("t"))
+      .select(col("vec_id"), col("t.m").as("m"), col("t.sv").as("sv"))
+    (1 to PqTrainIters).foreach { _ =>
+      val assigned = subs.join(broadcast(cb), "m")
+        .withColumn("d2", expr("sq_dist(sv, cw)"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id", "m").orderBy(col("d2").asc, col("code").asc)))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("m"), col("code"))
+      val means = assigned.join(e, "vec_id")
+        .select(col("m"), col("code"),
+          posexplode(expr(s"slice(embedding, m * $PqSubDims + 1, $PqSubDims)"))
+            .as(Seq("pos", "v")))
+        .groupBy("m", "code", "pos")
+        .agg((Tables.dsum(col("v").cast("double"), 8) /
+          count(lit(1)).cast("double")).as("mean"))
+      val grouped = means.groupBy("m", "code")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, mean))), t -> t.mean)")
+          .as("cw_new"))
+      cb = cb.join(grouped, Seq("m", "code"), "left")
+        .select(col("m"), col("code"),
+          coalesce(col("cw_new"), col("cw")).as("cw"))
+        .localCheckpoint()
+    }
+    cb.groupBy("code")
+      .agg(expr("flatten(transform(array_sort(collect_list(struct(m, cw))), t -> t.cw))")
+        .as("cw"))
+  }
+
+  /** PQ encode + ADC search over either codebook mode: `trained` —
+    * [[pqTrainedCodebook]]'s Lloyd codewords (`array<double>`);
+    * untrained — the raw first-[[PqK]] vectors (`array<float>`).
+    * `sq_dist` fuses either element type into the same left fold, so
+    * both modes share every downstream stage and their oracle SQL
+    * differs only in the codebook CTE. */
+  private[graft] def pqAdc(s: SparkSession, d: String, trained: Boolean): DataFrame = {
+    VectorExprs.register(s)
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val cb =
+      if (trained) pqTrainedCodebook(s, d)
+      else e.filter(col("vec_id") < PqK)
+        .select(col("vec_id").as("code"), col("embedding").as("cw"))
+    def sub(c: String, m: Int) = s"slice($c, ${m * PqSubDims + 1}, $PqSubDims)"
+    val scored = (0 until PqM).foldLeft(e.crossJoin(broadcast(cb))) { (df, m) =>
+      df.withColumn(s"d$m", expr(s"sq_dist(${sub("embedding", m)}, ${sub("cw", m)})"))
+    }
+    val aggCols = (0 until PqM).map(m =>
+      min(struct(col(s"d$m").as("d"), col("code").as("code"))).as(s"b$m"))
+    val codes = scored.groupBy("vec_id")
+      .agg(aggCols.head, aggCols.tail: _*)
+      .select(col("vec_id") +:
+        (0 until PqM).map(m => col(s"b$m.code").as(s"c$m")): _*)
+    val q = e.filter(col("vec_id") < KnnQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val qtabs = (0 until PqM).map { m =>
+      q.crossJoin(cb)
+        .select(col("query_id").as(s"q$m"), col("code").as(s"qc$m"),
+          expr(s"sq_dist(${sub("qe", m)}, ${sub("cw", m)})").as(s"qd$m"))
+    }
+    val joined = (1 until PqM).foldLeft(
+      codes.join(broadcast(qtabs(0)), col("c0") === col("qc0"))
+        .withColumnRenamed("q0", "query_id")) { (df, m) =>
+      df.join(broadcast(qtabs(m)),
+        col("query_id") === col(s"q$m") && col(s"c$m") === col(s"qc$m"))
+    }
+    val w = Window.partitionBy("query_id").orderBy(col("adc").asc, col("vec_id").asc)
+    joined
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc", expr("qd0 + qd1 + qd2 + qd3"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= KnnK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("adc"), 6).as("adc_dist"))
+      .orderBy("query_id", "neighbor_id")
+  }
 
   /** Round-4 explode formulation of sim09, kept as the parity
     * cross-check for the [[graft.functions.MomentPartials]]
@@ -907,60 +1119,41 @@ object Similarity {
          |FROM embeddings, (SELECT unnest(generate_series(1, $Dims)) AS i) ii
          |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
 
-    "sim07_pq_adc" -> {
-      val dCols = (0 until PqM)
-        .map(m => s"${sqDistSql("e.embedding", "cb.cw", m)} AS d$m").mkString(",\n    ")
-      val rCols = (0 until PqM)
-        .map(m => s"row_number() OVER (PARTITION BY vec_id ORDER BY d$m, code) AS r$m")
-        .mkString(",\n    ")
-      val cCols = (0 until PqM)
-        .map(m => s"max(CASE WHEN r$m = 1 THEN code END) AS c$m").mkString(",\n    ")
-      val qdCols = (0 until PqM)
-        .map(m => s"${sqDistSql("q.qe", "cb.cw", m)} AS qd$m").mkString(",\n    ")
-      val tJoins = (1 until PqM)
-        .map(m => s"JOIN qtab t$m ON t$m.query_id = t0.query_id AND t$m.code = codes.c$m")
-        .mkString("\n  ")
-      s"""WITH cb AS (
-         |  SELECT vec_id AS code, embedding AS cw FROM embeddings WHERE vec_id < $PqK
+    "sim07_pq_adc" -> pqAdcSql(trained = true),
+
+    "sim12_pq_train_eval" ->
+      s"""WITH bf AS (
+         |  SELECT query_id, neighbor_id FROM ( $sim01Sql ) t1
          |),
-         |scored AS (
-         |  SELECT e.vec_id, cb.code,
-         |    $dCols
-         |  FROM embeddings e CROSS JOIN cb
+         |seed AS (
+         |  SELECT query_id, neighbor_id FROM ( ${pqAdcSql(trained = false)} ) t2
          |),
-         |rn AS (
-         |  SELECT vec_id, code,
-         |    $rCols
-         |  FROM scored
+         |trained AS (
+         |  SELECT query_id, neighbor_id FROM ( ${pqAdcSql(trained = true)} ) t3
          |),
-         |codes AS (
-         |  SELECT vec_id,
-         |    $cCols
-         |  FROM rn GROUP BY vec_id
+         |hs AS (
+         |  SELECT seed.query_id, CAST(count(bf.neighbor_id) AS BIGINT) AS n_hit_seed
+         |  FROM seed LEFT JOIN bf
+         |    ON seed.query_id = bf.query_id AND seed.neighbor_id = bf.neighbor_id
+         |  GROUP BY seed.query_id
          |),
-         |q AS (
-         |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < $KnnQueries
+         |ht AS (
+         |  SELECT trained.query_id, CAST(count(bf.neighbor_id) AS BIGINT) AS n_hit_trained
+         |  FROM trained LEFT JOIN bf
+         |    ON trained.query_id = bf.query_id AND trained.neighbor_id = bf.neighbor_id
+         |  GROUP BY trained.query_id
          |),
-         |qtab AS (
-         |  SELECT q.query_id, cb.code,
-         |    $qdCols
-         |  FROM q CROSS JOIN cb
-         |),
-         |j AS (
-         |  SELECT t0.query_id, codes.vec_id AS neighbor_id,
-         |         t0.qd0 + t1.qd1 + t2.qd2 + t3.qd3 AS adc
-         |  FROM codes
-         |  JOIN qtab t0 ON t0.code = codes.c0
-         |  $tJoins
-         |  WHERE codes.vec_id <> t0.query_id
+         |spine AS (
+         |  SELECT vec_id AS query_id FROM embeddings WHERE vec_id < $KnnQueries
          |)
-         |SELECT query_id, neighbor_id, round(adc, 6) AS adc_dist
-         |FROM (SELECT j.*,
-         |        row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rk
-         |      FROM j) t
-         |WHERE rk <= $KnnK
-         |ORDER BY query_id, neighbor_id""".stripMargin
-    },
+         |SELECT s.query_id,
+         |       coalesce(n_hit_seed, CAST(0 AS BIGINT)) AS n_hit_seed,
+         |       coalesce(n_hit_trained, CAST(0 AS BIGINT)) AS n_hit_trained
+         |FROM spine s
+         |LEFT JOIN hs ON hs.query_id = s.query_id
+         |LEFT JOIN ht ON ht.query_id = s.query_id
+         |ORDER BY s.query_id""".stripMargin,
+
 
     // `+ 0.0` on cov: DuckDB's round keeps the -0.0 sign on a cell
     // that rounds to zero from below, Spark's drops it (tx09

@@ -216,6 +216,39 @@ class Round4OpsSpec extends SparkSpec {
     }
   }
 
+  test("sim07: Lloyd training is shape-preserving and never increases quantization distortion") {
+    graft.functions.VectorExprs.register(spark)
+    import org.apache.spark.sql.functions.{broadcast, expr => e}
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val seed = emb.filter(col("vec_id") < Similarity.PqK)
+      .select(col("vec_id").as("code"), col("embedding").as("cw"))
+    val trained = Similarity.pqTrainedCodebook(spark, sf)
+    val cwRows = trained.collect()
+    assert(cwRows.length === Similarity.PqK)
+    cwRows.foreach { r =>
+      val cw = r.getAs[scala.collection.Seq[Double]]("cw")
+      assert(cw.length === Similarity.Dims)
+      assert(cw.forall(v => !v.isNaN && !v.isInfinite))
+    }
+    // Lloyd monotonicity: total distortion under the trained codebook
+    // must not exceed the seed codebook's
+    def distortion(cb: org.apache.spark.sql.DataFrame): Double = {
+      val dExprs = (0 until Similarity.PqM).map { m =>
+        val s = m * Similarity.PqSubDims + 1
+        min(e(s"sq_dist(slice(embedding, $s, ${Similarity.PqSubDims}), " +
+          s"slice(cw, $s, ${Similarity.PqSubDims}))")).as(s"d$m")
+      }
+      emb.crossJoin(broadcast(cb))
+        .groupBy("vec_id").agg(dExprs.head, dExprs.tail: _*)
+        .select((0 until Similarity.PqM).map(m => sum(col(s"d$m"))).reduce(_ + _).as("t"))
+        .collect()(0).getDouble(0)
+    }
+    val dSeed = distortion(seed)
+    val dTrained = distortion(trained)
+    assert(dTrained <= dSeed,
+      s"training increased distortion: $dSeed -> $dTrained")
+  }
+
   test("token_stats matches every HOF counter exactly across the corpus") {
     graft.functions.VectorExprs.register(spark)
     val stops = TextAnalysis.inList(TextAnalysis.LangStopwords.flatMap(_._2))
