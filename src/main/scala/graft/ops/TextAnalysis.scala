@@ -92,6 +92,15 @@ object TextAnalysis {
   val BpePattern =
     "''s|''t|''re|''ve|''m|''ll|''d| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
 
+  /** tx13: BPE merge rounds (bounded — each round is one pair-count
+    * aggregate + one fold pass over the distinct-word table). */
+  val BpeMerges = 6
+
+  /** tx13: symbol delimiter inside a word's flattened representation
+    * (U+001F unit separator — never produced by [[BpePattern]], whose
+    * classes cover letters, digits, space, and printable punct). */
+  val BpeDelim = "\u001f"
+
   val queries: Map[String, Q] = Map(
     // Token counting: whitespace tokens + distinct + mean length.
     // All counters come from ONE fused codegen pass (token_stats,
@@ -152,12 +161,13 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
-    // BPE-ish regex tokenization (the GPT-2 pretokenizer shape:
-    // contractions, space-prefixed letter runs, digit runs, punct
-    // runs) — the token count an LLM data pipeline actually budgets
-    // by, plus fertility = regex tokens per whitespace word. The
-    // pattern stays in the Java∩RE2 common subset so Spark and the
-    // oracle match per-character.
+    // GPT-2-style PRETOKENIZER stats (contractions, space-prefixed
+    // letter runs, digit runs, punct runs) — the token count an LLM
+    // data pipeline budgets by, plus fertility = regex tokens per
+    // whitespace word. The pattern stays in the Java∩RE2 common
+    // subset so Spark and the oracle match per-character. This is
+    // stage ONE of real BPE: tx13 trains an actual merge table over
+    // these pretokens and applies it.
     "tx06_bpe_tokens" -> ((s, d) =>
       Tables.documents(s, d)
         .withColumn("bpe",
@@ -399,10 +409,117 @@ object TextAnalysis {
         .select(col("doc_id"), col("n_tokens"),
           round(col("raw_nll"), 6).as("avg_nll"))
         .orderBy("doc_id")
+    }),
+
+    // REAL byte-pair encoding (round 5) — tx06's pretokenizer is
+    // stage one; this trains an actual merge table on the corpus and
+    // applies it. Training state is the DISTINCT-pretoken table with
+    // corpus frequencies (the standard BPE working set — vocab-sized,
+    // zipf-bounded, never the corpus); each of the [[BpeMerges]]
+    // bounded rounds is:
+    //   (1) ONE map-side-combinable aggregate counting adjacent
+    //       symbol pairs weighted by word frequency;
+    //   (2) the argmax pair as a 1-ROW broadcast (ties break
+    //       (count DESC, a, b) — total order, no driver collect);
+    //   (3) ONE fold pass re-writing each word's symbol string:
+    //       greedy leftmost merge, expressed as a left fold over the
+    //       delimited symbol representation where the merge case is
+    //       literally `acc || s` (appending b to an acc ending in
+    //       delimiter+a fuses the pair) — the same lambda text runs
+    //       in Spark `aggregate` and DuckDB `list_reduce`, so the
+    //       oracle replays training move for move.
+    // Output: the learned vocabulary with post-merge corpus
+    // occurrence counts (vocab size = row count; multi-char tokens
+    // are the trained merges). At 100 TB the word table is the only
+    // distributed state and every round exchanges vocab-sized
+    // aggregates — the dataflow HuggingFace's trainer runs in RAM,
+    // as a Spark plan.
+    "tx13_bpe_vocab" -> ((s, d) => {
+      val D = BpeDelim
+      val syms = s"filter(split(repr, '$D'), x -> x <> '')"
+      val words0 = Tables.documents(s, d)
+        .select(explode_outer(expr(s"regexp_extract_all(lower(text), '$BpePattern', 0)")).as("w"))
+        .filter(col("w").isNotNull)
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .withColumn("repr", expr(s"regexp_replace(w, '(.)', '$D$$1')"))
+        .select("w", "freq", "repr")
+        .localCheckpoint()
+      def round1(words: DataFrame): DataFrame = {
+        val pairs = words
+          .select(col("freq"), explode(expr(
+            s"""CASE WHEN size($syms) < 2
+               |THEN CAST(array() AS ARRAY<STRUCT<a: STRING, b: STRING>>)
+               |ELSE transform(sequence(1, size($syms) - 1),
+               |  i -> struct(element_at($syms, i) AS a,
+               |              element_at($syms, i + 1) AS b)) END""".stripMargin)).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("freq")).as("cnt"))
+        val best = pairs
+          .orderBy(col("cnt").desc, col("a").asc, col("b").asc).limit(1)
+          .select(col("a").as("ba"), col("b").as("bb"))
+        words.crossJoin(broadcast(best))
+          .withColumn("repr", expr(
+            s"""aggregate($syms, '',
+               |  (acc, s) -> CASE WHEN s = bb
+               |                    AND right(acc, length(ba) + 1) = concat('$D', ba)
+               |              THEN concat(acc, s)
+               |              ELSE concat(acc, '$D', s) END)""".stripMargin))
+          .select("w", "freq", "repr")
+          .localCheckpoint()
+      }
+      val wordsR = (1 to BpeMerges).foldLeft(words0)((wds, _) => round1(wds))
+      wordsR
+        .select(col("freq"), explode(expr(syms)).as("token"))
+        .groupBy("token")
+        .agg(sum(col("freq")).as("n_occurrences"))
+        .orderBy("token")
     })
   )
 
+  /** tx13's oracle: the BpeMerges training rounds unrolled as CTE
+    * triples (pair counts / argmax / fold), replaying the operator
+    * move for move — the PQ-training mirroring convention. */
+  private def bpeVocabSql: String = {
+    val D = BpeDelim
+    def syms(c: String) = s"list_filter(string_split($c, '$D'), x -> x <> '')"
+    val rounds = (1 to BpeMerges).map { t =>
+      val prev = s"w${t - 1}"
+      s"""p$t AS (
+         |  SELECT s.a AS a, s.b AS b, sum(freq) AS cnt FROM (
+         |    SELECT freq,
+         |           unnest(list_transform(generate_series(1, len(syms) - 1),
+         |             i -> struct_pack(a := syms[i], b := syms[i + 1]))) AS s
+         |    FROM (SELECT freq, ${syms("repr")} AS syms FROM $prev)
+         |  ) GROUP BY 1, 2
+         |),
+         |b$t AS (SELECT a AS ba, b AS bb FROM p$t ORDER BY cnt DESC, a, b LIMIT 1),
+         |w$t AS (
+         |  SELECT w, freq,
+         |         list_reduce(list_prepend('', ${syms("repr")}),
+         |           (acc, s) -> CASE WHEN s = bb
+         |                             AND right(acc, length(ba) + 1) = '$D' || ba
+         |                       THEN acc || s ELSE acc || '$D' || s END) AS repr
+         |  FROM $prev CROSS JOIN b$t
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w0 AS (
+       |  SELECT w, count(*) AS freq,
+       |         regexp_replace(w, '(.)', '$D\\1', 'g') AS repr
+       |  FROM (
+       |    SELECT unnest(regexp_extract_all(lower(text), '$BpePattern')) AS w
+       |    FROM documents
+       |  )
+       |  GROUP BY w
+       |),
+       |$rounds
+       |SELECT token, CAST(sum(freq) AS BIGINT) AS n_occurrences FROM (
+       |  SELECT freq, unnest(${syms("repr")}) AS token FROM w$BpeMerges
+       |) GROUP BY token ORDER BY token""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "tx13_bpe_vocab" -> bpeVocabSql,
+
     "tx01_token_stats" ->
       s"""WITH tok AS (SELECT doc_id, $tokensSql AS tokens FROM documents)
          |SELECT doc_id,

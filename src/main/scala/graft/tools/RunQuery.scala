@@ -26,11 +26,18 @@ object RunQuery {
     outDir.foreach { out =>
       new java.io.File(out).mkdirs()
       df.coalesce(1).write.mode("overwrite").parquet(s"$out/$name")
-      val sql = graft.SparkEntry.oracleSql(name)
-        .replace("\\", "\\\\").replace("\"", "\\\"")
-        .replace("\n", "\\n").replace("\t", "\\t")
+      // same escape as graft.Verify: ALL control chars, not just \n\t
+      def q(s: String): String = "\"" + s.flatMap {
+        case '"'  => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
       java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$out/oracle_sql.json"),
-        s"""{"$name": "$sql"}""")
+        s"""{"$name": ${q(graft.SparkEntry.oracleSql(name))}}""")
     }
     spark.stop()
   }

@@ -1,0 +1,76 @@
+package graft.ops
+
+import scala.collection.mutable
+
+import graft.{SparkSpec, SparkEntry, Tables}
+
+/** tx13 is REAL byte-pair encoding: the dataflow's learned vocabulary
+  * must equal a from-scratch reference implementation of classic BPE
+  * training (pretokenize → distinct words with frequency → per round:
+  * count adjacent pairs, take the (count DESC, a, b) argmax, apply
+  * the greedy leftmost merge) run on the same corpus. */
+class BpeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def referenceVocab(): Map[String, Long] = {
+    val re = java.util.regex.Pattern.compile(
+      TextAnalysis.BpePattern.replace("''", "'"))
+    val texts = Tables.documents(spark, sf).select("text").collect()
+      .map(r => Option(r.getString(0)).getOrElse(""))
+    val freq = mutable.Map.empty[String, Long].withDefaultValue(0L)
+    texts.foreach { t =>
+      val m = re.matcher(t.toLowerCase)
+      while (m.find()) freq(m.group()) += 1L
+    }
+    var words: Map[String, (List[String], Long)] =
+      freq.toMap.map { case (w, f) => w -> (w.map(_.toString).toList, f) }
+    def applyMerge(syms: List[String], a: String, b: String): List[String] = {
+      val out = mutable.ListBuffer.empty[String]
+      syms.foreach { s =>
+        if (out.nonEmpty && out.last == a && s == b) out(out.length - 1) = a + b
+        else out += s
+      }
+      out.toList
+    }
+    (1 to TextAnalysis.BpeMerges).foreach { _ =>
+      val pairs = mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+      words.values.foreach { case (syms, f) =>
+        syms.zip(syms.drop(1)).foreach(p => pairs(p) += f)
+      }
+      if (pairs.nonEmpty) {
+        val (a, b) = pairs.toSeq.minBy { case ((x, y), c) => (-c, x, y) }._1
+        words = words.map { case (w, (syms, f)) => w -> (applyMerge(syms, a, b), f) }
+      }
+    }
+    val vocab = mutable.Map.empty[String, Long].withDefaultValue(0L)
+    words.values.foreach { case (syms, f) => syms.foreach(s => vocab(s) += f) }
+    vocab.toMap
+  }
+
+  test("tx13 learned vocabulary equals a from-scratch reference BPE trainer exactly") {
+    val got = SparkEntry.queries("tx13_bpe_vocab")(spark, sf).collect()
+      .map(r => r.getAs[String]("token") -> r.getAs[Long]("n_occurrences")).toMap
+    val want = referenceVocab()
+    assert(got.nonEmpty)
+    assert(got === want)
+  }
+
+  test("tx13 vocabulary conserves characters and actually merged something") {
+    val rows = SparkEntry.queries("tx13_bpe_vocab")(spark, sf).collect()
+      .map(r => r.getAs[String]("token") -> r.getAs[Long]("n_occurrences"))
+    val merged = rows.filter(_._1.length > 1)
+    assert(merged.nonEmpty, "no multi-character token was learned")
+    assert(merged.length <= TextAnalysis.BpeMerges,
+      "more merged tokens than merge rounds")
+    // conservation: post-merge tokens cover exactly the pretokenized chars
+    val re = java.util.regex.Pattern.compile(
+      TextAnalysis.BpePattern.replace("''", "'"))
+    var chars = 0L
+    Tables.documents(spark, sf).select("text").collect().foreach { r =>
+      val m = re.matcher(Option(r.getString(0)).getOrElse("").toLowerCase)
+      while (m.find()) chars += m.group().length
+    }
+    assert(rows.map { case (t, n) => t.length * n }.sum === chars)
+  }
+}
