@@ -32,6 +32,18 @@ object Layout {
   /** Output files the clustered table is notionally split into. */
   val ZFiles = 32L
 
+  /** Range-bucket prefix width for the two-phase distributed sort:
+    * bucket = top ZBucketBits of zval (monotone, so per-bucket ranks
+    * + bucket offsets = the global rank and the OUTPUT is identical
+    * for ANY width). This is the parallelism/memory knob: per-window
+    * rows ≈ n / 2^ZBucketBits, so width grows with the table —
+    * round-5 measurement at 100× (60M rows): 5 bits (32 buckets,
+    * ~1.9M rows/sort) cost 68.5 s; 9 bits (512 buckets, ~120K
+    * rows/sort) cost 26.6 s. At 100 TB, size so a bucket sort fits
+    * an executor core's memory (the same rule as
+    * spark.sql.shuffle.partitions). */
+  val ZBucketBits = 9
+
   /** Spark SQL text of the bit-interleave of `a` (even bit lanes) and
     * `b` (odd lanes). */
   def zvalExpr(a: String, b: String): String =
@@ -68,7 +80,7 @@ object Layout {
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_partkey"), col("l_suppkey"),
           expr(zvalExpr("l_partkey", "l_suppkey")).as("zval"))
-        .withColumn("bucket", expr("zval DIV " + (1L << (2 * ZBits - 5))))
+        .withColumn("bucket", expr("zval DIV " + (1L << (2 * ZBits - ZBucketBits))))
       val offs = rows.groupBy("bucket").agg(count(lit(1)).as("bn"))
         .withColumn("boff",
           coalesce(sum(col("bn")).over(
