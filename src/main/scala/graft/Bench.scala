@@ -37,7 +37,8 @@ object Bench {
     "dd09_editdist_verify", "sim07_pq_adc",
     "dd10_decontaminate", "ivm01_delta_agg",
     "dd11_substring_dup", "lm01_unigram_lm", "w04_sessionize",
-    "g01_pagerank", "g03_triangles", "dd12_snm_pairs", "ds07_leakage_safe_split")
+    "g01_pagerank", "g03_triangles", "dd12_snm_pairs", "ds07_leakage_safe_split",
+    "tx13_bpe_vocab", "sim12_pq_train_eval")
 
   // Locale.ROOT: the f-interpolator honors the default locale, and a
   // comma decimal separator would corrupt the JSON
@@ -53,6 +54,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Quiet-machine guard: wait for ambient load to settle and stamp
+    // the artifact so contention-polluted totals are self-labelling
+    // (round-4 lesson — see tools/LoadGuard).
+    val (load0, loadOk) = graft.tools.LoadGuard.awaitQuiet()
     // Warm the JVM (codegen, parquet reader, shuffle machinery) once
     // so per-query timings measure the queries, not session startup.
     try {
@@ -69,14 +74,15 @@ object Bench {
     val full = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":${fmt(v)}""" }
       .mkString("{", ",", "}")
+    val loadJson = graft.tools.LoadGuard.jsonFields(load0, loadOk)
     try Files.write(
       Paths.get("BENCH_FULL_last.json"),
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":$full,"sf":"$sfDir"}
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size}$loadJson,"queries":$full,"sf":"$sfDir"}
 """.getBytes(StandardCharsets.UTF_8))
     catch { case _: Throwable => () }
     val qs = headline.flatMap(k => results.get(k).map(v => s""""$k":${fmt(v)}"""))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size}$loadJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -40,6 +40,11 @@ object BenchCold {
       System.gc()
     }
 
+    // Quiet-machine guard (round-4 lesson: contention-polluted
+    // artifacts read as phantom regressions) — wait for loadavg to
+    // settle, annotate the artifact either way.
+    val (load0, loadOk) = LoadGuard.awaitQuiet()
+
     // Warm the JVM once (codegen, parquet reader, shuffle machinery);
     // the per-query resets below only drop DATA caches, not JIT state.
     spark.range(1000000L).selectExpr("sum(id)").collect()
@@ -63,7 +68,7 @@ object BenchCold {
       "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total_cold","value":$total,"unit":"sec","protocol":"min-of-2 cold sweeps, memo+cache cleared per query","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total_cold","value":$total,"unit":"sec","protocol":"min-of-2 cold sweeps, memo+cache cleared per query"${LoadGuard.jsonFields(load0, loadOk)},"queries":$qs,"sf":"$sfDir"}"""
     val w = new java.io.PrintWriter(outPath)
     try w.println(json) finally w.close()
     println(json)
