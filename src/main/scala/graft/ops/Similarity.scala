@@ -758,7 +758,10 @@ object Similarity {
     val q = e.filter(col("vec_id") < KnnQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val qtabs = (0 until PqM).map { m =>
-      q.crossJoin(cb)
+      // broadcast hint: the trained codebook arrives from an
+      // aggregation whose size estimate is unknown to the planner —
+      // without the hint the K-row frame plans as a BNLJ build side
+      q.crossJoin(broadcast(cb))
         .select(col("query_id").as(s"q$m"), col("code").as(s"qc$m"),
           expr(s"sq_dist(${sub("qe", m)}, ${sub("cw", m)})").as(s"qd$m"))
     }

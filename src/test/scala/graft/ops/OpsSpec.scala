@@ -201,10 +201,12 @@ class OpsSpec extends SparkSpec {
     assert(binned === naive)
   }
 
-  test("media features: n_bytes matches text length for ascii corpus") {
+  test("media features: every document decodes, no quarantine sentinels, dims match the encode arithmetic") {
     val mm = q("mm01_media_features")
-      .join(graft.Tables.documents(spark, sf).select(col("doc_id"),
-        length(col("text")).cast("long").as("text_len")), "doc_id")
-    assert(mm.filter(col("n_bytes") =!= col("text_len")).count() === 0)
+    assert(mm.filter(col("width") === -1).count() === 0,
+      "a synthesized PNG failed to decode")
+    assert(mm.filter(col("width") =!= expr("CAST(doc_id % 64 + 1 AS INT)") ||
+      col("height") =!= expr("CAST(doc_id % 48 + 1 AS INT)")).count() === 0)
+    assert(mm.count() === graft.Tables.documents(spark, sf).count())
   }
 }

@@ -42,7 +42,14 @@ class PlanLintSpec extends SparkSpec {
   private val runtimeBoundedBnljSides = Set(
     "dd06_cosine_dup", // cents = e WHERE vec_id < ncells (⌈√n⌉ rows)
     "dd08_cosine_dup2", // l1cents/l2cents, ⌈n^¼⌉ and √n rows
-    "sim06_ivf2_ann") // same two-level cells as dd08
+    "sim06_ivf2_ann", // same two-level cells as dd08
+    // the Lloyd-trained PQ codebook is GROUP BY code over ≤ M·K
+    // assignment rows → exactly PqK (8) rows by construction, but it
+    // arrives from a localCheckpoint'ed aggregation chain whose
+    // static estimate is garbage; the crossJoin is explicitly
+    // broadcast-hinted
+    "sim07_pq_adc",
+    "sim12_pq_train_eval") // embeds both sim07 codebook modes
 
   test("no catalog query plans a cartesian product; all BNLJ sides are tiny") {
     val MaxBroadcastBytes = 1L << 20
