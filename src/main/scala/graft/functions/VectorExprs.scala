@@ -596,7 +596,8 @@ object VectorExprs {
     "moment_partials" -> (exprs =>
       MomentPartials(exprs.head, graft.ops.Similarity.Dims, diag = false)),
     "dim_moments" -> (exprs =>
-      MomentPartials(exprs.head, graft.ops.Similarity.Dims, diag = true)))
+      MomentPartials(exprs.head, graft.ops.Similarity.Dims, diag = true)),
+    "mahal_score" -> (exprs => MahalScore(exprs(0), exprs(1), exprs(2))))
 
   /** Inject the functions through the `SparkSessionExtensions` hook —
     * how a production library ships them (set

@@ -592,26 +592,18 @@ object Similarity {
                |  - (CAST(m.sx[i] AS DOUBLE) / CAST(n AS DOUBLE))
                |    * (CAST(m.sx[i] AS DOUBLE) / CAST(n AS DOUBLE)))""".stripMargin)
             .as("v"))
-      // The fold carries the UNSCALED value of the scale-10 decimal
-      // sum as a BIGINT: SQL decimal addition always promotes
-      // precision (DECIMAL(38,10)+DECIMAL(28,10) → DECIMAL(38,9),
-      // losing the last digit), so a direct decimal fold cannot
-      // reproduce Sum's overflow-checked DECIMAL(38,10) accumulator —
-      // integer addition of unscaled values can, exactly. Each term
-      // rounds to DECIMAL(28,10) first (the same addend the old
-      // explode plan summed); ×10¹⁰ and the final /10¹⁰ are exact
-      // integer-valued decimal ops at these magnitudes.
+      // The scoring fold carries the UNSCALED value of the scale-10
+      // decimal sum as a BIGINT (SQL decimal addition always promotes
+      // precision — DECIMAL(38,10)+DECIMAL(28,10) → DECIMAL(38,9),
+      // losing the last digit — so integer addition of unscaled
+      // values is the only exact fold). It runs as the fused codegen
+      // [[graft.functions.MahalScore]] kernel: one generated loop per
+      // row, no interpreted HOF lambda (measured 384M lambda evals at
+      // 100× before), bit-identical to the explode plan
+      // (MomentAggSpec) and to the equivalent SQL fold.
       emb.crossJoin(broadcast(mom))
         .select(col("vec_id"),
-          expr(s"""CAST(CAST(aggregate(sequence(0, ${Dims - 1}),
-               |  CAST(0 AS BIGINT),
-               |  (acc, i) -> acc + CAST(CAST(
-               |    CASE WHEN v[i] > 0 THEN
-               |      (CAST(embedding[i] AS DOUBLE) - mu[i])
-               |        * (CAST(embedding[i] AS DOUBLE) - mu[i]) / v[i]
-               |    ELSE 0.0 END AS DECIMAL(28,10)) * 10000000000 AS BIGINT))
-               |  AS DECIMAL(28,0)) / 10000000000 AS DOUBLE)""".stripMargin)
-            .as("m"))
+          expr("mahal_score(embedding, mu, v)").as("m"))
         .select(col("vec_id"), round(col("m"), 6).as("mahalanobis"))
         .orderBy(col("mahalanobis").desc, col("vec_id").asc)
         .limit(MahalTopK)

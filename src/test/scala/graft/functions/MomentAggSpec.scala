@@ -54,6 +54,27 @@ class MomentAggSpec extends SparkSpec {
     }
   }
 
+  test("scale-10 fold rounding (MahalScore kernel) equals the BigDecimal reference") {
+    def ref10(p: Double): Option[Long] = {
+      if (p.isNaN || p.isInfinite) return None
+      val bd = java.math.BigDecimal.valueOf(p).setScale(10, RoundingMode.HALF_UP)
+      if (bd.precision > 28) None else Some(bd.unscaledValue().longValue())
+    }
+    val rnd = new scala.util.Random(7)
+    val vals = Seq.fill(100000)(rnd.nextDouble() * 200.0 - 100.0) ++
+      Seq.fill(20000)((rnd.nextDouble() - 0.5) * math.pow(10, rnd.nextInt(16) - 8)) ++
+      Seq(0.0, -0.0, 5e-11, -5e-11, 1.00000000005, 66.746698, 1e19,
+        Double.NaN, Double.PositiveInfinity) ++
+      (1 to 2000).map(k => (k * 2 - 1) * 5e-11)
+    vals.foreach { p =>
+      val got = DecimalRound.unscaled10(p)
+      ref10(p) match {
+        case None => assert(got === DecimalRound.NullSentinel, s"p=$p")
+        case Some(w) => assert(got === w, s"p=$p")
+      }
+    }
+  }
+
   test("buffer long-lane overflow promotes to the BigInteger lane losslessly") {
     val buf = new MomentBuffer(1)
     buf.add(0, Long.MaxValue - 5)
