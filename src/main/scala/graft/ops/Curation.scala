@@ -272,10 +272,16 @@ object Curation {
     // epoch shuffle composed downstream; this operator owns the
     // difficulty axis.
     "ds05_curriculum" -> ((s, d) => {
+      // score via the fused token_stats codegen kernel (identical
+      // integers to the aggregate-HOF fold it replaced — round-5
+      // swap: the interpreted lambda ran TWICE per doc through the
+      // uncached two-consumer scan and dominated the 100× cost;
+      // measured 32.9 s → see SCALE_NOTES)
+      graft.functions.VectorExprs.register(s)
       val scored = Tables.documents(s, d)
-        .withColumn("tokens", expr(TextAnalysis.tokensExpr))
+        .withColumn("ts", expr(s"token_stats(${TextAnalysis.tokensExpr})"))
         .withColumn("score", expr(
-          "CAST(aggregate(tokens, 0, (a, t) -> a + length(t)) AS DOUBLE) / CAST(size(tokens) AS DOUBLE)"))
+          "CAST(ts.len_sum AS DOUBLE) / CAST(ts.n AS DOUBLE)"))
         .withColumn("bucket", expr("CAST(floor(score * 1000.0) AS BIGINT)"))
         .select("doc_id", "score", "bucket")
       // n_total rides the same tiny bucket frame as the offsets (a
