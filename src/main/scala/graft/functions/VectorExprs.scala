@@ -597,7 +597,9 @@ object VectorExprs {
       MomentPartials(exprs.head, graft.ops.Similarity.Dims, diag = false)),
     "dim_moments" -> (exprs =>
       MomentPartials(exprs.head, graft.ops.Similarity.Dims, diag = true)),
-    "mahal_score" -> (exprs => MahalScore(exprs(0), exprs(1), exprs(2))))
+    "mahal_score" -> (exprs => MahalScore(exprs(0), exprs(1), exprs(2))),
+    "mg_sketch" -> (exprs =>
+      MisraGries(exprs.head, graft.ops.Analytics.HeavyK)))
 
   /** Inject the functions through the `SparkSessionExtensions` hook —
     * how a production library ships them (set

@@ -37,6 +37,15 @@ object Analytics {
     * attribution lookback). */
   val AttribWindowSec = 604800L
 
+  /** hh01: Misra-Gries counter budget. φ = 1/(HeavyK+1) is the exact
+    * heavy-hitter threshold the entry answers (count > n/128).
+    * Deliberately SMALLER than the fixture's 150-user cardinality so
+    * the sketch really evicts and the n/(k+1) bound is exercised —
+    * not a "k covers everything" degenerate. Production sizes k to
+    * the wanted φ, not to cardinality: state stays k entries/task at
+    * any corpus size. */
+  val HeavyK = 127
+
   /** events with the columns the three operators share. `epoch_s` is
     * floor-seconds (matches DuckDB `floor(epoch(ts))` — see
     * Breadth.a14), so gap arithmetic is exact integer math in both
@@ -230,6 +239,35 @@ object Analytics {
           date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
           col("n_events"), col("roll_hours"), col("roll_events"), col("roll_avg"))
         .orderBy("line", "hour_ts")
+    }),
+
+    // Exact distributed heavy hitters (the "which keys dominate"
+    // question every 100 TB pipeline asks before skew handling,
+    // blocklisting, or per-key quotas): two passes, neither of which
+    // shuffles the full distinct-key set. Pass 1 folds the stream
+    // into a bounded Misra-Gries sketch ([[graft.functions
+    // .MisraGries]], k counters/task, mergeable with the n/(k+1)
+    // error bound intact), whose candidate set provably contains
+    // every key with count > n/(k+1). Pass 2 recounts ONLY rows
+    // matching the ≤ k broadcast candidates and applies the exact
+    // threshold — so the result is bit-equal to the naive global
+    // groupBy (hash-matches the plain HAVING oracle) while the heavy
+    // exchange ships O(tasks·k) sketch state instead of one row per
+    // distinct key. The 1-row sketch frame joins in-plan via
+    // broadcast crossJoin (no driver collect).
+    "hh01_heavy_hitters" -> ((s, d) => {
+      graft.functions.VectorExprs.register(s)
+      val e = Tables.events(s, d)
+        .filter(col("user_id").isNotNull).select(col("user_id"))
+      val sk = e.agg(expr("mg_sketch(CAST(user_id AS STRING))").as("sk"))
+        .select(col("sk.items").as("cands"), col("sk.n").as("n_total"))
+      e.crossJoin(broadcast(sk))
+        .filter(array_contains(col("cands"), col("user_id").cast(StringType)))
+        .groupBy(col("user_id"), col("n_total"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * lit(HeavyK + 1L) > col("n_total"))
+        .select(col("user_id"), col("cnt"))
+        .orderBy(col("cnt").desc, col("user_id").asc)
     })
   )
 
@@ -387,6 +425,17 @@ object Analytics {
          |         AS click_event_id,
          |       CASE WHEN epoch_s - click_ep <= $AttribWindowSec
          |            THEN epoch_s - click_ep END AS gap_s
-         |FROM l WHERE et = 'purchase' ORDER BY event_id""".stripMargin
+         |FROM l WHERE et = 'purchase' ORDER BY event_id""".stripMargin,
+
+    // The naive exact form — the MG-sketched plan must reproduce it
+    // bit-for-bit (candidate superset + exact recount + threshold).
+    "hh01_heavy_hitters" ->
+      s"""WITH e AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+         |tot AS (SELECT count(*) AS n FROM e)
+         |SELECT user_id, count(*) AS cnt
+         |FROM e, tot
+         |GROUP BY user_id, tot.n
+         |HAVING count(*) * ${HeavyK + 1} > tot.n
+         |ORDER BY cnt DESC, user_id""".stripMargin
   )
 }
