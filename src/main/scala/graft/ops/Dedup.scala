@@ -25,6 +25,10 @@ object Dedup {
   val MinhashK = 8
   val Bands = 4
 
+  /** dd13: the `source` value playing the freshly-ingested batch
+    * (every other source is the standing corpus). */
+  val IncBatchSrc = "src0"
+
   /** g01 power-iteration count (fixed — rank ordering stabilizes in
     * a handful of rounds on near-dup components, whose diameter is
     * small by construction). */
@@ -647,6 +651,54 @@ object Dedup {
           count(lit(1)).as("n_members"),
           round(max(when(col("rn") === 1, col("q"))), 6).as("best_q"))
         .orderBy("cluster_rep")
+    }),
+
+    // INCREMENTAL dedup — the flow a 100 TB pipeline actually runs on
+    // ingest day N+1: dedup the new batch (source = IncBatchSrc)
+    // against the standing corpus WITHOUT re-pairing the corpus with
+    // itself. Batch band keys probe the corpus band table — in
+    // production a persisted, bucket-partitioned index maintained by
+    // appending each accepted batch's bands (corpus text is never
+    // re-scanned; here both sides derive from the same memoized
+    // signature frame). The asymmetric join does |batch|-proportional
+    // work: candidates form only inside shared band buckets, the
+    // signature verify touches candidates only, and a per-batch-doc
+    // row_number picks the best corpus match (est desc, id asc).
+    // Output is the ingest decision table: one row per batch doc,
+    // dup_of/est_jaccard null ⇒ novel, admit to the corpus.
+    "dd13_incremental_dedup" -> ((s, d) => {
+      val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val sigs = minhashSignatures(s, d)
+      val bandKeys = (0 until Bands).map(b =>
+        concat_ws(":", col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}")))
+      val bands = sigs.select(col("doc_id"),
+        posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
+        .join(src, "doc_id")
+      val bb = bands.filter(col("source") === IncBatchSrc).drop("source")
+      val cb = bands.filter(col("source") =!= IncBatchSrc).drop("source")
+      val cand = bb.as("a")
+        .join(cb.as("b"),
+          col("a.key") === col("b.key") && col("a.band") === col("b.band"))
+        .select(col("a.doc_id").as("batch_doc"), col("b.doc_id").as("corpus_doc"))
+        .distinct()
+      val sa = sigs.toDF("batch_doc" +: (0 until MinhashK).map(j => s"a_sig_$j"): _*)
+      val sb = sigs.toDF("corpus_doc" +: (0 until MinhashK).map(j => s"b_sig_$j"): _*)
+      val matches = (0 until MinhashK)
+        .map(j => when(col(s"a_sig_$j") === col(s"b_sig_$j"), 1).otherwise(0))
+        .reduce(_ + _)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("batch_doc")
+        .orderBy(col("est_jaccard").desc, col("corpus_doc").asc)
+      val best = cand.join(sa, "batch_doc").join(sb, "corpus_doc")
+        .withColumn("est_jaccard", matches.cast("double") / MinhashK.toDouble)
+        .filter(col("est_jaccard") >= 0.5)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("batch_doc"), col("corpus_doc").as("dup_of"), col("est_jaccard"))
+      src.filter(col("source") === IncBatchSrc)
+        .select(col("doc_id").as("batch_doc"))
+        .join(best, Seq("batch_doc"), "left")
+        .orderBy("batch_doc")
     })
   )
 
@@ -951,6 +1003,39 @@ object Dedup {
          |FROM j
          |WHERE common > 0
          |  AND CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.3
-         |ORDER BY doc_a, doc_b""".stripMargin
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dd13_incremental_dedup" ->
+      s"""WITH $minhashCte,
+         |src AS (SELECT doc_id, source FROM documents),
+         |bands AS (
+         |  $bandSelects
+         |),
+         |bb AS (SELECT b.* FROM bands b JOIN src s ON s.doc_id = b.doc_id
+         |       WHERE s.source = '$IncBatchSrc'),
+         |cb AS (SELECT b.* FROM bands b JOIN src s ON s.doc_id = b.doc_id
+         |       WHERE s.source <> '$IncBatchSrc'),
+         |cand AS (
+         |  SELECT DISTINCT bb.doc_id AS batch_doc, cb.doc_id AS corpus_doc
+         |  FROM bb JOIN cb ON bb.key = cb.key AND bb.band = cb.band
+         |),
+         |v AS (
+         |  SELECT batch_doc, corpus_doc,
+         |         CAST($matchSum AS DOUBLE) / $MinhashK.0 AS est_jaccard
+         |  FROM cand
+         |  JOIN sigs sa ON sa.doc_id = batch_doc
+         |  JOIN sigs sb ON sb.doc_id = corpus_doc
+         |  WHERE CAST($matchSum AS DOUBLE) / $MinhashK.0 >= 0.5
+         |),
+         |best AS (
+         |  SELECT batch_doc, corpus_doc AS dup_of, est_jaccard,
+         |         row_number() OVER (PARTITION BY batch_doc
+         |                            ORDER BY est_jaccard DESC, corpus_doc) AS rn
+         |  FROM v
+         |)
+         |SELECT d.doc_id AS batch_doc, b.dup_of, b.est_jaccard
+         |FROM (SELECT doc_id FROM documents WHERE source = '$IncBatchSrc') d
+         |LEFT JOIN best b ON b.batch_doc = d.doc_id AND b.rn = 1
+         |ORDER BY batch_doc""".stripMargin
   )
 }
