@@ -46,6 +46,14 @@ object Analytics {
     * any corpus size. */
   val HeavyK = 127
 
+  /** qs01: equal-width histogram resolution. Error bound is
+    * range/QuantBins; per-task sketch state is QuantBins counters
+    * independent of row count or value cardinality. */
+  val QuantBins = 128
+
+  /** qs01: the quantiles read off the histogram. */
+  val Quantiles = Seq("0.25", "0.5", "0.75", "0.9", "0.99")
+
   /** events with the columns the three operators share. `epoch_s` is
     * floor-seconds (matches DuckDB `floor(epoch(ts))` — see
     * Breadth.a14), so gap arithmetic is exact integer math in both
@@ -268,6 +276,52 @@ object Analytics {
         .filter(col("cnt") * lit(HeavyK + 1L) > col("n_total"))
         .select(col("user_id"), col("cnt"))
         .orderBy(col("cnt").desc, col("user_id").asc)
+    }),
+
+    // Mergeable histogram quantiles (hh01's sibling: the "what does
+    // the value distribution look like" sketch every 100 TB pipeline
+    // keeps per partition/day): pass 1 is a 1-row min/max/count agg,
+    // pass 2 bins every value into QuantBins equal-width buckets —
+    // a map-side-combinable ≤QuantBins-key groupBy whose per-task
+    // state is a fixed-size array regardless of cardinality, and
+    // whose partial histograms MERGE BY ADDITION (the property that
+    // lets production keep one histogram per day/partition and fold
+    // them later). The quantile read-off walks the ≤QuantBins-row
+    // cumulative frame: for each q it reports the first bin whose
+    // cumulative count reaches ceil(q·n), i.e. a bracketing interval
+    // [bin_lo, bin_hi] with deterministic error ≤ range/QuantBins.
+    // Unlike t-digest/GK the answer is bit-reproducible under any
+    // partitioning / merge order, so the DuckDB oracle hash-matches
+    // exactly (a13 keeps the exact-percentile role; this is the
+    // bounded-state scale path). Everything past the binning scan is
+    // broadcast-tiny (≤QuantBins rows).
+    "qs01_hist_quantiles" -> ((s, d) => {
+      val v = Tables.events(s, d)
+        .filter(col("value").isNotNull).select(col("value"))
+      val bounds = v.agg(min(col("value")).as("lo"), max(col("value")).as("hi"),
+        count(lit(1)).as("n"))
+      val hist = v.crossJoin(broadcast(bounds))
+        .withColumn("bin", expr(
+          s"""CASE WHEN hi = lo THEN 0
+             |ELSE least(${QuantBins - 1},
+             |           CAST(floor((value - lo) / ((hi - lo) / $QuantBins.0)) AS INT))
+             |END""".stripMargin))
+        .groupBy("bin").agg(count(lit(1)).as("c"))
+      val cum = hist.withColumn("n_le",
+        sum(col("c")).over(Window.orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val qf = s.sql(Quantiles
+        .map(q => s"SELECT CAST($q AS DOUBLE) AS q").mkString("\n UNION ALL\n "))
+      val chosen = qf.crossJoin(broadcast(bounds))
+        .withColumn("target", expr("CAST(ceil(q * CAST(n AS DOUBLE)) AS BIGINT)"))
+        .join(cum, col("n_le") >= col("target"))
+        .groupBy("q", "lo", "hi").agg(min(col("bin")).as("bin"))
+      chosen.join(cum.select(col("bin"), col("n_le")), "bin")
+        .select(col("q"), col("bin"),
+          expr(s"lo + CAST(bin AS DOUBLE) * ((hi - lo) / $QuantBins.0)").as("bin_lo"),
+          expr(s"lo + (CAST(bin AS DOUBLE) + 1.0) * ((hi - lo) / $QuantBins.0)").as("bin_hi"),
+          col("n_le"))
+        .orderBy("q")
     })
   )
 
@@ -436,6 +490,39 @@ object Analytics {
          |FROM e, tot
          |GROUP BY user_id, tot.n
          |HAVING count(*) * ${HeavyK + 1} > tot.n
-         |ORDER BY cnt DESC, user_id""".stripMargin
+         |ORDER BY cnt DESC, user_id""".stripMargin,
+
+    // Same two-pass histogram walk; every double expression is
+    // written with the identical operation order (IEEE-deterministic)
+    // so the bracketing bin and its bounds hash-match.
+    "qs01_hist_quantiles" ->
+      s"""WITH v AS (SELECT value FROM events WHERE value IS NOT NULL),
+         |bounds AS (SELECT min(value) AS lo, max(value) AS hi,
+         |                  count(*) AS n FROM v),
+         |hist AS (
+         |  SELECT CASE WHEN hi = lo THEN 0
+         |              ELSE least(${QuantBins - 1},
+         |                         CAST(floor((value - lo) / ((hi - lo) / $QuantBins.0)) AS INT))
+         |         END AS bin, count(*) AS c
+         |  FROM v, bounds GROUP BY 1
+         |),
+         |cum AS (
+         |  SELECT bin, c, CAST(sum(c) OVER (ORDER BY bin
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_le
+         |  FROM hist
+         |),
+         |qf AS (${Quantiles.map(q => s"SELECT CAST($q AS DOUBLE) AS q").mkString("\n UNION ALL ")}),
+         |chosen AS (
+         |  SELECT q, lo, hi, min(bin) AS bin
+         |  FROM qf, bounds, cum
+         |  WHERE n_le >= CAST(ceil(q * CAST(n AS DOUBLE)) AS BIGINT)
+         |  GROUP BY q, lo, hi
+         |)
+         |SELECT ch.q, ch.bin,
+         |       ch.lo + CAST(ch.bin AS DOUBLE) * ((ch.hi - ch.lo) / $QuantBins.0) AS bin_lo,
+         |       ch.lo + (CAST(ch.bin AS DOUBLE) + 1.0) * ((ch.hi - ch.lo) / $QuantBins.0) AS bin_hi,
+         |       cum.n_le
+         |FROM chosen ch JOIN cum ON cum.bin = ch.bin
+         |ORDER BY q""".stripMargin
   )
 }

@@ -684,6 +684,33 @@ object Relational {
         .orderBy("day", "metric")
     }),
 
+    // A20: explicit GROUPING SETS ((line), (d)) — the non-
+    // hierarchical member that completes the grouping-set family
+    // (a11 rollup, a16 cube): two independent one-dimension reports
+    // in ONE scan. A naive plan unions two groupBys (two full scans
+    // + two shuffles); Spark expands the named sets with a single
+    // Expand node feeding one map-side-combinable hash aggregate, so
+    // at 100 TB the cost is one pass + one shuffle of the (tiny)
+    // expanded key space no matter how many sets are requested.
+    "a20_grouping_sets" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(trim(col("event_type")).as("line"),
+          to_date(col("ts")).cast(StringType).as("d"),
+          col("value"))
+        .groupingSets(Seq(Seq(col("line")), Seq(col("d"))), col("line"), col("d"))
+        .agg(count(lit(1)).as("n"),
+          Tables.dsum(col("value"), 2).as("total_value"),
+          grouping(col("line")).cast(IntegerType).as("g_line"),
+          grouping(col("d")).cast(IntegerType).as("g_d"))
+        .select(col("line"), col("d"), col("n"), col("total_value"),
+          col("g_line"), col("g_d"))
+        // isnull-before-coalesce tiebreak as in a11/a16: each set
+        // nulls the other set's column, and a NULL group key must not
+        // share a sort key with an ''-valued data group
+        .orderBy(col("g_line"), col("g_d"),
+          col("line").isNull, coalesce(col("line"), lit("")),
+          col("d").isNull, coalesce(col("d"), lit("")))),
+
     // SQL text interface: the same engine surface through spark.sql
     // over registered views (the reference exposes only the DataFrame
     // DSL — SURVEY §1.1 — this is the free Spark extension)
@@ -1019,6 +1046,17 @@ object Relational {
         |  UNION ALL SELECT day, 'n_users', n_users FROM wide
         |  UNION ALL SELECT day, 'sum_value', sum_value FROM wide)
         |ORDER BY day, metric""".stripMargin,
+
+    "a20_grouping_sets" ->
+      """SELECT trim(event_type) AS line, CAST(CAST(ts AS DATE) AS VARCHAR) AS d,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |       CAST(GROUPING(trim(event_type)) AS INT) AS g_line,
+        |       CAST(GROUPING(CAST(CAST(ts AS DATE) AS VARCHAR)) AS INT) AS g_d
+        |FROM events
+        |GROUP BY GROUPING SETS ((line), (d))
+        |ORDER BY g_line, g_d, (line IS NULL), COALESCE(line, ''),
+        |         (d IS NULL), COALESCE(d, '')""".stripMargin,
 
     "sql01_text_interface" ->
       """SELECT trim(event_type) AS line, count(*) AS n,

@@ -56,4 +56,52 @@ class Round7OpsSpec extends SparkSpec {
     assert(decidedDocs == crossingDocs,
       "every batch doc with ≥1 crossing verified pair must receive a dup_of decision")
   }
+
+  // ---- a20 explicit grouping sets -----------------------------------
+
+  test("a20: one Expand-fed aggregate reproduces the two independent groupBys") {
+    val rows = q("a20_grouping_sets").collect()
+    val byLine = rows.filter(r => r.getAs[Int]("g_d") == 1)
+    val byDay = rows.filter(r => r.getAs[Int]("g_line") == 1)
+    assert(byLine.length + byDay.length == rows.length,
+      "every row belongs to exactly one of the two named sets")
+    val ev = graft.Tables.events(spark, sf)
+      .select(trim(col("event_type")).as("line"), to_date(col("ts")).cast("string").as("d"))
+    val lineCounts = ev.groupBy("line").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dayCounts = ev.groupBy("d").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLine.map(r => r.getAs[String]("line") -> r.getAs[Long]("n")).toMap == lineCounts)
+    assert(byDay.map(r => r.getAs[String]("d") -> r.getAs[Long]("n")).toMap == dayCounts)
+    // the whole point of grouping sets: ONE scan via a single Expand,
+    // not a union of two aggregates
+    val plan = q("a20_grouping_sets").queryExecution.optimizedPlan.toString
+    assert(plan.contains("Expand"), "grouping sets must plan as Expand")
+    assert(!plan.contains("Union"), "grouping sets must not plan as a union of scans")
+  }
+
+  // ---- qs01 histogram quantiles -------------------------------------
+
+  test("qs01: each reported bin brackets the exact quantile with error <= range/bins") {
+    val rows = q("qs01_hist_quantiles").collect()
+    assert(rows.map(_.getAs[Double]("q")).toSeq == Seq(0.25, 0.5, 0.75, 0.9, 0.99))
+    val vals = graft.Tables.events(spark, sf)
+      .filter(col("value").isNotNull).select("value")
+      .collect().map(_.getDouble(0)).sorted
+    val (lo, hi, n) = (vals.head, vals.last, vals.length)
+    val width = (hi - lo) / Analytics.QuantBins
+    rows.foreach { r =>
+      val q = r.getAs[Double]("q")
+      val exact = vals(math.ceil(q * n).toInt - 1) // rank-ceil(q n) order statistic
+      assert(r.getAs[Double]("bin_hi") - r.getAs[Double]("bin_lo") <= width + 1e-9,
+        "reported interval wider than one bin")
+      assert(exact >= r.getAs[Double]("bin_lo") - 1e-9 &&
+        exact <= r.getAs[Double]("bin_hi") + 1e-9,
+        s"exact q=$q quantile $exact outside [${r.getAs[Double]("bin_lo")}, ${r.getAs[Double]("bin_hi")}]")
+      assert(r.getAs[Long]("n_le") >= math.ceil(q * n).toLong,
+        "cumulative count at the chosen bin must reach the rank target")
+    }
+    // bins are monotone in q
+    assert(rows.map(_.getAs[Int]("bin")).toSeq == rows.map(_.getAs[Int]("bin")).sorted.toSeq)
+  }
 }
