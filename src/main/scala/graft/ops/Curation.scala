@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.Tables
 import graft.functions.Portable
@@ -51,6 +52,16 @@ object Curation {
     * scarcest language relative to its target share. */
   val LangTargets: Seq[(String, Double)] = Seq(
     "en" -> 0.4, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.1, "zh" -> 0.1)
+
+  /** cur06: temperature exponent is fixed at α = 1/2, applied as
+    * sqrt — IEEE 754 requires sqrt to be correctly rounded, so Spark
+    * and DuckDB produce the identical double (no libm drift, unlike
+    * pow, which is why α is not a free knob here). */
+  val MixHashSalt = "t5|"
+
+  /** ds08: the language whose docs play the TARGET distribution
+    * (the hand-curated high-quality set in a real DSIR run). */
+  val DsirTargetLang = "en"
 
   /** ds04 epoch-shuffle layout: the 60-bit portable hash is
     * range-bucketed on its top bits so bucket order == hash order
@@ -363,6 +374,79 @@ object Curation {
     "df01_quality_gate" -> ((s, d) => {
       graft.functions.VectorExprs.register(s)
       qualityGate(Tables.documents(s, d)).orderBy("doc_id")
+    }),
+
+    // Temperature-based mixture flattening (the UniMax/multilingual
+    // move cur03's FIXED targets can't express): sampling weight
+    // w_l ∝ share_l^α with α = 1/2, so scarce languages are
+    // oversampled relative to their share and dominant ones damped.
+    // Because w_l ∝ sqrt(n_l) (the 1/N normalizer cancels), the
+    // weights need only the per-language counts. The ≤|langs|-row
+    // weight sum goes through DECIMAL(28,12) addends (dsum rationale
+    // — engine-portable regardless of sum order); sqrt is IEEE-exact
+    // in both engines (see [[MixHashSalt]] doc). Budget is half the
+    // observed corpus (exact integer N DIV 2); each language keeps
+    // min(1, B·w/n) of its docs via the same deterministic salted-
+    // hash per-million threshold as cur03/ds01 — retry-idempotent,
+    // no RNG. Dataflow at 100 TB: one tiny count agg + broadcast
+    // thresholds back onto a single narrow corpus pass.
+    "cur06_temperature_mix" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+        .withColumn("sp", expr("CAST(sqrt(CAST(n AS DOUBLE)) AS DECIMAL(28,12))"))
+      val tot = counts.agg(sum(col("sp")).as("S"),
+        expr("sum(n) DIV 2").as("B"))
+      val thr = counts.crossJoin(broadcast(tot))
+        .withColumn("w", expr("CAST(sp AS DOUBLE) / CAST(S AS DOUBLE)"))
+        .withColumn("thr", expr(
+          "CAST(floor(least(CAST(1 AS DOUBLE), (CAST(B AS DOUBLE) * w) / CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT)"))
+        .select("lang", "n", "w", "thr")
+      docs.join(broadcast(thr), "lang")
+        .filter(expr(
+          s"${Portable.phashExpr(s"concat('$MixHashSalt', CAST(doc_id AS STRING))")} % 1000000 < thr"))
+        .groupBy("lang")
+        .agg(max(col("n")).as("n_docs"), round(max(col("w")), 6).as("weight"),
+          max(col("thr")).as("keep_per_million"), count(lit(1)).as("n_kept"))
+        .orderBy("lang")
+    }),
+
+    // DSIR-style importance scoring (Xie et al. 2023, "Data Selection
+    // for Language Models via Importance Resampling" — here with the
+    // add-one-smoothed unigram LM standing in for hashed-ngram
+    // features): score(doc) = mean over tokens of
+    // ln p_target(tok) − ln p_raw(tok), target = the [[DsirTargetLang]]
+    // slice, raw = the whole corpus. Positive score ⇒ the doc looks
+    // more like the target distribution than the corpus average ⇒
+    // selected. Same scale posture as lm01: both models are vocab-
+    // sized (zipf-bounded) map-side-combinable aggregates broadcast
+    // back onto one token pass; the per-doc mean goes through
+    // DECIMAL(18,8) addends (ln parity — tx09/lm01 precedent) so
+    // grouping order can't flake the hash. The selected flag compares
+    // the EXACT pre-round score to 0, identically in both engines.
+    "ds08_importance_resample" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), explode(expr(tokensExpr)).as("tok"))
+      val raw = toks.groupBy("tok").agg(count(lit(1)).as("cr"))
+      val tgt = toks.filter(col("lang") === DsirTargetLang)
+        .groupBy("tok").agg(count(lit(1)).as("ct0"))
+      val model = raw.join(tgt, Seq("tok"), "left")
+        .withColumn("ct", coalesce(col("ct0"), lit(0L))).drop("ct0")
+      val stats = model.agg(
+        sum(col("cr")).cast(DoubleType).as("Nr"),
+        sum(col("ct")).cast(DoubleType).as("Nt"),
+        count(lit(1)).cast(DoubleType).as("V"))
+      toks.join(broadcast(model), "tok")
+        .crossJoin(broadcast(stats))
+        .withColumn("lr", expr(
+          "ln((CAST(ct AS DOUBLE) + 1.0) / (Nt + V)) - ln((CAST(cr AS DOUBLE) + 1.0) / (Nr + V))"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          (sum(col("lr").cast(DecimalType(18, 8))).cast(DoubleType) /
+            count(lit(1)).cast(DoubleType)).as("raw_score"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("raw_score"), 6).as("dsir_score"),
+          expr("CAST(CASE WHEN raw_score > 0.0 THEN 1 ELSE 0 END AS INT)").as("selected"))
+        .orderBy("doc_id")
     })
   )
 
@@ -544,6 +628,57 @@ object Curation {
          |       CASE WHEN ${Portable.phashSql("'s7|' || CAST(gk AS VARCHAR)")} % 100 < 90 THEN 'train'
          |            WHEN ${Portable.phashSql("'s7|' || CAST(gk AS VARCHAR)")} % 100 < 95 THEN 'val'
          |            ELSE 'test' END AS split
-         |FROM g ORDER BY doc_id""".stripMargin
+         |FROM g ORDER BY doc_id""".stripMargin,
+
+    // identical operation order throughout: sqrt (IEEE-exact), the
+    // DECIMAL(28,12) weight sum, the double divisions, and the
+    // integer per-million threshold all mirror the Spark plan
+    "cur06_temperature_mix" ->
+      s"""WITH counts AS (
+         |  SELECT lang, count(*) AS n,
+         |         CAST(sqrt(CAST(count(*) AS DOUBLE)) AS DECIMAL(28,12)) AS sp
+         |  FROM documents GROUP BY lang
+         |),
+         |tot AS (SELECT sum(sp) AS S, sum(n) // 2 AS B FROM counts),
+         |thr AS (
+         |  SELECT lang, n,
+         |         CAST(sp AS DOUBLE) / CAST(S AS DOUBLE) AS w,
+         |         CAST(floor(least(CAST(1 AS DOUBLE),
+         |              (CAST(B AS DOUBLE) * (CAST(sp AS DOUBLE) / CAST(S AS DOUBLE)))
+         |              / CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS thr
+         |  FROM counts, tot
+         |)
+         |SELECT d.lang, max(t.n) AS n_docs, round(max(t.w), 6) AS weight,
+         |       max(t.thr) AS keep_per_million, count(*) AS n_kept
+         |FROM documents d JOIN thr t ON t.lang = d.lang
+         |WHERE ${Portable.phashSql(s"'$MixHashSalt' || CAST(d.doc_id AS VARCHAR)")} % 1000000 < t.thr
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    "ds08_importance_resample" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang, unnest(${TextAnalysis.tokensSql}) AS tok FROM documents
+         |),
+         |raw AS (SELECT tok, count(*) AS cr FROM tok GROUP BY tok),
+         |tgt AS (SELECT tok, count(*) AS ct0 FROM tok
+         |        WHERE lang = '$DsirTargetLang' GROUP BY tok),
+         |model AS (
+         |  SELECT r.tok, r.cr, coalesce(t.ct0, 0) AS ct
+         |  FROM raw r LEFT JOIN tgt t ON t.tok = r.tok
+         |),
+         |st AS (SELECT CAST(sum(cr) AS DOUBLE) AS Nr, CAST(sum(ct) AS DOUBLE) AS Nt,
+         |              CAST(count(*) AS DOUBLE) AS V FROM model),
+         |sc AS (
+         |  SELECT doc_id, count(*) AS n_tokens,
+         |         CAST(sum(CAST(ln((CAST(ct AS DOUBLE) + 1.0) / (Nt + V))
+         |                        - ln((CAST(cr AS DOUBLE) + 1.0) / (Nr + V)) AS DECIMAL(18,8))) AS DOUBLE)
+         |         / CAST(count(*) AS DOUBLE) AS raw_score
+         |  FROM tok JOIN model USING (tok), st
+         |  GROUP BY doc_id
+         |)
+         |-- "+ 0.0" washes DuckDB's signed -0.0 to match Spark's
+         |-- sign-dropping round (sim09 precedent)
+         |SELECT doc_id, n_tokens, round(raw_score, 6) + 0.0 AS dsir_score,
+         |       CAST(CASE WHEN raw_score > 0.0 THEN 1 ELSE 0 END AS INT) AS selected
+         |FROM sc ORDER BY doc_id""".stripMargin
   )
 }

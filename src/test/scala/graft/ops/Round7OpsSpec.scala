@@ -104,4 +104,43 @@ class Round7OpsSpec extends SparkSpec {
     // bins are monotone in q
     assert(rows.map(_.getAs[Int]("bin")).toSeq == rows.map(_.getAs[Int]("bin")).sorted.toSeq)
   }
+
+  // ---- cur06 temperature mixing -------------------------------------
+
+  test("cur06: sqrt temperature oversamples scarce languages") {
+    val rows = q("cur06_temperature_mix").collect()
+    assert(rows.nonEmpty)
+    // keep rate ∝ w/n ∝ 1/sqrt(n): scarcer language ⇒ keep rate >=
+    // that of any more common language (ties only via the min(1,·) cap)
+    val byN = rows.sortBy(_.getAs[Long]("n_docs"))
+    val thrs = byN.map(_.getAs[Long]("keep_per_million"))
+    assert(thrs.zip(thrs.tail).forall { case (scarce, common) => scarce >= common },
+      s"thresholds not monotone-decreasing in language size: ${byN.map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_docs"), r.getAs[Long]("keep_per_million"))).toSeq}")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("keep_per_million") <= 1000000L)
+    }
+    // weights are a distribution over the observed languages
+    assert(math.abs(rows.map(_.getAs[Double]("weight")).sum - 1.0) < 1e-4)
+  }
+
+  // ---- ds08 DSIR importance scoring ---------------------------------
+
+  test("ds08: target-language docs score higher than the rest, flag matches sign") {
+    val rows = q("ds08_importance_resample").collect()
+    val langs = Tables.documents(spark, sf)
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (tgt, rest) = rows.partition(r =>
+      langs(r.getAs[Long]("doc_id")) == Curation.DsirTargetLang)
+    assert(tgt.nonEmpty && rest.nonEmpty)
+    def mean(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getAs[Double]("dsir_score")).sum / rs.length
+    assert(mean(tgt) > mean(rest),
+      s"target-language mean ${mean(tgt)} not above non-target mean ${mean(rest)}")
+    rows.foreach { r =>
+      val (score, sel) = (r.getAs[Double]("dsir_score"), r.getAs[Int]("selected"))
+      if (sel == 1) assert(score >= 0.0) else assert(score <= 0.0)
+    }
+  }
 }
