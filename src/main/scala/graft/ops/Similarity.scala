@@ -448,6 +448,54 @@ object Similarity {
         .orderBy("vec_a", "vec_b")
     }),
 
+    // SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    // at web-scale through semantic deduplication"): where dd06/dd08
+    // emit candidate PAIRS, this emits the per-item KEEP/DROP decision
+    // table the curation pipeline actually consumes. The published
+    // recipe as a dataflow: (1) canonicalize exact-duplicate
+    // embeddings to their min-id rep first (the dd05/dd07 guard — the
+    // d² pairwork inside identical-vector groups collapses to a
+    // broadcast-back of the rep's decision); (2) k-means-style
+    // assignment of each rep to its single nearest of ⌈√n⌉ seed
+    // centroids (cluster work stays ~√n per cell); (3) within-cluster
+    // pairwise cosine, greedy-by-id pruning: a rep is dropped iff a
+    // LOWER-id rep in its cluster sits at cosine ≥ DupThreshold, with
+    // the minimum such witness as dup_of. Exact twins inherit their
+    // rep's cluster and drop against the rep itself. Unlike dd07 no
+    // transitive closure is taken — SemDeDup's decision is cluster-
+    // local by design (that locality is what bounds the work).
+    "dd14_semantic_dedup" -> ((s, d) => {
+      VectorExprs.register(s)
+      val all = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val canon = all.groupBy("embedding").agg(min(col("vec_id")).as("rep"))
+      val reps = canon.select(col("rep").as("vec_id"), col("embedding"))
+      val nc = reps.agg(ceil(sqrt(count(lit(1)).cast("double"))).cast("long").as("ncells"))
+      val cents = reps.crossJoin(broadcast(nc)).filter(col("vec_id") < col("ncells"))
+        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+      val assigned = reps.crossJoin(broadcast(cents))
+        .withColumn("cos_c", expr("cosine_sim(embedding, ce)"))
+        .withColumn("crn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("cos_c").desc, col("cent_id").asc)))
+        .filter(col("crn") === 1)
+        .select(col("vec_id"), col("cent_id").as("cluster"))
+      val dropped = assigned.as("a").join(assigned.as("b"),
+          col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+        .join(reps.toDF("va", "ea"), "va")
+        .join(reps.toDF("vb", "eb"), "vb")
+        .withColumn("cos", expr("cosine_sim(ea, eb)"))
+        .filter(col("cos") >= DupThreshold)
+        .groupBy(col("vb").as("vec_id")).agg(min(col("va")).as("sem_dup_of"))
+      all.join(canon, "embedding")
+        .join(assigned.toDF("rep", "cluster"), "rep")
+        .join(dropped.toDF("rep", "sem_dup_of"), Seq("rep"), "left")
+        .select(col("vec_id"), col("cluster"),
+          expr("CASE WHEN vec_id <> rep THEN rep ELSE sem_dup_of END").as("dup_of"),
+          expr("CAST(CASE WHEN vec_id = rep AND sem_dup_of IS NULL THEN 1 ELSE 0 END AS INT)")
+            .as("kept"))
+        .orderBy("vec_id")
+    }),
+
     // Vector hygiene pass embedding pipelines run before indexing:
     // L2 norm (codegen dot), max-abs scale, symmetric int8
     // quantization. floor(x + 0.5) instead of round() keeps the
@@ -1054,6 +1102,51 @@ object Similarity {
          |JOIN e eb ON eb.vec_id = vec_b
          |WHERE ${dotSql("ea.embedding", "eb.embedding")} / (ea.norm * eb.norm) >= $DupThreshold
          |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "dd14_semantic_dedup" ->
+      s"""WITH canon AS (
+         |  SELECT min(vec_id) AS rep, embedding FROM embeddings GROUP BY embedding
+         |),
+         |e AS (
+         |  SELECT rep AS vec_id, embedding,
+         |         sqrt(${dotSql("embedding", "embedding")}) AS norm
+         |  FROM canon
+         |),
+         |nc AS (
+         |  SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS ncells FROM canon
+         |),
+         |cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS ce, norm AS cnorm
+         |  FROM e, nc WHERE vec_id < ncells
+         |),
+         |scored AS (
+         |  SELECT e.vec_id, c.cent_id,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY ${dotSql("e.embedding", "c.ce")} / (e.norm * c.cnorm) DESC,
+         |                    c.cent_id ASC) AS crn
+         |  FROM e, cents c
+         |),
+         |assigned AS (
+         |  SELECT vec_id, cent_id AS cluster FROM scored WHERE crn = 1
+         |),
+         |dropped AS (
+         |  SELECT b.vec_id AS vec_id, min(a.vec_id) AS sem_dup_of
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  JOIN e ea ON ea.vec_id = a.vec_id
+         |  JOIN e eb ON eb.vec_id = b.vec_id
+         |  WHERE ${dotSql("ea.embedding", "eb.embedding")} / (ea.norm * eb.norm) >= $DupThreshold
+         |  GROUP BY b.vec_id
+         |)
+         |SELECT x.vec_id, asg.cluster,
+         |       CASE WHEN x.vec_id <> c.rep THEN c.rep ELSE dr.sem_dup_of END AS dup_of,
+         |       CAST(CASE WHEN x.vec_id = c.rep AND dr.sem_dup_of IS NULL
+         |            THEN 1 ELSE 0 END AS INT) AS kept
+         |FROM embeddings x
+         |JOIN canon c ON c.embedding = x.embedding
+         |JOIN assigned asg ON asg.vec_id = c.rep
+         |LEFT JOIN dropped dr ON dr.vec_id = c.rep
+         |ORDER BY x.vec_id""".stripMargin,
 
     "dd08_cosine_dup2" ->
       s"""WITH canon AS (

@@ -143,4 +143,44 @@ class Round7OpsSpec extends SparkSpec {
       if (sel == 1) assert(score >= 0.0) else assert(score <= 0.0)
     }
   }
+
+  // ---- dd14 SemDeDup decision table ---------------------------------
+
+  test("dd14: greedy cluster-local pruning is sound and complete") {
+    val rows = q("dd14_semantic_dedup").collect()
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    assert(rows.map(_.getAs[Long]("vec_id")).toSet == emb.keySet, "every vector decided")
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val cluster = rows.map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
+    val reps = rows.filter(r => r.isNullAt(2) || r.getAs[Long]("dup_of") > r.getAs[Long]("vec_id") ||
+      cos(emb(r.getAs[Long]("vec_id")), emb(r.getAs[Long]("dup_of"))) < 0.999999)
+      .map(_.getAs[Long]("vec_id")).toSet // reps = not an exact twin of a lower id
+    rows.foreach { r =>
+      val (v, kept) = (r.getAs[Long]("vec_id"), r.getAs[Int]("kept"))
+      if (kept == 1) assert(r.isNullAt(2), "kept rows carry no witness")
+      else {
+        val w = r.getAs[Long]("dup_of")
+        assert(w < v, s"witness $w not lower-id than $v")
+        val c = cos(emb(v), emb(w))
+        // exact twin (cos≈1 and identical vector) or semantic witness in the same cluster
+        assert(c >= Similarity.DupThreshold - 1e-9 || emb(v).sameElements(emb(w)),
+          s"witness pair ($w,$v) below threshold: $c")
+        if (!emb(v).sameElements(emb(w)))
+          assert(cluster(w) == cluster(v), "semantic witness must share the cluster")
+      }
+    }
+    // completeness: a kept rep has no lower-id rep in its cluster at >= threshold
+    val keptReps = rows.filter(_.getAs[Int]("kept") == 1).map(_.getAs[Long]("vec_id"))
+    keptReps.foreach { v =>
+      reps.filter(w => w < v && cluster(w) == cluster(v)).foreach { w =>
+        assert(cos(emb(v), emb(w)) < Similarity.DupThreshold + 1e-9,
+          s"kept $v has an undetected lower-id witness $w")
+      }
+    }
+    assert(rows.exists(_.getAs[Int]("kept") == 0), "fixture should contain at least one drop")
+  }
 }
