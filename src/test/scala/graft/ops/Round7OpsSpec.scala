@@ -156,9 +156,8 @@ class Round7OpsSpec extends SparkSpec {
       dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
     }
     val cluster = rows.map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
-    val reps = rows.filter(r => r.isNullAt(2) || r.getAs[Long]("dup_of") > r.getAs[Long]("vec_id") ||
-      cos(emb(r.getAs[Long]("vec_id")), emb(r.getAs[Long]("dup_of"))) < 0.999999)
-      .map(_.getAs[Long]("vec_id")).toSet // reps = not an exact twin of a lower id
+    // rep = min id per distinct embedding, straight from the fixture
+    val reps = emb.groupBy(_._2.toSeq).values.map(_.keys.min).toSet
     rows.foreach { r =>
       val (v, kept) = (r.getAs[Long]("vec_id"), r.getAs[Int]("kept"))
       if (kept == 1) assert(r.isNullAt(2), "kept rows carry no witness")
