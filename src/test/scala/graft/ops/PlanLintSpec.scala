@@ -49,7 +49,15 @@ class PlanLintSpec extends SparkSpec {
     // static estimate is garbage; the crossJoin is explicitly
     // broadcast-hinted
     "sim07_pq_adc",
-    "sim12_pq_train_eval") // embeds both sim07 codebook modes
+    "sim12_pq_train_eval", // embeds both sim07 codebook modes
+    // SemDeDup centroid frame (Similarity.scala `cents`): reps
+    // crossJoin'd with a broadcast 1-row ncells frame, filtered to
+    // vec_id < ncells → ⌈√n⌉ rows by construction and explicitly
+    // broadcast-hinted into the assignment join; the static estimate
+    // is the whole unfiltered reps table because the optimizer has no
+    // selectivity for the computed-scalar comparison — same
+    // runtime-bounded-cells pattern as dd06/dd08/sim06
+    "dd14_semantic_dedup")
 
   test("no catalog query plans a cartesian product; all BNLJ sides are tiny") {
     val MaxBroadcastBytes = 1L << 20
