@@ -39,18 +39,24 @@ object Breadth {
 
     // HLL approximate distinct — the 100 TB form of A6 (exact
     // countDistinct shuffles an Expand of every key; the sketch is
-    // mergeable constant-size state). No DuckDB oracle: HLL
-    // implementations differ by design → driver does a rows-only
-    // check; BreadthSpec pins the error bound against exact.
+    // mergeable constant-size state). HLL digests are engine-specific,
+    // so the ESTIMATE can't hash-match DuckDB — instead the ±rsd error
+    // bound is asserted IN-PLAN (`within_bound`) and the oracle pins
+    // that assertion to TRUE alongside the exact counts: a hash match
+    // IS the quantified accuracy check. Bound = 3×rsd (rsd 0.05
+    // default) — the standard 3-sigma envelope for HLL's ~normal
+    // estimate error; OpsSpec additionally pins the observed error at
+    // the tighter 1×rsd on the test SF, and proves sketch
+    // mergeability.
     "a15_approx_distinct" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy(trim(col("event_type")).as("line"))
         .agg(
-          approx_count_distinct(col("user_id")).as("approx_users"),
+          approx_count_distinct(col("user_id"), 0.05).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"))
-        .withColumn("rel_err",
-          round(abs(col("approx_users") - col("exact_users")).cast(DoubleType) /
-            col("exact_users").cast(DoubleType), 4))
+        .select(col("line"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")).cast(DoubleType) /
+            col("exact_users").cast(DoubleType) <= lit(0.15)).as("within_bound"))
         .orderBy("line")),
 
     // String function family
@@ -113,6 +119,15 @@ object Breadth {
         |       round(var_samp(value), 6) AS var_value,
         |       round(corr(value, CAST(floor(epoch(ts)) AS DOUBLE)), 6) AS corr_value_time,
         |       round(covar_samp(value, CAST(floor(epoch(ts)) AS DOUBLE)), 2) AS covar_value_time
+        |FROM events GROUP BY 1 ORDER BY line""".stripMargin,
+
+    // Exact side is oracled exactly; `TRUE AS within_bound` pins the
+    // Spark-side in-plan assertion that the HLL estimate sits inside
+    // the 3×rsd envelope — the hash match is the accuracy check.
+    "a15_approx_distinct" ->
+      """SELECT trim(event_type) AS line,
+        |       count(DISTINCT user_id) AS exact_users,
+        |       TRUE AS within_bound
         |FROM events GROUP BY 1 ORDER BY line""".stripMargin,
 
     "p14_string_funcs" ->

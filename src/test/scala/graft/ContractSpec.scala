@@ -11,9 +11,10 @@ class ContractSpec extends AnyFunSuite {
 
   /** Catalog entries deliberately without an oracle, each with the
     * reason recorded here so the exception is auditable. */
-  private val noOracleByDesign = Map(
-    "a15_approx_distinct" ->
-      "HLL sketches are engine-specific by design; error bound is spec-proven in BreadthSpec/OpsSpec")
+  // Empty since round 7: a15's HLL error bound is asserted in-plan
+  // (`within_bound`) and oracled on the exact side, so every catalog
+  // entry now carries a DuckDB oracle.
+  private val noOracleByDesign = Map.empty[String, String]
 
   test("every catalog query has an oracle or a recorded exception") {
     val q = SparkEntry.queries.keySet

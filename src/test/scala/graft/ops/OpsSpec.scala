@@ -17,18 +17,32 @@ class OpsSpec extends SparkSpec {
 
   /** Queries whose semantics cannot hash-match a DuckDB oracle by
     * design (documented in their builders); the driver records a
-    * rows-only check for these. */
-  private val documentedOmissions = Set("a15_approx_distinct")
+    * rows-only check for these. Empty since round 7: a15's HLL bound
+    * is asserted in-plan and oracled on the exact side. */
+  private val documentedOmissions = Set.empty[String]
 
   test("every catalog query has either an oracle or a documented omission") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle === documentedOmissions, s"queries without oracle: $noOracle")
   }
 
-  test("approx distinct stays within 5% of exact") {
-    val rows = q("a15_approx_distinct").collect()
+  test("approx distinct stays within 5% of exact (1×rsd, tighter than the in-plan 3×rsd)") {
+    val rows = graft.Tables.events(spark, sf)
+      .groupBy(trim(col("event_type")).as("line"))
+      .agg(
+        approx_count_distinct(col("user_id"), 0.05).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .collect()
     assert(rows.nonEmpty)
-    rows.foreach(r => assert(r.getAs[Double]("rel_err") <= 0.05, r.toString))
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_users").toDouble
+      val exact = r.getAs[Long]("exact_users").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05, r.toString)
+    }
+    // and the catalog entry's own in-plan assertion holds everywhere
+    val cat = q("a15_approx_distinct").collect()
+    assert(cat.nonEmpty)
+    cat.foreach(r => assert(r.getAs[Boolean]("within_bound"), r.toString))
   }
 
   test("silver analog: bbox, nonempty, dedup invariants") {
