@@ -129,10 +129,10 @@ object Dedup {
   /** Shared oracle fragments for the LSH family (dd03/dd07/dd09):
     * band-key projection over `sigs` and the signature match-count
     * sum between aliases `sa`/`sb`. */
-  private lazy val bandSelects: String = (0 until Bands).map(b =>
+  private[graft] lazy val bandSelects: String = (0 until Bands).map(b =>
     s"SELECT doc_id, $b AS band, concat_ws(':', sig_${2 * b}, sig_${2 * b + 1}) AS key FROM sigs")
     .mkString("\n  UNION ALL\n  ")
-  private lazy val matchSum: String = (0 until MinhashK)
+  private[graft] lazy val matchSum: String = (0 until MinhashK)
     .map(j => s"CASE WHEN sa.sig_$j = sb.sig_$j THEN 1 ELSE 0 END")
     .mkString(" + ")
 
@@ -209,6 +209,88 @@ object Dedup {
       .withColumn("est_jaccard", matches.cast("double") / MinhashK.toDouble)
       .filter(col("est_jaccard") >= 0.5)
       .select("doc_a", "doc_b", "est_jaccard")
+  }
+
+  /** Corpus-side inputs for [[nearDupDecisions]]: the band index
+    * (band, key, corpus_doc) and the signature frame (corpus_doc,
+    * b_sig_0..k-1) over every non-batch doc. In production this is a
+    * persisted, bucket-partitioned table maintained by appending each
+    * accepted batch's bands — corpus text is never re-signed; here
+    * both derive from the memoized signature frame. */
+  def corpusIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val srcs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val corpSigs = minhashSignatures(spark, dir)
+      .join(srcs.filter(col("source") =!= IncBatchSrc), "doc_id")
+      .drop("source")
+    val bandKeys = (0 until Bands).map(b =>
+      concat_ws(":", col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}")))
+    val bands = corpSigs
+      .select(col("doc_id").as("corpus_doc"),
+        posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
+      .select("band", "key", "corpus_doc")
+    val renamed = corpSigs.toDF(
+      "corpus_doc" +: (0 until MinhashK).map(j => s"b_sig_$j"): _*)
+    (bands, renamed)
+  }
+
+  /** Streaming-safe near-dup decision core — the dataflow shared by
+    * the batch catalog entry `st05_stream_neardup` (Streams.scala) and
+    * the Structured Streaming wrapper
+    * [[graft.streaming.Streams!.nearDupDedupStream]]. `docs`
+    * (doc_id, text, ts) may be an unbounded streaming frame, so every
+    * construct is streaming-legal:
+    *   - signatures are computed INLINE per arriving doc (one codegen
+    *     pass, no cache barrier — the cache trick minhashSignatures
+    *     uses is a batch-only optimization);
+    *   - candidates come from a stream-static LEFT join against the
+    *     persisted corpus band index — per-doc work is bounded by its
+    *     band buckets' occupancy, the corpus is never re-paired;
+    *   - the per-doc best match is an argmax AGGREGATE
+    *     (max(struct(est, -corpus_doc))) keyed by (arrival window,
+    *     doc) — row_number windows don't exist over unbounded input,
+    *     and the aggregate also absorbs duplicate band hits without a
+    *     distinct() exchange.
+    * Output: one decision row per (10-min arrival window, batch doc);
+    * dup_of/est_jaccard null ⇒ novel, admit to the corpus. */
+  def nearDupDecisions(docs: DataFrame, corpusBands: DataFrame,
+      corpusSigs: DataFrame): DataFrame = {
+    val sigged = docs
+      .withColumn("tokens", expr(tokensExpr))
+      .withColumn("shingles", expr(shinglesExpr))
+      .withColumn("sigarr",
+        expr(s"minhash_mix(transform(shingles, s -> ${Portable.phashExpr("s")} % $MixMod))"))
+    val flat = sigged.select(
+      Seq(col("doc_id").as("batch_doc"), col("ts")) ++
+        (0 until MinhashK).map(j => element_at(col("sigarr"), j + 1).as(s"a_sig_$j")): _*)
+    val bandKeys = (0 until Bands).map(b =>
+      concat_ws(":", col(s"a_sig_${2 * b}"), col(s"a_sig_${2 * b + 1}")))
+    val bands = flat.select(
+      Seq(col("batch_doc"), col("ts")) ++
+        (0 until MinhashK).map(j => col(s"a_sig_$j")) :+
+        posexplode(array(bandKeys: _*)).as(Seq("band", "key")): _*)
+    val joined = bands
+      .join(corpusBands, Seq("band", "key"), "left")
+      .join(corpusSigs, Seq("corpus_doc"), "left")
+    val matches = (0 until MinhashK)
+      .map(j => when(col(s"a_sig_$j") === col(s"b_sig_$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    val est = matches.cast("double") / MinhashK.toDouble
+    // sentinel-coded (est, -id) pair: candidates below threshold and
+    // band misses collapse to (-1, -MaxValue), so max() picks the
+    // highest-estimate / lowest-id witness iff one exists
+    val scored = joined.select(col("batch_doc"), col("ts"),
+      when(col("corpus_doc").isNotNull && est >= 0.5, est)
+        .otherwise(lit(-1.0)).as("e"),
+      when(col("corpus_doc").isNotNull && est >= 0.5, -col("corpus_doc"))
+        .otherwise(lit(Long.MinValue)).as("negid"))
+    scored
+      .groupBy(window(col("ts"), "10 minutes"), col("batch_doc"))
+      .agg(max(struct(col("e"), col("negid"))).as("best"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("batch_doc"),
+        when(col("best.e") >= 0.5, -col("best.negid")).as("dup_of"),
+        when(col("best.e") >= 0.5, round(col("best.e"), 6)).as("est_jaccard"))
   }
 
   val queries: Map[String, Q] = Map(

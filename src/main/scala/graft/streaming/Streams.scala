@@ -400,6 +400,23 @@ object Streams {
   def dedupWithinWatermark(events: DataFrame, delay: String = "1 hour"): DataFrame =
     events.withWatermark("ts", delay).dropDuplicatesWithinWatermark("event_id")
 
+  /** st05's streaming form: NEAR-dup (MinHash/LSH) dedup of an
+    * incoming doc stream against the persisted corpus band index —
+    * st04 dedups exact event_id redeliveries; this is the
+    * LLM-pipeline version where an arriving doc is a duplicate if the
+    * corpus holds a signature-verified near neighbor (est Jaccard
+    * ≥ 0.5). All the work is stream-legal by construction (inline
+    * signatures, stream-static band join, windowed argmax aggregate —
+    * see [[graft.ops.Dedup!.nearDupDecisions]]); the watermark bounds
+    * the aggregate's state: a 10-min arrival window's decisions emit
+    * in append mode once the watermark passes its end, and its state
+    * is freed — state scales with the redelivery horizon, not stream
+    * history. */
+  def nearDupDedupStream(docs: DataFrame, corpusBands: DataFrame,
+      corpusSigs: DataFrame, delay: String = "30 minutes"): DataFrame =
+    graft.ops.Dedup.nearDupDecisions(
+      docs.withWatermark("ts", delay), corpusBands, corpusSigs)
+
   // ------------------------------------------------------------------
   // Custom streaming state: trip segmentation
   // ------------------------------------------------------------------
@@ -533,6 +550,22 @@ object Streams {
           date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("first_ts"),
           count(lit(1)).as("n_seen"))
         .orderBy("event_id")
+    }),
+
+    // Batch analog of [[nearDupDedupStream]] (the shared core IS the
+    // streaming plan — StreamingSpec proves equivalence through a real
+    // readStream): the incremental batch slice arrives as a stream
+    // (synthetic deterministic arrival time: epoch-aligned base +
+    // doc_id seconds), and each doc gets its near-dup verdict against
+    // the standing corpus index within its 10-min arrival window.
+    "st05_stream_neardup" -> ((s, d) => {
+      graft.functions.VectorExprs.register(s)
+      val batch = Tables.documents(s, d)
+        .filter(col("source") === graft.ops.Dedup.IncBatchSrc)
+        .select(col("doc_id"), col("text"),
+          expr("timestamp'2024-01-01 00:00:00' + make_dt_interval(0, 0, 0, doc_id)").as("ts"))
+      val (cb, cs) = graft.ops.Dedup.corpusIndex(s, d)
+      graft.ops.Dedup.nearDupDecisions(batch, cb, cs).orderBy("batch_doc")
     })
   )
 
@@ -588,6 +621,47 @@ object Streams {
          |SELECT event_id, max(user_id) AS user_id, max(event_type) AS event_type,
          |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
          |       count(*) AS n_seen
-         |FROM u GROUP BY event_id ORDER BY event_id""".stripMargin
+         |FROM u GROUP BY event_id ORDER BY event_id""".stripMargin,
+
+    "st05_stream_neardup" ->
+      s"""WITH ${graft.ops.Dedup.minhashCte},
+         |bands AS (
+         |  ${graft.ops.Dedup.bandSelects}
+         |),
+         |bt AS (
+         |  SELECT doc_id,
+         |         TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND AS ts
+         |  FROM documents WHERE source = '${graft.ops.Dedup.IncBatchSrc}'
+         |),
+         |bb AS (
+         |  SELECT b.* FROM bands b JOIN documents d ON b.doc_id = d.doc_id
+         |  WHERE d.source = '${graft.ops.Dedup.IncBatchSrc}'
+         |),
+         |cb AS (
+         |  SELECT b.* FROM bands b JOIN documents d ON b.doc_id = d.doc_id
+         |  WHERE d.source <> '${graft.ops.Dedup.IncBatchSrc}'
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS batch_doc, c.doc_id AS corpus_doc
+         |  FROM bb a JOIN cb c ON a.key = c.key AND a.band = c.band
+         |),
+         |best AS (
+         |  SELECT batch_doc, corpus_doc, est,
+         |         row_number() OVER (PARTITION BY batch_doc
+         |                            ORDER BY est DESC, corpus_doc ASC) AS rn
+         |  FROM (
+         |    SELECT batch_doc, corpus_doc,
+         |           CAST(${graft.ops.Dedup.matchSum} AS DOUBLE) / ${graft.ops.Dedup.MinhashK}.0 AS est
+         |    FROM cand
+         |    JOIN sigs sa ON sa.doc_id = batch_doc
+         |    JOIN sigs sb ON sb.doc_id = corpus_doc
+         |  ) WHERE est >= 0.5
+         |)
+         |SELECT strftime(to_timestamp(CAST(floor(epoch(bt.ts) / 600) AS BIGINT) * 600),
+         |                '%Y-%m-%d %H:%M:%S') AS window_start,
+         |       bt.doc_id AS batch_doc, b.corpus_doc AS dup_of,
+         |       round(b.est, 6) AS est_jaccard
+         |FROM bt LEFT JOIN best b ON b.batch_doc = bt.doc_id AND b.rn = 1
+         |ORDER BY batch_doc""".stripMargin
   )
 }

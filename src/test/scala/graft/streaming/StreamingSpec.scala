@@ -380,6 +380,61 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup dedup matches the batch decision table (st05)") {
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorExprs.register(spark)
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("st05_stream_neardup")(spark, sf).collect()
+    val docs = graft.Tables.documents(spark, sf)
+      .filter(col("source") === graft.ops.Dedup.IncBatchSrc)
+      .select(col("doc_id"), col("text"),
+        expr("timestamp'2024-01-01 00:00:00' + make_dt_interval(0, 0, 0, doc_id)").as("ts"))
+    val srcDir = Files.createTempDirectory("graft-st05").toString
+    // one file per group, strictly increasing mtimes → deterministic
+    // micro-batch order under maxFilesPerTrigger = 1
+    def stamp(sub: String): Unit = {
+      val t = mtimeClock.addAndGet(2000)
+      Files.walk(Paths.get(srcDir, sub)).iterator().forEachRemaining { p =>
+        if (Files.isRegularFile(p))
+          Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime.fromMillis(t))
+      }
+    }
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(s"$srcDir/part_a")
+    stamp("part_a")
+    docs.filter(col("doc_id") % 2 =!= 0).coalesce(1).write.parquet(s"$srcDir/part_b")
+    stamp("part_b")
+    // two far-future flush docs in separate, later files: the first
+    // advances the watermark past every real 10-min window, the
+    // second's micro-batch emits those closed windows (watermark
+    // updates at end-of-batch; eviction happens the batch after)
+    spark.sql("SELECT CAST(999999998 AS BIGINT) AS doc_id, 'zz' AS text, " +
+        "timestamp'2024-06-01 00:00:00' AS ts")
+      .coalesce(1).write.parquet(s"$srcDir/part_y")
+    stamp("part_y")
+    spark.sql("SELECT CAST(999999999 AS BIGINT) AS doc_id, 'zz' AS text, " +
+        "timestamp'2024-06-02 00:00:00' AS ts")
+      .coalesce(1).write.parquet(s"$srcDir/part_z")
+    stamp("part_z")
+    val (cb, cs) = graft.ops.Dedup.corpusIndex(spark, sf)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$srcDir/part_a").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$srcDir/part_*")
+    val q = Streams.nearDupDedupStream(stream, cb, cs)
+      .writeStream.format("memory").queryName("st05_out").outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("st05_out")
+        .filter(col("batch_doc") < 999999998L)
+        .orderBy("batch_doc").collect()
+      assert(streamed.nonEmpty, "no streamed decisions emitted")
+      assert(streamed.length === batch.length,
+        s"streamed ${streamed.length} rows vs batch ${batch.length}")
+      assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+    } finally q.stop()
+  }
+
   test("reorder buffer repairs cross-batch event-time disorder") {
     val dir = Files.createTempDirectory("graft-reorder").toString
     // arrival order 12:10, 12:00, 12:20 (forced via mtimes + one file
