@@ -36,6 +36,17 @@ object Similarity {
   val MahalTopK = 20
   val LshPlanes = 6 // 2^6 = 64 buckets
   val LshK = 3
+
+  /** Multi-probe knobs (sim13): LSH queries additionally probe the
+    * buckets reached by flipping their lowest-margin sign bits
+    * (smallest |pdot| — the hyperplanes the query sits closest to,
+    * where its true neighbors most likely landed on the other side);
+    * IVF2 queries probe their [[Ivf2L1Probes]] nearest L1 cells
+    * instead of only the argmax cell. Recall at fixed per-bucket
+    * cost — the production ANN lever: probe count scales candidate
+    * work linearly while recall lifts toward exact. */
+  val LshMultiProbes = 4 // own bucket + 3 lowest-margin bit flips
+  val Ivf2L1Probes = 2
   val Dims = 64
   val IvfCentroids = 16 // vec_id < 16 serve as coarse centroids
   val IvfNProbe = 2
@@ -208,7 +219,7 @@ object Similarity {
     * ASC) within the vector's L1 cell. Sizes ride a broadcast 1-row
     * count frame — no collect; n^¼ is sqrt(sqrt(n)) (two IEEE-exact
     * sqrts, never pow — libm parity). */
-  private def twoLevelScored(e: DataFrame): DataFrame = {
+  private def twoLevelParts(e: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val sizes = e.agg(
       ceil(sqrt(sqrt(count(lit(1)).cast("double")))).cast("long").as("c1"))
     val l1cents = e.crossJoin(broadcast(sizes)).filter(col("vec_id") < col("c1"))
@@ -225,11 +236,115 @@ object Similarity {
         Window.partitionBy("g").orderBy(col("vec_id").asc)))
       .crossJoin(broadcast(sizes)).filter(col("srn") <= col("c1"))
       .select(col("g"), col("vec_id").as("sub"), col("embedding").as("s_ce"))
-    l1.join(broadcast(l2cents), Seq("g"))
+    val scored = l1.join(broadcast(l2cents), Seq("g"))
       .withColumn("cos_s", expr("cosine_sim(embedding, s_ce)"))
       .withColumn("srn", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("cos_s").desc, col("sub").asc)))
       .select(col("vec_id"), col("g"), col("sub"), col("embedding"), col("srn"))
+    (l1cents, l2cents, scored)
+  }
+
+  private def twoLevelScored(e: DataFrame): DataFrame = twoLevelParts(e)._3
+
+  /** LSH ANN with a probe-count knob: every vector lands in ONE
+    * sign-bit bucket; a query probes its own bucket plus the buckets
+    * reached by flipping its `probes - 1` lowest-margin bits
+    * (smallest |pdot| — the classic multi-probe perturbation order:
+    * the hyperplanes the query sits closest to are where its true
+    * neighbors most likely fell on the other side). Targets live in
+    * exactly one bucket and probe buckets are distinct, so no
+    * candidate dedup exchange is needed; candidate cost scales
+    * linearly in `probes` while the corpus-side plan (one projection
+    * pass + one bucket aggregate) is shared and unchanged. */
+  private[graft] def lshAnn(s: SparkSession, d: String, probes: Int): DataFrame = {
+    VectorExprs.register(s)
+    val e = Tables.embeddings(s, d)
+    val planesDf = s.sql(planesRelation("array(", ")"))
+      .withColumn("plane", col("plane").cast("array<double>"))
+    // hot pass: P plane projections × every row — the fused codegen
+    // dot_product kernel, not the interpreted HOF fold (same left
+    // fold, bit-identical; see VectorExprs.DotProduct)
+    val proj = e.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(planesDf))
+      .withColumn("pdot", expr("dot_product(embedding, plane)"))
+    val buckets = proj
+      .withColumn("bit",
+        expr("CASE WHEN pdot > 0.0 THEN shiftleft(CAST(1 AS BIGINT), p) ELSE CAST(0 AS BIGINT) END"))
+      .groupBy("vec_id").agg(sum(col("bit")).as("bucket"))
+    val eb = e.join(buckets, "vec_id")
+    val q = eb.filter(col("vec_id") < KnnQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("bucket").as("pbucket"))
+    val probeFrame =
+      if (probes <= 1) q
+      else {
+        val flips = proj.filter(col("vec_id") < KnnQueries)
+          .withColumn("frn", row_number().over(
+            Window.partitionBy("vec_id").orderBy(abs(col("pdot")).asc, col("p").asc)))
+          .filter(col("frn") <= probes - 1)
+          .select(col("vec_id").as("query_id"), col("p"))
+        q.unionByName(q.join(flips, "query_id")
+          .select(col("query_id"), col("qe"),
+            expr("pbucket ^ shiftleft(CAST(1 AS BIGINT), p)").as("pbucket")))
+      }
+    val t = eb.select(col("vec_id").as("neighbor_id"), col("embedding").as("te"),
+      col("bucket"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    t.join(broadcast(probeFrame), col("bucket") === col("pbucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", expr("cosine_sim(qe, te)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= LshK)
+      .select(col("query_id"), col("neighbor_id"), col("bucket"),
+        round(col("cos"), 6).as("cosine"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  /** Two-level IVF ANN with an L1 probe-count knob: `l1probes = 1`
+    * is sim06's plan verbatim (queries probe their own L1 cell's
+    * [[IvfNProbe]] nearest sub-cells); `l1probes > 1` scores the
+    * (tiny) query set against ALL L1 centroids, takes the `l1probes`
+    * nearest cells, and probes each cell's [[IvfNProbe]] nearest
+    * sub-cells — recovering exactly the recall the hierarchical
+    * L1 boundary gives up (the trade sim06's scaladoc states). The
+    * corpus-side assignment is shared and unchanged; candidate cost
+    * scales linearly in `l1probes`. */
+  private[graft] def ivf2Ann(s: SparkSession, d: String, l1probes: Int): DataFrame = {
+    VectorExprs.register(s)
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val (l1cents, l2cents, scored) = twoLevelParts(e)
+    val assigned = scored.filter(col("srn") === 1)
+      .select(col("vec_id"), col("g"), col("sub"), col("embedding"))
+    val probes =
+      if (l1probes <= 1)
+        scored.filter(col("vec_id") < KnnQueries && col("srn") <= IvfNProbe)
+          .select(col("vec_id").as("query_id"), col("g"), col("sub"),
+            col("embedding").as("qe"))
+      else {
+        val qcells = e.filter(col("vec_id") < KnnQueries)
+          .crossJoin(broadcast(l1cents))
+          .withColumn("cos_g", expr("cosine_sim(embedding, g_ce)"))
+          .withColumn("grn", row_number().over(
+            Window.partitionBy("vec_id").orderBy(col("cos_g").desc, col("g").asc)))
+          .filter(col("grn") <= l1probes)
+          .select(col("vec_id").as("query_id"), col("g"), col("embedding").as("qe"))
+        qcells.join(broadcast(l2cents), Seq("g"))
+          .withColumn("cos_s", expr("cosine_sim(qe, s_ce)"))
+          .withColumn("srn", row_number().over(
+            Window.partitionBy("query_id", "g").orderBy(col("cos_s").desc, col("sub").asc)))
+          .filter(col("srn") <= IvfNProbe)
+          .select(col("query_id"), col("g"), col("sub"), col("qe"))
+      }
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    assigned.join(broadcast(probes), Seq("g", "sub"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumnRenamed("vec_id", "neighbor_id")
+      .withColumn("cos", expr("cosine_sim(qe, embedding)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= LshK)
+      .select(col("query_id"), col("neighbor_id"), col("g").as("l1_cell"),
+        col("sub").as("l2_cell"), round(col("cos"), 6).as("cosine"))
+      .orderBy("query_id", "neighbor_id")
   }
 
   /** Planes as a UNION ALL relation, in the given array-literal
@@ -259,35 +374,10 @@ object Similarity {
     }),
 
     // LSH-bucketed ANN: random-hyperplane sign buckets, exact cosine
-    // re-ranking within the query's bucket only
-    "sim02_lsh_ann" -> ((s, d) => {
-      VectorExprs.register(s)
-      val e = Tables.embeddings(s, d)
-      val planesDf = s.sql(planesRelation("array(", ")"))
-      // hot pass: P plane projections × every row — the fused codegen
-      // dot_product kernel, not the interpreted HOF fold (same left
-      // fold, bit-identical; see VectorExprs.DotProduct)
-      val buckets = e.select(col("vec_id"), col("embedding"))
-        .crossJoin(broadcast(planesDf.withColumn("plane", col("plane").cast("array<double>"))))
-        .withColumn("pdot", expr("dot_product(embedding, plane)"))
-        .withColumn("bit",
-          expr("CASE WHEN pdot > 0.0 THEN shiftleft(CAST(1 AS BIGINT), p) ELSE CAST(0 AS BIGINT) END"))
-        .groupBy("vec_id").agg(sum(col("bit")).as("bucket"))
-      val eb = e.join(buckets, "vec_id")
-      val q = eb.filter(col("vec_id") < KnnQueries)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
-      val t = eb.select(col("vec_id").as("neighbor_id"), col("embedding").as("te"),
-        col("bucket"))
-      val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
-      t.join(broadcast(q), Seq("bucket"))
-        .filter(col("neighbor_id") =!= col("query_id"))
-        .withColumn("cos", expr("cosine_sim(qe, te)"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= LshK)
-        .select(col("query_id"), col("neighbor_id"), col("bucket"),
-          round(col("cos"), 6).as("cosine"))
-        .orderBy("query_id", "neighbor_id")
-    }),
+    // re-ranking within the query's probed bucket(s). probes = 1 is
+    // the classic single-bucket form; sim13 evaluates the multi-probe
+    // recall lift through the same knob.
+    "sim02_lsh_ann" -> ((s, d) => lshAnn(s, d, probes = 1)),
 
     // Per-label centroids (vector aggregation via posexplode —
     // partial aggregation makes this one narrow shuffle of
@@ -395,26 +485,7 @@ object Similarity {
     // sqrt(sqrt(n)) (two IEEE-exact sqrts, never pow — libm parity).
     // Queries probe their own L1 cell's IvfNProbe nearest sub-cells,
     // then re-rank exactly.
-    "sim06_ivf2_ann" -> ((s, d) => {
-      VectorExprs.register(s)
-      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
-      val scored = twoLevelScored(e)
-      val assigned = scored.filter(col("srn") === 1)
-        .select(col("vec_id"), col("g"), col("sub"), col("embedding"))
-      val probes = scored.filter(col("vec_id") < KnnQueries && col("srn") <= IvfNProbe)
-        .select(col("vec_id").as("query_id"), col("g"), col("sub"),
-          col("embedding").as("qe"))
-      val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
-      assigned.join(broadcast(probes), Seq("g", "sub"))
-        .filter(col("vec_id") =!= col("query_id"))
-        .withColumnRenamed("vec_id", "neighbor_id")
-        .withColumn("cos", expr("cosine_sim(qe, embedding)"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= LshK)
-        .select(col("query_id"), col("neighbor_id"), col("g").as("l1_cell"),
-          col("sub").as("l2_cell"), round(col("cos"), 6).as("cosine"))
-        .orderBy("query_id", "neighbor_id")
-    }),
+    "sim06_ivf2_ann" -> ((s, d) => ivf2Ann(s, d, l1probes = 1)),
 
     // Near-duplicate pairs under TWO-LEVEL blocking — dd06's
     // hierarchical sibling (the dd-side of the sim06 quantizer): L1
@@ -716,6 +787,38 @@ object Similarity {
           coalesce(col("n_hit_seed"), lit(0L)).as("n_hit_seed"),
           coalesce(col("n_hit_trained"), lit(0L)).as("n_hit_trained"))
         .orderBy("query_id")
+    }),
+
+    // Does multi-probe pay? — the sim11-shaped evaluation for the
+    // round-7 probe knobs: per query, ground-truth hits of the LSH
+    // path at 1 vs [[LshMultiProbes]] probed buckets, and of the
+    // two-level IVF path at 1 vs [[Ivf2L1Probes]] probed L1 cells.
+    // All four index variants and the ground truth are full dataflow
+    // relations, so the recall-lift claim itself is oracle-hash-
+    // checked. At 100 TB this runs on a sampled query set next to
+    // sim11 — the probe-count tuning signal: probe cost scales
+    // linearly, and this table says what recall each step buys.
+    "sim13_multiprobe_recall" -> ((s, d) => {
+      val bf = queries("sim01_knn")(s, d).select("query_id", "neighbor_id")
+      def hits(df: DataFrame, out: String): DataFrame = df
+        .select("query_id", "neighbor_id")
+        .join(bf.withColumn("hit", lit(1L)), Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(sum(coalesce(col("hit"), lit(0L))).cast("long").as(out))
+      val spine = Tables.embeddings(s, d)
+        .filter(col("vec_id") < KnnQueries)
+        .select(col("vec_id").as("query_id"))
+      spine
+        .join(hits(lshAnn(s, d, 1), "lsh_hits_p1"), Seq("query_id"), "left")
+        .join(hits(lshAnn(s, d, LshMultiProbes), "lsh_hits_mp"), Seq("query_id"), "left")
+        .join(hits(ivf2Ann(s, d, 1), "ivf2_hits_p1"), Seq("query_id"), "left")
+        .join(hits(ivf2Ann(s, d, Ivf2L1Probes), "ivf2_hits_mp"), Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("lsh_hits_p1"), lit(0L)).as("lsh_hits_p1"),
+          coalesce(col("lsh_hits_mp"), lit(0L)).as("lsh_hits_mp"),
+          coalesce(col("ivf2_hits_p1"), lit(0L)).as("ivf2_hits_p1"),
+          coalesce(col("ivf2_hits_mp"), lit(0L)).as("ivf2_hits_mp"))
+        .orderBy("query_id")
     })
   )
 
@@ -883,6 +986,140 @@ object Similarity {
 
   /** sim01/sim04 oracle texts, extracted so sim11's evaluation
     * oracle nests the exact relations it grades. */
+  /** Parameterized LSH-ANN oracle — mirrors [[lshAnn]] step for step
+    * (projection pass, sign-bit buckets, lowest-|pdot| bit flips,
+    * within-bucket exact re-rank). */
+  private def lshSql(probes: Int): String = {
+    val flipCtes =
+      if (probes <= 1) ""
+      else s""",
+         |flips AS (
+         |  SELECT query_id, p FROM (
+         |    SELECT vec_id AS query_id, p,
+         |           row_number() OVER (PARTITION BY vec_id
+         |             ORDER BY abs(pdot) ASC, p ASC) AS frn
+         |    FROM proj WHERE vec_id < $KnnQueries) t
+         |  WHERE frn <= ${probes - 1}
+         |)""".stripMargin
+    val probeRel =
+      if (probes <= 1)
+        s"""SELECT vec_id AS query_id, embedding AS qe, norm AS qn, bucket AS pbucket
+           |  FROM eb WHERE vec_id < $KnnQueries""".stripMargin
+      else
+        s"""SELECT vec_id AS query_id, embedding AS qe, norm AS qn, bucket AS pbucket
+           |  FROM eb WHERE vec_id < $KnnQueries
+           |  UNION ALL
+           |  SELECT q.vec_id, q.embedding, q.norm,
+           |         xor(q.bucket, CAST((CAST(1 AS BIGINT) << f.p) AS BIGINT))
+           |  FROM eb q JOIN flips f ON q.vec_id = f.query_id""".stripMargin
+    s"""WITH $normedCte,
+       |planes AS (
+       |  ${planesRelation("[", "]")}
+       |),
+       |proj AS (
+       |  SELECT vec_id, p, ${dotSql("embedding", "plane")} AS pdot FROM e, planes
+       |),
+       |buckets AS (
+       |  SELECT vec_id,
+       |         CAST(sum(CASE WHEN pdot > 0.0
+       |                       THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM proj GROUP BY vec_id
+       |),
+       |eb AS (
+       |  SELECT e.*, b.bucket FROM e JOIN buckets b USING (vec_id)
+       |)$flipCtes,
+       |pb AS (
+       |  $probeRel
+       |),
+       |pairs AS (
+       |  SELECT pb.query_id, t.vec_id AS neighbor_id, t.bucket,
+       |         ${dotSql("pb.qe", "t.embedding")} / (pb.qn * t.norm) AS cos
+       |  FROM pb JOIN eb t ON t.bucket = pb.pbucket AND t.vec_id <> pb.query_id
+       |)
+       |SELECT query_id, neighbor_id, bucket, round(cos, 6) AS cosine FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY cos DESC, neighbor_id ASC) AS rn
+       |  FROM pairs) t
+       |WHERE rn <= $LshK ORDER BY query_id, neighbor_id""".stripMargin
+  }
+
+  /** Parameterized two-level-IVF oracle — mirrors [[ivf2Ann]]:
+    * `l1probes = 1` keeps the legacy own-cell probes CTE, otherwise
+    * queries rank ALL L1 cells and probe the nearest `l1probes`. */
+  private def ivf2Sql(l1probes: Int): String = {
+    val probesCte =
+      if (l1probes <= 1)
+        s"""probes AS (
+           |  SELECT vec_id AS query_id, g, sub, embedding AS qe, norm AS qn
+           |  FROM scored WHERE vec_id < $KnnQueries AND srn <= $IvfNProbe
+           |)""".stripMargin
+      else
+        s"""qcells AS (
+           |  SELECT query_id, g, qe, qn FROM (
+           |    SELECT e.vec_id AS query_id, c.g, e.embedding AS qe, e.norm AS qn,
+           |           row_number() OVER (PARTITION BY e.vec_id
+           |             ORDER BY ${dotSql("e.embedding", "c.g_ce")} / (e.norm * c.g_norm) DESC,
+           |                      c.g ASC) AS grn
+           |    FROM e, l1cents c WHERE e.vec_id < $KnnQueries) t
+           |  WHERE grn <= $l1probes
+           |),
+           |probes AS (
+           |  SELECT query_id, g, sub, qe, qn FROM (
+           |    SELECT q.query_id, q.g, c.sub, q.qe, q.qn,
+           |           row_number() OVER (PARTITION BY q.query_id, q.g
+           |             ORDER BY ${dotSql("q.qe", "c.s_ce")} / (q.qn * c.s_norm) DESC,
+           |                      c.sub ASC) AS srn2
+           |    FROM qcells q JOIN l2cents c ON q.g = c.g) t
+           |  WHERE srn2 <= $IvfNProbe
+           |)""".stripMargin
+    s"""WITH $normedCte,
+       |sizes AS (
+       |  SELECT CAST(ceil(sqrt(sqrt(count(*)))) AS BIGINT) AS c1 FROM embeddings
+       |),
+       |l1cents AS (
+       |  SELECT vec_id AS g, embedding AS g_ce, norm AS g_norm
+       |  FROM e, sizes WHERE vec_id < c1
+       |),
+       |l1 AS (
+       |  SELECT vec_id, g, embedding, norm FROM (
+       |    SELECT e.vec_id, c.g, e.embedding, e.norm,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${dotSql("e.embedding", "c.g_ce")} / (e.norm * c.g_norm) DESC,
+       |                      c.g ASC) AS grn
+       |    FROM e, l1cents c) t
+       |  WHERE grn = 1
+       |),
+       |l2cents AS (
+       |  SELECT g, vec_id AS sub, embedding AS s_ce, norm AS s_norm FROM (
+       |    SELECT l1.*, row_number() OVER (PARTITION BY g ORDER BY vec_id ASC) AS srn
+       |    FROM l1) t, sizes
+       |  WHERE srn <= c1
+       |),
+       |scored AS (
+       |  SELECT l1.vec_id, l1.g, c.sub, l1.embedding, l1.norm,
+       |         row_number() OVER (PARTITION BY l1.vec_id
+       |           ORDER BY ${dotSql("l1.embedding", "c.s_ce")} / (l1.norm * c.s_norm) DESC,
+       |                    c.sub ASC) AS srn
+       |  FROM l1 JOIN l2cents c ON l1.g = c.g
+       |),
+       |assigned AS (
+       |  SELECT vec_id, g, sub, embedding, norm FROM scored WHERE srn = 1
+       |),
+       |$probesCte,
+       |pairs AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id, a.g AS l1_cell,
+       |         a.sub AS l2_cell,
+       |         ${dotSql("p.qe", "a.embedding")} / (p.qn * a.norm) AS cos
+       |  FROM assigned a JOIN probes p ON a.g = p.g AND a.sub = p.sub
+       |  WHERE a.vec_id <> p.query_id
+       |)
+       |SELECT query_id, neighbor_id, l1_cell, l2_cell, round(cos, 6) AS cosine FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY cos DESC, neighbor_id ASC) AS rn
+       |  FROM pairs) t
+       |WHERE rn <= $LshK ORDER BY query_id, neighbor_id""".stripMargin
+  }
+
   private lazy val sim01Sql: String =
     s"""WITH $normedCte,
        |pairs AS (
@@ -960,31 +1197,7 @@ object Similarity {
          |WHERE ${dotSql("q.embedding", "t.embedding")} / (q.norm * t.norm) >= $RangeTau
          |ORDER BY query_id, neighbor_id""".stripMargin,
 
-    "sim02_lsh_ann" ->
-      s"""WITH $normedCte,
-         |planes AS (
-         |  ${planesRelation("[", "]")}
-         |),
-         |buckets AS (
-         |  SELECT vec_id,
-         |         CAST(sum(CASE WHEN ${dotSql("embedding", "plane")} > 0.0
-         |                       THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
-         |  FROM e, planes GROUP BY vec_id
-         |),
-         |eb AS (
-         |  SELECT e.*, b.bucket FROM e JOIN buckets b USING (vec_id)
-         |),
-         |pairs AS (
-         |  SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id, q.bucket AS bucket,
-         |         ${dotSql("q.embedding", "t.embedding")} / (q.norm * t.norm) AS cos
-         |  FROM eb q JOIN eb t ON q.bucket = t.bucket
-         |   AND q.vec_id < $KnnQueries AND t.vec_id <> q.vec_id
-         |)
-         |SELECT query_id, neighbor_id, bucket, round(cos, 6) AS cosine FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id
-         |                               ORDER BY cos DESC, neighbor_id ASC) AS rn
-         |  FROM pairs) t
-         |WHERE rn <= $LshK ORDER BY query_id, neighbor_id""".stripMargin,
+    "sim02_lsh_ann" -> lshSql(1),
 
     "sim04_ivf_ann" -> sim04Sql,
 
@@ -1013,56 +1226,55 @@ object Similarity {
          |FROM spine s LEFT JOIN per_query p ON p.query_id = s.query_id
          |ORDER BY s.query_id""".stripMargin,
 
-    "sim06_ivf2_ann" ->
-      s"""WITH $normedCte,
-         |sizes AS (
-         |  SELECT CAST(ceil(sqrt(sqrt(count(*)))) AS BIGINT) AS c1 FROM embeddings
+    "sim06_ivf2_ann" -> ivf2Sql(1),
+
+    "sim13_multiprobe_recall" ->
+      s"""WITH bf AS (
+         |  SELECT query_id, neighbor_id FROM ( $sim01Sql ) t1
          |),
-         |l1cents AS (
-         |  SELECT vec_id AS g, embedding AS g_ce, norm AS g_norm
-         |  FROM e, sizes WHERE vec_id < c1
+         |lp1 AS (
+         |  SELECT query_id, neighbor_id FROM ( ${lshSql(1)} ) t2
          |),
-         |l1 AS (
-         |  SELECT vec_id, g, embedding, norm FROM (
-         |    SELECT e.vec_id, c.g, e.embedding, e.norm,
-         |           row_number() OVER (PARTITION BY e.vec_id
-         |             ORDER BY ${dotSql("e.embedding", "c.g_ce")} / (e.norm * c.g_norm) DESC,
-         |                      c.g ASC) AS grn
-         |    FROM e, l1cents c) t
-         |  WHERE grn = 1
+         |lmp AS (
+         |  SELECT query_id, neighbor_id FROM ( ${lshSql(LshMultiProbes)} ) t3
          |),
-         |l2cents AS (
-         |  SELECT g, vec_id AS sub, embedding AS s_ce, norm AS s_norm FROM (
-         |    SELECT l1.*, row_number() OVER (PARTITION BY g ORDER BY vec_id ASC) AS srn
-         |    FROM l1) t, sizes
-         |  WHERE srn <= c1
+         |ip1 AS (
+         |  SELECT query_id, neighbor_id FROM ( ${ivf2Sql(1)} ) t4
          |),
-         |scored AS (
-         |  SELECT l1.vec_id, l1.g, c.sub, l1.embedding, l1.norm,
-         |         row_number() OVER (PARTITION BY l1.vec_id
-         |           ORDER BY ${dotSql("l1.embedding", "c.s_ce")} / (l1.norm * c.s_norm) DESC,
-         |                    c.sub ASC) AS srn
-         |  FROM l1 JOIN l2cents c ON l1.g = c.g
+         |imp AS (
+         |  SELECT query_id, neighbor_id FROM ( ${ivf2Sql(Ivf2L1Probes)} ) t5
          |),
-         |assigned AS (
-         |  SELECT vec_id, g, sub, embedding, norm FROM scored WHERE srn = 1
+         |h1 AS (
+         |  SELECT a.query_id, CAST(count(bf.neighbor_id) AS BIGINT) AS h FROM lp1 a
+         |  LEFT JOIN bf ON bf.query_id = a.query_id AND bf.neighbor_id = a.neighbor_id
+         |  GROUP BY 1
          |),
-         |probes AS (
-         |  SELECT vec_id AS query_id, g, sub, embedding AS qe, norm AS qn
-         |  FROM scored WHERE vec_id < $KnnQueries AND srn <= $IvfNProbe
+         |h2 AS (
+         |  SELECT a.query_id, CAST(count(bf.neighbor_id) AS BIGINT) AS h FROM lmp a
+         |  LEFT JOIN bf ON bf.query_id = a.query_id AND bf.neighbor_id = a.neighbor_id
+         |  GROUP BY 1
          |),
-         |pairs AS (
-         |  SELECT p.query_id, a.vec_id AS neighbor_id, a.g AS l1_cell,
-         |         a.sub AS l2_cell,
-         |         ${dotSql("p.qe", "a.embedding")} / (p.qn * a.norm) AS cos
-         |  FROM assigned a JOIN probes p ON a.g = p.g AND a.sub = p.sub
-         |  WHERE a.vec_id <> p.query_id
+         |h3 AS (
+         |  SELECT a.query_id, CAST(count(bf.neighbor_id) AS BIGINT) AS h FROM ip1 a
+         |  LEFT JOIN bf ON bf.query_id = a.query_id AND bf.neighbor_id = a.neighbor_id
+         |  GROUP BY 1
+         |),
+         |h4 AS (
+         |  SELECT a.query_id, CAST(count(bf.neighbor_id) AS BIGINT) AS h FROM imp a
+         |  LEFT JOIN bf ON bf.query_id = a.query_id AND bf.neighbor_id = a.neighbor_id
+         |  GROUP BY 1
          |)
-         |SELECT query_id, neighbor_id, l1_cell, l2_cell, round(cos, 6) AS cosine FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id
-         |                               ORDER BY cos DESC, neighbor_id ASC) AS rn
-         |  FROM pairs) t
-         |WHERE rn <= $LshK ORDER BY query_id, neighbor_id""".stripMargin,
+         |SELECT s.query_id,
+         |       CAST(coalesce(h1.h, 0) AS BIGINT) AS lsh_hits_p1,
+         |       CAST(coalesce(h2.h, 0) AS BIGINT) AS lsh_hits_mp,
+         |       CAST(coalesce(h3.h, 0) AS BIGINT) AS ivf2_hits_p1,
+         |       CAST(coalesce(h4.h, 0) AS BIGINT) AS ivf2_hits_mp
+         |FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < $KnnQueries) s
+         |LEFT JOIN h1 ON h1.query_id = s.query_id
+         |LEFT JOIN h2 ON h2.query_id = s.query_id
+         |LEFT JOIN h3 ON h3.query_id = s.query_id
+         |LEFT JOIN h4 ON h4.query_id = s.query_id
+         |ORDER BY s.query_id""".stripMargin,
 
     "dd06_cosine_dup" ->
       s"""WITH canon AS (

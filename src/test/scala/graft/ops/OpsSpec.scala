@@ -45,6 +45,19 @@ class OpsSpec extends SparkSpec {
     cat.foreach(r => assert(r.getAs[Boolean]("within_bound"), r.toString))
   }
 
+  test("multi-probe recall dominates single-probe per query (sim13)") {
+    // provable monotonicity: extra probes only ADD candidates, and a
+    // candidate that displaces a ground-truth hit from the returned
+    // top-k must itself be in the exact top-k (higher cosine than a
+    // top-5 member ⇒ top-5 member), so the hit count never drops
+    val rows = q("sim13_multiprobe_recall").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("lsh_hits_mp") >= r.getAs[Long]("lsh_hits_p1"), r.toString)
+      assert(r.getAs[Long]("ivf2_hits_mp") >= r.getAs[Long]("ivf2_hits_p1"), r.toString)
+    }
+  }
+
   test("silver analog: bbox, nonempty, dedup invariants") {
     val silver = Relational.silver(spark, sf).cache()
     assert(silver.filter(col("value") < 0.0 || col("value") > 400.0).count() === 0)

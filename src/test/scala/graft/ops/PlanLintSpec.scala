@@ -57,7 +57,11 @@ class PlanLintSpec extends SparkSpec {
     // is the whole unfiltered reps table because the optimizer has no
     // selectivity for the computed-scalar comparison — same
     // runtime-bounded-cells pattern as dd06/dd08/sim06
-    "dd14_semantic_dedup")
+    "dd14_semantic_dedup",
+    // embeds sim06's two-level quantizer twice (1-probe and
+    // multi-probe variants share twoLevelParts) → the same
+    // runtime-bounded ⌈n^¼⌉/√n cell frames, broadcast-hinted
+    "sim13_multiprobe_recall")
 
   test("no catalog query plans a cartesian product; all BNLJ sides are tiny") {
     val MaxBroadcastBytes = 1L << 20
