@@ -38,7 +38,8 @@ object Bench {
     "dd10_decontaminate", "ivm01_delta_agg",
     "dd11_substring_dup", "lm01_unigram_lm", "w04_sessionize",
     "g01_pagerank", "g03_triangles", "dd12_snm_pairs", "ds07_leakage_safe_split",
-    "tx13_bpe_vocab", "sim12_pq_train_eval")
+    "tx13_bpe_vocab", "sim12_pq_train_eval",
+    "st05_stream_neardup", "sim13_multiprobe_recall")
 
   // Locale.ROOT: the f-interpolator honors the default locale, and a
   // comma decimal separator would corrupt the JSON
