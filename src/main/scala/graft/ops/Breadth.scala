@@ -59,6 +59,42 @@ object Breadth {
             col("exact_users").cast(DoubleType) <= lit(0.15)).as("within_bound"))
         .orderBy("line")),
 
+    // Mergeable-sketch rollup — the pattern that makes a15 pay at
+    // 100 TB: per-day HLL sketches are built ONCE from the raw scan,
+    // then the cumulative ("users to date") series is computed by
+    // MERGING stored sketches — the raw table is never rescanned per
+    // rollup window. Here the daily frame self-joins (d2 <= day,
+    // days² sketch merges over a calendar-bounded frame); exact
+    // versions ride alongside, and like a15 the oracle pins the
+    // in-plan 3×rsd bound assertions TRUE on both series while the
+    // exact sides hash-match.
+    "a21_sketch_rollup" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+      val daily = ev.groupBy("day").agg(
+        hll_sketch_agg(col("user_id")).as("sk"),
+        countDistinct(col("user_id")).as("daily_exact"))
+      val cumSk = daily.as("a")
+        .join(broadcast(daily.select(col("day").as("d2"), col("sk").as("sk2"))),
+          col("d2") <= col("a.day"))
+        .groupBy(col("a.day").as("day"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk2"))).as("cum_est"))
+      val days = daily.select(col("day").as("d3"))
+      val cumEx = ev.select(col("day").as("eday"), col("user_id"))
+        .join(broadcast(days), col("eday") <= col("d3"))
+        .groupBy(col("d3").as("day"))
+        .agg(countDistinct(col("user_id")).as("cum_exact"))
+      daily.withColumn("daily_est", hll_sketch_estimate(col("sk")))
+        .join(cumSk, "day").join(cumEx, "day")
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("daily_exact"), col("cum_exact"),
+          (abs(col("daily_est") - col("daily_exact")).cast(DoubleType) <=
+            col("daily_exact").cast(DoubleType) * 0.05).as("daily_within_bound"),
+          (abs(col("cum_est") - col("cum_exact")).cast(DoubleType) <=
+            col("cum_exact").cast(DoubleType) * 0.05).as("cum_within_bound"))
+        .orderBy("day")
+    }),
+
     // String function family
     "p14_string_funcs" -> ((s, d) =>
       Tables.documents(s, d).select(
@@ -129,6 +165,22 @@ object Breadth {
         |       count(DISTINCT user_id) AS exact_users,
         |       TRUE AS within_bound
         |FROM events GROUP BY 1 ORDER BY line""".stripMargin,
+
+    // exact sides recomputed from scratch; the sketch estimates are
+    // pinned through the in-plan bound assertions (a15 convention)
+    "a21_sketch_rollup" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(DISTINCT user_id) AS daily_exact
+        |  FROM events GROUP BY 1
+        |),
+        |cum AS (
+        |  SELECT d.day, count(DISTINCT e.user_id) AS cum_exact
+        |  FROM daily d JOIN events e ON CAST(e.ts AS DATE) <= d.day
+        |  GROUP BY 1
+        |)
+        |SELECT strftime(d.day, '%Y-%m-%d') AS day, d.daily_exact, c.cum_exact,
+        |       TRUE AS daily_within_bound, TRUE AS cum_within_bound
+        |FROM daily d JOIN cum c USING (day) ORDER BY day""".stripMargin,
 
     "p14_string_funcs" ->
       """SELECT doc_id,

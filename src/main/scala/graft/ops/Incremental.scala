@@ -44,6 +44,13 @@ object Incremental {
     * excluded, new versions + inserts answer). */
   val AsOfEarly = "2024-03-01"
 
+  /** ivm02: 1-in-10 orders form the arriving batch (ΔA inserts);
+    * 1-in-25 of the standing orders are retracted; re-segmented
+    * customers (the u01 3-in-10 slice, salted apart) form ΔB as
+    * retract/assert pairs. */
+  val DeltaJoinInsMod = 10
+  val DeltaJoinDelMod = 25
+
   /** u03: 1-in-20 EXISTING dimension keys arrive as tombstones (the
     * predicate is dim-side — a tombstone for an unknown key is a
     * MERGE no-op, so the insert stream is never affected); a key both
@@ -228,6 +235,65 @@ object Incremental {
         .agg(sum(col("rev")).cast("double").as("priority_revenue"),
           sum(col("n")).as("order_cnt"))
         .orderBy("o_orderpriority")
+    }),
+
+    // Incremental maintenance of a JOIN view (ivm01's delta-agg
+    // lifted to the binary operator) — the signed-multiplicity
+    // (z-relation) form differential dataflow / DBSP make canonical.
+    // V = γ_segment(orders ⋈ customer); when BOTH sides receive
+    // deltas (ΔA: day-N order arrivals +1 / retractions −1; ΔB: a
+    // re-segmented customer is retract-old + assert-new), the view
+    // updates by join bilinearity
+    //   ΔV = γ(ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB)
+    // — the base-side A⋈B is NEVER recomputed. Each delta term joins
+    // a change-stream-sized side against one standing table (the
+    // deltas broadcast at scale; the standing view is a stored
+    // read), so maintenance cost is proportional to the change
+    // stream, not the view. Measures stay DECIMAL until the final
+    // projection, making the incremental result EXACTLY equal to the
+    // full recompute over the updated snapshots — the oracle IS that
+    // recompute (the IVM correctness property).
+    "ivm02_delta_join" -> ((s, d) => {
+      val dec = (c: Column) => c.cast(org.apache.spark.sql.types.DecimalType(18, 2))
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+      val aBase = o.filter(slice("ja:", col("o_orderkey")) % DeltaJoinInsMod =!= 0)
+      val dA = o.filter(slice("ja:", col("o_orderkey")) % DeltaJoinInsMod === 0)
+          .withColumn("m", lit(1L))
+        .unionByName(
+          aBase.filter(slice("jd:", col("o_orderkey")) % DeltaJoinDelMod === 0)
+            .withColumn("m", lit(-1L)))
+      val changed = cust.filter(slice("jb:", col("c_custkey")) % UpdateMod < UpdateKeep)
+      val dB = changed.withColumn("m", lit(-1L))
+        .unionByName(changed
+          .withColumn("c_mktsegment", concat(lit("R-"), col("c_mktsegment")))
+          .withColumn("m", lit(1L)))
+      // the standing view γ(A⋈B) — at scale a READ of the stored
+      // materialization, not a recomputation
+      val view = aBase.join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(sum(dec(col("o_totalprice"))).as("rev"), count(lit(1)).as("n"))
+      def signed(df: DataFrame, m: Column): DataFrame = df.select(
+        col("c_mktsegment"),
+        when(m > 0, dec(col("o_totalprice")))
+          .otherwise(-dec(col("o_totalprice"))).as("rev"),
+        m.as("n"))
+      val t1 = signed(dA.join(cust, col("o_custkey") === col("c_custkey")), col("m"))
+      val t2 = signed(aBase.join(dB, col("o_custkey") === col("c_custkey")), col("m"))
+      val t3 = signed(
+        dA.as("a").join(dB.as("b"), col("o_custkey") === col("c_custkey")),
+        col("a.m") * col("b.m"))
+      val delta = t1.unionByName(t2).unionByName(t3)
+        .groupBy(col("c_mktsegment"))
+        .agg(sum(col("rev")).as("rev"), sum(col("n")).as("n"))
+      view.unionByName(delta)
+        .groupBy(col("c_mktsegment"))
+        .agg(sum(col("rev")).cast("double").as("seg_revenue"),
+          sum(col("n")).as("order_cnt"))
+        // a fully-retracted group leaves the view (z-relation support)
+        .filter(col("order_cnt") =!= 0L)
+        .orderBy("c_mktsegment")
     })
   )
 
@@ -348,6 +414,26 @@ object Incremental {
          |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS priority_revenue,
          |       count(*) AS order_cnt
          |FROM b GROUP BY o_orderpriority
-         |ORDER BY o_orderpriority""".stripMargin
+         |ORDER BY o_orderpriority""".stripMargin,
+
+    // full recompute over the updated snapshots — the incremental
+    // dataflow must equal this exactly (IVM correctness property)
+    "ivm02_delta_join" ->
+      s"""WITH a_new AS (
+         |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         |  WHERE ${sliceSql("ja:", "o_orderkey")} % $DeltaJoinInsMod = 0
+         |     OR ${sliceSql("jd:", "o_orderkey")} % $DeltaJoinDelMod <> 0
+         |),
+         |b_new AS (
+         |  SELECT c_custkey,
+         |         CASE WHEN ${sliceSql("jb:", "c_custkey")} % $UpdateMod < $UpdateKeep
+         |              THEN 'R-' || c_mktsegment ELSE c_mktsegment END AS c_mktsegment
+         |  FROM customer
+         |)
+         |SELECT c_mktsegment,
+         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS seg_revenue,
+         |       count(*) AS order_cnt
+         |FROM a_new JOIN b_new ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
   )
 }
