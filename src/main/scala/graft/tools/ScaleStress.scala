@@ -98,7 +98,8 @@ object ScaleStress {
       "hh01_heavy_hitters", "dd13_incremental_dedup",
       "a20_grouping_sets", "qs01_hist_quantiles", "cur06_temperature_mix",
       "ds08_importance_resample", "dd14_semantic_dedup",
-      "st05_stream_neardup", "sim13_multiprobe_recall")
+      "st05_stream_neardup", "sim13_multiprobe_recall",
+      "a21_sketch_rollup", "ivm02_delta_join")
     // SPARK_GRAFT_QUERIES=dd04_simhash,sim04_ivf_ann → time only those
     // (fast iteration on one operator without the 25-query sweep)
     val headline = sys.env.get("SPARK_GRAFT_QUERIES") match {
