@@ -76,6 +76,24 @@ object Streams {
       .select(col("window.start").as("window_start"), col("Lines"),
         col("pings"), col("vehicles"))
 
+  /** st03's streaming form: per-user session windows (1 h inactivity
+    * gap) over an unbounded event stream. Session state MERGES across
+    * micro-batches (two pings arriving in different batches inside
+    * the gap fuse into one session); a session emits in append mode
+    * once the watermark passes its close, and its state is freed —
+    * the exact batch analog is the `st05`-style equivalence the
+    * StreamingSpec proves through a real readStream. Same
+    * decimal-exact value sum as the batch entry, so streamed rows
+    * equal batch rows bit for bit. */
+  def sessionStream(events: DataFrame, gap: String = "1 hour",
+      delay: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", delay)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), Tables.dsum(col("value"), 2).as("session_value"))
+      .select(
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("user_id"), col("n_events"), col("session_value"))
+
   /** One silver ping (input to stateful enrichment). */
   final case class SilverPing(Lines: String, VehicleNumber: String,
       Lat: Double, Lon: Double, Time: java.sql.Timestamp)

@@ -435,6 +435,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session windows merge across micro-batches and equal the batch sessions (st03)") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.Tables.events(spark, sf).select(col("user_id"), col("ts"), col("value"))
+    val srcDir = Files.createTempDirectory("graft-st03").toString
+    def stamp(sub: String): Unit = {
+      val t = mtimeClock.addAndGet(2000)
+      Files.walk(Paths.get(srcDir, sub)).iterator().forEachRemaining { p =>
+        if (Files.isRegularFile(p))
+          Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime.fromMillis(t))
+      }
+    }
+    // split by a user-independent hash so every user's pings straddle
+    // the two micro-batches — the cross-batch session MERGE is the
+    // machinery under test, not a trivial per-batch grouping
+    ev.filter((col("user_id") + col("ts").cast("long")) % 2 === 0)
+      .coalesce(1).write.parquet(s"$srcDir/part_a")
+    stamp("part_a")
+    ev.filter((col("user_id") + col("ts").cast("long")) % 2 =!= 0)
+      .coalesce(1).write.parquet(s"$srcDir/part_b")
+    stamp("part_b")
+    // two far-future flush events (sentinel user −1): the first
+    // advances the watermark past every real session's close, the
+    // second's batch emits them
+    val one = ev.limit(1)
+    one.select(lit(-1L).cast("bigint").as("user_id"),
+        expr("timestamp'2024-06-01 00:00:00'").as("ts"), col("value"))
+      .coalesce(1).write.parquet(s"$srcDir/part_y")
+    stamp("part_y")
+    one.select(lit(-1L).cast("bigint").as("user_id"),
+        expr("timestamp'2024-06-02 00:00:00'").as("ts"), col("value"))
+      .coalesce(1).write.parquet(s"$srcDir/part_z")
+    stamp("part_z")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$srcDir/part_a").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$srcDir/part_*")
+    val q = Streams.sessionStream(stream)
+      .writeStream.format("memory").queryName("st03_out").outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("st03_out")
+        .filter(col("user_id") >= 0)
+        .orderBy("user_id", "session_start").collect()
+      val batch = graft.SparkEntry.queries("st03_session_window")(spark, sf).collect()
+      assert(streamed.nonEmpty, "no streamed sessions emitted")
+      assert(streamed.length === batch.length,
+        s"streamed ${streamed.length} sessions vs batch ${batch.length}")
+      assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+    } finally q.stop()
+  }
+
   test("reorder buffer repairs cross-batch event-time disorder") {
     val dir = Files.createTempDirectory("graft-reorder").toString
     // arrival order 12:10, 12:00, 12:20 (forced via mtimes + one file
