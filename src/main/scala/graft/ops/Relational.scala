@@ -774,6 +774,29 @@ object Relational {
         ORDER BY doc_id""")
     }),
 
+    // LATERAL correlated subquery in FROM (Spark 4 / SQL:1999): per
+    // customer, its top-2 orders by price — the "top-N per group
+    // through the SQL surface" idiom. What reads as a per-row nested
+    // loop DECORRELATES (DecorrelateInnerQuery) into a ranked window
+    // over one join — the same shape a17_topk_group builds with the
+    // DataFrame API, so the SQL surface costs nothing extra at scale.
+    // Identical SQL text runs on DuckDB as the oracle.
+    "sql04_lateral_topn" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      s.sql("""
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer_v c,
+        LATERAL (
+          SELECT o.o_orderkey, o.o_totalprice
+          FROM orders_v o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o.o_totalprice DESC, o.o_orderkey
+          LIMIT 2
+        ) t
+        ORDER BY c.c_custkey, t.o_orderkey""")
+    }),
+
     // O5: speed-vs-time series for the argmax vehicle — Figure_2's
     // data series (main.py:104-110) as an oracle-checked catalog
     // entry; the drill-down chain is all rank-and-filter, no driver
@@ -1091,6 +1114,18 @@ object Relational {
         |SELECT doc_id, root, CAST(depth AS INT) AS depth
         |FROM anc
         |ORDER BY doc_id""".stripMargin,
+
+    "sql04_lateral_topn" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c,
+        |LATERAL (
+        |  SELECT o.o_orderkey, o.o_totalprice
+        |  FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o.o_totalprice DESC, o.o_orderkey
+        |  LIMIT 2
+        |) t
+        |ORDER BY c.c_custkey, t.o_orderkey""".stripMargin,
 
     "w02_ranking" ->
       """SELECT event_id, user_id,
