@@ -47,6 +47,10 @@ object Curation {
   val PackWindow = 512L
   val PackBuckets = 32L
 
+  /** ds09: shard fan-out; ds10: exact sample size. */
+  val ShardCount = 8
+  val SampleK = 100
+
   /** Target language mixture for cur03 (domain/language rebalancing).
     * Weights sum to 1; the achievable corpus cap is set by the
     * scarcest language relative to its target share. */
@@ -315,6 +319,57 @@ object Curation {
         .orderBy("pos")
     }),
 
+    // Balanced shard assignment — the output-layout step before
+    // training: docs land in ShardCount shards with near-equal TOKEN
+    // totals (uniform shard sizes = uniform data-loader throughput;
+    // random/hash sharding leaves heavy-tailed doc lengths
+    // unbalanced). Longest-first round-robin: exact global rank by
+    // (n_tokens DESC, doc_id) via the ds05 two-phase pattern — a
+    // per-n-bucket window plus a broadcast bucket-offset frame, never
+    // a single-partition global sort — then shard = (rank−1) mod K
+    // (the classic LPT-style greedy, deterministic and
+    // oracle-mirrorable). Output is the per-shard manifest the loader
+    // reads; the max/min token spread IS the balance claim, hash-
+    // checked.
+    "ds09_balanced_shards" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .withColumn("n", expr(s"CAST(size($tokensExpr) AS BIGINT)"))
+        .filter(col("n") > 0)
+        .select("doc_id", "n")
+      // bucket key = n itself (distinct token counts are few); rank
+      // descends through buckets ordered by n DESC
+      val offs = toks.groupBy("n").agg(count(lit(1)).as("bn"))
+        .withColumn("boff",
+          coalesce(sum(col("bn")).over(
+            Window.orderBy(col("n").desc).rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+        .select("n", "boff")
+      val wIn = Window.partitionBy("n").orderBy("doc_id")
+      toks.join(broadcast(offs), "n")
+        .withColumn("rank", col("boff") + row_number().over(wIn).cast("long"))
+        .withColumn("shard", expr(s"CAST((rank - 1) % $ShardCount AS INT)"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("shard_tokens"))
+        .orderBy("shard")
+    }),
+
+    // Exact-k deterministic uniform sample — ds02/ds06 keep each row
+    // by an independent hash test (sample SIZE varies); audits and
+    // eval sets need exactly k. Keying on a salted md5 hash and
+    // keeping the k smallest keys is a uniform k-sample that is
+    // retry-idempotent and ORDER-FREE at scale: orderBy+limit plans
+    // as TakeOrdered (per-partition top-k heaps merged on one
+    // reducer, O(n log k) work, no full-sort exchange), never a
+    // global sort of the corpus.
+    "ds10_exact_k_sample" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("h", expr(Portable.phashExpr("concat('ks:', CAST(doc_id AS STRING))")))
+        .orderBy(col("h"), col("doc_id"))
+        .limit(SampleK)
+        .withColumn("sample_rank", row_number().over(Window.orderBy(col("h"), col("doc_id"))))
+        .select(col("sample_rank"), col("doc_id"), col("h").as("sample_key"))
+        .orderBy("sample_rank")),
+
     // Quality-WEIGHTED sampling (the DCLM-style move past ds02's flat
     // per-stratum rates): each doc keeps with probability equal to
     // its distinct-token ratio — higher-diversity docs oversampled —
@@ -500,6 +555,37 @@ object Curation {
          |       CAST(off // $PackWindow AS BIGINT) AS first_window,
          |       CAST((off + n - 1) // $PackWindow AS BIGINT) AS last_window
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    // the oracle ranks with a plain global window — tiny-scale-
+    // correct; the engine's two-phase form must equal it (ds03/ds05
+    // convention)
+    "ds09_balanced_shards" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, CAST(len($tokensSql) AS BIGINT) AS n FROM documents
+         |),
+         |t AS (SELECT doc_id, n FROM tok WHERE n > 0),
+         |r AS (
+         |  SELECT doc_id, n,
+         |         row_number() OVER (ORDER BY n DESC, doc_id ASC) AS rank
+         |  FROM t
+         |)
+         |SELECT CAST((rank - 1) % $ShardCount AS INT) AS shard,
+         |       count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS shard_tokens
+         |FROM r GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    "ds10_exact_k_sample" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |         ${Portable.phashSql("'ks:' || CAST(doc_id AS VARCHAR)")} AS sample_key
+         |  FROM documents
+         |),
+         |r AS (
+         |  SELECT doc_id, sample_key,
+         |         row_number() OVER (ORDER BY sample_key, doc_id) AS sample_rank
+         |  FROM h
+         |)
+         |SELECT CAST(sample_rank AS INT) AS sample_rank, doc_id, sample_key
+         |FROM r WHERE sample_rank <= $SampleK ORDER BY sample_rank""".stripMargin,
 
     "cur03_domain_mix" -> {
       val weightRows = LangTargets
