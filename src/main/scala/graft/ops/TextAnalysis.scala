@@ -434,47 +434,85 @@ object TextAnalysis {
     // distributed state and every round exchanges vocab-sized
     // aggregates — the dataflow HuggingFace's trainer runs in RAM,
     // as a Spark plan.
-    "tx13_bpe_vocab" -> ((s, d) => {
-      val D = BpeDelim
-      val syms = s"filter(split(repr, '$D'), x -> x <> '')"
-      val words0 = Tables.documents(s, d)
-        .select(explode_outer(expr(s"regexp_extract_all(lower(text), '$BpePattern', 0)")).as("w"))
-        .filter(col("w").isNotNull)
-        .groupBy("w").agg(count(lit(1)).as("freq"))
-        .withColumn("repr", expr(s"regexp_replace(w, '(.)', '$D$$1')"))
-        .select("w", "freq", "repr")
-        .localCheckpoint()
-      def round1(words: DataFrame): DataFrame = {
-        val pairs = words
-          .select(col("freq"), explode(expr(
-            s"""CASE WHEN size($syms) < 2
-               |THEN CAST(array() AS ARRAY<STRUCT<a: STRING, b: STRING>>)
-               |ELSE transform(sequence(1, size($syms) - 1),
-               |  i -> struct(element_at($syms, i) AS a,
-               |              element_at($syms, i + 1) AS b)) END""".stripMargin)).as("p"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(sum(col("freq")).as("cnt"))
-        val best = pairs
-          .orderBy(col("cnt").desc, col("a").asc, col("b").asc).limit(1)
-          .select(col("a").as("ba"), col("b").as("bb"))
-        words.crossJoin(broadcast(best))
-          .withColumn("repr", expr(
-            s"""aggregate($syms, '',
-               |  (acc, s) -> CASE WHEN s = bb
-               |                    AND right(acc, length(ba) + 1) = concat('$D', ba)
-               |              THEN concat(acc, s)
-               |              ELSE concat(acc, '$D', s) END)""".stripMargin))
-          .select("w", "freq", "repr")
-          .localCheckpoint()
-      }
-      val wordsR = (1 to BpeMerges).foldLeft(words0)((wds, _) => round1(wds))
-      wordsR
-        .select(col("freq"), explode(expr(syms)).as("token"))
+    "tx13_bpe_vocab" -> ((s, d) =>
+      bpeTrainedWords(s, d)
+        .select(col("freq"), explode(expr(bpeSyms)).as("token"))
         .groupBy("token")
         .agg(sum(col("freq")).as("n_occurrences"))
-        .orderBy("token")
+        .orderBy("token")),
+
+    // ENCODE with the trained tokenizer — closes the tx06→tx13 loop
+    // (pretokenize → train → apply): every doc's words look up their
+    // final merged representation in the trained word table (a
+    // broadcast-sized distinct-word frame — the same Heaps'-law bound
+    // as tx13's working set), and the doc-level token count /
+    // fertility drop out of one aggregation. No per-doc merge
+    // replay: the fold already ran once per DISTINCT word during
+    // training — encode is a join, which is exactly why trained-
+    // tokenizer application scales to corpus passes.
+    "tx14_bpe_encode" -> ((s, d) => {
+      val words = bpeTrainedWords(s, d)
+        .withColumn("ntok", expr(s"CAST(size($bpeSyms) AS BIGINT)"))
+        .select("w", "ntok")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode_outer(expr(s"regexp_extract_all(lower(text), '$BpePattern', 0)")).as("w"))
+        .join(broadcast(words), Seq("w"), "left")
+        .groupBy("doc_id")
+        .agg(count(col("w")).as("n_words"),
+          coalesce(sum(col("ntok")), lit(0L)).as("n_tokens"))
+        .select(col("doc_id"), col("n_words"), col("n_tokens"),
+          when(col("n_words") > 0,
+            round(col("n_tokens").cast("double") / col("n_words").cast("double"), 6))
+            .as("fertility"))
+        .orderBy("doc_id")
     })
   )
+
+  /** Final symbol list of a trained word-repr (shared by tx13/tx14). */
+  private val bpeSyms = s"filter(split(repr, '$BpeDelim'), x -> x <> '')"
+
+  /** The tx13 training dataflow: distinct pretokenized words with
+    * frequencies, folded through [[BpeMerges]] greedy merge rounds
+    * (pair-count aggregate → broadcast argmax → leftmost-merge fold
+    * per word). Returns (w, freq, repr) — repr is the word's final
+    * delimiter-joined symbol sequence. Each round rescans the
+    * DISTINCT-word table only (Heaps'-law working set), never the
+    * corpus. */
+  private def bpeTrainedWords(s: SparkSession, d: String): DataFrame = {
+    val D = BpeDelim
+    val words0 = Tables.documents(s, d)
+      .select(explode_outer(expr(s"regexp_extract_all(lower(text), '$BpePattern', 0)")).as("w"))
+      .filter(col("w").isNotNull)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .withColumn("repr", expr(s"regexp_replace(w, '(.)', '$D$$1')"))
+      .select("w", "freq", "repr")
+      .localCheckpoint()
+    def round1(words: DataFrame): DataFrame = {
+      val pairs = words
+        .select(col("freq"), explode(expr(
+          s"""CASE WHEN size($bpeSyms) < 2
+             |THEN CAST(array() AS ARRAY<STRUCT<a: STRING, b: STRING>>)
+             |ELSE transform(sequence(1, size($bpeSyms) - 1),
+             |  i -> struct(element_at($bpeSyms, i) AS a,
+             |              element_at($bpeSyms, i + 1) AS b)) END""".stripMargin)).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+      val best = pairs
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc).limit(1)
+        .select(col("a").as("ba"), col("b").as("bb"))
+      words.crossJoin(broadcast(best))
+        .withColumn("repr", expr(
+          s"""aggregate($bpeSyms, '',
+             |  (acc, s) -> CASE WHEN s = bb
+             |                    AND right(acc, length(ba) + 1) = concat('$D', ba)
+             |              THEN concat(acc, s)
+             |              ELSE concat(acc, '$D', s) END)""".stripMargin))
+        .select("w", "freq", "repr")
+        .localCheckpoint()
+    }
+    (1 to BpeMerges).foldLeft(words0)((wds, _) => round1(wds))
+  }
 
   /** tx13's oracle: the BpeMerges training rounds unrolled as CTE
     * triples (pair counts / argmax / fold), replaying the operator
@@ -502,7 +540,7 @@ object TextAnalysis {
          |  FROM $prev CROSS JOIN b$t
          |)""".stripMargin
     }.mkString(",\n")
-    s"""WITH w0 AS (
+    s"""w0 AS (
        |  SELECT w, count(*) AS freq,
        |         regexp_replace(w, '(.)', '$D\\1', 'g') AS repr
        |  FROM (
@@ -511,14 +549,43 @@ object TextAnalysis {
        |  )
        |  GROUP BY w
        |),
-       |$rounds
-       |SELECT token, CAST(sum(freq) AS BIGINT) AS n_occurrences FROM (
-       |  SELECT freq, unnest(${syms("repr")}) AS token FROM w$BpeMerges
-       |) GROUP BY token ORDER BY token""".stripMargin
+       |$rounds""".stripMargin
   }
 
+  private def bpeSymsSql(c: String) =
+    s"list_filter(string_split($c, '$BpeDelim'), x -> x <> '')"
+
   val oracle: Map[String, String] = Map(
-    "tx13_bpe_vocab" -> bpeVocabSql,
+    "tx13_bpe_vocab" ->
+      s"""WITH $bpeVocabSql
+         |SELECT token, CAST(sum(freq) AS BIGINT) AS n_occurrences FROM (
+         |  SELECT freq, unnest(${bpeSymsSql("repr")}) AS token FROM w$BpeMerges
+         |) GROUP BY token ORDER BY token""".stripMargin,
+
+    // same trained word table (CTE chain shared verbatim with tx13),
+    // applied to every doc through the word join
+    "tx14_bpe_encode" ->
+      s"""WITH $bpeVocabSql,
+         |wt AS (
+         |  SELECT w, CAST(len(${bpeSymsSql("repr")}) AS BIGINT) AS ntok
+         |  FROM w$BpeMerges
+         |),
+         |dw AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '$BpePattern')) AS w
+         |  FROM documents
+         |),
+         |enc AS (
+         |  SELECT dw.doc_id, count(*) AS n_words, sum(wt.ntok) AS n_tokens
+         |  FROM dw JOIN wt USING (w) GROUP BY 1
+         |)
+         |SELECT d.doc_id,
+         |       CAST(coalesce(e.n_words, 0) AS BIGINT) AS n_words,
+         |       CAST(coalesce(e.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |       CASE WHEN e.n_words > 0
+         |            THEN round(CAST(e.n_tokens AS DOUBLE) / CAST(e.n_words AS DOUBLE), 6)
+         |       END AS fertility
+         |FROM documents d LEFT JOIN enc e ON e.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "tx01_token_stats" ->
       s"""WITH tok AS (SELECT doc_id, $tokensSql AS tokens FROM documents)
