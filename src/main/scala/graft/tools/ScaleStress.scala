@@ -99,7 +99,7 @@ object ScaleStress {
       "a20_grouping_sets", "qs01_hist_quantiles", "cur06_temperature_mix",
       "ds08_importance_resample", "dd14_semantic_dedup",
       "st05_stream_neardup", "sim13_multiprobe_recall",
-      "a21_sketch_rollup", "ivm02_delta_join",
+      "a21_sketch_rollup", "ivm02_delta_join", "tx14_bpe_encode",
       "ds09_balanced_shards", "ds10_exact_k_sample", "sql04_lateral_topn")
     // SPARK_GRAFT_QUERIES=dd04_simhash,sim04_ivf_ann → time only those
     // (fast iteration on one operator without the 25-query sweep)
