@@ -58,6 +58,42 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("ivm02 incremental join view equals the full recompute (IVM correctness)") {
+    import graft.functions.Portable
+    val d = sf
+    val o = graft.Tables.orders(spark, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val c = graft.Tables.customer(spark, d).select(col("c_custkey"), col("c_mktsegment"))
+    def sl(salt: String, k: org.apache.spark.sql.Column) =
+      expr(Portable.phashExpr(s"concat('$salt', CAST(${k.toString} AS STRING))"))
+    val aNew = o.filter(
+      sl("ja:", col("o_orderkey")) % Incremental.DeltaJoinInsMod === 0 ||
+        sl("jd:", col("o_orderkey")) % Incremental.DeltaJoinDelMod =!= 0)
+    val bNew = c.select(col("c_custkey"),
+      when(sl("jb:", col("c_custkey")) % Incremental.UpdateMod < Incremental.UpdateKeep,
+        concat(lit("R-"), col("c_mktsegment"))).otherwise(col("c_mktsegment"))
+        .as("c_mktsegment"))
+    val full = aNew.join(bNew, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+        .cast("double").as("seg_revenue"), count(lit(1)).as("order_cnt"))
+      .orderBy("c_mktsegment")
+      .collect().map(_.toSeq)
+    val inc = q("ivm02_delta_join").collect().map(_.toSeq)
+    assert(inc.toSeq === full.toSeq)
+  }
+
+  test("a21 cumulative distinct is monotone and dominates the daily series") {
+    val rows = q("a21_sketch_rollup").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cum_exact") >= r.getAs[Long]("daily_exact"), r.toString)
+      assert(r.getAs[Boolean]("daily_within_bound") && r.getAs[Boolean]("cum_within_bound"), r.toString)
+    }
+    val cums = rows.map(_.getAs[Long]("cum_exact")).toSeq
+    assert(cums === cums.sorted, "cumulative distinct must be nondecreasing")
+  }
+
   test("silver analog: bbox, nonempty, dedup invariants") {
     val silver = Relational.silver(spark, sf).cache()
     assert(silver.filter(col("value") < 0.0 || col("value") > 400.0).count() === 0)
