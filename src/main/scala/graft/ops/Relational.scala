@@ -495,6 +495,47 @@ object Relational {
         .limit(10)
     }),
 
+    // TPC-H Q6 shape: the forecasting-revenue-change scan — a pure
+    // filter+aggregate with NO join, the canonical pushdown/codegen
+    // showcase (every predicate reaches the parquet scan; one
+    // whole-stage-codegen span; map-side partial sum). Revenue =
+    // price·discount of 2-dp inputs → exact 4-decimal structure, the
+    // q1/q3 dsum rule.
+    "q6_forecast_revenue" -> ((s, d) => {
+      val lo = lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+      val hi = lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24.0)
+        .agg(Tables.dsum(col("l_extendedprice") * col("l_discount"), 4).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // TPC-H Q14 shape: promotion-revenue share — fact⋈dimension with
+    // a conditional aggregate on the dimension attribute. Part
+    // broadcasts; both decimal sums stay exact until the final
+    // division (two exact-decimal doubles → IEEE-identical quotient,
+    // rounded at the projection boundary per the parity rules).
+    "q14_promo_share" -> ((s, d) => {
+      val lo = lit(java.sql.Timestamp.valueOf("1996-03-01 00:00:00"))
+      val hi = lit(java.sql.Timestamp.valueOf("1996-04-01 00:00:00"))
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      val p = Tables.part(s, d).select("p_partkey", "p_type")
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .agg(
+          Tables.dsum(when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .otherwise(lit(0.0)), 4).as("promo_revenue"),
+          Tables.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            .as("total_revenue"))
+        .select(
+          round(lit(100.0) * col("promo_revenue") / col("total_revenue"), 6)
+            .as("promo_share_pct"),
+          col("promo_revenue"), col("total_revenue"))
+    }),
+
     // TPC-H Q5 shape: the 6-table snowflake join (region → nation →
     // {customer, supplier} → orders → lineitem) with the
     // local-supplier correlation c_nationkey = s_nationkey. Join
@@ -1174,6 +1215,30 @@ object Relational {
         |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
         |GROUP BY 1, 2, 3
         |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24.0""".stripMargin,
+
+    "q14_promo_share" ->
+      """WITH s AS (
+        |  SELECT
+        |    CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+        |                       THEN l_extendedprice * (1.0 - l_discount)
+        |                       ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE) AS promo_revenue,
+        |    CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |)
+        |SELECT round(100.0 * promo_revenue / total_revenue, 6) AS promo_share_pct,
+        |       promo_revenue, total_revenue
+        |FROM s""".stripMargin,
 
     "q5_local_supplier" ->
       """SELECT n_name,
