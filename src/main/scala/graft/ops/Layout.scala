@@ -44,6 +44,68 @@ object Layout {
     * spark.sql.shuffle.partitions). */
   val ZBucketBits = 9
 
+  /** Spark SQL text of the [[ZBits]]-level Hilbert index of (`a`,
+    * `b`) — the classic xy2d fold (Wikipedia "Hilbert curve",
+    * convert (x,y) to d): per level from the top, the quadrant id
+    * (3·rx)⊕ry contributes s² steps and the frame rotates/reflects.
+    * ONE `aggregate` HOF with a struct accumulator, NOT an unrolled
+    * withColumn chain: each level reads the previous (x, y) several
+    * times, so static unrolling would duplicate subtrees
+    * multiplicatively under CollapseProject while the runtime fold
+    * stays linear. All three struct fields read `st.*` (the PRE-
+    * rotation state) — the d-update must see the un-rotated coords.
+    * Exact integer math throughout; the oracle unrolls the same
+    * levels as CTEs (DuckDB's list_reduce cannot seed a struct). */
+  def hilbertExpr(a: String, b: String): String =
+    s"""aggregate(
+       |  sequence(${ZBits - 1}, 0, -1),
+       |  struct(CAST($a AS BIGINT) AS x, CAST($b AS BIGINT) AS y, CAST(0 AS BIGINT) AS d),
+       |  (st, i) -> struct(
+       |    CASE WHEN (shiftright(st.y, i) & 1) = 0
+       |         THEN CASE WHEN (shiftright(st.x, i) & 1) = 1
+       |                   THEN shiftleft(CAST(1 AS BIGINT), i) - 1 - st.y ELSE st.y END
+       |         ELSE st.x END AS x,
+       |    CASE WHEN (shiftright(st.y, i) & 1) = 0
+       |         THEN CASE WHEN (shiftright(st.x, i) & 1) = 1
+       |                   THEN shiftleft(CAST(1 AS BIGINT), i) - 1 - st.x ELSE st.x END
+       |         ELSE st.y END AS y,
+       |    st.d + shiftleft(CAST(1 AS BIGINT), 2 * i)
+       |         * CAST((3 * (shiftright(st.x, i) & 1)) ^ (shiftright(st.y, i) & 1) AS BIGINT) AS d),
+       |  st -> st.d)""".stripMargin
+
+  /** DuckDB mirror of [[hilbertExpr]]: the same fold unrolled as one
+    * CTE per level (x$i/y$i/d$i name the state AFTER level i runs —
+    * per-level names, never shadowed aliases). `seedFrom` supplies
+    * the relation and the two key columns. */
+  private def hilbertCtesSql(src: String, a: String, b: String,
+      carry: Seq[String]): String = {
+    val carryCols = carry.mkString(", ")
+    val seed =
+      s"""hl$ZBits AS (
+         |  SELECT $carryCols,
+         |         CAST($a AS BIGINT) AS x$ZBits, CAST($b AS BIGINT) AS y$ZBits,
+         |         CAST(0 AS BIGINT) AS d$ZBits
+         |  FROM $src
+         |)""".stripMargin
+    val levels = ((ZBits - 1) to 0 by -1).map { i =>
+      val p = i + 1
+      val (x, y, dd) = (s"x$p", s"y$p", s"d$p")
+      val s = 1L << i
+      s"""hl$i AS (
+         |  SELECT $carryCols,
+         |    CASE WHEN (($y >> $i) & 1) = 0
+         |         THEN CASE WHEN (($x >> $i) & 1) = 1 THEN $s - 1 - $y ELSE $y END
+         |         ELSE $x END AS x$i,
+         |    CASE WHEN (($y >> $i) & 1) = 0
+         |         THEN CASE WHEN (($x >> $i) & 1) = 1 THEN $s - 1 - $x ELSE $x END
+         |         ELSE $y END AS y$i,
+         |    $dd + ${s * s} * xor(3 * (($x >> $i) & 1), ($y >> $i) & 1) AS d$i
+         |  FROM hl$p
+         |)""".stripMargin
+    }
+    (seed +: levels).mkString(",\n")
+  }
+
   /** Spark SQL text of the bit-interleave of `a` (even bit lanes) and
     * `b` (odd lanes). */
   def zvalExpr(a: String, b: String): String =
@@ -102,6 +164,49 @@ object Layout {
           (max(col("l_suppkey")) - min(col("l_suppkey"))).as("suppkey_span"),
           min(col("zval")).as("z_min"), max(col("zval")).as("z_max"))
         .orderBy("file_id")
+    }),
+
+    // HILBERT-order the same table — z01's sibling with the better
+    // locality guarantee: consecutive curve positions are always
+    // grid-adjacent (Z-order jumps at quadrant seams), so per-file
+    // key spans tighten further at the same file count. Same
+    // two-phase range-bucket sort (bucket = hval prefix, monotone),
+    // same manifest shape; LayoutSpec proves the index bijective and
+    // step-adjacent on a full small grid, and the oracle recomputes
+    // the fold level by level in DuckDB.
+    "z02_hilbert_layout" -> ((s, d) => {
+      val lim = 1L << ZBits
+      val bounds = Tables.lineitem(s, d)
+        .agg(max(col("l_partkey")).as("mx_p"), max(col("l_suppkey")).as("mx_s"))
+      val rows = Tables.lineitem(s, d)
+        .crossJoin(broadcast(bounds))
+        .filter(assert_true(col("mx_p") < lim && col("mx_s") < lim,
+          lit(s"z02: key exceeds $ZBits bits — widen Layout.ZBits")).isNull)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
+          expr(hilbertExpr("l_partkey", "l_suppkey")).as("hval"))
+        .withColumn("bucket", expr("hval DIV " + (1L << (2 * ZBits - ZBucketBits))))
+      val offs = rows.groupBy("bucket").agg(count(lit(1)).as("bn"))
+        .withColumn("boff",
+          coalesce(sum(col("bn")).over(
+            Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+        .withColumn("n_total", sum(col("bn")).over(
+          Window.orderBy("bucket").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select("bucket", "boff", "n_total")
+      val wIn = Window.partitionBy("bucket")
+        .orderBy("hval", "l_orderkey", "l_linenumber")
+      rows.join(broadcast(offs), "bucket")
+        .withColumn("pos", col("boff") + row_number().over(wIn).cast("long"))
+        .withColumn("file_id",
+          expr(s"CAST(((pos - 1) * $ZFiles) DIV n_total AS INT)"))
+        .groupBy("file_id")
+        .agg(count(lit(1)).as("n_rows"),
+          (max(col("l_partkey")) - min(col("l_partkey"))).as("partkey_span"),
+          (max(col("l_suppkey")) - min(col("l_suppkey"))).as("suppkey_span"),
+          min(col("hval")).as("h_min"), max(col("hval")).as("h_max"))
+        .orderBy("file_id")
     })
   )
 
@@ -124,6 +229,25 @@ object Layout {
          |       max(l_partkey) - min(l_partkey) AS partkey_span,
          |       max(l_suppkey) - min(l_suppkey) AS suppkey_span,
          |       min(zval) AS z_min, max(zval) AS z_max
+         |FROM r GROUP BY 1 ORDER BY file_id""".stripMargin,
+
+    "z02_hilbert_layout" ->
+      s"""WITH ${hilbertCtesSql("lineitem", "l_partkey", "l_suppkey",
+             Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"))},
+         |h AS (
+         |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, d0 AS hval
+         |  FROM hl0
+         |),
+         |r AS (
+         |  SELECT *, row_number() OVER (ORDER BY hval, l_orderkey, l_linenumber) AS pos,
+         |         count(*) OVER () AS n_total
+         |  FROM h
+         |)
+         |SELECT CAST(((pos - 1) * $ZFiles) // n_total AS INT) AS file_id,
+         |       count(*) AS n_rows,
+         |       max(l_partkey) - min(l_partkey) AS partkey_span,
+         |       max(l_suppkey) - min(l_suppkey) AS suppkey_span,
+         |       min(hval) AS h_min, max(hval) AS h_max
          |FROM r GROUP BY 1 ORDER BY file_id""".stripMargin
   )
 }

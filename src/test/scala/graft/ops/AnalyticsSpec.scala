@@ -264,6 +264,38 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_rows")).toSet.size <= 2)
   }
 
+  test("hilbert index is a bijective, step-adjacent space-filling curve on a full grid") {
+    import spark.implicits._
+    val n = 16 // the 16×16 low-coordinate block of the 2^ZBits grid
+    val grid = (0 until n).flatMap(x => (0 until n).map(y => (x.toLong, y.toLong)))
+      .toDF("x", "y")
+      .withColumn("h", expr(Layout.hilbertExpr("x", "y")))
+      .collect().map(r => ((r.getAs[Long]("x"), r.getAs[Long]("y")), r.getAs[Long]("h")))
+    // the block contains the curve's start: its 256 cells map exactly
+    // onto positions 0..255 (bijectivity + completeness of the fold)
+    assert(grid.map(_._2).sorted.toSeq === (0L until (n.toLong * n)).toSeq)
+    // consecutive curve positions are grid-adjacent (|dx|+|dy| = 1) —
+    // the locality guarantee z-order lacks at quadrant seams
+    grid.sortBy(_._2).map(_._1).sliding(2).foreach { case Array((x1, y1), (x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1L, s"($x1,$y1)->($x2,$y2)")
+    }
+  }
+
+  test("hilbert files are tight, contiguous, and balanced (z02)") {
+    val rows = q("z02_hilbert_layout").collect()
+    assert(rows.length === Layout.ZFiles)
+    val byFile = rows.sortBy(_.getAs[Int]("file_id"))
+    byFile.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("h_max") <= b.getAs[Long]("h_min"),
+        "files must be contiguous, non-overlapping hval ranges")
+    }
+    assert(rows.map(_.getAs[Long]("n_rows")).toSet.size <= 2)
+    val li = Tables.lineitem(spark, sf)
+      .agg(expr("max(l_partkey) - min(l_partkey)")).collect().head
+    val pAvg = rows.map(_.getAs[Long]("partkey_span")).sum.toDouble / rows.length
+    assert(pAvg < li.getLong(0).toDouble / 4, s"partkey avg span $pAvg")
+  }
+
   test("z-order skips files under a key predicate where a row-order layout cannot") {
     val rows = Tables.lineitem(spark, sf)
       .select(col("l_orderkey").cast("long"), col("l_linenumber").cast("long"),
