@@ -175,6 +175,7 @@ object Layout {
     // step-adjacent on a full small grid, and the oracle recomputes
     // the fold level by level in DuckDB.
     "z02_hilbert_layout" -> ((s, d) => {
+      graft.functions.VectorExprs.register(s)
       val lim = 1L << ZBits
       val bounds = Tables.lineitem(s, d)
         .agg(max(col("l_partkey")).as("mx_p"), max(col("l_suppkey")).as("mx_s"))
@@ -184,7 +185,9 @@ object Layout {
           lit(s"z02: key exceeds $ZBits bits — widen Layout.ZBits")).isNull)
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_partkey"), col("l_suppkey"),
-          expr(hilbertExpr("l_partkey", "l_suppkey")).as("hval"))
+          // the fused codegen loop, not the interpreted HOF fold
+          // (16.9 s → see SCALE_NOTES; LayoutSpec pins bit-equality)
+          expr("hilbert_index(l_partkey, l_suppkey)").as("hval"))
         .withColumn("bucket", expr("hval DIV " + (1L << (2 * ZBits - ZBucketBits))))
       val offs = rows.groupBy("bucket").agg(count(lit(1)).as("bn"))
         .withColumn("boff",

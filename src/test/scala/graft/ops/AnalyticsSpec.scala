@@ -266,10 +266,15 @@ class AnalyticsSpec extends SparkSpec {
 
   test("hilbert index is a bijective, step-adjacent space-filling curve on a full grid") {
     import spark.implicits._
+    graft.functions.VectorExprs.register(spark)
     val n = 16 // the 16×16 low-coordinate block of the 2^ZBits grid
-    val grid = (0 until n).flatMap(x => (0 until n).map(y => (x.toLong, y.toLong)))
+    val gridDf = (0 until n).flatMap(x => (0 until n).map(y => (x.toLong, y.toLong)))
       .toDF("x", "y")
-      .withColumn("h", expr(Layout.hilbertExpr("x", "y")))
+      .withColumn("h", expr("hilbert_index(x, y)"))
+      .withColumn("h_ref", expr(Layout.hilbertExpr("x", "y")))
+    // the codegen loop and the reference HOF fold are bit-equal
+    assert(gridDf.filter(col("h") =!= col("h_ref")).count() === 0L)
+    val grid = gridDf
       .collect().map(r => ((r.getAs[Long]("x"), r.getAs[Long]("y")), r.getAs[Long]("h")))
     // the block contains the curve's start: its 256 cells map exactly
     // onto positions 0..255 (bijectivity + completeness of the fold)
