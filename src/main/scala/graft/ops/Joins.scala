@@ -36,6 +36,9 @@ object Joins {
   val BloomK = 4
   val HotOrderPrice = 450000.0
 
+  /** j13: dim-side replication factor for the salted join. */
+  val SaltFactor = 8
+
   /** The k bit positions for `key` — ONE SQL fragment shared by the
     * bloom build (fed to `BloomAgg`) and the probe (`bloomProbeExpr`),
     * so the hash family cannot drift between sides. Double hashing
@@ -362,6 +365,35 @@ object Joins {
         .agg(count(lit(1)).as("n_hot_customers"),
           Tables.dsum(col("c_acctbal"), 2).as("hot_acctbal"))
         .orderBy("c_mktsegment")
+    }),
+
+    // Skew-SALTED shuffle join — the manual skew weapon beside AQE's
+    // runtime partition split (tools/SkewBench measures when each
+    // wins): the dim side replicates SaltFactor×, the fact side picks
+    // a deterministic salt from a row-unique key, the join key
+    // becomes (key, salt), and a hot key's rows spread over
+    // SaltFactor reducers instead of hammering one. The join is
+    // hinted sort-merge (a broadcast would dissolve the skew the
+    // technique targets — at 100 TB the dim that needs salting is
+    // exactly the one too big to broadcast). Salting is TRANSPARENT:
+    // the aggregate over the salted join equals the plain join
+    // exactly — the oracle IS the unsalted join, making the rewrite's
+    // correctness (not just its speed) a checked fact.
+    "j13_salted_join" -> ((s, d) => {
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .withColumn("dsalt", explode(array((0 until SaltFactor).map(lit(_)): _*)))
+      val fact = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_totalprice"),
+          (expr(graft.functions.Portable.phashExpr(
+            "concat('sj:', CAST(o_orderkey AS STRING))")) % SaltFactor)
+            .cast("int").as("fsalt"))
+      fact.hint("merge")
+        .join(dim, col("o_custkey") === col("c_custkey") && col("fsalt") === col("dsalt"))
+        .groupBy("c_mktsegment")
+        .agg(Tables.dsum(col("o_totalprice"), 2).as("segment_revenue"),
+          count(lit(1)).as("order_cnt"))
+        .orderBy("c_mktsegment")
     })
   )
 
@@ -524,6 +556,14 @@ object Joins {
          |              WHERE o.o_custkey = c.c_custkey
          |                AND o.o_totalprice > $HotOrderPrice)
          |GROUP BY c_mktsegment
-         |ORDER BY c_mktsegment""".stripMargin
+         |ORDER BY c_mktsegment""".stripMargin,
+
+    // the UNSALTED join — salting must be invisible in the result
+    "j13_salted_join" ->
+      """SELECT c_mktsegment,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS segment_revenue,
+        |  count(*) AS order_cnt
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
   )
 }
