@@ -101,7 +101,7 @@ object ScaleStress {
       "st05_stream_neardup", "sim13_multiprobe_recall",
       "a21_sketch_rollup", "ivm02_delta_join", "tx14_bpe_encode",
       "ds09_balanced_shards", "ds10_exact_k_sample", "sql04_lateral_topn",
-      "q6_forecast_revenue", "q14_promo_share", "z02_hilbert_layout")
+      "q6_forecast_revenue", "q14_promo_share", "z02_hilbert_layout", "j13_salted_join")
     // SPARK_GRAFT_QUERIES=dd04_simhash,sim04_ivf_ann → time only those
     // (fast iteration on one operator without the 25-query sweep)
     val headline = sys.env.get("SPARK_GRAFT_QUERIES") match {
