@@ -601,6 +601,131 @@ object Relational {
         .limit(20)
     }),
 
+    // TPC-H Q2 shape: min-cost supplier — the correlated-MIN
+    // subquery. The driver testdata carries no partsupp table, so the
+    // supply relation is derived from lineitem (unit cost =
+    // price/qty; IEEE double division, bit-identical in both
+    // engines). The correlated `cost = (SELECT min(...) WHERE
+    // ps_partkey = p_partkey AND region)` decorrelates into one
+    // aggregate over the region-filtered supply frame joined back on
+    // (part, cost) — the same plan Catalyst produces for the SQL
+    // form, built explicitly. Supplier/nation/region broadcast
+    // (dimension class); the supply aggregate shuffles once on
+    // (part, supplier) and its min reuses that partitioning.
+    "q2_min_cost_supp" -> ((s, d) => {
+      val ps = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("ps_supplycost"))
+      val eur = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+      val supply = ps.join(broadcast(eur), col("ps_suppkey") === col("s_suppkey"))
+      val minCost = supply.groupBy(col("ps_partkey").as("mc_partkey"))
+        .agg(min(col("ps_supplycost")).as("min_cost"))
+      val p = Tables.part(s, d)
+        .filter(col("p_size") <= 10 && col("p_type") === "LARGE")
+        .select("p_partkey", "p_name")
+      supply
+        .join(broadcast(p), col("ps_partkey") === col("p_partkey"))
+        .join(minCost, col("ps_partkey") === col("mc_partkey") &&
+          col("ps_supplycost") === col("min_cost"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
+          col("p_name"), round(col("ps_supplycost"), 6).as("supply_cost"))
+        .orderBy(col("s_acctbal").desc, col("n_name").asc, col("s_name").asc,
+          col("p_partkey").asc)
+        .limit(100)
+    }),
+
+    // TPC-H Q4 shape: EXISTS decorrelation — order-priority checking.
+    // The correlated EXISTS ("some line of this order shipped late")
+    // is a LEFT SEMI join on the order key carrying the lateness
+    // predicate as a join condition; the semi join stops at the first
+    // match per order, never materializing the multiplicity. No
+    // commitdate/receiptdate in the driver schema, so "late" =
+    // shipped > 30 days after the order date.
+    "q4_order_priority" -> ((s, d) => {
+      val lo = lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+      val hi = lit(java.sql.Timestamp.valueOf("1996-04-01 00:00:00"))
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+      o.join(li, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // TPC-H Q20 shape: nested-IN chain — suppliers whose recent-year
+    // shipments of pattern-matched parts exceed half their all-time
+    // shipments (availqty analog; the testdata has no partsupp). The
+    // IN chain is three semi joins: parts-by-name prunes the supply
+    // frame (broadcast — the LIKE cuts the part dim), the correlated
+    // scalar subquery decorrelates into an aggregate joined on the
+    // same (part, supplier) grouping keys (one shuffle feeds both
+    // aggregates), and the outer IN is a semi join into supplier.
+    "q20_excess_suppliers" -> ((s, d) => {
+      val lo = lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+      val hi = lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))
+      val li = Tables.lineitem(s, d)
+      val recent = li.filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+        .agg(Tables.dsum(col("l_quantity"), 2).as("recent_qty"))
+      val alltime = li
+        .groupBy(col("l_partkey").as("at_partkey"), col("l_suppkey").as("at_suppkey"))
+        .agg(Tables.dsum(col("l_quantity"), 2).as("all_qty"))
+      val smallParts = Tables.part(s, d)
+        .filter(col("p_name").like("small%")).select("p_partkey")
+      val excess = recent
+        .join(broadcast(smallParts), col("ps_partkey") === col("p_partkey"), "left_semi")
+        .join(alltime, col("ps_partkey") === col("at_partkey") &&
+          col("ps_suppkey") === col("at_suppkey"))
+        .filter(col("recent_qty") > col("all_qty") * 0.5)
+        .select("ps_suppkey").distinct()
+      val natKeys = Tables.nation(s, d)
+        .filter(col("n_regionkey") === 0).select("n_nationkey")
+      Tables.supplier(s, d)
+        .join(broadcast(natKeys), col("s_nationkey") === col("n_nationkey"), "left_semi")
+        .join(excess, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q21 shape: multi-EXISTS — suppliers who kept finished
+    // orders waiting. EXISTS ("another supplier contributed to the
+    // order") is a LEFT SEMI join on the order key with the
+    // inequality as a join condition; NOT EXISTS ("no OTHER supplier
+    // was late on it") is the matching LEFT ANTI. Both probe sides
+    // are distinct (order, supplier) pairs, so the semi/anti joins
+    // scan deduplicated frames instead of raw lineitem multiplicity;
+    // lateness reuses the Q4 predicate (shipped > 60 days after the
+    // order date).
+    "q21_waiting_supplier" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey", "l_shipdate")
+      val o = Tables.orders(s, d).select("o_orderkey", "o_orderdate", "o_orderstatus")
+      val lateLines = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      val late = lateLines
+        .select(col("l_orderkey").as("lt_orderkey"), col("l_suppkey").as("lt_suppkey"))
+        .distinct()
+      val pairs = li
+        .select(col("l_orderkey").as("pr_orderkey"), col("l_suppkey").as("pr_suppkey"))
+        .distinct()
+      lateLines.filter(col("o_orderstatus") === "F")
+        .join(pairs, col("pr_orderkey") === col("l_orderkey") &&
+          col("pr_suppkey") =!= col("l_suppkey"), "left_semi")
+        .join(late, col("lt_orderkey") === col("l_orderkey") &&
+          col("lt_suppkey") =!= col("l_suppkey"), "left_anti")
+        .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name").asc)
+        .limit(10)
+    }),
+
     // W5: ratio-rank family — percent_rank and cume_dist (exact
     // rationals over a unique total order, so the doubles are
     // engine-identical before the display rounding)
@@ -1267,6 +1392,83 @@ object Relational {
         |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
         |GROUP BY c_custkey, c_name, c_acctbal, n_name
         |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+
+    "q2_min_cost_supp" ->
+      """WITH ps AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |         min(l_extendedprice / l_quantity) AS ps_supplycost
+        |  FROM lineitem GROUP BY 1, 2
+        |)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+        |       round(ps_supplycost, 6) AS supply_cost
+        |FROM part, ps, supplier, nation, region
+        |WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+        |  AND p_size <= 10 AND p_type = 'LARGE'
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'EUROPE'
+        |  AND ps_supplycost = (
+        |    SELECT min(ps2.ps_supplycost)
+        |    FROM ps ps2, supplier s2, nation n2, region r2
+        |    WHERE ps2.ps_partkey = p_partkey AND s2.s_suppkey = ps2.ps_suppkey
+        |      AND s2.s_nationkey = n2.n_nationkey
+        |      AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q20_excess_suppliers" ->
+      """WITH recent AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS recent_qty
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  GROUP BY 1, 2
+        |)
+        |SELECT s_suppkey, s_name
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |    SELECT ps_suppkey FROM recent
+        |    WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        |      AND recent_qty > 0.5 * (
+        |        SELECT CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |        FROM lineitem
+        |        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey))
+        |  AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 0)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q21_waiting_supplier" ->
+      """WITH late AS (
+        |  SELECT l_orderkey, l_suppkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  GROUP BY 1, 2
+        |),
+        |pairs AS (SELECT l_orderkey, l_suppkey FROM lineitem GROUP BY 1, 2)
+        |SELECT s_name, count(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM pairs p
+        |              WHERE p.l_orderkey = l1.l_orderkey
+        |                AND p.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 10""".stripMargin,
 
     // the naive one-reducer global cumsum IS the oracle form (ds05's
     // stance: the engine plan is the scalable two-phase variant)
