@@ -224,11 +224,21 @@ object Joins {
     // each promo window, with NO key relation between the sides — a
     // pure theta join. Spark's native plan for ts BETWEEN lo AND hi
     // is a broadcast-nested-loop (O(n·m)); the scale path is INTERVAL
-    // BINNING: windows are ≤ 7 days, so each window overlaps ≤ 2
-    // week-bins (explode), each shipdate hashes to exactly 1 bin, and
-    // the join becomes a plain shuffled equi-join on the bin plus a
-    // residual BETWEEN filter — pair work bounded by bin occupancy,
-    // no broadcast needed (both sides may be fact-sized at 100 TB).
+    // BINNING + AGGREGATE PUSHDOWN below the join:
+    //  1. Both measures (count, decimal sum) are distributive and the
+    //     range predicate reads only l_shipdate, so lineitem first
+    //     collapses to one partial-aggregate row per DISTINCT
+    //     l_shipdate — exact regardless of timestamp alignment, and
+    //     bounded by the calendar (rows-per-day density growth stacks
+    //     into the partials instead of multiplying into the join).
+    //  2. Windows are ≤ 7 days, so each window overlaps ≤ 2 week-bins
+    //     (explode); each shipdate partial hashes to exactly 1 bin,
+    //     and the join is a plain shuffled equi-join on the bin plus
+    //     a residual BETWEEN — candidate pairs ≤ promos × (8 + bin
+    //     width in days), immune to per-day row counts, no broadcast
+    //     needed (both sides may be fact-sized at 100 TB).
+    // Summing the per-day decimal partials re-sums exact decimals, so
+    // the result is bit-identical to the direct dsum over all rows.
     "j09_range_join" -> ((s, d) => {
       val week = 604800L
       val promo = Tables.orders(s, d)
@@ -240,15 +250,17 @@ object Joins {
         explode(sequence(
           floor(unix_timestamp(col("win_start")) / week).cast(LongType),
           floor((unix_timestamp(col("win_end")) - 1) / week).cast(LongType))))
-      val li = Tables.lineitem(s, d)
-        .select(col("l_shipdate"), col("l_quantity"))
+      val liDaily = Tables.lineitem(s, d)
+        .groupBy(col("l_shipdate"))
+        .agg(count(lit(1)).as("day_cnt"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).as("day_qty"))
         .withColumn("bin", floor(unix_timestamp(col("l_shipdate")) / week).cast(LongType))
-      promoBins.join(li, Seq("bin"))
+      promoBins.join(liDaily, Seq("bin"))
         .filter(col("l_shipdate") >= col("win_start") &&
           col("l_shipdate") < col("win_end"))
         .groupBy("promo_key")
-        .agg(count(lit(1)).as("n_shipped"),
-          Tables.dsum(col("l_quantity"), 2).as("qty"))
+        .agg(sum(col("day_cnt")).as("n_shipped"),
+          sum(col("day_qty")).cast(DoubleType).as("qty"))
         .orderBy("promo_key")
     }),
 
