@@ -48,14 +48,22 @@ object Bench {
 
   /** Stable fingerprint of src/main (sorted paths, content hash) —
     * stamped into the artifact so a total swing with NO code delta is
-    * detectable as measurement noise rather than a regression. */
+    * detectable as measurement noise rather than a regression. Caveat:
+    * this hashes the sources on disk, not the compiled classes actually
+    * running, so an edit without a recompile can mislabel a swing; the
+    * driver always recompiles before benching, which keeps them in sync. */
   private def codeFingerprint(): String =
     try {
       val root = Paths.get("src/main")
       val md = java.security.MessageDigest.getInstance("SHA-256")
-      val files = Files.walk(root).iterator()
-      val paths = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
-      while (files.hasNext) { val p = files.next(); if (Files.isRegularFile(p)) paths += p }
+      val walk = Files.walk(root)
+      val paths =
+        try {
+          val it = walk.iterator()
+          val buf = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+          while (it.hasNext) { val p = it.next(); if (Files.isRegularFile(p)) buf += p }
+          buf
+        } finally walk.close()
       paths.sortBy(_.toString).foreach { p =>
         md.update(p.toString.getBytes(StandardCharsets.UTF_8))
         md.update(Files.readAllBytes(p))
@@ -93,15 +101,30 @@ object Bench {
     // Min-of-2 full sweeps (round-6 lesson, mirroring BenchCold): a
     // single warm sweep carries one-off noise — GC pauses, ambient
     // load spikes — that min-of-2 mostly cancels.
+    // A sweep records -1 for a query that threw; when combining, a
+    // negative timing is MISSING, not fast — fall back to the other
+    // sweep's value so a transient one-sweep failure can't shave ~1 s
+    // off the total unnoticed, and surface any query that failed both.
     def sweep(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }.toMap
     val s1 = sweep()
     val s2 = sweep()
-    val results = s1.map { case (k, v) => k -> math.min(v, s2.getOrElse(k, v)) }
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val results = s1.map { case (k, v1) =>
+      val v2 = s2.getOrElse(k, -1.0)
+      k -> ((v1 >= 0, v2 >= 0) match {
+        case (true, true)  => math.min(v1, v2)
+        case (true, false) => v1
+        case (false, true) => v2
+        case _             => -1.0
+      })
+    }
+    val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
+    if (failed.nonEmpty)
+      System.err.println(s"[bench] FAILED in both sweeps: ${failed.mkString(",")}")
+    val total = results.values.filter(_ >= 0).sum
     val fp = codeFingerprint()
     // No-code-delta sanity: if the prior artifact was produced from
     // byte-identical src/main and this total swings >15% WORSE, the
@@ -116,6 +139,7 @@ object Bench {
     val suspect = sameCode && priorTotal.exists(p => p > 0 && (total - p) / p > 0.15)
     val loadJson = graft.tools.LoadGuard.jsonFields(load0, loadOk) +
       s""","code_fp":"$fp","protocol":"min-of-2 warm sweeps"""" +
+      (if (failed.nonEmpty) s""","failed":${failed.size}""" else "") +
       (if (suspect) s""","suspect_swing":true,"prior_total":${fmt(priorTotal.get)}""" else "")
     // Full map → file (sorted for stable diffs); headline subset → stdout.
     val full = results.toSeq.sortBy(_._1)

@@ -690,11 +690,22 @@ object VectorExprs {
         builder))
     }
 
+  // Once-per-session guard: register() is called from every catalog
+  // query builder (they can't assume extensions were installed), and
+  // re-running createOrReplaceTempFunction floods the log with
+  // "function ... replaced" warnings during a 167-query bench sweep.
+  // Weak keys so a stopped session doesn't pin its registry.
+  private val registered = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
   /** Register `cosine_sim` and `minhash_mix` in the session's
-    * function registry so query builders can use them via `expr`. */
+    * function registry so query builders can use them via `expr`.
+    * Idempotent per session. */
   def register(spark: SparkSession): Unit =
-    descriptions.foreach { case (name, builder) =>
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        name, builder, "scala_udf")
+    if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) == null) {
+      descriptions.foreach { case (name, builder) =>
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+          name, builder, "scala_udf")
+      }
     }
 }

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, concat_ws}
+
+/** Persisted form of the incremental-dedup corpus index
+  * (SURVEY.md §2 extension; the 100 TB ingest layout).
+  *
+  * dd13/st05 derive the band index and signature frame from the
+  * session-memoized minhash stage each run — correct, but at corpus
+  * scale the index must live on disk and the per-batch probe must do
+  * batch-proportional work against it. This object writes both frames
+  * ONCE as bucketed parquet tables:
+  *
+  *   - `<prefix>_bands` (bkey, corpus_doc), bucketed by `bkey` =
+  *     "band:key" — the band-probe join key. A probe batch shuffles
+  *     only ITSELF into the corpus bucket layout; the corpus-sized
+  *     side is read pre-partitioned, no exchange.
+  *   - `<prefix>_sigs` (corpus_doc, b_sig_0..k-1), bucketed by
+  *     `corpus_doc` — the signature-verify join key; same property.
+  *
+  * The band id is FOLDED INTO the bucket key rather than kept as a
+  * second join column: Spark only reuses a bucket layout when the
+  * partitioning covers the join keys exactly (the
+  * requireAllClusterKeysForCoPartition default — measured here, a
+  * (band, key) join over a key-only layout falls back to shuffling
+  * both sides, with the scan stamped "Bucketed: false (disabled by
+  * query planner)"). Maintenance is append-only: each accepted
+  * batch's bands/sigs are inserted into the same bucketed tables
+  * (bucketBy is stable under append), so corpus text is never
+  * re-signed.
+  *
+  * BandIndexSpec proves the plan property: with broadcast disabled,
+  * the probe's physical plan contains NO shuffle exchange above either
+  * persisted corpus scan, and the decisions are row-identical to
+  * dd13's derived-frame output.
+  */
+object BandIndex {
+
+  val Buckets = 8
+
+  def bandsTable(prefix: String): String = s"${prefix}_bands"
+  def sigsTable(prefix: String): String = s"${prefix}_sigs"
+
+  /** Write the corpus band index + signature table as bucketed
+    * external tables under `path`, registered as
+    * `<prefix>_bands` / `<prefix>_sigs`. */
+  def persist(spark: SparkSession, dir: String, path: String,
+      prefix: String = "graft_corpus"): Unit = {
+    val (bands, sigs) = Dedup.corpusIndex(spark, dir)
+    bands
+      .select(concat_ws(":", col("band"), col("key")).as("bkey"),
+        col("corpus_doc"))
+      .write
+      .bucketBy(Buckets, "bkey").sortBy("bkey")
+      .option("path", s"$path/bands")
+      .mode(SaveMode.Overwrite)
+      .saveAsTable(bandsTable(prefix))
+    sigs.write
+      .bucketBy(Buckets, "corpus_doc").sortBy("corpus_doc")
+      .option("path", s"$path/sigs")
+      .mode(SaveMode.Overwrite)
+      .saveAsTable(sigsTable(prefix))
+  }
+
+  /** The incremental-batch decision table probed against the
+    * PERSISTED index — same dataflow and output as dd13, but the
+    * corpus side of every join reads the bucketed tables. */
+  def probe(spark: SparkSession, dir: String,
+      prefix: String = "graft_corpus"): DataFrame =
+    Dedup.incrementalDecisions(spark, dir,
+      spark.table(bandsTable(prefix)), spark.table(sigsTable(prefix)))
+
+  /** Drop the registered tables (files under `path` are external and
+    * survive; callers own that directory's lifecycle). */
+  def drop(spark: SparkSession, prefix: String = "graft_corpus"): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS ${bandsTable(prefix)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${sigsTable(prefix)}")
+  }
+}

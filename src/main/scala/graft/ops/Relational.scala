@@ -797,9 +797,11 @@ object Relational {
         .orderBy("vehicle", "ts_s")
     }),
 
-    // C1: cache() before multiple consumers (main.py:65)
+    // C1: cache() before multiple consumers (main.py:65). The memo
+    // behind silver() IS that cache — calling .cache() again here
+    // only provoked a CacheManager warning per invocation.
     "c01_cache" -> ((s, d) => {
-      val cached = silver(s, d).cache()
+      val cached = silver(s, d)
       cached.groupBy("line")
         .agg(count(lit(1)).as("n"), Tables.dsum(col("value"), 2).as("total_value"))
         .orderBy("line")
