@@ -778,4 +778,77 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toMap.apply(1L) === "2024-01-01 10:00:00.0",
       "the first arrival's payload survives, the redelivery is dropped")
   }
+
+  test("AvailableNow file-sink run of the real day=23 reproduces the daily report") {
+    // The "streaming writes enriched, batch reads daily" lambda path,
+    // end to end on the real capture: run 1 drains the 49 bronze
+    // files under Trigger.AvailableNow into a parquet sink, run 2
+    // RESTARTS from the same checkpoint to process only a later
+    // sentinel file (firing the event-time timeouts that flush the
+    // buffered tails), and the daily report built FROM THE SINK FILES
+    // must equal the batch report — including the exact
+    // countDistinct(vehicles) the partials test cannot fold.
+    val day23 = "/root/reference/WAW/year=2026/month=02/day=23"
+    assume(new java.io.File(day23).isDirectory)
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val src = Files.createTempDirectory("graft-an-src")
+    new java.io.File(day23).listFiles().sortBy(_.getName).foreach { f =>
+      Files.copy(f.toPath, src.resolve(f.getName),
+        java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
+    }
+    val out = Files.createTempDirectory("graft-an-out").toString
+    val ckpt = Files.createTempDirectory("graft-an-ckpt").toString
+    val day = java.time.LocalDate.of(2026, 2, 23)
+
+    // same watermark/TTL rationale as the partials test: 25 h covers
+    // stale-clock pings and forbids intra-day episode expiry
+    def start() = {
+      val clean = Streams.cleanStream(
+        Streams.bronzeStream(spark, src.toString, maxFilesPerTrigger = 8),
+        watermark = "25 hours")
+        .filter(to_date(col("Time")) === lit(java.sql.Date.valueOf(day)))
+      Streams.enrichedStream(clean, stateTtlSec = 25L * 3600L)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    assert(start().awaitTermination(240000), "run 1 timed out")
+    writeBronze(src.toString, "zz_sentinel.json",
+      rec("999", "SENTINEL", 52.2, 21.0, "2026-02-26 00:00:00"))
+    assert(start().awaitTermination(240000), "run 2 (restart) timed out")
+
+    val streamReport = graft.gtfs.GoldReport.reportFromEnriched(
+      spark.read.parquet(out))
+    val raw = graft.gtfs.SilverTransform.readBronze(spark, day23)
+    val batchReport = graft.gtfs.GoldReport.createDailyReport(
+      graft.gtfs.SilverTransform.transform(raw, day))
+
+    val joined = streamReport.as("s")
+      .join(batchReport.as("b"), col("s.Lines") === col("b.Lines"), "full_outer")
+      .select(col("s.Lines").as("s_line"), col("b.Lines").as("b_line"),
+        col("s.total_cost_pln").as("s_cost"), col("b.total_cost_pln").as("b_cost"),
+        col("s.total_distance_km").as("s_dist"), col("b.total_distance_km").as("b_dist"),
+        col("s.data_points_count").as("s_n"), col("b.data_points_count").as("b_n"),
+        col("s.unique_vehicles_count").as("s_uv"), col("b.unique_vehicles_count").as("b_uv"),
+        col("s.max_recorded_speed").as("s_max"), col("b.max_recorded_speed").as("b_max"))
+      .collect()
+    assert(joined.length === 238, s"expected 238 line groups, got ${joined.length}")
+    def rel(a: Double, b: Double) = if (b == 0.0) math.abs(a) else math.abs(a - b) / math.abs(b)
+    joined.foreach { r =>
+      assert(!r.isNullAt(0) && !r.isNullAt(1), r.toString)
+      assert(r.getAs[Long]("s_n") === r.getAs[Long]("b_n"), r.toString)
+      assert(r.getAs[Long]("s_uv") === r.getAs[Long]("b_uv"), r.toString)
+      assert(r.getAs[Double]("s_max") === r.getAs[Double]("b_max"), r.toString)
+      assert(rel(r.getAs[Double]("s_cost"), r.getAs[Double]("b_cost")) < 1e-9, r.toString)
+      assert(rel(r.getAs[Double]("s_dist"), r.getAs[Double]("b_dist")) < 1e-9, r.toString)
+    }
+    // the GoldenE2E headline, read off the STREAMED report
+    val top = streamReport.orderBy(col("total_cost_pln").desc).limit(1).head()
+    assert(top.getAs[String]("Lines") === "189")
+    assert(rel(top.getAs[Double]("total_cost_pln"), 135.32) < 0.001)
+    assert(top.getAs[Long]("unique_vehicles_count") === 30L)
+  }
 }
