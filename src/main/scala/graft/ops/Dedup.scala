@@ -634,53 +634,11 @@ object Dedup {
     // ONE join (ranks ⋈ edges on src) + one map-side-combinable
     // aggregate on dst — the Pregel shape, exactly dd07's dataflow
     // with sum instead of min — chained as one lazy fixed-depth plan
-    // (no per-round checkpoint: see the loop comment below for why a
-    // CONSTANT iteration count needs none where dd07's unbounded
-    // loop does). In-sums are
-    // decimal-exact (DECIMAL(28,14)): contribution addends are
-    // identical doubles in both engines by induction from the exact
-    // 1/N start, so five chained float iterations stay bit-identical
-    // where a double sum would drift with grouping order. Damping
-    // constants are literal 0.15/0.85 on BOTH sides — never
-    // (1 - 0.85), which rounds differently than the 0.15 literal.
-    "g01_pagerank" -> ((s, d) => memoFrame(s, d, "g01_pagerank") {
-      val edges = verifiedEdges(s, d)
-      val nF = edges.select("src").distinct()
-        .agg(count(lit(1)).cast("double").as("n_nodes"))
-      // node frame carries degree AND the teleport term 0.15/N so the
-      // loop body never re-joins the 1-row count frame
-      val deg = memoFrame(s, d, "g01_deg")(
-        edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-          .crossJoin(broadcast(nF))
-          .select(col("node"), col("deg"), (lit(0.15) / col("n_nodes")).as("base"),
-            col("n_nodes"))
-          .cache())
-      val r0 = deg.select(col("node"), (lit(1.0) / col("n_nodes")).as("r"))
-      // Fixed iteration count → ONE lazy chained plan (each round's
-      // edges/deg reference hits the cache): no per-round action, no
-      // per-round materialization. dd07 checkpoints per round because
-      // its loop is unbounded (lineage would grow with the data); a
-      // constant 5 rounds is a constant plan depth.
-      val rN = (1 to PrIters).foldLeft(r0) { (rk, _) =>
-        val contrib = rk.join(deg, "node")
-          .select(col("node").as("src"),
-            (col("r") / col("deg").cast("double")).as("c"))
-        val sums = edges.join(contrib, "src")
-          .groupBy(col("dst").as("node"))
-          .agg(sum(col("c").cast(org.apache.spark.sql.types.DecimalType(28, 14)))
-            .cast("double").as("in_sum"))
-        deg.join(sums, Seq("node"), "left")
-          .select(col("node"),
-            (col("base") + lit(0.85) * coalesce(col("in_sum"), lit(0.0))).as("r"))
-      }
-      // Fully LAZY result (unlike dd07, whose convergence loop forces
-      // actions): nothing executes at construction time, so the plan
-      // gate (PlanScan) sees the real five-iteration join tree, and
-      // building the frame costs nothing. edges and deg come from the
-      // shared memo, so clearMemo unpersists both.
-      rN.select(col("node").as("doc_id"), round(col("r"), 8).as("pagerank"))
-        .orderBy("doc_id")
-    }),
+    // (a CONSTANT 5 rounds needs no per-round checkpoint; deep runs
+    // use [[pageRank]]'s checkpointEvery cadence — see its scaladoc
+    // for the exactness and lineage rationale).
+    "g01_pagerank" -> ((s, d) =>
+      memoFrame(s, d, "g01_pagerank")(pageRank(s, d, PrIters))),
 
     // Sorted-neighborhood dedup (SNM) — the third candidate-generation
     // strategy next to LSH banding (dd03) and posting-list joins
@@ -797,6 +755,61 @@ object Dedup {
         corpusSigs)
     })
   )
+
+  /** Power-iteration PageRank over the near-dup graph (g01's body,
+    * with the iteration count and checkpoint cadence as parameters).
+    * Each iteration is ONE join (ranks ⋈ edges on src) + one
+    * map-side-combinable aggregate on dst — the Pregel shape, exactly
+    * dd07's dataflow with sum instead of min. In-sums are
+    * decimal-exact (DECIMAL(28,14)): contribution addends are
+    * identical doubles in both engines by induction from the exact
+    * 1/N start, so chained float iterations stay bit-identical where
+    * a double sum would drift with grouping order. Damping constants
+    * are literal 0.15/0.85 on BOTH sides — never (1 - 0.85), which
+    * rounds differently than the 0.15 literal.
+    *
+    * `checkpointEvery`: a CONSTANT small iteration count (g01's 5) is
+    * a constant plan depth and runs as one lazy chained plan — no
+    * action at construction, and the plan gate (PlanScan) sees the
+    * real join tree. Past ~10 iterations the chained lineage itself
+    * becomes the cost (each localCheckpoint-free round re-plans a
+    * deeper tree, and optimizer time grows superlinearly), so deep
+    * runs cut it with a `localCheckpoint` every `checkpointEvery`
+    * rounds — dd07/g02's hygiene, applied on a cadence because
+    * PageRank's rounds are much cheaper than its materializations.
+    * Values are unchanged either way (checkpoint is a plan barrier,
+    * not an arithmetic one); measured flat per-iteration cost at 10×
+    * in SCALE_NOTES.md. */
+  private[graft] def pageRank(s: SparkSession, d: String, iters: Int,
+      checkpointEvery: Int = Int.MaxValue): DataFrame = {
+    val edges = verifiedEdges(s, d)
+    val nF = edges.select("src").distinct()
+      .agg(count(lit(1)).cast("double").as("n_nodes"))
+    // node frame carries degree AND the teleport term 0.15/N so the
+    // loop body never re-joins the 1-row count frame
+    val deg = memoFrame(s, d, "g01_deg")(
+      edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+        .crossJoin(broadcast(nF))
+        .select(col("node"), col("deg"), (lit(0.15) / col("n_nodes")).as("base"),
+          col("n_nodes"))
+        .cache())
+    var rk = deg.select(col("node"), (lit(1.0) / col("n_nodes")).as("r"))
+    for (k <- 1 to iters) {
+      val contrib = rk.join(deg, "node")
+        .select(col("node").as("src"),
+          (col("r") / col("deg").cast("double")).as("c"))
+      val sums = edges.join(contrib, "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("c").cast(org.apache.spark.sql.types.DecimalType(28, 14)))
+          .cast("double").as("in_sum"))
+      rk = deg.join(sums, Seq("node"), "left")
+        .select(col("node"),
+          (col("base") + lit(0.85) * coalesce(col("in_sum"), lit(0.0))).as("r"))
+      if (k % checkpointEvery == 0 && k < iters) rk = rk.localCheckpoint()
+    }
+    rk.select(col("node").as("doc_id"), round(col("r"), 8).as("pagerank"))
+      .orderBy("doc_id")
+  }
 
   /** The incremental-dedup probe dataflow, parameterized over WHERE
     * the corpus index lives: dd13 passes the session-derived frames
