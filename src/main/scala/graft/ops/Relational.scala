@@ -726,6 +726,261 @@ object Relational {
         .limit(10)
     }),
 
+    // TPC-H Q7 shape: volume shipping between a nation PAIR — the
+    // symmetric-disjunction join. Both nation dims are pre-filtered
+    // to the two named nations and broadcast, so the disjunctive
+    // pair predicate evaluates over an already-tiny candidate space;
+    // the fact-side joins stay equi-joins on their natural keys.
+    // Revenue addends are exact 4-dec decimals (2-dec price × 2-dec
+    // discount complement), summed order-independently.
+    "q7_volume_shipping" -> ((s, d) => {
+      val lo = lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+      val hi = lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00"))
+      val nats = Tables.nation(s, d)
+        .filter(col("n_name").isin("NATION_1", "NATION_2"))
+        .select("n_nationkey", "n_name")
+      val cn = Tables.customer(s, d)
+        .join(broadcast(nats), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val sn = Tables.supplier(s, d)
+        .join(broadcast(nats), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(cn, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(Tables.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // TPC-H Q8 shape: market share — a ratio of two conditional sums
+    // per year. Both numerator and denominator are exact decimal
+    // sums; the final division is one double op on identical inputs,
+    // rounded at the projection boundary.
+    "q8_market_share" -> ((s, d) => {
+      val lo = lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+      val hi = lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00"))
+      val amCust = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "AMERICA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("c_custkey")
+      val sn = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).filter(col("p_type") === "ECONOMY")
+          .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+          .select("o_orderkey", "o_custkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(amCust, col("o_custkey") === col("c_custkey"), "left_semi")
+        .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(round(
+          Tables.dsum(when(col("supp_nation") === "NATION_3", rev).otherwise(lit(0.0)), 4) /
+            Tables.dsum(rev, 4), 6).as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
+    // TPC-H Q9 shape: product-type profit — the five-way join with a
+    // computed cost term. Supply cost derives from lineitem as in Q2
+    // (no partsupp in the driver schema). The profit addend mixes an
+    // exact 4-dec revenue with a division-derived cost — an arbitrary
+    // double — so it is rounded to 6 dp at the projection (identical
+    // doubles in, identical 6-dec out) and THEN summed exactly at
+    // scale 6; summing raw doubles would drift with grouping order,
+    // and casting unrounded doubles to decimal would gamble on
+    // rounding ties.
+    "q9_product_profit" -> ((s, d) => {
+      val ps = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("ps_supplycost"))
+      val sn = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation"))
+      val profit = round(
+        col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+          col("ps_supplycost") * col("l_quantity"), 6)
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).filter(col("p_name").like("%bolt%"))
+          .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+        .join(ps, col("l_partkey") === col("ps_partkey") &&
+          col("l_suppkey") === col("ps_suppkey"))
+        .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(Tables.dsum(profit, 6).as("sum_profit"))
+        .orderBy(col("nation").asc, col("o_year").desc)
+    }),
+
+    // TPC-H Q11 shape: important stock — a grouped value sum compared
+    // against a scalar fraction of the global total. The per-pair
+    // value (unit cost × shipped qty, both engine-identical doubles)
+    // is rounded to 4 dp, so the per-part sums AND the grand total
+    // are exact decimals; the 0.1% threshold compares two identical
+    // doubles. The total is a 1-row broadcast, not a re-aggregation
+    // per part.
+    "q11_important_stock" -> ((s, d) => {
+      val supply = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("cost"),
+          Tables.dsum(col("l_quantity"), 2).as("qty"))
+      val natSupp = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_5")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey")
+      val partValue = supply
+        .join(broadcast(natSupp), col("ps_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy("ps_partkey")
+        .agg(Tables.dsum(round(col("cost") * col("qty"), 4), 4).as("value"))
+      val total = partValue.agg(Tables.dsum(col("value"), 4).as("total_value"))
+      partValue.crossJoin(broadcast(total))
+        .filter(col("value") > col("total_value") * 0.001)
+        .select("ps_partkey", "value")
+        .orderBy(col("value").desc, col("ps_partkey").asc)
+    }),
+
+    // TPC-H Q12 shape: conditional counts over a late-shipment join —
+    // CASE aggregation split by priority class. No shipmode in the
+    // driver schema; l_linestatus is the two-valued grouping stand-in
+    // and Q4's lateness predicate (shipped > 45 days after the order
+    // date) replaces commit/receipt dates.
+    "q12_late_priority" -> ((s, d) => {
+      val lo = lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+      val hi = lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 45 DAYS"))
+        .groupBy(col("l_linestatus").as("ship_class"))
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy("ship_class")
+    }),
+
+    // TPC-H Q13 shape: customer order-count distribution — the outer
+    // join whose NULL side must survive into the aggregate (customers
+    // with zero qualifying orders are the point of the query), then a
+    // second aggregation over the first's result. count(o_orderkey)
+    // counts non-null matches only, exactly the SQL semantics. The
+    // qualifying predicate is urgent-orders-only: the synthetic data
+    // gives every customer orders of most priorities, and a filter
+    // that excludes nobody would leave the zero bucket — the query's
+    // point — empty (Round8TpchSpec pins that the bucket is hit).
+    "q13_customer_distribution" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+      Tables.customer(s, d).select("c_custkey")
+        .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q15 shape: top supplier — the view-plus-correlated-MAX.
+    // The revenue "view" aggregates once; its max is a 1-row
+    // broadcast joined back by exact equality (both sides are the
+    // same exact decimal-sum doubles, so the tie set is
+    // engine-identical).
+    "q15_top_supplier" -> ((s, d) => {
+      val lo = lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+      val hi = lit(java.sql.Timestamp.valueOf("1996-04-01 00:00:00"))
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .groupBy(col("l_suppkey"))
+        .agg(Tables.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("total_revenue"))
+      val mx = rev.agg(max(col("total_revenue")).as("max_revenue"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("total_revenue") === col("max_revenue"))
+        .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q16 shape: supplier count by part attribute — the NOT-IN
+    // exclusion as a LEFT ANTI join (negative-balance suppliers stand
+    // in for the complaints predicate; the testdata has no comments),
+    // over the distinct supply pairs derived from lineitem.
+    "q16_part_supplier_cnt" -> ((s, d) => {
+      val pairs = Tables.lineitem(s, d).select("l_partkey", "l_suppkey").distinct()
+      val badSupp = Tables.supplier(s, d)
+        .filter(col("s_acctbal") < 0).select("s_suppkey")
+      val p = Tables.part(s, d)
+        .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      pairs
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand").asc,
+          col("p_type").asc, col("p_size").asc)
+    }),
+
+    // TPC-H Q19 shape: the three-arm disjunctive predicate — each arm
+    // pairs a part attribute set with a lineitem quantity band, so
+    // neither side's filter alone is selective; the OR evaluates
+    // inside the (broadcast) join. Catalyst extracts the common
+    // p_partkey equi-key and pushes the p_brand/p_size arms down to
+    // the part scan as an OR filter.
+    "q19_disjunctive_revenue" -> ((s, d) => {
+      val p = Tables.part(s, d).select("p_partkey", "p_brand", "p_size")
+      val arms =
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30))
+      Tables.lineitem(s, d)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey") && arms)
+        .agg(Tables.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("revenue"))
+    }),
+
+    // TPC-H Q22 shape: global sales opportunity — a scalar-average
+    // subquery (1-row broadcast) gating an anti join. Country code =
+    // c_nationkey % 5 stands in for the phone prefix the driver
+    // schema lacks, and "no orders" becomes "no RECENT orders"
+    // (every synthetic customer has lifetime orders — the unwindowed
+    // anti join is provably empty, a degenerate check). The average
+    // is the exact dsum/count double, so > is engine-identical.
+    "q22_global_sales" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+        .withColumn("cntrycode", col("c_nationkey") % 5)
+        .filter(col("cntrycode").isin(0, 1, 2))
+      val avgBal = cust.filter(col("c_acctbal") > 0)
+        .agg(Tables.davg(col("c_acctbal"), 2).as("avg_bal"))
+      val recent = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1999-01-01 00:00:00")))
+        .select("o_custkey")
+      cust.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("cntrycode")
+        .agg(count(lit(1)).as("numcust"), Tables.dsum(col("c_acctbal"), 2).as("totacctbal"))
+        .orderBy("cntrycode")
+    }),
+
     // W5: ratio-rank family — percent_rank and cume_dist (exact
     // rationals over a unique total order, so the doubles are
     // engine-identical before the display rounding)
@@ -1471,6 +1726,150 @@ object Relational {
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name
         |LIMIT 10""".stripMargin,
+
+    "q7_volume_shipping" ->
+      """SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+        |       CAST(year(l_shipdate) AS INT) AS l_year,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem, orders, customer, supplier, nation ns, nation nc
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND l_suppkey = s_suppkey
+        |  AND s_nationkey = ns.n_nationkey AND c_nationkey = nc.n_nationkey
+        |  AND ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2') OR
+        |       (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |       round(
+        |         CAST(sum(CAST(CASE WHEN ns.n_name = 'NATION_3'
+        |           THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE) /
+        |         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE),
+        |         6) AS mkt_share
+        |FROM lineitem, part, orders, customer, supplier, nation ns, nation nc, region
+        |WHERE l_partkey = p_partkey AND p_type = 'ECONOMY'
+        |  AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND l_suppkey = s_suppkey AND s_nationkey = ns.n_nationkey
+        |  AND c_nationkey = nc.n_nationkey AND nc.n_regionkey = r_regionkey
+        |  AND r_name = 'AMERICA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q9_product_profit" ->
+      """WITH ps AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |         min(l_extendedprice / l_quantity) AS ps_supplycost
+        |  FROM lineitem GROUP BY 1, 2
+        |)
+        |SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+        |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+        |             - ps_supplycost * l_quantity, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit
+        |FROM lineitem, part, ps, supplier, nation, orders
+        |WHERE l_partkey = p_partkey AND p_name LIKE '%bolt%'
+        |  AND l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        |  AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |  AND l_orderkey = o_orderkey
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q11_important_stock" ->
+      """WITH supply AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |         min(l_extendedprice / l_quantity) AS cost,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |  FROM lineitem GROUP BY 1, 2
+        |),
+        |part_value AS (
+        |  SELECT ps_partkey,
+        |         CAST(sum(CAST(round(cost * qty, 4) AS DECIMAL(18,4))) AS DOUBLE) AS value
+        |  FROM supply
+        |  WHERE ps_suppkey IN (
+        |    SELECT s_suppkey FROM supplier, nation
+        |    WHERE s_nationkey = n_nationkey AND n_name = 'NATION_5')
+        |  GROUP BY 1
+        |)
+        |SELECT ps_partkey, value FROM part_value
+        |WHERE value > 0.001 * (
+        |  SELECT CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) FROM part_value)
+        |ORDER BY value DESC, ps_partkey""".stripMargin,
+
+    "q12_late_priority" ->
+      """SELECT l_linestatus AS ship_class,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate > o_orderdate + INTERVAL 45 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q13_customer_distribution" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority = '1-URGENT'
+        |  GROUP BY c_custkey
+        |) t
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey,
+        |         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+        |           AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY 1
+        |)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q16_part_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size,
+        |       count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT l_partkey, l_suppkey FROM lineitem GROUP BY 1, 2) pairs
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q19_disjunctive_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+        |         AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |         AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |         AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        |         AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q22_global_sales" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_acctbal, c_nationkey % 5 AS cntrycode
+        |  FROM customer WHERE c_nationkey % 5 IN (0, 1, 2)
+        |)
+        |SELECT cntrycode, count(*) AS numcust,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM cust
+        |WHERE c_acctbal > (
+        |    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(c_acctbal)
+        |    FROM cust WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the naive one-reducer global cumsum IS the oracle form (ds05's
     // stance: the engine plan is the scalable two-phase variant)
