@@ -60,18 +60,29 @@ object ScaleStress {
       dated.write.mode("overwrite").parquet(s"$calDst/$name.parquet")
     }
 
-    if (!new java.io.File(s"$dst/lineitem.parquet").exists()) {
-      replicate("lineitem", Map("l_orderkey" -> 10000000L))
-      replicate("orders", Map("o_orderkey" -> 10000000L, "o_custkey" -> 1000000L))
-      replicate("customer", Map("c_custkey" -> 1000000L))
-      replicate("supplier", Map("s_suppkey" -> 100000L))
-      replicate("events", Map("event_id" -> 100000000L, "user_id" -> 100000L))
-      replicate("documents", Map("doc_id" -> 10000000L))
-      replicate("embeddings", Map("vec_id" -> 1000000L))
-      Seq("nation", "region", "part").foreach { t =>
+    // SPARK_GRAFT_TABLES=documents → replicate only that subset
+    // (the 1000× decade run needs just the documents axis; stamping
+    // out a 1000× lineitem it never reads would cost more than the
+    // measurement). Presence is checked per-table so a docs-only
+    // replica can later be widened in place.
+    val wantTables: String => Boolean = sys.env.get("SPARK_GRAFT_TABLES") match {
+      case Some(csv) => csv.split(",").map(_.trim).filter(_.nonEmpty).toSet
+      case None      => (_: String) => true
+    }
+    def replicateIfWanted(name: String, keyOffsets: Map[String, Long]): Unit =
+      if (wantTables(name) && !new java.io.File(s"$dst/$name.parquet").exists())
+        replicate(name, keyOffsets)
+    replicateIfWanted("lineitem", Map("l_orderkey" -> 10000000L))
+    replicateIfWanted("orders", Map("o_orderkey" -> 10000000L, "o_custkey" -> 1000000L))
+    replicateIfWanted("customer", Map("c_custkey" -> 1000000L))
+    replicateIfWanted("supplier", Map("s_suppkey" -> 100000L))
+    replicateIfWanted("events", Map("event_id" -> 100000000L, "user_id" -> 100000L))
+    replicateIfWanted("documents", Map("doc_id" -> 10000000L))
+    replicateIfWanted("embeddings", Map("vec_id" -> 1000000L))
+    Seq("nation", "region", "part").foreach { t =>
+      if (wantTables(t) && !new java.io.File(s"$dst/$t.parquet").exists())
         spark.read.parquet(s"$src/$t.parquet")
           .write.mode("overwrite").parquet(s"$dst/$t.parquet")
-      }
     }
 
     val allHeadline = Seq("q1_pricing", "j02_sortmerge_join", "j06_regional_revenue",
