@@ -57,6 +57,14 @@ object Curation {
   val LangTargets: Seq[(String, Double)] = Seq(
     "en" -> 0.4, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.1, "zh" -> 0.1)
 
+  /** cur07: the curated reference slice the perplexity-filter LM
+    * trains on (CCNet's Wikipedia role — here the first four synthetic
+    * sources stand in for the curated domains), and the value-bin
+    * width exponent: avg-NLL thresholds are read at centinat (0.01)
+    * granularity, so the threshold frame stays a few hundred rows no
+    * matter the corpus size. */
+  val RefSources: Seq[String] = Seq("src0", "src1", "src2", "src3")
+
   /** cur06: temperature exponent is fixed at α = 1/2, applied as
     * sqrt — IEEE 754 requires sqrt to be correctly rounded, so Spark
     * and DuckDB produce the identical double (no libm drift, unlike
@@ -502,6 +510,61 @@ object Curation {
           round(col("raw_score"), 6).as("dsir_score"),
           expr("CAST(CASE WHEN raw_score > 0.0 THEN 1 ELSE 0 END AS INT)").as("selected"))
         .orderBy("doc_id")
+    }),
+
+    // CCNet-style perplexity filtering (Wenzek et al. 2020): train the
+    // unigram LM on the CURATED [[RefSources]] slice only (CCNet's
+    // Wikipedia LM), score EVERY doc's add-one-smoothed avg NLL
+    // against that broadcast model — out-of-domain text pays the OOV
+    // price (c = 0) for every token the reference never saw — then cut
+    // the corpus into head/middle/tail thirds on VALUE thresholds read
+    // from a centinat histogram prefix-sum (CCNet cuts on perplexity
+    // percentile VALUES; the histogram form keeps every frame past the
+    // scoring scan bounded: ~hundreds of bins, 1-row totals, 1-row
+    // thresholds — the qs01 pattern, never a data-sized global sort).
+    // Differs from lm01 (model = whole corpus, no decision) and ds08
+    // (contrastive two-model score): this is the production FILTER —
+    // one in-domain model, a bucket label per doc. Numeric parity:
+    // DECIMAL(18,8) NLL addends (ln parity — tx09/lm01), round(·,6)
+    // at the projection; bin/threshold comparisons are integer.
+    // Scored docs are memo-cached: a doc-id-keyed 4-column frame (NOT
+    // the token stream), consumed by the histogram and the final
+    // labelling pass.
+    "cur07_perplexity_filter" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), explode(expr(tokensExpr)).as("tok"))
+      val model = toks.filter(col("source").isin(RefSources: _*))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      val stats = model.agg(sum(col("c")).cast(DoubleType).as("N"),
+        count(lit(1)).cast(DoubleType).as("V"))
+      val scored = Dedup.memoFrame(s, d, "cur07_scored")(toks
+        .join(broadcast(model), Seq("tok"), "left")
+        .crossJoin(broadcast(stats))
+        .withColumn("nll", expr(
+          "0.0 - ln((CAST(coalesce(c, 0) AS DOUBLE) + 1.0) / (N + V))"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          (sum(col("nll").cast(DecimalType(18, 8))).cast(DoubleType) /
+            count(lit(1)).cast(DoubleType)).as("raw_nll"))
+        .withColumn("avg_nll", round(col("raw_nll"), 6))
+        .withColumn("bin", expr("CAST(floor(avg_nll * 100.0) AS BIGINT)"))
+        .cache())
+      val hist = scored.groupBy("bin").agg(count(lit(1)).as("c"))
+      val cum = hist.withColumn("n_le",
+        sum(col("c")).over(Window.orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val tot = hist.agg(sum(col("c")).as("n"))
+      val th = cum.crossJoin(broadcast(tot)).agg(
+        min(when(expr("n_le >= CAST(ceil(CAST(n AS DOUBLE) / 3.0) AS BIGINT)"),
+          col("bin"))).as("t1"),
+        min(when(expr("n_le >= CAST(ceil(2.0 * CAST(n AS DOUBLE) / 3.0) AS BIGINT)"),
+          col("bin"))).as("t2"))
+      scored.crossJoin(broadcast(th))
+        .select(col("doc_id"), col("n_tokens"), col("avg_nll"),
+          when(col("bin") <= col("t1"), "head")
+            .when(col("bin") <= col("t2"), "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy("doc_id")
     })
   )
 
@@ -765,6 +828,44 @@ object Curation {
          |-- sign-dropping round (sim09 precedent)
          |SELECT doc_id, n_tokens, round(raw_score, 6) + 0.0 AS dsir_score,
          |       CAST(CASE WHEN raw_score > 0.0 THEN 1 ELSE 0 END AS INT) AS selected
-         |FROM sc ORDER BY doc_id""".stripMargin
+         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // mirrors the Spark plan move for move: ref-slice model, add-one
+    // smoothing with OOV at c = 0, DECIMAL(18,8) NLL addends, 6-dp
+    // round, centinat bins, prefix-sum thresholds at ceil(n/3) ranks
+    "cur07_perplexity_filter" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, source, unnest(${TextAnalysis.tokensSql}) AS tok FROM documents
+         |),
+         |cnt AS (
+         |  SELECT tok, count(*) AS c FROM tok
+         |  WHERE source IN (${RefSources.map(r => s"'$r'").mkString(", ")})
+         |  GROUP BY tok
+         |),
+         |st AS (SELECT CAST(sum(c) AS DOUBLE) AS N, CAST(count(*) AS DOUBLE) AS V FROM cnt),
+         |sc AS (
+         |  SELECT doc_id, count(*) AS n_tokens,
+         |         round(CAST(sum(CAST(0.0 - ln((CAST(coalesce(c, 0) AS DOUBLE) + 1.0) / (N + V))
+         |                            AS DECIMAL(18,8))) AS DOUBLE)
+         |               / CAST(count(*) AS DOUBLE), 6) AS avg_nll
+         |  FROM tok LEFT JOIN cnt USING (tok), st
+         |  GROUP BY doc_id
+         |),
+         |b AS (SELECT *, CAST(floor(avg_nll * 100.0) AS BIGINT) AS bin FROM sc),
+         |hist AS (SELECT bin, count(*) AS c FROM b GROUP BY bin),
+         |cum AS (SELECT bin, sum(c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS n_le FROM hist),
+         |tot AS (SELECT sum(c) AS n FROM hist),
+         |th AS (
+         |  SELECT min(CASE WHEN n_le >= CAST(ceil(CAST(n AS DOUBLE) / 3.0) AS BIGINT)
+         |                  THEN bin END) AS t1,
+         |         min(CASE WHEN n_le >= CAST(ceil(2.0 * CAST(n AS DOUBLE) / 3.0) AS BIGINT)
+         |                  THEN bin END) AS t2
+         |  FROM cum, tot
+         |)
+         |SELECT doc_id, n_tokens, avg_nll,
+         |       CASE WHEN bin <= t1 THEN 'head'
+         |            WHEN bin <= t2 THEN 'middle'
+         |            ELSE 'tail' END AS bucket
+         |FROM b, th ORDER BY doc_id""".stripMargin
   )
 }
