@@ -15,7 +15,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Dev knob (unset in the driver's run): restrict the dump to a
+    // comma-separated subset for fast single-operator iteration.
+    val wanted: String => Boolean = sys.env.get("SPARK_GRAFT_QUERIES") match {
+      case Some(csv) => csv.split(",").map(_.trim).filter(_.nonEmpty).toSet
+      case None      => (_: String) => true
+    }
+    SparkEntry.queries.filter(kv => wanted(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

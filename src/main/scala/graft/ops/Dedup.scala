@@ -794,6 +794,14 @@ object Dedup {
           col("n_nodes"))
         .cache())
     var rk = deg.select(col("node"), (lit(1.0) / col("n_nodes")).as("r"))
+    // Superseded-checkpoint hygiene: each eager localCheckpoint pins a
+    // rank-frame RDD in block storage, and once the NEXT checkpoint
+    // materializes, the previous one is unreachable — a 100-iteration
+    // run would otherwise accumulate iters/cadence dead rank frames
+    // (measured as GC-pressure drift in PrDeep's first protocol).
+    // getPersistentRDDs before/after the checkpoint identifies the new
+    // RDD without private API; the prior round's is then released.
+    var prevCkpt: scala.collection.Set[Int] = Set.empty
     for (k <- 1 to iters) {
       val contrib = rk.join(deg, "node")
         .select(col("node").as("src"),
@@ -805,7 +813,14 @@ object Dedup {
       rk = deg.join(sums, Seq("node"), "left")
         .select(col("node"),
           (col("base") + lit(0.85) * coalesce(col("in_sum"), lit(0.0))).as("r"))
-      if (k % checkpointEvery == 0 && k < iters) rk = rk.localCheckpoint()
+      if (k % checkpointEvery == 0 && k < iters) {
+        val before = s.sparkContext.getPersistentRDDs.keySet
+        rk = rk.localCheckpoint()
+        val added = s.sparkContext.getPersistentRDDs.keySet -- before
+        prevCkpt.foreach(id =>
+          s.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+        prevCkpt = added
+      }
     }
     rk.select(col("node").as("doc_id"), round(col("r"), 8).as("pagerank"))
       .orderBy("doc_id")

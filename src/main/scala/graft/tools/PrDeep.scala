@@ -39,9 +39,18 @@ object PrDeep {
       (System.nanoTime() - t0) / 1e9
     }
     // min-of-2 (the bench protocol): single runs of deep iterative
-    // plans carry GC/JIT one-offs bigger than the signal
-    def time(iters: Int, every: Int): Double =
-      math.min(time1(iters, every), time1(iters, every))
+    // plans carry GC/JIT one-offs bigger than the signal. The gc()
+    // settle between runs matters here more than elsewhere: without
+    // it, block-manager churn from the preceding run's checkpoints
+    // reads as a fake superlinear iteration curve (first protocol's
+    // lesson — ascending iteration order conflated warmup and
+    // accumulation with depth).
+    def time(iters: Int, every: Int): Double = {
+      System.gc()
+      val a = time1(iters, every)
+      System.gc()
+      math.min(a, time1(iters, every))
+    }
     // warm: builds + caches the shared edges/deg memo frames so every
     // timed run measures the iterations, not the LSH pipeline
     time1(1, Int.MaxValue)
