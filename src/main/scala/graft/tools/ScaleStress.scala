@@ -27,7 +27,12 @@ object ScaleStress {
 
     // --- replicate with offset keys so join fan-outs stay realistic ---
     def replicate(name: String, keyOffsets: Map[String, Long]): Unit = {
-      val base = spark.read.parquet(s"$src/$name.parquet")
+      // repartition BEFORE the crossJoin: the broadcast-nested-loop
+      // product preserves the left side's partitioning, and a small
+      // single-file base would otherwise serialize the whole repl×
+      // write through ONE task (at 1000× that's a 6 GB single-thread
+      // write — hours)
+      val base = spark.read.parquet(s"$src/$name.parquet").repartition(cpus)
       val copies = spark.range(repl).select(col("id").as("__copy"))
       val big = base.crossJoin(copies)
       val shifted = keyOffsets.foldLeft(big) { case (df, (c, span)) =>
@@ -47,7 +52,7 @@ object ScaleStress {
     val CalShiftDays = 2600L
     def replicateCal(name: String, keyOffsets: Map[String, Long],
         dateCols: Seq[String]): Unit = {
-      val base = spark.read.parquet(s"$src/$name.parquet")
+      val base = spark.read.parquet(s"$src/$name.parquet").repartition(cpus)
       val copies = spark.range(repl).select(col("id").as("__copy"))
       val big = base.crossJoin(copies)
       val shifted = keyOffsets.foldLeft(big) { case (df, (c, span)) =>
@@ -112,7 +117,9 @@ object ScaleStress {
       "st05_stream_neardup", "sim13_multiprobe_recall",
       "a21_sketch_rollup", "ivm02_delta_join", "tx14_bpe_encode",
       "ds09_balanced_shards", "ds10_exact_k_sample", "sql04_lateral_topn",
-      "q6_forecast_revenue", "q14_promo_share", "z02_hilbert_layout", "j13_salted_join")
+      "q6_forecast_revenue", "q14_promo_share", "z02_hilbert_layout", "j13_salted_join",
+      "q2_min_cost_supp", "q4_order_priority", "q9_product_profit",
+      "q21_waiting_supplier", "cur07_perplexity_filter")
     // SPARK_GRAFT_QUERIES=dd04_simhash,sim04_ivf_ann → time only those
     // (fast iteration on one operator without the 25-query sweep)
     val headline = sys.env.get("SPARK_GRAFT_QUERIES") match {
@@ -129,23 +136,42 @@ object ScaleStress {
       System.gc()
     }
 
+    // Per-query try/catch with a -1 failure sentinel (Bench's
+    // convention): one query dying at high replication must not kill
+    // the whole measurement run, and the per-query progress line on
+    // stderr identifies WHICH query was active when something heavy
+    // happens (the 1000× maxResultSize breach was anonymous without it).
     def sweep(dir: String): Map[String, Double] =
       headline.map { name =>
+        System.err.println(s"[stress] $name @ $dir")
         val t0 = System.nanoTime()
-        graft.SparkEntry.queries(name)(spark, dir).count()
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { graft.SparkEntry.queries(name)(spark, dir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[stress] $name FAILED: ${e.getMessage}")
+            false
+          }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }.toMap
 
     // min of two COLD sweeps: single-shot timings showed up to 30×
     // one-off noise (GC pauses, first-plan JIT) masquerading as
     // scaling bugs, while best-of-2 WITHOUT the reset times memo
-    // cache hits (~0 s) instead of the operator
+    // cache hits (~0 s) instead of the operator. A negative timing is
+    // MISSING, not fast — fall back to the other sweep's value.
     def timeAll(dir: String): Map[String, Double] = {
       val a = sweep(dir)
       coldReset()
       val b = sweep(dir)
       coldReset()
-      headline.map(n => n -> math.min(a(n), b(n))).toMap
+      headline.map { n =>
+        n -> ((a(n) >= 0, b(n) >= 0) match {
+          case (true, true)   => math.min(a(n), b(n))
+          case (true, false)  => a(n)
+          case (false, true)  => b(n)
+          case _              => -1.0
+        })
+      }.toMap
     }
 
     // warmup then measure
