@@ -45,9 +45,78 @@ object LoadGuard {
     (l, ok)
   }
 
+  /** Single-thread CPU reference: milliseconds for a fixed xorshift
+    * workload (~100 ms on this box when healthy). Round-8 lesson:
+    * loadavg only sees COMPETING RUNNABLE work — after hours of
+    * sustained benching, two cold sweeps ran a uniform ~1.5× slower
+    * than round 7 on identical code paths (median per-query ratio
+    * 1.49, including trivial scans) while loadavg read 0.37/quiet.
+    * Host-level slowdown (steal, frequency/thermal capping) is
+    * invisible to loadavg but fully visible to a fixed CPU-bound
+    * loop, so artifacts stamp this reference: totals are comparable
+    * only across runs with similar `cpu_ref_ms`. Best-of-3 so a
+    * one-off scheduling blip doesn't mislabel the session. */
+  def cpuRefMs(): Double = {
+    def once(): Double = {
+      var x = 0x9e3779b97f4a7c15L
+      var acc = 0L
+      var i = 0
+      val t0 = System.nanoTime()
+      while (i < 40000000) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        acc += x
+        i += 1
+      }
+      val ms = (System.nanoTime() - t0) / 1e6
+      if (acc == 42) System.err.println("") // keep acc live
+      ms
+    }
+    once() // JIT warm
+    math.min(once(), math.min(once(), once()))
+  }
+
+  /** All-core CPU reference: the same workload run on every core at
+    * once, wall milliseconds. On a healthy box this ≈ the
+    * single-thread reference (embarrassingly parallel, perfect
+    * scaling); steal or all-core frequency capping — which a
+    * 32-thread Spark sweep feels but a single-thread probe may not —
+    * shows up as this number rising while `cpu_ref_ms` stays flat. */
+  def cpuRefAllCoreMs(): Double = {
+    val n = Runtime.getRuntime.availableProcessors()
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      val threads = (0 until n).map { k =>
+        new Thread(() => {
+          var x = 0x9e3779b97f4a7c15L + k
+          var acc = 0L
+          var i = 0
+          while (i < 40000000) {
+            x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+            acc += x
+            i += 1
+          }
+          if (acc == 42) System.err.println("")
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      (System.nanoTime() - t0) / 1e6
+    }
+    once() // JIT/rampup
+    math.min(once(), once())
+  }
+
+  /** Diagnostic entry point: print the current load + CPU reference
+    * (run: tools/run.sh graft.tools.LoadGuard). */
+  def main(args: Array[String]): Unit =
+    println(f"loadavg=${loadAvg()}%.2f cpu_ref_ms=${cpuRefMs()}%.1f " +
+      f"cpu_ref_all_core_ms=${cpuRefAllCoreMs()}%.1f")
+
   /** JSON fragment (leading comma included) to splice into a bench
     * artifact. */
   def jsonFields(load: Double, ok: Boolean): String =
     String.format(java.util.Locale.ROOT,
-      ""","loadavg_start":%.2f,"load_ok":%b""", Double.box(load), Boolean.box(ok))
+      ""","loadavg_start":%.2f,"load_ok":%b,"cpu_ref_ms":%.1f,"cpu_ref_all_core_ms":%.1f""",
+      Double.box(load), Boolean.box(ok),
+      Double.box(cpuRefMs()), Double.box(cpuRefAllCoreMs()))
 }
