@@ -41,7 +41,7 @@ object Bench {
     "tx13_bpe_vocab", "sim12_pq_train_eval",
     "st05_stream_neardup", "sim13_multiprobe_recall",
     "q2_min_cost_supp", "q9_product_profit", "q21_waiting_supplier",
-    "cur07_perplexity_filter")
+    "cur07_perplexity_filter", "dd15_bucketed_probe", "j14_sketch_skew_join")
 
   // Locale.ROOT: the f-interpolator honors the default locale, and a
   // comma decimal separator would corrupt the JSON
@@ -88,12 +88,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.tools.Logs.muteReviewedWindowWarning()
     // Quiet-machine guard: wait for ambient load to settle and stamp
     // the artifact so contention-polluted totals are self-labelling
     // (round-4 lesson — see tools/LoadGuard; threshold tightened to
     // 1.0 after round 6's loadavg-3.61 sweep passed at 4.0 and read
     // as a phantom 53% regression).
     val (load0, loadOk) = graft.tools.LoadGuard.awaitQuiet()
+    // Calibration measured HERE — at sweep start, after the quiet
+    // wait — and carried as a value into the artifact (round-8
+    // lesson: a post-sweep re-measure stamps the wrong host state).
+    val calib = graft.tools.LoadGuard.calibrate()
     // Warm the JVM (codegen, parquet reader, shuffle machinery) once
     // so per-query timings measure the queries, not session startup.
     try {
@@ -139,7 +144,7 @@ object Bench {
     val priorFp = prior.flatMap(extractField(_, "code_fp"))
     val sameCode = priorFp.contains(fp)
     val suspect = sameCode && priorTotal.exists(p => p > 0 && (total - p) / p > 0.15)
-    val loadJson = graft.tools.LoadGuard.jsonFields(load0, loadOk) +
+    val loadJson = graft.tools.LoadGuard.jsonFields(load0, loadOk, calib) +
       s""","code_fp":"$fp","protocol":"min-of-2 warm sweeps"""" +
       (if (failed.nonEmpty) s""","failed":${failed.size}""" else "") +
       (if (suspect) s""","suspect_swing":true,"prior_total":${fmt(priorTotal.get)}""" else "")

@@ -22,7 +22,14 @@ import org.apache.spark.sql.types._
 object Tables {
 
   def pin(spark: SparkSession): Unit = {
-    spark.conf.set("spark.sql.ansi.enabled", "false")
+    // ANSI compatibility lane (AnsiLaneSpec / tools/AnsiProbe): a
+    // session that sets spark.graft.ansiLane=true keeps Spark 4's
+    // ANSI default ON — the engine's malformed-input paths use try_*
+    // forms, so results are identical either way and the day the
+    // pre-ANSI pin below is dropped is already rehearsed. Everything
+    // else in the default lane is unchanged.
+    val ansiLane = spark.conf.getOption("spark.graft.ansiLane").contains("true")
+    spark.conf.set("spark.sql.ansi.enabled", ansiLane.toString)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     // events.parquet stores ts as TIMESTAMP(NANOS,...): read the raw
     // int64 and truncate to micros ourselves (see events()) instead of

@@ -14,6 +14,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.tools.Logs.muteReviewedWindowWarning()
     new java.io.File(outDir).mkdirs()
     // Dev knob (unset in the driver's run): restrict the dump to a
     // comma-separated subset for fast single-operator iteration.

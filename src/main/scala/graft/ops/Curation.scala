@@ -369,12 +369,21 @@ object Curation {
     // as TakeOrdered (per-partition top-k heaps merged on one
     // reducer, O(n log k) work, no full-sort exchange), never a
     // global sort of the corpus.
+    // The rank window runs AFTER .limit(SampleK) so its input is k
+    // rows by construction — a constant partition key would document
+    // that, but Spark 4's EliminateWindowPartitions folds foldable
+    // partition keys away, so the canonical plan IS the unpartitioned
+    // window. Boundedness is instead enforced by PlanLintSpec's
+    // allowlist gate (every unpartitioned window needs a written
+    // justification there) and the reviewed warning logger is muted
+    // in the bench mains.
     "ds10_exact_k_sample" -> ((s, d) =>
       Tables.documents(s, d)
         .withColumn("h", expr(Portable.phashExpr("concat('ks:', CAST(doc_id AS STRING))")))
         .orderBy(col("h"), col("doc_id"))
         .limit(SampleK)
-        .withColumn("sample_rank", row_number().over(Window.orderBy(col("h"), col("doc_id"))))
+        .withColumn("sample_rank", row_number().over(
+          Window.orderBy(col("h"), col("doc_id"))))
         .select(col("sample_rank"), col("doc_id"), col("h").as("sample_key"))
         .orderBy("sample_rank")),
 
@@ -537,19 +546,34 @@ object Curation {
         .groupBy("tok").agg(count(lit(1)).as("c"))
       val stats = model.agg(sum(col("c")).cast(DoubleType).as("N"),
         count(lit(1)).cast(DoubleType).as("V"))
-      val scored = Dedup.memoFrame(s, d, "cur07_scored")(toks
-        .join(broadcast(model), Seq("tok"), "left")
-        .crossJoin(broadcast(stats))
-        .withColumn("nll", expr(
-          "0.0 - ln((CAST(coalesce(c, 0) AS DOUBLE) + 1.0) / (N + V))"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tokens"),
-          (sum(col("nll").cast(DecimalType(18, 8))).cast(DoubleType) /
-            count(lit(1)).cast(DoubleType)).as("raw_nll"))
-        .withColumn("avg_nll", round(col("raw_nll"), 6))
-        .withColumn("bin", expr("CAST(floor(avg_nll * 100.0) AS BIGINT)"))
-        .cache())
-      val hist = scored.groupBy("bin").agg(count(lit(1)).as("c"))
+      // explode_outer so ZERO-TOKEN documents stay in the output
+      // (round-8 ADVICE: inner explode silently dropped them — a
+      // production filter must label every doc). The null-tok marker
+      // row scores NULL (never the OOV price), so such docs land at
+      // n_tokens 0 / avg_nll null and are deterministically bucketed
+      // 'tail' (no tokens ⇒ no evidence of in-domain text); they are
+      // EXCLUDED from the histogram/thresholds, which are defined
+      // over scoreable docs only. Pinned by CurationPplSpec's
+      // empty-doc fixture; the DuckDB mirror re-attaches empties via
+      // LEFT JOIN from documents with the same COALESCE bucket.
+      val scored = Dedup.memoFrame(s, d, "cur07_scored")(
+        Tables.documents(s, d)
+          .select(col("doc_id"), explode_outer(expr(tokensExpr)).as("tok"))
+          .join(broadcast(model), Seq("tok"), "left")
+          .crossJoin(broadcast(stats))
+          .withColumn("nll", expr(
+            """CASE WHEN tok IS NULL THEN NULL
+              |ELSE 0.0 - ln((CAST(coalesce(c, 0) AS DOUBLE) + 1.0) / (N + V))
+              |END""".stripMargin))
+          .groupBy("doc_id")
+          .agg(count(col("tok")).as("n_tokens"),
+            (sum(col("nll").cast(DecimalType(18, 8))).cast(DoubleType) /
+              count(col("tok")).cast(DoubleType)).as("raw_nll"))
+          .withColumn("avg_nll", round(col("raw_nll"), 6))
+          .withColumn("bin", expr("CAST(floor(avg_nll * 100.0) AS BIGINT)"))
+          .cache())
+      val hist = scored.filter(col("bin").isNotNull)
+        .groupBy("bin").agg(count(lit(1)).as("c"))
       val cum = hist.withColumn("n_le",
         sum(col("c")).over(Window.orderBy("bin")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -862,10 +886,12 @@ object Curation {
          |                  THEN bin END) AS t2
          |  FROM cum, tot
          |)
-         |SELECT doc_id, n_tokens, avg_nll,
-         |       CASE WHEN bin <= t1 THEN 'head'
+         |SELECT d.doc_id AS doc_id, CAST(coalesce(b.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |       b.avg_nll,
+         |       CASE WHEN b.doc_id IS NULL THEN 'tail'
+         |            WHEN bin <= t1 THEN 'head'
          |            WHEN bin <= t2 THEN 'middle'
          |            ELSE 'tail' END AS bucket
-         |FROM b, th ORDER BY doc_id""".stripMargin
+         |FROM documents d LEFT JOIN b ON b.doc_id = d.doc_id, th ORDER BY doc_id""".stripMargin
   )
 }

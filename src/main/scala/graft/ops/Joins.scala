@@ -406,6 +406,43 @@ object Joins {
         .agg(Tables.dsum(col("o_totalprice"), 2).as("segment_revenue"),
           count(lit(1)).as("order_cnt"))
         .orderBy("c_mktsegment")
+    }),
+
+    // SKETCH-DRIVEN skew-split join — the composition SkewBench's
+    // numbers point at: blanket salting (j13's shape applied to a
+    // fact-sized dim) measured 6-9× WORSE than doing nothing, while
+    // salting ONLY known-hot keys beat AQE's runtime split ~2× — and
+    // hh01's Misra-Gries pass is exactly the hot-key detector. Here
+    // they're wired end-to-end with no driver round-trip: one
+    // mg_sketch aggregate over the fact's join key yields ≤ k
+    // candidates (provably a superset of every key above n/(k+1)),
+    // the candidate frame broadcasts as a membership marker, marked
+    // rows take the salted path, the cold majority the plain
+    // equi-join (ops/Salting.skewSplitJoinByFrame). Sketch FALSE
+    // POSITIVES cost only `SaltFactor` small-side replicas of that
+    // key, so the candidate set needs no exact recount — semantics
+    // equal the plain join for ANY hot set, which is why the oracle
+    // is the unsalted join (the rewrite's invisibility is the checked
+    // fact, as with j13). Join hinted merge: at 100 TB the dim that
+    // needs this is too big to broadcast.
+    "j14_sketch_skew_join" -> ((s, d) => {
+      graft.functions.VectorExprs.register(s)
+      val fact = Tables.events(s, d)
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id").as("k"), col("event_id"), col("value"))
+      val hot = fact
+        .agg(expr("mg_sketch(CAST(k AS STRING))").as("sk"))
+        .select(explode(col("sk.items")).as("ks"))
+        .select(col("ks").cast("long").as("k"))
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey").as("k"), col("c_mktsegment"))
+      graft.ops.Salting.skewSplitJoinByFrame(
+        fact.hint("merge"), dim, "k", hot,
+        buckets = SaltFactor, saltSource = "event_id")
+        .groupBy("c_mktsegment")
+        .agg(Tables.dsum(col("value"), 4).as("segment_value"),
+          count(lit(1)).as("event_cnt"))
+        .orderBy("c_mktsegment")
     })
   )
 
@@ -576,6 +613,16 @@ object Joins {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS segment_revenue,
         |  count(*) AS order_cnt
         |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // the plain join again: the sketch-detected split must be
+    // invisible in the result (any hot-candidate set yields the same
+    // rows; only the shuffle layout differs)
+    "j14_sketch_skew_join" ->
+      """SELECT c_mktsegment,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS segment_value,
+        |  count(*) AS event_cnt
+        |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
   )
 }

@@ -48,4 +48,31 @@ object Salting {
       .join(small.filter(!col(key).isin(hotKeys: _*)), Seq(key))
     hot.select(cold.columns.map(col): _*).unionAll(cold)
   }
+
+  /** [[skewSplitJoin]] with the hot-key set supplied IN-PLAN as a
+    * (bounded) single-column frame instead of a driver-side Seq — the
+    * composition target for a sketch-driven detector (j14: a
+    * Misra-Gries pass produces ≤ k candidates, provably a superset of
+    * every key above the n/(k+1) threshold, and feeds them here
+    * without any collect). The hot set broadcasts as a membership
+    * marker onto both sides; marked rows take the salted path, the
+    * cold majority the plain equi-join. A FALSE POSITIVE in `hotKeys`
+    * only costs `buckets` replicas of that key's small-side rows —
+    * semantics are unchanged for any hot set (SaltingSpec), which is
+    * what makes sketch candidates (not exact counts) safe to wire in.
+    */
+  def skewSplitJoinByFrame(large: DataFrame, small: DataFrame, key: String,
+      hotKeys: DataFrame, buckets: Int, saltSource: String): DataFrame = {
+    val hot = broadcast(hotKeys.select(col(key)).distinct()
+      .withColumn("__hot", lit(1)))
+    val lm = large.join(hot, Seq(key), "left")
+    val sm = small.join(hot, Seq(key), "left")
+    val hotPart = saltedInnerJoin(
+      lm.filter(col("__hot").isNotNull).drop("__hot"),
+      sm.filter(col("__hot").isNotNull).drop("__hot"),
+      key, buckets, saltSource)
+    val cold = lm.filter(col("__hot").isNull).drop("__hot")
+      .join(sm.filter(col("__hot").isNull).drop("__hot"), Seq(key))
+    hotPart.select(cold.columns.map(col): _*).unionAll(cold)
+  }
 }

@@ -479,39 +479,111 @@ object TextAnalysis {
     * delimiter-joined symbol sequence. Each round rescans the
     * DISTINCT-word table only (Heaps'-law working set), never the
     * corpus. */
-  private def bpeTrainedWords(s: SparkSession, d: String): DataFrame = {
-    val D = BpeDelim
-    val words0 = Tables.documents(s, d)
+  /** The initial distinct-word table: (w, freq, repr) with repr the
+    * per-character delimiter-split representation. PURE PLAN — callers
+    * checkpoint (tx13 via [[bpeTrainWords]]; tools/BpeDeep rolls its
+    * own cadence). */
+  private[graft] def bpeWords0(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .select(explode_outer(expr(s"regexp_extract_all(lower(text), '$BpePattern', 0)")).as("w"))
       .filter(col("w").isNotNull)
       .groupBy("w").agg(count(lit(1)).as("freq"))
-      .withColumn("repr", expr(s"regexp_replace(w, '(.)', '$D$$1')"))
+      .withColumn("repr", expr(s"regexp_replace(w, '(.)', '$BpeDelim$$1')"))
       .select("w", "freq", "repr")
-      .localCheckpoint()
-    def round1(words: DataFrame): DataFrame = {
-      val pairs = words
-        .select(col("freq"), explode(expr(
-          s"""CASE WHEN size($bpeSyms) < 2
-             |THEN CAST(array() AS ARRAY<STRUCT<a: STRING, b: STRING>>)
-             |ELSE transform(sequence(1, size($bpeSyms) - 1),
-             |  i -> struct(element_at($bpeSyms, i) AS a,
-             |              element_at($bpeSyms, i + 1) AS b)) END""".stripMargin)).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum(col("freq")).as("cnt"))
-      val best = pairs
-        .orderBy(col("cnt").desc, col("a").asc, col("b").asc).limit(1)
-        .select(col("a").as("ba"), col("b").as("bb"))
-      words.crossJoin(broadcast(best))
-        .withColumn("repr", expr(
-          s"""aggregate($bpeSyms, '',
-             |  (acc, s) -> CASE WHEN s = bb
-             |                    AND right(acc, length(ba) + 1) = concat('$D', ba)
-             |              THEN concat(acc, s)
-             |              ELSE concat(acc, '$D', s) END)""".stripMargin))
-        .select("w", "freq", "repr")
-        .localCheckpoint()
+
+  /** The adjacent-pair frequency aggregate over a word table —
+    * vocab-sized output, map-side combinable. */
+  private[graft] def bpePairCounts(words: DataFrame): DataFrame =
+    words
+      .select(col("freq"), explode(expr(
+        s"""CASE WHEN size($bpeSyms) < 2
+           |THEN CAST(array() AS ARRAY<STRUCT<a: STRING, b: STRING>>)
+           |ELSE transform(sequence(1, size($bpeSyms) - 1),
+           |  i -> struct(element_at($bpeSyms, i) AS a,
+           |              element_at($bpeSyms, i + 1) AS b)) END""".stripMargin)).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("freq")).as("cnt"))
+
+  /** One greedy merge round as a PURE PLAN (no checkpoint):
+    * pair-count aggregate → 1-row broadcast argmax → leftmost-merge
+    * fold. NOTE the returned plan embeds `words` TWICE (under the
+    * argmax and under the fold), so chaining k un-checkpointed rounds
+    * grows the plan tree 2^k-fold — callers MUST checkpoint between
+    * rounds (tx13 every round; tools/BpeDeep measures the cadence
+    * trade and confirms cadence 1 is the optimum for this shape,
+    * unlike PageRank's linear chains). */
+  private[graft] def bpeMergeRound(words: DataFrame): DataFrame = {
+    val D = BpeDelim
+    val best = bpePairCounts(words)
+      .orderBy(col("cnt").desc, col("a").asc, col("b").asc).limit(1)
+      .select(col("a").as("ba"), col("b").as("bb"))
+    words.crossJoin(broadcast(best))
+      .withColumn("repr", expr(
+        s"""aggregate($bpeSyms, '',
+           |  (acc, s) -> CASE WHEN s = bb
+           |                    AND right(acc, length(ba) + 1) = concat('$D', ba)
+           |              THEN concat(acc, s)
+           |              ELSE concat(acc, '$D', s) END)""".stripMargin))
+      .select("w", "freq", "repr")
+  }
+
+  /** BATCHED merge round: apply up to `m` SYMBOL-DISJOINT top pairs
+    * in one fold pass — the move that makes a 32K-merge production
+    * vocab tractable (32K sequential rounds → ~32K/m scans). The
+    * candidate pool is the top 4m pairs (bounded, broadcastable); a
+    * pair survives if NO higher-ranked pool pair shares a symbol with
+    * it — conservative greedy (a pair blocked by an already-blocked
+    * pair is also dropped), which keeps selection a single bounded
+    * anti-join instead of a sequential scan, and any disjoint set is
+    * a LEGAL batch: disjointness means no merge changes another's
+    * occurrences, so the combined one-pass fold (map b → a, same
+    * tail-check as the single-pair fold) equals applying them
+    * sequentially in any order. m = 1 degenerates to exactly
+    * [[bpeMergeRound]]'s choice (BpeSpec pins this). */
+  private[graft] def bpeMergeRoundBatched(words: DataFrame, m: Int): DataFrame = {
+    val D = BpeDelim
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+    val pool = bpePairCounts(words)
+      .orderBy(col("cnt").desc, col("a").asc, col("b").asc).limit(4 * m)
+      .withColumn("rk", row_number().over(w))
+    val surv = pool.as("p")
+      .join(pool.as("q"),
+        col("q.rk") < col("p.rk") &&
+          (col("q.a") === col("p.a") || col("q.a") === col("p.b") ||
+            col("q.b") === col("p.a") || col("q.b") === col("p.b")),
+        "left_anti")
+      .orderBy(col("rk")).limit(m)
+    // disjointness ⇒ the merged-into symbols `b` are unique: one map
+    // b → a drives the single fold pass for the whole batch
+    val pm = surv.agg(
+      map_from_entries(collect_list(struct(col("b"), col("a")))).as("pm"))
+    words.crossJoin(broadcast(pm))
+      .withColumn("repr", expr(
+        s"""aggregate($bpeSyms, '',
+           |  (acc, s) -> CASE WHEN pm[s] IS NOT NULL
+           |                    AND right(acc, length(pm[s]) + 1) = concat('$D', pm[s])
+           |              THEN concat(acc, s)
+           |              ELSE concat(acc, '$D', s) END)""".stripMargin))
+      .select("w", "freq", "repr")
+  }
+
+  /** tx13/tx14's trainer: [[BpeMerges]] sequential greedy rounds,
+    * checkpoint-rolled every round with superseded-checkpoint release
+    * ([[Ckpt.roll]]) — cadence 1 because each un-checkpointed round
+    * DOUBLES the plan tree (see [[bpeMergeRound]]). */
+  private def bpeTrainedWords(s: SparkSession, d: String): DataFrame =
+    bpeTrainWords(s, d, BpeMerges)
+
+  private[graft] def bpeTrainWords(s: SparkSession, d: String,
+      merges: Int): DataFrame = {
+    var (wds, ids) = Ckpt.roll(s, bpeWords0(s, d), Set.empty[Int])
+    for (_ <- 1 to merges) {
+      val rolled = Ckpt.roll(s, bpeMergeRound(wds), ids)
+      wds = rolled._1
+      ids = rolled._2
     }
-    (1 to BpeMerges).foldLeft(words0)((wds, _) => round1(wds))
+    wds
   }
 
   /** tx13's oracle: the BpeMerges training rounds unrolled as CTE

@@ -31,6 +31,7 @@ object BenchCold {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    Logs.muteReviewedWindowWarning()
     graft.Tables.pin(spark)
 
     def coldReset(): Unit = {
@@ -44,6 +45,13 @@ object BenchCold {
     // artifacts read as phantom regressions) — wait for loadavg to
     // settle, annotate the artifact either way.
     val (load0, loadOk) = LoadGuard.awaitQuiet()
+    // Calibration gate (round-8 lesson: two cold sweeps ran a uniform
+    // ~1.5× slower than round 7 on identical code while loadavg read
+    // quiet — host throughput, invisible to loadavg, fully visible to
+    // a fixed CPU loop). Wait for the host to return to the healthy
+    // band; if it never does, the artifact is stamped calib_ok=false
+    // and carries the normalization factor so a reader can discount.
+    val calib = LoadGuard.awaitCalibrated()
 
     // Warm the JVM once (codegen, parquet reader, shuffle machinery);
     // the per-query resets below only drop DATA caches, not JIT state.
@@ -68,7 +76,7 @@ object BenchCold {
       "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total_cold","value":$total,"unit":"sec","protocol":"min-of-2 cold sweeps, memo+cache cleared per query"${LoadGuard.jsonFields(load0, loadOk)},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total_cold","value":$total,"unit":"sec","protocol":"min-of-2 cold sweeps, memo+cache cleared per query"${LoadGuard.jsonFields(load0, loadOk, calib)},"queries":$qs,"sf":"$sfDir"}"""
     val w = new java.io.PrintWriter(outPath)
     try w.println(json) finally w.close()
     println(json)

@@ -1,0 +1,83 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Production-depth BPE training measurement (round-8 VERDICT item 3:
+  * tx13 trains 6 merges; a production vocab is 32K). Trains ≥256
+  * merges over the distinct-word table and reports the per-round cost
+  * curve, two ways:
+  *
+  *   sequential — [[graft.ops.TextAnalysis.bpeMergeRound]] with a
+  *     checkpoint roll each round (cadence 1: each un-checkpointed
+  *     round embeds the word table twice, so deeper cadences grow the
+  *     plan 2^k-fold — the opposite conclusion from PageRank's linear
+  *     chains, measured here rather than asserted);
+  *   batched — [[graft.ops.TextAnalysis.bpeMergeRoundBatched]] with
+  *     m symbol-disjoint merges per scan, the 32K-vocab scale path:
+  *     merge count per scan is bounded only by symbol-disjointness,
+  *     so reaching a vocab target costs ~target/m scans.
+  *
+  * Per-decade block times expose drift: a flat row means per-round
+  * cost is independent of round index (the word table's SIZE is
+  * Heaps'-bounded and its repr strings only grow by merged symbols).
+  *
+  * Usage: tools/run.sh graft.tools.BpeDeep [merges] [batchM]
+  *   (dataset from SPARK_GRAFT_SF_DIR, default sf0.01)
+  */
+object BpeDeep {
+  def main(args: Array[String]): Unit = {
+    val merges = args.headOption.map(_.toInt).getOrElse(256)
+    val batchM = args.drop(1).headOption.map(_.toInt).getOrElse(8)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val cpus = Runtime.getRuntime.availableProcessors()
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Logs.muteReviewedWindowWarning()
+    graft.Tables.pin(spark)
+
+    val (load0, _) = LoadGuard.awaitQuiet()
+    println(f"bpe depth over $sfDir (loadavg $load0%.2f)")
+
+    import graft.ops.{Ckpt, TextAnalysis}
+
+    def decades(label: String, times: Seq[Double], roundsPerStep: Int): Unit = {
+      val n = times.size
+      val dec = math.max(1, n / 10)
+      println(f"$label: ${times.sum}%.1f s total, $n steps × $roundsPerStep merges")
+      times.grouped(dec).zipWithIndex.foreach { case (blk, i) =>
+        println(f"  steps ${i * dec}%4d..${i * dec + blk.size - 1}%4d  " +
+          f"avg ${blk.sum / blk.size}%6.3f s/step  " +
+          f"(${blk.sum / blk.size / roundsPerStep}%6.4f s/merge)")
+      }
+    }
+
+    def train(label: String, steps: Int, roundsPerStep: Int,
+        round: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
+      var (wds, ids) = Ckpt.roll(spark, TextAnalysis.bpeWords0(spark, sfDir), Set.empty[Int])
+      val times = (1 to steps).map { _ =>
+        val t0 = System.nanoTime()
+        val rolled = Ckpt.roll(spark, round(wds), ids)
+        wds = rolled._1
+        ids = rolled._2
+        (System.nanoTime() - t0) / 1e9
+      }
+      decades(label, times, roundsPerStep)
+      val vocab = wds.selectExpr(
+        s"explode(filter(split(repr, '${TextAnalysis.BpeDelim}'), x -> x <> '')) AS t")
+        .select("t").distinct().count()
+      println(f"$label: final symbol vocab $vocab")
+    }
+
+    // sequential: one merge per checkpointed step — tx13's exact shape
+    train(s"sequential x$merges", merges, 1, TextAnalysis.bpeMergeRound)
+    // batched: m disjoint merges per scan, same target merge count
+    train(f"batched m=$batchM x$merges", math.max(1, merges / batchM), batchM,
+      w => TextAnalysis.bpeMergeRoundBatched(w, batchM))
+    spark.stop()
+  }
+}

@@ -112,11 +112,62 @@ object LoadGuard {
     println(f"loadavg=${loadAvg()}%.2f cpu_ref_ms=${cpuRefMs()}%.1f " +
       f"cpu_ref_all_core_ms=${cpuRefAllCoreMs()}%.1f")
 
+  /** Healthy-host all-core CPU reference on this box, measured on the
+    * calibration sessions that produced the round-7 artifacts (~95 ms
+    * single-thread, all-core ≈ single-thread under perfect scaling).
+    * A sweep whose start-of-run all-core reference exceeds
+    * [[CalibBandRatio]] × this is NOT comparable to a healthy-host
+    * artifact — the round-8 cold "regression" was exactly this (411 ms
+    * all-core ⇒ uniform ~1.5× per-query inflation with zero code
+    * delta). */
+  val HealthyAllCoreMs = 110.0
+  val CalibBandRatio = 1.35
+
+  /** Sampled calibration bundle — measured ONCE at a declared point in
+    * the protocol (sweep start) and passed around as a value, so the
+    * artifact stamps the host state the sweep actually ran under
+    * (round-8 ADVICE: the old jsonFields re-measured at format time,
+    * i.e. AFTER the timed sweeps, while claiming "before"). */
+  final case class Calibration(cpuRefMs: Double, cpuRefAllCoreMs: Double) {
+    def ok: Boolean = cpuRefAllCoreMs <= HealthyAllCoreMs * CalibBandRatio
+    /** Multiply a measured wall time by this to express it at
+      * healthy-host throughput (1.0 when within band; <1 when the
+      * host is degraded — CPU-bound work scales ~linearly with the
+      * reference, so this is a first-order correction, stamped for
+      * readers rather than silently applied to `value`). */
+    def normFactor: Double =
+      if (cpuRefAllCoreMs <= 0) 1.0
+      else math.min(1.0, HealthyAllCoreMs / cpuRefAllCoreMs)
+  }
+
+  def calibrate(): Calibration = Calibration(cpuRefMs(), cpuRefAllCoreMs())
+
+  /** Block until the all-core CPU reference is within the healthy
+    * band or maxWaitSec elapses — the calibration analogue of
+    * [[awaitQuiet]] (which only sees competing RUNNABLE work, not
+    * host-level steal/frequency capping). Returns the last sample. */
+  def awaitCalibrated(maxWaitSec: Int = 600): Calibration = {
+    val deadline = System.nanoTime() + maxWaitSec * 1000000000L
+    var c = calibrate()
+    while (!c.ok && System.nanoTime() < deadline) {
+      System.err.println(f"[loadguard] cpu_ref_all_core ${c.cpuRefAllCoreMs}%.0f ms > " +
+        f"band ${HealthyAllCoreMs * CalibBandRatio}%.0f ms — waiting for a healthy host")
+      Thread.sleep(15000)
+      c = calibrate()
+    }
+    if (!c.ok) System.err.println(
+      f"[loadguard] proceeding on a DEGRADED host (all-core ref ${c.cpuRefAllCoreMs}%.0f ms)" +
+        " — totals comparable only after normalization")
+    c
+  }
+
   /** JSON fragment (leading comma included) to splice into a bench
-    * artifact. */
-  def jsonFields(load: Double, ok: Boolean): String =
+    * artifact. Pure formatter: the calibration is measured by the
+    * caller at sweep start, not re-sampled here. */
+  def jsonFields(load: Double, ok: Boolean, calib: Calibration): String =
     String.format(java.util.Locale.ROOT,
-      ""","loadavg_start":%.2f,"load_ok":%b,"cpu_ref_ms":%.1f,"cpu_ref_all_core_ms":%.1f""",
+      ""","loadavg_start":%.2f,"load_ok":%b,"cpu_ref_ms":%.1f,"cpu_ref_all_core_ms":%.1f,"calib_ok":%b,"calib_norm_factor":%.3f""",
       Double.box(load), Boolean.box(ok),
-      Double.box(cpuRefMs()), Double.box(cpuRefAllCoreMs()))
+      Double.box(calib.cpuRefMs), Double.box(calib.cpuRefAllCoreMs),
+      Boolean.box(calib.ok), Double.box(calib.normFactor))
 }

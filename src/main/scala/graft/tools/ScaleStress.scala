@@ -179,8 +179,15 @@ object ScaleStress {
     val base = timeAll(src)
     val big = timeAll(dst)
     println(f"${"query"}%-22s ${"1x_sec"}%8s ${s"${repl}x_sec"}%8s ${"ratio"}%6s")
+    // -1 is the FAILED sentinel, not a timing — print it as FAIL and
+    // never form a ratio from it (a negative "ratio" in the artifact
+    // reads as a measurement).
+    def cell(v: Double): String =
+      if (v < 0) f"${"FAIL"}%8s" else f"$v%8.2f"
     headline.foreach { q =>
-      println(f"$q%-22s ${base(q)}%8.2f ${big(q)}%8.2f ${big(q) / base(q)}%6.1f")
+      val ratio = if (base(q) < 0 || big(q) < 0) f"${"-"}%6s"
+        else f"${big(q) / base(q)}%6.1f"
+      println(f"$q%-22s ${cell(base(q))} ${cell(big(q))} $ratio")
     }
 
     // time-range operators again, on the calendar-extended axis

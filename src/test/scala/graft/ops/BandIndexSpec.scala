@@ -85,4 +85,15 @@ class BandIndexSpec extends SparkSpec {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+
+  test("dd15 persists the index once per (session, dir) and probes it") {
+    val p1 = BandIndex.ensurePersisted(spark, sf)
+    val p2 = BandIndex.ensurePersisted(spark, sf)
+    assert(p1 == p2, "second call must reuse the persisted index")
+    val viaEntry = graft.SparkEntry.queries("dd15_bucketed_probe")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val derived = Dedup.queries("dd13_incremental_dedup")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(viaEntry == derived)
+  }
 }

@@ -73,4 +73,45 @@ class BpeSpec extends SparkSpec {
     }
     assert(rows.map { case (t, n) => t.length * n }.sum === chars)
   }
+
+  test("batched merge round with m=1 equals the sequential round exactly") {
+    val w0 = TextAnalysis.bpeWords0(spark, sf).localCheckpoint()
+    val seq1 = TextAnalysis.bpeMergeRound(w0)
+      .collect().map(_.toString).sorted.toSeq
+    val bat1 = TextAnalysis.bpeMergeRoundBatched(w0, 1)
+      .collect().map(_.toString).sorted.toSeq
+    assert(seq1 == bat1)
+  }
+
+  test("batched round applies only symbol-disjoint merges, all legal") {
+    val m = 8
+    val w0 = TextAnalysis.bpeWords0(spark, sf).localCheckpoint()
+    val before = w0.selectExpr(
+      s"explode(filter(split(repr, '${TextAnalysis.BpeDelim}'), x -> x <> '')) AS t")
+      .select("t").distinct().collect().map(_.getString(0)).toSet
+    val after = TextAnalysis.bpeMergeRoundBatched(w0, m)
+    val afterSyms = after.selectExpr(
+      s"explode(filter(split(repr, '${TextAnalysis.BpeDelim}'), x -> x <> '')) AS t")
+      .select("t").distinct().collect().map(_.getString(0)).toSet
+    val newSyms = afterSyms -- before
+    assert(newSyms.nonEmpty && newSyms.size <= m,
+      s"expected 1..$m new merged symbols, got ${newSyms.size}")
+    // each new symbol is the concatenation of two pre-round symbols
+    // (a legal merge), and the merges are pairwise symbol-disjoint
+    val parts = newSyms.toSeq.map { ns =>
+      val splits = (1 until ns.length)
+        .map(i => (ns.take(i), ns.drop(i)))
+        .filter { case (a, b) => before(a) && before(b) }
+      assert(splits.nonEmpty, s"$ns is not a merge of two prior symbols")
+      splits.head
+    }
+    val used = parts.flatMap { case (a, b) => Seq(a, b) }
+    assert(used.distinct.size == used.size,
+      s"batch shares symbols between merges: $parts")
+    // character conservation: the round is a regrouping, not a rewrite
+    val mass = (df: org.apache.spark.sql.DataFrame) => df.selectExpr(
+      s"sum(freq * length(replace(repr, '${TextAnalysis.BpeDelim}', ''))) AS m")
+      .collect()(0).getLong(0)
+    assert(mass(w0) == mass(after))
+  }
 }

@@ -41,6 +41,39 @@ class CurationPplSpec extends SparkSpec {
     assert(head < n * 0.6 && mid < n * 0.6)
   }
 
+  test("cur07 labels zero-token docs: n_tokens 0, null score, tail bucket") {
+    // round-8 ADVICE: the inner-explode form silently DROPPED empty
+    // docs and the oracle dropped them identically, so parity hid the
+    // gap. This fixture pins the explode_outer semantics: an empty
+    // and a whitespace-only doc stay in the output, score null, and
+    // land in 'tail' deterministically.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cur07-empty").toString
+    Seq(
+      (0L, "alpha beta alpha", "src0", 16L),
+      (1L, "beta gamma", "src1", 10L),
+      (2L, "", "web", 0L), // zero tokens: empty text
+      (3L, "   ", "web", 3L), // zero tokens: whitespace only
+      (4L, "alpha delta", "web", 11L))
+      .toDF("doc_id", "text", "source", "n_chars")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("cur07_perplexity_filter")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getString(3)))
+    assert(out.map(_._1).toSeq.sorted == Seq(0L, 1L, 2L, 3L, 4L),
+      "every doc labeled exactly once, including zero-token docs")
+    Seq(2L, 3L).foreach { id =>
+      val row = out.find(_._1 == id).get
+      assert(row._2 == 0L && row._3.isEmpty && row._4 == "tail",
+        s"doc $id: expected (0, null, tail), got $row")
+    }
+    // scoreable docs still get real scores and legal buckets
+    out.filter(r => r._1 != 2L && r._1 != 3L).foreach { r =>
+      assert(r._2 > 0 && r._3.nonEmpty && Set("head", "middle", "tail")(r._4))
+    }
+  }
+
   test("cur07 scores are the ref-slice add-one NLL (spot-check one doc)") {
     // recompute doc 0's score naively from the raw fixture
     val docs = graft.Tables.documents(spark, sf)

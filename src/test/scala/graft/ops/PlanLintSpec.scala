@@ -93,6 +93,49 @@ class PlanLintSpec extends SparkSpec {
     }
   }
 
+  // Queries whose plans legitimately contain an UNPARTITIONED window,
+  // each with the boundedness argument for its input (a constant
+  // partition key cannot express this — Spark 4's
+  // EliminateWindowPartitions folds foldable keys away, so the
+  // canonical bounded-window plan IS the empty partitionSpec).
+  // Additions need the same written justification; anything not
+  // listed fails — that is the gate against a single-reducer global
+  // sort over an unbounded frame. The set is compared EXACTLY, so a
+  // stale entry (query regains a partition key) also flags.
+  private val boundedUnpartitionedWindows = Set(
+    // bucket/bin prefix-sum frames: the window input is GROUP BY over
+    // a bounded-domain key (≤ 32 hash buckets / ≤ ~hundreds of
+    // centinat or equal-width bins), never the corpus
+    "ds03_context_pack", // PackBuckets=32 cross-bucket offsets
+    "ds04_epoch_shuffle", // 32 range buckets of the 60-bit hash
+    "ds05_curriculum", // difficulty deciles (10 buckets)
+    "ds09_balanced_shards", // per-n-tokens bucket offsets (distinct n)
+    "qs01_hist_quantiles", // QuantBins equal-width histogram bins
+    "cur07_perplexity_filter", // centinat avg-NLL histogram bins
+    "z01_zorder_layout", "z02_hilbert_layout", // space-filling-curve bucket offsets
+    "dd12_snm_pairs", // 2-char blocking-prefix bucket offsets (≤ 36² keys)
+    "w06_abc_pareto", // per-revenue-centile bucket totals prefix sum
+    // post-limit rank: window input is .limit(SampleK) = 100 rows
+    "ds10_exact_k_sample")
+
+  test("every unpartitioned window is allowlisted with a boundedness argument") {
+    val violations = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val nodes = collectAll(fn(spark, sf).queryExecution.executedPlan)
+        val unpart = nodes.exists {
+          case w: org.apache.spark.sql.execution.window.WindowExecBase =>
+            w.partitionSpec.isEmpty
+          case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec =>
+            w.partitionSpec.isEmpty
+          case _ => false
+        }
+        if (unpart) Some(name) else None
+    }.toSet
+    assert(violations == boundedUnpartitionedWindows,
+      s"unlisted unpartitioned windows: ${(violations -- boundedUnpartitionedWindows).toSeq.sorted.mkString(",")}; " +
+        s"stale allowlist entries: ${(boundedUnpartitionedWindows -- violations).toSeq.sorted.mkString(",")}")
+  }
+
   test("selective filters reach the parquet scan as PushedFilters") {
     Seq("p07_between", "p08_filter_eq").foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, sf)

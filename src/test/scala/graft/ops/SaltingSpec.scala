@@ -55,6 +55,32 @@ class SaltingSpec extends SparkSpec {
     assert(plain.getLong(2) === split.getLong(2))
   }
 
+  test("frame-driven split join equals plain join, for exact AND superset hot sets") {
+    val fact = spark.range(100000L)
+      .select(col("id"),
+        when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id") % 100).as("k"),
+        (col("id") * 3).as("payload"))
+    val dim = spark.range(100L).select(col("id").as("k"), concat(lit("d"), col("id")).as("name"))
+    val plain = fact.join(dim, "k")
+      .agg(count(lit(1)).as("n"), sum(col("payload")).as("s"),
+        countDistinct(col("name")).as("d"))
+      .head()
+    // the j14 contract: the hot set arrives as an in-plan frame, and
+    // sketch FALSE POSITIVES (cold keys flagged hot) must not change
+    // the result — only the shuffle layout
+    Seq(Seq(7L), Seq(7L, 3L, 50L, 999L)).foreach { hs =>
+      val hot = hs.toDF("k")
+      val got = Salting.skewSplitJoinByFrame(fact, dim, "k", hot,
+          buckets = 16, saltSource = "id")
+        .agg(count(lit(1)).as("n"), sum(col("payload")).as("s"),
+          countDistinct(col("name")).as("d"))
+        .head()
+      assert(plain.getLong(0) === got.getLong(0), s"hot=$hs")
+      assert(plain.getLong(1) === got.getLong(1), s"hot=$hs")
+      assert(plain.getLong(2) === got.getLong(2), s"hot=$hs")
+    }
+  }
+
   test("hot key fans out across salt buckets") {
     val fact = spark.range(10000L)
       .select(col("id"), lit(7L).as("k"), col("id").as("payload"))

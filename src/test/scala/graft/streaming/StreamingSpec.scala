@@ -851,4 +851,134 @@ class StreamingSpec extends SparkSpec {
     assert(rel(top.getAs[Double]("total_cost_pln"), 135.32) < 0.001)
     assert(top.getAs[Long]("unique_vehicles_count") === 30L)
   }
+
+  test("live ProcessingTime cadence over day=23 converges to the daily report") {
+    // The reference's ACTUAL deployment shape is a 15 s live poll
+    // (main.py's cadence), not one catch-up batch — this test
+    // simulates live arrival: ONE continuously-running
+    // ProcessingTime query while the 49 bronze captures land in the
+    // source dir across several tranches, so state genuinely
+    // accumulates across micro-batches (the AvailableNow flagship
+    // above restarts between drains instead). Convergence target:
+    // the per-line daily aggregates from the sink equal the batch
+    // report's.
+    val day23 = "/root/reference/WAW/year=2026/month=02/day=23"
+    assume(new java.io.File(day23).isDirectory)
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val src = Files.createTempDirectory("graft-pt-src")
+    val out = Files.createTempDirectory("graft-pt-out").toString
+    val ckpt = Files.createTempDirectory("graft-pt-ckpt").toString
+    val day = java.time.LocalDate.of(2026, 2, 23)
+    val captures = new java.io.File(day23).listFiles().sortBy(_.getName)
+    // 4 arrival tranches (capped files/trigger, so each tranche spans
+    // >1 micro-batch too) + the watermark-advancing sentinel
+    val tranches = captures.grouped((captures.length + 3) / 4).toSeq
+    // numInputRows counts SOURCE rows (top-level JSON records,
+    // pre-explode) — mirror that exactly with the same reader
+    def expectedRows(fs: Seq[java.io.File]): Long =
+      spark.read.option("multiline", "true")
+        .schema(graft.gtfs.Schemas.bronzeSchema)
+        .json(fs.map(_.getPath): _*)
+        .count()
+
+    val clean = Streams.cleanStream(
+      Streams.bronzeStream(spark, src.toString, maxFilesPerTrigger = 6),
+      watermark = "25 hours")
+      .filter(to_date(col("Time")) === lit(java.sql.Date.valueOf(day)))
+    val q = Streams.enrichedStream(clean, stateTtlSec = 25L * 3600L)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("500 milliseconds"))
+      .start()
+    try {
+      var expected = 0L
+      // accumulate (batchId → rows) across polls: recentProgress is a
+      // bounded ring buffer, so a one-shot sum could miss early batches
+      val seen = scala.collection.mutable.Map.empty[Long, Long]
+      def poll(): Long = {
+        q.recentProgress.foreach(p => seen(p.batchId) = p.numInputRows)
+        seen.values.sum
+      }
+      def awaitIngested(deadlineMs: Long = 120000): Unit = {
+        val t0 = System.nanoTime()
+        while (poll() < expected &&
+            (System.nanoTime() - t0) / 1000000 < deadlineMs)
+          Thread.sleep(250)
+        assert(poll() >= expected, s"tranche not drained: ${poll()} < $expected")
+      }
+      tranches.foreach { tr =>
+        tr.foreach { f =>
+          // ATOMIC arrival: the query is LIVE while we copy, and
+          // FileStreamSource can list+read a half-copied JSON (rows
+          // parse to null and the file is marked processed forever) —
+          // stage under a dot-name (hidden files are ignored) and
+          // rename into place. Monotonic mtimes: live arrival is in
+          // capture order, and same-mtime files order arbitrarily —
+          // an unstamped copy lands whole tranches at one millisecond
+          // and manufactures minutes-scale disorder the 60 s reorder
+          // buffer is DESIGNED to reject as late.
+          val tmp = Files.copy(f.toPath, src.resolve("." + f.getName))
+          Files.setLastModifiedTime(tmp,
+            java.nio.file.attribute.FileTime.fromMillis(mtimeClock.addAndGet(2000)))
+          Files.move(tmp, src.resolve(f.getName),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        }
+        expected += expectedRows(tr.toSeq)
+        awaitIngested() // the next tranche "arrives" only after this one is live
+      }
+      // live cadence really split the input: strictly more non-empty
+      // micro-batches than tranches means the query consumed
+      // incrementally, not in one catch-up drain
+      poll()
+      val nonEmpty = seen.count(_._2 > 0)
+      assert(nonEmpty > tranches.size,
+        s"expected >${tranches.size} non-empty micro-batches, got $nonEmpty")
+      // sentinel fires the event-time timeouts that flush the
+      // buffered episodes (the 25 h watermark means most of the day
+      // is held in state until now — the flush batch carries the
+      // bulk of the output)
+      writeBronze(src.toString, "zz_sentinel.json",
+        rec("999", "SENTINEL", 52.2, 21.0, "2026-02-26 00:00:00"))
+      expected += 1
+      awaitIngested()
+      // wait for the flush batch to COMMIT: the sink is complete when
+      // it holds the batch pipeline's ENRICHED row count — enriched,
+      // not silver: metricsFromPrevs applies the reference's
+      // speed ≤ 70 outlier filter (P13), so both paths drop the same
+      // GPS-glitch rows
+      val wantRows = graft.gtfs.GoldReport.enrichWithMetrics(
+        graft.gtfs.SilverTransform.transform(
+          graft.gtfs.SilverTransform.readBronze(spark, day23), day)).count()
+      val t0 = System.nanoTime()
+      def sinkRows(): Long =
+        try spark.read.parquet(out).count() catch { case _: Throwable => 0L }
+      while (sinkRows() < wantRows && (System.nanoTime() - t0) / 1e9 < 180)
+        Thread.sleep(500)
+      assert(sinkRows() >= wantRows,
+        s"flush batch never committed: ${sinkRows()} < $wantRows")
+    } finally q.stop()
+
+    val streamReport = graft.gtfs.GoldReport.reportFromEnriched(
+      spark.read.parquet(out))
+    val raw = graft.gtfs.SilverTransform.readBronze(spark, day23)
+    val batchReport = graft.gtfs.GoldReport.createDailyReport(
+      graft.gtfs.SilverTransform.transform(raw, day))
+    def rel(a: Double, b: Double) = if (b == 0.0) math.abs(a) else math.abs(a - b) / math.abs(b)
+    val joined = streamReport.as("s")
+      .join(batchReport.as("b"), col("s.Lines") === col("b.Lines"), "full_outer")
+      .select(col("s.Lines").as("s_line"), col("b.Lines").as("b_line"),
+        col("s.total_cost_pln").as("s_cost"), col("b.total_cost_pln").as("b_cost"),
+        col("s.data_points_count").as("s_n"), col("b.data_points_count").as("b_n"),
+        col("s.unique_vehicles_count").as("s_uv"), col("b.unique_vehicles_count").as("b_uv"))
+      .collect()
+    assert(joined.length === 238, s"expected 238 line groups, got ${joined.length}")
+    joined.foreach { r =>
+      assert(!r.isNullAt(0) && !r.isNullAt(1), r.toString)
+      assert(r.getAs[Long]("s_n") === r.getAs[Long]("b_n"), r.toString)
+      assert(r.getAs[Long]("s_uv") === r.getAs[Long]("b_uv"), r.toString)
+      assert(rel(r.getAs[Double]("s_cost"), r.getAs[Double]("b_cost")) < 1e-9, r.toString)
+    }
+  }
 }
