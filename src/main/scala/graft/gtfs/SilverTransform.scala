@@ -78,8 +78,13 @@ object SilverTransform {
       trim(col("v.VehicleNumber")).as("VehicleNumber"),
       col("v.Lat").cast(DoubleType).as("Lat"),
       col("v.Lon").cast(DoubleType).as("Lon"),
-      col("v.Time").cast(TimestampType).as("Time"), // pre-ANSI: null on malformed
-      to_date(col("v.Time")).as("date")) ++
+      // try_cast ≡ the reference's pre-ANSI cast (malformed → null,
+      // swept by dropna) in BOTH lanes — a plain cast throws under
+      // the ANSI lane (AnsiLaneSpec); date derives from the same
+      // parsed timestamp (to_date of a TIMESTAMP never throws),
+      // identical to to_date(string) wherever the string parses
+      expr("try_cast(v.Time AS TIMESTAMP)").as("Time"),
+      to_date(expr("try_cast(v.Time AS TIMESTAMP)")).as("date")) ++
       carryCols.map(c => col(s"v.$c").cast(StringType).as(c)): _*)
     val cleaned = projected
       // P6 — sweeps failed casts; restricted to the contract columns

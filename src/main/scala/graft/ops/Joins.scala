@@ -44,9 +44,15 @@ object Joins {
     * so the hash family cannot drift between sides. Double hashing
     * (Kirsch–Mitzenmacher): pos_i = h1 + i·h2 mod m; overflow wraps,
     * pmod keeps positions non-negative. */
+  // Double hashing h1 + i·h2 reduced mod BloomBits BEFORE the
+  // multiply-add: bit-identical to reducing after 64-bit wraparound
+  // (BloomBits = 2^17 divides 2^64, so 2^64 ≡ 0 mod BloomBits), and
+  // the intermediate values stay ≤ BloomK·BloomBits — no overflow, so
+  // the SAME expression is legal under ANSI mode (the wraparound form
+  // threw ARITHMETIC_OVERFLOW in the AnsiProbe lane).
   def bloomPosExpr(key: String): String =
     s"transform(sequence(0, ${BloomK - 1}), i -> " +
-      s"pmod(xxhash64($key) + i * xxhash64($key, 1L), ${BloomBits}L))"
+      s"pmod(pmod(xxhash64($key), ${BloomBits}L) + i * pmod(xxhash64($key, 1L), ${BloomBits}L), ${BloomBits}L))"
 
   /** Membership probe: every position's bit set in the `bf` bitset. */
   def bloomProbeExpr(bf: String, key: String): String =

@@ -278,12 +278,16 @@ object Relational {
         .distinct().orderBy("line")),
 
     // P4: casts incl. malformed-input → null under pre-ANSI semantics
+    // bad_cast uses try_cast: IDENTICAL to cast under the pre-ANSI pin
+    // (malformed → null, the reference's gtfstransformerSilver
+    // semantics) and keeps that contract when the session runs the
+    // ANSI lane, where a plain cast of 'error' → DOUBLE throws
     "p04_cast" -> ((s, d) =>
       Tables.events(s, d).select(
         col("event_id"),
         col("user_id").cast(StringType).as("uid_str"),
         floor(col("value")).cast(IntegerType).as("value_int"),
-        col("event_type").cast(DoubleType).as("bad_cast"))
+        expr("try_cast(event_type AS DOUBLE)").as("bad_cast"))
         .orderBy("event_id")),
 
     // P5: to_date

@@ -50,7 +50,9 @@ object Streams {
         trim(col("v.VehicleNumber")).as("VehicleNumber"),
         col("v.Lat").cast(DoubleType).as("Lat"),
         col("v.Lon").cast(DoubleType).as("Lon"),
-        col("v.Time").cast(TimestampType).as("Time"))
+        // try_cast: the silver transform's pre-ANSI malformed → null
+        // contract, legal in the ANSI lane too (see SilverTransform)
+        expr("try_cast(v.Time AS TIMESTAMP)").as("Time"))
       .na.drop("any")
       .filter(col("Lat").between(Schemas.LatMin, Schemas.LatMax) &&
         col("Lon").between(Schemas.LonMin, Schemas.LonMax))
