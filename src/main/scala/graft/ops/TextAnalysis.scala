@@ -508,13 +508,24 @@ object TextAnalysis {
     * pair-count aggregate → 1-row broadcast argmax → leftmost-merge
     * fold. NOTE the returned plan embeds `words` TWICE (under the
     * argmax and under the fold), so chaining k un-checkpointed rounds
-    * grows the plan tree 2^k-fold — callers MUST checkpoint between
-    * rounds (tx13 every round; tools/BpeDeep measures the cadence
-    * trade and confirms cadence 1 is the optimum for this shape,
-    * unlike PageRank's linear chains). */
+    * grows the plan tree 2^k-fold — callers checkpoint on a short
+    * cadence (tools/BpeDeep measured it: cadence 2 ≈ cadence 1 within
+    * noise, cadence 4 already ~35% slower — the opposite regime from
+    * PageRank's linear chains, where cadence ~10 wins). tx13 uses
+    * cadence 1. */
   private[graft] def bpeMergeRound(words: DataFrame): DataFrame = {
     val D = BpeDelim
+    // Saturation guard: when no adjacent pair remains (every word
+    // fully merged — reachable on small vocabularies at production
+    // merge depths), the argmax frame is EMPTY and a bare crossJoin
+    // would ANNIHILATE the word table (tools/BpeDeep caught this
+    // around merge ~125/256 on the 61-word synthetic corpus: vocab
+    // read 0). The cnt=-1 sentinel of empty symbols can never beat a
+    // real pair and never matches a symbol (bpeSyms filters '' out),
+    // so a dry round is a no-op; the oracle carries the same UNION.
     val best = bpePairCounts(words)
+      .unionByName(words.sparkSession.range(1)
+        .select(lit("").as("a"), lit("").as("b"), lit(-1L).as("cnt")))
       .orderBy(col("cnt").desc, col("a").asc, col("b").asc).limit(1)
       .select(col("a").as("ba"), col("b").as("bb"))
     words.crossJoin(broadcast(best))
@@ -570,8 +581,9 @@ object TextAnalysis {
 
   /** tx13/tx14's trainer: [[BpeMerges]] sequential greedy rounds,
     * checkpoint-rolled every round with superseded-checkpoint release
-    * ([[Ckpt.roll]]) — cadence 1 because each un-checkpointed round
-    * DOUBLES the plan tree (see [[bpeMergeRound]]). */
+    * ([[Ckpt.roll]]); deeper cadences buy nothing here because each
+    * un-checkpointed round DOUBLES the plan tree (measured in
+    * tools/BpeDeep — see [[bpeMergeRound]]). */
   private def bpeTrainedWords(s: SparkSession, d: String): DataFrame =
     bpeTrainWords(s, d, BpeMerges)
 
@@ -602,7 +614,9 @@ object TextAnalysis {
          |    FROM (SELECT freq, ${syms("repr")} AS syms FROM $prev)
          |  ) GROUP BY 1, 2
          |),
-         |b$t AS (SELECT a AS ba, b AS bb FROM p$t ORDER BY cnt DESC, a, b LIMIT 1),
+         |b$t AS (SELECT a AS ba, b AS bb FROM (
+         |  SELECT a, b, cnt FROM p$t UNION ALL SELECT '', '', -1
+         |) ORDER BY cnt DESC, a, b LIMIT 1),
          |w$t AS (
          |  SELECT w, freq,
          |         list_reduce(list_prepend('', ${syms("repr")}),

@@ -8,10 +8,11 @@ import org.apache.spark.sql.SparkSession
   * curve, two ways:
   *
   *   sequential — [[graft.ops.TextAnalysis.bpeMergeRound]] with a
-  *     checkpoint roll each round (cadence 1: each un-checkpointed
-  *     round embeds the word table twice, so deeper cadences grow the
-  *     plan 2^k-fold — the opposite conclusion from PageRank's linear
-  *     chains, measured here rather than asserted);
+  *     checkpoint roll each round, plus cadence-2/4 variants: each
+  *     un-checkpointed round embeds the word table twice, so k
+  *     chained rounds are a 2^k-fold plan — measured: cadence 2 ≈
+  *     cadence 1 within noise, cadence 4 ~35% slower (the opposite
+  *     regime from PageRank's linear chains, where cadence ~10 wins);
   *   batched — [[graft.ops.TextAnalysis.bpeMergeRoundBatched]] with
   *     m symbol-disjoint merges per scan, the 32K-vocab scale path:
   *     merge count per scan is bounded only by symbol-disjointness,
@@ -57,13 +58,17 @@ object BpeDeep {
     }
 
     def train(label: String, steps: Int, roundsPerStep: Int,
-        round: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
+        round: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+        ckptEvery: Int = 1): Unit = {
       var (wds, ids) = Ckpt.roll(spark, TextAnalysis.bpeWords0(spark, sfDir), Set.empty[Int])
-      val times = (1 to steps).map { _ =>
+      val times = (1 to steps).map { k =>
         val t0 = System.nanoTime()
-        val rolled = Ckpt.roll(spark, round(wds), ids)
-        wds = rolled._1
-        ids = rolled._2
+        wds = round(wds)
+        if (k % ckptEvery == 0 || k == steps) {
+          val rolled = Ckpt.roll(spark, wds, ids)
+          wds = rolled._1
+          ids = rolled._2
+        }
         (System.nanoTime() - t0) / 1e9
       }
       decades(label, times, roundsPerStep)
@@ -75,6 +80,12 @@ object BpeDeep {
 
     // sequential: one merge per checkpointed step — tx13's exact shape
     train(s"sequential x$merges", merges, 1, TextAnalysis.bpeMergeRound)
+    // cadence > 1: each un-checkpointed round embeds the word table
+    // TWICE (argmax + fold), so k chained rounds are a 2^k-fold plan —
+    // measured to confirm cadence 1 is the optimum for this shape
+    // (64 merges is enough to see it; 256 would crawl)
+    train(s"sequential ckpt=2 x64", 64, 1, TextAnalysis.bpeMergeRound, ckptEvery = 2)
+    train(s"sequential ckpt=4 x64", 64, 1, TextAnalysis.bpeMergeRound, ckptEvery = 4)
     // batched: m disjoint merges per scan, same target merge count
     train(f"batched m=$batchM x$merges", math.max(1, merges / batchM), batchM,
       w => TextAnalysis.bpeMergeRoundBatched(w, batchM))

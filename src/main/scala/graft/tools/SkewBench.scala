@@ -92,6 +92,20 @@ object SkewBench {
       agg(graft.ops.Salting.skewSplitJoin(fact(), keys(), "k",
         hotKeys = Seq(HotKey), buckets = 32, saltSource = "l_orderkey"))
     }
+    // the j14 composition: hot keys DETECTED in-plan by a Misra-Gries
+    // sketch pass instead of hand-supplied — the price of detection
+    // is one extra scan of the fact; the join itself should match
+    // salt_hot_only (the candidate set contains the hot key, and
+    // false positives only add a few replicated right rows)
+    graft.functions.VectorExprs.register(spark)
+    timed("salt_sketch") {
+      val f = fact()
+      val hot = f.agg(expr("mg_sketch(CAST(k AS STRING))").as("sk"))
+        .select(explode(col("sk.items")).as("ks"))
+        .select(col("ks").cast("long").as("k"))
+      agg(graft.ops.Salting.skewSplitJoinByFrame(f, keys(), "k", hot,
+        buckets = 32, saltSource = "l_orderkey"))
+    }
     spark.stop()
   }
 }

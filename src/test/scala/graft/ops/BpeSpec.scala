@@ -74,6 +74,32 @@ class BpeSpec extends SparkSpec {
     assert(rows.map { case (t, n) => t.length * n }.sum === chars)
   }
 
+  test("training past saturation is a no-op, never an annihilation") {
+    // BpeDeep caught this: once every word is fully merged the
+    // pair-count frame is empty, and the old bare-crossJoin argmax
+    // EMPTIED the word table (vocab read 0 after 256 merges on the
+    // 61-word synthetic corpus). The sentinel guard makes a dry
+    // round a no-op in both engines.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe-sat").toString
+    Seq((0L, "ab ab ba", "src0", 8L), (1L, "ab cc", "src0", 5L))
+      .toDF("doc_id", "text", "source", "n_chars")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // 4 distinct words ("ab", " ab", " ba", " cc"), ≤ 2 syms each
+    // after char-split merges — 40 rounds is far past dry
+    val wds = TextAnalysis.bpeTrainWords(spark, dir, merges = 40)
+    val rows = wds.collect()
+    assert(rows.length == 4, s"word table must survive saturation: ${rows.length}")
+    val reprs = wds.selectExpr("w",
+      s"filter(split(repr, '${TextAnalysis.BpeDelim}'), x -> x <> '') AS syms")
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1))
+    reprs.foreach { case (w, syms) =>
+      assert(syms.mkString == w, s"characters conserved for '$w': $syms")
+      assert(syms.length == 1, s"'$w' fully merged at saturation: $syms")
+    }
+  }
+
   test("batched merge round with m=1 equals the sequential round exactly") {
     val w0 = TextAnalysis.bpeWords0(spark, sf).localCheckpoint()
     val seq1 = TextAnalysis.bpeMergeRound(w0)
