@@ -41,7 +41,8 @@ object Bench {
     "tx13_bpe_vocab", "sim12_pq_train_eval",
     "st05_stream_neardup", "sim13_multiprobe_recall",
     "q2_min_cost_supp", "q9_product_profit", "q21_waiting_supplier",
-    "cur07_perplexity_filter", "dd15_bucketed_probe", "j14_sketch_skew_join")
+    "cur07_perplexity_filter", "dd15_bucketed_probe", "j14_sketch_skew_join",
+    "dd16_index_append")
 
   // Locale.ROOT: the f-interpolator honors the default locale, and a
   // comma decimal separator would corrupt the JSON

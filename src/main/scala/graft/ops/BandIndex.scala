@@ -71,31 +71,89 @@ object BandIndex {
     Dedup.incrementalDecisions(spark, dir,
       spark.table(bandsTable(prefix)), spark.table(sigsTable(prefix)))
 
-  // Idempotent persist registry for the dd15 catalog entry: one
-  // bucketed index per (session, dir), written to a fresh temp path
-  // on first use and reused afterwards — the bench's repeated sweeps
-  // (and BenchCold's memo-clearing resets) re-time the PROBE, not the
-  // index build, which is the production read path: the index is a
-  // durable artifact maintained by append, not per-query state. The
-  // prefix is dir-scoped so multi-dir sessions (ScaleStress 1×/N×)
-  // never collide in the session catalog. Guarded by a lock against
-  // racing double-writes (same discipline as Dedup.memoFrame).
+  // Idempotent persist registry for the dd15/dd16 catalog entries:
+  // one bucketed index per (session, dir, tag), written to a fresh
+  // temp path on first use and reused afterwards — the bench's
+  // repeated sweeps (and BenchCold's memo-clearing resets) re-time
+  // the PROBE, not the index build, which is the production read
+  // path: the index is a durable artifact maintained by append, not
+  // per-query state. The prefix is dir- and tag-scoped so multi-dir
+  // sessions (ScaleStress 1×/N×) never collide in the session
+  // catalog, and dd16's APPEND mutations never leak into dd15's
+  // pristine index. Guarded by a lock against racing double-writes
+  // (same discipline as Dedup.memoFrame).
   private val persistedFor =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), String]
   private val persistLock = new Object
 
-  def ensurePersisted(spark: SparkSession, dir: String): String = {
-    val key = (spark, dir)
+  def ensurePersisted(spark: SparkSession, dir: String,
+      tag: String = "dd15"): String = {
+    val key = (spark, dir, tag)
     persistedFor.get(key).getOrElse(persistLock.synchronized {
       persistedFor.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
       persistedFor.getOrElseUpdate(key, {
-        val prefix = s"graft_corpus_${Integer.toHexString(dir.hashCode)}"
+        val prefix = s"graft_corpus_${tag}_${Integer.toHexString(dir.hashCode)}"
         val path = java.nio.file.Files
-          .createTempDirectory("graft-bandidx-dd15").toString
+          .createTempDirectory(s"graft-bandidx-$tag").toString
         persist(spark, dir, path, prefix)
         prefix
       })
     })
+  }
+
+  /** Day-N+1 MAINTENANCE: append an admitted batch's band and
+    * signature rows to the persisted index — the step the dd13/dd15
+    * scaladocs promise ("append-only; corpus text is never
+    * re-signed"), here made real and testable. `admitted` is a
+    * (doc_id) frame of batch docs the decision table called novel
+    * (dup_of null). `bucketBy` is STABLE under append: the new file
+    * set hashes into the same `Buckets` bucket ids as the original
+    * write, so the probe's no-corpus-exchange plan property survives
+    * (BandIndexSpec re-asserts it post-append). Only the batch's
+    * signature rows move — |admitted|·Bands band rows and |admitted|
+    * signature rows, never the corpus. */
+  def append(spark: SparkSession, dir: String, admitted: DataFrame,
+      prefix: String): Unit = {
+    val adm = admitted.select(col(admitted.columns.head).as("doc_id"))
+    val sigs = Dedup.minhashSignatures(spark, dir).join(adm, "doc_id")
+    val bandKeys = (0 until Dedup.Bands).map(b =>
+      concat_ws(":", col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}")))
+    sigs
+      .select(col("doc_id").as("corpus_doc"),
+        org.apache.spark.sql.functions.posexplode(
+          org.apache.spark.sql.functions.array(bandKeys: _*)).as(Seq("band", "key")))
+      .select(concat_ws(":", col("band"), col("key")).as("bkey"), col("corpus_doc"))
+      .write.mode(SaveMode.Append)
+      .bucketBy(Buckets, "bkey").sortBy("bkey")
+      .saveAsTable(bandsTable(prefix))
+    sigs.toDF("corpus_doc" +: (0 until Dedup.MinhashK).map(j => s"b_sig_$j"): _*)
+      .write.mode(SaveMode.Append)
+      .bucketBy(Buckets, "corpus_doc").sortBy("corpus_doc")
+      .saveAsTable(sigsTable(prefix))
+  }
+
+  // Run-once guard for dd16's maintenance step: the decision→append
+  // cycle mutates the index, so a bench's repeated sweeps must not
+  // stack duplicate appends (the probe's distinct/argmax absorbs
+  // duplicates — output stays correct either way — but storage and
+  // honesty don't). Keyed like persistedFor.
+  private val appendedFor =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), Boolean]
+
+  /** Probe the index, append the batch docs judged NOVEL (dup_of
+    * null), once per (session, dir, prefix). */
+  def appendNovelOnce(spark: SparkSession, dir: String, prefix: String): Unit = {
+    val key = (spark, dir, prefix)
+    if (!appendedFor.contains(key)) persistLock.synchronized {
+      appendedFor.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+      if (!appendedFor.contains(key)) {
+        val novel = probe(spark, dir, prefix)
+          .filter(col("dup_of").isNull)
+          .select(col("batch_doc").as("doc_id"))
+        append(spark, dir, novel, prefix)
+        appendedFor(key) = true
+      }
+    }
   }
 
   /** Drop the registered tables (files under `path` are external and

@@ -789,7 +789,25 @@ object Dedup {
     // row-identical to dd13, which this oracle row now proves under
     // the driver's DuckDB gate as well — the round-8 VERDICT gap).
     "dd15_bucketed_probe" -> ((s, d) =>
-      BandIndex.probe(s, d, BandIndex.ensurePersisted(s, d)))
+      BandIndex.probe(s, d, BandIndex.ensurePersisted(s, d))),
+
+    // The full day-N+1 MAINTENANCE cycle the dd13/dd15 scaladocs
+    // promise, under the oracle gate: probe the persisted index,
+    // APPEND the admitted-novel batch docs' bands/signatures to the
+    // bucketed tables (bucketBy is append-stable — same hash, same
+    // bucket count — so the no-corpus-exchange probe plan survives,
+    // re-asserted in BandIndexSpec), then re-probe the same batch
+    // against the UPDATED index. Every formerly-novel doc now
+    // resolves (self-match est 1.0, or an appended twin of smaller
+    // id); formerly-dup docs keep or improve their match. The oracle
+    // replays the cycle: corpus bands ∪ bands of batch docs the
+    // first-pass decision left unmatched. Own index tag — dd15's
+    // pristine index must never see these mutations.
+    "dd16_index_append" -> ((s, d) => {
+      val prefix = BandIndex.ensurePersisted(s, d, "dd16")
+      BandIndex.appendNovelOnce(s, d, prefix)
+      BandIndex.probe(s, d, prefix)
+    })
   )
 
   /** Power-iteration PageRank over the near-dup graph (g01's body,
@@ -912,7 +930,70 @@ object Dedup {
     // DECISIONS are defined to be identical, so the oracle is the
     // same SQL — a divergence means the persisted layout changed the
     // dataflow's semantics, exactly what the gate must catch.
-    ("dd15_bucketed_probe" -> baseOracle("dd13_incremental_dedup"))
+    ("dd15_bucketed_probe" -> baseOracle("dd13_incremental_dedup")) +
+    // dd16 = dd13's cycle plus the maintenance append: the oracle
+    // re-runs the probe with corpus bands ∪ the bands of batch docs
+    // the FIRST pass left unmatched (adm) — exactly what the engine's
+    // append wrote into the bucketed tables.
+    ("dd16_index_append" ->
+      s"""WITH $minhashCte,
+         |src AS (SELECT doc_id, source FROM documents),
+         |bands AS (
+         |  $bandSelects
+         |),
+         |bb AS (SELECT b.* FROM bands b JOIN src s ON s.doc_id = b.doc_id
+         |       WHERE s.source = '$IncBatchSrc'),
+         |cb AS (SELECT b.* FROM bands b JOIN src s ON s.doc_id = b.doc_id
+         |       WHERE s.source <> '$IncBatchSrc'),
+         |cand AS (
+         |  SELECT DISTINCT bb.doc_id AS batch_doc, cb.doc_id AS corpus_doc
+         |  FROM bb JOIN cb ON bb.key = cb.key AND bb.band = cb.band
+         |),
+         |v AS (
+         |  SELECT batch_doc, corpus_doc,
+         |         CAST($matchSum AS DOUBLE) / $MinhashK.0 AS est_jaccard
+         |  FROM cand
+         |  JOIN sigs sa ON sa.doc_id = batch_doc
+         |  JOIN sigs sb ON sb.doc_id = corpus_doc
+         |  WHERE CAST($matchSum AS DOUBLE) / $MinhashK.0 >= 0.5
+         |),
+         |best AS (
+         |  SELECT batch_doc,
+         |         row_number() OVER (PARTITION BY batch_doc
+         |                            ORDER BY est_jaccard DESC, corpus_doc) AS rn
+         |  FROM v
+         |),
+         |adm AS (
+         |  SELECT doc_id FROM documents WHERE source = '$IncBatchSrc'
+         |    AND doc_id NOT IN (SELECT batch_doc FROM best WHERE rn = 1)
+         |),
+         |cb2 AS (
+         |  SELECT * FROM cb
+         |  UNION ALL
+         |  SELECT b.* FROM bands b JOIN adm ON adm.doc_id = b.doc_id
+         |),
+         |cand2 AS (
+         |  SELECT DISTINCT bb.doc_id AS batch_doc, cb2.doc_id AS corpus_doc
+         |  FROM bb JOIN cb2 ON bb.key = cb2.key AND bb.band = cb2.band
+         |),
+         |v2 AS (
+         |  SELECT batch_doc, corpus_doc,
+         |         CAST($matchSum AS DOUBLE) / $MinhashK.0 AS est_jaccard
+         |  FROM cand2
+         |  JOIN sigs sa ON sa.doc_id = batch_doc
+         |  JOIN sigs sb ON sb.doc_id = corpus_doc
+         |  WHERE CAST($matchSum AS DOUBLE) / $MinhashK.0 >= 0.5
+         |),
+         |best2 AS (
+         |  SELECT batch_doc, corpus_doc AS dup_of, est_jaccard,
+         |         row_number() OVER (PARTITION BY batch_doc
+         |                            ORDER BY est_jaccard DESC, corpus_doc) AS rn
+         |  FROM v2
+         |)
+         |SELECT d.doc_id AS batch_doc, b2.dup_of, b2.est_jaccard
+         |FROM (SELECT doc_id FROM documents WHERE source = '$IncBatchSrc') d
+         |LEFT JOIN best2 b2 ON b2.batch_doc = d.doc_id AND b2.rn = 1
+         |ORDER BY batch_doc""".stripMargin)
 
   private lazy val baseOracle: Map[String, String] = Map(
     "dd01_exact_dedup" ->

@@ -86,6 +86,65 @@ class BandIndexSpec extends SparkSpec {
     }
   }
 
+  test("append maintenance: bucket layout survives, novel docs resolve, dups keep matches") {
+    val prefix = BandIndex.ensurePersisted(spark, sf, "specappend")
+    val before = BandIndex.probe(spark, sf, prefix).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    val novelIds = before.filter(_._2.isEmpty).map(_._1).toSet
+    assert(novelIds.nonEmpty, "fixture must have novel batch docs")
+    BandIndex.appendNovelOnce(spark, sf, prefix)
+
+    // the probe plan property SURVIVES the append: bucketBy hashes the
+    // new files into the same bucket ids, so the corpus side still
+    // reads pre-partitioned (multiple files per bucket is fine — that
+    // costs a per-bucket sort, never an exchange)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = BandIndex.probe(spark, sf, prefix)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = probe.queryExecution.executedPlan
+      val scans = indexScans(plan, "graft-bandidx-specappend")
+      assert(scans.size == 2 && scans.forall(_.bucketedScan),
+        s"append broke the bucketed layout:\n$plan")
+      // same property as the first test: no exchange on the segment
+      // from each index scan up to the join that consumes it
+      def pathsToIndexScans(p: SparkPlan,
+          above: List[SparkPlan]): Seq[List[SparkPlan]] = p match {
+        case s: FileSourceScanExec
+            if indexScans(s, "graft-bandidx-specappend").nonEmpty => Seq(above)
+        case _ => p.children.flatMap(c => pathsToIndexScans(c, p :: above))
+      }
+      pathsToIndexScans(plan, Nil).foreach { above =>
+        val belowJoin = above.takeWhile(n =>
+          !n.nodeName.toLowerCase.contains("join"))
+        assert(!belowJoin.exists(_.isInstanceOf[ShuffleExchangeExec]),
+          s"corpus-side exchange appeared after append:\n$plan")
+      }
+
+      val after = probe.collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+      assert(after.map(_._1) == before.map(_._1), "one decision row per batch doc")
+      after.foreach { case (id, dup, est) =>
+        if (novelIds(id)) {
+          // formerly novel: resolves to itself or an appended twin
+          assert(dup.nonEmpty && est.contains(1.0) && novelIds(dup.get) &&
+            dup.get <= id, s"novel doc $id: got ($dup, $est)")
+        } else {
+          // formerly dup: keeps its match or finds a better appended one
+          val old = before.find(_._1 == id).get
+          assert(est.get >= old._3.get, s"dup doc $id lost match quality")
+        }
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("dd15 persists the index once per (session, dir) and probes it") {
     val p1 = BandIndex.ensurePersisted(spark, sf)
     val p2 = BandIndex.ensurePersisted(spark, sf)
