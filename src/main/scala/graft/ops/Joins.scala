@@ -436,10 +436,18 @@ object Joins {
       val fact = Tables.events(s, d)
         .filter(col("user_id").isNotNull)
         .select(col("user_id").as("k"), col("event_id"), col("value"))
+      // localCheckpoint: the hot frame is referenced FOUR times in the
+      // split-join plan (marker join onto each side × hot/cold branch)
+      // and exchange reuse does not fire across those subtrees
+      // (verified with tools/ReuseCheck: 0 ReusedExchange, 8
+      // ObjectHashAggregate = 4 sketch passes). Materializing the
+      // ≤ HeavyK-row candidate frame once caps detection at ONE scan
+      // of the fact — the cost a 100 TB run actually pays.
       val hot = fact
         .agg(expr("mg_sketch(CAST(k AS STRING))").as("sk"))
         .select(explode(col("sk.items")).as("ks"))
         .select(col("ks").cast("long").as("k"))
+        .localCheckpoint()
       val dim = Tables.customer(s, d)
         .select(col("c_custkey").as("k"), col("c_mktsegment"))
       graft.ops.Salting.skewSplitJoinByFrame(

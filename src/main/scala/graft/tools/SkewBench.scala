@@ -100,9 +100,12 @@ object SkewBench {
     graft.functions.VectorExprs.register(spark)
     timed("salt_sketch") {
       val f = fact()
+      // localCheckpoint caps detection at ONE fact scan (j14's note:
+      // the hot frame is embedded 4× and exchange reuse doesn't fire)
       val hot = f.agg(expr("mg_sketch(CAST(k AS STRING))").as("sk"))
         .select(explode(col("sk.items")).as("ks"))
         .select(col("ks").cast("long").as("k"))
+        .localCheckpoint()
       agg(graft.ops.Salting.skewSplitJoinByFrame(f, keys(), "k", hot,
         buckets = 32, saltSource = "l_orderkey"))
     }
