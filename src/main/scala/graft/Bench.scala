@@ -42,7 +42,7 @@ object Bench {
     "st05_stream_neardup", "sim13_multiprobe_recall",
     "q2_min_cost_supp", "q9_product_profit", "q21_waiting_supplier",
     "cur07_perplexity_filter", "dd15_bucketed_probe", "j14_sketch_skew_join",
-    "dd16_index_append")
+    "dd16_index_append", "dd17_index_compact")
 
   // Locale.ROOT: the f-interpolator honors the default locale, and a
   // comma decimal separator would corrupt the JSON
@@ -146,7 +146,7 @@ object Bench {
     val sameCode = priorFp.contains(fp)
     val suspect = sameCode && priorTotal.exists(p => p > 0 && (total - p) / p > 0.15)
     val loadJson = graft.tools.LoadGuard.jsonFields(load0, loadOk, calib) +
-      s""","code_fp":"$fp","protocol":"min-of-2 warm sweeps"""" +
+      s""","code_fp":"$fp","protocol":"min-of-2 warm sweeps; dd16/dd17 run the full persist-probe-append-reprobe cycle on a fresh index EVERY sweep"""" +
       (if (failed.nonEmpty) s""","failed":${failed.size}""" else "") +
       (if (suspect) s""","suspect_swing":true,"prior_total":${fmt(priorTotal.get)}""" else "")
     // Full map → file (sorted for stable diffs); headline subset → stdout.

@@ -7,11 +7,15 @@ import org.apache.spark.sql.types._
 /** Loaders for the driver-generated testdata tables (TESTDATA.md).
   *
   * Every query builder goes through [[pin]], which fixes the session
-  * semantics the reference pipeline relies on (SURVEY.md §7.5):
+  * semantics the engine relies on (SURVEY.md §7.5):
   *
-  *   - pre-ANSI casts — malformed input → null, swept by `dropna`,
-  *     mirroring /root/reference/gtfstransformerSilver.py:36-41 which
-  *     ran on pre-ANSI Spark defaults;
+  *   - ANSI ON (Spark 4's default; round-10 flip) — malformed-input
+  *     handling goes through try_* forms, so behavior matches the
+  *     reference's pre-ANSI null-on-bad-cast semantics
+  *     (/root/reference/gtfstransformerSilver.py:36-41) without
+  *     needing the global pre-ANSI pin; `spark.graft.preAnsiLane`
+  *     opts back into ANSI-off, and both lanes are proven
+  *     row-identical (AnsiLaneSpec, tools/AnsiProbe);
   *   - UTC session timezone (zone-less `Time` strings);
   *   - nanosecond-parquet timestamps read as long and normalized, so
   *     the engine is deterministic across Parquet timestamp units.
@@ -22,14 +26,18 @@ import org.apache.spark.sql.types._
 object Tables {
 
   def pin(spark: SparkSession): Unit = {
-    // ANSI compatibility lane (AnsiLaneSpec / tools/AnsiProbe): a
-    // session that sets spark.graft.ansiLane=true keeps Spark 4's
-    // ANSI default ON — the engine's malformed-input paths use try_*
-    // forms, so results are identical either way and the day the
-    // pre-ANSI pin below is dropped is already rehearsed. Everything
-    // else in the default lane is unchanged.
-    val ansiLane = spark.conf.getOption("spark.graft.ansiLane").contains("true")
-    spark.conf.set("spark.sql.ansi.enabled", ansiLane.toString)
+    // ANSI is ON by default (round-10: Spark 4's own default, adopted
+    // after two rounds of proven dual-lane parity — AnsiProbe 184/184
+    // identical, AnsiLaneSpec). The engine's malformed-input paths
+    // use try_* forms and overflow-free arithmetic, so results are
+    // lane-independent. `spark.graft.preAnsiLane=true` is the opt-out
+    // knob pinning the pre-ANSI semantics the reference pipeline ran
+    // under (malformed cast → null; SURVEY §7.5 note); the legacy
+    // `spark.graft.ansiLane=true` opt-IN from rounds 8-9 still forces
+    // ANSI on and now simply restates the default.
+    val preAnsi = spark.conf.getOption("spark.graft.preAnsiLane").contains("true") &&
+      !spark.conf.getOption("spark.graft.ansiLane").contains("true")
+    spark.conf.set("spark.sql.ansi.enabled", (!preAnsi).toString)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     // events.parquet stores ts as TIMESTAMP(NANOS,...): read the raw
     // int64 and truncate to micros ourselves (see events()) instead of

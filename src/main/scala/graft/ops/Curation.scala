@@ -546,32 +546,47 @@ object Curation {
         .groupBy("tok").agg(count(lit(1)).as("c"))
       val stats = model.agg(sum(col("c")).cast(DoubleType).as("N"),
         count(lit(1)).cast(DoubleType).as("V"))
-      // explode_outer so ZERO-TOKEN documents stay in the output
-      // (round-8 ADVICE: inner explode silently dropped them — a
-      // production filter must label every doc). The null-tok marker
-      // row scores NULL (never the OOV price), so such docs land at
-      // n_tokens 0 / avg_nll null and are deterministically bucketed
-      // 'tail' (no tokens ⇒ no evidence of in-domain text); they are
-      // EXCLUDED from the histogram/thresholds, which are defined
-      // over scoreable docs only. Pinned by CurationPplSpec's
-      // empty-doc fixture; the DuckDB mirror re-attaches empties via
-      // LEFT JOIN from documents with the same COALESCE bucket.
-      val scored = Dedup.memoFrame(s, d, "cur07_scored")(
-        Tables.documents(s, d)
-          .select(col("doc_id"), explode_outer(expr(tokensExpr)).as("tok"))
+      // ZERO-TOKEN documents must stay in the output (round-8 ADVICE:
+      // inner explode silently dropped them — a production filter
+      // must label every doc). Round-9's explode_outer fix cost cur07
+      // 1.55× warm: every scoreable token paid the outer-explode's
+      // null-marker machinery and the CASE around the NLL. Round 10
+      // splits the paths instead: score non-empty docs through the
+      // plain inner explode (the fast codegen'd pipeline, no CASE),
+      // and derive the empty set DIRECTLY from `documents` with a
+      // size(tokens)<=0 predicate — one narrow scan, no second
+      // explode, no join — union'd in with n_tokens 0 / avg_nll null.
+      // Empties are EXCLUDED from the histogram/thresholds (defined
+      // over scoreable docs only) and deterministically bucket 'tail'
+      // (no tokens ⇒ no evidence of in-domain text). Pinned by
+      // CurationPplSpec's empty-doc fixture; the DuckDB mirror
+      // re-attaches empties via LEFT JOIN from documents with the
+      // same COALESCE bucket.
+      val scored = Dedup.memoFrame(s, d, "cur07_scored")({
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), explode(expr(tokensExpr)).as("tok"))
           .join(broadcast(model), Seq("tok"), "left")
           .crossJoin(broadcast(stats))
           .withColumn("nll", expr(
-            """CASE WHEN tok IS NULL THEN NULL
-              |ELSE 0.0 - ln((CAST(coalesce(c, 0) AS DOUBLE) + 1.0) / (N + V))
-              |END""".stripMargin))
+            "0.0 - ln((CAST(coalesce(c, 0) AS DOUBLE) + 1.0) / (N + V))"))
           .groupBy("doc_id")
           .agg(count(col("tok")).as("n_tokens"),
             (sum(col("nll").cast(DecimalType(18, 8))).cast(DoubleType) /
               count(col("tok")).cast(DoubleType)).as("raw_nll"))
           .withColumn("avg_nll", round(col("raw_nll"), 6))
           .withColumn("bin", expr("CAST(floor(avg_nll * 100.0) AS BIGINT)"))
-          .cache())
+        // size() is null for a null token array and -1 only under the
+        // legacy conf — coalesce covers both lanes
+        val empties = Tables.documents(s, d)
+          .filter(coalesce(org.apache.spark.sql.functions.size(expr(tokensExpr)),
+            lit(0)) <= 0)
+          .select(col("doc_id"),
+            lit(0L).as("n_tokens"),
+            lit(null).cast(DoubleType).as("raw_nll"),
+            lit(null).cast(DoubleType).as("avg_nll"),
+            lit(null).cast("bigint").as("bin"))
+        base.unionByName(empties).cache()
+      })
       val hist = scored.filter(col("bin").isNotNull)
         .groupBy("bin").agg(count(lit(1)).as("c"))
       val cum = hist.withColumn("n_le",

@@ -803,11 +803,26 @@ object Dedup {
     // replays the cycle: corpus bands ∪ bands of batch docs the
     // first-pass decision left unmatched. Own index tag — dd15's
     // pristine index must never see these mutations.
-    "dd16_index_append" -> ((s, d) => {
-      val prefix = BandIndex.ensurePersisted(s, d, "dd16")
-      BandIndex.appendNovelOnce(s, d, prefix)
-      BandIndex.probe(s, d, prefix)
-    })
+    // Round-10 honesty fix: a FRESH index per invocation (persist →
+    // probe → append novel → re-probe), so every bench sweep times
+    // the real maintenance cycle instead of a run-once-guarded one
+    // whose append was skipped on re-timing. The previous
+    // invocation's index is dropped and its temp dir deleted.
+    "dd16_index_append" -> ((s, d) =>
+      BandIndex.freshCycle(s, d, "dd16")),
+
+    // Day-N COMPACTION under the oracle gate: same cycle, but the
+    // novel batch is appended in 4 disjoint day-slices (4 file sets
+    // per bucket — the growth regime) and the index is then compacted
+    // back to one file per bucket before the re-probe. The decisions
+    // are DEFINED to equal dd16's (append slices union to the same
+    // rows; compaction is a file rewrite under an unchanged bucket
+    // spec), so a divergence means compaction changed the dataflow's
+    // semantics — exactly what the gate must catch. Probe-time
+    // flatness over the append history is measured in
+    // tools/CompactBench (SCALE_NOTES "index compaction").
+    "dd17_index_compact" -> ((s, d) =>
+      BandIndex.freshCycle(s, d, "dd17", appendSlices = 4, doCompact = true))
   )
 
   /** Power-iteration PageRank over the near-dup graph (g01's body,
@@ -935,7 +950,15 @@ object Dedup {
     // re-runs the probe with corpus bands ∪ the bands of batch docs
     // the FIRST pass left unmatched (adm) — exactly what the engine's
     // append wrote into the bucketed tables.
-    ("dd16_index_append" ->
+    // dd17 = dd16's cycle with the append split into day-slices and a
+    // compaction before the re-probe. Slices union to the same band/
+    // signature rows and compaction is a content-preserving file
+    // rewrite, so the decision table is DEFINED identical to dd16's —
+    // the oracle is the same SQL.
+    ("dd17_index_compact" -> dd16OracleSql) +
+    ("dd16_index_append" -> dd16OracleSql)
+
+  private lazy val dd16OracleSql: String =
       s"""WITH $minhashCte,
          |src AS (SELECT doc_id, source FROM documents),
          |bands AS (
@@ -993,7 +1016,7 @@ object Dedup {
          |SELECT d.doc_id AS batch_doc, b2.dup_of, b2.est_jaccard
          |FROM (SELECT doc_id FROM documents WHERE source = '$IncBatchSrc') d
          |LEFT JOIN best2 b2 ON b2.batch_doc = d.doc_id AND b2.rn = 1
-         |ORDER BY batch_doc""".stripMargin)
+         |ORDER BY batch_doc""".stripMargin
 
   private lazy val baseOracle: Map[String, String] = Map(
     "dd01_exact_dedup" ->

@@ -442,12 +442,18 @@ object Joins {
       // (verified with tools/ReuseCheck: 0 ReusedExchange, 8
       // ObjectHashAggregate = 4 sketch passes). Materializing the
       // ≤ HeavyK-row candidate frame once caps detection at ONE scan
-      // of the fact — the cost a 100 TB run actually pays.
-      val hot = fact
+      // of the fact — the cost a 100 TB run actually pays. Memoized
+      // per (session, dir) (round-9 ADVICE): the checkpoint is an
+      // eager Spark job and pins an RDD, so running it on every PLAN
+      // CONSTRUCTION (PlanLint sweeps, Verify, each bench sweep) both
+      // surprised lazy callers and leaked one pinned RDD per
+      // invocation — the memo caps it at one per session+dir, like
+      // every other shared frame.
+      val hot = Dedup.memoFrame(s, d, "j14_hot_keys")(fact
         .agg(expr("mg_sketch(CAST(k AS STRING))").as("sk"))
         .select(explode(col("sk.items")).as("ks"))
         .select(col("ks").cast("long").as("k"))
-        .localCheckpoint()
+        .localCheckpoint())
       val dim = Tables.customer(s, d)
         .select(col("c_custkey").as("k"), col("c_mktsegment"))
       graft.ops.Salting.skewSplitJoinByFrame(

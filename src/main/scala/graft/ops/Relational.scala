@@ -50,12 +50,33 @@ object Relational {
   private val frameCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
+  /** Diagnostic mirror of Dedup.memoBuilds: builds executed (not memo
+    * hits), so ConcurrencySpec can assert exactly-once construction
+    * for silver/enriched under racing callers too. */
+  private[graft] val memoBuilds = new java.util.concurrent.atomic.AtomicLong(0)
+
+  // Same double-build race guard as Dedup.memoFrame:
+  // TrieMap.getOrElseUpdate is compute-then-putIfAbsent, so two racing
+  // callers could both build — and the loser's .cache()d relation
+  // would leak unpersisted. Fast-path lock-free get for hits; a single
+  // reentrant lock serializes builds (enriched → silver re-enters
+  // fine). Stopped-session entries are swept inside the lock.
+  private val memoLock = new Object
+
   private def memo(spark: SparkSession, dir: String, key: String)(
       build: => DataFrame): DataFrame = {
-    // drop entries of stopped sessions so long-lived JVMs that cycle
-    // sessions (test suites, repeated benches) don't accumulate them
-    frameCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-    frameCache.getOrElseUpdate((spark, dir, key), build.cache())
+    val k = (spark, dir, key)
+    frameCache.get(k) match {
+      case Some(df) => df
+      case None => memoLock.synchronized {
+        // drop entries of stopped sessions so long-lived JVMs that
+        // cycle sessions (test suites, repeated benches) don't
+        // accumulate them
+        frameCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+        frameCache.getOrElseUpdate(k,
+          { memoBuilds.incrementAndGet(); build.cache() })
+      }
+    }
   }
 
   /** Drop this session's memoized stage frames (bench/stress hook —

@@ -545,11 +545,17 @@ object TextAnalysis {
     * pair survives if NO higher-ranked pool pair shares a symbol with
     * it — conservative greedy (a pair blocked by an already-blocked
     * pair is also dropped), which keeps selection a single bounded
-    * anti-join instead of a sequential scan, and any disjoint set is
-    * a LEGAL batch: disjointness means no merge changes another's
-    * occurrences, so the combined one-pass fold (map b → a, same
-    * tail-check as the single-pair fold) equals applying them
-    * sequentially in any order. m = 1 degenerates to exactly
+    * anti-join instead of a sequential scan. The batch is LEGAL in
+    * the sense that the combined one-pass fold (map b → a, same
+    * tail-check as the single-pair fold) equals applying the selected
+    * pairs sequentially in RANK ORDER — not in arbitrary order: the
+    * symbol-disjointness anti-join compares the pairs' input symbols,
+    * so a pair whose symbol equals the CONCATENATION of a
+    * higher-ranked pair (e.g. (x,y) then (xy,z)) can pass and then
+    * cascade inside the fold, exactly as rank-order sequential
+    * application would (round-9 ADVICE — the prior claim of
+    * order-independence was too strong; behavior is deterministic
+    * and unchanged). m = 1 degenerates to exactly
     * [[bpeMergeRound]]'s choice (BpeSpec pins this). */
   private[graft] def bpeMergeRoundBatched(words: DataFrame, m: Int): DataFrame = {
     val D = BpeDelim

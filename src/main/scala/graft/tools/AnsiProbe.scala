@@ -2,13 +2,14 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** ANSI-on compatibility probe: run every catalog query in the
-  * default lane (ANSI off, the SURVEY §7.5 pin) and in the ANSI lane
-  * (spark.graft.ansiLane=true — Spark 4's default semantics), and
-  * report queries that THROW or whose results differ. The engine's
-  * goal is an empty report: malformed-input paths use try_* forms so
-  * both lanes agree row-for-row (AnsiLaneSpec pins a sample of this
-  * in the suite; this tool is the full-catalog sweep).
+/** Dual-lane ANSI parity probe: run every catalog query in the
+  * default lane (ANSI ON — Spark 4's default, adopted round 10) and
+  * in the pre-ANSI opt-out lane (spark.graft.preAnsiLane=true — the
+  * semantics the reference pipeline ran under), and report queries
+  * that THROW or whose results differ. The engine's goal is an empty
+  * report: malformed-input paths use try_* forms so both lanes agree
+  * row-for-row (AnsiLaneSpec pins a sample of this in the suite;
+  * this tool is the full-catalog sweep).
   *
   * Usage: tools/run.sh graft.tools.AnsiProbe [sfDir]
   */
@@ -25,8 +26,8 @@ object AnsiProbe {
     spark.sparkContext.setLogLevel("ERROR")
     Logs.muteReviewedWindowWarning()
 
-    def sweep(lane: Boolean): Map[String, Either[String, Seq[String]]] = {
-      spark.conf.set("spark.graft.ansiLane", lane.toString)
+    def sweep(ansiOn: Boolean): Map[String, Either[String, Seq[String]]] = {
+      spark.conf.set("spark.graft.preAnsiLane", (!ansiOn).toString)
       graft.Tables.pin(spark)
       // the memoized shared frames were built under the other lane's
       // confs — rebuild from scratch so the lane actually exercises
@@ -41,8 +42,8 @@ object AnsiProbe {
       }
     }
 
-    val off = sweep(lane = false)
-    val on = sweep(lane = true)
+    val off = sweep(ansiOn = false)
+    val on = sweep(ansiOn = true)
     var bad = 0
     off.keys.toSeq.sorted.foreach { name =>
       (off(name), on(name)) match {

@@ -57,10 +57,36 @@ object BpeDeep {
       }
     }
 
+    // Fourth-decade word supply (round-9 VERDICT item 8): the
+    // synthetic corpus pretokenizes to only ~60 distinct words
+    // (≈110-merge saturation ceiling — the round-9 sentinel fix
+    // exists because of it), so a ≥1024-merge curve is structurally
+    // unreachable on the unigram units. The depth fixture keeps the
+    // SAME corpus and the SAME trainer code paths but makes the
+    // training unit the adjacent word BIGRAM (916 distinct units,
+    // ~8.2K merge supply at sf0.01) — exactly how a tokenizer's
+    // effective vocabulary grows with corpus richness, without
+    // synthesizing any data.
+    def bigramWords0: org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.functions._
+      val D = TextAnalysis.BpeDelim
+      graft.Tables.documents(spark, sfDir)
+        .select(expr(
+          s"regexp_extract_all(lower(text), '${TextAnalysis.BpePattern}', 0)").as("ws"))
+        .select(explode(expr(
+          """transform(sequence(1, greatest(size(ws) - 1, 0)),
+            |  i -> concat(trim(element_at(ws, i)), '_', trim(element_at(ws, i + 1))))"""
+            .stripMargin)).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .withColumn("repr", expr(s"regexp_replace(w, '(.)', '$D$$1')"))
+        .select("w", "freq", "repr")
+    }
+
     def train(label: String, steps: Int, roundsPerStep: Int,
         round: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
-        ckptEvery: Int = 1): Unit = {
-      var (wds, ids) = Ckpt.roll(spark, TextAnalysis.bpeWords0(spark, sfDir), Set.empty[Int])
+        ckptEvery: Int = 1,
+        words0: => org.apache.spark.sql.DataFrame = TextAnalysis.bpeWords0(spark, sfDir)): Unit = {
+      var (wds, ids) = Ckpt.roll(spark, words0, Set.empty[Int])
       val times = (1 to steps).map { k =>
         val t0 = System.nanoTime()
         wds = round(wds)
@@ -78,17 +104,29 @@ object BpeDeep {
       println(f"$label: final symbol vocab $vocab")
     }
 
-    // sequential: one merge per checkpointed step — tx13's exact shape
-    train(s"sequential x$merges", merges, 1, TextAnalysis.bpeMergeRound)
-    // cadence > 1: each un-checkpointed round embeds the word table
-    // TWICE (argmax + fold), so k chained rounds are a 2^k-fold plan —
-    // measured to confirm cadence 1 is the optimum for this shape
-    // (64 merges is enough to see it; 256 would crawl)
-    train(s"sequential ckpt=2 x64", 64, 1, TextAnalysis.bpeMergeRound, ckptEvery = 2)
-    train(s"sequential ckpt=4 x64", 64, 1, TextAnalysis.bpeMergeRound, ckptEvery = 4)
-    // batched: m disjoint merges per scan, same target merge count
-    train(f"batched m=$batchM x$merges", math.max(1, merges / batchM), batchM,
-      w => TextAnalysis.bpeMergeRoundBatched(w, batchM))
+    if (args.contains("deep")) {
+      // fourth decade (round-9 VERDICT item 8): ONLY the
+      // measured-cheapest config — batched symbol-disjoint merges,
+      // checkpoint cadence 2 — pushed to the requested merge target
+      // (≥1024). The per-decade table is the flat-or-declining
+      // per-merge evidence for SCALE_NOTES.
+      train(f"batched m=$batchM ckpt=2 x$merges (bigram units)",
+        math.max(1, merges / batchM),
+        batchM, w => TextAnalysis.bpeMergeRoundBatched(w, batchM),
+        ckptEvery = 2, words0 = bigramWords0)
+    } else {
+      // sequential: one merge per checkpointed step — tx13's exact shape
+      train(s"sequential x$merges", merges, 1, TextAnalysis.bpeMergeRound)
+      // cadence > 1: each un-checkpointed round embeds the word table
+      // TWICE (argmax + fold), so k chained rounds are a 2^k-fold plan —
+      // measured to confirm cadence 1 is the optimum for this shape
+      // (64 merges is enough to see it; 256 would crawl)
+      train(s"sequential ckpt=2 x64", 64, 1, TextAnalysis.bpeMergeRound, ckptEvery = 2)
+      train(s"sequential ckpt=4 x64", 64, 1, TextAnalysis.bpeMergeRound, ckptEvery = 4)
+      // batched: m disjoint merges per scan, same target merge count
+      train(f"batched m=$batchM x$merges", math.max(1, merges / batchM), batchM,
+        w => TextAnalysis.bpeMergeRoundBatched(w, batchM))
+    }
     spark.stop()
   }
 }

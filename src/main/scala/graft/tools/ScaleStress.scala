@@ -120,7 +120,8 @@ object ScaleStress {
       "q6_forecast_revenue", "q14_promo_share", "z02_hilbert_layout", "j13_salted_join",
       "q2_min_cost_supp", "q4_order_priority", "q9_product_profit",
       "q21_waiting_supplier", "cur07_perplexity_filter",
-      "dd15_bucketed_probe", "j14_sketch_skew_join", "dd16_index_append")
+      "dd15_bucketed_probe", "j14_sketch_skew_join", "dd16_index_append",
+      "dd17_index_compact")
     // SPARK_GRAFT_QUERIES=dd04_simhash,sim04_ivf_ann → time only those
     // (fast iteration on one operator without the 25-query sweep)
     val headline = sys.env.get("SPARK_GRAFT_QUERIES") match {

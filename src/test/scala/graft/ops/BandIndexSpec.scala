@@ -145,6 +145,72 @@ class BandIndexSpec extends SparkSpec {
     }
   }
 
+  test("compaction: one file per bucket, decisions and no-exchange property survive") {
+    // Build a fresh index and drive it through the file-growth regime:
+    // the novel batch appended in 4 disjoint day-slices plus one full
+    // re-append (duplicates are absorbed by the probe's distinct +
+    // argmax — content correctness is not the point, file count is).
+    val prefix = BandIndex.ensurePersisted(spark, sf, "speccompact")
+    val before = BandIndex.probe(spark, sf, prefix).collect().map(_.toString).toSeq
+    BandIndex.appendNovel(spark, sf, prefix)
+    val afterAppend = BandIndex.probe(spark, sf, prefix).collect().map(_.toString).toSeq
+    BandIndex.appendNovel(spark, sf, prefix) // all now dup — zero-row append ok
+    val grown = BandIndex.tableFiles(spark, BandIndex.bandsTable(prefix)).size
+    assert(grown > BandIndex.Buckets,
+      s"append did not grow the file count ($grown files) — fixture too small?")
+
+    BandIndex.compact(spark, prefix)
+
+    // exactly one file per (non-empty) bucket in both tables
+    Seq(BandIndex.bandsTable(prefix), BandIndex.sigsTable(prefix)).foreach { t =>
+      val files = BandIndex.tableFiles(spark, t)
+      assert(files.size <= BandIndex.Buckets,
+        s"$t not compacted: ${files.size} files\n${files.mkString("\n")}")
+    }
+
+    // decisions identical to the pre-compaction appended index
+    val afterCompact = BandIndex.probe(spark, sf, prefix).collect().map(_.toString).toSeq
+    assert(afterCompact == afterAppend, "compaction changed the decisions")
+    assert(afterCompact != before, "fixture must have novel docs for this test to bite")
+
+    // the no-corpus-exchange plan property survives the rewrite (the
+    // compacted tables are re-registered via DROP + RENAME — a broken
+    // bucket spec would surface as a declined layout here)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = BandIndex.probe(spark, sf, prefix)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = probe.queryExecution.executedPlan
+      val scans = indexScans(plan, "graft-bandidx-speccompact")
+      assert(scans.size == 2 && scans.forall(_.bucketedScan),
+        s"compaction broke the bucketed layout:\n$plan")
+      def pathsToIndexScans(p: SparkPlan,
+          above: List[SparkPlan]): Seq[List[SparkPlan]] = p match {
+        case s: FileSourceScanExec
+            if indexScans(s, "graft-bandidx-speccompact").nonEmpty => Seq(above)
+        case _ => p.children.flatMap(c => pathsToIndexScans(c, p :: above))
+      }
+      pathsToIndexScans(plan, Nil).foreach { above =>
+        val belowJoin = above.takeWhile(n =>
+          !n.nodeName.toLowerCase.contains("join"))
+        assert(!belowJoin.exists(_.isInstanceOf[ShuffleExchangeExec]),
+          s"corpus-side exchange appeared after compaction:\n$plan")
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("dd17 compacted-cycle decisions equal dd16's fresh-cycle decisions") {
+    val d16 = graft.SparkEntry.queries("dd16_index_append")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val d17 = graft.SparkEntry.queries("dd17_index_compact")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(d17 == d16,
+      "sliced-append + compaction diverged from the single-append cycle")
+  }
+
   test("dd15 persists the index once per (session, dir) and probes it") {
     val p1 = BandIndex.ensurePersisted(spark, sf)
     val p2 = BandIndex.ensurePersisted(spark, sf)

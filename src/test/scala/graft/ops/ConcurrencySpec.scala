@@ -54,4 +54,39 @@ class ConcurrencySpec extends SparkSpec {
       s"racing session built $raceBuilds frames vs $serialBuilds serial — " +
         "a memo key was rebuilt under contention")
   }
+
+  test("racing silver-derived queries never rebuild Relational's memo") {
+    // Round-9 ADVICE: the Dedup memo was lock-guarded but
+    // Relational.frameCache kept the bare getOrElseUpdate — racing
+    // silver/enriched consumers could double-build and leak the
+    // loser's cached relation. Same proof shape as above, against
+    // Relational.memoBuilds.
+    val names = Seq("a01_report", "a09_vehicle_agg", "w01_lag",
+      "o01_sort", "o04_argmax", "m01_haversine", "d01_dedup",
+      "p13_derived_filter")
+
+    def run(n: String): Seq[String] =
+      SparkEntry.queries(n)(spark, sf).collect().map(_.toString).toSeq
+
+    Relational.clearMemo(spark)
+    val serialStart = Relational.memoBuilds.get()
+    val serial = names.map(n => n -> run(n)).toMap
+    val serialBuilds = Relational.memoBuilds.get() - serialStart
+
+    Relational.clearMemo(spark)
+    val raceStart = Relational.memoBuilds.get()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(names.size)
+    try {
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val futs = names.map(n => Future(n -> run(n)))
+      val raced = Await.result(Future.sequence(futs), Duration(600, "s")).toMap
+      names.foreach { n =>
+        assert(raced(n) == serial(n), s"$n diverged under concurrency")
+      }
+    } finally pool.shutdown()
+    val raceBuilds = Relational.memoBuilds.get() - raceStart
+    assert(raceBuilds == serialBuilds,
+      s"racing session built $raceBuilds silver frames vs $serialBuilds " +
+        "serial — a Relational memo key was rebuilt under contention")
+  }
 }

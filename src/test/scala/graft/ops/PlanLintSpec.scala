@@ -145,4 +145,63 @@ class PlanLintSpec extends SparkSpec {
       assert(!formatted.contains("PushedFilters: []"), s"$name: empty PushedFilters")
     }
   }
+
+  // Scans whose PUSHABLE-SHAPED dataFilters legitimately do not
+  // reach the parquet reader — each entry needs the written reason.
+  // Anything not listed fails: that is the gate against a selective
+  // query silently reading every row group.
+  private val pushdownExempt: Map[String, String] = Map.empty
+
+  /** Is `e` a predicate shape the parquet source COULD push —
+    * attribute-vs-literal comparison, attribute null test, IN-list,
+    * string prefix? Filters over computed expressions (hash-based
+    * splits, bit interleaves, derived arithmetic, lambda/array work)
+    * are structurally unpushable and therefore not lint-relevant:
+    * flagging them would force a 20+-entry allowlist that documents
+    * nothing. AND needs one pushable conjunct; OR needs both (parquet
+    * pushes a disjunction only whole). */
+  private def pushableShaped(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    e match {
+      case b: BinaryComparison =>
+        (b.left.isInstanceOf[AttributeReference] && b.right.foldable) ||
+          (b.right.isInstanceOf[AttributeReference] && b.left.foldable)
+      case IsNotNull(_: AttributeReference) => true
+      case IsNull(_: AttributeReference) => true
+      case In(_: AttributeReference, list) => list.forall(_.foldable)
+      case InSet(_: AttributeReference, _) => true
+      case StartsWith(_: AttributeReference, l) => l.foldable
+      case And(l, r) => pushableShaped(l) || pushableShaped(r)
+      case Or(l, r) => pushableShaped(l) && pushableShaped(r)
+      case Not(c) => pushableShaped(c)
+      case _ => false
+    }
+  }
+
+  test("catalog-wide: every pushable-filtered parquet scan pushes at least one filter") {
+    // Round-9 VERDICT item 6: the spot-check above pins the
+    // mechanism; this sweep pins the PROPERTY for all 185 plans.
+    // Plan construction is cheap at sf0.001, and FileSourceScanExec
+    // exposes exactly the two facts needed: dataFilters (the
+    // planner's post-scan residual, i.e. the query IS selective on
+    // this scan) and the PushedFilters metadata (what reached the
+    // parquet reader). A scan with a pushable-shaped residual that
+    // pushes NOTHING reads every row group at 100 TB.
+    val violations = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        collectAll(fn(spark, sf).queryExecution.executedPlan)
+          .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+          .flatMap { s =>
+            val pushed = s.metadata.getOrElse("PushedFilters", "[]")
+            if (s.dataFilters.exists(pushableShaped) && pushed == "[]" &&
+                !pushdownExempt.contains(name))
+              Some(s"$name: unpushed dataFilters ${s.dataFilters.mkString(" && ")}")
+            else None
+          }
+    }
+    assert(violations.isEmpty,
+      s"pushable-filtered parquet scans with no pushdown (add to pushdownExempt " +
+        s"only with a written reason):\n${violations.mkString("\n")}")
+  }
 }

@@ -852,6 +852,130 @@ class StreamingSpec extends SparkSpec {
     assert(top.getAs[Long]("unique_vehicles_count") === 30L)
   }
 
+  test("kill/restart mid-stream: checkpoint recovery converges to the exact daily report, no duplicates") {
+    // The remaining production property after the live-cadence test
+    // (round-9 VERDICT item 5): the reference's hand poll loop
+    // (/root/reference/main.py:39-46) dies mid-day and loses its
+    // place; Structured Streaming's contract is that a query killed
+    // MID-TRANCHE restarts from `checkpointLocation`, replays only
+    // uncommitted work, and the file sink's transaction log keeps the
+    // output exactly-once. Proof shape: land half the captures, stop
+    // the ProcessingTime query while the next tranche is landing
+    // (offsets for it may or may not be committed — both paths must
+    // recover), start a NEW query on the same checkpoint, land the
+    // rest + the watermark sentinel, and assert (a) the restarted
+    // query resumes batch numbering instead of starting over, (b) the
+    // sink holds EXACTLY the batch pipeline's enriched row count (==,
+    // not >= — a duplicate replay would overshoot; spark.read honors
+    // the sink's _spark_metadata commit log), and (c) the folded
+    // report equals the batch report bit-for-bit on counts and within
+    // 1e-9 relative on the summed doubles.
+    val day23 = "/root/reference/WAW/year=2026/month=02/day=23"
+    assume(new java.io.File(day23).isDirectory)
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val src = Files.createTempDirectory("graft-rec-src")
+    val out = Files.createTempDirectory("graft-rec-out").toString
+    val ckpt = Files.createTempDirectory("graft-rec-ckpt").toString
+    val day = java.time.LocalDate.of(2026, 2, 23)
+    val captures = new java.io.File(day23).listFiles().sortBy(_.getName)
+    val (first, rest) = captures.splitAt(captures.length / 2)
+
+    def land(f: java.io.File): Unit = {
+      val tmp = Files.copy(f.toPath, src.resolve("." + f.getName))
+      Files.setLastModifiedTime(tmp,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeClock.addAndGet(2000)))
+      Files.move(tmp, src.resolve(f.getName),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    def startQuery() = {
+      val clean = Streams.cleanStream(
+        Streams.bronzeStream(spark, src.toString, maxFilesPerTrigger = 6),
+        watermark = "25 hours")
+        .filter(to_date(col("Time")) === lit(java.sql.Date.valueOf(day)))
+      Streams.enrichedStream(clean, stateTtlSec = 25L * 3600L)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.ProcessingTime("500 milliseconds"))
+        .start()
+    }
+
+    // phase 1: first half lands, query runs, then is killed while
+    // tranche 2's files are still arriving
+    first.foreach(land)
+    val q1 = startQuery()
+    val expectedFirst = spark.read.option("multiline", "true")
+      .schema(graft.gtfs.Schemas.bronzeSchema)
+      .json(first.map(_.getPath).toSeq: _*).count()
+    try {
+      val seen = scala.collection.mutable.Map.empty[Long, Long]
+      def ingested(): Long = {
+        q1.recentProgress.foreach(p => seen(p.batchId) = p.numInputRows)
+        seen.values.sum
+      }
+      val t0 = System.nanoTime()
+      while (ingested() < expectedFirst && (System.nanoTime() - t0) / 1e9 < 120)
+        Thread.sleep(250)
+      assert(ingested() >= expectedFirst, "first half never drained")
+      // mid-tranche kill: land a few more files and stop immediately,
+      // without waiting for them to be processed
+      rest.take(4).foreach(land)
+    } finally q1.stop()
+    val lastBatchQ1 = new java.io.File(s"$ckpt/offsets").listFiles()
+      .map(_.getName).filter(n => n.nonEmpty && n.forall(_.isDigit))
+      .map(_.toLong).max
+
+    // phase 2: restart from the checkpoint, land everything else
+    val q2 = startQuery()
+    try {
+      rest.drop(4).foreach(land)
+      writeBronze(src.toString, "zz_sentinel_rec.json",
+        rec("999", "SENTINEL", 52.2, 21.0, "2026-02-26 00:00:00"))
+      val wantRows = graft.gtfs.GoldReport.enrichWithMetrics(
+        graft.gtfs.SilverTransform.transform(
+          graft.gtfs.SilverTransform.readBronze(spark, day23), day)).count()
+      def sinkRows(): Long =
+        try spark.read.parquet(out).count() catch { case _: Throwable => 0L }
+      val t1 = System.nanoTime()
+      while (sinkRows() < wantRows && (System.nanoTime() - t1) / 1e9 < 180)
+        Thread.sleep(500)
+      // (a) resumed, not restarted-from-zero
+      val q2First = {
+        val ps = q2.recentProgress
+        assert(ps.nonEmpty, "restarted query reported no progress")
+        ps.map(_.batchId).min
+      }
+      assert(q2First >= lastBatchQ1,
+        s"restart began at batch $q2First, before q1's last offset $lastBatchQ1 — not a recovery")
+      // (b) exactly-once: == not >=
+      assert(sinkRows() == wantRows,
+        s"sink rows ${sinkRows()} != batch enriched rows $wantRows (duplicate or lost rows)")
+    } finally q2.stop()
+
+    // (c) the folded report equals the batch report
+    val streamReport = graft.gtfs.GoldReport.reportFromEnriched(
+      spark.read.parquet(out))
+    val batchReport = graft.gtfs.GoldReport.createDailyReport(
+      graft.gtfs.SilverTransform.transform(
+        graft.gtfs.SilverTransform.readBronze(spark, day23), day))
+    def rel(a: Double, b: Double) = if (b == 0.0) math.abs(a) else math.abs(a - b) / math.abs(b)
+    val joined = streamReport.as("s")
+      .join(batchReport.as("b"), col("s.Lines") === col("b.Lines"), "full_outer")
+      .select(col("s.Lines").as("s_line"), col("b.Lines").as("b_line"),
+        col("s.total_cost_pln").as("s_cost"), col("b.total_cost_pln").as("b_cost"),
+        col("s.data_points_count").as("s_n"), col("b.data_points_count").as("b_n"),
+        col("s.unique_vehicles_count").as("s_uv"), col("b.unique_vehicles_count").as("b_uv"))
+      .collect()
+    assert(joined.length === 238, s"expected 238 line groups, got ${joined.length}")
+    joined.foreach { r =>
+      assert(!r.isNullAt(0) && !r.isNullAt(1), r.toString)
+      assert(r.getAs[Long]("s_n") === r.getAs[Long]("b_n"), r.toString)
+      assert(r.getAs[Long]("s_uv") === r.getAs[Long]("b_uv"), r.toString)
+      assert(rel(r.getAs[Double]("s_cost"), r.getAs[Double]("b_cost")) < 1e-9, r.toString)
+    }
+  }
+
   test("live ProcessingTime cadence over day=23 converges to the daily report") {
     // The reference's ACTUAL deployment shape is a 15 s live poll
     // (main.py's cadence), not one catch-up batch — this test
