@@ -39,7 +39,7 @@ object Bench {
     "dd11_substring_dup", "lm01_unigram_lm", "w04_sessionize",
     "g01_pagerank", "g03_triangles", "dd12_snm_pairs", "ds07_leakage_safe_split",
     "tx13_bpe_vocab", "sim12_pq_train_eval",
-    "st05_stream_neardup", "sim13_multiprobe_recall",
+    "st05_stream_neardup", "st06_stream_index_probe", "sim13_multiprobe_recall",
     "q2_min_cost_supp", "q9_product_profit", "q21_waiting_supplier",
     "cur07_perplexity_filter", "dd15_bucketed_probe", "j14_sketch_skew_join",
     "dd16_index_append", "dd17_index_compact")

@@ -359,13 +359,15 @@ object BandIndex {
       novel.count()
       if (appendSlices <= 1) append(spark, dir, novel, prefix)
       else (0 until appendSlices).foreach { i =>
-        // disjoint day-by-day slices: same union as one append, but
-        // each append lays down its own file set per bucket — the
-        // file-growth regime compaction exists for
+        // disjoint day-by-day slices (hash-sliced — the fixture's
+        // novel ids are residue-concentrated, so raw-mod slices can
+        // be empty): same union as one append, but each append lays
+        // down its own file set per bucket — the file-growth regime
+        // compaction exists for
+        import org.apache.spark.sql.functions.{hash, lit, pmod}
         append(spark, dir,
-          novel.filter(org.apache.spark.sql.functions
-            .pmod(col("doc_id"), org.apache.spark.sql.functions.lit(appendSlices)) ===
-            org.apache.spark.sql.functions.lit(i)), prefix)
+          novel.filter(pmod(hash(col("doc_id")), lit(appendSlices)) === lit(i)),
+          prefix)
       }
     } finally novel.unpersist()
     if (doCompact) compact(spark, prefix)

@@ -334,9 +334,19 @@ object Dedup {
       Seq(col("batch_doc"), col("ts")) ++
         (0 until MinhashK).map(j => col(s"a_sig_$j")) :+
         posexplode(array(bandKeys: _*)).as(Seq("band", "key")): _*)
-    val joined = bands
-      .join(corpusBands, Seq("band", "key"), "left")
-      .join(corpusSigs, Seq("corpus_doc"), "left")
+    // Two corpus-band shapes are accepted: the derived frame keyed
+    // (band, key), and the PERSISTED bucketed table keyed by the
+    // folded "band:key" bkey (ops/BandIndex) — probing the latter
+    // joins on the single bkey column so the bucket layout's
+    // co-partitioning can fire (the stream/batch side shuffles only
+    // itself into the corpus layout; st06 is this composition under
+    // a real readStream in StreamingSpec).
+    val bandJoined =
+      if (corpusBands.columns.contains("bkey"))
+        bands.withColumn("bkey", concat_ws(":", col("band"), col("key")))
+          .join(corpusBands, Seq("bkey"), "left")
+      else bands.join(corpusBands, Seq("band", "key"), "left")
+    val joined = bandJoined.join(corpusSigs, Seq("corpus_doc"), "left")
     val matches = (0 until MinhashK)
       .map(j => when(col(s"a_sig_$j") === col(s"b_sig_$j"), 1).otherwise(0))
       .reduce(_ + _)

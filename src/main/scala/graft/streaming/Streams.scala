@@ -586,10 +586,41 @@ object Streams {
           expr("timestamp'2024-01-01 00:00:00' + make_dt_interval(0, 0, 0, doc_id)").as("ts"))
       val (cb, cs) = graft.ops.Dedup.corpusIndex(s, d)
       graft.ops.Dedup.nearDupDecisions(batch, cb, cs).orderBy("batch_doc")
+    }),
+
+    // st05 probed against the PERSISTED bucketed index (ops/BandIndex
+    // — dd15's pristine read-only index is shared): the full 100 TB
+    // ingest shape in one entry — an arriving doc stream computes its
+    // signatures inline, probes the on-disk bucketed corpus band
+    // table via the single folded bkey join (so the bucket layout's
+    // co-partitioning can fire — only the arrivals shuffle), verifies
+    // against the bucketed signature table, and emits one decision
+    // per (arrival window, doc). Decisions are DEFINED identical to
+    // st05's (same corpus content, persisted layout); StreamingSpec
+    // drives the same core through a real readStream against the
+    // persisted tables.
+    "st06_stream_index_probe" -> ((s, d) => {
+      graft.functions.VectorExprs.register(s)
+      val prefix = graft.ops.BandIndex.ensurePersisted(s, d)
+      val batch = Tables.documents(s, d)
+        .filter(col("source") === graft.ops.Dedup.IncBatchSrc)
+        .select(col("doc_id"), col("text"),
+          expr("timestamp'2024-01-01 00:00:00' + make_dt_interval(0, 0, 0, doc_id)").as("ts"))
+      graft.ops.Dedup.nearDupDecisions(batch,
+        s.table(graft.ops.BandIndex.bandsTable(prefix)),
+        s.table(graft.ops.BandIndex.sigsTable(prefix)))
+        .orderBy("batch_doc")
     })
   )
 
-  val oracle: Map[String, String] = Map(
+  val oracle: Map[String, String] = oracleBase +
+    // st06 = st05's decisions read through the persisted bucketed
+    // index; identical by definition, so the oracle is the same SQL —
+    // a divergence means the persisted layout (or the bkey-join path)
+    // changed the dataflow's semantics.
+    ("st06_stream_index_probe" -> oracleBase("st05_stream_neardup"))
+
+  private lazy val oracleBase: Map[String, String] = Map(
     "st01_tumbling_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |       event_type, count(*) AS n,

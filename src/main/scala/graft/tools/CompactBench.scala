@@ -1,7 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{col, lit, pmod}
+import org.apache.spark.sql.functions.{col, hash, lit, pmod}
 
 import graft.ops.{BandIndex, Dedup}
 
@@ -15,9 +15,11 @@ import graft.ops.{BandIndex, Dedup}
   * flat-after-compaction row with numbers.
   *
   * The appended content is the novel batch split into N disjoint
-  * day-slices (pmod(doc_id, N)) — the same union as dd16's single
-  * append, arriving as N file generations, which is the growth regime
-  * compaction exists for.
+  * day-slices (pmod(hash(doc_id), N) — hash, not raw id: the
+  * fixture's novel ids are residue-concentrated, and raw-mod slicing
+  * left 9 of 10 slices empty) — the same union as dd16's single
+  * append, arriving as N file generations, which is the growth
+  * regime compaction exists for.
   *
   * Usage: tools/run.sh graft.tools.CompactBench [sfDir] [nAppends]
   */
@@ -55,6 +57,7 @@ object CompactBench {
     try {
       BandIndex.persist(spark, sfDir, path, prefix)
       val (bf0, sf0) = files()
+      timeProbe(1) // JVM/codegen warmup — not measured
       val tFresh = timeProbe()
 
       val novel = BandIndex.probe(spark, sfDir, prefix)
@@ -64,7 +67,7 @@ object CompactBench {
       novel.count()
       (0 until nAppends).foreach { i =>
         BandIndex.append(spark, sfDir,
-          novel.filter(pmod(col("doc_id"), lit(nAppends)) === lit(i)), prefix)
+          novel.filter(pmod(hash(col("doc_id")), lit(nAppends)) === lit(i)), prefix)
       }
       novel.unpersist()
       val (bfA, sfA) = files()

@@ -435,6 +435,66 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup probe of the PERSISTED bucketed index matches st05 (st06)") {
+    // The full 100 TB ingest shape: a doc stream probes the ON-DISK
+    // bucketed corpus index (ops/BandIndex) through a real readStream
+    // — dd15 proved the batch probe, st05 the streaming core over
+    // derived frames; this is their composition. Decisions must equal
+    // the batch st05 table row-for-row.
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorExprs.register(spark)
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("st05_stream_neardup")(spark, sf).collect()
+    // and the st06 catalog entry itself agrees with st05
+    val viaEntry = graft.SparkEntry.queries("st06_stream_index_probe")(spark, sf).collect()
+    assert(viaEntry.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq,
+      "st06 batch-analog decisions diverge from st05")
+
+    val docs = graft.Tables.documents(spark, sf)
+      .filter(col("source") === graft.ops.Dedup.IncBatchSrc)
+      .select(col("doc_id"), col("text"),
+        expr("timestamp'2024-01-01 00:00:00' + make_dt_interval(0, 0, 0, doc_id)").as("ts"))
+    val srcDir = Files.createTempDirectory("graft-st06").toString
+    def stamp(sub: String): Unit = {
+      val t = mtimeClock.addAndGet(2000)
+      Files.walk(Paths.get(srcDir, sub)).iterator().forEachRemaining { p =>
+        if (Files.isRegularFile(p))
+          Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime.fromMillis(t))
+      }
+    }
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(s"$srcDir/part_a")
+    stamp("part_a")
+    docs.filter(col("doc_id") % 2 =!= 0).coalesce(1).write.parquet(s"$srcDir/part_b")
+    stamp("part_b")
+    spark.sql("SELECT CAST(999999998 AS BIGINT) AS doc_id, 'zz' AS text, " +
+        "timestamp'2024-06-01 00:00:00' AS ts")
+      .coalesce(1).write.parquet(s"$srcDir/part_y")
+    stamp("part_y")
+    spark.sql("SELECT CAST(999999999 AS BIGINT) AS doc_id, 'zz' AS text, " +
+        "timestamp'2024-06-02 00:00:00' AS ts")
+      .coalesce(1).write.parquet(s"$srcDir/part_z")
+    stamp("part_z")
+    val prefix = graft.ops.BandIndex.ensurePersisted(spark, sf)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$srcDir/part_a").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$srcDir/part_*")
+    val q = Streams.nearDupDedupStream(stream,
+      spark.table(graft.ops.BandIndex.bandsTable(prefix)),
+      spark.table(graft.ops.BandIndex.sigsTable(prefix)))
+      .writeStream.format("memory").queryName("st06_out").outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("st06_out")
+        .filter(col("batch_doc") < 999999998L)
+        .orderBy("batch_doc").collect()
+      assert(streamed.nonEmpty, "no streamed decisions emitted")
+      assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq,
+        "streamed persisted-index decisions diverge from st05 batch table")
+    } finally q.stop()
+  }
+
   test("streaming session windows merge across micro-batches and equal the batch sessions (st03)") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
