@@ -211,6 +211,39 @@ class BandIndexSpec extends SparkSpec {
       "sliced-append + compaction diverged from the single-append cycle")
   }
 
+  test("probe shuffle BYTES track the batch, not the corpus (10x corpus, ~1x bytes)") {
+    // The plan-shape tests above prove no exchange sits over the
+    // corpus scans; this closes the gap between "the plan looks
+    // right" and "the bytes moved are batch-proportional": the SAME
+    // sf0.001 batch probes an index built from the sf0.001 corpus
+    // and one built from the 10× sf0.1 corpus, and total shuffle
+    // write bytes must stay within 2× while the corpus grows 10×.
+    // (Measured 0.96× — tools/ShuffleProbe; the bound is loose only
+    // for compression jitter.)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val small = BandIndex.ensurePersisted(spark, sf, "shufsmall")
+      val big = BandIndex.ensurePersisted(spark, "/root/testdata/sf0.1", "shufbig")
+      val corpusRatio =
+        spark.table(BandIndex.sigsTable(big)).count().toDouble /
+          spark.table(BandIndex.sigsTable(small)).count()
+      assert(corpusRatio >= 5.0, s"fixture corpora not ~10x apart: $corpusRatio")
+      def probeBytes(prefix: String): Long = {
+        val run = () => Dedup.incrementalDecisions(spark, sf,
+          spark.table(BandIndex.bandsTable(prefix)),
+          spark.table(BandIndex.sigsTable(prefix))).count()
+        run() // warm: neither measurement pays first-run codegen
+        graft.tools.ShuffleProbe.shuffleWriteBytes(spark)(run())
+      }
+      val smallBytes = probeBytes(small)
+      val bigBytes = probeBytes(big)
+      assert(smallBytes > 0, "listener captured no shuffle writes")
+      assert(bigBytes.toDouble / smallBytes < 2.0,
+        s"probe shuffle bytes scaled with the corpus: $smallBytes -> $bigBytes " +
+          s"(corpus x$corpusRatio) — a corpus-sized exchange leaked into the plan")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("dd15 persists the index once per (session, dir) and probes it") {
     val p1 = BandIndex.ensurePersisted(spark, sf)
     val p2 = BandIndex.ensurePersisted(spark, sf)
