@@ -16,6 +16,51 @@ class StorageSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("corrupt-file policy: default read fails loudly, salvage recovers rows and names the file") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-corrupt").toString
+    // three good single-file parts + one truncated file + one
+    // valid-but-EMPTY file (must NOT be reported corrupt)
+    val base = graft.Tables.documents(spark, sf).select("doc_id", "source")
+    base.filter(col("doc_id") % 3 === 0).coalesce(1).write.parquet(s"$dir/d")
+    base.filter(col("doc_id") % 3 === 1).coalesce(1).write.mode("append").parquet(s"$dir/d")
+    base.filter(col("doc_id") % 3 === 2).coalesce(1).write.mode("append").parquet(s"$dir/d")
+    base.filter(lit(false)).coalesce(1).write.mode("append").parquet(s"$dir/d")
+    // corrupt one non-empty part: truncate it to half (footer gone)
+    val parts = new java.io.File(s"$dir/d").listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && f.length() > 1000)
+      .sortBy(_.getName)
+    val victim = parts.head
+    val bytes = java.nio.file.Files.readAllBytes(victim.toPath)
+    java.nio.file.Files.write(victim.toPath, bytes.take(bytes.length / 2))
+
+    // 1. the DEFAULT engine read path fails loudly — corruption is an
+    //    incident, never a silent row-count dip
+    val thrown = intercept[org.apache.spark.SparkException] {
+      spark.read.parquet(s"$dir/d").count()
+    }
+    assert(thrown.getMessage != null)
+
+    // 2. the salvage lane recovers every readable row and names the
+    //    corrupt file exactly (not the empty one)
+    val salvaged = DataQuality.salvageScanParquet(spark, s"$dir/d")
+    assert(salvaged.corruptFiles == Seq(victim.getAbsolutePath),
+      s"expected exactly [$victim], got ${salvaged.corruptFiles}")
+    val expected = {
+      val survivors = parts.tail.map(_.getAbsolutePath).toSet
+      spark.read.parquet(parts.tail.map(_.getAbsolutePath): _*).count()
+    }
+    assert(salvaged.rows.count() == expected,
+      "salvage lost rows from readable files")
+
+    // 3. a clean directory reports NOTHING corrupt — "no loss" is
+    //    assertable, not assumed
+    val cleanDir = java.nio.file.Files.createTempDirectory("graft-clean").toString
+    base.limit(10).write.parquet(s"$cleanDir/d")
+    val clean = DataQuality.salvageScanParquet(spark, s"$cleanDir/d")
+    assert(clean.corruptFiles.isEmpty && clean.rows.count() == 10)
+  }
+
   test("silver-shaped frame round-trips identically through parquet/orc/json/csv") {
     val base = Relational.silver(spark, sf)
       .withColumn("ts_s", date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
