@@ -325,6 +325,25 @@ object BandIndex {
   private val lastCycle =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), (String, String)]
 
+  /** Retire the (session, dir, tag)'s previous ephemeral index, then
+    * persist a fresh one and register it for the next retirement. */
+  private def freshIndex(spark: SparkSession, dir: String,
+      tag: String): (String, String) = {
+    val key = (spark, dir, tag)
+    persistLock.synchronized {
+      lastCycle.remove(key).foreach { case (oldPrefix, oldPath) =>
+        drop(spark, oldPrefix)
+        retireTempDir(oldPath)
+      }
+      lastCycle.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    }
+    val prefix = s"graft_corpus_${tag}_${Integer.toHexString(dir.hashCode)}" +
+      s"_s${serial.incrementAndGet()}"
+    val path = newTempDir(tag)
+    persist(spark, dir, path, prefix)
+    (prefix, path)
+  }
+
   /** One full day-N+1 maintenance cycle on a FRESH index: persist →
     * probe → append(novel) [in `appendSlices` separate appends] →
     * [compact if requested] → re-probe. Returns the re-probe decision
@@ -340,17 +359,7 @@ object BandIndex {
   def freshCycle(spark: SparkSession, dir: String, tag: String,
       appendSlices: Int = 1, doCompact: Boolean = false): DataFrame = {
     val key = (spark, dir, tag)
-    persistLock.synchronized {
-      lastCycle.remove(key).foreach { case (oldPrefix, oldPath) =>
-        drop(spark, oldPrefix)
-        retireTempDir(oldPath)
-      }
-      lastCycle.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-    }
-    val prefix = s"graft_corpus_${tag}_${Integer.toHexString(dir.hashCode)}" +
-      s"_s${serial.incrementAndGet()}"
-    val path = newTempDir(tag)
-    persist(spark, dir, path, prefix)
+    val (prefix, path) = freshIndex(spark, dir, tag)
     val novel = probe(spark, dir, prefix)
       .filter(col("dup_of").isNull)
       .select(col("batch_doc").as("doc_id"))
@@ -373,6 +382,73 @@ object BandIndex {
     if (doCompact) compact(spark, prefix)
     persistLock.synchronized { lastCycle(key) = (prefix, path) }
     probe(spark, dir, prefix)
+  }
+
+  /** Day-2 re-ingest ids are day-1 ids shifted by this offset — far
+    * above any fixture doc_id, so the two days' decision rows never
+    * collide and an id's day-1 identity is `id - DayOffset`. */
+  val DayOffset = 1000000L
+
+  /** Decisions for an EXPLICIT batch-id frame (first column = the
+    * batch doc id; ids at or above [[DayOffset]] are re-ingest ids
+    * whose signature resolves via the unshifted id — same text, same
+    * signature, never re-signed). This is the foreachBatch
+    * maintenance sink's probe: each micro-batch hands its own ids in
+    * and gets one decision row per id back, probed against the
+    * CURRENT persisted index. */
+  def probeIds(spark: SparkSession, dir: String, prefix: String,
+      ids: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.when
+    val idc = col(ids.columns.head)
+    val shaped = ids.select(idc.as("batch_id"),
+      when(idc >= DayOffset, idc - DayOffset).otherwise(idc).as("orig_id"))
+    val sigs = Dedup.minhashSignatures(spark, dir)
+    val batchSigs = sigs.join(shaped, sigs("doc_id") === shaped("orig_id"))
+      .select(col("batch_id").as("doc_id") +:
+        (0 until Dedup.MinhashK).map(j => col(s"sig_$j")): _*)
+    Dedup.incrementalDecisionsFor(batchSigs,
+      spark.table(bandsTable(prefix)), spark.table(sigsTable(prefix)))
+  }
+
+  /** The streaming ingest-maintenance LOOP's batch analog, two days
+    * on a FRESH index: day 0 probes the batch and appends its novel
+    * docs; day 1 re-ingests the SAME feed under [[DayOffset]]-shifted
+    * ids and probes the index day 0 just grew. Sequencing is
+    * OBSERVABLE in the output, not just exercised: every day-0 novel
+    * doc's day-1 copy must come back dup_of its day-0 twin at
+    * est 1.0 (identical text ⇒ identical signature) — rows that are
+    * non-null ONLY because the append between the probes happened —
+    * while day-0 corpus dups keep their day-0 target (their twin was
+    * never admitted). This is exactly what a foreachBatch maintenance
+    * sink does per micro-batch (StreamingSpec drives the same two
+    * days through a real readStream and requires row-identical
+    * decisions); decisions are order-DEPENDENT by design, so the
+    * day split is deterministic and the st07 oracle replays the two
+    * phases verbatim, shifted ids included.
+    *
+    * Day 0's decision frame is pinned (localCheckpoint) BEFORE the
+    * append mutates the index it reads — same discipline as
+    * `append` itself. */
+  def sequencedCycle(spark: SparkSession, dir: String,
+      tag: String): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val key = (spark, dir, tag)
+    val (prefix, path) = freshIndex(spark, dir, tag)
+    val dec0 = probe(spark, dir, prefix)
+      .select(lit(0).as("day"), col("batch_doc"),
+        col("dup_of"), col("est_jaccard"))
+      .localCheckpoint()
+    append(spark, dir,
+      dec0.filter(col("dup_of").isNull).select(col("batch_doc").as("doc_id")),
+      prefix)
+    val day2Ids = graft.Tables.documents(spark, dir)
+      .filter(col("source") === Dedup.IncBatchSrc)
+      .select((col("doc_id") + lit(DayOffset)).as("doc_id"))
+    val dec1 = probeIds(spark, dir, prefix, day2Ids)
+      .select(lit(1).as("day"), col("batch_doc"),
+        col("dup_of"), col("est_jaccard"))
+    persistLock.synchronized { lastCycle(key) = (prefix, path) }
+    dec0.unionByName(dec1).orderBy("batch_doc")
   }
 
   /** Drop the registered tables (files under `path` are external and

@@ -919,6 +919,16 @@ object Dedup {
     val batchSigs = minhashSignatures(s, d)
       .join(src.filter(col("source") === IncBatchSrc), "doc_id")
       .drop("source")
+    incrementalDecisionsFor(batchSigs, corpusBands, corpusSigs)
+  }
+
+  /** [[incrementalDecisions]] generalized over the BATCH side: the
+    * probe dataflow for any (doc_id, sig_0..k-1) batch-signature
+    * frame — st07's day-2 re-ingest presents yesterday's feed under
+    * shifted doc ids, reusing the memoized signatures rather than
+    * re-signing the text. */
+  private[graft] def incrementalDecisionsFor(batchSigs: DataFrame,
+      corpusBands: DataFrame, corpusSigs: DataFrame): DataFrame = {
     val bandKeys = (0 until Bands).map(b =>
       concat_ws(":", col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}")))
     val bb = batchSigs
@@ -944,7 +954,7 @@ object Dedup {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("batch_doc"), col("corpus_doc").as("dup_of"), col("est_jaccard"))
-    src.filter(col("source") === IncBatchSrc)
+    batchSigs
       .select(col("doc_id").as("batch_doc"))
       .join(best, Seq("batch_doc"), "left")
       .orderBy("batch_doc")

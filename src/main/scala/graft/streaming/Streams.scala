@@ -610,7 +610,22 @@ object Streams {
         s.table(graft.ops.BandIndex.bandsTable(prefix)),
         s.table(graft.ops.BandIndex.sigsTable(prefix)))
         .orderBy("batch_doc")
-    })
+    }),
+
+    // The streaming ingest-maintenance LOOP's batch analog
+    // (BandIndex.sequencedCycle): day 0 probes the batch and appends
+    // its novel docs; day 1 re-ingests the SAME feed under
+    // DayOffset-shifted ids and probes the index day 0 just grew.
+    // Sequencing is observable in the output: every day-0 novel's
+    // day-1 copy comes back dup_of its day-0 twin at est 1.0 — rows
+    // non-null ONLY because the append between the probes happened.
+    // This is what a foreachBatch maintenance sink does per
+    // micro-batch (StreamingSpec drives the same two days through a
+    // real readStream and requires row-identical decisions);
+    // decisions are order-dependent by design, so the oracle replays
+    // the two phases verbatim, shifted ids included.
+    "st07_stream_index_maintain" -> ((s, d) =>
+      graft.ops.BandIndex.sequencedCycle(s, d, "st07"))
   )
 
   val oracle: Map[String, String] = oracleBase +
@@ -618,7 +633,88 @@ object Streams {
     // index; identical by definition, so the oracle is the same SQL —
     // a divergence means the persisted layout (or the bkey-join path)
     // changed the dataflow's semantics.
-    ("st06_stream_index_probe" -> oracleBase("st05_stream_neardup"))
+    ("st06_stream_index_probe" -> oracleBase("st05_stream_neardup")) +
+    ("st07_stream_index_maintain" -> st07OracleSql)
+
+  /** Two-phase CTE replay of the sequenced maintenance loop: day 0
+    * probes the batch against the corpus bands; its unmatched docs'
+    * bands join the corpus for day 1's probe of the SAME feed under
+    * DayOffset-shifted ids (identical text ⇒ identical signature, so
+    * day-1 bands/sigs are day-0's with shifted doc ids) — exactly
+    * the engine's probe→append→probe sequencing. */
+  private lazy val st07OracleSql: String = {
+    import graft.ops.Dedup.{minhashCte, bandSelects, matchSum, MinhashK, IncBatchSrc}
+    val Off = graft.ops.BandIndex.DayOffset
+    s"""WITH $minhashCte,
+       |src AS (SELECT doc_id, source FROM documents),
+       |bands AS (
+       |  $bandSelects
+       |),
+       |bb AS (SELECT b.* FROM bands b JOIN src s ON s.doc_id = b.doc_id
+       |       WHERE s.source = '$IncBatchSrc'),
+       |cb AS (SELECT b.* FROM bands b JOIN src s ON s.doc_id = b.doc_id
+       |       WHERE s.source <> '$IncBatchSrc'),
+       |bdocs AS (SELECT doc_id FROM documents WHERE source = '$IncBatchSrc'),
+       |cand0 AS (
+       |  SELECT DISTINCT bb.doc_id AS batch_doc, cb.doc_id AS corpus_doc
+       |  FROM bb JOIN cb ON bb.key = cb.key AND bb.band = cb.band
+       |),
+       |v0 AS (
+       |  SELECT batch_doc, corpus_doc,
+       |         CAST($matchSum AS DOUBLE) / $MinhashK.0 AS est_jaccard
+       |  FROM cand0
+       |  JOIN sigs sa ON sa.doc_id = batch_doc
+       |  JOIN sigs sb ON sb.doc_id = corpus_doc
+       |  WHERE CAST($matchSum AS DOUBLE) / $MinhashK.0 >= 0.5
+       |),
+       |best0 AS (
+       |  SELECT batch_doc, corpus_doc AS dup_of, est_jaccard,
+       |         row_number() OVER (PARTITION BY batch_doc
+       |                            ORDER BY est_jaccard DESC, corpus_doc) AS rn
+       |  FROM v0
+       |),
+       |dec0 AS (
+       |  SELECT 0 AS day, d.doc_id AS batch_doc, b.dup_of, b.est_jaccard
+       |  FROM bdocs d LEFT JOIN best0 b ON b.batch_doc = d.doc_id AND b.rn = 1
+       |),
+       |adm0 AS (
+       |  SELECT batch_doc AS doc_id FROM dec0 WHERE dup_of IS NULL
+       |),
+       |cb1 AS (
+       |  SELECT * FROM cb
+       |  UNION ALL
+       |  SELECT b.* FROM bands b JOIN adm0 ON adm0.doc_id = b.doc_id
+       |),
+       |bb1 AS (
+       |  SELECT doc_id + $Off AS doc_id, band, key FROM bb
+       |),
+       |cand1 AS (
+       |  SELECT DISTINCT bb1.doc_id AS batch_doc, cb1.doc_id AS corpus_doc
+       |  FROM bb1 JOIN cb1 ON bb1.key = cb1.key AND bb1.band = cb1.band
+       |),
+       |v1 AS (
+       |  SELECT batch_doc, corpus_doc,
+       |         CAST($matchSum AS DOUBLE) / $MinhashK.0 AS est_jaccard
+       |  FROM cand1
+       |  JOIN sigs sa ON sa.doc_id = batch_doc - $Off
+       |  JOIN sigs sb ON sb.doc_id = corpus_doc
+       |  WHERE CAST($matchSum AS DOUBLE) / $MinhashK.0 >= 0.5
+       |),
+       |best1 AS (
+       |  SELECT batch_doc, corpus_doc AS dup_of, est_jaccard,
+       |         row_number() OVER (PARTITION BY batch_doc
+       |                            ORDER BY est_jaccard DESC, corpus_doc) AS rn
+       |  FROM v1
+       |),
+       |dec1 AS (
+       |  SELECT 1 AS day, d.doc_id + $Off AS batch_doc, b.dup_of, b.est_jaccard
+       |  FROM bdocs d LEFT JOIN best1 b ON b.batch_doc = d.doc_id + $Off AND b.rn = 1
+       |)
+       |SELECT * FROM dec0
+       |UNION ALL
+       |SELECT * FROM dec1
+       |ORDER BY batch_doc""".stripMargin
+  }
 
   private lazy val oracleBase: Map[String, String] = Map(
     "st01_tumbling_window" ->

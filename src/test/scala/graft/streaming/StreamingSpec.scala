@@ -495,6 +495,94 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch index-maintenance loop over a real stream equals the sequenced cycle (st07)") {
+    // The production ingest LOOP: each micro-batch probes the current
+    // persisted index, emits its decisions, and appends its novel
+    // docs so the NEXT micro-batch sees them as dup targets.
+    // st07_stream_index_maintain is the deterministic batch analog
+    // (day 0 = the batch feed, day 1 = the same feed re-ingested
+    // under DayOffset-shifted ids, DuckDB-replayed); here the same
+    // two days arrive as files through a real readStream +
+    // foreachBatch sink, which must produce row-identical decisions
+    // — including the observable learning property: every day-0
+    // novel's day-1 copy resolves to its day-0 twin at est 1.0,
+    // which can only happen if batch 0's append landed before
+    // batch 1's probe.
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorExprs.register(spark)
+    val sf = "/root/testdata/sf0.001"
+    val Off = graft.ops.BandIndex.DayOffset
+    val batchRows = graft.SparkEntry.queries("st07_stream_index_maintain")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    // the cycle's sequencing must be OBSERVABLE in this fixture:
+    // day-0 novels exist and each one's day-1 copy points back at it
+    val novels0 = batchRows.filter(r => r._1 == 0 && r._3.isEmpty).map(_._2)
+    assert(novels0.nonEmpty, "fixture has no day-0 novel docs; st07 is vacuous")
+    novels0.foreach { n =>
+      val day1 = batchRows.find(r => r._1 == 1 && r._2 == n + Off).get
+      assert(day1._3.contains(n) && day1._4.contains(1.0),
+        s"day-1 copy of day-0 novel $n did not resolve to its appended twin: $day1")
+    }
+
+    // a private fresh index for the stream side
+    val path = Files.createTempDirectory("graft-st07spec").toString
+    val prefix = s"graft_st07spec_${System.nanoTime()}"
+    graft.ops.BandIndex.persist(spark, sf, path, prefix)
+    val srcDir = Files.createTempDirectory("graft-st07src").toString
+    def stamp(sub: String): Unit = {
+      val t = mtimeClock.addAndGet(2000)
+      Files.walk(Paths.get(srcDir, sub)).iterator().forEachRemaining { p =>
+        if (Files.isRegularFile(p))
+          Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime.fromMillis(t))
+      }
+    }
+    val batchDocs = graft.Tables.documents(spark, sf)
+      .filter(col("source") === graft.ops.Dedup.IncBatchSrc)
+      .select("doc_id")
+    batchDocs.coalesce(1).write.parquet(s"$srcDir/part_day0")
+    stamp("part_day0")
+    batchDocs.select((col("doc_id") + Off).as("doc_id"))
+      .coalesce(1).write.parquet(s"$srcDir/part_day1")
+    stamp("part_day1")
+
+    val streamed = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Long, Option[Long], Option[Double])]
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$srcDir/part_day0").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$srcDir/part_*")
+    val q = stream.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // pin this micro-batch's ids, probe the CURRENT index with
+        // them, record decisions, append novels for the next batch
+        val ids = df.select(col("doc_id")).localCheckpoint()
+        val dec = graft.ops.BandIndex.probeIds(spark, sf, prefix, ids)
+          .localCheckpoint()
+        graft.ops.BandIndex.append(spark, sf,
+          dec.filter(col("dup_of").isNull).select(col("batch_doc").as("doc_id")),
+          prefix)
+        streamed.synchronized {
+          streamed ++= dec.collect().map(r => (batchId.toInt, r.getLong(0),
+            if (r.isNullAt(1)) None else Some(r.getLong(1)),
+            if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+        }
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = streamed.sortBy(_._2).toSeq
+      assert(got.map(_._1).distinct.size == 2, "expected exactly 2 micro-batches")
+      assert(got == batchRows.sortBy(_._2),
+        "foreachBatch loop decisions diverge from the sequenced batch cycle")
+    } finally {
+      q.stop()
+      graft.ops.BandIndex.drop(spark, prefix)
+    }
+  }
+
   test("streaming session windows merge across micro-batches and equal the batch sessions (st03)") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
