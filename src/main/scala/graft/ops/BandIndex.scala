@@ -259,7 +259,7 @@ object BandIndex {
     * The swap is metadata-only at the catalog layer; the old file set
     * is deleted after the new table is registered. */
   private def compactTable(spark: SparkSession, table: String,
-      key: String): Unit = {
+      key: String, minus: Option[DataFrame] = None): Unit = {
     val catalog = spark.sessionState.catalog
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val oldLoc = catalog.getTableMetadata(ident).location.toString
@@ -290,7 +290,21 @@ object BandIndex {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set(abs, "false")
     try {
-      spark.table(table).write
+      // Retention rides the same per-bucket local rewrite: the
+      // expired-id set is K-sized, so a BROADCAST anti-join filters
+      // each bucket's rows in place without disturbing the
+      // one-bucket-per-task read (a broadcast join streams its left
+      // side — no exchange, the write still lays down one file per
+      // bucket).
+      val source = minus match {
+        case Some(ex) =>
+          val expired = org.apache.spark.sql.functions
+            .broadcast(ex.select(col(ex.columns.head).as("__expired_id")))
+          val t = spark.table(table)
+          t.join(expired, t("corpus_doc") === col("__expired_id"), "left_anti")
+        case None => spark.table(table)
+      }
+      source.write
         .bucketBy(Buckets, key).sortBy(key)
         .option("path", newLoc)
         .mode(SaveMode.Overwrite)
@@ -312,6 +326,57 @@ object BandIndex {
   def compact(spark: SparkSession, prefix: String): Unit = {
     compactTable(spark, bandsTable(prefix), "bkey")
     compactTable(spark, sigsTable(prefix), "corpus_doc")
+  }
+
+  /** RETENTION — remove a set of corpus docs from the persisted index
+    * in place (right-to-be-forgotten, license takedown, rolling-window
+    * expiry: the day-N lifecycle's third verb after append and
+    * compact). Implementation IS the compaction rewrite with a
+    * broadcast anti-join predicate: each bucket's rows are filtered
+    * and laid back down locally, one file per bucket, zero exchange —
+    * so a retention pass also absorbs any accumulated append files,
+    * and the probe's no-corpus-exchange property survives untouched
+    * (BandIndexSpec asserts plan, file count, and decisions). Probes
+    * after retire behave as if the retired docs were never indexed:
+    * a batch doc whose only match was retired becomes novel; one with
+    * a surviving second-best match falls back to it. */
+  def retire(spark: SparkSession, prefix: String,
+      expired: DataFrame): Unit = {
+    compactTable(spark, bandsTable(prefix), "bkey", Some(expired))
+    compactTable(spark, sigsTable(prefix), "corpus_doc", Some(expired))
+  }
+
+  /** Sources retired by the dd18 catalog entry — chosen so the
+    * retention is OBSERVABLE at both oracle scales: between them they
+    * hold EVERY corpus twin of some engineered batch dups (120/360 at
+    * sf0.001; 120 at sf0.01), so retiring them flips those decisions
+    * from dup to novel in phase 1. */
+  val RetiredSrcs: Seq[String] = Seq("src8", "src12")
+
+  /** The dd18 cycle on a FRESH index: probe (phase 0, full corpus) →
+    * retire [[RetiredSrcs]]'s docs → re-probe (phase 1). Output is
+    * both phases' decision tables; the oracle replays phase 1 with
+    * the corpus band/signature CTEs filtered by the same source
+    * predicate — the engine must behave as if the retired docs were
+    * never indexed. */
+  def retentionCycle(spark: SparkSession, dir: String,
+      tag: String): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val key = (spark, dir, tag)
+    val (prefix, path) = freshIndex(spark, dir, tag)
+    val dec0 = probe(spark, dir, prefix)
+      .select(lit(0).as("phase"), col("batch_doc"),
+        col("dup_of"), col("est_jaccard"))
+      .localCheckpoint()
+    val expired = graft.Tables.documents(spark, dir)
+      .filter(col("source").isin(RetiredSrcs: _*))
+      .select("doc_id")
+    retire(spark, prefix, expired)
+    val dec1 = probe(spark, dir, prefix)
+      .select(lit(1).as("phase"), col("batch_doc"),
+        col("dup_of"), col("est_jaccard"))
+    persistLock.synchronized { lastCycle(key) = (prefix, path) }
+    dec0.unionByName(dec1).orderBy("phase", "batch_doc")
   }
 
   // ------------------------------------------------------------------
@@ -451,10 +516,110 @@ object BandIndex {
     dec0.unionByName(dec1).orderBy("batch_doc")
   }
 
+  // ------------------------------------------------------------------
+  // Exactly-once maintenance (st08) — the append ledger
+  // ------------------------------------------------------------------
+
+  def ledgerTable(prefix: String): String = s"${prefix}_ledger"
+
+  /** The index's storage root, derived from the bands table's
+    * registered location — the ledger must live WITH the index (same
+    * durability domain), not in driver memory: a restarted query sees
+    * exactly the batches the index itself absorbed. */
+  private def indexRoot(spark: SparkSession, prefix: String): String = {
+    val loc = spark.sessionState.catalog
+      .getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(bandsTable(prefix)))
+      .location.toString.stripSuffix("/")
+    loc.substring(0, loc.lastIndexOf('/'))
+  }
+
+  private def ledgerDone(spark: SparkSession, prefix: String,
+      batchId: Long): Boolean =
+    spark.catalog.tableExists(ledgerTable(prefix)) &&
+      !spark.table(ledgerTable(prefix))
+        .filter(col("batch_id") === batchId).isEmpty
+
+  private def ledgerRecord(spark: SparkSession, prefix: String,
+      batchId: Long): Unit = {
+    import org.apache.spark.sql.functions.lit
+    val lt = ledgerTable(prefix)
+    val w = spark.range(1).select(lit(batchId).as("batch_id"))
+      .write.mode(SaveMode.Append)
+    if (spark.catalog.tableExists(lt)) w.saveAsTable(lt)
+    else w.option("path", s"${indexRoot(spark, prefix)}/ledger").saveAsTable(lt)
+  }
+
+  /** One ledger-guarded maintenance micro-batch: probe the CURRENT
+    * index with this batch's ids, append the novel docs, record the
+    * batch in the ledger — or, if the ledger already holds `batchId`,
+    * do NOTHING and return None.
+    *
+    * This is the idempotent foreachBatch sink Structured Streaming's
+    * exactly-once contract asks for. The failure mode a restart must
+    * survive is REPLAY: the engine re-runs a batch whose commit
+    * marker was lost, with the same batchId — but against an index
+    * the first run already mutated, so a bare re-run would both
+    * double-append and emit DIFFERENT decisions (each appended novel
+    * now matches itself at est 1.0). The ledger check turns the whole
+    * replayed batch into a no-op: no duplicate decisions downstream,
+    * no duplicate index rows, and the check reads storage (not driver
+    * state), so it holds across JVM restarts. A crash INSIDE the
+    * append→record window degrades to at-least-once at the storage
+    * layer only: duplicate band/sig rows cannot change any future
+    * decision (band candidates are DISTINCT pairs and the verify is
+    * per pair), they just cost bytes until compaction's rewrite.
+    * StreamingSpec proves the replay path through a real checkpoint
+    * restart with the commit marker deleted. */
+  def maintainBatch(spark: SparkSession, dir: String, prefix: String,
+      ids: DataFrame, batchId: Long): Option[DataFrame] = {
+    if (ledgerDone(spark, prefix, batchId)) None
+    else {
+      val dec = probeIds(spark, dir, prefix, ids).localCheckpoint()
+      append(spark, dir,
+        dec.filter(col("dup_of").isNull).select(col("batch_doc").as("doc_id")),
+        prefix)
+      ledgerRecord(spark, prefix, batchId)
+      Some(dec)
+    }
+  }
+
+  /** st07's two-day cycle driven through [[maintainBatch]], with
+    * day 0 REPLAYED in between — the batch analog of a checkpoint
+    * restart that lost day 0's commit marker. The replay must be a
+    * ledger-skipped no-op (asserted here: a second mutation of the
+    * index would make day 1's decisions diverge from st07's, which
+    * the shared oracle would catch — every day-0 novel would come
+    * back dup_of itself instead of novel on the replayed probe).
+    * Output is DEFINED identical to st07's, so the oracle is the
+    * same two-phase SQL. */
+  def replayedCycle(spark: SparkSession, dir: String,
+      tag: String): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val key = (spark, dir, tag)
+    val (prefix, path) = freshIndex(spark, dir, tag)
+    val day0Ids = graft.Tables.documents(spark, dir)
+      .filter(col("source") === Dedup.IncBatchSrc)
+      .select("doc_id")
+    val dec0 = maintainBatch(spark, dir, prefix, day0Ids, 0L)
+      .getOrElse(sys.error("st08: fresh index claims day 0 already maintained"))
+    if (maintainBatch(spark, dir, prefix, day0Ids, 0L).nonEmpty)
+      sys.error("st08: replayed batch 0 was not ledger-skipped")
+    val day1Ids = day0Ids.select((col("doc_id") + lit(DayOffset)).as("doc_id"))
+    val dec1 = maintainBatch(spark, dir, prefix, day1Ids, 1L)
+      .getOrElse(sys.error("st08: day 1 already maintained on a fresh index"))
+    persistLock.synchronized { lastCycle(key) = (prefix, path) }
+    dec0.select(lit(0).as("day"), col("batch_doc"), col("dup_of"), col("est_jaccard"))
+      .unionByName(dec1.select(lit(1).as("day"), col("batch_doc"),
+        col("dup_of"), col("est_jaccard")))
+      .orderBy("batch_doc")
+  }
+
   /** Drop the registered tables (files under `path` are external and
     * survive; callers own that directory's lifecycle). */
   def drop(spark: SparkSession, prefix: String = "graft_corpus"): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS ${bandsTable(prefix)}")
     spark.sql(s"DROP TABLE IF EXISTS ${sigsTable(prefix)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${ledgerTable(prefix)}")
   }
 }

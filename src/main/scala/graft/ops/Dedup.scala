@@ -832,7 +832,18 @@ object Dedup {
     // flatness over the append history is measured in
     // tools/CompactBench (SCALE_NOTES "index compaction").
     "dd17_index_compact" -> ((s, d) =>
-      BandIndex.freshCycle(s, d, "dd17", appendSlices = 4, doCompact = true))
+      BandIndex.freshCycle(s, d, "dd17", appendSlices = 4, doCompact = true)),
+
+    // RETENTION under the oracle gate — the day-N lifecycle's third
+    // verb (append = dd16, compact = dd17, retire = here): probe the
+    // fresh index (phase 0), retire RetiredSrcs' docs via the
+    // bucket-preserving filtered rewrite, re-probe (phase 1). The
+    // oracle replays phase 1 with the corpus CTEs filtered by the
+    // same source predicate — the engine must behave as if the
+    // retired docs were never indexed (their dup targets flip to
+    // novel or fall back to surviving matches).
+    "dd18_index_retention" -> ((s, d) =>
+      BandIndex.retentionCycle(s, d, "dd18"))
   )
 
   /** Power-iteration PageRank over the near-dup graph (g01's body,
@@ -976,7 +987,77 @@ object Dedup {
     // rewrite, so the decision table is DEFINED identical to dd16's —
     // the oracle is the same SQL.
     ("dd17_index_compact" -> dd16OracleSql) +
-    ("dd16_index_append" -> dd16OracleSql)
+    ("dd16_index_append" -> dd16OracleSql) +
+    ("dd18_index_retention" -> dd18OracleSql)
+
+  /** Two-phase replay of the retention cycle: phase 0 probes the full
+    * corpus; phase 1 probes the corpus MINUS [[BandIndex.RetiredSrcs]]
+    * — the SQL-level definition of "behaves as if the retired docs
+    * were never indexed". */
+  private lazy val dd18OracleSql: String = {
+    val retired = BandIndex.RetiredSrcs.map(s => s"'$s'").mkString(", ")
+    s"""WITH $minhashCte,
+       |src AS (SELECT doc_id, source FROM documents),
+       |bands AS (
+       |  $bandSelects
+       |),
+       |bb AS (SELECT b.* FROM bands b JOIN src s ON s.doc_id = b.doc_id
+       |       WHERE s.source = '$IncBatchSrc'),
+       |cb AS (SELECT b.* FROM bands b JOIN src s ON s.doc_id = b.doc_id
+       |       WHERE s.source <> '$IncBatchSrc'),
+       |cbr AS (SELECT b.* FROM bands b JOIN src s ON s.doc_id = b.doc_id
+       |        WHERE s.source <> '$IncBatchSrc'
+       |          AND s.source NOT IN ($retired)),
+       |bdocs AS (SELECT doc_id FROM documents WHERE source = '$IncBatchSrc'),
+       |cand0 AS (
+       |  SELECT DISTINCT bb.doc_id AS batch_doc, cb.doc_id AS corpus_doc
+       |  FROM bb JOIN cb ON bb.key = cb.key AND bb.band = cb.band
+       |),
+       |v0 AS (
+       |  SELECT batch_doc, corpus_doc,
+       |         CAST($matchSum AS DOUBLE) / $MinhashK.0 AS est_jaccard
+       |  FROM cand0
+       |  JOIN sigs sa ON sa.doc_id = batch_doc
+       |  JOIN sigs sb ON sb.doc_id = corpus_doc
+       |  WHERE CAST($matchSum AS DOUBLE) / $MinhashK.0 >= 0.5
+       |),
+       |best0 AS (
+       |  SELECT batch_doc, corpus_doc AS dup_of, est_jaccard,
+       |         row_number() OVER (PARTITION BY batch_doc
+       |                            ORDER BY est_jaccard DESC, corpus_doc) AS rn
+       |  FROM v0
+       |),
+       |dec0 AS (
+       |  SELECT 0 AS phase, d.doc_id AS batch_doc, b.dup_of, b.est_jaccard
+       |  FROM bdocs d LEFT JOIN best0 b ON b.batch_doc = d.doc_id AND b.rn = 1
+       |),
+       |cand1 AS (
+       |  SELECT DISTINCT bb.doc_id AS batch_doc, cbr.doc_id AS corpus_doc
+       |  FROM bb JOIN cbr ON bb.key = cbr.key AND bb.band = cbr.band
+       |),
+       |v1 AS (
+       |  SELECT batch_doc, corpus_doc,
+       |         CAST($matchSum AS DOUBLE) / $MinhashK.0 AS est_jaccard
+       |  FROM cand1
+       |  JOIN sigs sa ON sa.doc_id = batch_doc
+       |  JOIN sigs sb ON sb.doc_id = corpus_doc
+       |  WHERE CAST($matchSum AS DOUBLE) / $MinhashK.0 >= 0.5
+       |),
+       |best1 AS (
+       |  SELECT batch_doc, corpus_doc AS dup_of, est_jaccard,
+       |         row_number() OVER (PARTITION BY batch_doc
+       |                            ORDER BY est_jaccard DESC, corpus_doc) AS rn
+       |  FROM v1
+       |),
+       |dec1 AS (
+       |  SELECT 1 AS phase, d.doc_id AS batch_doc, b.dup_of, b.est_jaccard
+       |  FROM bdocs d LEFT JOIN best1 b ON b.batch_doc = d.doc_id AND b.rn = 1
+       |)
+       |SELECT * FROM dec0
+       |UNION ALL
+       |SELECT * FROM dec1
+       |ORDER BY phase, batch_doc""".stripMargin
+  }
 
   private lazy val dd16OracleSql: String =
       s"""WITH $minhashCte,

@@ -625,7 +625,18 @@ object Streams {
     // decisions are order-dependent by design, so the oracle replays
     // the two phases verbatim, shifted ids included.
     "st07_stream_index_maintain" -> ((s, d) =>
-      graft.ops.BandIndex.sequencedCycle(s, d, "st07"))
+      graft.ops.BandIndex.sequencedCycle(s, d, "st07")),
+
+    // st07's cycle driven through the ledger-guarded maintainBatch
+    // sink, with day 0 REPLAYED in between — the batch analog of a
+    // checkpoint restart that lost day 0's commit marker. The ledger
+    // (stored WITH the index) turns the replay into a whole-batch
+    // no-op; a second mutation would flip every day-0 novel to
+    // dup_of-itself on day 1, which the shared two-phase oracle
+    // would catch. StreamingSpec additionally proves the replay path
+    // through a REAL checkpoint restart (commit marker deleted).
+    "st08_stream_exactly_once" -> ((s, d) =>
+      graft.ops.BandIndex.replayedCycle(s, d, "st08"))
   )
 
   val oracle: Map[String, String] = oracleBase +
@@ -634,7 +645,11 @@ object Streams {
     // a divergence means the persisted layout (or the bkey-join path)
     // changed the dataflow's semantics.
     ("st06_stream_index_probe" -> oracleBase("st05_stream_neardup")) +
-    ("st07_stream_index_maintain" -> st07OracleSql)
+    ("st07_stream_index_maintain" -> st07OracleSql) +
+    // st08 = st07's decisions, with a ledger-skipped replay in the
+    // middle; DEFINED identical, so the oracle is the same SQL — a
+    // divergence means the replay mutated the index after all.
+    ("st08_stream_exactly_once" -> st07OracleSql)
 
   /** Two-phase CTE replay of the sequenced maintenance loop: day 0
     * probes the batch against the corpus bands; its unmatched docs'

@@ -202,6 +202,79 @@ class BandIndexSpec extends SparkSpec {
     }
   }
 
+  test("retention: retired docs vanish from decisions; layout, file count and no-exchange survive") {
+    import org.apache.spark.sql.functions.col
+    val prefix = BandIndex.ensurePersisted(spark, sf, "specretire")
+    val before = BandIndex.probe(spark, sf, prefix).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val docs = graft.Tables.documents(spark, sf)
+    val expired = docs.filter(col("source").isin(BandIndex.RetiredSrcs: _*))
+      .select("doc_id")
+    val expiredIds = expired.collect().map(_.getLong(0)).toSet
+    // fixture must make the retention observable: some batch doc's
+    // dup target is retired
+    val affected = before.collect {
+      case (id, Some(d)) if expiredIds(d) => id
+    }.toSet
+    assert(affected.nonEmpty, "no batch doc targeted a retired source")
+
+    BandIndex.retire(spark, prefix, expired)
+
+    // decisions equal the derived-frame probe over the FILTERED
+    // corpus — the index behaves as if the retired docs were never in
+    val (cbands, csigs) = Dedup.corpusIndex(spark, sf)
+    val keep = docs.filter(!col("source").isin(BandIndex.RetiredSrcs: _*))
+      .select(col("doc_id").as("corpus_doc"))
+    val expected = Dedup.incrementalDecisions(spark, sf,
+        cbands.join(keep, "corpus_doc")
+          .select(org.apache.spark.sql.functions
+            .concat_ws(":", col("band"), col("key")).as("bkey"), col("corpus_doc")),
+        csigs.join(keep, "corpus_doc").select(csigs.columns.map(col): _*))
+      .collect().map(_.toString).toSeq
+    val after = BandIndex.probe(spark, sf, prefix)
+    assert(after.collect().map(_.toString).toSeq == expected,
+      "post-retention decisions diverge from a never-indexed corpus")
+    // no retired doc survives as a dup target
+    after.collect().foreach { r =>
+      if (!r.isNullAt(1))
+        assert(!expiredIds(r.getLong(1)), s"retired doc still matched: $r")
+    }
+
+    // retention is also a compaction: one file per (non-empty) bucket
+    Seq(BandIndex.bandsTable(prefix), BandIndex.sigsTable(prefix)).foreach { t =>
+      val files = BandIndex.tableFiles(spark, t)
+      assert(files.size <= BandIndex.Buckets,
+        s"$t not rewritten to one file per bucket: ${files.size}")
+    }
+
+    // and the no-corpus-exchange plan property survives the rewrite
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = BandIndex.probe(spark, sf, prefix)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = probe.queryExecution.executedPlan
+      val scans = indexScans(plan, "graft-bandidx-specretire")
+      assert(scans.size == 2 && scans.forall(_.bucketedScan),
+        s"retention broke the bucketed layout:\n$plan")
+      def pathsToIndexScans(p: SparkPlan,
+          above: List[SparkPlan]): Seq[List[SparkPlan]] = p match {
+        case s: FileSourceScanExec
+            if indexScans(s, "graft-bandidx-specretire").nonEmpty => Seq(above)
+        case _ => p.children.flatMap(c => pathsToIndexScans(c, p :: above))
+      }
+      pathsToIndexScans(plan, Nil).foreach { above =>
+        val belowJoin = above.takeWhile(n =>
+          !n.nodeName.toLowerCase.contains("join"))
+        assert(!belowJoin.exists(_.isInstanceOf[ShuffleExchangeExec]),
+          s"corpus-side exchange appeared after retention:\n$plan")
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("dd17 compacted-cycle decisions equal dd16's fresh-cycle decisions") {
     val d16 = graft.SparkEntry.queries("dd16_index_append")(spark, sf)
       .collect().map(_.toString).toSeq

@@ -583,6 +583,85 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("checkpoint replay of the maintenance batch is a ledger-skipped no-op (st08)") {
+    // The exactly-once property for the ingest-maintenance loop: a
+    // restarted query REPLAYS any batch whose commit marker was lost,
+    // with the same batchId, against an index the first run already
+    // mutated. maintainBatch's ledger (stored with the index) must
+    // turn that replay into a whole-batch no-op — no duplicate
+    // decisions, no duplicate index rows — across a REAL JVM-level
+    // restart boundary: we run the stream, stop it, delete the
+    // commit marker for batch 0 from the checkpoint, restart, and
+    // let Structured Streaming re-run batch 0 for real.
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorExprs.register(spark)
+    val sf = "/root/testdata/sf0.001"
+    val Off = graft.ops.BandIndex.DayOffset
+    val path = Files.createTempDirectory("graft-st08spec").toString
+    val prefix = s"graft_st08spec_${System.nanoTime()}"
+    graft.ops.BandIndex.persist(spark, sf, path, prefix)
+    val srcDir = Files.createTempDirectory("graft-st08src").toString
+    val ckpt = Files.createTempDirectory("graft-st08ckpt").toString
+    val batchDocs = graft.Tables.documents(spark, sf)
+      .filter(col("source") === graft.ops.Dedup.IncBatchSrc)
+      .select("doc_id")
+    batchDocs.coalesce(1).write.parquet(s"$srcDir/part_day0")
+
+    val runs = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean, Long)]
+    def startQuery() = spark.readStream
+      .schema(spark.read.parquet(s"$srcDir/part_day0").schema)
+      .parquet(s"$srcDir/part_*")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val ids = df.select(col("doc_id")).localCheckpoint()
+        val dec = graft.ops.BandIndex.maintainBatch(spark, sf, prefix, ids, batchId)
+        runs.synchronized { runs += ((batchId, dec.isDefined, dec.map(_.count()).getOrElse(0L))) }
+        ()
+      }
+      .start()
+
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    val sigRows = spark.table(graft.ops.BandIndex.sigsTable(prefix)).count()
+    val bandRows = spark.table(graft.ops.BandIndex.bandsTable(prefix)).count()
+    assert(runs.toList == List((0L, true, 25L)),
+      s"first run should maintain batch 0 once: $runs")
+
+    // lose batch 0's commit marker — the restart must now replay it
+    // (the local checksum FS keeps a .crc sidecar; drop it with the
+    // marker or the replay's own commit rename fails)
+    val marker = Paths.get(ckpt, "commits", "0")
+    assert(Files.deleteIfExists(marker), s"no commit marker at $marker")
+    Files.deleteIfExists(Paths.get(ckpt, "commits", ".0.crc"))
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    try {
+      assert(runs.toList == List((0L, true, 25L), (0L, false, 0L)),
+        s"replayed batch 0 was not ledger-skipped: $runs")
+      assert(spark.table(graft.ops.BandIndex.sigsTable(prefix)).count() == sigRows,
+        "replay double-appended signature rows")
+      assert(spark.table(graft.ops.BandIndex.bandsTable(prefix)).count() == bandRows,
+        "replay double-appended band rows")
+      // and the index still LEARNED: every day-0 novel's shifted copy
+      // resolves to its appended twin after the restart
+      val novels = graft.ops.BandIndex.probeIds(spark, sf, prefix, batchDocs)
+        .filter(col("dup_of").isNull).select("batch_doc")
+        .collect().map(_.getLong(0))
+      // (probeIds post-append: previously-novel docs now match
+      // themselves at est 1.0, so derive day-0 novels from the run log
+      // instead — the index already contains them)
+      val day1 = graft.ops.BandIndex.probeIds(spark, sf, prefix,
+          batchDocs.select((col("doc_id") + Off).as("doc_id")))
+        .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      val learned = day1.count { case (id, dup) => dup.contains(id - Off) }
+      assert(learned > 0, "no day-1 copy resolved to its day-0 twin post-restart")
+      assert(novels.isEmpty,
+        s"appended novels should now self-match, got novel: ${novels.toList}")
+    } finally graft.ops.BandIndex.drop(spark, prefix)
+  }
+
   test("streaming session windows merge across micro-batches and equal the batch sessions (st03)") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
