@@ -42,7 +42,9 @@ object Bench {
     "st05_stream_neardup", "st06_stream_index_probe", "sim13_multiprobe_recall",
     "q2_min_cost_supp", "q9_product_profit", "q21_waiting_supplier",
     "cur07_perplexity_filter", "dd15_bucketed_probe", "j14_sketch_skew_join",
-    "dd16_index_append", "dd17_index_compact")
+    "dd16_index_append", "dd17_index_compact",
+    "dd18_index_retention", "st07_stream_index_maintain",
+    "st08_stream_exactly_once", "sim14_ivf_index_probe")
 
   // Locale.ROOT: the f-interpolator honors the default locale, and a
   // comma decimal separator would corrupt the JSON

@@ -74,14 +74,14 @@ object BandIndex {
     }, "graft-bandidx-cleanup"))
   }
 
-  private def newTempDir(tag: String): String = {
+  private[ops] def newTempDir(tag: String): String = {
     val p = java.nio.file.Files
       .createTempDirectory(s"graft-bandidx-$tag").toString
     tempDirs.put(p, true)
     p
   }
 
-  private def retireTempDir(path: String): Unit = {
+  private[ops] def retireTempDir(path: String): Unit = {
     tempDirs.remove(path)
     deleteDir(path)
   }

@@ -819,7 +819,17 @@ object Similarity {
           coalesce(col("ivf2_hits_p1"), lit(0L)).as("ivf2_hits_p1"),
           coalesce(col("ivf2_hits_mp"), lit(0L)).as("ivf2_hits_mp"))
         .orderBy("query_id")
-    })
+    }),
+
+    // sim04's decisions served from the PERSISTED IVF cell table
+    // (ops/VecIndex): the corpus × centroids assignment pass — the
+    // index build — runs once per (session, dir) and lands as a
+    // cluster-bucketed parquet table; every probe then reads it with
+    // no re-scoring pass and no corpus-side movement (the query
+    // batch broadcasts). Decisions are DEFINED identical to sim04's,
+    // so the oracle is the same SQL — the ANN analog of dd15.
+    "sim14_ivf_index_probe" -> ((s, d) =>
+      VecIndex.probe(s, d, VecIndex.ensurePersisted(s, d)))
   )
 
   /** Per-subspace Lloyd-trained PQ codebook: [[PqTrainIters]]
@@ -1200,6 +1210,11 @@ object Similarity {
     "sim02_lsh_ann" -> lshSql(1),
 
     "sim04_ivf_ann" -> sim04Sql,
+
+    // sim14 = sim04 probed via the persisted cell table; decisions
+    // defined identical, so a divergence means the persisted layout
+    // changed the dataflow's semantics — what the gate must catch.
+    "sim14_ivf_index_probe" -> sim04Sql,
 
     "sim11_ann_recall" ->
       s"""WITH bf AS (
