@@ -44,7 +44,8 @@ object Bench {
     "cur07_perplexity_filter", "dd15_bucketed_probe", "j14_sketch_skew_join",
     "dd16_index_append", "dd17_index_compact",
     "dd18_index_retention", "st07_stream_index_maintain",
-    "st08_stream_exactly_once", "sim14_ivf_index_probe")
+    "st08_stream_exactly_once", "sim14_ivf_index_probe",
+    "st09_stream_ann_probe")
 
   // Locale.ROOT: the f-interpolator honors the default locale, and a
   // comma decimal separator would corrupt the JSON

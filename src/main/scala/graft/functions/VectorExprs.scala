@@ -675,7 +675,13 @@ object VectorExprs {
     "mg_sketch" -> (exprs =>
       MisraGries(exprs.head, graft.ops.Analytics.HeavyK)),
     "hilbert_index" -> (exprs =>
-      HilbertIndex(exprs(0), exprs(1), graft.ops.Layout.ZBits)))
+      HilbertIndex(exprs(0), exprs(1), graft.ops.Layout.ZBits)),
+    "topk_struct" -> (exprs => TopKStructs(exprs(0), exprs(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v,
+          org.apache.spark.sql.types.IntegerType) => v.asInstanceOf[Int]
+      case other => throw new IllegalArgumentException(
+        s"topk_struct k must be an integer literal, got $other")
+    })))
 
   /** Inject the functions through the `SparkSessionExtensions` hook —
     * how a production library ships them (set

@@ -114,6 +114,65 @@ object VecIndex {
       .orderBy("query_id", "neighbor_id")
   }
 
+  /** Streaming-safe ANN top-k core — the dataflow shared by the
+    * batch catalog entry `st09_stream_ann_probe` (Streams.scala) and
+    * the real readStream form StreamingSpec drives. `queries`
+    * (query_id, embedding, ts) may be an unbounded streaming frame,
+    * so every construct is streaming-legal:
+    *
+    *   - per-query probe-cell selection is ONE stateless projection:
+    *     the K-sized centroid set rides in as a broadcast 1-row
+    *     array, and higher-order functions (transform → array_sort →
+    *     slice) rank it per query — no window function, no separate
+    *     stateful aggregation;
+    *   - candidates come from a stream-static inner join against the
+    *     persisted cell table (the corpus never moves);
+    *   - the per-query top-k is ONE windowed aggregation over the
+    *     bounded [[graft.functions.TopKStructs]] state (K rows per
+    *     key, never cell-proportional — `collect_list`+sort would
+    *     accumulate every candidate in state, the streaming
+    *     scale-killer this aggregate exists to avoid), with the
+    *     (negated-cosine, neighbor_id) struct prefix encoding
+    *     sim04's (cos DESC, id ASC) order.
+    *
+    * Output: one row per (arrival window, query, ranked neighbor) —
+    * sim04's decision columns behind a window_start, the st05
+    * convention. */
+  def annTopK(spark: SparkSession, dir: String, queries: DataFrame,
+      cells: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{collect_list, date_format, explode, struct, window}
+    VectorExprs.register(spark)
+    val centArr = centroids(spark, dir)
+      .agg(collect_list(struct(col("cent_id"), col("ce"))).as("cents"))
+    val probes = queries
+      .crossJoin(broadcast(centArr))
+      .select(col("query_id"), col("ts"), col("embedding").as("qe"),
+        explode(expr(
+          s"""slice(
+             |  transform(
+             |    array_sort(transform(cents,
+             |      c -> struct(-cosine_sim(embedding, c.ce) AS nc,
+             |                  c.cent_id AS cent_id))),
+             |    s -> s.cent_id),
+             |  1, ${Similarity.IvfNProbe})""".stripMargin)).as("cluster"))
+    val cand = cells.join(probes, Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", expr("cosine_sim(qe, embedding)"))
+    cand
+      .select(col("query_id"), col("ts"),
+        struct((-col("cos")).as("nc"), col("vec_id").as("neighbor_id"),
+          col("cluster"), round(col("cos"), 6).as("cosine")).as("s"))
+      .groupBy(window(col("ts"), "10 minutes"), col("query_id"))
+      .agg(expr(s"topk_struct(s, ${Similarity.LshK})").as("top"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("query_id"), explode(col("top")).as("t"))
+      .select(col("window_start"), col("query_id"),
+        col("t.neighbor_id").as("neighbor_id"),
+        col("t.cluster").as("cluster"),
+        col("t.cosine").as("cosine"))
+  }
+
   // Idempotent persist registry — same shape and rationale as
   // BandIndex.ensurePersisted: the index is a durable artifact, the
   // bench's repeated sweeps re-time the PROBE (the production read

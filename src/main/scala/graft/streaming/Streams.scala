@@ -437,6 +437,18 @@ object Streams {
     graft.ops.Dedup.nearDupDecisions(
       docs.withWatermark("ts", delay), corpusBands, corpusSigs)
 
+  /** ANN serving as a stream (st09's real readStream form): arriving
+    * query vectors probe the persisted IVF cell table; per-query
+    * top-k emits within the arrival window through the K-bounded
+    * `topk_struct` aggregate. Same state story as
+    * [[nearDupDedupStream]] — the watermark frees each window's
+    * K-row-per-query state; see [[graft.ops.VecIndex!.annTopK]]. */
+  def annProbeStream(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, cells: DataFrame,
+      delay: String = "30 minutes"): DataFrame =
+    graft.ops.VecIndex.annTopK(spark, dir,
+      queries.withWatermark("ts", delay), cells)
+
   // ------------------------------------------------------------------
   // Custom streaming state: trip segmentation
   // ------------------------------------------------------------------
@@ -636,7 +648,29 @@ object Streams {
     // would catch. StreamingSpec additionally proves the replay path
     // through a REAL checkpoint restart (commit marker deleted).
     "st08_stream_exactly_once" -> ((s, d) =>
-      graft.ops.BandIndex.replayedCycle(s, d, "st08"))
+      graft.ops.BandIndex.replayedCycle(s, d, "st08")),
+
+    // ANN SERVING as a stream — the vector-family analog of st06: a
+    // query-vector stream (synthetic deterministic arrival times)
+    // selects its probe cells via broadcast centroids in one
+    // stateless projection, joins the PERSISTED cell table
+    // (VecIndex/sim14 — the corpus never moves), and emits each
+    // query's top-k within its arrival window through the
+    // K-bounded topk_struct aggregate (state = K rows per query,
+    // never cell-proportional). Batch analog of the shared core;
+    // StreamingSpec drives the same dataflow through a real
+    // readStream. Decisions = sim04's behind a window_start.
+    "st09_stream_ann_probe" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, expr}
+      val queries = graft.Tables.embeddings(s, d)
+        .filter(col("vec_id") < graft.ops.Similarity.KnnQueries)
+        .select(col("vec_id").as("query_id"), col("embedding"),
+          expr("timestamp'2024-01-01 00:00:00' + make_dt_interval(0, 0, 0, vec_id)").as("ts"))
+      val prefix = graft.ops.VecIndex.ensurePersisted(s, d)
+      graft.ops.VecIndex.annTopK(s, d, queries, s.table(
+          graft.ops.VecIndex.cellsTable(prefix)))
+        .orderBy("query_id", "neighbor_id")
+    })
   )
 
   val oracle: Map[String, String] = oracleBase +
@@ -649,7 +683,28 @@ object Streams {
     // st08 = st07's decisions, with a ledger-skipped replay in the
     // middle; DEFINED identical, so the oracle is the same SQL — a
     // divergence means the replay mutated the index after all.
-    ("st08_stream_exactly_once" -> st07OracleSql)
+    ("st08_stream_exactly_once" -> st07OracleSql) +
+    // st09 = sim04's decisions behind the arrival window (same
+    // synthetic ts convention as st05): the streamed top-k must
+    // equal the batch IVF ANN row for row.
+    ("st09_stream_ann_probe" -> st09OracleSql)
+
+  private lazy val st09OracleSql: String = {
+    import graft.ops.Similarity.KnnQueries
+    s"""WITH t AS (
+       |  ${graft.ops.Similarity.oracle("sim04_ivf_ann")}
+       |),
+       |q AS (
+       |  SELECT vec_id AS query_id,
+       |         TIMESTAMP '2024-01-01 00:00:00' + vec_id * INTERVAL 1 SECOND AS ts
+       |  FROM embeddings WHERE vec_id < $KnnQueries
+       |)
+       |SELECT strftime(to_timestamp(CAST(floor(epoch(q.ts) / 600) AS BIGINT) * 600),
+       |                '%Y-%m-%d %H:%M:%S') AS window_start,
+       |       t.query_id, t.neighbor_id, t.cluster, t.cosine
+       |FROM t JOIN q ON q.query_id = t.query_id
+       |ORDER BY t.query_id, t.neighbor_id""".stripMargin
+  }
 
   /** Two-phase CTE replay of the sequenced maintenance loop: day 0
     * probes the batch against the corpus bands; its unmatched docs'

@@ -123,7 +123,8 @@ object ScaleStress {
       "dd15_bucketed_probe", "j14_sketch_skew_join", "dd16_index_append",
       "dd17_index_compact", "st06_stream_index_probe",
       "st07_stream_index_maintain", "st08_stream_exactly_once",
-      "dd18_index_retention", "sim14_ivf_index_probe")
+      "dd18_index_retention", "sim14_ivf_index_probe",
+      "st09_stream_ann_probe")
     // SPARK_GRAFT_QUERIES=dd04_simhash,sim04_ivf_ann → time only those
     // (fast iteration on one operator without the 25-query sweep)
     val headline = sys.env.get("SPARK_GRAFT_QUERIES") match {

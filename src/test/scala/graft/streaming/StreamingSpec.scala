@@ -583,6 +583,64 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming ANN probe of the persisted vector index equals the batch top-k (st09)") {
+    // ANN serving as a stream: query vectors arrive over multiple
+    // micro-batches, select probe cells via broadcast centroids in a
+    // stateless projection, stream-static join the persisted cell
+    // table, and emit per-query top-k through the K-bounded
+    // topk_struct aggregate. Must equal the batch analog row for row.
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorExprs.register(spark)
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("st09_stream_ann_probe")(spark, sf).collect()
+    assert(batch.nonEmpty, "batch analog returned no rows")
+    val prefix = graft.ops.VecIndex.ensurePersisted(spark, sf)
+    val srcDir = Files.createTempDirectory("graft-st09").toString
+    def stamp(sub: String): Unit = {
+      val t = mtimeClock.addAndGet(2000)
+      Files.walk(Paths.get(srcDir, sub)).iterator().forEachRemaining { p =>
+        if (Files.isRegularFile(p))
+          Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime.fromMillis(t))
+      }
+    }
+    val queries = graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < graft.ops.Similarity.KnnQueries)
+      .select(col("vec_id").as("query_id"), col("embedding"),
+        expr("timestamp'2024-01-01 00:00:00' + make_dt_interval(0, 0, 0, vec_id)").as("ts"))
+    queries.filter(col("query_id") % 2 === 0).coalesce(1).write.parquet(s"$srcDir/part_a")
+    stamp("part_a")
+    queries.filter(col("query_id") % 2 =!= 0).coalesce(1).write.parquet(s"$srcDir/part_b")
+    stamp("part_b")
+    // two far-future flush queries in separate, later files: the
+    // first advances the watermark past every real 10-min window,
+    // the second's micro-batch emits those closed windows
+    Seq(("999999998", "2024-06-01"), ("999999999", "2024-06-02"))
+      .zipWithIndex.foreach { case ((id, day), i) =>
+        graft.Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+          .select(lit(id.toLong).as("query_id"), col("embedding"),
+            expr(s"timestamp'$day 00:00:00'").as("ts"))
+          .coalesce(1).write.parquet(s"$srcDir/part_z$i")
+        stamp(s"part_z$i")
+      }
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$srcDir/part_a").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$srcDir/part_*")
+    val q = Streams.annProbeStream(spark, sf, stream,
+        spark.table(graft.ops.VecIndex.cellsTable(prefix)))
+      .writeStream.format("memory").queryName("st09_out").outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("st09_out")
+        .filter(col("query_id") < 999999998L)
+        .orderBy("query_id", "neighbor_id").collect()
+      assert(streamed.nonEmpty, "no streamed ANN rows emitted")
+      assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq,
+        "streamed ANN top-k diverges from the batch analog")
+    } finally q.stop()
+  }
+
   test("checkpoint replay of the maintenance batch is a ledger-skipped no-op (st08)") {
     // The exactly-once property for the ingest-maintenance loop: a
     // restarted query REPLAYS any batch whose commit marker was lost,
