@@ -21,7 +21,7 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   /** Fixed headline subset — stable across rounds so per-query diffs work. */
-  private val headline: Vector[String] = Vector(
+  private[graft] val headline: Vector[String] = Vector(
     "q1_pricing", "q17_small_qty", "q18_big_orders",
     "a01_report", "a13_percentiles", "a15_approx_distinct",
     "j01_broadcast_join", "j02_sortmerge_join", "j08_asof_join",

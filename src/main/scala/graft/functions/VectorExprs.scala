@@ -678,7 +678,14 @@ object VectorExprs {
       HilbertIndex(exprs(0), exprs(1), graft.ops.Layout.ZBits)),
     "topk_struct" -> (exprs => TopKStructs(exprs(0), exprs(1) match {
       case org.apache.spark.sql.catalyst.expressions.Literal(v,
-          org.apache.spark.sql.types.IntegerType) => v.asInstanceOf[Int]
+          org.apache.spark.sql.types.IntegerType) =>
+        // k <= 0 would otherwise surface as an opaque
+        // NoSuchElementException from insert()'s buf.last on the
+        // first row — reject at analysis time instead (round-10
+        // ADVICE)
+        val k = v.asInstanceOf[Int]
+        require(k > 0, s"topk_struct k must be positive, got $k")
+        k
       case other => throw new IllegalArgumentException(
         s"topk_struct k must be an integer literal, got $other")
     })))

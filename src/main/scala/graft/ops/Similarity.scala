@@ -829,7 +829,31 @@ object Similarity {
     // batch broadcasts). Decisions are DEFINED identical to sim04's,
     // so the oracle is the same SQL — the ANN analog of dd15.
     "sim14_ivf_index_probe" -> ((s, d) =>
-      VecIndex.probe(s, d, VecIndex.ensurePersisted(s, d)))
+      VecIndex.probe(s, d, VecIndex.ensurePersisted(s, d))),
+
+    // Round 11: the vector index's day-N lifecycle, mirroring the
+    // band index's dd16/dd17/dd18 verbs (VERDICT r10 item 2). Each
+    // runs a FULL fresh cycle per invocation (honest bench timing,
+    // per-phase wall times in the artifact's "phases" map).
+    //
+    // sim15 = build on 3/4 of the corpus, append the rest, probe:
+    // the final index equals the full build (same centroids, same
+    // per-vector argmax), so the oracle is sim04's — a divergence
+    // means append broke the bucket layout or the assignment.
+    "sim15_vec_index_append" -> ((s, d) =>
+      VecIndex.appendCycle(s, d, "sim15")),
+
+    // sim16 = sim15 with the append in 3 day-slices (file growth)
+    // and a per-bucket compaction rewrite before the probe.
+    "sim16_vec_index_compact" -> ((s, d) =>
+      VecIndex.compactCycle(s, d, "sim16")),
+
+    // sim17 = retention: probe (phase 0), retire exactly the
+    // neighbors phase 0 returned, re-probe (phase 1) — every query's
+    // top-k must re-fill from surviving cell members, and the oracle
+    // replays phase 1 against a corpus that never held them.
+    "sim17_vec_retention" -> ((s, d) =>
+      VecIndex.retentionCycle(s, d, "sim17"))
   )
 
   /** Per-subspace Lloyd-trained PQ codebook: [[PqTrainIters]]
@@ -1143,7 +1167,12 @@ object Similarity {
        |  FROM pairs) t
        |WHERE rn <= $KnnK ORDER BY query_id, neighbor_id""".stripMargin
 
-  private lazy val sim04Sql: String =
+  /** sim04's full query with an injectable corpus-membership
+    * predicate on the `assigned` CTE — `TRUE` is the plain sim04;
+    * sim17's retention oracle filters the indexed corpus while
+    * queries and centroids (raw-table frames) stay intact, exactly
+    * mirroring what [[VecIndex.retire]] does to the cell table. */
+  private[graft] def sim04SqlWhere(assignedPred: String): String =
     s"""WITH $normedCte,
        |cents AS (
        |  SELECT vec_id AS cent_id, embedding AS ce, norm AS cnorm
@@ -1158,7 +1187,7 @@ object Similarity {
        |),
        |assigned AS (
        |  SELECT vec_id, cent_id AS cluster, embedding, norm
-       |  FROM scored WHERE crn = 1
+       |  FROM scored WHERE crn = 1 AND ($assignedPred)
        |),
        |probes AS (
        |  SELECT vec_id AS query_id, cent_id AS cluster, embedding AS qe, norm AS qn
@@ -1175,6 +1204,23 @@ object Similarity {
        |                               ORDER BY cos DESC, neighbor_id ASC) AS rn
        |  FROM pairs) t
        |WHERE rn <= $LshK ORDER BY query_id, neighbor_id""".stripMargin
+
+  private lazy val sim04Sql: String = sim04SqlWhere("TRUE")
+
+  /** sim17's two-phase retention oracle: phase 0 = sim04 on the full
+    * corpus; phase 1 = sim04 with the indexed corpus filtered by
+    * NOT IN (phase 0's distinct neighbors) — the exact set the engine
+    * retires. Queries/centroids read the raw table in both engines,
+    * so only the `assigned` membership changes. */
+  private[graft] lazy val sim17Sql: String =
+    s"""WITH p0 AS (SELECT * FROM ( ${sim04SqlWhere("TRUE")} ) t0),
+       |p1 AS (SELECT * FROM (
+       |  ${sim04SqlWhere("vec_id NOT IN (SELECT DISTINCT neighbor_id FROM p0)")}
+       |) t1)
+       |SELECT 0 AS phase, query_id, neighbor_id, cluster, cosine FROM p0
+       |UNION ALL
+       |SELECT 1 AS phase, query_id, neighbor_id, cluster, cosine FROM p1
+       |ORDER BY phase, query_id, neighbor_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "sim05_norm_quant" ->
@@ -1215,6 +1261,16 @@ object Similarity {
     // defined identical, so a divergence means the persisted layout
     // changed the dataflow's semantics — what the gate must catch.
     "sim14_ivf_index_probe" -> sim04Sql,
+
+    // sim15/sim16 = sim04 served from an index grown by append (and
+    // compacted, for sim16): the final index contents equal the full
+    // build, so the oracle is unchanged — the lifecycle must be
+    // invisible to the decisions.
+    "sim15_vec_index_append" -> sim04Sql,
+    "sim16_vec_index_compact" -> sim04Sql,
+
+    // sim17 = the two-phase retention cycle (see sim17Sql).
+    "sim17_vec_retention" -> sim17Sql,
 
     "sim11_ann_recall" ->
       s"""WITH bf AS (

@@ -36,11 +36,25 @@ import graft.functions.VectorExprs
   * `vec_id < K` filter (centroids / query batch — bounded frames),
   * i.e. the corpus assignment pass is GONE from the read path.
   *
-  * Maintenance verbs follow [[BandIndex]] unchanged — bucketBy is
-  * append-stable for admitting new vectors to their cells, and the
-  * compaction/retention rewrites are key-agnostic — so they are not
-  * duplicated here; the band index is where those cycles are proven
-  * under the oracle gate (dd16/dd17/dd18).
+  * Round 11 gives this index the full day-N lifecycle its BandIndex
+  * sibling has — the same three verbs, proven under the oracle gate:
+  *
+  *   - [[append]] (sim15): assign a NEW embedding batch to cells
+  *     (batch × broadcast centroids — the corpus is never
+  *     re-assigned) and insert into the bucketed cell table; bucketBy
+  *     is stable under append, so the probe's one-scan/pushed-bounds
+  *     plan property survives (VecIndexSpec re-asserts it);
+  *   - [[compact]] (sim16): [[BandIndex.compactTable]]'s per-bucket
+  *     local rewrite applied to the cell table (key-agnostic — same
+  *     zero-exchange one-file-per-bucket rewrite);
+  *   - [[retire]] (sim17): right-to-be-forgotten for embeddings —
+  *     the compaction rewrite with a broadcast anti-join on `vec_id`;
+  *     post-retire probes behave as if the vectors were never
+  *     indexed;
+  *   - [[maintainBatch]] (st10): the ledger-guarded exactly-once
+  *     append, sharing BandIndex's storage-resident ledger machinery
+  *     — a replayed batch (commit marker lost) is a whole-batch
+  *     no-op.
   *
   * Cites: reference has no vector ops; extension per SURVEY.md §2
   * ("similarity search — IVF as the scale path").
@@ -50,6 +64,7 @@ object VecIndex {
   val Buckets = 8
 
   def cellsTable(prefix: String): String = s"${prefix}_cells"
+  def ledgerTable(prefix: String): String = s"${prefix}_ledger"
 
   /** Coarse centroids — sim04's convention: the first
     * [[Similarity.IvfCentroids]] vectors, a deterministic K-sized
@@ -59,21 +74,32 @@ object VecIndex {
       .filter(col("vec_id") < Similarity.IvfCentroids)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
 
-  /** Build and persist the IVF assignment: one corpus × broadcast
-    * centroids scoring pass, argmax cell per vector, written bucketed
-    * by cluster. This is the INDEX BUILD — paid once, not per probe. */
-  def persist(spark: SparkSession, dir: String, path: String,
-      prefix: String): Unit = {
-    VectorExprs.register(spark)
-    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
-    val assigned = e.crossJoin(broadcast(centroids(spark, dir)))
+  /** IVF cell assignment for an arbitrary (vec_id, embedding) frame:
+    * one frame × broadcast centroids scoring pass, argmax cell per
+    * vector. Shared by the full build and the append path — a new
+    * batch pays batch-proportional assignment work, never the
+    * corpus's. */
+  private def assignCells(spark: SparkSession, dir: String,
+      emb: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(centroids(spark, dir)))
       .withColumn("cos_c", expr("cosine_sim(embedding, ce)"))
       .withColumn("crn", row_number().over(
         Window.partitionBy("vec_id")
           .orderBy(col("cos_c").desc, col("cent_id").asc)))
       .filter(col("crn") === 1)
       .select(col("cent_id").as("cluster"), col("vec_id"), col("embedding"))
-    assigned.write
+
+  /** Build and persist the IVF assignment: one corpus × broadcast
+    * centroids scoring pass, argmax cell per vector, written bucketed
+    * by cluster. This is the INDEX BUILD — paid once, not per probe.
+    * `emb` restricts the indexed corpus (the lifecycle cycles build
+    * from a slice and grow to the full corpus via [[append]]). */
+  def persist(spark: SparkSession, dir: String, path: String,
+      prefix: String, emb: Option[DataFrame] = None): Unit = {
+    VectorExprs.register(spark)
+    val e = emb.getOrElse(
+      Tables.embeddings(spark, dir).select("vec_id", "embedding"))
+    assignCells(spark, dir, e).write
       .bucketBy(Buckets, "cluster").sortBy("cluster")
       .option("path", s"$path/cells")
       .mode(SaveMode.Overwrite)
@@ -171,6 +197,220 @@ object VecIndex {
         col("t.neighbor_id").as("neighbor_id"),
         col("t.cluster").as("cluster"),
         col("t.cosine").as("cosine"))
+  }
+
+  // ------------------------------------------------------------------
+  // Day-N lifecycle — append / compact / retire / exactly-once
+  // ------------------------------------------------------------------
+
+  /** Append a NEW embedding batch to the persisted index: assign the
+    * batch to cells (batch × broadcast centroids — the existing corpus
+    * is never re-assigned or rewritten) and insert into the bucketed
+    * cell table. bucketBy hashes the new file set into the same
+    * bucket ids as the original write, so the probe's
+    * one-scan/pushed-bounds plan property survives (VecIndexSpec).
+    * Unlike [[BandIndex.append]] there is a single table write and
+    * the batch never reads the table it mutates, so no materialize
+    * pin is needed. */
+  def append(spark: SparkSession, dir: String, newVecs: DataFrame,
+      prefix: String): Unit = {
+    VectorExprs.register(spark)
+    assignCells(spark, dir, newVecs.select("vec_id", "embedding"))
+      .write.mode(SaveMode.Append)
+      .bucketBy(Buckets, "cluster").sortBy("cluster")
+      .saveAsTable(cellsTable(prefix))
+  }
+
+  /** Compact the cell table to one file per bucket —
+    * [[BandIndex.compactTable]]'s zero-exchange per-bucket local
+    * rewrite, key-agnostic by construction. Probe decisions and the
+    * plan property are unchanged; the per-bucket merge reads ONE run
+    * instead of one per historical append. */
+  def compact(spark: SparkSession, prefix: String): Unit =
+    BandIndex.compactTable(spark, cellsTable(prefix), "cluster")
+
+  /** RETENTION — remove a (bounded, broadcastable) set of vec_ids
+    * from the index in place: the compaction rewrite with a broadcast
+    * anti-join on `vec_id`. Post-retire probes behave as if the
+    * retired vectors were never indexed — a query whose top-k held a
+    * retired vector falls back to the next-best surviving member of
+    * its probed cells. */
+  def retire(spark: SparkSession, prefix: String,
+      expired: DataFrame): Unit =
+    BandIndex.compactTable(spark, cellsTable(prefix), "cluster",
+      Some(expired), minusIdCol = "vec_id")
+
+  /** Ledger-guarded exactly-once append ([[BandIndex.maintainBatch]]'s
+    * ANN analog, sharing its storage-resident ledger): append the
+    * batch and record `batchId`, or — if the ledger already holds it
+    * (a replayed micro-batch whose commit marker was lost) — do
+    * NOTHING and return false. The ledger lives with the index, so
+    * the guard holds across JVM restarts. Same residual window as
+    * the band index: a crash between append and record degrades to
+    * at-least-once at the storage layer (duplicate cell rows change
+    * no top-k decision only until they are the SAME vector twice —
+    * which they are, and ties break on neighbor_id, so a duplicated
+    * member yields the same ranked output; compaction's rewrite does
+    * not dedup, retire does). */
+  def maintainBatch(spark: SparkSession, dir: String, prefix: String,
+      newVecs: DataFrame, batchId: Long): Boolean = {
+    if (BandIndex.ledgerDoneIn(spark, ledgerTable(prefix), batchId)) false
+    else {
+      append(spark, dir, newVecs, prefix)
+      BandIndex.ledgerRecordIn(spark, ledgerTable(prefix),
+        cellsTable(prefix), batchId)
+      true
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Fresh lifecycle cycles (sim15/sim16/sim17/st10) — honest bench
+  // timing: a fresh index per invocation, per-phase wall times
+  // stamped into graft.tools.Phases (round-10 VERDICT item 3), and
+  // the final probe materialized INSIDE the cycle so the stamped
+  // phases sum to the entry's bench number.
+  // ------------------------------------------------------------------
+
+  private val lastCycle =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), (String, String)]
+
+  private def freshIndex(spark: SparkSession, dir: String, tag: String,
+      emb: Option[DataFrame]): (String, String) = {
+    val key = (spark, dir, tag)
+    persistLock.synchronized {
+      lastCycle.remove(key).foreach { case (oldPrefix, oldPath) =>
+        drop(spark, oldPrefix)
+        BandIndex.retireTempDir(oldPath)
+      }
+      lastCycle.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    }
+    val prefix = s"graft_vec_${tag}_${Integer.toHexString(dir.hashCode)}" +
+      s"_s${serial.incrementAndGet()}"
+    val path = BandIndex.newTempDir(s"vec$tag")
+    persist(spark, dir, path, prefix, emb)
+    (prefix, path)
+  }
+
+  /** Deterministic new-vector predicate for the lifecycle fixtures:
+    * ~1/4 of the corpus arrives as the "new" batch, the rest is the
+    * day-0 index. Hash-based so both oracle scales get non-trivial
+    * slices; the FINAL index always equals the full corpus, so these
+    * cycles share sim04's oracle. */
+  private def isNewVec: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{hash, lit, pmod}
+    pmod(hash(col("vec_id")), lit(4)) === lit(0)
+  }
+
+  /** sim15: fresh index on 3/4 of the corpus → append the remaining
+    * 1/4 → probe. Decisions are DEFINED identical to sim04/sim14
+    * (same centroids, same per-vector argmax — the union of the two
+    * assignment passes equals the full build), so the entry shares
+    * sim04's oracle: a divergence means append broke the layout or
+    * the assignment. */
+  def appendCycle(spark: SparkSession, dir: String, tag: String): DataFrame = {
+    import graft.tools.Phases
+    val key = (spark, dir, tag)
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val (prefix, path) = Phases.time(tag, "persist") {
+      freshIndex(spark, dir, tag, Some(e.filter(!isNewVec)))
+    }
+    Phases.time(tag, "append") { append(spark, dir, e.filter(isNewVec), prefix) }
+    val dec = Phases.time(tag, "probe") {
+      probe(spark, dir, prefix).localCheckpoint()
+    }
+    persistLock.synchronized { lastCycle(key) = (prefix, path) }
+    dec
+  }
+
+  /** sim16: sim15's cycle with the append split into 3 disjoint
+    * day-slices (the file-growth regime) and a compaction before the
+    * probe — same oracle, plus VecIndexSpec's file-count assertion. */
+  def compactCycle(spark: SparkSession, dir: String, tag: String): DataFrame = {
+    import graft.tools.Phases
+    import org.apache.spark.sql.functions.{hash, lit, pmod}
+    val key = (spark, dir, tag)
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val (prefix, path) = Phases.time(tag, "persist") {
+      freshIndex(spark, dir, tag, Some(e.filter(!isNewVec)))
+    }
+    Phases.time(tag, "append") {
+      // pmod(h,12) ∈ {0,4,8} partitions pmod(h,4)=0 into 3 slices
+      Seq(0, 4, 8).foreach { r =>
+        append(spark, dir,
+          e.filter(pmod(hash(col("vec_id")), lit(12)) === lit(r)), prefix)
+      }
+    }
+    Phases.time(tag, "compact") { compact(spark, prefix) }
+    val dec = Phases.time(tag, "probe") {
+      probe(spark, dir, prefix).localCheckpoint()
+    }
+    persistLock.synchronized { lastCycle(key) = (prefix, path) }
+    dec
+  }
+
+  /** sim17: retention made OBSERVABLE by construction — probe the
+    * full index (phase 0), retire exactly the distinct neighbors
+    * phase 0 returned (a bounded, ≤ queries×K set — the
+    * right-to-be-forgotten shape), re-probe (phase 1): every query's
+    * entire top-k must be re-filled from surviving cell members. The
+    * oracle replays phase 1 with the corpus filtered by the same
+    * NOT IN (phase-0 neighbors) predicate. */
+  def retentionCycle(spark: SparkSession, dir: String, tag: String): DataFrame = {
+    import graft.tools.Phases
+    import org.apache.spark.sql.functions.lit
+    val key = (spark, dir, tag)
+    val (prefix, path) = Phases.time(tag, "persist") {
+      freshIndex(spark, dir, tag, None)
+    }
+    val dec0 = Phases.time(tag, "probe") {
+      probe(spark, dir, prefix).localCheckpoint()
+    }
+    val expired = dec0.select(col("neighbor_id").as("vec_id")).distinct()
+    Phases.time(tag, "retire") { retire(spark, prefix, expired) }
+    val dec1 = Phases.time(tag, "reprobe") {
+      probe(spark, dir, prefix).localCheckpoint()
+    }
+    persistLock.synchronized { lastCycle(key) = (prefix, path) }
+    dec0.select(lit(0).as("phase"), col("query_id"), col("neighbor_id"),
+        col("cluster"), col("cosine"))
+      .unionByName(dec1.select(lit(1).as("phase"), col("query_id"),
+        col("neighbor_id"), col("cluster"), col("cosine")))
+      .orderBy("phase", "query_id", "neighbor_id")
+  }
+
+  /** st10: sim15's cycle driven through the ledger-guarded
+    * [[maintainBatch]], with the batch REPLAYED in between — the
+    * batch analog of a checkpoint restart that lost the commit
+    * marker. The replay must be a ledger-skipped no-op (asserted
+    * here; a double append would duplicate cell members — harmless
+    * for THIS aggregate's output, so the real gate is the ledger
+    * assertion plus StreamingSpec's restart test). Final probe equals
+    * sim04, same oracle. */
+  def maintainedCycle(spark: SparkSession, dir: String, tag: String): DataFrame = {
+    import graft.tools.Phases
+    val key = (spark, dir, tag)
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val (prefix, path) = Phases.time(tag, "persist") {
+      freshIndex(spark, dir, tag, Some(e.filter(!isNewVec)))
+    }
+    Phases.time(tag, "append") {
+      if (!maintainBatch(spark, dir, prefix, e.filter(isNewVec), 0L))
+        sys.error("st10: fresh index claims batch 0 already maintained")
+      if (maintainBatch(spark, dir, prefix, e.filter(isNewVec), 0L))
+        sys.error("st10: replayed batch 0 was not ledger-skipped")
+    }
+    val dec = Phases.time(tag, "probe") {
+      probe(spark, dir, prefix).localCheckpoint()
+    }
+    persistLock.synchronized { lastCycle(key) = (prefix, path) }
+    dec
+  }
+
+  /** Drop the registered tables (files under the index path are
+    * external; the temp-dir lifecycle owns them). */
+  def drop(spark: SparkSession, prefix: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS ${cellsTable(prefix)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${ledgerTable(prefix)}")
   }
 
   // Idempotent persist registry — same shape and rationale as

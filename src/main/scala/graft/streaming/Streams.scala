@@ -670,7 +670,21 @@ object Streams {
       graft.ops.VecIndex.annTopK(s, d, queries, s.table(
           graft.ops.VecIndex.cellsTable(prefix)))
         .orderBy("query_id", "neighbor_id")
-    })
+    }),
+
+    // STREAMING MAINTENANCE for the vector index (round-11; VERDICT
+    // r10 item 6) — st08's exactly-once discipline composed with
+    // VecIndex.append: a fresh index on 3/4 of the corpus takes a
+    // new-embeddings micro-batch through the ledger-guarded
+    // maintainBatch, the batch is REPLAYED (commit marker lost) and
+    // must be a whole-batch no-op, then the serving probe runs
+    // against the maintained index. Final decisions are DEFINED
+    // identical to sim04/sim14 (the maintained index equals the full
+    // build), so the oracle is sim04's. StreamingSpec drives the
+    // same maintenance through a real readStream foreachBatch with a
+    // checkpoint restart.
+    "st10_stream_ann_maintain" -> ((s, d) =>
+      graft.ops.VecIndex.maintainedCycle(s, d, "st10"))
   )
 
   val oracle: Map[String, String] = oracleBase +
@@ -687,7 +701,12 @@ object Streams {
     // st09 = sim04's decisions behind the arrival window (same
     // synthetic ts convention as st05): the streamed top-k must
     // equal the batch IVF ANN row for row.
-    ("st09_stream_ann_probe" -> st09OracleSql)
+    ("st09_stream_ann_probe" -> st09OracleSql) +
+    // st10 = sim04's decisions from a maintained (build-on-3/4 →
+    // ledger-guarded append → replay-skipped) index; DEFINED
+    // identical to the full build, so the oracle is sim04's — a
+    // divergence means the maintenance mutated the decisions.
+    ("st10_stream_ann_maintain" -> graft.ops.Similarity.oracle("sim04_ivf_ann"))
 
   private lazy val st09OracleSql: String = {
     import graft.ops.Similarity.KnnQueries

@@ -24,6 +24,48 @@ class PlanLintSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  // The maintenance-cycle entries run their full
+  // persist/append/compact cycle EAGERLY inside the query function
+  // (honest bench timing — the number covers the real work), so
+  // invoking them once per lint test would execute heavy
+  // side-effecting fixture work three times just to read plans, and
+  // the frame they RETURN is a localCheckpoint scan with no plan left
+  // to lint (round-10 ADVICE). Lint their constituent PROBE plans
+  // instead — the read path a consumer executes at scale; the
+  // write-side plan properties are pinned by BandIndexSpec /
+  // VecIndexSpec.
+  private def bandProbe(s: org.apache.spark.sql.SparkSession, d: String) =
+    BandIndex.probe(s, d, BandIndex.ensurePersisted(s, d, "lint"))
+  private def bandProbeShifted(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val ids = graft.Tables.documents(s, d)
+      .filter(col("source") === Dedup.IncBatchSrc)
+      .select((col("doc_id") + lit(BandIndex.DayOffset)).as("doc_id"))
+    BandIndex.probeIds(s, d, BandIndex.ensurePersisted(s, d, "lint"), ids)
+  }
+  private def vecProbe(s: org.apache.spark.sql.SparkSession, d: String) =
+    VecIndex.probe(s, d, VecIndex.ensurePersisted(s, d, "lint"))
+
+  private val eagerCycleProbes: Map[String,
+      (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    "dd16_index_append" -> bandProbe _,
+    "dd17_index_compact" -> bandProbe _,
+    "dd18_index_retention" -> bandProbe _,
+    "st07_stream_index_maintain" -> bandProbeShifted _,
+    "st08_stream_exactly_once" -> bandProbeShifted _,
+    "sim15_vec_index_append" -> vecProbe _,
+    "sim16_vec_index_compact" -> vecProbe _,
+    "sim17_vec_retention" -> vecProbe _,
+    "st10_stream_ann_maintain" -> vecProbe _)
+
+  /** One DataFrame per catalog entry, built once and shared by all
+    * three lint tests (executedPlan is computed lazily and cached per
+    * QueryExecution, so plan construction happens once per entry). */
+  private lazy val lintTargets: Seq[(String, org.apache.spark.sql.DataFrame)] =
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> eagerCycleProbes.getOrElse(name, fn)(spark, sf)
+    }
+
   private def collectAll(plan: SparkPlan): Seq[SparkPlan] = {
     val expanded = plan match {
       case a: AdaptiveSparkPlanExec => a.executedPlan
@@ -65,8 +107,7 @@ class PlanLintSpec extends SparkSpec {
 
   test("no catalog query plans a cartesian product; all BNLJ sides are tiny") {
     val MaxBroadcastBytes = 1L << 20
-    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val df = fn(spark, sf)
+    lintTargets.foreach { case (name, df) =>
       val nodes = collectAll(df.queryExecution.executedPlan)
       val cartesian = nodes.collect { case c: CartesianProductExec => c }
       assert(cartesian.isEmpty, s"$name plans CartesianProduct")
@@ -119,9 +160,9 @@ class PlanLintSpec extends SparkSpec {
     "ds10_exact_k_sample")
 
   test("every unpartitioned window is allowlisted with a boundedness argument") {
-    val violations = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        val nodes = collectAll(fn(spark, sf).queryExecution.executedPlan)
+    val violations = lintTargets.flatMap {
+      case (name, df) =>
+        val nodes = collectAll(df.queryExecution.executedPlan)
         val unpart = nodes.exists {
           case w: org.apache.spark.sql.execution.window.WindowExecBase =>
             w.partitionSpec.isEmpty
@@ -188,9 +229,9 @@ class PlanLintSpec extends SparkSpec {
     // this scan) and the PushedFilters metadata (what reached the
     // parquet reader). A scan with a pushable-shaped residual that
     // pushes NOTHING reads every row group at 100 TB.
-    val violations = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        collectAll(fn(spark, sf).queryExecution.executedPlan)
+    val violations = lintTargets.flatMap {
+      case (name, df) =>
+        collectAll(df.queryExecution.executedPlan)
           .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
           .flatMap { s =>
             val pushed = s.metadata.getOrElse("PushedFilters", "[]")

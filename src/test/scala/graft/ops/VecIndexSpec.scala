@@ -1,6 +1,10 @@
 package graft.ops
 
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.functions.{col, hash, lit, pmod}
 
 import graft.SparkSpec
 
@@ -50,5 +54,153 @@ class VecIndexSpec extends SparkSpec {
           s"unbounded raw-embeddings scan in the probe plan:\n$s")
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  /** The sim14 plan property, re-assertable against any index prefix:
+    * exactly one persisted-cell scan (identified by the index's temp
+    * path marker), every raw-embeddings scan bounded with a pushed
+    * vec_id filter. */
+  private def assertProbePlan(probeFrame: DataFrame, pathMarker: String): Unit = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = probeFrame.queryExecution.executedPlan
+      val scans = plan.collect { case s: FileSourceScanExec => s }
+      val (cellScans, rawScans) = scans.partition(
+        _.relation.location.rootPaths.exists(_.toString.contains(pathMarker)))
+      assert(cellScans.size == 1, s"expected exactly one persisted-cell scan:\n$plan")
+      assert(rawScans.nonEmpty, s"probe lost its query/centroid scans:\n$plan")
+      rawScans.foreach { s =>
+        val pushed = s.metadata.getOrElse("PushedFilters", "")
+        assert(pushed.contains("LessThan(vec_id"),
+          s"unbounded raw-embeddings scan in the probe plan:\n$s")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  private def emb(dir: String): DataFrame =
+    graft.Tables.embeddings(spark, dir).select("vec_id", "embedding")
+
+  private def isNew = pmod(hash(col("vec_id")), lit(4)) === lit(0)
+
+  test("append: a sliced build plus append equals the full build; plan and layout survive") {
+    val path = Files.createTempDirectory("graft-vecidx-specapp").toString
+    val prefix = s"graft_vec_specapp_${System.nanoTime()}"
+    try {
+      VecIndex.persist(spark, sf, path, prefix, Some(emb(sf).filter(!isNew)))
+      val filesBefore = BandIndex.tableFiles(spark, VecIndex.cellsTable(prefix)).size
+      VecIndex.append(spark, sf, emb(sf).filter(isNew), prefix)
+      assert(BandIndex.tableFiles(spark, VecIndex.cellsTable(prefix)).size > filesBefore,
+        "append laid down no new file set")
+      val viaAppend = VecIndex.probe(spark, sf, prefix).collect().map(_.toString).toSeq
+      val full = Similarity.queries("sim04_ivf_ann")(spark, sf)
+        .collect().map(_.toString).toSeq
+      assert(viaAppend == full, "appended index diverges from the full build")
+      assertProbePlan(VecIndex.probe(spark, sf, prefix), "graft-vecidx-specapp")
+    } finally VecIndex.drop(spark, prefix)
+  }
+
+  test("compact: one file per bucket; decisions and plan property survive") {
+    val path = Files.createTempDirectory("graft-vecidx-speccomp").toString
+    val prefix = s"graft_vec_speccomp_${System.nanoTime()}"
+    try {
+      VecIndex.persist(spark, sf, path, prefix, Some(emb(sf).filter(!isNew)))
+      Seq(0, 4, 8).foreach { r =>
+        VecIndex.append(spark, sf,
+          emb(sf).filter(pmod(hash(col("vec_id")), lit(12)) === lit(r)), prefix)
+      }
+      val grown = BandIndex.tableFiles(spark, VecIndex.cellsTable(prefix)).size
+      assert(grown > VecIndex.Buckets,
+        s"appends did not grow the file count ($grown) — fixture too small?")
+      val before = VecIndex.probe(spark, sf, prefix).collect().map(_.toString).toSeq
+
+      VecIndex.compact(spark, prefix)
+
+      val files = BandIndex.tableFiles(spark, VecIndex.cellsTable(prefix))
+      assert(files.size <= VecIndex.Buckets,
+        s"cells not compacted: ${files.size} files\n${files.mkString("\n")}")
+      val after = VecIndex.probe(spark, sf, prefix).collect().map(_.toString).toSeq
+      assert(after == before, "compaction changed the decisions")
+      assertProbePlan(VecIndex.probe(spark, sf, prefix), "graft-vecidx-speccomp")
+    } finally VecIndex.drop(spark, prefix)
+  }
+
+  test("retire: retired vectors vanish; the index equals one that never held them") {
+    val path = Files.createTempDirectory("graft-vecidx-specret").toString
+    val path2 = Files.createTempDirectory("graft-vecidx-specref").toString
+    val prefix = s"graft_vec_specret_${System.nanoTime()}"
+    val refPrefix = s"graft_vec_specref_${System.nanoTime()}"
+    try {
+      VecIndex.persist(spark, sf, path, prefix)
+      val dec0 = VecIndex.probe(spark, sf, prefix).localCheckpoint()
+      val expired = dec0.select(col("neighbor_id").as("vec_id")).distinct()
+      val expiredIds = expired.collect().map(_.getLong(0)).toSet
+      assert(expiredIds.nonEmpty, "phase-0 probe returned no neighbors")
+
+      VecIndex.retire(spark, prefix, expired)
+
+      val after = VecIndex.probe(spark, sf, prefix).collect()
+      after.foreach { r =>
+        assert(!expiredIds(r.getLong(1)), s"retired vector still returned: $r")
+      }
+      // equals an index BUILT on the corpus minus the retired set
+      VecIndex.persist(spark, sf, path2, refPrefix,
+        Some(emb(sf).join(expired, Seq("vec_id"), "left_anti")))
+      val never = VecIndex.probe(spark, sf, refPrefix).collect().map(_.toString).toSeq
+      assert(after.map(_.toString).toSeq == never,
+        "post-retire decisions diverge from a never-indexed corpus")
+      // retention is also a compaction: one file per (non-empty) bucket
+      val files = BandIndex.tableFiles(spark, VecIndex.cellsTable(prefix))
+      assert(files.size <= VecIndex.Buckets,
+        s"retire did not rewrite to one file per bucket: ${files.size}")
+      assertProbePlan(VecIndex.probe(spark, sf, prefix), "graft-vecidx-specret")
+    } finally {
+      VecIndex.drop(spark, prefix)
+      VecIndex.drop(spark, refPrefix)
+    }
+  }
+
+  test("probe shuffle BYTES track the query batch, not the corpus (10x corpus, ~1x bytes)") {
+    // The ANN analog of BandIndexSpec's bytes gate (round-10 VERDICT
+    // item 8): the SAME-SIZED query batch (KnnQueries=5 in both dirs)
+    // probes a cell index over the sf0.001 corpus and one over the
+    // ~10× sf0.01 corpus; total shuffle write bytes must stay within
+    // 2× while the corpus grows 10×. This holds because the only
+    // exchange in the probe is the per-query top-k, and Spark's
+    // window-group-limit runs in PARTIAL mode below it — each map
+    // task forwards at most K rows per query, so the shuffled volume
+    // is (queries × K × partitions)-bounded, never cell-proportional.
+    // The st09 streaming path is bounded the same way by TopKStructs'
+    // partial aggregation.
+    //
+    // The raw embeddings table holds 500 vectors at BOTH small scale
+    // factors, so the 10× corpus is synthesized: ten vec_id-shifted
+    // copies of the table indexed under one cell table (identical
+    // embeddings per copy — decisions are not under test here, bytes
+    // are; queries and centroids stay the raw bounded frames).
+    val small = VecIndex.ensurePersisted(spark, sf, "shufsmall")
+    val bigPath = Files.createTempDirectory("graft-vecidx-shufbig").toString
+    val big = s"graft_vec_shufbig_${System.nanoTime()}"
+    val e10 = (0 until 10).map(i =>
+        emb(sf).select((col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+          col("embedding")))
+      .reduce(_ unionByName _)
+    VecIndex.persist(spark, sf, bigPath, big, Some(e10))
+    try {
+      val corpusRatio =
+        spark.table(VecIndex.cellsTable(big)).count().toDouble /
+          spark.table(VecIndex.cellsTable(small)).count()
+      assert(corpusRatio >= 5.0, s"fixture corpora not ~10x apart: $corpusRatio")
+      def probeBytes(prefix: String): Long = {
+        val run = () => VecIndex.probe(spark, sf, prefix).count()
+        run() // warm: neither measurement pays first-run codegen
+        graft.tools.ShuffleProbe.shuffleWriteBytes(spark)(run())
+      }
+      val smallBytes = probeBytes(small)
+      val bigBytes = probeBytes(big)
+      assert(smallBytes > 0, "listener captured no shuffle writes")
+      assert(bigBytes.toDouble / smallBytes < 2.0,
+        s"ANN probe shuffle bytes scaled with the corpus: $smallBytes -> $bigBytes " +
+          s"(corpus x$corpusRatio) — a cell-proportional exchange leaked into the plan")
+    } finally VecIndex.drop(spark, big)
   }
 }

@@ -641,6 +641,67 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("vector-index maintenance survives a checkpoint restart (st10)") {
+    // st08's exactly-once proof applied to the ANN index: a fresh
+    // cell index on 3/4 of the corpus takes the remaining embeddings
+    // through a real readStream foreachBatch driving
+    // VecIndex.maintainBatch; we stop the query, delete batch 0's
+    // commit marker, restart, and require the replayed batch to be a
+    // ledger-skipped no-op (no duplicate cell rows) — and the
+    // maintained index to serve decisions identical to the full
+    // batch build (sim04).
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorExprs.register(spark)
+    val sf = "/root/testdata/sf0.001"
+    val path = Files.createTempDirectory("graft-st10spec").toString
+    val prefix = s"graft_st10spec_${System.nanoTime()}"
+    val emb = graft.Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val isNew = pmod(hash(col("vec_id")), lit(4)) === lit(0)
+    graft.ops.VecIndex.persist(spark, sf, path, prefix, Some(emb.filter(!isNew)))
+    val srcDir = Files.createTempDirectory("graft-st10src").toString
+    val ckpt = Files.createTempDirectory("graft-st10ckpt").toString
+    emb.filter(isNew).coalesce(1).write.parquet(s"$srcDir/part_new")
+
+    val runs = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean)]
+    def startQuery() = spark.readStream
+      .schema(spark.read.parquet(s"$srcDir/part_new").schema)
+      .parquet(s"$srcDir/part_*")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val ran = graft.ops.VecIndex.maintainBatch(spark, sf, prefix,
+          df.localCheckpoint(), batchId)
+        runs.synchronized { runs += ((batchId, ran)) }
+        ()
+      }
+      .start()
+
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    val cellRows = spark.table(graft.ops.VecIndex.cellsTable(prefix)).count()
+    assert(runs.toList == List((0L, true)),
+      s"first run should maintain batch 0 once: $runs")
+
+    val marker = Paths.get(ckpt, "commits", "0")
+    assert(Files.deleteIfExists(marker), s"no commit marker at $marker")
+    Files.deleteIfExists(Paths.get(ckpt, "commits", ".0.crc"))
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    try {
+      assert(runs.toList == List((0L, true), (0L, false)),
+        s"replayed batch 0 was not ledger-skipped: $runs")
+      assert(spark.table(graft.ops.VecIndex.cellsTable(prefix)).count() == cellRows,
+        "replay double-appended cell rows")
+      val served = graft.ops.VecIndex.probe(spark, sf, prefix)
+        .collect().map(_.toString).toSeq
+      val full = graft.ops.Similarity.queries("sim04_ivf_ann")(spark, sf)
+        .collect().map(_.toString).toSeq
+      assert(served == full,
+        "post-maintenance serving diverges from the full batch build")
+    } finally graft.ops.VecIndex.drop(spark, prefix)
+  }
+
   test("checkpoint replay of the maintenance batch is a ledger-skipped no-op (st08)") {
     // The exactly-once property for the ingest-maintenance loop: a
     // restarted query REPLAYS any batch whose commit marker was lost,
