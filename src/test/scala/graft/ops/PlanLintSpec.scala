@@ -152,7 +152,9 @@ class PlanLintSpec extends SparkSpec {
     "ds05_curriculum", // difficulty deciles (10 buckets)
     "ds09_balanced_shards", // per-n-tokens bucket offsets (distinct n)
     "qs01_hist_quantiles", // QuantBins equal-width histogram bins
-    "cur07_perplexity_filter", // centinat avg-NLL histogram bins
+    // (cur07 left this list in round 11: its thresholds now come from
+    // a single array-aggregate HOF over the collected histogram, no
+    // window at all)
     "z01_zorder_layout", "z02_hilbert_layout", // space-filling-curve bucket offsets
     "dd12_snm_pairs", // 2-char blocking-prefix bucket offsets (≤ 36² keys)
     "w06_abc_pareto", // per-revenue-centile bucket totals prefix sum
