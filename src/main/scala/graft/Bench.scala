@@ -45,7 +45,9 @@ object Bench {
     "dd16_index_append", "dd17_index_compact",
     "dd18_index_retention", "st07_stream_index_maintain",
     "st08_stream_exactly_once", "sim14_ivf_index_probe",
-    "st09_stream_ann_probe")
+    "st09_stream_ann_probe",
+    "sim15_vec_index_append", "sim16_vec_index_compact",
+    "sim17_vec_retention", "st10_stream_ann_maintain")
 
   // Locale.ROOT: the f-interpolator honors the default locale, and a
   // comma decimal separator would corrupt the JSON
@@ -121,6 +123,24 @@ object Bench {
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }.toMap
+    // Warm trivial-scan host axis (round-10 VERDICT item 1): the CPU
+    // calibration didn't move across rounds 9→10 while 56/62 common
+    // queries drifted ~13%, so cpu_ref alone under-determines the
+    // host state a WARM sweep ran under (task-scheduling / page-cache
+    // / JIT-tier overheads that a pure spin loop never touches).
+    // Stamp the same axis cold_compare.py derives cross-round from
+    // sub-0.2s queries, measured in-artifact: a fixed tiny
+    // parquet-scan probe (region + nation counts), min-of-3 after
+    // warmup. Cross-round warm comparisons divide by the ratio of
+    // these stamps before claiming a code-attributed swing.
+    def trivialProbe(): Double = {
+      val t0 = System.nanoTime()
+      spark.read.parquet(s"$sfDir/region.parquet").count()
+      spark.read.parquet(s"$sfDir/nation.parquet").count()
+      (System.nanoTime() - t0) / 1e6
+    }
+    trivialProbe() // warm the probe itself
+    val trivialMs = Seq.fill(3)(trivialProbe()).min
     val s1 = sweep()
     val s2 = sweep()
     val results = s1.map { case (k, v1) =>
@@ -148,8 +168,11 @@ object Bench {
     val priorFp = prior.flatMap(extractField(_, "code_fp"))
     val sameCode = priorFp.contains(fp)
     val suspect = sameCode && priorTotal.exists(p => p > 0 && (total - p) / p > 0.15)
+    val phases = graft.tools.Phases.json()
     val loadJson = graft.tools.LoadGuard.jsonFields(load0, loadOk, calib) +
-      s""","code_fp":"$fp","protocol":"min-of-2 warm sweeps; dd16/dd17 run the full persist-probe-append-reprobe cycle on a fresh index EVERY sweep"""" +
+      String.format(java.util.Locale.ROOT, ""","trivial_scan_ms":%.1f""",
+        Double.box(trivialMs)) +
+      s""","code_fp":"$fp","protocol":"min-of-2 warm; pre-ANSI default lane (r11 clawback); maintenance cycles rebuild a fresh index EVERY sweep (see phases)"""" +
       (if (failed.nonEmpty) s""","failed":${failed.size}""" else "") +
       (if (suspect) s""","suspect_swing":true,"prior_total":${fmt(priorTotal.get)}""" else "")
     // Full map → file (sorted for stable diffs); headline subset → stdout.
@@ -159,15 +182,23 @@ object Bench {
     if (!suspect)
       try Files.write(
         Paths.get("BENCH_FULL_last.json"),
-        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size}$loadJson,"queries":$full,"sf":"$sfDir"}
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size}$loadJson,"queries":$full,"phases":$phases,"sf":"$sfDir"}
 """.getBytes(StandardCharsets.UTF_8))
       catch { case _: Throwable => () }
     else System.err.println(
       f"[bench] total ${total}%.1f s is >15%% above prior ${priorTotal.get}%.1f s with identical src/main — " +
         "measurement pollution; keeping the prior BENCH_FULL_last.json")
-    val qs = headline.flatMap(k => results.get(k).map(v => s""""$k":${fmt(v)}"""))
+    // stdout line layout is TRUNCATION-AWARE: the harness keeps only
+    // the last ~2000 chars of the run log, and round 10's artifact
+    // lost the leading "value" field to exactly that head-cut. The
+    // per-query headline map (redundant with BENCH_FULL_last.json)
+    // goes FIRST as the sacrificial prefix; calibration stamps, the
+    // per-phase breakdown, and the total sit at the END so the
+    // captured tail is self-contained.
+    def fmt2(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val qs = headline.flatMap(k => results.get(k).map(v => s""""$k":${fmt2(v)}"""))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size}$loadJson,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","n":${results.size},"queries":$qs$loadJson,"phases":$phases,"value":${fmt(total)}}""")
     spark.stop()
   }
 }

@@ -9,13 +9,22 @@ import org.apache.spark.sql.types._
   * Every query builder goes through [[pin]], which fixes the session
   * semantics the engine relies on (SURVEY.md §7.5):
   *
-  *   - ANSI ON (Spark 4's default; round-10 flip) — malformed-input
-  *     handling goes through try_* forms, so behavior matches the
-  *     reference's pre-ANSI null-on-bad-cast semantics
-  *     (/root/reference/gtfstransformerSilver.py:36-41) without
-  *     needing the global pre-ANSI pin; `spark.graft.preAnsiLane`
-  *     opts back into ANSI-off, and both lanes are proven
-  *     row-identical (AnsiLaneSpec, tools/AnsiProbe);
+  *   - ANSI OFF by default (round-11 claw-back of the round-10
+  *     ANSI-on flip): tools/LaneSweep measured ANSI-on at a uniform
+  *     **+9.2% warm** across the 69-query headline on a
+  *     healthy-calibrated host (ABBA lane order, min-per-lane;
+  *     SCALE_NOTES "Round-11: the ANSI lane tax") — the round-10
+  *     drift the verdict flagged. Both lanes are proven
+  *     row-identical (AnsiLaneSpec, tools/AnsiProbe 192/192), so the
+  *     lane choice is a THROUGHPUT knob, not a correctness one: the
+  *     engine's malformed-input handling goes through try_* forms
+  *     and overflow-free arithmetic in BOTH lanes, and its parity
+  *     contract is the reference's pre-ANSI null-on-bad-cast
+  *     semantics (/root/reference/gtfstransformerSilver.py:36-41).
+  *     `spark.graft.ansiLane=true` opts into checked ANSI semantics
+  *     for user SQL that wants throw-on-overflow;
+  *     `spark.graft.preAnsiLane=true` restates the default (kept so
+  *     the dual-lane instruments can set both knobs explicitly);
   *   - UTC session timezone (zone-less `Time` strings);
   *   - nanosecond-parquet timestamps read as long and normalized, so
   *     the engine is deterministic across Parquet timestamp units.
@@ -26,18 +35,17 @@ import org.apache.spark.sql.types._
 object Tables {
 
   def pin(spark: SparkSession): Unit = {
-    // ANSI is ON by default (round-10: Spark 4's own default, adopted
-    // after two rounds of proven dual-lane parity — AnsiProbe 184/184
-    // identical, AnsiLaneSpec). The engine's malformed-input paths
-    // use try_* forms and overflow-free arithmetic, so results are
-    // lane-independent. `spark.graft.preAnsiLane=true` is the opt-out
-    // knob pinning the pre-ANSI semantics the reference pipeline ran
-    // under (malformed cast → null; SURVEY §7.5 note); the legacy
-    // `spark.graft.ansiLane=true` opt-IN from rounds 8-9 still forces
-    // ANSI on and now simply restates the default.
-    val preAnsi = spark.conf.getOption("spark.graft.preAnsiLane").contains("true") &&
-      !spark.conf.getOption("spark.graft.ansiLane").contains("true")
-    spark.conf.set("spark.sql.ansi.enabled", (!preAnsi).toString)
+    // ANSI is OFF by default (round-11 claw-back; see the scaladoc
+    // above — the +9.2% measured lane tax bought nothing: results are
+    // lane-identical and the parity contract is pre-ANSI). The
+    // round-8/9 `spark.graft.ansiLane=true` opt-IN is back to being
+    // the checked-semantics lane; an explicit `preAnsiLane=true`
+    // overrides it (the opt-out always wins, and the dual-lane
+    // instruments set both knobs so lane control is unambiguous
+    // whatever the session default).
+    val ansiOn = spark.conf.getOption("spark.graft.ansiLane").contains("true") &&
+      !spark.conf.getOption("spark.graft.preAnsiLane").contains("true")
+    spark.conf.set("spark.sql.ansi.enabled", ansiOn.toString)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     // events.parquet stores ts as TIMESTAMP(NANOS,...): read the raw
     // int64 and truncate to micros ourselves (see events()) instead of

@@ -27,6 +27,8 @@ object AnsiProbe {
     Logs.muteReviewedWindowWarning()
 
     def sweep(ansiOn: Boolean): Map[String, Either[String, Seq[String]]] = {
+      // both knobs, so lane control is explicit whatever the default
+      spark.conf.set("spark.graft.ansiLane", ansiOn.toString)
       spark.conf.set("spark.graft.preAnsiLane", (!ansiOn).toString)
       graft.Tables.pin(spark)
       // the memoized shared frames were built under the other lane's

@@ -41,6 +41,8 @@ object LaneSweep {
     val names = graft.Bench.headline.filterNot(excluded)
 
     def setLane(ansiOn: Boolean): Unit = {
+      // both knobs, so lane control is explicit whatever the default
+      spark.conf.set("spark.graft.ansiLane", ansiOn.toString)
       spark.conf.set("spark.graft.preAnsiLane", (!ansiOn).toString)
       graft.Tables.pin(spark)
     }

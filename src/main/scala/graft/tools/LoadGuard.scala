@@ -110,7 +110,44 @@ object LoadGuard {
     * (run: tools/run.sh graft.tools.LoadGuard). */
   def main(args: Array[String]): Unit =
     println(f"loadavg=${loadAvg()}%.2f cpu_ref_ms=${cpuRefMs()}%.1f " +
-      f"cpu_ref_all_core_ms=${cpuRefAllCoreMs()}%.1f")
+      f"cpu_ref_all_core_ms=${cpuRefAllCoreMs()}%.1f " +
+      f"mem_bw_gbps=${memBwGbps()}%.1f")
+
+  /** All-core MEMORY-BANDWIDTH reference, GB/s — the third host axis
+    * (round-11). The round-10→11 warm comparison showed a shape
+    * neither existing stamp catches: burst CPU references and
+    * trivial-scan/per-task overheads EQUAL across nights, sustained
+    * all-core register-only spin clean, yet the heavy shuffle/write
+    * queries ~10–20% slower — i.e. the host axis that moved was
+    * bandwidth-shaped (memory/page-cache/shuffle-spill throughput),
+    * which a register-resident spin loop is blind to by construction.
+    * Probe: every core streams a 64 MB long array (sum-reduce, far
+    * beyond LLC, so it measures DRAM), best-of-3 aggregate GB/s.
+    * Artifacts stamp it next to cpu_ref; cross-round warm deltas on
+    * heavy queries are attributable only when this axis is equal. */
+  def memBwGbps(): Double = {
+    val n = Runtime.getRuntime.availableProcessors()
+    val words = 8 * 1024 * 1024 // 64 MB per core
+    val arrays = Array.fill(n)(Array.tabulate(words)(_.toLong))
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      val threads = (0 until n).map { k =>
+        new Thread(() => {
+          val a = arrays(k)
+          var acc = 0L
+          var i = 0
+          while (i < words) { acc += a(i); i += 1 }
+          if (acc == 42) System.err.println("")
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      val sec = (System.nanoTime() - t0) / 1e9
+      n.toDouble * words * 8 / sec / 1e9
+    }
+    once() // JIT/page-touch warm
+    math.max(once(), math.max(once(), once()))
+  }
 
   /** Healthy-host all-core CPU reference on this box, measured on the
     * calibration sessions that produced the round-7 artifacts (~95 ms
@@ -128,7 +165,8 @@ object LoadGuard {
     * artifact stamps the host state the sweep actually ran under
     * (round-8 ADVICE: the old jsonFields re-measured at format time,
     * i.e. AFTER the timed sweeps, while claiming "before"). */
-  final case class Calibration(cpuRefMs: Double, cpuRefAllCoreMs: Double) {
+  final case class Calibration(cpuRefMs: Double, cpuRefAllCoreMs: Double,
+      memBwGbps: Double = 0.0) {
     def ok: Boolean = cpuRefAllCoreMs <= HealthyAllCoreMs * CalibBandRatio
     /** Multiply a measured wall time by this to express it at
       * healthy-host throughput (1.0 when within band; <1 when the
@@ -140,7 +178,8 @@ object LoadGuard {
       else math.min(1.0, HealthyAllCoreMs / cpuRefAllCoreMs)
   }
 
-  def calibrate(): Calibration = Calibration(cpuRefMs(), cpuRefAllCoreMs())
+  def calibrate(): Calibration =
+    Calibration(cpuRefMs(), cpuRefAllCoreMs(), memBwGbps())
 
   /** Block until the all-core CPU reference is within the healthy
     * band or maxWaitSec elapses — the calibration analogue of
@@ -166,8 +205,9 @@ object LoadGuard {
     * caller at sweep start, not re-sampled here. */
   def jsonFields(load: Double, ok: Boolean, calib: Calibration): String =
     String.format(java.util.Locale.ROOT,
-      ""","loadavg_start":%.2f,"load_ok":%b,"cpu_ref_ms":%.1f,"cpu_ref_all_core_ms":%.1f,"calib_ok":%b,"calib_norm_factor":%.3f""",
+      ""","loadavg_start":%.2f,"load_ok":%b,"cpu_ref_ms":%.1f,"cpu_ref_all_core_ms":%.1f,"mem_bw_gbps":%.1f,"calib_ok":%b,"calib_norm_factor":%.3f""",
       Double.box(load), Boolean.box(ok),
       Double.box(calib.cpuRefMs), Double.box(calib.cpuRefAllCoreMs),
+      Double.box(calib.memBwGbps),
       Boolean.box(calib.ok), Double.box(calib.normFactor))
 }
