@@ -47,7 +47,8 @@ object Bench {
     "st08_stream_exactly_once", "sim14_ivf_index_probe",
     "st09_stream_ann_probe",
     "sim15_vec_index_append", "sim16_vec_index_compact",
-    "sim17_vec_retention", "st10_stream_ann_maintain")
+    "sim17_vec_retention", "st10_stream_ann_maintain",
+    "st11_selffence_replay")
 
   // Locale.ROOT: the f-interpolator honors the default locale, and a
   // comma decimal separator would corrupt the JSON

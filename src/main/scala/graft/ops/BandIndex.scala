@@ -95,21 +95,35 @@ object BandIndex {
   // catalog regardless of how many sessions race over it.
   private val serial = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Batch stamp carried by every index row (round-11): the base
+    * build writes [[BaseBatch]]; maintenance appends stamp their
+    * micro-batch id. The stamp is what makes exactly-once
+    * SELF-FENCING (see [[maintainBatch]]): each appended file set's
+    * per-file column statistics hold a single batch id, so a
+    * "did batch N land in this table?" probe prunes to footer reads,
+    * and a probe that must replay deterministically excludes its own
+    * in-flight batch with a pushed `ingest_batch != N` filter. */
+  val BaseBatch: Long = -1L
+
   /** Write the corpus band index + signature table as bucketed
     * external tables under `path`, registered as
     * `<prefix>_bands` / `<prefix>_sigs`. */
   def persist(spark: SparkSession, dir: String, path: String,
       prefix: String = "graft_corpus"): Unit = {
+    import org.apache.spark.sql.functions.lit
     val (bands, sigs) = Dedup.corpusIndex(spark, dir)
     bands
       .select(concat_ws(":", col("band"), col("key")).as("bkey"),
         col("corpus_doc"))
+      .withColumn("ingest_batch", lit(BaseBatch))
       .write
       .bucketBy(Buckets, "bkey").sortBy("bkey")
       .option("path", s"$path/bands")
       .mode(SaveMode.Overwrite)
       .saveAsTable(bandsTable(prefix))
-    sigs.write
+    sigs
+      .withColumn("ingest_batch", lit(BaseBatch))
+      .write
       .bucketBy(Buckets, "corpus_doc").sortBy("corpus_doc")
       .option("path", s"$path/sigs")
       .mode(SaveMode.Overwrite)
@@ -120,9 +134,25 @@ object BandIndex {
     * PERSISTED index — same dataflow and output as dd13, but the
     * corpus side of every join reads the bucketed tables. */
   def probe(spark: SparkSession, dir: String,
-      prefix: String = "graft_corpus"): DataFrame =
-    Dedup.incrementalDecisions(spark, dir,
-      spark.table(bandsTable(prefix)), spark.table(sigsTable(prefix)))
+      prefix: String = "graft_corpus",
+      excludeBatch: Option[Long] = None): DataFrame = {
+    val (bands, sigs) = corpusFrames(spark, prefix, excludeBatch)
+    Dedup.incrementalDecisions(spark, dir, bands, sigs)
+  }
+
+  /** The persisted corpus frames, optionally excluding one batch's
+    * rows ([[maintainBatch]]'s replay fence): the `ingest_batch != N`
+    * predicate is a plain long comparison pushed into the parquet
+    * scan, and a filter above a bucketed scan preserves its output
+    * partitioning, so the no-corpus-exchange probe property is
+    * untouched. */
+  private def corpusFrames(spark: SparkSession, prefix: String,
+      excludeBatch: Option[Long]): (DataFrame, DataFrame) = {
+    def f(t: String): DataFrame =
+      excludeBatch.foldLeft(spark.table(t))((d, n) =>
+        d.filter(col("ingest_batch") =!= n))
+    (f(bandsTable(prefix)), f(sigsTable(prefix)))
+  }
 
   // Idempotent persist registry for the dd15 catalog entry: one
   // bucketed index per (session, dir, tag), written to a fresh temp
@@ -170,27 +200,82 @@ object BandIndex {
     * first write just mutated, an ordering invariant no one should
     * have to rely on. */
   def append(spark: SparkSession, dir: String, admitted: DataFrame,
-      prefix: String): Unit = {
+      prefix: String, batchId: Long = BaseBatch): Unit =
+    withPinnedSigs(spark, dir, admitted) { sigs =>
+      writeBandRows(sigs, prefix, batchId)
+      writeSigRows(sigs, prefix, batchId)
+    }
+
+  /** The admitted batch's signature frame, MATERIALIZED (cache +
+    * count) before `body` runs its table writes — see the [[append]]
+    * scaladoc's ordering-invariant rationale. */
+  private def withPinnedSigs(spark: SparkSession, dir: String,
+      admitted: DataFrame)(body: DataFrame => Unit): Unit = {
     val adm = admitted.select(col(admitted.columns.head).as("doc_id"))
     val sigs = Dedup.minhashSignatures(spark, dir).join(adm, "doc_id").cache()
     try {
       sigs.count() // pin BEFORE the first write mutates the bands table
-      val bandKeys = (0 until Dedup.Bands).map(b =>
-        concat_ws(":", col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}")))
-      sigs
-        .select(col("doc_id").as("corpus_doc"),
-          org.apache.spark.sql.functions.posexplode(
-            org.apache.spark.sql.functions.array(bandKeys: _*)).as(Seq("band", "key")))
-        .select(concat_ws(":", col("band"), col("key")).as("bkey"), col("corpus_doc"))
-        .write.mode(SaveMode.Append)
-        .bucketBy(Buckets, "bkey").sortBy("bkey")
-        .saveAsTable(bandsTable(prefix))
-      sigs.toDF("corpus_doc" +: (0 until Dedup.MinhashK).map(j => s"b_sig_$j"): _*)
-        .write.mode(SaveMode.Append)
-        .bucketBy(Buckets, "corpus_doc").sortBy("corpus_doc")
-        .saveAsTable(sigsTable(prefix))
+      body(sigs)
     } finally sigs.unpersist()
   }
+
+  /** One atomic, batch-stamped band-table append: a Spark parquet
+    * write job commits all-or-nothing (files become visible only at
+    * job commit), so with the stamp this is the unit of idempotence
+    * [[maintainBatch]] fences on. */
+  private def writeBandRows(sigs: DataFrame, prefix: String,
+      batchId: Long): Unit = {
+    import org.apache.spark.sql.functions.lit
+    val bandKeys = (0 until Dedup.Bands).map(b =>
+      concat_ws(":", col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}")))
+    sigs
+      .select(col("doc_id").as("corpus_doc"),
+        org.apache.spark.sql.functions.posexplode(
+          org.apache.spark.sql.functions.array(bandKeys: _*)).as(Seq("band", "key")))
+      .select(concat_ws(":", col("band"), col("key")).as("bkey"), col("corpus_doc"))
+      .withColumn("ingest_batch", lit(batchId))
+      .write.mode(SaveMode.Append)
+      .bucketBy(Buckets, "bkey").sortBy("bkey")
+      .saveAsTable(bandsTable(prefix))
+  }
+
+  /** One atomic, batch-stamped signature-table append (written SECOND
+    * in every maintenance path, so its stamp's presence certifies the
+    * whole batch landed). */
+  private def writeSigRows(sigs: DataFrame, prefix: String,
+      batchId: Long): Unit = {
+    import org.apache.spark.sql.functions.lit
+    sigs.toDF("corpus_doc" +: (0 until Dedup.MinhashK).map(j => s"b_sig_$j"): _*)
+      .withColumn("ingest_batch", lit(batchId))
+      .write.mode(SaveMode.Append)
+      .bucketBy(Buckets, "corpus_doc").sortBy("corpus_doc")
+      .saveAsTable(sigsTable(prefix))
+  }
+
+  /** Has batch `batchId`'s append landed in `table`? Storage-derived
+    * (survives JVM restarts, unlike any driver-side record) and
+    * footer-cheap: each append writes NEW files holding a single
+    * stamp value, so parquet row-group statistics prune the scan to
+    * O(files) metadata reads for any batch id outside a file's
+    * [min,max] — compaction later widens a file's range, but
+    * maintenance only ever probes RECENT ids, which sit above every
+    * compacted file's max.
+    *
+    * The table is REFRESHED before the read: this guard's answer is
+    * load-bearing for exactly-once, and the appends it fences may
+    * have executed through a DIFFERENT session over the same catalog
+    * — Structured Streaming's foreachBatch hands the sink a frame
+    * bound to the stream's isolated session clone, so the write's
+    * cache invalidation lands in that clone, not here. Without the
+    * refresh, this session's cached relation (file listing taken
+    * before the append) reports the batch absent and a replay
+    * double-appends — caught by StreamingSpec's st10 restart test. */
+  private[ops] def batchPresent(spark: SparkSession, table: String,
+      batchId: Long): Boolean =
+    spark.catalog.tableExists(table) && {
+      spark.catalog.refreshTable(table)
+      !spark.table(table).filter(col("ingest_batch") === batchId).isEmpty
+    }
 
   /** Probe the index, append the batch docs judged NOVEL (dup_of
     * null). Unlike the pre-round-10 run-once variant, this appends
@@ -497,7 +582,7 @@ object BandIndex {
     * and gets one decision row per id back, probed against the
     * CURRENT persisted index. */
   def probeIds(spark: SparkSession, dir: String, prefix: String,
-      ids: DataFrame): DataFrame = {
+      ids: DataFrame, excludeBatch: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.when
     val idc = col(ids.columns.head)
     val shaped = ids.select(idc.as("batch_id"),
@@ -506,8 +591,8 @@ object BandIndex {
     val batchSigs = sigs.join(shaped, sigs("doc_id") === shaped("orig_id"))
       .select(col("batch_id").as("doc_id") +:
         (0 until Dedup.MinhashK).map(j => col(s"sig_$j")): _*)
-    Dedup.incrementalDecisionsFor(batchSigs,
-      spark.table(bandsTable(prefix)), spark.table(sigsTable(prefix)))
+    val (corpusBands, corpusSigs) = corpusFrames(spark, prefix, excludeBatch)
+    Dedup.incrementalDecisionsFor(batchSigs, corpusBands, corpusSigs)
   }
 
   /** The streaming ingest-maintenance LOOP's batch analog, two days
@@ -610,36 +695,53 @@ object BandIndex {
     * This is the idempotent foreachBatch sink Structured Streaming's
     * exactly-once contract asks for. The failure mode a restart must
     * survive is REPLAY: the engine re-runs a batch whose commit
-    * marker was lost, with the same batchId — but against an index
-    * the first run already mutated, so a bare re-run would both
-    * double-append and emit DIFFERENT decisions (each appended novel
-    * now matches itself at est 1.0). The ledger check turns the whole
-    * replayed batch into a no-op: no duplicate decisions downstream,
-    * no duplicate index rows, and the check reads storage (not driver
-    * state), so it holds across JVM restarts. A crash INSIDE the
-    * append→record window is the residual at-least-once exposure, and
-    * it is wider than storage bytes (round-10 ADVICE): the replayed
-    * batch is NOT ledger-skipped — it re-probes an index the first
-    * run already mutated, so every first-run novel comes back
-    * `dup_of` its own appended twin at est 1.0, i.e. the replay EMITS
-    * DIFFERENT DECISIONS for that batch, and its re-append stores
-    * duplicate band/sig rows (those, at least, cannot change any
-    * future decision — band candidates are DISTINCT pairs and the
-    * verify is per pair — and compaction absorbs the bytes).
-    * Downstream consumers that cannot tolerate a changed replay
-    * decision must fence on the ledger row themselves or make the
-    * append+record a single durable commit (e.g. derive the ledger
-    * from a batch_id column on the appended rows). StreamingSpec
-    * proves the COVERED replay path (crash after record) through a
-    * real checkpoint restart with the commit marker deleted. */
+    * marker was lost, with the same batchId — possibly against an
+    * index the first run already partially mutated. Round 11 closes
+    * the append→record crash window the round-10 docstring could only
+    * disclose, with two mechanisms (the round-10 ADVICE's suggested
+    * design, carried to both tables):
+    *
+    *   - **Per-table idempotence**: every appended row carries the
+    *     batch stamp, and each table write is one atomic job commit —
+    *     so "did this table absorb batch N" is answerable from
+    *     storage ([[batchPresent]]), and the replay appends only to
+    *     the table(s) the crash left unwritten. Sigs are written
+    *     SECOND, so their stamp certifies the whole batch.
+    *   - **Self-excluding probe**: the decision probe always excludes
+    *     the in-flight batch's own rows (`ingest_batch != batchId`,
+    *     pushed to the scans). First run: the predicate matches
+    *     nothing (no N rows exist yet) — decisions unchanged. Replay
+    *     over a partial commit: the crashed attempt's rows are
+    *     fenced out, so the replay probes EXACTLY the state the
+    *     first attempt saw and emits bit-identical decisions — the
+    *     "every first-run novel returns dup_of itself at est 1.0"
+    *     divergence is gone by construction.
+    *
+    * At every crash point the replay therefore converges: before any
+    * commit → clean re-run; after bands only → identical decisions,
+    * bands skipped, sigs completed; after sigs → whole batch
+    * detected landed, no-op. The ledger row (written last, stored
+    * WITH the index) survives as the FAST guard — one tiny-table
+    * read instead of two stats-pruned fence checks — but is no
+    * longer load-bearing for correctness. [[selfFenceCycle]] drives
+    * the worst window (crash between the two table writes) as the
+    * st11 catalog entry; StreamingSpec proves the
+    * crash-after-record path through a real checkpoint restart with
+    * the commit marker deleted. */
   def maintainBatch(spark: SparkSession, dir: String, prefix: String,
       ids: DataFrame, batchId: Long): Option[DataFrame] = {
-    if (ledgerDone(spark, prefix, batchId)) None
+    if (ledgerDone(spark, prefix, batchId) ||
+        batchPresent(spark, sigsTable(prefix), batchId)) None
     else {
-      val dec = probeIds(spark, dir, prefix, ids).localCheckpoint()
-      append(spark, dir,
-        dec.filter(col("dup_of").isNull).select(col("batch_doc").as("doc_id")),
-        prefix)
+      val dec = probeIds(spark, dir, prefix, ids,
+        excludeBatch = Some(batchId)).localCheckpoint()
+      val admitted =
+        dec.filter(col("dup_of").isNull).select(col("batch_doc").as("doc_id"))
+      withPinnedSigs(spark, dir, admitted) { sigs =>
+        if (!batchPresent(spark, bandsTable(prefix), batchId))
+          writeBandRows(sigs, prefix, batchId)
+        writeSigRows(sigs, prefix, batchId)
+      }
       ledgerRecord(spark, prefix, batchId)
       Some(dec)
     }
@@ -673,6 +775,62 @@ object BandIndex {
     val dec1 = Phases.time(tag, "maintain1") {
       maintainBatch(spark, dir, prefix, day1Ids, 1L)
         .getOrElse(sys.error("st08: day 1 already maintained on a fresh index"))
+    }
+    persistLock.synchronized { lastCycle(key) = (prefix, path) }
+    dec0.select(lit(0).as("day"), col("batch_doc"), col("dup_of"), col("est_jaccard"))
+      .unionByName(dec1.select(lit(1).as("day"), col("batch_doc"),
+        col("dup_of"), col("est_jaccard")))
+      .orderBy("batch_doc")
+  }
+
+  /** st11: the exactly-once story's WORST crash window, driven as a
+    * catalog entry — the window the round-10 design could only
+    * document as residual exposure. Day 0's first attempt probes and
+    * then "crashes" between the two table writes: band rows for
+    * batch 0 are durably committed, signature rows and the ledger
+    * row are not. The replay runs through [[maintainBatch]], which
+    * must (a) NOT skip (the batch is incomplete), (b) emit decisions
+    * BIT-IDENTICAL to the first attempt's — the self-excluding probe
+    * fences out the orphaned band rows — and (c) complete the batch
+    * without duplicating bands (per-table idempotence skips the
+    * bands write). All three are asserted in-cycle; a fourth assert
+    * replays the now-complete batch and requires the whole-batch
+    * skip. Day 1 then re-ingests the shifted feed as batch 1. The
+    * completed index state and both days' decisions are DEFINED
+    * identical to st07/st08's cycle, so the entry shares their
+    * two-phase oracle — the gate proves crash-recovery changed
+    * nothing observable. */
+  def selfFenceCycle(spark: SparkSession, dir: String,
+      tag: String): DataFrame = {
+    import graft.tools.Phases
+    import org.apache.spark.sql.functions.lit
+    val key = (spark, dir, tag)
+    val (prefix, path) = Phases.time(tag, "persist") { freshIndex(spark, dir, tag) }
+    val day0Ids = graft.Tables.documents(spark, dir)
+      .filter(col("source") === Dedup.IncBatchSrc)
+      .select("doc_id")
+    // First attempt: probe, commit BANDS ONLY, crash before sigs+ledger.
+    val dec0a = Phases.time(tag, "partial") {
+      val dec = probeIds(spark, dir, prefix, day0Ids,
+        excludeBatch = Some(0L)).localCheckpoint()
+      withPinnedSigs(spark, dir,
+        dec.filter(col("dup_of").isNull).select(col("batch_doc").as("doc_id"))) {
+        sigs => writeBandRows(sigs, prefix, 0L)
+      }
+      dec
+    }
+    val dec0 = Phases.time(tag, "replay") {
+      maintainBatch(spark, dir, prefix, day0Ids, 0L)
+        .getOrElse(sys.error("st11: partially-committed batch 0 must replay, not skip"))
+    }
+    if (!dec0.exceptAll(dec0a).isEmpty || !dec0a.exceptAll(dec0).isEmpty)
+      sys.error("st11: replay decisions diverge from the crashed attempt's")
+    if (maintainBatch(spark, dir, prefix, day0Ids, 0L).nonEmpty)
+      sys.error("st11: completed batch 0 was not fence-skipped")
+    val day1Ids = day0Ids.select((col("doc_id") + lit(DayOffset)).as("doc_id"))
+    val dec1 = Phases.time(tag, "maintain1") {
+      maintainBatch(spark, dir, prefix, day1Ids, 1L)
+        .getOrElse(sys.error("st11: day 1 already maintained on a fresh index"))
     }
     persistLock.synchronized { lastCycle(key) = (prefix, path) }
     dec0.select(lit(0).as("day"), col("batch_doc"), col("dup_of"), col("est_jaccard"))

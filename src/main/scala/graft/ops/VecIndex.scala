@@ -51,10 +51,10 @@ import graft.functions.VectorExprs
   *     the compaction rewrite with a broadcast anti-join on `vec_id`;
   *     post-retire probes behave as if the vectors were never
   *     indexed;
-  *   - [[maintainBatch]] (st10): the ledger-guarded exactly-once
-  *     append, sharing BandIndex's storage-resident ledger machinery
-  *     — a replayed batch (commit marker lost) is a whole-batch
-  *     no-op.
+  *   - [[maintainBatch]] (st10): exactly-once append as a SINGLE
+  *     durable commit — the batch stamp on the appended cell rows is
+  *     the ledger, so a replayed batch (commit marker lost) is a
+  *     whole-batch no-op with no crash window in between.
   *
   * Cites: reference has no vector ops; extension per SURVEY.md §2
   * ("similarity search — IVF as the scale path").
@@ -64,6 +64,8 @@ object VecIndex {
   val Buckets = 8
 
   def cellsTable(prefix: String): String = s"${prefix}_cells"
+  // pre-round-11 companion ledger (superseded by the in-row batch
+  // stamp); still dropped on cleanup so old runs leave nothing behind
   def ledgerTable(prefix: String): String = s"${prefix}_ledger"
 
   /** Coarse centroids — sim04's convention: the first
@@ -96,10 +98,13 @@ object VecIndex {
     * from a slice and grow to the full corpus via [[append]]). */
   def persist(spark: SparkSession, dir: String, path: String,
       prefix: String, emb: Option[DataFrame] = None): Unit = {
+    import org.apache.spark.sql.functions.lit
     VectorExprs.register(spark)
     val e = emb.getOrElse(
       Tables.embeddings(spark, dir).select("vec_id", "embedding"))
-    assignCells(spark, dir, e).write
+    assignCells(spark, dir, e)
+      .withColumn("ingest_batch", lit(BandIndex.BaseBatch))
+      .write
       .bucketBy(Buckets, "cluster").sortBy("cluster")
       .option("path", s"$path/cells")
       .mode(SaveMode.Overwrite)
@@ -211,11 +216,15 @@ object VecIndex {
     * one-scan/pushed-bounds plan property survives (VecIndexSpec).
     * Unlike [[BandIndex.append]] there is a single table write and
     * the batch never reads the table it mutates, so no materialize
-    * pin is needed. */
+    * pin is needed. Rows are batch-stamped ([[BandIndex.BaseBatch]]
+    * for ad-hoc appends), which is what lets [[maintainBatch]] make
+    * the append its own ledger. */
   def append(spark: SparkSession, dir: String, newVecs: DataFrame,
-      prefix: String): Unit = {
+      prefix: String, batchId: Long = BandIndex.BaseBatch): Unit = {
+    import org.apache.spark.sql.functions.lit
     VectorExprs.register(spark)
     assignCells(spark, dir, newVecs.select("vec_id", "embedding"))
+      .withColumn("ingest_batch", lit(batchId))
       .write.mode(SaveMode.Append)
       .bucketBy(Buckets, "cluster").sortBy("cluster")
       .saveAsTable(cellsTable(prefix))
@@ -240,25 +249,26 @@ object VecIndex {
     BandIndex.compactTable(spark, cellsTable(prefix), "cluster",
       Some(expired), minusIdCol = "vec_id")
 
-  /** Ledger-guarded exactly-once append ([[BandIndex.maintainBatch]]'s
-    * ANN analog, sharing its storage-resident ledger): append the
-    * batch and record `batchId`, or — if the ledger already holds it
-    * (a replayed micro-batch whose commit marker was lost) — do
-    * NOTHING and return false. The ledger lives with the index, so
-    * the guard holds across JVM restarts. Same residual window as
-    * the band index: a crash between append and record degrades to
-    * at-least-once at the storage layer (duplicate cell rows change
-    * no top-k decision only until they are the SAME vector twice —
-    * which they are, and ties break on neighbor_id, so a duplicated
-    * member yields the same ranked output; compaction's rewrite does
-    * not dedup, retire does). */
+  /** Exactly-once append, SINGLE-DURABLE-COMMIT form (round 11;
+    * [[BandIndex.maintainBatch]]'s ANN analog, simplified by the
+    * single-table layout): the batch's cell rows carry `batchId` as
+    * their [[append]] stamp, and a Spark parquet append is one atomic
+    * job commit — so the append IS its own ledger entry, and there is
+    * NO append→record window at all (the design the round-10 ADVICE
+    * sketched; the two-table band index needs the self-fencing probe
+    * on top, this index does not). Replay guard =
+    * [[BandIndex.batchPresent]] on the cell table: storage-derived
+    * (holds across JVM restarts), footer-cheap (each append's files
+    * carry a single stamp in their column stats). A replayed
+    * micro-batch whose checkpoint commit marker was lost is a
+    * whole-batch no-op returning false; crash-before-commit replays
+    * cleanly (no files became visible). The pre-round-11 companion
+    * ledger table is gone — nothing to desynchronize. */
   def maintainBatch(spark: SparkSession, dir: String, prefix: String,
       newVecs: DataFrame, batchId: Long): Boolean = {
-    if (BandIndex.ledgerDoneIn(spark, ledgerTable(prefix), batchId)) false
+    if (BandIndex.batchPresent(spark, cellsTable(prefix), batchId)) false
     else {
-      append(spark, dir, newVecs, prefix)
-      BandIndex.ledgerRecordIn(spark, ledgerTable(prefix),
-        cellsTable(prefix), batchId)
+      append(spark, dir, newVecs, prefix, batchId)
       true
     }
   }
@@ -378,12 +388,12 @@ object VecIndex {
       .orderBy("phase", "query_id", "neighbor_id")
   }
 
-  /** st10: sim15's cycle driven through the ledger-guarded
+  /** st10: sim15's cycle driven through the batch-stamp-guarded
     * [[maintainBatch]], with the batch REPLAYED in between — the
     * batch analog of a checkpoint restart that lost the commit
-    * marker. The replay must be a ledger-skipped no-op (asserted
+    * marker. The replay must be a stamp-skipped no-op (asserted
     * here; a double append would duplicate cell members — harmless
-    * for THIS aggregate's output, so the real gate is the ledger
+    * for THIS aggregate's output, so the real gate is the skip
     * assertion plus StreamingSpec's restart test). Final probe equals
     * sim04, same oracle. */
   def maintainedCycle(spark: SparkSession, dir: String, tag: String): DataFrame = {
@@ -397,7 +407,7 @@ object VecIndex {
       if (!maintainBatch(spark, dir, prefix, e.filter(isNewVec), 0L))
         sys.error("st10: fresh index claims batch 0 already maintained")
       if (maintainBatch(spark, dir, prefix, e.filter(isNewVec), 0L))
-        sys.error("st10: replayed batch 0 was not ledger-skipped")
+        sys.error("st10: replayed batch 0 was not stamp-skipped")
     }
     val dec = Phases.time(tag, "probe") {
       probe(spark, dir, prefix).localCheckpoint()

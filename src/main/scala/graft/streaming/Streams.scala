@@ -650,6 +650,17 @@ object Streams {
     "st08_stream_exactly_once" -> ((s, d) =>
       graft.ops.BandIndex.replayedCycle(s, d, "st08")),
 
+    // The exactly-once design's WORST crash window driven end to end
+    // (round 11): day 0's first attempt commits its band rows and
+    // then "crashes" before the signature rows and the ledger. The
+    // replay must re-probe behind the self-excluding batch fence
+    // (bit-identical decisions to the crashed attempt — asserted
+    // in-cycle), complete only the missing table (no duplicate band
+    // rows), and the finished cycle must be indistinguishable from
+    // st07's clean run — which the shared two-phase oracle proves.
+    "st11_selffence_replay" -> ((s, d) =>
+      graft.ops.BandIndex.selfFenceCycle(s, d, "st11")),
+
     // ANN SERVING as a stream — the vector-family analog of st06: a
     // query-vector stream (synthetic deterministic arrival times)
     // selects its probe cells via broadcast centroids in one
@@ -698,6 +709,11 @@ object Streams {
     // middle; DEFINED identical, so the oracle is the same SQL — a
     // divergence means the replay mutated the index after all.
     ("st08_stream_exactly_once" -> st07OracleSql) +
+    // st11 = st07's decisions with a crash-between-table-writes +
+    // self-fenced replay in the middle; DEFINED identical, so the
+    // oracle is the same SQL — a divergence means the partial commit
+    // leaked into the replay's decisions or the completed index.
+    ("st11_selffence_replay" -> st07OracleSql) +
     // st09 = sim04's decisions behind the arrival window (same
     // synthetic ts convention as st05): the streamed top-k must
     // equal the batch IVF ANN row for row.

@@ -25,7 +25,8 @@ object LaneSweep {
 
   private val excluded = Set(
     "dd16_index_append", "dd17_index_compact", "dd18_index_retention",
-    "st07_stream_index_maintain", "st08_stream_exactly_once")
+    "st07_stream_index_maintain", "st08_stream_exactly_once",
+    "st11_selffence_replay")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

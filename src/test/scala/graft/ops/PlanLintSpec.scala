@@ -53,6 +53,7 @@ class PlanLintSpec extends SparkSpec {
     "dd18_index_retention" -> bandProbe _,
     "st07_stream_index_maintain" -> bandProbeShifted _,
     "st08_stream_exactly_once" -> bandProbeShifted _,
+    "st11_selffence_replay" -> bandProbeShifted _,
     "sim15_vec_index_append" -> vecProbe _,
     "sim16_vec_index_compact" -> vecProbe _,
     "sim17_vec_retention" -> vecProbe _,

@@ -678,6 +678,10 @@ class StreamingSpec extends SparkSpec {
 
     val q1 = startQuery()
     try q1.processAllAvailable() finally q1.stop()
+    // the append ran through the stream's isolated session clone, so
+    // refresh before snapshotting — this session's cached relation
+    // still holds the pre-append file listing
+    spark.catalog.refreshTable(graft.ops.VecIndex.cellsTable(prefix))
     val cellRows = spark.table(graft.ops.VecIndex.cellsTable(prefix)).count()
     assert(runs.toList == List((0L, true)),
       s"first run should maintain batch 0 once: $runs")
@@ -779,6 +783,23 @@ class StreamingSpec extends SparkSpec {
       assert(novels.isEmpty,
         s"appended novels should now self-match, got novel: ${novels.toList}")
     } finally graft.ops.BandIndex.drop(spark, prefix)
+  }
+
+  test("partial-commit replay: the self-fenced cycle equals the clean exactly-once cycle (st11)") {
+    // The append→record crash window st08's ledger could not cover:
+    // bands committed, sigs and ledger lost. selfFenceCycle drives
+    // exactly that state and self-asserts the replay's three
+    // obligations (replay-not-skip, bit-identical decisions, no
+    // duplicate band rows); this test pins the END state — both
+    // days' decisions equal the CLEAN cycle's row for row, i.e.
+    // crash recovery is observationally invisible.
+    val sf = "/root/testdata/sf0.001"
+    val fenced = graft.ops.BandIndex.selfFenceCycle(spark, sf, "st11spec")
+      .collect().map(_.toString).toSeq
+    val clean = graft.ops.BandIndex.replayedCycle(spark, sf, "st08spec2")
+      .collect().map(_.toString).toSeq
+    assert(fenced == clean,
+      "crash-recovered cycle diverges from the clean exactly-once cycle")
   }
 
   test("streaming session windows merge across micro-batches and equal the batch sessions (st03)") {
