@@ -853,7 +853,18 @@ object Similarity {
     // top-k must re-fill from surviving cell members, and the oracle
     // replays phase 1 against a corpus that never held them.
     "sim17_vec_retention" -> ((s, d) =>
-      VecIndex.retentionCycle(s, d, "sim17"))
+      VecIndex.retentionCycle(s, d, "sim17")),
+
+    // sim18 = the IVF-PQ SERVING index (VecIndex.pqPersist/pqProbe):
+    // cells persist (cluster, vec_id, PQ codes) — 256-byte raw
+    // vectors become M small ints, and the probe's read path is code
+    // cells + the broadcast codebook's ADC lookup table; the corpus'
+    // raw embeddings never appear in the probe plan (VecIndexSpec).
+    // Decisions = sim07's trained-codebook ADC restricted to the
+    // query's probed IVF cells; the oracle composes sim04's cell
+    // CTEs with sim07's codebook/encode/ADC CTEs end to end.
+    "sim18_ivfpq_probe" -> ((s, d) =>
+      VecIndex.pqProbe(s, d, VecIndex.ensurePqPersisted(s, d)))
   )
 
   /** Per-subspace Lloyd-trained PQ codebook: [[PqTrainIters]]
@@ -1207,6 +1218,84 @@ object Similarity {
 
   private lazy val sim04Sql: String = sim04SqlWhere("TRUE")
 
+  /** sim18's oracle: IVF cell selection (sim04's CTEs) composed with
+    * the trained-codebook PQ encode + ADC (sim07's CTEs) — candidates
+    * are the probed cells' members, scored by ADC table lookup,
+    * top-[[KnnK]] per query by (adc, neighbor_id). */
+  private lazy val sim18Sql: String = {
+    val dCols = (0 until PqM)
+      .map(m => s"${sqDistSql("v.embedding", "cb.cw", m)} AS d$m").mkString(",\n    ")
+    val rCols = (0 until PqM)
+      .map(m => s"row_number() OVER (PARTITION BY vec_id ORDER BY d$m, code) AS r$m")
+      .mkString(",\n    ")
+    val cCols = (0 until PqM)
+      .map(m => s"max(CASE WHEN r$m = 1 THEN code END) AS c$m").mkString(",\n    ")
+    val qdCols = (0 until PqM)
+      .map(m => s"${sqDistSql("q.qe", "cb.cw", m)} AS qd$m").mkString(",\n    ")
+    val tJoins = (1 until PqM)
+      .map(m => s"JOIN qtab t$m ON t$m.query_id = p.query_id AND t$m.code = codes.c$m")
+      .mkString("\n  ")
+    val adcSum = (0 until PqM).map(m => s"t$m.qd$m").mkString(" + ")
+    s"""WITH $normedCte,
+       |cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS ce, norm AS cnorm
+       |  FROM e WHERE vec_id < $IvfCentroids
+       |),
+       |ivf AS (
+       |  SELECT e.vec_id, c.cent_id,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY ${dotSql("e.embedding", "c.ce")} / (e.norm * c.cnorm) DESC,
+       |                    c.cent_id ASC) AS crn
+       |  FROM e, cents c
+       |),
+       |assigned AS (SELECT vec_id, cent_id AS cluster FROM ivf WHERE crn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cent_id AS cluster
+       |  FROM ivf WHERE vec_id < $KnnQueries AND crn <= $IvfNProbe
+       |),
+       |${pqCodebookSql(trained = true)},
+       |pqscored AS (
+       |  SELECT v.vec_id, cb.code,
+       |    $dCols
+       |  FROM embeddings v CROSS JOIN cb
+       |),
+       |pqrn AS (
+       |  SELECT vec_id, code,
+       |    $rCols
+       |  FROM pqscored
+       |),
+       |codes AS (
+       |  SELECT vec_id,
+       |    $cCols
+       |  FROM pqrn GROUP BY vec_id
+       |),
+       |q AS (
+       |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+       |  WHERE vec_id < $KnnQueries
+       |),
+       |qtab AS (
+       |  SELECT q.query_id, cb.code,
+       |    $qdCols
+       |  FROM q CROSS JOIN cb
+       |),
+       |j AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id, a.cluster,
+       |         $adcSum AS adc
+       |  FROM assigned a
+       |  JOIN probes p USING (cluster)
+       |  JOIN codes ON codes.vec_id = a.vec_id
+       |  JOIN qtab t0 ON t0.query_id = p.query_id AND t0.code = codes.c0
+       |  $tJoins
+       |  WHERE a.vec_id <> p.query_id
+       |)
+       |SELECT query_id, neighbor_id, cluster, round(adc, 6) AS adc_dist
+       |FROM (SELECT j.*,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rk
+       |      FROM j) t
+       |WHERE rk <= $KnnK
+       |ORDER BY query_id, neighbor_id""".stripMargin
+  }
+
   /** sim17's two-phase retention oracle: phase 0 = sim04 on the full
     * corpus; phase 1 = sim04 with the indexed corpus filtered by
     * NOT IN (phase 0's distinct neighbors) — the exact set the engine
@@ -1271,6 +1360,11 @@ object Similarity {
 
     // sim17 = the two-phase retention cycle (see sim17Sql).
     "sim17_vec_retention" -> sim17Sql,
+
+    // sim18 = IVF cell selection composed with trained-codebook
+    // PQ-ADC (see sim18Sql) — the persisted code-cell layout must
+    // reproduce the declarative composition end to end.
+    "sim18_ivfpq_probe" -> sim18Sql,
 
     "sim11_ann_recall" ->
       s"""WITH bf AS (

@@ -416,11 +416,141 @@ object VecIndex {
     dec
   }
 
+  // ------------------------------------------------------------------
+  // IVF-PQ serving index (sim18) — the layout you actually ship at
+  // 100 TB. sim14's cell table stores RAW vectors: right for exact
+  // re-rank, but the serving tier's dominant cost is reading cell
+  // members, and a 64-dim float vector is 256 bytes where its PQ code
+  // is M small ints. This index persists (cluster, vec_id,
+  // c0..cM-1): the IVF assignment gives the probe its cell pruning,
+  // the PQ codes give it asymmetric-distance scoring against a
+  // broadcast codebook — the corpus' raw embeddings are NOT on the
+  // probe's read path at all (VecIndexSpec asserts every embeddings
+  // scan in the probe plan carries a pushed bounded vec_id filter:
+  // queries + centroids only). Decisions = sim07's trained-codebook
+  // ADC restricted to the probed cells — the composed oracle
+  // (Similarity.sim18Sql) replays IVF cell selection + Lloyd
+  // codebook + encode + ADC end to end in DuckDB.
+  // ------------------------------------------------------------------
+
+  def pqCellsTable(prefix: String): String = s"${prefix}_pqcells"
+  def codebookTable(prefix: String): String = s"${prefix}_codebook"
+
+  private def subSlice(c: String, m: Int): String =
+    s"slice($c, ${m * Similarity.PqSubDims + 1}, ${Similarity.PqSubDims})"
+
+  /** INDEX BUILD (paid once): Lloyd-train the PQ codebook
+    * ([[Similarity.pqTrainedCodebook]]), encode the corpus (corpus ×
+    * broadcast M·K codebook — M fused codegen `sq_dist` argmins, one
+    * pass), assign IVF cells (corpus × broadcast centroids), persist
+    * the code cells bucketed by cluster plus the (tiny) codebook
+    * table — the serving tier is then self-contained. */
+  def pqPersist(spark: SparkSession, dir: String, path: String,
+      prefix: String): Unit = {
+    import org.apache.spark.sql.functions.{lit, min, struct}
+    VectorExprs.register(spark)
+    val cb = Similarity.pqTrainedCodebook(spark, dir).localCheckpoint()
+    cb.write.option("path", s"$path/codebook")
+      .mode(SaveMode.Overwrite).saveAsTable(codebookTable(prefix))
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val scored = (0 until Similarity.PqM).foldLeft(e.crossJoin(broadcast(cb))) {
+      (df, m) => df.withColumn(s"d$m",
+        expr(s"sq_dist(${subSlice("embedding", m)}, ${subSlice("cw", m)})"))
+    }
+    val aggCols = (0 until Similarity.PqM).map(m =>
+      min(struct(col(s"d$m").as("d"), col("code").as("code"))).as(s"b$m"))
+    val codes = scored.groupBy("vec_id")
+      .agg(aggCols.head, aggCols.tail: _*)
+      .select(col("vec_id") +:
+        (0 until Similarity.PqM).map(m => col(s"b$m.code").as(s"c$m")): _*)
+    assignCells(spark, dir, e)
+      .select("cluster", "vec_id")
+      .join(codes, "vec_id")
+      .withColumn("ingest_batch", lit(BandIndex.BaseBatch))
+      .write
+      .bucketBy(Buckets, "cluster").sortBy("cluster")
+      .option("path", s"$path/pqcells")
+      .mode(SaveMode.Overwrite)
+      .saveAsTable(pqCellsTable(prefix))
+  }
+
+  /** ADC serving against the persisted code cells: the query batch
+    * resolves its probe cells (bounded frame × broadcast centroids),
+    * builds its per-(query, m, code) distance LUT (bounded frame ×
+    * broadcast codebook — the classic ADC table), and joins the cell
+    * table; candidates are scored by LUT lookup — M broadcast-hash
+    * joins on the code columns, no per-candidate vector arithmetic
+    * and no corpus-side exchange. Top-[[Similarity.KnnK]] per query
+    * by (adc asc, neighbor_id asc), sim07's order. */
+  def pqProbe(spark: SparkSession, dir: String, prefix: String): DataFrame = {
+    import org.apache.spark.sql.functions.round
+    VectorExprs.register(spark)
+    val cb = spark.table(codebookTable(prefix))
+    val queries = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < Similarity.KnnQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val probes = queries.crossJoin(broadcast(centroids(spark, dir)))
+      .withColumn("cos_c", expr("cosine_sim(qe, ce)"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cos_c").desc, col("cent_id").asc)))
+      .filter(col("crn") <= Similarity.IvfNProbe)
+      .select(col("query_id"), col("cent_id").as("cluster"))
+    val qtabs = (0 until Similarity.PqM).map { m =>
+      queries.crossJoin(broadcast(cb))
+        .select(col("query_id").as(s"q$m"), col("code").as(s"qc$m"),
+          expr(s"sq_dist(${subSlice("qe", m)}, ${subSlice("cw", m)})").as(s"qd$m"))
+    }
+    val cand = spark.table(pqCellsTable(prefix))
+      .join(broadcast(probes), Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+    val joined = (1 until Similarity.PqM).foldLeft(
+      cand.join(broadcast(qtabs(0)),
+        col("query_id") === col("q0") && col("c0") === col("qc0"))) { (df, m) =>
+      df.join(broadcast(qtabs(m)),
+        col("query_id") === col(s"q$m") && col(s"c$m") === col(s"qc$m"))
+    }
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    joined
+      .withColumn("adc",
+        (0 until Similarity.PqM).map(m => col(s"qd$m")).reduce(_ + _))
+      .withColumnRenamed("vec_id", "neighbor_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= Similarity.KnnK)
+      .select(col("query_id"), col("neighbor_id"), col("cluster"),
+        round(col("adc"), 6).as("adc_dist"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  /** Idempotent build registry for the sim18 catalog entry — same
+    * shape and rationale as [[ensurePersisted]]: the IVF-PQ index is
+    * a durable artifact; the bench re-times the PROBE. */
+  private val pqPersistedFor =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), String]
+
+  def ensurePqPersisted(spark: SparkSession, dir: String,
+      tag: String = "sim18"): String = {
+    val key = (spark, dir, tag)
+    pqPersistedFor.get(key).getOrElse(persistLock.synchronized {
+      pqPersistedFor.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+      pqPersistedFor.getOrElseUpdate(key, {
+        val prefix = s"graft_vec_${tag}_${Integer.toHexString(dir.hashCode)}" +
+          s"_s${serial.incrementAndGet()}"
+        val path = BandIndex.newTempDir(s"vec$tag")
+        pqPersist(spark, dir, path, prefix)
+        prefix
+      })
+    })
+  }
+
   /** Drop the registered tables (files under the index path are
     * external; the temp-dir lifecycle owns them). */
   def drop(spark: SparkSession, prefix: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS ${cellsTable(prefix)}")
     spark.sql(s"DROP TABLE IF EXISTS ${ledgerTable(prefix)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${pqCellsTable(prefix)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${codebookTable(prefix)}")
   }
 
   // Idempotent persist registry — same shape and rationale as

@@ -159,6 +159,39 @@ class VecIndexSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ probe serves from code cells: raw corpus vectors are off the read path") {
+    // sim18's plan property: the ADC serving plan reads the persisted
+    // CODE cells once (cluster, vec_id, c0..cM-1 — no embedding
+    // column at all) plus the broadcast codebook table; the only
+    // raw-embeddings scans left are the bounded query/centroid
+    // frames with their vec_id bound pushed. This is the layout's
+    // point — at 100 TB the serving tier never moves or even stores
+    // the 256-byte vectors, only M-int codes.
+    val prefix = VecIndex.ensurePqPersisted(spark, sf)
+    assert(VecIndex.ensurePqPersisted(spark, sf) == prefix,
+      "second call must reuse the persisted PQ index")
+    val frame = VecIndex.pqProbe(spark, sf, prefix)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = frame.queryExecution.executedPlan
+      val scans = plan.collect { case s: FileSourceScanExec => s }
+      val cellScans = scans.filter(
+        _.relation.location.rootPaths.exists(_.toString.contains("pqcells")))
+      assert(cellScans.size == 1,
+        s"expected exactly one code-cell scan:\n$plan")
+      assert(!cellScans.head.schema.fieldNames.contains("embedding"),
+        "code-cell scan reads a raw vector column")
+      val rawScans = scans.filter(
+        _.relation.location.rootPaths.exists(_.toString.contains("embeddings.parquet")))
+      assert(rawScans.nonEmpty, s"probe lost its query/centroid scans:\n$plan")
+      rawScans.foreach { s =>
+        val pushed = s.metadata.getOrElse("PushedFilters", "")
+        assert(pushed.contains("LessThan(vec_id"),
+          s"unbounded raw-embeddings scan in the serving plan:\n$s")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("probe shuffle BYTES track the query batch, not the corpus (10x corpus, ~1x bytes)") {
     // The ANN analog of BandIndexSpec's bytes gate (round-10 VERDICT
     // item 8): the SAME-SIZED query batch (KnnQueries=5 in both dirs)
