@@ -326,6 +326,45 @@ object DataQuality {
         .select(col("token"), col("n_a"), col("n_b"),
           round(col("p_a") * log(col("p_a") / col("p_b")), 8).as("kl_term"))
         .orderBy("token")
+    }),
+
+    // Referential-integrity audit — the FK sweep a warehouse
+    // ingestion gate runs before publishing a snapshot: one row per
+    // foreign-key edge with its child cardinality and orphan count
+    // (child keys with no parent). Each edge is ONE pass: child keys
+    // left-join the parent's DISTINCT key set (an RI check is
+    // against the key SET, so a duplicated parent row can't multiply
+    // child rows), orphans counted as null-parent hits. NULL FKs are
+    // not violations (SQL RI semantics). At 100 TB each edge is a
+    // plain hash join on the key — the parent key sets here are
+    // dimension-sized (planner broadcasts them); a fact→fact edge
+    // (lineitem→orders) shuffles both sides on the key, the join
+    // you'd co-bucket in production. Clean TPC-H data yields zero
+    // orphans — the PASS baseline the gate alarms against.
+    "dq06_referential_integrity" -> ((s, d) => {
+      def edge(name: String, child: DataFrame, ck: String,
+          parent: DataFrame, pk: String): DataFrame =
+        child.filter(col(ck).isNotNull).select(col(ck).as("k"))
+          .join(parent.select(col(pk).as("k")).distinct()
+            .withColumn("hit", lit(1)), Seq("k"), "left")
+          .agg(count(lit(1)).as("child_rows"),
+            sum(when(col("hit").isNull, 1L).otherwise(0L)).as("orphans"))
+          .select(lit(name).as("fk_edge"), col("child_rows"), col("orphans"))
+      Seq(
+        edge("customer.c_nationkey->nation", Tables.customer(s, d),
+          "c_nationkey", Tables.nation(s, d), "n_nationkey"),
+        edge("lineitem.l_orderkey->orders", Tables.lineitem(s, d),
+          "l_orderkey", Tables.orders(s, d), "o_orderkey"),
+        edge("lineitem.l_partkey->part", Tables.lineitem(s, d),
+          "l_partkey", Tables.part(s, d), "p_partkey"),
+        edge("lineitem.l_suppkey->supplier", Tables.lineitem(s, d),
+          "l_suppkey", Tables.supplier(s, d), "s_suppkey"),
+        edge("orders.o_custkey->customer", Tables.orders(s, d),
+          "o_custkey", Tables.customer(s, d), "c_custkey"),
+        edge("supplier.s_nationkey->nation", Tables.supplier(s, d),
+          "s_nationkey", Tables.nation(s, d), "n_nationkey"))
+        .reduce(_ unionByName _)
+        .orderBy("fk_edge")
     })
   )
 
@@ -435,6 +474,30 @@ object DataQuality {
          |             * ln((CAST(n_a + 1 AS DOUBLE) / CAST(na + v AS DOUBLE))
          |                  / (CAST(n_b + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE))), 8)
          |         + 0.0 AS kl_term
-         |FROM counts, tot ORDER BY token""".stripMargin
+         |FROM counts, tot ORDER BY token""".stripMargin,
+
+    "dq06_referential_integrity" -> {
+      def edgeSql(name: String, child: String, ck: String,
+          parent: String, pk: String): String =
+        s"""SELECT '$name' AS fk_edge,
+           |       count(*) AS child_rows,
+           |       CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphans
+           |FROM (SELECT $ck AS k FROM $child WHERE $ck IS NOT NULL) c
+           |LEFT JOIN (SELECT DISTINCT $pk AS k FROM $parent) p USING (k)""".stripMargin
+      Seq(
+        edgeSql("customer.c_nationkey->nation", "customer", "c_nationkey",
+          "nation", "n_nationkey"),
+        edgeSql("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+          "orders", "o_orderkey"),
+        edgeSql("lineitem.l_partkey->part", "lineitem", "l_partkey",
+          "part", "p_partkey"),
+        edgeSql("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+          "supplier", "s_suppkey"),
+        edgeSql("orders.o_custkey->customer", "orders", "o_custkey",
+          "customer", "c_custkey"),
+        edgeSql("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+          "nation", "n_nationkey"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY fk_edge")
+    }
   )
 }

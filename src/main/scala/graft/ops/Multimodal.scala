@@ -198,7 +198,28 @@ object Multimodal {
             .as("chunk_md5"),
           expr(s"CAST(length(substring(text, chunk_idx * $ChunkBytes + 1, $ChunkBytes)) AS INT)")
             .as("chunk_len"))
-        .orderBy("doc_id", "chunk_idx"))
+        .orderBy("doc_id", "chunk_idx")),
+
+    // Whole-payload digest dedup — how media dedup actually works at
+    // 100 TB: the bytes are far too large to compare, so the
+    // decision table is built over content digests. One pass digests
+    // every payload; the only exchange is the hash shuffle on the
+    // digest (dup clusters are digest-grouped, never all-pairs), and
+    // the window min inside each digest group elects the canonical
+    // copy deterministically. A null payload is its own canonical —
+    // absent bytes are not "equal bytes". (Text stands in for the
+    // payload, mm01-03 precedent.)
+    "mm04_media_dedup" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("payload_md5")
+      graft.Tables.documents(s, d)
+        .select(col("doc_id"),
+          org.apache.spark.sql.functions.md5(col("text").cast(BinaryType)).as("payload_md5"))
+        .withColumn("canonical_doc",
+          when(col("payload_md5").isNull, col("doc_id"))
+            .otherwise(org.apache.spark.sql.functions.min(col("doc_id")).over(w)))
+        .withColumn("is_dup", (col("doc_id") =!= col("canonical_doc")).cast("int"))
+        .orderBy("doc_id")
+    })
   )
 
   val oracle3: Map[String, String] = Map(
@@ -216,7 +237,16 @@ object Multimodal {
          |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
          |       substring(md5(substring(text, chunk_idx * $ChunkBytes + 1, $ChunkBytes)), 1, 16) AS chunk_md5,
          |       CAST(strlen(substring(text, chunk_idx * $ChunkBytes + 1, $ChunkBytes)) AS INT) AS chunk_len
-         |FROM x ORDER BY doc_id, chunk_idx""".stripMargin
+         |FROM x ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "mm04_media_dedup" ->
+      s"""WITH h AS (SELECT doc_id, md5(text) AS payload_md5 FROM documents)
+         |SELECT doc_id, payload_md5,
+         |       CASE WHEN payload_md5 IS NULL THEN doc_id
+         |            ELSE min(doc_id) OVER (PARTITION BY payload_md5) END AS canonical_doc,
+         |       CAST(doc_id <> (CASE WHEN payload_md5 IS NULL THEN doc_id
+         |            ELSE min(doc_id) OVER (PARTITION BY payload_md5) END) AS INT) AS is_dup
+         |FROM h ORDER BY doc_id""".stripMargin
   )
 
   val oracle2: Map[String, String] = Map(
