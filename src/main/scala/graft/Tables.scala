@@ -15,7 +15,8 @@ import org.apache.spark.sql.types._
   *     healthy-calibrated host (ABBA lane order, min-per-lane;
   *     SCALE_NOTES "Round-11: the ANSI lane tax") — the round-10
   *     drift the verdict flagged. Both lanes are proven
-  *     row-identical (AnsiLaneSpec, tools/AnsiProbe 192/192), so the
+  *     row-identical (AnsiLaneSpec, tools/AnsiProbe 200/200 re-run
+  *     under the round-11 default), so the
   *     lane choice is a THROUGHPUT knob, not a correctness one: the
   *     engine's malformed-input handling goes through try_* forms
   *     and overflow-free arithmetic in BOTH lanes, and its parity
