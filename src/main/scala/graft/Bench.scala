@@ -48,7 +48,8 @@ object Bench {
     "st09_stream_ann_probe",
     "sim15_vec_index_append", "sim16_vec_index_compact",
     "sim17_vec_retention", "st10_stream_ann_maintain",
-    "st11_selffence_replay", "sim18_ivfpq_probe")
+    "st11_selffence_replay", "sim18_ivfpq_probe",
+    "st12_stream_pq_serving")
 
   // Locale.ROOT: the f-interpolator honors the default locale, and a
   // comma decimal separator would corrupt the JSON

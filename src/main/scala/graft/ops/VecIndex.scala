@@ -523,6 +523,72 @@ object VecIndex {
       .orderBy("query_id", "neighbor_id")
   }
 
+  /** Streaming-safe IVF-PQ ADC top-k core — sim18's serving dataflow
+    * in streaming-legal constructs (st12; the PQ analog of
+    * [[annTopK]]). `queries` (query_id, embedding, ts) may be
+    * unbounded, so every construct is streaming-legal:
+    *
+    *   - probe-cell selection is [[annTopK]]'s stateless HOF ranking
+    *     (broadcast centroid array → transform → array_sort → slice);
+    *   - ADC scoring CANNOT use the batch path's per-query LUT frame:
+    *     the LUT is stream-derived, and joining it back to the
+    *     (also stream-derived) candidates would be a stream-stream
+    *     join — illegal without watermark range bounds. Instead each
+    *     candidate joins the broadcast (STATIC) codebook M times on
+    *     its code columns and pays the M fused `sq_dist` directly —
+    *     more FLOPs per candidate than LUT reuse, but stateless,
+    *     stream-static, and bounded by the probed cells;
+    *   - the per-query top-k is the K-bounded [[graft.functions.TopKStructs]]
+    *     aggregate; ADC is a DISTANCE, so the natural (adc,
+    *     neighbor_id) struct order IS the wanted order — no negation
+    *     trick.
+    *
+    * Output: one row per (arrival window, query, ranked neighbor) —
+    * sim18's decision columns behind a window_start, the st05/st09
+    * convention. */
+  def pqAnnTopK(spark: SparkSession, dir: String, queries: DataFrame,
+      cells: DataFrame, cb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{collect_list, date_format, explode, round, struct, window}
+    VectorExprs.register(spark)
+    val centArr = centroids(spark, dir)
+      .agg(collect_list(struct(col("cent_id"), col("ce"))).as("cents"))
+    val probes = queries
+      .crossJoin(broadcast(centArr))
+      .select(col("query_id"), col("ts"), col("embedding").as("qe"),
+        explode(expr(
+          s"""slice(
+             |  transform(
+             |    array_sort(transform(cents,
+             |      c -> struct(-cosine_sim(embedding, c.ce) AS nc,
+             |                  c.cent_id AS cent_id))),
+             |    s -> s.cent_id),
+             |  1, ${Similarity.IvfNProbe})""".stripMargin)).as("cluster"))
+    val cand = cells.join(probes, Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+    val scored = (0 until Similarity.PqM).foldLeft(cand) { (df, m) =>
+      df.join(broadcast(cb.select(col("code").as(s"k$m"), col("cw").as(s"cw$m"))),
+          col(s"c$m") === col(s"k$m"))
+        .withColumn(s"qd$m",
+          expr(s"sq_dist(${subSlice("qe", m)}, ${subSlice(s"cw$m", m)})"))
+        .drop(s"k$m", s"cw$m")
+    }
+    scored
+      .withColumn("adc",
+        (0 until Similarity.PqM).map(m => col(s"qd$m")).reduce(_ + _))
+      .select(col("query_id"), col("ts"),
+        struct(col("adc"), col("vec_id").as("neighbor_id"),
+          col("cluster"), round(col("adc"), 6).as("adc_dist")).as("s"))
+      .groupBy(window(col("ts"), "10 minutes"), col("query_id"))
+      .agg(expr(s"topk_struct(s, ${Similarity.KnnK})").as("top"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("query_id"), explode(col("top")).as("t"))
+      .select(col("window_start"), col("query_id"),
+        col("t.neighbor_id").as("neighbor_id"),
+        col("t.cluster").as("cluster"),
+        col("t.adc_dist").as("adc_dist"))
+  }
+
   /** Idempotent build registry for the sim18 catalog entry — same
     * shape and rationale as [[ensurePersisted]]: the IVF-PQ index is
     * a durable artifact; the bench re-times the PROBE. */

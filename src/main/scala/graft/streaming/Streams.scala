@@ -449,6 +449,14 @@ object Streams {
     graft.ops.VecIndex.annTopK(spark, dir,
       queries.withWatermark("ts", delay), cells)
 
+  /** st12's real-stream form: [[graft.ops.VecIndex.pqAnnTopK]] behind
+    * a watermark — ADC serving from the persisted IVF-PQ code cells. */
+  def pqServeStream(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, cells: DataFrame, cb: DataFrame,
+      delay: String = "30 minutes"): DataFrame =
+    graft.ops.VecIndex.pqAnnTopK(spark, dir,
+      queries.withWatermark("ts", delay), cells, cb)
+
   // ------------------------------------------------------------------
   // Custom streaming state: trip segmentation
   // ------------------------------------------------------------------
@@ -695,7 +703,27 @@ object Streams {
     // same maintenance through a real readStream foreachBatch with a
     // checkpoint restart.
     "st10_stream_ann_maintain" -> ((s, d) =>
-      graft.ops.VecIndex.maintainedCycle(s, d, "st10"))
+      graft.ops.VecIndex.maintainedCycle(s, d, "st10")),
+
+    // PQ SERVING as a stream — st09's analog over the IVF-PQ CODE
+    // cells (sim18's layout): probe-cell selection is the same
+    // stateless HOF ranking; ADC scoring joins the broadcast STATIC
+    // codebook per code column (the batch LUT would be a
+    // stream-stream join — see VecIndex.pqAnnTopK); per-query top-k
+    // through topk_struct, where ADC's natural ascending order needs
+    // no negation. Decisions = sim18's behind a window_start.
+    "st12_stream_pq_serving" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, expr}
+      val queries = graft.Tables.embeddings(s, d)
+        .filter(col("vec_id") < graft.ops.Similarity.KnnQueries)
+        .select(col("vec_id").as("query_id"), col("embedding"),
+          expr("timestamp'2024-01-01 00:00:00' + make_dt_interval(0, 0, 0, vec_id)").as("ts"))
+      val prefix = graft.ops.VecIndex.ensurePqPersisted(s, d)
+      graft.ops.VecIndex.pqAnnTopK(s, d, queries,
+          s.table(graft.ops.VecIndex.pqCellsTable(prefix)),
+          s.table(graft.ops.VecIndex.codebookTable(prefix)))
+        .orderBy("query_id", "neighbor_id")
+    })
   )
 
   val oracle: Map[String, String] = oracleBase +
@@ -722,7 +750,27 @@ object Streams {
     // ledger-guarded append → replay-skipped) index; DEFINED
     // identical to the full build, so the oracle is sim04's — a
     // divergence means the maintenance mutated the decisions.
-    ("st10_stream_ann_maintain" -> graft.ops.Similarity.oracle("sim04_ivf_ann"))
+    ("st10_stream_ann_maintain" -> graft.ops.Similarity.oracle("sim04_ivf_ann")) +
+    // st12 = sim18's ADC decisions behind the arrival window (the
+    // st09 wrapper shape, adc_dist instead of cosine).
+    ("st12_stream_pq_serving" -> st12OracleSql)
+
+  private lazy val st12OracleSql: String = {
+    import graft.ops.Similarity.KnnQueries
+    s"""WITH t AS (
+       |  ${graft.ops.Similarity.oracle("sim18_ivfpq_probe")}
+       |),
+       |q AS (
+       |  SELECT vec_id AS query_id,
+       |         TIMESTAMP '2024-01-01 00:00:00' + vec_id * INTERVAL 1 SECOND AS ts
+       |  FROM embeddings WHERE vec_id < $KnnQueries
+       |)
+       |SELECT strftime(to_timestamp(CAST(floor(epoch(q.ts) / 600) AS BIGINT) * 600),
+       |                '%Y-%m-%d %H:%M:%S') AS window_start,
+       |       t.query_id, t.neighbor_id, t.cluster, t.adc_dist
+       |FROM t JOIN q ON q.query_id = t.query_id
+       |ORDER BY t.query_id, t.neighbor_id""".stripMargin
+  }
 
   private lazy val st09OracleSql: String = {
     import graft.ops.Similarity.KnnQueries

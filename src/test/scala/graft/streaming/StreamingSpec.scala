@@ -641,6 +641,63 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming PQ serving from the code-cell index equals the batch ADC top-k (st12)") {
+    // sim18's ADC serving as a real stream: the per-query LUT frame
+    // is not streaming-legal (stream-stream join), so candidates join
+    // the broadcast static codebook per code column instead — this
+    // test proves that dataflow end to end through readStream,
+    // multi-micro-batch arrival, watermark close, and append-mode
+    // emit, row-identical to the batch analog.
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorExprs.register(spark)
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("st12_stream_pq_serving")(spark, sf).collect()
+    assert(batch.nonEmpty, "batch analog returned no rows")
+    val prefix = graft.ops.VecIndex.ensurePqPersisted(spark, sf)
+    val srcDir = Files.createTempDirectory("graft-st12").toString
+    def stamp(sub: String): Unit = {
+      val t = mtimeClock.addAndGet(2000)
+      Files.walk(Paths.get(srcDir, sub)).iterator().forEachRemaining { p =>
+        if (Files.isRegularFile(p))
+          Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime.fromMillis(t))
+      }
+    }
+    val queries = graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < graft.ops.Similarity.KnnQueries)
+      .select(col("vec_id").as("query_id"), col("embedding"),
+        expr("timestamp'2024-01-01 00:00:00' + make_dt_interval(0, 0, 0, vec_id)").as("ts"))
+    queries.filter(col("query_id") % 2 === 0).coalesce(1).write.parquet(s"$srcDir/part_a")
+    stamp("part_a")
+    queries.filter(col("query_id") % 2 =!= 0).coalesce(1).write.parquet(s"$srcDir/part_b")
+    stamp("part_b")
+    Seq(("999999998", "2024-06-01"), ("999999999", "2024-06-02"))
+      .zipWithIndex.foreach { case ((id, day), i) =>
+        graft.Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+          .select(lit(id.toLong).as("query_id"), col("embedding"),
+            expr(s"timestamp'$day 00:00:00'").as("ts"))
+          .coalesce(1).write.parquet(s"$srcDir/part_z$i")
+        stamp(s"part_z$i")
+      }
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$srcDir/part_a").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$srcDir/part_*")
+    val q = Streams.pqServeStream(spark, sf, stream,
+        spark.table(graft.ops.VecIndex.pqCellsTable(prefix)),
+        spark.table(graft.ops.VecIndex.codebookTable(prefix)))
+      .writeStream.format("memory").queryName("st12_out").outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("st12_out")
+        .filter(col("query_id") < 999999998L)
+        .orderBy("query_id", "neighbor_id").collect()
+      assert(streamed.nonEmpty, "no streamed PQ-serving rows emitted")
+      assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq,
+        "streamed PQ ADC top-k diverges from the batch analog")
+    } finally q.stop()
+  }
+
   test("vector-index maintenance survives a checkpoint restart (st10)") {
     // st08's exactly-once proof applied to the ANN index: a fresh
     // cell index on 3/4 of the corpus takes the remaining embeddings
