@@ -87,6 +87,61 @@ object Bench {
     if (m.find()) Some(m.group(1)) else None
   }
 
+  /** The prior artifact's full per-query map — the axis-aware guard's
+    * comparison base. Extracting it from the flat `"name":sec` layout
+    * needs no JSON library; only the `queries` object is scanned. */
+  private def extractQueries(json: String): Map[String, Double] = {
+    val start = json.indexOf("\"queries\":{")
+    if (start < 0) Map.empty
+    else {
+      val sub = json.substring(start + 11, json.indexOf('}', start))
+      val m = java.util.regex.Pattern
+        .compile("\"([A-Za-z0-9_]+)\":(-?[0-9.]+)").matcher(sub)
+      val buf = scala.collection.mutable.Map.empty[String, Double]
+      while (m.find()) buf(m.group(1)) = m.group(2).toDouble
+      buf.toMap
+    }
+  }
+
+  /** Rolling best-observed host axes (BENCH_AXES.json): the minimum
+    * all-core CPU reference, minimum trivial-scan, and maximum memory
+    * bandwidth any accepted sweep has measured on this box. This is
+    * the guard's reference — comparing against the PRIOR ARTIFACT's
+    * axes would let a polluted artifact (the round-11 blemish: 105.2 ms
+    * all-core / 320 ms trivial committed as final) redefine "healthy"
+    * downward; the best-ever record only ratchets toward health. */
+  private case class AxesRef(allCoreMs: Double, trivialMs: Double, memBwGbps: Double)
+
+  private val AxesPath = Paths.get("BENCH_AXES.json")
+
+  private def readAxesRef(): Option[AxesRef] =
+    try {
+      val s = new String(Files.readAllBytes(AxesPath), StandardCharsets.UTF_8)
+      for {
+        a <- extractField(s, "best_all_core_ms").flatMap(_.toDoubleOption)
+        t <- extractField(s, "best_trivial_scan_ms").flatMap(_.toDoubleOption)
+        b <- extractField(s, "best_mem_bw_gbps").flatMap(_.toDoubleOption)
+      } yield AxesRef(a, t, b)
+    } catch { case _: Throwable => None }
+
+  private def writeAxesRef(r: AxesRef): Unit =
+    try Files.write(AxesPath, String.format(java.util.Locale.ROOT,
+      """{"best_all_core_ms":%.1f,"best_trivial_scan_ms":%.1f,"best_mem_bw_gbps":%.1f}
+""", Double.box(r.allCoreMs), Double.box(r.trivialMs), Double.box(r.memBwGbps))
+      .getBytes(StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
+
+  /** Degradation-direction band check: axes are "in band" when none
+    * sits more than 10% WORSE than the best-ever reference (better
+    * than the reference is always fine — it just ratchets the
+    * record). A missing reference or a failed probe (-1) passes. */
+  private def axesInBand(ref: Option[AxesRef], allCore: Double,
+      trivial: Double, memBw: Double): Boolean = ref.forall { r =>
+    allCore <= r.allCoreMs * 1.10 &&
+      trivial <= r.trivialMs * 1.10 &&
+      (memBw < 0 || r.memBwGbps <= 0 || memBw >= r.memBwGbps * 0.90)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -142,7 +197,32 @@ object Bench {
       (System.nanoTime() - t0) / 1e6
     }
     trivialProbe() // warm the probe itself
-    val trivialMs = Seq.fill(3)(trivialProbe()).min
+    var trivialMs = Seq.fill(3)(trivialProbe()).min
+    // Axis GATE at sweep start (round-11 VERDICT item 1): the r11
+    // final warm artifact was captured on a session whose axes sat
+    // outside the round's own calibration band (all-core 105.2 ms vs
+    // the 97–100 band, trivial scan 320 ms, d01 warm above its own
+    // cold) and its per-query deltas were pure pollution. Before
+    // sweeping, require all three axes within 10% of the best this
+    // box has ever recorded (BENCH_AXES.json), waiting up to 10
+    // minutes for the host to recover; if it never does, the sweep
+    // still runs but the artifact is stamped axes_ok=false and the
+    // acceptance guard below treats its swings as unattributable.
+    val axesRef = readAxesRef()
+    var calibNow = calib
+    var axesOk = axesInBand(axesRef, calibNow.cpuRefAllCoreMs, trivialMs,
+      calibNow.memBwGbps)
+    val gateDeadline = System.nanoTime() + 600L * 1000000000L
+    while (!axesOk && System.nanoTime() < gateDeadline) {
+      System.err.println(f"[bench] axes out of band vs best-ever " +
+        f"(all_core ${calibNow.cpuRefAllCoreMs}%.1f ms, trivial $trivialMs%.1f ms, " +
+        f"mem_bw ${calibNow.memBwGbps}%.1f GB/s vs $axesRef) — waiting")
+      Thread.sleep(30000)
+      calibNow = graft.tools.LoadGuard.calibrate()
+      trivialMs = Seq.fill(3)(trivialProbe()).min
+      axesOk = axesInBand(axesRef, calibNow.cpuRefAllCoreMs, trivialMs,
+        calibNow.memBwGbps)
+    }
     val s1 = sweep()
     val s2 = sweep()
     val results = s1.map { case (k, v1) =>
@@ -159,25 +239,51 @@ object Bench {
       System.err.println(s"[bench] FAILED in both sweeps: ${failed.mkString(",")}")
     val total = results.values.filter(_ >= 0).sum
     val fp = codeFingerprint()
-    // No-code-delta sanity: if the prior artifact was produced from
-    // byte-identical src/main and this total swings >15% WORSE, the
-    // swing is measurement pollution by construction — keep the prior
-    // artifact on disk (refuse the overwrite) and label stdout.
-    val prior = try Some(new String(Files.readAllBytes(
+    // Acceptance guard, AXIS-AWARE (round-11 VERDICT item 1). Two
+    // independent triggers refuse the BENCH_FULL_last.json overwrite:
+    //   - same-code rule (round-10): byte-identical src/main and the
+    //     total swings >15% worse — pollution by construction;
+    //   - axis rule (round-11): the r11 blemish disarmed the same-code
+    //     rule because st12 landed between runs, so the guard now
+    //     also compares the COMMON-query subset against the prior
+    //     artifact — a changed fingerprint only changes NEW entries'
+    //     rows — and rejects a >10%-worse common sum whenever the
+    //     session's axes sit out of band (a swing measured on a
+    //     degraded host is unattributable, not a regression).
+    val prior = (try Some(new String(Files.readAllBytes(
       Paths.get("BENCH_FULL_last.json")), StandardCharsets.UTF_8))
-    catch { case _: Throwable => None }
+    catch { case _: Throwable => None })
+      // A prior artifact at a DIFFERENT scale factor is no comparison
+      // base (a dev sf0.001 run must neither trip the guard nor be
+      // guarded against) — treat it as absent.
+      .filter(_.contains("\"sf\":\"" + sfDir + "\""))
     val priorTotal = prior.flatMap(extractField(_, "value")).flatMap(_.toDoubleOption)
     val priorFp = prior.flatMap(extractField(_, "code_fp"))
     val sameCode = priorFp.contains(fp)
-    val suspect = sameCode && priorTotal.exists(p => p > 0 && (total - p) / p > 0.15)
+    val priorQueries = prior.map(extractQueries).getOrElse(Map.empty)
+    val common = results.keySet.intersect(priorQueries.keySet)
+      .filter(k => results(k) >= 0 && priorQueries(k) >= 0)
+    val commonSum = common.toSeq.map(results).sum
+    val priorCommonSum = common.toSeq.map(priorQueries).sum
+    val commonRatio = if (priorCommonSum > 0) commonSum / priorCommonSum else 1.0
+    val suspect =
+      (sameCode && priorTotal.exists(p => p > 0 && (total - p) / p > 0.15)) ||
+        (!axesOk && commonRatio > 1.10)
+    // Ratchet the best-axes record toward health (any run may improve
+    // it; a degraded run never worsens it).
+    writeAxesRef(AxesRef(
+      axesRef.fold(calibNow.cpuRefAllCoreMs)(r => math.min(r.allCoreMs, calibNow.cpuRefAllCoreMs)),
+      axesRef.fold(trivialMs)(r => math.min(r.trivialMs, trivialMs)),
+      axesRef.fold(calibNow.memBwGbps)(r => math.max(r.memBwGbps, calibNow.memBwGbps))))
     val phases = graft.tools.Phases.json()
-    val loadJson = graft.tools.LoadGuard.jsonFields(load0, loadOk, calib) +
+    val loadJson = graft.tools.LoadGuard.jsonFields(load0, loadOk, calibNow) +
       String.format(java.util.Locale.ROOT, ""","trivial_scan_ms":%.1f""",
         Double.box(trivialMs)) +
-      s""","code_fp":"$fp","protocol":"min-of-2 warm; pre-ANSI default lane (r11 clawback); maintenance cycles rebuild a fresh index EVERY sweep (see phases)"""" +
+      s""","axes_ok":$axesOk,"common_n":${common.size},"common_sum":${fmt(commonSum)},"common_ratio":${fmt(commonRatio)}""" +
+      s""","code_fp":"$fp","protocol":"min-of-2 warm; pre-ANSI lane; fresh index per maintenance cycle (phases in full file)"""" +
       (if (failed.nonEmpty) s""","failed":${failed.size}""" else "") +
-      (if (suspect) s""","suspect_swing":true,"prior_total":${fmt(priorTotal.get)}""" else "")
-    // Full map → file (sorted for stable diffs); headline subset → stdout.
+      (if (suspect) s""","suspect_swing":true,"prior_total":${fmt(priorTotal.getOrElse(-1.0))}""" else "")
+    // Full map + per-phase breakdown → file (sorted for stable diffs).
     val full = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":${fmt(v)}""" }
       .mkString("{", ",", "}")
@@ -188,19 +294,21 @@ object Bench {
 """.getBytes(StandardCharsets.UTF_8))
       catch { case _: Throwable => () }
     else System.err.println(
-      f"[bench] total ${total}%.1f s is >15%% above prior ${priorTotal.get}%.1f s with identical src/main — " +
-        "measurement pollution; keeping the prior BENCH_FULL_last.json")
-    // stdout line layout is TRUNCATION-AWARE: the harness keeps only
-    // the last ~2000 chars of the run log, and round 10's artifact
-    // lost the leading "value" field to exactly that head-cut. The
-    // per-query headline map (redundant with BENCH_FULL_last.json)
-    // goes FIRST as the sacrificial prefix; calibration stamps, the
-    // per-phase breakdown, and the total sit at the END so the
-    // captured tail is self-contained.
+      f"[bench] SUSPECT artifact (axes_ok=$axesOk%b, common_ratio $commonRatio%.3f, " +
+        f"total $total%.1f s vs prior ${priorTotal.getOrElse(-1.0)}%.1f s) — " +
+        "keeping the prior BENCH_FULL_last.json")
+    // stdout is the driver-captured artifact and the harness keeps
+    // only the last ~2000 chars of the run log — round 11's tail
+    // still clipped half the 201-query headline map. The stdout line
+    // is now SLIM by design (round-11 VERDICT item 7): the slowest 15
+    // queries for glanceability, every stamp, and the total — it
+    // parses standalone well under the window. The complete map and
+    // the per-phase breakdown live in BENCH_FULL_last.json.
     def fmt2(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    val qs = headline.flatMap(k => results.get(k).map(v => s""""$k":${fmt2(v)}"""))
+    val qs = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(15)
+      .map { case (k, v) => s""""$k":${fmt2(v)}""" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","n":${results.size},"queries":$qs$loadJson,"phases":$phases,"value":${fmt(total)}}""")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","n":${results.size},"full_map":"BENCH_FULL_last.json","slowest":$qs$loadJson,"value":${fmt(total)}}""")
     spark.stop()
   }
 }

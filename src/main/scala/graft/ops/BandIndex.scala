@@ -145,12 +145,21 @@ object BandIndex {
     * predicate is a plain long comparison pushed into the parquet
     * scan, and a filter above a bucketed scan preserves its output
     * partitioning, so the no-corpus-exchange probe property is
-    * untouched. */
+    * untouched.
+    *
+    * The fence is NULL-SAFE (round-11 ADVICE): `!= N` alone is
+    * three-valued, so a corpus row with a NULL stamp — a table
+    * persisted by pre-stamp code, or an external writer that omitted
+    * the column — would silently vanish from the probe corpus and
+    * change dedup decisions. Unstamped rows are by definition not the
+    * in-flight batch, so they are KEPT: `batch != N OR batch IS NULL`
+    * (an OR of two pushable predicates, still fully pushed to the
+    * parquet scan). */
   private def corpusFrames(spark: SparkSession, prefix: String,
       excludeBatch: Option[Long]): (DataFrame, DataFrame) = {
     def f(t: String): DataFrame =
       excludeBatch.foldLeft(spark.table(t))((d, n) =>
-        d.filter(col("ingest_batch") =!= n))
+        d.filter(col("ingest_batch") =!= n || col("ingest_batch").isNull))
     (f(bandsTable(prefix)), f(sigsTable(prefix)))
   }
 
@@ -259,7 +268,14 @@ object BandIndex {
     * O(files) metadata reads for any batch id outside a file's
     * [min,max] — compaction later widens a file's range, but
     * maintenance only ever probes RECENT ids, which sit above every
-    * compacted file's max.
+    * compacted file's max. Caveat (round-11 ADVICE): that bound
+    * assumes compaction runs BEHIND the maintenance frontier — a
+    * compaction concurrent with active maintenance can fold a
+    * recently-stamped file into a wide-[min,max] rewrite, after which
+    * probing that id degrades to a full column scan of the compacted
+    * table (correct, no longer O(files) metadata). The ledger
+    * short-circuit in [[maintainBatch]] keeps the hot path off this
+    * probe for every batch that completed normally.
     *
     * The table is REFRESHED before the read: this guard's answer is
     * load-bearing for exactly-once, and the appends it fences may
@@ -730,9 +746,21 @@ object BandIndex {
     * the commit marker deleted. */
   def maintainBatch(spark: SparkSession, dir: String, prefix: String,
       ids: DataFrame, batchId: Long): Option[DataFrame] = {
-    if (ledgerDone(spark, prefix, batchId) ||
-        batchPresent(spark, sigsTable(prefix), batchId)) None
-    else {
+    // Streaming batch ids are non-negative; BaseBatch (-1) stamps the
+    // base build and ad-hoc appends, so admitting it here would
+    // false-skip any batch whose id collides with it (round-11 ADVICE).
+    require(batchId >= 0,
+      s"maintainBatch batchId must be >= 0, got $batchId (ids < 0 are " +
+        "reserved for the base-build/ad-hoc stamp)")
+    if (ledgerDone(spark, prefix, batchId)) None
+    else if (batchPresent(spark, sigsTable(prefix), batchId)) {
+      // The sigs-present fence fired: the batch fully landed but the
+      // crash window took the ledger row with it. Backfill it so every
+      // FUTURE replay of this id takes the tiny ledger read instead of
+      // re-paying the stats-pruned fence scan (round-11 ADVICE).
+      ledgerRecord(spark, prefix, batchId)
+      None
+    } else {
       val dec = probeIds(spark, dir, prefix, ids,
         excludeBatch = Some(batchId)).localCheckpoint()
       val admitted =

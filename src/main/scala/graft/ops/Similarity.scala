@@ -864,7 +864,19 @@ object Similarity {
     // query's probed IVF cells; the oracle composes sim04's cell
     // CTEs with sim07's codebook/encode/ADC CTEs end to end.
     "sim18_ivfpq_probe" -> ((s, d) =>
-      VecIndex.pqProbe(s, d, VecIndex.ensurePqPersisted(s, d)))
+      VecIndex.pqProbe(s, d, VecIndex.ensurePqPersisted(s, d))),
+
+    // sim19 = the SERVING index's day-N lifecycle (round 12, closing
+    // the asymmetry sim18 shipped with): build a fresh generation on
+    // 3/4 of the corpus (codebook trained on the generation's full
+    // reference sample — immutable thereafter, see VecIndex's
+    // codebook-generation contract), append the remaining 1/4 in 3
+    // day-slices encoded against the PERSISTED codebook, compact to
+    // one file per bucket, serve. Final code cells are DEFINED
+    // identical to sim18's full build, so the entry shares its
+    // composed end-to-end oracle.
+    "sim19_pq_lifecycle" -> ((s, d) =>
+      VecIndex.pqLifecycleCycle(s, d, "sim19"))
   )
 
   /** Per-subspace Lloyd-trained PQ codebook: [[PqTrainIters]]
@@ -1365,6 +1377,12 @@ object Similarity {
     // PQ-ADC (see sim18Sql) — the persisted code-cell layout must
     // reproduce the declarative composition end to end.
     "sim18_ivfpq_probe" -> sim18Sql,
+
+    // sim19 = sim18 served from a generation grown by
+    // persisted-codebook append + compact: final code cells equal the
+    // full build, so the oracle is unchanged — the lifecycle must be
+    // invisible to the ADC decisions.
+    "sim19_pq_lifecycle" -> sim18Sql,
 
     "sim11_ann_recall" ->
       s"""WITH bf AS (

@@ -266,6 +266,13 @@ object VecIndex {
     * ledger table is gone — nothing to desynchronize. */
   def maintainBatch(spark: SparkSession, dir: String, prefix: String,
       newVecs: DataFrame, batchId: Long): Boolean = {
+    // Same id-domain guard as BandIndex.maintainBatch (round-11
+    // ADVICE): -1 is the base/ad-hoc stamp, so a batch with that id
+    // would false-skip against any index that has ever been appended
+    // to ad hoc.
+    require(batchId >= 0,
+      s"maintainBatch batchId must be >= 0, got $batchId (ids < 0 are " +
+        "reserved for the base-build/ad-hoc stamp)")
     if (BandIndex.batchPresent(spark, cellsTable(prefix), batchId)) false
     else {
       append(spark, dir, newVecs, prefix, batchId)
@@ -439,33 +446,46 @@ object VecIndex {
   private def subSlice(c: String, m: Int): String =
     s"slice($c, ${m * Similarity.PqSubDims + 1}, ${Similarity.PqSubDims})"
 
-  /** INDEX BUILD (paid once): Lloyd-train the PQ codebook
-    * ([[Similarity.pqTrainedCodebook]]), encode the corpus (corpus ×
-    * broadcast M·K codebook — M fused codegen `sq_dist` argmins, one
-    * pass), assign IVF cells (corpus × broadcast centroids), persist
-    * the code cells bucketed by cluster plus the (tiny) codebook
-    * table — the serving tier is then self-contained. */
-  def pqPersist(spark: SparkSession, dir: String, path: String,
-      prefix: String): Unit = {
-    import org.apache.spark.sql.functions.{lit, min, struct}
-    VectorExprs.register(spark)
-    val cb = Similarity.pqTrainedCodebook(spark, dir).localCheckpoint()
-    cb.write.option("path", s"$path/codebook")
-      .mode(SaveMode.Overwrite).saveAsTable(codebookTable(prefix))
-    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
-    val scored = (0 until Similarity.PqM).foldLeft(e.crossJoin(broadcast(cb))) {
+  /** PQ-encode an arbitrary (vec_id, embedding) frame against a
+    * codebook frame: frame × broadcast M·K codebook — M fused codegen
+    * `sq_dist` argmins, one pass — returning (vec_id, c0..cM-1).
+    * Shared by the full build and the append path, so a new batch
+    * pays batch-proportional encoding work, never the corpus's. */
+  private def pqEncode(emb: DataFrame, cb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{min, struct}
+    val scored = (0 until Similarity.PqM).foldLeft(emb.crossJoin(broadcast(cb))) {
       (df, m) => df.withColumn(s"d$m",
         expr(s"sq_dist(${subSlice("embedding", m)}, ${subSlice("cw", m)})"))
     }
     val aggCols = (0 until Similarity.PqM).map(m =>
       min(struct(col(s"d$m").as("d"), col("code").as("code"))).as(s"b$m"))
-    val codes = scored.groupBy("vec_id")
+    scored.groupBy("vec_id")
       .agg(aggCols.head, aggCols.tail: _*)
       .select(col("vec_id") +:
         (0 until Similarity.PqM).map(m => col(s"b$m.code").as(s"c$m")): _*)
+  }
+
+  /** INDEX BUILD (paid once): Lloyd-train the PQ codebook
+    * ([[Similarity.pqTrainedCodebook]]), encode the corpus
+    * ([[pqEncode]]), assign IVF cells (corpus × broadcast centroids),
+    * persist the code cells bucketed by cluster plus the (tiny)
+    * codebook table — the serving tier is then self-contained.
+    * `emb` restricts the indexed corpus (lifecycle cycles build from
+    * a slice and grow via [[pqAppend]]); the CODEBOOK is always
+    * trained on the generation's full reference sample regardless —
+    * see the codebook-generation contract on [[pqAppend]]. */
+  def pqPersist(spark: SparkSession, dir: String, path: String,
+      prefix: String, emb: Option[DataFrame] = None): Unit = {
+    import org.apache.spark.sql.functions.lit
+    VectorExprs.register(spark)
+    val cb = Similarity.pqTrainedCodebook(spark, dir).localCheckpoint()
+    cb.write.option("path", s"$path/codebook")
+      .mode(SaveMode.Overwrite).saveAsTable(codebookTable(prefix))
+    val e = emb.getOrElse(
+      Tables.embeddings(spark, dir).select("vec_id", "embedding"))
     assignCells(spark, dir, e)
       .select("cluster", "vec_id")
-      .join(codes, "vec_id")
+      .join(pqEncode(e, cb), "vec_id")
       .withColumn("ingest_batch", lit(BandIndex.BaseBatch))
       .write
       .bucketBy(Buckets, "cluster").sortBy("cluster")
@@ -587,6 +607,166 @@ object VecIndex {
         col("t.neighbor_id").as("neighbor_id"),
         col("t.cluster").as("cluster"),
         col("t.adc_dist").as("adc_dist"))
+  }
+
+  // ------------------------------------------------------------------
+  // IVF-PQ day-N lifecycle (round 12; VERDICT r11 item 2) — the same
+  // three verbs + exactly-once that sim15–17/st10 gave the raw-vector
+  // cell table, one level up on the serving layout.
+  //
+  // CODEBOOK-GENERATION CONTRACT (the drift question, decided): a
+  // codebook is IMMUTABLE per index generation. Appends always encode
+  // against the generation's PERSISTED codebook table — never a
+  // retrained one — because ADC compares code-to-code distances that
+  // are only meaningful within one codebook; mixing encodings inside
+  // one cell table would silently corrupt every distance involving a
+  // re-coded id. When the corpus distribution drifts past what the
+  // generation's codebook quantizes well (dq05's KL divergence
+  // monitor over the embedding-norm/cell-occupancy histograms is the
+  // trigger signal), the remedy is a NEW GENERATION: pqPersist to a
+  // fresh prefix (retrain + re-encode from the raw vectors — one
+  // corpus pass, the same cost as the original build) and swap
+  // serving atomically via the catalog-rename discipline
+  // BandIndex.compactTable already uses. Nothing in the probe path
+  // ever reads two generations at once.
+  // ------------------------------------------------------------------
+
+  /** Append a NEW embedding batch to the persisted PQ serving index:
+    * encode against the generation's PERSISTED codebook (batch ×
+    * broadcast M·K — the corpus is never re-encoded), assign IVF
+    * cells (batch × broadcast centroids), insert batch-stamped into
+    * the bucketed code-cell table. bucketBy is stable under append,
+    * so the probe's code-cells-only read-path property survives
+    * (VecIndexSpec re-asserts it post-append). Single table write,
+    * nothing read-then-mutated — no materialize pin needed. */
+  def pqAppend(spark: SparkSession, dir: String, newVecs: DataFrame,
+      prefix: String, batchId: Long = BandIndex.BaseBatch): Unit = {
+    import org.apache.spark.sql.functions.lit
+    VectorExprs.register(spark)
+    val cb = spark.table(codebookTable(prefix))
+    val e = newVecs.select("vec_id", "embedding")
+    assignCells(spark, dir, e)
+      .select("cluster", "vec_id")
+      .join(pqEncode(e, cb), "vec_id")
+      .withColumn("ingest_batch", lit(batchId))
+      .write.mode(SaveMode.Append)
+      .bucketBy(Buckets, "cluster").sortBy("cluster")
+      .saveAsTable(pqCellsTable(prefix))
+  }
+
+  /** Compact the code-cell table to one file per bucket —
+    * [[BandIndex.compactTable]]'s zero-exchange per-bucket local
+    * rewrite (key-agnostic). Decisions and the read-path property are
+    * unchanged; the per-bucket merge reads ONE run instead of one per
+    * historical append. The codebook table (M·K rows) never needs
+    * compaction. */
+  def pqCompact(spark: SparkSession, prefix: String): Unit =
+    BandIndex.compactTable(spark, pqCellsTable(prefix), "cluster")
+
+  /** RETENTION for the serving index — remove a bounded vec_id set
+    * from the code cells in place (broadcast anti-join inside the
+    * per-bucket rewrite). Post-retire probes behave as if the vectors
+    * were never encoded; the codebook is untouched (codewords carry
+    * no per-vector data). */
+  def pqRetire(spark: SparkSession, prefix: String,
+      expired: DataFrame): Unit =
+    BandIndex.compactTable(spark, pqCellsTable(prefix), "cluster",
+      Some(expired), minusIdCol = "vec_id")
+
+  /** Exactly-once append for the serving index — the same
+    * single-durable-commit design as [[maintainBatch]]: the batch
+    * stamp on the appended code-cell rows IS the ledger (one atomic
+    * job commit, no append→record window), and the replay guard is
+    * [[BandIndex.batchPresent]] on the code-cell table —
+    * storage-derived, footer-cheap. A replayed micro-batch whose
+    * checkpoint commit marker was lost is a whole-batch no-op. */
+  def pqMaintainBatch(spark: SparkSession, dir: String, prefix: String,
+      newVecs: DataFrame, batchId: Long): Boolean = {
+    require(batchId >= 0,
+      s"pqMaintainBatch batchId must be >= 0, got $batchId (ids < 0 are " +
+        "reserved for the base-build/ad-hoc stamp)")
+    if (BandIndex.batchPresent(spark, pqCellsTable(prefix), batchId)) false
+    else {
+      pqAppend(spark, dir, newVecs, prefix, batchId)
+      true
+    }
+  }
+
+  private def freshPqIndex(spark: SparkSession, dir: String, tag: String,
+      emb: Option[DataFrame]): (String, String) = {
+    val key = (spark, dir, tag)
+    persistLock.synchronized {
+      lastCycle.remove(key).foreach { case (oldPrefix, oldPath) =>
+        drop(spark, oldPrefix)
+        BandIndex.retireTempDir(oldPath)
+      }
+      lastCycle.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    }
+    val prefix = s"graft_vec_${tag}_${Integer.toHexString(dir.hashCode)}" +
+      s"_s${serial.incrementAndGet()}"
+    val path = BandIndex.newTempDir(s"vec$tag")
+    pqPersist(spark, dir, path, prefix, emb)
+    (prefix, path)
+  }
+
+  /** sim19: the serving index's full maintenance cycle on a FRESH
+    * generation — build on 3/4 of the corpus (codebook trained on the
+    * generation's full reference sample), append the remaining 1/4 in
+    * 3 disjoint day-slices encoded against the PERSISTED codebook
+    * (the file-growth regime), compact to one file per bucket, then
+    * serve. The final code cells are DEFINED identical to sim18's
+    * full build (same codebook, same per-vector argmax assignment and
+    * argmin encoding — both per-vector-independent), so the entry
+    * shares sim18's composed end-to-end oracle: a divergence means
+    * append re-encoded, broke the bucket layout, or drifted from the
+    * generation codebook. */
+  def pqLifecycleCycle(spark: SparkSession, dir: String, tag: String): DataFrame = {
+    import graft.tools.Phases
+    import org.apache.spark.sql.functions.{hash, lit, pmod}
+    val key = (spark, dir, tag)
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val (prefix, path) = Phases.time(tag, "persist") {
+      freshPqIndex(spark, dir, tag, Some(e.filter(!isNewVec)))
+    }
+    Phases.time(tag, "append") {
+      Seq(0, 4, 8).foreach { r =>
+        pqAppend(spark, dir,
+          e.filter(pmod(hash(col("vec_id")), lit(12)) === lit(r)), prefix)
+      }
+    }
+    Phases.time(tag, "compact") { pqCompact(spark, prefix) }
+    val dec = Phases.time(tag, "probe") {
+      pqProbe(spark, dir, prefix).localCheckpoint()
+    }
+    persistLock.synchronized { lastCycle(key) = (prefix, path) }
+    dec
+  }
+
+  /** st13: sim19's append driven through the batch-stamp-guarded
+    * [[pqMaintainBatch]], with the batch REPLAYED in between — the
+    * batch analog of a checkpoint restart that lost the commit
+    * marker. The replay must be a stamp-skipped no-op (asserted
+    * here); the final serve equals sim18's full build, same composed
+    * oracle. StreamingSpec drives the same maintenance through a real
+    * readStream foreachBatch with a checkpoint restart. */
+  def pqMaintainedCycle(spark: SparkSession, dir: String, tag: String): DataFrame = {
+    import graft.tools.Phases
+    val key = (spark, dir, tag)
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val (prefix, path) = Phases.time(tag, "persist") {
+      freshPqIndex(spark, dir, tag, Some(e.filter(!isNewVec)))
+    }
+    Phases.time(tag, "append") {
+      if (!pqMaintainBatch(spark, dir, prefix, e.filter(isNewVec), 0L))
+        sys.error("st13: fresh index claims batch 0 already maintained")
+      if (pqMaintainBatch(spark, dir, prefix, e.filter(isNewVec), 0L))
+        sys.error("st13: replayed batch 0 was not stamp-skipped")
+    }
+    val dec = Phases.time(tag, "probe") {
+      pqProbe(spark, dir, prefix).localCheckpoint()
+    }
+    persistLock.synchronized { lastCycle(key) = (prefix, path) }
+    dec
   }
 
   /** Idempotent build registry for the sim18 catalog entry — same

@@ -723,7 +723,20 @@ object Streams {
           s.table(graft.ops.VecIndex.pqCellsTable(prefix)),
           s.table(graft.ops.VecIndex.codebookTable(prefix)))
         .orderBy("query_id", "neighbor_id")
-    })
+    }),
+
+    // STREAMING MAINTENANCE for the PQ SERVING index (round 12 —
+    // st10's discipline one level up): a fresh generation on 3/4 of
+    // the corpus takes a new-embeddings micro-batch through the
+    // batch-stamp-guarded pqMaintainBatch (encoding against the
+    // generation's PERSISTED codebook), the batch is REPLAYED
+    // (commit marker lost) and must be a whole-batch no-op, then the
+    // ADC serve runs against the maintained code cells. Final
+    // decisions equal sim18's full build, same composed oracle.
+    // StreamingSpec drives the same maintenance through a real
+    // readStream foreachBatch with a checkpoint restart.
+    "st13_stream_pq_maintain" -> ((s, d) =>
+      graft.ops.VecIndex.pqMaintainedCycle(s, d, "st13"))
   )
 
   val oracle: Map[String, String] = oracleBase +
@@ -753,7 +766,12 @@ object Streams {
     ("st10_stream_ann_maintain" -> graft.ops.Similarity.oracle("sim04_ivf_ann")) +
     // st12 = sim18's ADC decisions behind the arrival window (the
     // st09 wrapper shape, adc_dist instead of cosine).
-    ("st12_stream_pq_serving" -> st12OracleSql)
+    ("st12_stream_pq_serving" -> st12OracleSql) +
+    // st13 = sim18's decisions from a maintained (build-on-3/4 →
+    // stamp-guarded append → replay-skipped) generation; DEFINED
+    // identical to the full build, so the oracle is sim18's — a
+    // divergence means maintenance re-encoded or mutated the cells.
+    ("st13_stream_pq_maintain" -> graft.ops.Similarity.oracle("sim18_ivfpq_probe"))
 
   private lazy val st12OracleSql: String = {
     import graft.ops.Similarity.KnnQueries

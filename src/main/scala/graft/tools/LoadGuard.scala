@@ -125,9 +125,18 @@ object LoadGuard {
     * beyond LLC, so it measures DRAM), best-of-3 aggregate GB/s.
     * Artifacts stamp it next to cpu_ref; cross-round warm deltas on
     * heavy queries are attributable only when this axis is equal. */
-  def memBwGbps(): Double = {
+  def memBwGbps(): Double = try {
     val n = Runtime.getRuntime.availableProcessors()
-    val words = 8 * 1024 * 1024 // 64 MB per core
+    // Total footprint BOUNDED at 2 GB (round-11 ADVICE): 64 MB/core is
+    // 2 GB on this 32-core box — the calibrated baseline — but
+    // unbounded on larger hosts, where n × 64 MB inside the same 8 GB
+    // bench JVM could OOM calibrate() or trigger a full GC that
+    // pollutes the very host-state stamp this probe exists to record.
+    // Shrinking the per-core array (never the thread count) preserves
+    // all-core DRAM saturation, and on ≤32 cores the probe is
+    // byte-identical to the round-11 calibration, so the stamp stays
+    // cross-round comparable.
+    val words = math.min(8 * 1024 * 1024, (256 * 1024 * 1024) / n) // ≤2 GB total
     val arrays = Array.fill(n)(Array.tabulate(words)(_.toLong))
     def once(): Double = {
       val t0 = System.nanoTime()
@@ -147,6 +156,10 @@ object LoadGuard {
     }
     once() // JIT/page-touch warm
     math.max(once(), math.max(once(), once()))
+  } catch {
+    // Degrade, don't kill the bench: a failed allocation reports the
+    // axis as unavailable (-1) instead of taking calibrate() down.
+    case _: OutOfMemoryError => -1.0
   }
 
   /** Healthy-host all-core CPU reference on this box, measured on the

@@ -192,6 +192,84 @@ class VecIndexSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  /** sim18's read-path property, re-assertable against any PQ prefix:
+    * exactly one code-cell scan with NO embedding column, every
+    * raw-embeddings scan bounded with a pushed vec_id filter. */
+  private def assertPqProbePlan(frame: DataFrame): Unit = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = frame.queryExecution.executedPlan
+      val scans = plan.collect { case s: FileSourceScanExec => s }
+      val cellScans = scans.filter(
+        _.relation.location.rootPaths.exists(_.toString.contains("pqcells")))
+      assert(cellScans.size == 1, s"expected exactly one code-cell scan:\n$plan")
+      assert(!cellScans.head.schema.fieldNames.contains("embedding"),
+        "code-cell scan reads a raw vector column")
+      val rawScans = scans.filter(
+        _.relation.location.rootPaths.exists(_.toString.contains("embeddings.parquet")))
+      assert(rawScans.nonEmpty, s"probe lost its query/centroid scans:\n$plan")
+      rawScans.foreach { s =>
+        val pushed = s.metadata.getOrElse("PushedFilters", "")
+        assert(pushed.contains("LessThan(vec_id"),
+          s"unbounded raw-embeddings scan in the serving plan:\n$s")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("PQ lifecycle: persisted-codebook append equals the full build; compact and retire hold") {
+    // Round 12 (VERDICT r11 item 2): the serving index's three verbs
+    // + the read-path property POST-append. The appended generation
+    // must serve decisions identical to sim18's full build — i.e.
+    // appends encoded against the PERSISTED generation codebook,
+    // never a retrained one (the codebook-generation contract).
+    val path = Files.createTempDirectory("graft-vecidx-specpq").toString
+    val path2 = Files.createTempDirectory("graft-vecidx-specpqref").toString
+    val prefix = s"graft_vec_specpq_${System.nanoTime()}"
+    val refPrefix = s"graft_vec_specpqref_${System.nanoTime()}"
+    try {
+      VecIndex.pqPersist(spark, sf, path, prefix, Some(emb(sf).filter(!isNew)))
+      val filesBefore = BandIndex.tableFiles(spark, VecIndex.pqCellsTable(prefix)).size
+      Seq(0, 4, 8).foreach { r =>
+        VecIndex.pqAppend(spark, sf,
+          emb(sf).filter(pmod(hash(col("vec_id")), lit(12)) === lit(r)), prefix)
+      }
+      val grown = BandIndex.tableFiles(spark, VecIndex.pqCellsTable(prefix)).size
+      assert(grown > filesBefore, "pqAppend laid down no new file sets")
+      val viaAppend = VecIndex.pqProbe(spark, sf, prefix).collect().map(_.toString).toSeq
+      val full = Similarity.queries("sim18_ivfpq_probe")(spark, sf)
+        .collect().map(_.toString).toSeq
+      assert(viaAppend == full, "appended PQ generation diverges from the full build")
+      assertPqProbePlan(VecIndex.pqProbe(spark, sf, prefix))
+
+      VecIndex.pqCompact(spark, prefix)
+      val files = BandIndex.tableFiles(spark, VecIndex.pqCellsTable(prefix))
+      assert(files.size <= VecIndex.Buckets,
+        s"code cells not compacted: ${files.size} files")
+      assert(VecIndex.pqProbe(spark, sf, prefix).collect().map(_.toString).toSeq == full,
+        "compaction changed the ADC decisions")
+
+      // retire: the index equals a generation that never encoded them
+      val dec0 = VecIndex.pqProbe(spark, sf, prefix).localCheckpoint()
+      val expired = dec0.select(col("neighbor_id").as("vec_id")).distinct()
+      val expiredIds = expired.collect().map(_.getLong(0)).toSet
+      assert(expiredIds.nonEmpty, "probe returned no neighbors to retire")
+      VecIndex.pqRetire(spark, prefix, expired)
+      val after = VecIndex.pqProbe(spark, sf, prefix).collect()
+      after.foreach { r =>
+        assert(!expiredIds(r.getLong(1)), s"retired vector still served: $r")
+      }
+      VecIndex.pqPersist(spark, sf, path2, refPrefix,
+        Some(emb(sf).join(expired, Seq("vec_id"), "left_anti")))
+      val never = VecIndex.pqProbe(spark, sf, refPrefix).collect().map(_.toString).toSeq
+      assert(after.map(_.toString).toSeq == never,
+        "post-retire ADC decisions diverge from a never-encoded generation")
+      assertPqProbePlan(VecIndex.pqProbe(spark, sf, prefix))
+    } finally {
+      VecIndex.drop(spark, prefix)
+      VecIndex.drop(spark, refPrefix)
+    }
+  }
+
   test("probe shuffle BYTES track the query batch, not the corpus (10x corpus, ~1x bytes)") {
     // The ANN analog of BandIndexSpec's bytes gate (round-10 VERDICT
     // item 8): the SAME-SIZED query batch (KnnQueries=5 in both dirs)

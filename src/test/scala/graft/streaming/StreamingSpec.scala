@@ -698,6 +698,68 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("PQ-serving-index maintenance survives a checkpoint restart (st13)") {
+    // st10's exactly-once proof one level up, on the IVF-PQ CODE
+    // cells (round 12): a fresh generation on 3/4 of the corpus takes
+    // the remaining embeddings through a real readStream foreachBatch
+    // driving VecIndex.pqMaintainBatch (encoding against the
+    // generation's PERSISTED codebook); stop, delete batch 0's commit
+    // marker, restart — the replayed batch must be a stamp-skipped
+    // no-op (no duplicate code rows), and the maintained generation
+    // must serve ADC decisions identical to sim18's full build.
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorExprs.register(spark)
+    val sf = "/root/testdata/sf0.001"
+    val path = Files.createTempDirectory("graft-st13spec").toString
+    val prefix = s"graft_st13spec_${System.nanoTime()}"
+    val emb = graft.Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val isNew = pmod(hash(col("vec_id")), lit(4)) === lit(0)
+    graft.ops.VecIndex.pqPersist(spark, sf, path, prefix, Some(emb.filter(!isNew)))
+    val srcDir = Files.createTempDirectory("graft-st13src").toString
+    val ckpt = Files.createTempDirectory("graft-st13ckpt").toString
+    emb.filter(isNew).coalesce(1).write.parquet(s"$srcDir/part_new")
+
+    val runs = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean)]
+    def startQuery() = spark.readStream
+      .schema(spark.read.parquet(s"$srcDir/part_new").schema)
+      .parquet(s"$srcDir/part_*")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val ran = graft.ops.VecIndex.pqMaintainBatch(spark, sf, prefix,
+          df.localCheckpoint(), batchId)
+        runs.synchronized { runs += ((batchId, ran)) }
+        ()
+      }
+      .start()
+
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    spark.catalog.refreshTable(graft.ops.VecIndex.pqCellsTable(prefix))
+    val codeRows = spark.table(graft.ops.VecIndex.pqCellsTable(prefix)).count()
+    assert(runs.toList == List((0L, true)),
+      s"first run should maintain batch 0 once: $runs")
+
+    val marker = Paths.get(ckpt, "commits", "0")
+    assert(Files.deleteIfExists(marker), s"no commit marker at $marker")
+    Files.deleteIfExists(Paths.get(ckpt, "commits", ".0.crc"))
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    try {
+      assert(runs.toList == List((0L, true), (0L, false)),
+        s"replayed batch 0 was not stamp-skipped: $runs")
+      assert(spark.table(graft.ops.VecIndex.pqCellsTable(prefix)).count() == codeRows,
+        "replay double-appended code rows")
+      val served = graft.ops.VecIndex.pqProbe(spark, sf, prefix)
+        .collect().map(_.toString).toSeq
+      val full = graft.ops.Similarity.queries("sim18_ivfpq_probe")(spark, sf)
+        .collect().map(_.toString).toSeq
+      assert(served == full,
+        "post-maintenance ADC serving diverges from the full batch build")
+    } finally graft.ops.VecIndex.drop(spark, prefix)
+  }
+
   test("vector-index maintenance survives a checkpoint restart (st10)") {
     // st08's exactly-once proof applied to the ANN index: a fresh
     // cell index on 3/4 of the corpus takes the remaining embeddings
