@@ -32,18 +32,26 @@ case class CosineSimilarity(left: Expression, right: Expression)
   // null on length mismatch even for non-nullable children
   override def nullable: Boolean = true
 
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    def ok(t: DataType) = t match {
-      case ArrayType(FloatType, _) => true
-      case _ => false
-    }
-    if (ok(left.dataType) && ok(right.dataType))
+  // float or double element arrays, mixed allowed (round 12: the
+  // trained coarse quantizer's centroids are decimal-exact-mean
+  // DOUBLE arrays — same widening DotProduct/SquaredL2 already had).
+  // A float element is read and widened exactly, so float-array
+  // results are bit-identical to the float-only original.
+  private def elemOk(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (elemOk(left.dataType) && elemOk(right.dataType))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"cosine_sim expects (array<float>, array<float>), got " +
+        s"cosine_sim expects array<float|double> on both sides, got " +
           s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
-  }
+
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   private def anyContainsNull: Boolean = Seq(left, right).exists(
     _.dataType.asInstanceOf[ArrayType].containsNull)
@@ -52,6 +60,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     if (x.numElements() != y.numElements()) return null
+    val lf = isFloat(left)
+    val rf = isFloat(right)
     val n = x.numElements()
     var dot = 0.0
     var na = 0.0
@@ -60,8 +70,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
     while (i < n) {
       // null element → null result, matching the HOF/list_reduce forms
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      val xi = x.getFloat(i).toDouble
-      val yi = y.getFloat(i).toDouble
+      val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xi * yi
       na += xi * xi
       nb += yi * yi
@@ -85,6 +95,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       // in the similarity hot loops — measured cost is two null-bit
       // probes per element, not visible in the sim01/sim02 timings; a
       // schema that pins elements non-null gets the branch-free loop
+      def get(arr: String, fl: Boolean) =
+        if (fl) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
       val nullGuard =
         if (anyContainsNull)
           s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
@@ -97,8 +109,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    $nullGuard
-         |    double $xi = (double) $a.getFloat($i);
-         |    double $yi = (double) $b.getFloat($i);
+         |    double $xi = ${get(a, isFloat(left))};
+         |    double $yi = ${get(b, isFloat(right))};
          |    $dot += $xi * $yi;
          |    $na += $xi * $xi;
          |    $nb += $yi * $yi;

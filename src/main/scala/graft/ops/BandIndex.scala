@@ -140,12 +140,87 @@ object BandIndex {
     Dedup.incrementalDecisions(spark, dir, bands, sigs)
   }
 
+  // ------------------------------------------------------------------
+  // Tombstone retention (round 12; VERDICT r11 item 3) — bounded-cost
+  // deletes. `retire` rewrites the ENTIRE index to remove a bounded id
+  // set: correct, zero-exchange, but corpus-linear I/O per
+  // right-to-be-forgotten batch — at 100 TB that's the wrong cost
+  // model for a daily retention feed. The tombstone path makes the
+  // DELETE itself O(retired): expired ids land in a tiny
+  // `<prefix>_tombstones` table (one bounded append), every probe
+  // masks them with a broadcast anti-join (streamed side keeps its
+  // bucketed partitioning — the no-corpus-exchange property is
+  // untouched), and the NEXT compaction physically purges the masked
+  // rows and clears the tombstone set. Decisions after
+  // `retireTombstone` are DEFINED identical to an eager `retire` —
+  // dd19's three-phase oracle pins mask, purge, and their equality.
+  // ------------------------------------------------------------------
+
+  def tombstonesTable(prefix: String): String = s"${prefix}_tombstones"
+
+  /** Record expired ids in the index's tombstone table — the
+    * O(retired) retention write. Shared with [[VecIndex]] (its anchor
+    * is the cells table; ids are vec_ids there, corpus docs here). */
+  private[ops] def recordTombstones(spark: SparkSession, prefix: String,
+      anchorTable: String, expired: DataFrame): Unit = {
+    val t = tombstonesTable(prefix)
+    val w = expired
+      .select(col(expired.columns.head).cast("long").as("retired_id"))
+      .write.mode(SaveMode.Append)
+    if (spark.catalog.tableExists(t)) w.saveAsTable(t)
+    else w.option("path", s"${indexRootOf(spark, anchorTable)}/tombstones")
+      .saveAsTable(t)
+  }
+
+  /** The current tombstone set as a broadcast-hinted frame, or None
+    * when the index has none. Refreshed before the read — the
+    * retention write may have run through a foreachBatch session
+    * clone (same rationale as [[batchPresent]]). The broadcast hint
+    * matters beyond size: it keeps the anti-join a broadcast-hash
+    * join even under `autoBroadcastJoinThreshold=-1`, so the masked
+    * corpus scan KEEPS its bucketed output partitioning and the
+    * probe's no-corpus-exchange property survives. */
+  private[ops] def tombstoneFrame(spark: SparkSession,
+      prefix: String): Option[DataFrame] = {
+    val t = tombstonesTable(prefix)
+    if (!spark.catalog.tableExists(t)) None
+    else {
+      spark.catalog.refreshTable(t)
+      Some(org.apache.spark.sql.functions.broadcast(
+        spark.table(t).select("retired_id")))
+    }
+  }
+
+  /** Drop the tombstone table AND its files — called after a
+    * compaction physically purged the masked rows. Files must go with
+    * the registration: a later `recordTombstones` re-creates the
+    * table at the same location, and surviving files would resurrect
+    * already-purged ids. */
+  private[ops] def clearTombstones(spark: SparkSession, prefix: String): Unit = {
+    val t = tombstonesTable(prefix)
+    if (spark.catalog.tableExists(t)) {
+      val loc = spark.sessionState.catalog
+        .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(t))
+        .location.toString
+      spark.sql(s"DROP TABLE $t")
+      deleteDir(loc.stripPrefix("file:"))
+    }
+  }
+
+  /** O(retired)-cost retention: tombstone the expired corpus docs.
+    * Probes exclude them immediately; the physical rows persist until
+    * the next [[compact]] absorbs them. */
+  def retireTombstone(spark: SparkSession, prefix: String,
+      expired: DataFrame): Unit =
+    recordTombstones(spark, prefix, bandsTable(prefix), expired)
+
   /** The persisted corpus frames, optionally excluding one batch's
     * rows ([[maintainBatch]]'s replay fence): the `ingest_batch != N`
     * predicate is a plain long comparison pushed into the parquet
     * scan, and a filter above a bucketed scan preserves its output
     * partitioning, so the no-corpus-exchange probe property is
-    * untouched.
+    * untouched. Tombstoned corpus docs ([[retireTombstone]]) are
+    * masked here with the broadcast anti-join.
     *
     * The fence is NULL-SAFE (round-11 ADVICE): `!= N` alone is
     * three-valued, so a corpus row with a NULL stamp — a table
@@ -157,9 +232,13 @@ object BandIndex {
     * parquet scan). */
   private def corpusFrames(spark: SparkSession, prefix: String,
       excludeBatch: Option[Long]): (DataFrame, DataFrame) = {
-    def f(t: String): DataFrame =
-      excludeBatch.foldLeft(spark.table(t))((d, n) =>
+    val tomb = tombstoneFrame(spark, prefix)
+    def f(t: String): DataFrame = {
+      val base = excludeBatch.foldLeft(spark.table(t))((d, n) =>
         d.filter(col("ingest_batch") =!= n || col("ingest_batch").isNull))
+      tomb.fold(base)(ts =>
+        base.join(ts, base("corpus_doc") === ts("retired_id"), "left_anti"))
+    }
     (f(bandsTable(prefix)), f(sigsTable(prefix)))
   }
 
@@ -439,10 +518,16 @@ object BandIndex {
     * decisions, and the no-corpus-exchange property are unchanged —
     * BandIndexSpec asserts all three survive — but the per-bucket
     * merge the probe's sort-merge join performs reads ONE run instead
-    * of one per historical append. */
+    * of one per historical append. Pending tombstones
+    * ([[retireTombstone]]) are physically PURGED by the same rewrite
+    * (the anti-join rides the per-bucket local pass for free) and the
+    * tombstone set is cleared — decisions are unchanged because the
+    * probes were already masking exactly these rows. */
   def compact(spark: SparkSession, prefix: String): Unit = {
-    compactTable(spark, bandsTable(prefix), "bkey")
-    compactTable(spark, sigsTable(prefix), "corpus_doc")
+    val tomb = tombstoneFrame(spark, prefix)
+    compactTable(spark, bandsTable(prefix), "bkey", tomb)
+    compactTable(spark, sigsTable(prefix), "corpus_doc", tomb)
+    clearTombstones(spark, prefix)
   }
 
   /** RETENTION — remove a set of corpus docs from the persisted index
@@ -500,6 +585,38 @@ object BandIndex {
     }
     persistLock.synchronized { lastCycle(key) = (prefix, path) }
     dec0.unionByName(dec1).orderBy("phase", "batch_doc")
+  }
+
+  /** The dd19 cycle on a FRESH index — dd18's retention made
+    * BOUNDED-COST: probe (phase 0, full corpus) → TOMBSTONE
+    * [[RetiredSrcs]]'s docs (an O(retired) append, no index rewrite)
+    * → re-probe (phase 1, broadcast-masked) → compact (the purge —
+    * tombstoned rows leave the files, the tombstone set clears) →
+    * re-probe (phase 2). Phases 1 and 2 are DEFINED identical to each
+    * other and to dd18's eager-retire phase 1, so the oracle is
+    * dd18's two-phase SQL with phase 1 emitted twice — the gate
+    * proves the mask, the purge, and their equality in one pass. */
+  def tombstoneRetentionCycle(spark: SparkSession, dir: String,
+      tag: String): DataFrame = {
+    import graft.tools.Phases
+    import org.apache.spark.sql.functions.lit
+    val key = (spark, dir, tag)
+    val (prefix, path) = Phases.time(tag, "persist") { freshIndex(spark, dir, tag) }
+    persistLock.synchronized { lastCycle(key) = (prefix, path) }
+    def phaseProbe(n: Int): DataFrame =
+      probe(spark, dir, prefix)
+        .select(lit(n).as("phase"), col("batch_doc"),
+          col("dup_of"), col("est_jaccard"))
+        .localCheckpoint()
+    val dec0 = Phases.time(tag, "probe") { phaseProbe(0) }
+    val expired = graft.Tables.documents(spark, dir)
+      .filter(col("source").isin(RetiredSrcs: _*))
+      .select("doc_id")
+    Phases.time(tag, "retire") { retireTombstone(spark, prefix, expired) }
+    val dec1 = Phases.time(tag, "reprobe") { phaseProbe(1) }
+    Phases.time(tag, "purge") { compact(spark, prefix) }
+    val dec2 = Phases.time(tag, "probe2") { phaseProbe(2) }
+    dec0.unionByName(dec1).unionByName(dec2).orderBy("phase", "batch_doc")
   }
 
   // ------------------------------------------------------------------
@@ -873,5 +990,6 @@ object BandIndex {
     spark.sql(s"DROP TABLE IF EXISTS ${bandsTable(prefix)}")
     spark.sql(s"DROP TABLE IF EXISTS ${sigsTable(prefix)}")
     spark.sql(s"DROP TABLE IF EXISTS ${ledgerTable(prefix)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${tombstonesTable(prefix)}")
   }
 }

@@ -843,7 +843,19 @@ object Dedup {
     // retired docs were never indexed (their dup targets flip to
     // novel or fall back to surviving matches).
     "dd18_index_retention" -> ((s, d) =>
-      BandIndex.retentionCycle(s, d, "dd18"))
+      BandIndex.retentionCycle(s, d, "dd18")),
+
+    // BOUNDED-COST retention (round 12): dd18's semantics with the
+    // delete itself O(retired) — phase 0 probes the fresh index,
+    // RetiredSrcs' docs are TOMBSTONED (a tiny append; the
+    // corpus-sized index files are untouched), phase 1 probes through
+    // the broadcast anti-join mask, a compaction PURGES the
+    // tombstoned rows (riding the per-bucket rewrite it was doing
+    // anyway), phase 2 re-probes the purged files. Phases 1 and 2 are
+    // defined identical to dd18's eager-retire phase 1, so the oracle
+    // is dd18's SQL with its phase-1 decision emitted twice.
+    "dd19_tombstone_retention" -> ((s, d) =>
+      BandIndex.tombstoneRetentionCycle(s, d, "dd19"))
   )
 
   /** Power-iteration PageRank over the near-dup graph (g01's body,
@@ -988,13 +1000,39 @@ object Dedup {
     // the oracle is the same SQL.
     ("dd17_index_compact" -> dd16OracleSql) +
     ("dd16_index_append" -> dd16OracleSql) +
-    ("dd18_index_retention" -> dd18OracleSql)
+    ("dd18_index_retention" -> dd18OracleSql) +
+    // dd19 = dd18 with the retire split into tombstone-mask (phase 1)
+    // and physical purge (phase 2): both phases must equal the eager
+    // retire's decisions, so the oracle emits dec1 twice.
+    ("dd19_tombstone_retention" -> dd19OracleSql)
 
   /** Two-phase replay of the retention cycle: phase 0 probes the full
     * corpus; phase 1 probes the corpus MINUS [[BandIndex.RetiredSrcs]]
     * — the SQL-level definition of "behaves as if the retired docs
     * were never indexed". */
-  private lazy val dd18OracleSql: String = {
+  private lazy val dd18OracleSql: String =
+    s"""$retentionOracleCtes
+       |SELECT * FROM dec0
+       |UNION ALL
+       |SELECT * FROM dec1
+       |ORDER BY phase, batch_doc""".stripMargin
+
+  /** dd19's three-phase form: the tombstone mask (phase 1) and the
+    * post-purge probe (phase 2) are both defined equal to the eager
+    * retire's decisions, so dec1 is emitted under both phase ids. */
+  private lazy val dd19OracleSql: String =
+    s"""$retentionOracleCtes
+       |SELECT * FROM dec0
+       |UNION ALL
+       |SELECT * FROM dec1
+       |UNION ALL
+       |SELECT 2 AS phase, batch_doc, dup_of, est_jaccard FROM dec1
+       |ORDER BY phase, batch_doc""".stripMargin
+
+  /** Shared CTE block for the retention oracles: dec0 = the full
+    * incremental decision table, dec1 = the same probe with the
+    * corpus CTEs filtered by NOT IN [[BandIndex.RetiredSrcs]]. */
+  private lazy val retentionOracleCtes: String = {
     val retired = BandIndex.RetiredSrcs.map(s => s"'$s'").mkString(", ")
     s"""WITH $minhashCte,
        |src AS (SELECT doc_id, source FROM documents),
@@ -1052,11 +1090,7 @@ object Dedup {
        |dec1 AS (
        |  SELECT 1 AS phase, d.doc_id AS batch_doc, b.dup_of, b.est_jaccard
        |  FROM bdocs d LEFT JOIN best1 b ON b.batch_doc = d.doc_id AND b.rn = 1
-       |)
-       |SELECT * FROM dec0
-       |UNION ALL
-       |SELECT * FROM dec1
-       |ORDER BY phase, batch_doc""".stripMargin
+       |)""".stripMargin
   }
 
   private lazy val dd16OracleSql: String =

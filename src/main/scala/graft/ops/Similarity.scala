@@ -69,6 +69,10 @@ object Similarity {
   val PqK = 8
   val PqTrainIters = 2
 
+  /** Lloyd iterations for the TRAINED coarse quantizer (sim21) —
+    * bounded and deterministic, the PqTrainIters convention. */
+  val IvfTrainIters = 2
+
   /** The left-fold dot product in DuckDB SQL (list_reduce has no seed; a fold of
     * [v1..vn] from v1 equals Spark's 0.0-seeded fold bit-for-bit). */
   private def dotSql(a: String, b: String): String =
@@ -876,7 +880,52 @@ object Similarity {
     // identical to sim18's full build, so the entry shares its
     // composed end-to-end oracle.
     "sim19_pq_lifecycle" -> ((s, d) =>
-      VecIndex.pqLifecycleCycle(s, d, "sim19"))
+      VecIndex.pqLifecycleCycle(s, d, "sim19")),
+
+    // sim20 = sim17's retention made BOUNDED-COST (round 12): the
+    // retire is a tombstone append (O(retired) — the corpus-sized
+    // cell files are untouched), phase 1 probes through the broadcast
+    // anti-join mask, a compaction purges the tombstoned rows, phase
+    // 2 re-probes the purged files. Phases 1 and 2 both equal sim17's
+    // eager-retire phase 1, so the oracle emits it twice.
+    "sim20_tombstone_retention" -> ((s, d) =>
+      VecIndex.tombstoneRetentionCycle(s, d, "sim20")),
+
+    // sim21 = sim04's IVF ANN with a Lloyd-TRAINED coarse quantizer
+    // (round 12): centroids start from the first-K seed and take
+    // IvfTrainIters bounded spherical-k-means iterations — the same
+    // training discipline the PQ codebooks already get. The training
+    // dataflow itself is oracle-mirrored (assignment rank, decimal-
+    // exact means, empty-cell retention), so the gate hashes the
+    // TRAINING, not just the search. Recall lift vs the seed
+    // quantizer is measured by tools/IvfTrainProbe (SCALE_NOTES).
+    "sim21_trained_ivf" -> ((s, d) => {
+      VectorExprs.register(s)
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+      val cents = ivfTrainedCentroids(s, d)
+      val scored = e.crossJoin(broadcast(cents))
+        .withColumn("cos_c", expr("cosine_sim(emb, ce)"))
+        .withColumn("crn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("cos_c").desc, col("cent_id").asc)))
+      val assigned = scored.filter(col("crn") === 1)
+        .select(col("vec_id"), col("cent_id").as("cluster"), col("emb"))
+      val probes = scored.filter(col("vec_id") < KnnQueries && col("crn") <= IvfNProbe)
+        .select(col("vec_id").as("query_id"), col("cent_id").as("cluster"),
+          col("emb").as("qe"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      assigned.join(broadcast(probes), Seq("cluster"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumnRenamed("vec_id", "neighbor_id")
+        .withColumn("cos", expr("cosine_sim(qe, emb)"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= LshK)
+        .select(col("query_id"), col("neighbor_id"), col("cluster"),
+          round(col("cos"), 6).as("cosine"))
+        .orderBy("query_id", "neighbor_id")
+    })
   )
 
   /** Per-subspace Lloyd-trained PQ codebook: [[PqTrainIters]]
@@ -892,6 +941,50 @@ object Similarity {
     * codegen distances) + one posexplode aggregate of n·SubDims rows
     * — the same shapes sim04/sim03 already run; the codebook frame
     * itself is M·K rows, always broadcast-size. */
+  /** Lloyd-trained coarse quantizer (round 12, VERDICT r11 item 5):
+    * the IVF centroid set trained with the SAME bounded-iteration
+    * discipline the PQ codebooks get, instead of the first-K seed
+    * convention sim04/VecIndex use. Spherical-k-means shape:
+    * assignment ranks by (cosine DESC, cent_id ASC) — a total order,
+    * no engine-left ties; update is the decimal-exact per-dim mean
+    * (Tables.dsum scale 8, the sim03 convention — means are NOT
+    * re-normalized, deterministic and oracle-mirrorable); an empty
+    * cell retains its previous centroid. Scale: each of the
+    * [[IvfTrainIters]] iterations is one broadcast-join scan (n·K
+    * fused codegen cosines) + one posexplode aggregate of n·Dims
+    * rows — the same shapes sim04/sim03 already run; the centroid
+    * frame is K rows, always broadcast-size. The SEED path stays the
+    * oracle-parity lane for the index family (sim04/sim14); this
+    * trained lane is itself oracle-mirrored end to end (sim21Sql). */
+  private[graft] def ivfTrainedCentroids(s: SparkSession, d: String): DataFrame = {
+    VectorExprs.register(s)
+    val e2 = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    var cents = e2.filter(col("vec_id") < IvfCentroids)
+      .select(col("vec_id").as("cent_id"), col("emb").as("ce"))
+      .localCheckpoint()
+    (1 to IvfTrainIters).foreach { _ =>
+      val assigned = e2.crossJoin(broadcast(cents))
+        .withColumn("cos_c", expr("cosine_sim(emb, ce)"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("cos_c").desc, col("cent_id").asc)))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cent_id"))
+      val means = assigned.join(e2, "vec_id")
+        .select(col("cent_id"), posexplode(col("emb")).as(Seq("pos", "v")))
+        .groupBy("cent_id", "pos")
+        .agg((Tables.dsum(col("v"), 8) / count(lit(1)).cast("double")).as("mean"))
+      val grouped = means.groupBy("cent_id")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, mean))), t -> t.mean)")
+          .as("ce_new"))
+      cents = cents.join(grouped, Seq("cent_id"), "left")
+        .select(col("cent_id"), coalesce(col("ce_new"), col("ce")).as("ce"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
   private[graft] def pqTrainedCodebook(s: SparkSession, d: String): DataFrame = {
     VectorExprs.register(s)
     val e = Tables.embeddings(s, d).select("vec_id", "embedding")
@@ -1230,6 +1323,85 @@ object Similarity {
 
   private lazy val sim04Sql: String = sim04SqlWhere("TRUE")
 
+  /** sim21's oracle: the coarse-quantizer Lloyd training mirrored
+    * iteration for iteration (assignment ranked by cosine with the
+    * cent_id tiebreak; decimal-exact per-dim means; empty cells
+    * retain the previous centroid via the LEFT JOIN coalesce), then
+    * sim04's probe body over the trained centroid set. */
+  private lazy val sim21Sql: String = {
+    // dot between a raw float embedding and a trained double centroid
+    def dotCe(a: String, ce: String): String =
+      s"list_reduce(list_transform(generate_series(1, $Dims), " +
+        s"i -> CAST($a[i] AS DOUBLE) * $ce[i]), (x, y) -> x + y)"
+    val iters = (1 to IvfTrainIters).map { t =>
+      val prev = s"tc${t - 1}"
+      s"""tn$t AS (
+         |  SELECT cent_id, ce,
+         |         sqrt(list_reduce(list_transform(ce, x -> x * x), (x, y) -> x + y)) AS cnorm
+         |  FROM $prev
+         |),
+         |ta$t AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT v.vec_id, c.cent_id,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |             ORDER BY ${dotCe("v.embedding", "c.ce")} / (v.norm * c.cnorm) DESC,
+         |                      c.cent_id ASC) AS rn
+         |    FROM e v CROSS JOIN tn$t c
+         |  ) WHERE rn = 1
+         |),
+         |tm$t AS (
+         |  SELECT a.cent_id, t.i AS pos,
+         |         CAST(sum(CAST(CAST(v.embedding[t.i] AS DOUBLE) AS DECIMAL(18,8))) AS DOUBLE)
+         |           / CAST(count(*) AS DOUBLE) AS mean
+         |  FROM ta$t a JOIN embeddings v USING (vec_id),
+         |       generate_series(1, $Dims) AS t(i)
+         |  GROUP BY a.cent_id, t.i
+         |),
+         |tg$t AS (SELECT cent_id, list(mean ORDER BY pos) AS ce FROM tm$t GROUP BY cent_id),
+         |tc$t AS (
+         |  SELECT c.cent_id, coalesce(g.ce, c.ce) AS ce
+         |  FROM $prev c LEFT JOIN tg$t g USING (cent_id)
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $normedCte,
+       |tc0 AS (
+       |  SELECT vec_id AS cent_id,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+       |  FROM embeddings WHERE vec_id < $IvfCentroids
+       |),
+       |$iters,
+       |cents AS (
+       |  SELECT cent_id, ce,
+       |         sqrt(list_reduce(list_transform(ce, x -> x * x), (x, y) -> x + y)) AS cnorm
+       |  FROM tc$IvfTrainIters
+       |),
+       |scored AS (
+       |  SELECT e.vec_id, e.embedding, e.norm, c.cent_id,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY ${dotCe("e.embedding", "c.ce")} / (e.norm * c.cnorm) DESC,
+       |                    c.cent_id ASC) AS crn
+       |  FROM e, cents c
+       |),
+       |assigned AS (
+       |  SELECT vec_id, cent_id AS cluster, embedding, norm FROM scored WHERE crn = 1
+       |),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cent_id AS cluster, embedding AS qe, norm AS qn
+       |  FROM scored WHERE vec_id < $KnnQueries AND crn <= $IvfNProbe
+       |),
+       |pairs AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id, a.cluster,
+       |         ${dotSql("p.qe", "a.embedding")} / (p.qn * a.norm) AS cos
+       |  FROM assigned a JOIN probes p USING (cluster)
+       |  WHERE a.vec_id <> p.query_id
+       |)
+       |SELECT query_id, neighbor_id, cluster, round(cos, 6) AS cosine FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY cos DESC, neighbor_id ASC) AS rn
+       |  FROM pairs) t
+       |WHERE rn <= $LshK ORDER BY query_id, neighbor_id""".stripMargin
+  }
+
   /** sim18's oracle: IVF cell selection (sim04's CTEs) composed with
     * the trained-codebook PQ encode + ADC (sim07's CTEs) — candidates
     * are the probed cells' members, scored by ADC table lookup,
@@ -1323,6 +1495,20 @@ object Similarity {
        |SELECT 1 AS phase, query_id, neighbor_id, cluster, cosine FROM p1
        |ORDER BY phase, query_id, neighbor_id""".stripMargin
 
+  /** sim20's three-phase retention oracle: sim17's two phases plus
+    * the post-purge probe, which by definition re-emits phase 1. */
+  private[graft] lazy val sim20Sql: String =
+    s"""WITH p0 AS (SELECT * FROM ( ${sim04SqlWhere("TRUE")} ) t0),
+       |p1 AS (SELECT * FROM (
+       |  ${sim04SqlWhere("vec_id NOT IN (SELECT DISTINCT neighbor_id FROM p0)")}
+       |) t1)
+       |SELECT 0 AS phase, query_id, neighbor_id, cluster, cosine FROM p0
+       |UNION ALL
+       |SELECT 1 AS phase, query_id, neighbor_id, cluster, cosine FROM p1
+       |UNION ALL
+       |SELECT 2 AS phase, query_id, neighbor_id, cluster, cosine FROM p1
+       |ORDER BY phase, query_id, neighbor_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "sim05_norm_quant" ->
       s"""WITH q AS (
@@ -1372,6 +1558,14 @@ object Similarity {
 
     // sim17 = the two-phase retention cycle (see sim17Sql).
     "sim17_vec_retention" -> sim17Sql,
+
+    // sim20 = sim17 with tombstone-mask and physical-purge phases —
+    // both must equal the eager retire (see sim20Sql).
+    "sim20_tombstone_retention" -> sim20Sql,
+
+    // sim21 = IVF ANN over the Lloyd-trained coarse quantizer; the
+    // TRAINING dataflow is mirrored in the oracle (see sim21Sql).
+    "sim21_trained_ivf" -> sim21Sql,
 
     // sim18 = IVF cell selection composed with trained-codebook
     // PQ-ADC (see sim18Sql) — the persisted code-cell layout must

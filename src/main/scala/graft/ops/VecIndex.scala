@@ -118,6 +118,16 @@ object VecIndex {
     * never moves), exact-cosine re-ranks within the probed cells,
     * top-[[Similarity.LshK]] per query. Output = sim04's, column for
     * column. */
+  /** The cell table as the probe reads it: tombstoned vec_ids
+    * ([[retireTombstone]]) masked by a broadcast anti-join — the
+    * streamed side keeps its bucketed partitioning, so the plan
+    * property is untouched. */
+  private def cellFrame(spark: SparkSession, prefix: String): DataFrame = {
+    val base = spark.table(cellsTable(prefix))
+    BandIndex.tombstoneFrame(spark, prefix).fold(base)(ts =>
+      base.join(ts, base("vec_id") === ts("retired_id"), "left_anti"))
+  }
+
   def probe(spark: SparkSession, dir: String, prefix: String): DataFrame = {
     VectorExprs.register(spark)
     val queries = Tables.embeddings(spark, dir)
@@ -133,7 +143,7 @@ object VecIndex {
         col("embedding").as("qe"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    spark.table(cellsTable(prefix))
+    cellFrame(spark, prefix)
       .join(broadcast(probes), Seq("cluster"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumnRenamed("vec_id", "neighbor_id")
@@ -235,8 +245,12 @@ object VecIndex {
     * rewrite, key-agnostic by construction. Probe decisions and the
     * plan property are unchanged; the per-bucket merge reads ONE run
     * instead of one per historical append. */
-  def compact(spark: SparkSession, prefix: String): Unit =
-    BandIndex.compactTable(spark, cellsTable(prefix), "cluster")
+  def compact(spark: SparkSession, prefix: String): Unit = {
+    val tomb = BandIndex.tombstoneFrame(spark, prefix)
+    BandIndex.compactTable(spark, cellsTable(prefix), "cluster",
+      tomb, minusIdCol = "vec_id")
+    BandIndex.clearTombstones(spark, prefix)
+  }
 
   /** RETENTION — remove a (bounded, broadcastable) set of vec_ids
     * from the index in place: the compaction rewrite with a broadcast
@@ -248,6 +262,18 @@ object VecIndex {
       expired: DataFrame): Unit =
     BandIndex.compactTable(spark, cellsTable(prefix), "cluster",
       Some(expired), minusIdCol = "vec_id")
+
+  /** O(retired)-cost retention (round 12; VERDICT r11 item 3):
+    * [[retire]] pays a corpus-linear rewrite per delete batch; this
+    * variant appends the expired vec_ids to the index's tiny
+    * tombstone table instead. [[probe]] masks them immediately
+    * (broadcast anti-join, partitioning preserved); the next
+    * [[compact]] physically purges them and clears the set. sim20's
+    * three-phase oracle pins mask, purge, and their equality to an
+    * eager retire. */
+  def retireTombstone(spark: SparkSession, prefix: String,
+      expired: DataFrame): Unit =
+    BandIndex.recordTombstones(spark, prefix, cellsTable(prefix), expired)
 
   /** Exactly-once append, SINGLE-DURABLE-COMMIT form (round 11;
     * [[BandIndex.maintainBatch]]'s ANN analog, simplified by the
@@ -742,6 +768,37 @@ object VecIndex {
     dec
   }
 
+  /** sim20: sim17's retention made BOUNDED-COST — probe the full
+    * index (phase 0), TOMBSTONE exactly the neighbors phase 0
+    * returned (an O(retired) append — the index files are untouched),
+    * re-probe masked (phase 1), compact (the purge), re-probe
+    * (phase 2). Phases 1 and 2 are DEFINED identical to each other
+    * and to sim17's eager-retire phase 1, so the oracle is sim17's
+    * with phase 1 emitted twice. */
+  def tombstoneRetentionCycle(spark: SparkSession, dir: String,
+      tag: String): DataFrame = {
+    import graft.tools.Phases
+    import org.apache.spark.sql.functions.lit
+    val key = (spark, dir, tag)
+    val (prefix, path) = Phases.time(tag, "persist") {
+      freshIndex(spark, dir, tag, None)
+    }
+    persistLock.synchronized { lastCycle(key) = (prefix, path) }
+    def phaseProbe(n: Int): DataFrame =
+      probe(spark, dir, prefix)
+        .select(lit(n).as("phase"), col("query_id"), col("neighbor_id"),
+          col("cluster"), col("cosine"))
+        .localCheckpoint()
+    val dec0 = Phases.time(tag, "probe") { phaseProbe(0) }
+    val expired = dec0.select(col("neighbor_id").as("vec_id")).distinct()
+    Phases.time(tag, "retire") { retireTombstone(spark, prefix, expired) }
+    val dec1 = Phases.time(tag, "reprobe") { phaseProbe(1) }
+    Phases.time(tag, "purge") { compact(spark, prefix) }
+    val dec2 = Phases.time(tag, "probe2") { phaseProbe(2) }
+    dec0.unionByName(dec1).unionByName(dec2)
+      .orderBy("phase", "query_id", "neighbor_id")
+  }
+
   /** st13: sim19's append driven through the batch-stamp-guarded
     * [[pqMaintainBatch]], with the batch REPLAYED in between — the
     * batch analog of a checkpoint restart that lost the commit
@@ -797,6 +854,7 @@ object VecIndex {
     spark.sql(s"DROP TABLE IF EXISTS ${ledgerTable(prefix)}")
     spark.sql(s"DROP TABLE IF EXISTS ${pqCellsTable(prefix)}")
     spark.sql(s"DROP TABLE IF EXISTS ${codebookTable(prefix)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${BandIndex.tombstonesTable(prefix)}")
   }
 
   // Idempotent persist registry — same shape and rationale as

@@ -124,7 +124,9 @@ object ScaleStress {
       "dd17_index_compact", "st06_stream_index_probe",
       "st07_stream_index_maintain", "st08_stream_exactly_once",
       "dd18_index_retention", "sim14_ivf_index_probe",
-      "st09_stream_ann_probe")
+      "st09_stream_ann_probe",
+      "dd19_tombstone_retention", "sim19_pq_lifecycle",
+      "sim20_tombstone_retention", "st13_stream_pq_maintain")
     // SPARK_GRAFT_QUERIES=dd04_simhash,sim04_ivf_ann → time only those
     // (fast iteration on one operator without the 25-query sweep)
     val headline = sys.env.get("SPARK_GRAFT_QUERIES") match {
@@ -193,6 +195,49 @@ object ScaleStress {
       val ratio = if (base(q) < 0 || big(q) < 0) f"${"-"}%6s"
         else f"${big(q) / base(q)}%6.1f"
       println(f"$q%-22s ${cell(base(q))} ${cell(big(q))} $ratio")
+    }
+
+    // Retention-cost axis (round 12, VERDICT r11 item 3): a FIXED
+    // retired set against a growing corpus. The eager retire() is a
+    // full per-bucket rewrite — its wall time must scale ~repl× with
+    // the index — while retireTombstone() writes only the id set, so
+    // its time (and bytes) must stay ~flat. Retired ids are pinned to
+    // the base copy (doc_id below the replication offset) so the
+    // delete batch is the same size on both axes.
+    if (headline.contains("dd19_tombstone_retention")) {
+      import graft.ops.BandIndex
+      def retCosts(dir: String, tag: String): (Double, Double, Long) = {
+        val expired = graft.Tables.documents(spark, dir)
+          .filter(col("source").isin(BandIndex.RetiredSrcs: _*) &&
+            col("doc_id") < 10000000L)
+          .select("doc_id")
+        def buildIdx(sub: String): String = {
+          val path = java.nio.file.Files
+            .createTempDirectory(s"graft-stress-ret-$sub").toString
+          val prefix = s"graft_stress_ret_${sub}_${System.nanoTime()}"
+          BandIndex.persist(spark, dir, path, prefix)
+          prefix
+        }
+        val pEager = buildIdx(s"${tag}e")
+        val t0 = System.nanoTime()
+        BandIndex.retire(spark, pEager, expired)
+        val tEager = (System.nanoTime() - t0) / 1e9
+        BandIndex.drop(spark, pEager)
+        val pTomb = buildIdx(s"${tag}t")
+        val t1 = System.nanoTime()
+        BandIndex.retireTombstone(spark, pTomb, expired)
+        val tTomb = (System.nanoTime() - t1) / 1e9
+        val tombBytes = BandIndex
+          .tableFiles(spark, BandIndex.tombstonesTable(pTomb))
+          .map(p => java.nio.file.Files.size(java.nio.file.Paths.get(p))).sum
+        BandIndex.drop(spark, pTomb)
+        (tEager, tTomb, tombBytes)
+      }
+      val (e1, t1, b1) = retCosts(src, "x1")
+      val (eN, tN, bN) = retCosts(dst, s"x$repl")
+      println(f"${"retire_eager"}%-22s $e1%8.2f $eN%8.2f ${eN / e1}%6.1f")
+      println(f"${"retire_tombstone"}%-22s $t1%8.2f $tN%8.2f ${tN / t1}%6.1f")
+      println(f"retire_tombstone_bytes $b1%8d $bN%8d (fixed retired set)")
     }
 
     // time-range operators again, on the calendar-extended axis

@@ -275,6 +275,94 @@ class BandIndexSpec extends SparkSpec {
     }
   }
 
+  test("tombstone retention: O(retired) delete, masked probe equals eager retire, purge converges") {
+    import org.apache.spark.sql.functions.col
+    // Round 12 (VERDICT r11 item 3): retire() pays a corpus-linear
+    // rewrite per delete; retireTombstone must (a) leave the index's
+    // data files byte-untouched (the delete is O(retired)), (b) make
+    // probes behave EXACTLY like an eager retire immediately, (c) let
+    // the next compaction purge the rows physically and clear the
+    // tombstone set, with decisions unchanged throughout.
+    val prefix = BandIndex.ensurePersisted(spark, sf, "spectomb")
+    val eager = BandIndex.ensurePersisted(spark, sf, "spectombeager")
+    val docs = graft.Tables.documents(spark, sf)
+    val expired = docs.filter(col("source").isin(BandIndex.RetiredSrcs: _*))
+      .select("doc_id")
+    val expiredIds = expired.collect().map(_.getLong(0)).toSet
+
+    // the reference: an identical index retired EAGERLY
+    BandIndex.retire(spark, eager, expired)
+    val expected = BandIndex.probe(spark, sf, eager).collect().map(_.toString).toSeq
+
+    def dataFiles() =
+      (BandIndex.tableFiles(spark, BandIndex.bandsTable(prefix)) ++
+        BandIndex.tableFiles(spark, BandIndex.sigsTable(prefix))).sorted
+    val filesBefore = dataFiles()
+    BandIndex.retireTombstone(spark, prefix, expired)
+    assert(dataFiles() == filesBefore,
+      "tombstone retention touched the index's data files")
+    val tombBytes = BandIndex
+      .tableFiles(spark, BandIndex.tombstonesTable(prefix))
+      .map(p => java.nio.file.Files.size(java.nio.file.Paths.get(p))).sum
+    val indexBytes = filesBefore
+      .map(p => java.nio.file.Files.size(java.nio.file.Paths.get(p))).sum
+    assert(tombBytes > 0 && tombBytes < indexBytes / 10,
+      s"tombstone write not O(retired): $tombBytes B vs index $indexBytes B")
+
+    // masked probe == eager retire, immediately
+    assert(BandIndex.probe(spark, sf, prefix).collect().map(_.toString).toSeq
+      == expected, "tombstone-masked decisions diverge from eager retire")
+
+    // the mask must not cost the corpus its layout: broadcast hint
+    // holds even under threshold -1, no exchange between either
+    // corpus scan and the sort-merge join that consumes it
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // corpus scans only — the tombstone table shares the temp dir
+      // but is a tiny broadcast side, deliberately unbucketed
+      def corpusScans(p: SparkPlan): Seq[FileSourceScanExec] =
+        indexScans(p, "graft-bandidx-spectomb").filterNot(
+          _.relation.location.rootPaths.exists(_.toString.contains("/tombstones")))
+      val probe = BandIndex.probe(spark, sf, prefix)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = probe.queryExecution.executedPlan
+      assert(plan.toString.toLowerCase.contains("leftanti"),
+        s"tombstone mask missing from the probe plan:\n$plan")
+      val scans = corpusScans(plan)
+      assert(scans.nonEmpty && scans.forall(_.bucketedScan),
+        s"tombstone mask broke the bucketed layout:\n$plan")
+      def pathsToIndexScans(p: SparkPlan,
+          above: List[SparkPlan]): Seq[List[SparkPlan]] = p match {
+        case s: FileSourceScanExec if corpusScans(s).nonEmpty => Seq(above)
+        case _ => p.children.flatMap(c => pathsToIndexScans(c, p :: above))
+      }
+      pathsToIndexScans(plan, Nil).foreach { above =>
+        val belowSmj = above.takeWhile(n =>
+          !n.nodeName.toLowerCase.contains("sortmergejoin"))
+        assert(!belowSmj.exists(_.isInstanceOf[ShuffleExchangeExec]),
+          s"corpus-side exchange appeared under the tombstone mask:\n$plan")
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+
+    // purge: compaction absorbs the tombstones, clears the set, and
+    // changes nothing observable
+    BandIndex.compact(spark, prefix)
+    assert(!spark.catalog.tableExists(BandIndex.tombstonesTable(prefix)),
+      "compaction did not clear the tombstone set")
+    Seq(BandIndex.bandsTable(prefix), BandIndex.sigsTable(prefix)).foreach { t =>
+      assert(BandIndex.tableFiles(spark, t).size <= BandIndex.Buckets,
+        s"$t not rewritten to one file per bucket")
+      val survivors = spark.table(t)
+        .filter(col("corpus_doc").isin(expiredIds.toSeq: _*)).count()
+      assert(survivors == 0, s"$t still holds $survivors tombstoned rows after purge")
+    }
+    assert(BandIndex.probe(spark, sf, prefix).collect().map(_.toString).toSeq
+      == expected, "post-purge decisions diverge from eager retire")
+  }
+
   test("dd17 compacted-cycle decisions equal dd16's fresh-cycle decisions") {
     val d16 = graft.SparkEntry.queries("dd16_index_append")(spark, sf)
       .collect().map(_.toString).toSeq

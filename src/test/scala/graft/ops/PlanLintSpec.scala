@@ -104,7 +104,12 @@ class PlanLintSpec extends SparkSpec {
     // embeds sim06's two-level quantizer twice (1-probe and
     // multi-probe variants share twoLevelParts) → the same
     // runtime-bounded ⌈n^¼⌉/√n cell frames, broadcast-hinted
-    "sim13_multiprobe_recall")
+    "sim13_multiprobe_recall",
+    // the Lloyd-trained coarse quantizer is IvfCentroids (16) rows by
+    // construction — same localCheckpoint'ed-aggregation garbage
+    // static estimate as sim07's codebook; every crossJoin against it
+    // is explicitly broadcast-hinted
+    "sim21_trained_ivf")
 
   test("no catalog query plans a cartesian product; all BNLJ sides are tiny") {
     val MaxBroadcastBytes = 1L << 20
