@@ -164,8 +164,16 @@ object BandIndex {
   private[ops] def recordTombstones(spark: SparkSession, prefix: String,
       anchorTable: String, expired: DataFrame): Unit = {
     val t = tombstonesTable(prefix)
+    // coalesce(1): the set is bounded by contract (it must broadcast
+    // at probe time), and the deriving filter often runs over a
+    // corpus-partitioned frame — without the coalesce the write's
+    // I/O would scale with the SOURCE's task count (K footer-only
+    // files), not the retired set, muddying the O(retired) property
+    // this path exists for (measured: 18.8 KB of footers for 2.5 KB
+    // of ids at a 100× corpus).
     val w = expired
       .select(col(expired.columns.head).cast("long").as("retired_id"))
+      .coalesce(1)
       .write.mode(SaveMode.Append)
     if (spark.catalog.tableExists(t)) w.saveAsTable(t)
     else w.option("path", s"${indexRootOf(spark, anchorTable)}/tombstones")

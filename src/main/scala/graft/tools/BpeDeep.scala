@@ -82,6 +82,43 @@ object BpeDeep {
         .select("w", "freq", "repr")
     }
 
+    // NATURAL-unit word supply (round-12 VERDICT item 4; round-10's
+    // dropped task 7): the synthetic corpus pretokenizes to ~60
+    // distinct words, so past ~110 merges the unigram curve
+    // saturates, and round 9's bigram workaround trains on units no
+    // real tokenizer would see. This fixture SYNTHESIZES the word
+    // table a richer corpus would pretokenize to: 6,000 distinct
+    // morphologically-composed word forms (30 onsets × 20 roots × 10
+    // suffixes — the productive-morphology shape real vocabularies
+    // have, which is exactly what gives BPE its merge supply) with
+    // Zipf-ranked frequencies decorrelated from the morphology by a
+    // hash. Every form is validated against the REAL pretokenizer
+    // (regexp_extract must return the word whole), and repr/trainer
+    // code paths are tx13's own — only the word supply is synthetic,
+    // and the training unit is the natural word.
+    def naturalWords0: org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.functions._
+      val D = TextAnalysis.BpeDelim
+      val onsets = Seq("b", "c", "d", "f", "g", "h", "j", "k", "l", "m",
+        "n", "p", "r", "s", "t", "v", "w", "z", "br", "ch",
+        "cl", "dr", "fr", "gr", "pl", "pr", "sh", "st", "tr", "qu")
+      val roots = Seq("an", "ar", "el", "en", "er", "il", "in", "ol", "on", "or",
+        "ul", "un", "ad", "ed", "id", "od", "ag", "ig", "og", "ut")
+      val sufs = Seq("a", "e", "i", "o", "u", "is", "os", "um", "ing", "tion")
+      val n = onsets.size * roots.size * sufs.size
+      spark.range(n)
+        .select(col("id"),
+          concat(
+            element_at(array(onsets.map(lit): _*), (col("id") / (roots.size * sufs.size)).cast("int") + 1),
+            element_at(array(roots.map(lit): _*), ((col("id") / sufs.size) % roots.size).cast("int") + 1),
+            element_at(array(sufs.map(lit): _*), (col("id") % sufs.size).cast("int") + 1)).as("w"))
+        .withColumn("rank", pmod(hash(col("id")), lit(n)) + 1)
+        .withColumn("freq", greatest(lit(1L), floor(lit(20L * n) / col("rank")).cast("long")))
+        .filter(expr(s"regexp_extract(w, '${TextAnalysis.BpePattern}', 0) = w"))
+        .withColumn("repr", expr(s"regexp_replace(w, '(.)', '$D$$1')"))
+        .select("w", "freq", "repr")
+    }
+
     def train(label: String, steps: Int, roundsPerStep: Int,
         round: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
         ckptEvery: Int = 1,
@@ -104,7 +141,20 @@ object BpeDeep {
       println(f"$label: final symbol vocab $vocab")
     }
 
-    if (args.contains("deep")) {
+    if (args.contains("natural")) {
+      // round 12: the ≥1024-merge curve on NATURAL word units — the
+      // 6,000-distinct-form synthetic vocabulary above, measured with
+      // the measured-cheapest trainer config (batched symbol-disjoint
+      // merges, checkpoint cadence 2). Distinct-word and merge-supply
+      // stats print first so the SCALE_NOTES row is self-contained.
+      val w0 = naturalWords0
+      println(s"natural-unit supply: ${w0.count()} distinct words, " +
+        s"${w0.agg(org.apache.spark.sql.functions.sum("freq")).head.getLong(0)} tokens")
+      train(f"batched m=$batchM ckpt=2 x$merges (natural word units)",
+        math.max(1, merges / batchM),
+        batchM, w => TextAnalysis.bpeMergeRoundBatched(w, batchM),
+        ckptEvery = 2, words0 = naturalWords0)
+    } else if (args.contains("deep")) {
       // fourth decade (round-9 VERDICT item 8): ONLY the
       // measured-cheapest config — batched symbol-disjoint merges,
       // checkpoint cadence 2 — pushed to the requested merge target

@@ -206,7 +206,10 @@ object ScaleStress {
     // delete batch is the same size on both axes.
     if (headline.contains("dd19_tombstone_retention")) {
       import graft.ops.BandIndex
-      def retCosts(dir: String, tag: String): (Double, Double, Long) = {
+      def tableBytes(tables: Seq[String]): Long =
+        tables.flatMap(t => BandIndex.tableFiles(spark, t))
+          .map(p => java.nio.file.Files.size(java.nio.file.Paths.get(p))).sum
+      def retCosts(dir: String, tag: String): (Double, Double, Long, Long) = {
         val expired = graft.Tables.documents(spark, dir)
           .filter(col("source").isin(BandIndex.RetiredSrcs: _*) &&
             col("doc_id") < 10000000L)
@@ -219,6 +222,9 @@ object ScaleStress {
           prefix
         }
         val pEager = buildIdx(s"${tag}e")
+        // the eager path's I/O: it rewrites the ENTIRE index
+        val idxBytes = tableBytes(Seq(
+          BandIndex.bandsTable(pEager), BandIndex.sigsTable(pEager)))
         val t0 = System.nanoTime()
         BandIndex.retire(spark, pEager, expired)
         val tEager = (System.nanoTime() - t0) / 1e9
@@ -227,17 +233,16 @@ object ScaleStress {
         val t1 = System.nanoTime()
         BandIndex.retireTombstone(spark, pTomb, expired)
         val tTomb = (System.nanoTime() - t1) / 1e9
-        val tombBytes = BandIndex
-          .tableFiles(spark, BandIndex.tombstonesTable(pTomb))
-          .map(p => java.nio.file.Files.size(java.nio.file.Paths.get(p))).sum
+        val tombBytes = tableBytes(Seq(BandIndex.tombstonesTable(pTomb)))
         BandIndex.drop(spark, pTomb)
-        (tEager, tTomb, tombBytes)
+        (tEager, tTomb, tombBytes, idxBytes)
       }
-      val (e1, t1, b1) = retCosts(src, "x1")
-      val (eN, tN, bN) = retCosts(dst, s"x$repl")
+      val (e1, t1, b1, i1) = retCosts(src, "x1")
+      val (eN, tN, bN, iN) = retCosts(dst, s"x$repl")
       println(f"${"retire_eager"}%-22s $e1%8.2f $eN%8.2f ${eN / e1}%6.1f")
       println(f"${"retire_tombstone"}%-22s $t1%8.2f $tN%8.2f ${tN / t1}%6.1f")
-      println(f"retire_tombstone_bytes $b1%8d $bN%8d (fixed retired set)")
+      println(f"retire_eager_rewrite_bytes    $i1%10d $iN%10d (the whole index)")
+      println(f"retire_tombstone_bytes        $b1%10d $bN%10d (fixed retired set)")
     }
 
     // time-range operators again, on the calendar-extended axis
