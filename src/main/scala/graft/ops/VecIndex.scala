@@ -249,7 +249,12 @@ object VecIndex {
     val tomb = BandIndex.tombstoneFrame(spark, prefix)
     BandIndex.compactTable(spark, cellsTable(prefix), "cluster",
       tomb, minusIdCol = "vec_id")
-    BandIndex.clearTombstones(spark, prefix)
+    // the tombstone set is per-PREFIX: clear it only when no sibling
+    // table still carries masked rows (a prefix that persists both
+    // raw cells and code cells purges on whichever compaction runs
+    // LAST)
+    if (!spark.catalog.tableExists(pqCellsTable(prefix)))
+      BandIndex.clearTombstones(spark, prefix)
   }
 
   /** RETENTION — remove a (bounded, broadcastable) set of vec_ids
@@ -528,6 +533,16 @@ object VecIndex {
     * joins on the code columns, no per-candidate vector arithmetic
     * and no corpus-side exchange. Top-[[Similarity.KnnK]] per query
     * by (adc asc, neighbor_id asc), sim07's order. */
+  /** The code-cell table as the serving probe reads it — the same
+    * tombstone mask as [[cellFrame]] (one id space per index prefix:
+    * a retired vec_id vanishes from BOTH the raw-vector and the
+    * code-cell read paths until the next compaction purges it). */
+  private def pqCellFrame(spark: SparkSession, prefix: String): DataFrame = {
+    val base = spark.table(pqCellsTable(prefix))
+    BandIndex.tombstoneFrame(spark, prefix).fold(base)(ts =>
+      base.join(ts, base("vec_id") === ts("retired_id"), "left_anti"))
+  }
+
   def pqProbe(spark: SparkSession, dir: String, prefix: String): DataFrame = {
     import org.apache.spark.sql.functions.round
     VectorExprs.register(spark)
@@ -547,7 +562,7 @@ object VecIndex {
         .select(col("query_id").as(s"q$m"), col("code").as(s"qc$m"),
           expr(s"sq_dist(${subSlice("qe", m)}, ${subSlice("cw", m)})").as(s"qd$m"))
     }
-    val cand = spark.table(pqCellsTable(prefix))
+    val cand = pqCellFrame(spark, prefix)
       .join(broadcast(probes), Seq("cluster"))
       .filter(col("vec_id") =!= col("query_id"))
     val joined = (1 until Similarity.PqM).foldLeft(
@@ -686,8 +701,21 @@ object VecIndex {
     * unchanged; the per-bucket merge reads ONE run instead of one per
     * historical append. The codebook table (M·K rows) never needs
     * compaction. */
-  def pqCompact(spark: SparkSession, prefix: String): Unit =
-    BandIndex.compactTable(spark, pqCellsTable(prefix), "cluster")
+  def pqCompact(spark: SparkSession, prefix: String): Unit = {
+    val tomb = BandIndex.tombstoneFrame(spark, prefix)
+    BandIndex.compactTable(spark, pqCellsTable(prefix), "cluster",
+      tomb, minusIdCol = "vec_id")
+    if (!spark.catalog.tableExists(cellsTable(prefix)))
+      BandIndex.clearTombstones(spark, prefix)
+  }
+
+  /** O(retired) retention for the SERVING index — [[retireTombstone]]
+    * anchored at the code-cell table (a PQ-only generation has no raw
+    * cells table to anchor the tombstone location on). Masked by
+    * [[pqProbe]] immediately; purged by the next [[pqCompact]]. */
+  def pqRetireTombstone(spark: SparkSession, prefix: String,
+      expired: DataFrame): Unit =
+    BandIndex.recordTombstones(spark, prefix, pqCellsTable(prefix), expired)
 
   /** RETENTION for the serving index — remove a bounded vec_id set
     * from the code cells in place (broadcast anti-join inside the

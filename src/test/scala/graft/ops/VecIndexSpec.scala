@@ -270,6 +270,50 @@ class VecIndexSpec extends SparkSpec {
     }
   }
 
+  test("PQ tombstone retention: masked serve equals eager retire; compaction purges") {
+    // The O(retired) delete on the SERVING layout (round 12): the
+    // tombstone write must leave the code-cell files untouched, the
+    // masked ADC serve must equal an eager pqRetire immediately, and
+    // the next pqCompact must purge the rows and clear the set.
+    val path = Files.createTempDirectory("graft-vecidx-pqtomb").toString
+    val path2 = Files.createTempDirectory("graft-vecidx-pqtombeager").toString
+    val prefix = s"graft_vec_pqtomb_${System.nanoTime()}"
+    val refPrefix = s"graft_vec_pqtombeager_${System.nanoTime()}"
+    try {
+      VecIndex.pqPersist(spark, sf, path, prefix)
+      val dec0 = VecIndex.pqProbe(spark, sf, prefix).localCheckpoint()
+      val expired = dec0.select(col("neighbor_id").as("vec_id")).distinct()
+      val expiredIds = expired.collect().map(_.getLong(0)).toSet
+      assert(expiredIds.nonEmpty, "serve returned no neighbors to retire")
+
+      // eager reference on an identical generation
+      VecIndex.pqPersist(spark, sf, path2, refPrefix)
+      VecIndex.pqRetire(spark, refPrefix, expired)
+      val expected = VecIndex.pqProbe(spark, sf, refPrefix)
+        .collect().map(_.toString).toSeq
+
+      val filesBefore =
+        BandIndex.tableFiles(spark, VecIndex.pqCellsTable(prefix)).sorted
+      VecIndex.pqRetireTombstone(spark, prefix, expired)
+      assert(BandIndex.tableFiles(spark, VecIndex.pqCellsTable(prefix)).sorted
+        == filesBefore, "tombstone retention touched the code-cell files")
+      assert(VecIndex.pqProbe(spark, sf, prefix).collect().map(_.toString).toSeq
+        == expected, "tombstone-masked ADC serve diverges from eager retire")
+
+      VecIndex.pqCompact(spark, prefix)
+      assert(!spark.catalog.tableExists(BandIndex.tombstonesTable(prefix)),
+        "pqCompact did not clear the tombstone set")
+      val survivors = spark.table(VecIndex.pqCellsTable(prefix))
+        .filter(col("vec_id").isin(expiredIds.toSeq: _*)).count()
+      assert(survivors == 0, s"$survivors tombstoned code rows survive the purge")
+      assert(VecIndex.pqProbe(spark, sf, prefix).collect().map(_.toString).toSeq
+        == expected, "post-purge ADC serve diverges from eager retire")
+    } finally {
+      VecIndex.drop(spark, prefix)
+      VecIndex.drop(spark, refPrefix)
+    }
+  }
+
   test("probe shuffle BYTES track the query batch, not the corpus (10x corpus, ~1x bytes)") {
     // The ANN analog of BandIndexSpec's bytes gate (round-10 VERDICT
     // item 8): the SAME-SIZED query batch (KnnQueries=5 in both dirs)
