@@ -49,7 +49,9 @@ object Bench {
     "sim15_vec_index_append", "sim16_vec_index_compact",
     "sim17_vec_retention", "st10_stream_ann_maintain",
     "st11_selffence_replay", "sim18_ivfpq_probe",
-    "st12_stream_pq_serving")
+    "st12_stream_pq_serving",
+    "sim19_pq_lifecycle", "sim20_tombstone_retention", "sim21_trained_ivf",
+    "dd19_tombstone_retention", "st13_stream_pq_maintain", "dq07_cell_drift")
 
   // Locale.ROOT: the f-interpolator honors the default locale, and a
   // comma decimal separator would corrupt the JSON

@@ -73,6 +73,13 @@ object Similarity {
     * bounded and deterministic, the PqTrainIters convention. */
   val IvfTrainIters = 2
 
+  /** Retrain trigger for the codebook-generation lifecycle (dq07):
+    * smoothed KL divergence of a new batch's IVF cell-occupancy
+    * distribution from the indexed corpus's, above which the batch is
+    * declared distribution-shifted and a new generation (retrain +
+    * re-encode + [[VecIndex.pqSwapGeneration]]) is warranted. */
+  val KlRetrainThreshold = 0.05
+
   /** The left-fold dot product in DuckDB SQL (list_reduce has no seed; a fold of
     * [v1..vn] from v1 equals Spark's 0.0-seeded fold bit-for-bit). */
   private def dotSql(a: String, b: String): String =
@@ -891,6 +898,58 @@ object Similarity {
     "sim20_tombstone_retention" -> ((s, d) =>
       VecIndex.tombstoneRetentionCycle(s, d, "sim20")),
 
+    // dq07 = the codebook-generation lifecycle's TRIGGER (round 12):
+    // per-IVF-cell occupancy of the indexed corpus (the 3/4 slice the
+    // lifecycle fixtures build generations from) vs a new batch's
+    // (the 1/4 slice), Laplace-smoothed, with the per-cell KL
+    // contribution and a summary row carrying the total divergence
+    // and the retrain decision against KlRetrainThreshold. Cell
+    // distances cost one batch × broadcast-centroids pass — the
+    // assignment the append was computing anyway, so the monitor is
+    // free at ingest time. The KL total sums 6-dp-rounded terms
+    // decimal-exactly (the dsum convention), so the decision is
+    // bit-reproducible under any partitioning and in the oracle.
+    "dq07_cell_drift" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{log => ln, pmod, sum, when}
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      VectorExprs.register(s)
+      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val cents = e.filter(col("vec_id") < IvfCentroids)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("cos_c", expr("cosine_sim(embedding, ce)"))
+        .withColumn("crn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("cos_c").desc, col("cent_id").asc)))
+        .filter(col("crn") === 1)
+        .select(col("vec_id"), col("cent_id").as("cluster"))
+      // the batch boundary: a dense-id modulo (oracle-expressible —
+      // the hash split the lifecycle fixtures use has no DuckDB
+      // mirror; vec_ids are dense so the quarter is the same size)
+      val isNew = pmod(col("vec_id"), lit(4)) === lit(0)
+      val counts = assigned.groupBy("cluster").agg(
+        sum(when(!isNew, 1L).otherwise(0L)).as("old_n"),
+        sum(when(isNew, 1L).otherwise(0L)).as("new_n"))
+      val k = lit(IvfCentroids.toDouble)
+      val w = Window.partitionBy() // bounded: ≤ IvfCentroids grouped rows
+      val terms = counts
+        .withColumn("p", (col("old_n") + lit(1L)).cast(DoubleType) /
+          (sum(col("old_n")).over(w) + k).cast(DoubleType))
+        .withColumn("q", (col("new_n") + lit(1L)).cast(DoubleType) /
+          (sum(col("new_n")).over(w) + k).cast(DoubleType))
+        .withColumn("kl_term", round(col("q") * ln(col("q") / col("p")), 6))
+      val perCell = terms.select(col("cluster"), col("old_n"), col("new_n"),
+        col("kl_term"),
+        lit(null).cast(DoubleType).as("kl_total"),
+        lit(null).cast("boolean").as("retrain"))
+      val summary = terms.agg(
+        sum(col("old_n")).as("old_n"), sum(col("new_n")).as("new_n"),
+        sum(col("kl_term").cast(DecimalType(18, 6))).cast(DoubleType).as("kl_total"))
+        .select(lit(-1L).as("cluster"), col("old_n"), col("new_n"),
+          lit(null).cast(DoubleType).as("kl_term"), col("kl_total"),
+          (col("kl_total") > lit(KlRetrainThreshold)).as("retrain"))
+      perCell.unionByName(summary).orderBy("cluster")
+    }),
+
     // sim21 = sim04's IVF ANN with a Lloyd-TRAINED coarse quantizer
     // (round 12): centroids start from the first-K seed and take
     // IvfTrainIters bounded spherical-k-means iterations — the same
@@ -1566,6 +1625,54 @@ object Similarity {
     // sim21 = IVF ANN over the Lloyd-trained coarse quantizer; the
     // TRAINING dataflow is mirrored in the oracle (see sim21Sql).
     "sim21_trained_ivf" -> sim21Sql,
+
+    // dq07 = the retrain trigger: smoothed per-cell KL contribution
+    // of the new-quarter occupancy vs the indexed corpus's, summed
+    // decimal-exactly over 6-dp-rounded terms, with the threshold
+    // decision in the summary row.
+    "dq07_cell_drift" ->
+      s"""WITH $normedCte,
+         |cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS ce, norm AS cnorm
+         |  FROM e WHERE vec_id < $IvfCentroids
+         |),
+         |scored AS (
+         |  SELECT e.vec_id, c.cent_id,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY ${dotSql("e.embedding", "c.ce")} / (e.norm * c.cnorm) DESC,
+         |                    c.cent_id ASC) AS crn
+         |  FROM e, cents c
+         |),
+         |assigned AS (
+         |  SELECT vec_id, cent_id AS cluster FROM scored WHERE crn = 1
+         |),
+         |counts AS (
+         |  SELECT cluster,
+         |         CAST(sum(CASE WHEN vec_id % 4 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS old_n,
+         |         CAST(sum(CASE WHEN vec_id % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS new_n
+         |  FROM assigned GROUP BY cluster
+         |),
+         |terms AS (
+         |  SELECT cluster, old_n, new_n,
+         |         round(
+         |           (CAST(new_n + 1 AS DOUBLE) / (CAST(sum(new_n) OVER () AS DOUBLE) + $IvfCentroids))
+         |           * ln(
+         |             (CAST(new_n + 1 AS DOUBLE) / (CAST(sum(new_n) OVER () AS DOUBLE) + $IvfCentroids))
+         |             / (CAST(old_n + 1 AS DOUBLE) / (CAST(sum(old_n) OVER () AS DOUBLE) + $IvfCentroids))),
+         |           6) AS kl_term
+         |  FROM counts
+         |)
+         |SELECT cluster, old_n, new_n, kl_term,
+         |       CAST(NULL AS DOUBLE) AS kl_total, CAST(NULL AS BOOLEAN) AS retrain
+         |FROM terms
+         |UNION ALL
+         |SELECT -1 AS cluster, CAST(sum(old_n) AS BIGINT) AS old_n,
+         |       CAST(sum(new_n) AS BIGINT) AS new_n,
+         |       CAST(NULL AS DOUBLE) AS kl_term,
+         |       CAST(sum(CAST(kl_term AS DECIMAL(18,6))) AS DOUBLE) AS kl_total,
+         |       CAST(sum(CAST(kl_term AS DECIMAL(18,6))) AS DOUBLE) > $KlRetrainThreshold AS retrain
+         |FROM terms
+         |ORDER BY cluster""".stripMargin,
 
     // sim18 = IVF cell selection composed with trained-codebook
     // PQ-ADC (see sim18Sql) — the persisted code-cell layout must

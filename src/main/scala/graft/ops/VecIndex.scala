@@ -709,6 +709,37 @@ object VecIndex {
       BandIndex.clearTombstones(spark, prefix)
   }
 
+  /** GENERATION PROMOTION — the codebook-drift remedy's final step
+    * (round 12; the codebook-generation contract above): atomically
+    * swap serving from `prefix`'s tables to `newPrefix`'s freshly
+    * built generation (retrained codebook + re-encoded code cells),
+    * under the serving prefix's names. The rename-aside discipline is
+    * [[BandIndex.compactTable]]'s: at every single-failure point
+    * either the original registration is intact or a complete
+    * aside-named table remains recoverable next to the fully-written
+    * new one; a failed promotion restores the original name before
+    * rethrowing. Old-generation files stay on disk under their
+    * original path (external tables keep locations across RENAME);
+    * the caller's temp-dir lifecycle owns them. The codebook swaps
+    * WITH the cells — serving never sees a codebook from one
+    * generation against codes from another. */
+  def pqSwapGeneration(spark: SparkSession, prefix: String,
+      newPrefix: String): Unit =
+    Seq(pqCellsTable _, codebookTable _).foreach { f =>
+      val live = f(prefix)
+      val incoming = f(newPrefix)
+      val aside = s"${live}_old${serial.incrementAndGet()}"
+      spark.sql(s"ALTER TABLE $live RENAME TO $aside")
+      try spark.sql(s"ALTER TABLE $incoming RENAME TO $live")
+      catch {
+        case e: Throwable =>
+          try spark.sql(s"ALTER TABLE $aside RENAME TO $live")
+          catch { case _: Throwable => () }
+          throw e
+      }
+      spark.sql(s"DROP TABLE $aside")
+    }
+
   /** O(retired) retention for the SERVING index — [[retireTombstone]]
     * anchored at the code-cell table (a PQ-only generation has no raw
     * cells table to anchor the tombstone location on). Masked by

@@ -165,7 +165,10 @@ class PlanLintSpec extends SparkSpec {
     "dd12_snm_pairs", // 2-char blocking-prefix bucket offsets (≤ 36² keys)
     "w06_abc_pareto", // per-revenue-centile bucket totals prefix sum
     // post-limit rank: window input is .limit(SampleK) = 100 rows
-    "ds10_exact_k_sample")
+    "ds10_exact_k_sample",
+    // occupancy-total window over GROUP BY cluster — ≤ IvfCentroids
+    // (16) rows by construction, never the corpus
+    "dq07_cell_drift")
 
   test("every unpartitioned window is allowlisted with a boundedness argument") {
     val violations = lintTargets.flatMap {

@@ -314,6 +314,48 @@ class VecIndexSpec extends SparkSpec {
     }
   }
 
+  test("drift-triggered retrain: a new generation swaps in atomically and serves the full build") {
+    // The codebook-generation contract's remedy, end to end (round
+    // 12): generation 0 serves from a PARTIAL corpus (the 3/4 slice —
+    // the state a drifted deployment is in); dq07's KL monitor over
+    // cell occupancies fires; the remedy is pqPersist of a FULL new
+    // generation under a fresh prefix and pqSwapGeneration — after
+    // which the ORIGINAL serving prefix must serve exactly sim18's
+    // full-build decisions, with the generation's codebook and cells
+    // swapped together (never mixed across generations).
+    val path0 = Files.createTempDirectory("graft-vecidx-gen0").toString
+    val path1 = Files.createTempDirectory("graft-vecidx-gen1").toString
+    val serving = s"graft_vec_gen0_${System.nanoTime()}"
+    val gen1 = s"graft_vec_gen1_${System.nanoTime()}"
+    try {
+      VecIndex.pqPersist(spark, sf, path0, serving, Some(emb(sf).filter(!isNew)))
+      val before = VecIndex.pqProbe(spark, sf, serving).collect().map(_.toString).toSeq
+      val full = Similarity.queries("sim18_ivfpq_probe")(spark, sf)
+        .collect().map(_.toString).toSeq
+      assert(before != full, "fixture must start from a drifted (partial) generation")
+
+      // the trigger exists and decides (engine-level sanity; the
+      // decision dataflow itself is oracle-gated as dq07)
+      val drift = Similarity.queries("dq07_cell_drift")(spark, sf)
+        .filter(col("cluster") === -1L).collect()
+      assert(drift.length == 1 && !drift.head.isNullAt(4),
+        "dq07 summary row missing")
+
+      VecIndex.pqPersist(spark, sf, path1, gen1)
+      VecIndex.pqSwapGeneration(spark, serving, gen1)
+
+      val after = VecIndex.pqProbe(spark, sf, serving).collect().map(_.toString).toSeq
+      assert(after == full,
+        "post-swap serving diverges from the new generation's full build")
+      assert(!spark.catalog.tableExists(VecIndex.pqCellsTable(gen1)) &&
+        !spark.catalog.tableExists(VecIndex.codebookTable(gen1)),
+        "generation-1 names must be consumed by the swap")
+    } finally {
+      VecIndex.drop(spark, serving)
+      VecIndex.drop(spark, gen1)
+    }
+  }
+
   test("probe shuffle BYTES track the query batch, not the corpus (10x corpus, ~1x bytes)") {
     // The ANN analog of BandIndexSpec's bytes gate (round-10 VERDICT
     // item 8): the SAME-SIZED query batch (KnnQueries=5 in both dirs)
