@@ -51,7 +51,8 @@ object Bench {
     "st11_selffence_replay", "sim18_ivfpq_probe",
     "st12_stream_pq_serving",
     "sim19_pq_lifecycle", "sim20_tombstone_retention", "sim21_trained_ivf",
-    "dd19_tombstone_retention", "st13_stream_pq_maintain", "dq07_cell_drift")
+    "dd19_tombstone_retention", "st13_stream_pq_maintain", "dq07_cell_drift",
+    "dd20_auto_compact")
 
   // Locale.ROOT: the f-interpolator honors the default locale, and a
   // comma decimal separator would corrupt the JSON

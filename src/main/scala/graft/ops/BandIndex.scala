@@ -710,6 +710,76 @@ object BandIndex {
     dec
   }
 
+  /** Append with the AUTO-COMPACTION policy (round 12 — the
+    * operational glue between the verbs): after the append, if the
+    * bands table's file count exceeds `maxFilesPerBucket × Buckets`,
+    * run [[compact]] inline. Returns whether compaction fired. The
+    * policy bounds what the probe's per-bucket merge reads to a
+    * CONSTANT number of runs regardless of append history — without
+    * it, file count (and the merge fan-in) grows linearly with
+    * micro-batches until someone remembers to compact. Decisions are
+    * invariant to when the policy fires (compaction is
+    * content-preserving; dd20 pins this under dd16's oracle).
+    * Compaction folding recent batch stamps into wide-[min,max] files
+    * weakens [[batchPresent]]'s pruning for those ids — the ledger
+    * fast-guard covers every normally-completed batch, so only a
+    * replay racing the compaction pays a full column scan
+    * (documented caveat on [[batchPresent]]). */
+  def appendAuto(spark: SparkSession, dir: String, admitted: DataFrame,
+      prefix: String, batchId: Long = BaseBatch,
+      maxFilesPerBucket: Int = 4): Boolean = {
+    append(spark, dir, admitted, prefix, batchId)
+    val fired =
+      tableFiles(spark, bandsTable(prefix)).size > maxFilesPerBucket * Buckets
+    if (fired) compact(spark, prefix)
+    fired
+  }
+
+  /** dd20: the dd16/dd17 maintenance cycle with compaction AUTOMATED
+    * — one decision probe, the novel set appended in `slices`
+    * disjoint day-slices through [[appendAuto]] with a low threshold
+    * so the policy fires mid-history (asserted in-cycle, along with
+    * the file-count bound it exists to enforce), then the re-probe.
+    * Slices union to the same rows as one append and compaction is
+    * content-preserving, so decisions are DEFINED identical to
+    * dd16's — the oracle is the same SQL. */
+  def autoCompactCycle(spark: SparkSession, dir: String, tag: String,
+      slices: Int = 6, maxFilesPerBucket: Int = 2): DataFrame = {
+    import graft.tools.Phases
+    val key = (spark, dir, tag)
+    val (prefix, path) = Phases.time(tag, "persist") { freshIndex(spark, dir, tag) }
+    Phases.time(tag, "append") {
+      // localCheckpoint, not cache: the mid-history compactions this
+      // cycle exists to exercise DELETE the files a cached probe
+      // plan's recompute would re-list — an eager lineage-free pin is
+      // the only derivation that survives the table being rewritten
+      // underneath it (measured: a cached `novel` recompute after the
+      // first in-policy compaction throws FILE_NOT_EXIST).
+      val novel = probe(spark, dir, prefix)
+        .filter(col("dup_of").isNull)
+        .select(col("batch_doc").as("doc_id"))
+        .localCheckpoint()
+      import org.apache.spark.sql.functions.{hash, lit, pmod}
+      var fires = 0
+      (0 until slices).foreach { i =>
+        if (appendAuto(spark, dir,
+            novel.filter(pmod(hash(col("doc_id")), lit(slices)) === lit(i)),
+            prefix, maxFilesPerBucket = maxFilesPerBucket)) fires += 1
+        val bound = (maxFilesPerBucket + 1) * Buckets
+        val files = tableFiles(spark, bandsTable(prefix)).size
+        require(files <= bound,
+          s"auto-compaction failed to bound the file count: $files > $bound")
+      }
+      require(fires > 0,
+        "fixture too small: the auto-compaction policy never fired")
+    }
+    val dec = Phases.time(tag, "probe") {
+      probe(spark, dir, prefix).localCheckpoint()
+    }
+    persistLock.synchronized { lastCycle(key) = (prefix, path) }
+    dec
+  }
+
   /** Day-2 re-ingest ids are day-1 ids shifted by this offset — far
     * above any fixture doc_id, so the two days' decision rows never
     * collide and an id's day-1 identity is `id - DayOffset`. */

@@ -855,7 +855,17 @@ object Dedup {
     // defined identical to dd18's eager-retire phase 1, so the oracle
     // is dd18's SQL with its phase-1 decision emitted twice.
     "dd19_tombstone_retention" -> ((s, d) =>
-      BandIndex.tombstoneRetentionCycle(s, d, "dd19"))
+      BandIndex.tombstoneRetentionCycle(s, d, "dd19")),
+
+    // AUTO-COMPACTION policy (round 12): dd17's cycle with the
+    // compaction decision automated — append slices through a
+    // file-count threshold that fires the per-bucket rewrite inline,
+    // bounding the probe's merge fan-in to a constant regardless of
+    // append history (both the firing and the bound are asserted
+    // in-cycle). Decisions invariant to when the policy fires, so
+    // the oracle is dd16's.
+    "dd20_auto_compact" -> ((s, d) =>
+      BandIndex.autoCompactCycle(s, d, "dd20"))
   )
 
   /** Power-iteration PageRank over the near-dup graph (g01's body,
@@ -1004,7 +1014,10 @@ object Dedup {
     // dd19 = dd18 with the retire split into tombstone-mask (phase 1)
     // and physical purge (phase 2): both phases must equal the eager
     // retire's decisions, so the oracle emits dec1 twice.
-    ("dd19_tombstone_retention" -> dd19OracleSql)
+    ("dd19_tombstone_retention" -> dd19OracleSql) +
+    // dd20 = dd16's decisions with compaction automated mid-appends;
+    // content-preserving either way, same SQL.
+    ("dd20_auto_compact" -> dd16OracleSql)
 
   /** Two-phase replay of the retention cycle: phase 0 probes the full
     * corpus; phase 1 probes the corpus MINUS [[BandIndex.RetiredSrcs]]

@@ -26,7 +26,11 @@ object LaneSweep {
   private val excluded = Set(
     "dd16_index_append", "dd17_index_compact", "dd18_index_retention",
     "st07_stream_index_maintain", "st08_stream_exactly_once",
-    "st11_selffence_replay")
+    "st11_selffence_replay",
+    // round-12 cycles: same fixture-rebuild/write domination
+    "dd19_tombstone_retention", "dd20_auto_compact",
+    "sim19_pq_lifecycle", "sim20_tombstone_retention",
+    "st13_stream_pq_maintain")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
