@@ -52,7 +52,7 @@ object Bench {
     "st12_stream_pq_serving",
     "sim19_pq_lifecycle", "sim20_tombstone_retention", "sim21_trained_ivf",
     "dd19_tombstone_retention", "st13_stream_pq_maintain", "dq07_cell_drift",
-    "dd20_auto_compact")
+    "dd20_auto_compact", "st14_stream_drift")
 
   // Locale.ROOT: the f-interpolator honors the default locale, and a
   // comma decimal separator would corrupt the JSON

@@ -1568,6 +1568,62 @@ object Similarity {
        |SELECT 2 AS phase, query_id, neighbor_id, cluster, cosine FROM p1
        |ORDER BY phase, query_id, neighbor_id""".stripMargin
 
+  /** st14's oracle: the streaming drift monitor's per-window KL
+    * decision, mirrored — seed-centroid assignment (sim04's CTEs),
+    * reference occupancy from the non-quarter corpus slice, arrival
+    * windows from the st09 synthetic-ts convention, and the KL total
+    * as the same fixed fold of 6-dp-rounded DECIMAL(18,6) terms. */
+  private[graft] lazy val st14Sql: String = {
+    def p(c: Int) =
+      s"(CAST(coalesce((SELECT cnt FROM pocc WHERE cluster = $c), 0) + 1 AS DOUBLE) " +
+        s"/ (n_old + $IvfCentroids))"
+    def q(c: Int) =
+      s"(CAST(n$c + 1 AS DOUBLE) / (CAST(n_new AS DOUBLE) + ${IvfCentroids.toDouble}))"
+    val fold = (0 until IvfCentroids).map(c =>
+      s"CAST(round(${q(c)} * ln(${q(c)} / ${p(c)}), 6) AS DECIMAL(18,6))")
+      .mkString(" + ")
+    val nCols = (0 until IvfCentroids).map(c =>
+      s"CAST(sum(CASE WHEN cluster = $c THEN 1 ELSE 0 END) AS BIGINT) AS n$c")
+      .mkString(",\n         ")
+    s"""WITH $normedCte,
+       |cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS ce, norm AS cnorm
+       |  FROM e WHERE vec_id < $IvfCentroids
+       |),
+       |scored AS (
+       |  SELECT e.vec_id, c.cent_id,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY ${dotSql("e.embedding", "c.ce")} / (e.norm * c.cnorm) DESC,
+       |                    c.cent_id ASC) AS crn
+       |  FROM e, cents c
+       |),
+       |assigned AS (
+       |  SELECT vec_id, cent_id AS cluster FROM scored WHERE crn = 1
+       |),
+       |pocc AS (
+       |  SELECT cluster, count(*) AS cnt FROM assigned
+       |  WHERE vec_id % 4 <> 0 GROUP BY cluster
+       |),
+       |ptot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_old FROM pocc),
+       |wins AS (
+       |  SELECT to_timestamp(CAST(floor(epoch(
+       |           TIMESTAMP '2024-01-01 00:00:00' + vec_id * INTERVAL 1 SECOND
+       |         ) / 600) AS BIGINT) * 600) AS wstart,
+       |         cluster
+       |  FROM assigned WHERE vec_id % 4 = 0
+       |),
+       |counts AS (
+       |  SELECT wstart, CAST(count(*) AS BIGINT) AS n_new,
+       |         $nCols
+       |  FROM wins GROUP BY wstart
+       |)
+       |SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start, n_new,
+       |       CAST($fold AS DOUBLE) AS kl_total,
+       |       CAST($fold AS DOUBLE) > $KlRetrainThreshold AS retrain
+       |FROM counts, ptot
+       |ORDER BY window_start""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "sim05_norm_quant" ->
       s"""WITH q AS (

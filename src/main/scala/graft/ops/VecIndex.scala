@@ -885,6 +885,86 @@ object VecIndex {
     dec
   }
 
+  /** Streaming-legal cell-occupancy DRIFT MONITOR (st14 — dq07's
+    * form at the place a drift monitor actually runs: the ingest
+    * stream). `batch` (vec_id, embedding, ts) may be unbounded, so
+    * every construct is streaming-legal, and the whole monitor is ONE
+    * stateful aggregation:
+    *
+    *   - cell assignment is the stateless HOF argmax over the
+    *     broadcast centroid array ([[annTopK]]'s probe-selection
+    *     pattern, sliced to 1);
+    *   - the reference occupancy p (the indexed corpus's smoothed
+    *     cell distribution) rides in as a broadcast STATIC 1-row
+    *     array BEFORE the aggregation — joining it after the agg
+    *     would chain a stream-static join behind a streaming
+    *     aggregation, and carrying it through `first()` keeps the
+    *     plan single-stateful-operator;
+    *   - per-window occupancy is a PIVOTED single aggregation (one
+    *     conditional sum per cell — K bounded columns), never a
+    *     second groupBy;
+    *   - the KL total is a fixed-order fold of 6-dp-rounded terms
+    *     summed as DECIMAL(18,6) — exact, so the per-window decision
+    *     is bit-reproducible and oracle-mirrorable.
+    *
+    * Output: one row per arrival window — (window_start, n_new,
+    * kl_total, retrain). */
+  def streamingCellDrift(spark: SparkSession, dir: String,
+      batch: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{collect_list, count, date_format, first, lit, pmod, struct, sum, when, window, log => ln}
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    VectorExprs.register(spark)
+    val k = Similarity.IvfCentroids
+    // reference occupancy from the indexed corpus (the non-quarter
+    // slice — dq07's convention), as one broadcastable array row
+    val corpus = Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding")
+      .filter(pmod(col("vec_id"), lit(4)) =!= lit(0))
+    val pArr = assignCells(spark, dir, corpus)
+      .groupBy("cluster").agg(count(lit(1)).as("cnt"))
+      .agg(collect_list(struct(col("cluster"), col("cnt"))).as("occ"),
+        sum(col("cnt")).as("n_old"))
+      .select(expr(
+        s"""transform(sequence(0, ${k - 1}), c ->
+           |  CAST(coalesce(element_at(
+           |         map_from_entries(transform(occ, o -> struct(o.cluster, o.cnt))),
+           |         CAST(c AS BIGINT)), 0) + 1 AS DOUBLE)
+           |  / (CAST(n_old AS DOUBLE) + $k))""".stripMargin).as("ps"))
+    val centArr = centroids(spark, dir)
+      .agg(collect_list(struct(col("cent_id"), col("ce"))).as("cents"))
+    val assigned = batch
+      .crossJoin(broadcast(centArr))
+      .crossJoin(broadcast(pArr))
+      .select(col("ts"), col("ps"),
+        expr(
+          s"""element_at(
+             |  transform(
+             |    array_sort(transform(cents,
+             |      c -> struct(-cosine_sim(embedding, c.ce) AS nc,
+             |                  c.cent_id AS cent_id))),
+             |    s -> s.cent_id),
+             |  1)""".stripMargin).as("cluster"))
+    val aggs =
+      count(lit(1)).as("n_new") +:
+        first(col("ps")).as("ps") +:
+        (0 until k).map(c =>
+          sum(when(col("cluster") === c, 1L).otherwise(0L)).as(s"n$c"))
+    val counts = assigned
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(aggs.head, aggs.tail: _*)
+    def q(c: Int) = (col(s"n$c") + lit(1L)).cast(DoubleType) /
+      (col("n_new").cast(DoubleType) + lit(k.toDouble))
+    val klTotal = (0 until k).map { c =>
+      val p = expr(s"element_at(ps, ${c + 1})")
+      round(q(c) * ln(q(c) / p), 6).cast(DecimalType(18, 6))
+    }.reduce(_ + _).cast(DoubleType)
+    counts.select(
+      date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+      col("n_new"),
+      klTotal.as("kl_total"),
+      (klTotal > lit(Similarity.KlRetrainThreshold)).as("retrain"))
+  }
+
   /** Idempotent build registry for the sim18 catalog entry — same
     * shape and rationale as [[ensurePersisted]]: the IVF-PQ index is
     * a durable artifact; the bench re-times the PROBE. */

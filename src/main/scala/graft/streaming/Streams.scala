@@ -736,7 +736,25 @@ object Streams {
     // StreamingSpec drives the same maintenance through a real
     // readStream foreachBatch with a checkpoint restart.
     "st13_stream_pq_maintain" -> ((s, d) =>
-      graft.ops.VecIndex.pqMaintainedCycle(s, d, "st13"))
+      graft.ops.VecIndex.pqMaintainedCycle(s, d, "st13")),
+
+    // DRIFT MONITORING at the ingest stream (round 12 — dq07's
+    // streaming form, st14): new-vector arrivals assign to cells via
+    // the stateless broadcast-centroid HOF argmax, the reference
+    // occupancy rides in as a broadcast static array BEFORE the one
+    // pivoted aggregation (K bounded conditional sums per window —
+    // never a second groupBy), and the per-window KL decision is the
+    // same fixed decimal-exact fold as dq07's. Batch analog of the
+    // shared core; StreamingSpec drives a real readStream.
+    "st14_stream_drift" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, expr, lit, pmod}
+      val batch = graft.Tables.embeddings(s, d)
+        .filter(pmod(col("vec_id"), lit(4)) === lit(0))
+        .select(col("vec_id"), col("embedding"),
+          expr("timestamp'2024-01-01 00:00:00' + make_dt_interval(0, 0, 0, vec_id)").as("ts"))
+      graft.ops.VecIndex.streamingCellDrift(s, d, batch)
+        .orderBy("window_start")
+    })
   )
 
   val oracle: Map[String, String] = oracleBase +
@@ -771,7 +789,11 @@ object Streams {
     // stamp-guarded append → replay-skipped) generation; DEFINED
     // identical to the full build, so the oracle is sim18's — a
     // divergence means maintenance re-encoded or mutated the cells.
-    ("st13_stream_pq_maintain" -> graft.ops.Similarity.oracle("sim18_ivfpq_probe"))
+    ("st13_stream_pq_maintain" -> graft.ops.Similarity.oracle("sim18_ivfpq_probe")) +
+    // st14 = dq07's KL decision per arrival window (see
+    // Similarity.st14Sql — assignment, smoothing, and the
+    // decimal-exact term fold mirrored end to end).
+    ("st14_stream_drift" -> graft.ops.Similarity.st14Sql)
 
   private lazy val st12OracleSql: String = {
     import graft.ops.Similarity.KnnQueries

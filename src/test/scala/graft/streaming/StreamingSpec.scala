@@ -698,6 +698,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming drift monitor equals the batch KL decision per window (st14)") {
+    // dq07's monitor driven through a real readStream: new-vector
+    // files arrive in two micro-batches, the single pivoted
+    // aggregation accumulates per-window cell occupancies, and the
+    // emitted (window, n_new, kl_total, retrain) rows must equal the
+    // batch analog bit for bit (complete output mode — the monitor's
+    // decision for a window REVISES as the window fills, and the
+    // final table is the converged decision set).
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorExprs.register(spark)
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("st14_stream_drift")(spark, sf).collect()
+    val newVecs = graft.Tables.embeddings(spark, sf)
+      .filter(pmod(col("vec_id"), lit(4)) === lit(0))
+      .select(col("vec_id"), col("embedding"),
+        expr("timestamp'2024-01-01 00:00:00' + make_dt_interval(0, 0, 0, vec_id)").as("ts"))
+    val srcDir = Files.createTempDirectory("graft-st14").toString
+    def stamp(sub: String): Unit = {
+      val t = mtimeClock.addAndGet(2000)
+      Files.walk(Paths.get(srcDir, sub)).iterator().forEachRemaining { p =>
+        if (Files.isRegularFile(p))
+          Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime.fromMillis(t))
+      }
+    }
+    newVecs.filter(col("vec_id") % 8 === 0).coalesce(1).write.parquet(s"$srcDir/part_a")
+    stamp("part_a")
+    newVecs.filter(col("vec_id") % 8 =!= 0).coalesce(1).write.parquet(s"$srcDir/part_b")
+    stamp("part_b")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$srcDir/part_a").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$srcDir/part_*")
+    val q = graft.ops.VecIndex.streamingCellDrift(spark, sf, stream)
+      .writeStream.format("memory").queryName("st14_out").outputMode("complete")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("st14_out").orderBy("window_start").collect()
+      assert(streamed.nonEmpty, "no streamed drift rows emitted")
+      assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq,
+        "streamed per-window KL decisions diverge from the batch analog")
+    } finally q.stop()
+  }
+
   test("PQ-serving-index maintenance survives a checkpoint restart (st13)") {
     // st10's exactly-once proof one level up, on the IVF-PQ CODE
     // cells (round 12): a fresh generation on 3/4 of the corpus takes
