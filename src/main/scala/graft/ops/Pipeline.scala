@@ -1,0 +1,271 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Portable
+
+/** The COMPOSED batch curation pipeline — the end-to-end flow a
+  * training-data team actually runs, assembled from the catalog's
+  * single-stage operators into one audited dataflow:
+  *
+  *   eval holdout → quality gate → language-ID gate → exact dedup →
+  *   near-dup dedup (MinHash-LSH + connected components) →
+  *   decontamination against the eval shingle set → kept
+  *
+  * Output is the per-document AUDIT TABLE: every input doc labeled
+  * with the stage that removed it ('kept' for survivors). Stages are
+  * PROGRESSIVE — each runs over the previous stage's survivors, the
+  * way a real pipeline composes (a near-dup cluster is clustered
+  * among curated docs only; the canonical copy of an exact-dup group
+  * is chosen among quality survivors) — not independent full-corpus
+  * passes glued by priority.
+  *
+  * Stage semantics reuse the proven single-stage operators verbatim:
+  * quality = tx02's score (all-language stopword + short-token
+  * ratios); language = tx03's per-language stopword evidence, dropped
+  * only on a CONFIDENT contradiction (another language's score
+  * exceeds the recorded language's by ≥ [[LangIdMargin]] — the raw
+  * argmax mislabels ~60% of this deliberately language-mixed corpus);
+  * exact = dd01's digest-group canonical; near-dup = dd03's verified
+  * LSH pairs restricted to survivor endpoints + dd07's min-label
+  * components (signatures are doc-local, so filtering the memoized
+  * all-docs pair set to survivor endpoints is EXACTLY the pair set of
+  * an LSH run over the survivor corpus — and shares the dd03/dd07
+  * memo); decontamination = dd10's shingle-overlap flag with the eval
+  * side built from the FULL corpus (the holdout set is defined
+  * externally, not by what curation kept).
+  *
+  * 100 TB posture: one narrow tokenize/score scan (no full-text
+  * shuffle — the exact-dup window partitions on md5(text), a 128-bit
+  * digest, dd01's argument); the near-dup subgraph is band-bucketed
+  * candidates only, never all-pairs, and the CC loop iterates over
+  * near-dup components (a vanishing fraction of the corpus) with
+  * driver-side scalars only; the eval shingle set is bounded by the
+  * holdout (broadcast); every stage's survivor filter is a semi/anti
+  * join on doc_id longs. Mirrored end-to-end in the DuckDB oracle,
+  * recursive CC included.
+  *
+  * Reference analog: the reference's pipeline composes its stages in
+  * one `main` (/root/reference/main.py:86-116); this entry is that
+  * composition discipline applied to the LLM-curation surface.
+  */
+object Pipeline {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** tx02 quality-score floor (p10 of the corpus distribution sits at
+    * ~0.91 across sf0.001–0.1, so the gate bites without gutting the
+    * survivor set downstream stages need). */
+  val QualityMin = 0.91
+  /** Language contradiction margin: drop only when some other
+    * language's stopword count beats the recorded language's by this
+    * many hits. */
+  val LangIdMargin = 6
+
+  private val tokensExpr = TextAnalysis.tokensExpr
+  private val tokensSql = TextAnalysis.tokensSql
+  private val shinglesExpr = TextAnalysis.shinglesExpr
+  private val shinglesSql = TextAnalysis.shinglesSql
+  private val allStops = TextAnalysis.LangStopwords.flatMap(_._2)
+
+  /** Min-label connected components over an undirected pair set —
+    * dd07's propagation loop without its canonicalize-first collapse
+    * (the pipeline's pair set already excludes exact duplicates, so
+    * signature-identical multiplicity is gone before we get here).
+    * Returns (doc_id, rep); docs with no edges are absent (their
+    * component is themselves). */
+  private def ccMinLabel(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val prop = edges.join(labels, edges("src") === labels("node"))
+        .groupBy(col("dst")).agg(min(col("label")).as("nlabel"))
+      val step = labels.join(prop, labels("node") === prop("dst"), "left")
+        .select(labels("node"), labels("label").as("old_label"),
+          least(labels("label"), coalesce(col("nlabel"), labels("label"))).as("label"))
+        .localCheckpoint()
+      changed = step.filter(col("label") < col("old_label")).count()
+      labels = step.select("node", "label")
+    }
+    edges.unpersist()
+    labels.select(col("node").as("doc_id"), col("label").as("rep"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "pipe01_curation_audit" -> ((s, d) => Dedup.memoFrame(s, d, "pipe01") {
+      val scored = TextAnalysis.LangStopwords.foldLeft(
+        Tables.documents(s, d).withColumn("tokens", expr(tokensExpr))) {
+        case (df, (lang, words)) =>
+          df.withColumn(s"${lang}_s",
+            expr(s"size(filter(tokens, t -> ${TextAnalysis.inList(words)}))"))
+      }
+      val feat = scored
+        .withColumn("n", expr("size(tokens)"))
+        .withColumn("stop_cnt",
+          expr(s"size(filter(tokens, t -> ${TextAnalysis.inList(allStops)}))"))
+        .withColumn("short_cnt",
+          expr(s"size(filter(tokens, t -> length(t) <= ${TextAnalysis.ShortTokenLen}))"))
+        .withColumn("is_eval",
+          expr(s"${Portable.phashExpr("concat('ev:', CAST(doc_id AS STRING))")} % ${Dedup.EvalMod} = 0"))
+        .withColumn("qs",
+          expr("""1.0 - 0.5 * (CAST(stop_cnt AS DOUBLE) / CAST(nullif(n, 0) AS DOUBLE))
+                 |    - 0.5 * (CAST(short_cnt AS DOUBLE) / CAST(nullif(n, 0) AS DOUBLE))""".stripMargin))
+        .withColumn("best", greatest(col("en_s"), col("de_s"), col("es_s"), col("fr_s")))
+        .withColumn("own",
+          expr("""CASE lang WHEN 'en' THEN en_s WHEN 'de' THEN de_s
+                 |          WHEN 'es' THEN es_s WHEN 'fr' THEN fr_s ELSE 0 END""".stripMargin))
+        .withColumn("th", md5(col("text")))
+        .select("doc_id", "tokens", "is_eval", "qs", "best", "own", "th")
+        .cache() // two consumers: the stage column and the shingle side
+      // Stages 0–3 in one pass: the early label, then the exact-dup
+      // canonical chosen AMONG early survivors via a conditional min
+      // over the text-digest partition (no self-join, digest exchange).
+      val early = feat
+        .withColumn("early",
+          when(col("is_eval"), "eval")
+            .when(col("qs").isNull || col("qs") < QualityMin, "quality")
+            .when(col("best") - col("own") >= LangIdMargin, "langid"))
+        .withColumn("mcanon",
+          min(when(col("early").isNull, col("doc_id"))).over(Window.partitionBy("th")))
+        .withColumn("early", coalesce(col("early"),
+          when(col("doc_id") =!= col("mcanon"), "exact_dup")))
+        .select("doc_id", "early")
+        .cache() // three consumers: survivor ids, shingle join, final label
+      val s4 = early.filter(col("early").isNull).select("doc_id")
+      // Near-dup among survivors: the memoized all-docs verified pair
+      // set (shared with dd03/dd07) restricted to survivor endpoints
+      // IS the survivor-corpus pair set — signatures are doc-local.
+      val p4 = Dedup.verifiedPairs(s, d)
+        .join(s4.toDF("doc_a"), "doc_a").join(s4.toDF("doc_b"), "doc_b")
+      val nd = ccMinLabel(p4).filter(col("rep") =!= col("doc_id"))
+        .select("doc_id").withColumn("nd", lit(true))
+      val s5 = s4.join(nd, Seq("doc_id"), "left_anti")
+      // Decontamination: eval shingle set from the FULL corpus
+      // holdout; train side = docs still alive after near-dup.
+      val shd = feat
+        .withColumn("shingles", expr(shinglesExpr))
+        .select(col("doc_id"), col("is_eval"),
+          expr(s"array_distinct(transform(shingles, s -> ${Portable.phashExpr("s")}))").as("shs"))
+      val evalSh = shd.filter(col("is_eval")).select(explode(col("shs")).as("sh")).distinct()
+      val train = shd.join(s5, Seq("doc_id"))
+        .select(col("doc_id"), size(col("shs")).as("n_sh"), explode(col("shs")).as("sh"))
+      val ct = train.join(broadcast(evalSh), Seq("sh"))
+        .groupBy("doc_id", "n_sh").agg(count(lit(1)).as("n_hit"))
+        .filter(col("n_hit") >= Dedup.DecontamMinOverlap &&
+          col("n_hit").cast("double") / col("n_sh").cast("double") >= Dedup.DecontamMinRatio)
+        .select("doc_id").withColumn("ct", lit(true))
+      val out = early
+        .join(nd, Seq("doc_id"), "left")
+        .join(ct, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("early"),
+            when(col("nd"), "near_dup"),
+            when(col("ct"), "contaminated"),
+            lit("kept")).as("stage"))
+        .orderBy("doc_id")
+        .localCheckpoint()
+      Seq(feat, early).foreach(_.unpersist())
+      out
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "pipe01_curation_audit" -> {
+      val langScores = TextAnalysis.LangStopwords.map { case (lang, words) =>
+        s"len(list_filter(tokens, t -> ${TextAnalysis.inList(words)})) AS ${lang}_s"
+      }.mkString(",\n         ")
+      s"""WITH RECURSIVE ${Dedup.lshPairsCte},
+         |tok2 AS (
+         |  SELECT doc_id, lang, text, $tokensSql AS tokens FROM documents
+         |),
+         |feat AS (
+         |  SELECT doc_id, lang, text, tokens,
+         |         len(tokens) AS n,
+         |         len(list_filter(tokens, t -> ${TextAnalysis.inList(allStops)})) AS stop_cnt,
+         |         len(list_filter(tokens, t -> length(t) <= ${TextAnalysis.ShortTokenLen})) AS short_cnt,
+         |         $langScores,
+         |         ${Portable.phashSql("'ev:' || CAST(doc_id AS VARCHAR)")} % ${Dedup.EvalMod} = 0 AS is_eval
+         |  FROM tok2
+         |),
+         |m2 AS (
+         |  SELECT doc_id, tokens, is_eval, md5(text) AS th,
+         |         1.0 - 0.5 * (CAST(stop_cnt AS DOUBLE) / CAST(nullif(n, 0) AS DOUBLE))
+         |             - 0.5 * (CAST(short_cnt AS DOUBLE) / CAST(nullif(n, 0) AS DOUBLE)) AS qs,
+         |         greatest(en_s, de_s, es_s, fr_s) AS best,
+         |         CASE lang WHEN 'en' THEN en_s WHEN 'de' THEN de_s
+         |                   WHEN 'es' THEN es_s WHEN 'fr' THEN fr_s ELSE 0 END AS own
+         |  FROM feat
+         |),
+         |e1 AS (
+         |  SELECT doc_id, tokens, is_eval, th,
+         |         CASE WHEN is_eval THEN 'eval'
+         |              WHEN qs IS NULL OR qs < $QualityMin THEN 'quality'
+         |              WHEN best - own >= $LangIdMargin THEN 'langid' END AS early
+         |  FROM m2
+         |),
+         |e2 AS (
+         |  SELECT doc_id, tokens, is_eval, early,
+         |         min(CASE WHEN early IS NULL THEN doc_id END)
+         |           OVER (PARTITION BY th) AS mcanon
+         |  FROM e1
+         |),
+         |e3 AS (
+         |  SELECT doc_id, tokens, is_eval,
+         |         coalesce(early, CASE WHEN doc_id <> mcanon THEN 'exact_dup' END) AS early
+         |  FROM e2
+         |),
+         |s4 AS (SELECT doc_id FROM e3 WHERE early IS NULL),
+         |p4 AS (
+         |  SELECT doc_a, doc_b FROM p
+         |  WHERE doc_a IN (SELECT doc_id FROM s4)
+         |    AND doc_b IN (SELECT doc_id FROM s4)
+         |),
+         |edges2 AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM p4
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM p4
+         |),
+         |cc2(doc_id, label) AS (
+         |  SELECT DISTINCT src, src FROM edges2
+         |  UNION
+         |  SELECT e.dst, cc2.label FROM cc2 JOIN edges2 e ON cc2.doc_id = e.src
+         |),
+         |nd AS (
+         |  SELECT doc_id
+         |  FROM (SELECT doc_id, min(label) AS rep FROM cc2 GROUP BY doc_id) t
+         |  WHERE rep <> doc_id
+         |),
+         |s5 AS (
+         |  SELECT doc_id FROM s4 WHERE doc_id NOT IN (SELECT doc_id FROM nd)
+         |),
+         |shd AS (
+         |  SELECT doc_id, is_eval,
+         |         list_distinct(list_transform($shinglesSql, s -> ${Portable.phashSql("s")})) AS shs
+         |  FROM e3
+         |),
+         |ev2 AS (SELECT DISTINCT unnest(shs) AS sh2 FROM shd WHERE is_eval),
+         |tr2 AS (
+         |  SELECT shd.doc_id, len(shs) AS n_sh, unnest(shs) AS sh2
+         |  FROM shd JOIN s5 USING (doc_id)
+         |),
+         |ct AS (
+         |  SELECT doc_id FROM (
+         |    SELECT tr2.doc_id, max(n_sh) AS n_sh, count(*) AS n_hit
+         |    FROM tr2 JOIN ev2 USING (sh2) GROUP BY tr2.doc_id
+         |  ) h
+         |  WHERE n_hit >= ${Dedup.DecontamMinOverlap}
+         |    AND CAST(n_hit AS DOUBLE) / CAST(n_sh AS DOUBLE) >= ${Dedup.DecontamMinRatio}
+         |)
+         |SELECT doc_id,
+         |       coalesce(early,
+         |         CASE WHEN doc_id IN (SELECT doc_id FROM nd) THEN 'near_dup'
+         |              WHEN doc_id IN (SELECT doc_id FROM ct) THEN 'contaminated'
+         |              ELSE 'kept' END) AS stage
+         |FROM e3 ORDER BY doc_id""".stripMargin
+    })
+}
