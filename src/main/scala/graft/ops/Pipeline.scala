@@ -172,14 +172,49 @@ object Pipeline {
         .localCheckpoint()
       Seq(feat, early).foreach(_.unpersist())
       out
+    }),
+
+    // The manifest stage: pipe01's kept set packed into training
+    // shards (ds09's snake-draft balancing — rank by token count
+    // descending, round-robin across shards — in its distributed
+    // bucket-offset form: the only unpartitioned window runs over the
+    // GROUP BY n bucket summary, bounded by distinct token counts,
+    // never the corpus). Output is the per-(shard, source) manifest a
+    // training job consumes: doc and token counts per shard with the
+    // domain mix visible. Shares pipe01's memoized audit — and its
+    // oracle CTE chain, so manifest and audit agree on every stage
+    // decision by construction.
+    "pipe02_shard_manifest" -> ((s, d) => {
+      val kept = queries("pipe01_curation_audit")(s, d)
+        .filter(col("stage") === "kept").select("doc_id")
+      val toks = Tables.documents(s, d)
+        .withColumn("n", expr(s"CAST(size($tokensExpr) AS BIGINT)"))
+        .select("doc_id", "source", "n")
+        .join(kept, "doc_id")
+      val offs = toks.groupBy("n").agg(count(lit(1)).as("bn"))
+        .withColumn("boff",
+          coalesce(sum(col("bn")).over(
+            Window.orderBy(col("n").desc).rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+        .select("n", "boff")
+      val wIn = Window.partitionBy("n").orderBy("doc_id")
+      toks.join(broadcast(offs), "n")
+        .withColumn("rank", col("boff") + row_number().over(wIn).cast("long"))
+        .withColumn("shard", expr(s"CAST((rank - 1) % ${Curation.ShardCount} AS INT)"))
+        .groupBy("shard", "source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+        .orderBy("shard", "source")
     }))
 
-  val oracle: Map[String, String] = Map(
-    "pipe01_curation_audit" -> {
-      val langScores = TextAnalysis.LangStopwords.map { case (lang, words) =>
-        s"len(list_filter(tokens, t -> ${TextAnalysis.inList(words)})) AS ${lang}_s"
-      }.mkString(",\n         ")
-      s"""WITH RECURSIVE ${Dedup.lshPairsCte},
+  /** Oracle CTE chain ending in `audit(doc_id, stage)` — the full
+    * composed pipeline. Shared by pipe01 (dumps it) and pipe02
+    * (shards its kept set), so the two entries agree on every stage
+    * decision by construction. */
+  private lazy val auditCte: String = {
+    val langScores = TextAnalysis.LangStopwords.map { case (lang, words) =>
+      s"len(list_filter(tokens, t -> ${TextAnalysis.inList(words)})) AS ${lang}_s"
+    }.mkString(",\n         ")
+    s"""${Dedup.lshPairsCte},
          |tok2 AS (
          |  SELECT doc_id, lang, text, $tokensSql AS tokens FROM documents
          |),
@@ -260,12 +295,35 @@ object Pipeline {
          |  ) h
          |  WHERE n_hit >= ${Dedup.DecontamMinOverlap}
          |    AND CAST(n_hit AS DOUBLE) / CAST(n_sh AS DOUBLE) >= ${Dedup.DecontamMinRatio}
+         |),
+         |audit AS (
+         |  SELECT doc_id,
+         |         coalesce(early,
+         |           CASE WHEN doc_id IN (SELECT doc_id FROM nd) THEN 'near_dup'
+         |                WHEN doc_id IN (SELECT doc_id FROM ct) THEN 'contaminated'
+         |                ELSE 'kept' END) AS stage
+         |  FROM e3
+         |)""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "pipe01_curation_audit" ->
+      s"""WITH RECURSIVE $auditCte
+         |SELECT doc_id, stage FROM audit ORDER BY doc_id""".stripMargin,
+
+    "pipe02_shard_manifest" ->
+      s"""WITH RECURSIVE $auditCte,
+         |tok3 AS (
+         |  SELECT d.doc_id, d.source, CAST(len($tokensSql) AS BIGINT) AS n
+         |  FROM documents d JOIN audit USING (doc_id)
+         |  WHERE audit.stage = 'kept'
+         |),
+         |rk AS (
+         |  SELECT doc_id, source, n,
+         |         row_number() OVER (ORDER BY n DESC, doc_id ASC) AS rank
+         |  FROM tok3
          |)
-         |SELECT doc_id,
-         |       coalesce(early,
-         |         CASE WHEN doc_id IN (SELECT doc_id FROM nd) THEN 'near_dup'
-         |              WHEN doc_id IN (SELECT doc_id FROM ct) THEN 'contaminated'
-         |              ELSE 'kept' END) AS stage
-         |FROM e3 ORDER BY doc_id""".stripMargin
-    })
+         |SELECT CAST((rank - 1) % ${Curation.ShardCount} AS INT) AS shard,
+         |       source, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
+         |FROM rk GROUP BY 1, 2 ORDER BY shard, source""".stripMargin)
 }

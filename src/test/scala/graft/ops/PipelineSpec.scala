@@ -54,6 +54,23 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.count() == 0, "two stage-5 survivors are verified near-dups of each other")
   }
 
+  test("pipe02: the manifest accounts for exactly the kept set, round-robin balanced") {
+    val manifest = Pipeline.queries("pipe02_shard_manifest")(spark, sf).cache()
+    val kept = audit.filter(col("stage") === "kept")
+    assert(manifest.agg(sum("n_docs")).head.getLong(0) == kept.count())
+    // snake-draft round-robin: total docs per shard differ by at most 1
+    val perShard = manifest.groupBy("shard").agg(sum("n_docs").as("docs"))
+      .select("docs").collect().map(_.getLong(0))
+    assert(perShard.length == Curation.ShardCount)
+    assert(perShard.max - perShard.min <= 1, s"unbalanced shards: ${perShard.toSeq}")
+    // token totals reconcile with the kept docs' own token counts
+    val keptTokens = Tables.documents(spark, sf)
+      .join(kept.select("doc_id"), "doc_id")
+      .agg(sum(expr(s"CAST(size(${TextAnalysis.tokensExpr}) AS BIGINT)"))).head.getLong(0)
+    assert(manifest.agg(sum("n_tokens")).head.getLong(0) == keptTokens)
+    manifest.unpersist()
+  }
+
   test("sf0.1: exact_dup fires, and each text-digest group keeps exactly one canonical") {
     val auditL = Pipeline.queries("pipe01_curation_audit")(spark, sfL).cache()
     val counts = auditL.groupBy("stage").count().collect()

@@ -168,7 +168,10 @@ class PlanLintSpec extends SparkSpec {
     "ds10_exact_k_sample",
     // occupancy-total window over GROUP BY cluster — ≤ IvfCentroids
     // (16) rows by construction, never the corpus
-    "dq07_cell_drift")
+    "dq07_cell_drift",
+    // ds09's bucket-offset form over pipe01's kept set — same
+    // GROUP BY n bounded-domain argument as ds09
+    "pipe02_shard_manifest")
 
   test("every unpartitioned window is allowlisted with a boundedness argument") {
     val violations = lintTargets.flatMap {
