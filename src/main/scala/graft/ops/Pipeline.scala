@@ -206,6 +206,192 @@ object Pipeline {
         .orderBy("shard", "source")
     }))
 
+  /** st15's admission core — the batch form of the STREAMING ingest
+    * admission pipeline, applied to an arriving doc frame
+    * (doc_id, lang, text, ts): the same gate rules as pipe01
+    * (eval holdout, quality floor, language contradiction), then the
+    * contamination check against the full-corpus eval shingle set,
+    * then the persisted-index near-dup probe ([[Dedup.nearDupDecisions]]
+    * over [[BandIndex]]'s bucketed tables) for gate survivors only —
+    * the production ordering, where the cheap stateless/broadcast
+    * checks run first and cut index-probe volume. One verdict row per
+    * arrival: 'eval' | 'quality' | 'langid' | 'contaminated' | 'dup'
+    * | 'admit', with dup_of/est_jaccard for the probed docs.
+    *
+    * Streaming-legal by construction when run per micro-batch
+    * (foreachBatch): a doc's verdict needs only its own rows — the
+    * gate is row-local, the contamination count aggregates the doc's
+    * own shingle hits against a STATIC broadcast set, and the probe's
+    * per-doc witness max needs only that doc's candidate rows, all in
+    * the doc's own micro-batch. StreamingSpec proves the per-batch
+    * form row-identical to this whole-feed core. */
+  private[graft] def admissionCore(s: SparkSession, d: String,
+      arrivals: DataFrame): DataFrame = {
+    graft.functions.VectorExprs.register(s)
+    val prefix = BandIndex.ensurePersisted(s, d)
+    val scored = TextAnalysis.LangStopwords.foldLeft(
+      arrivals.withColumn("tokens", expr(tokensExpr))) {
+      case (df, (lang, words)) =>
+        df.withColumn(s"${lang}_s",
+          expr(s"size(filter(tokens, t -> ${TextAnalysis.inList(words)}))"))
+    }
+      .withColumn("n", expr("size(tokens)"))
+      .withColumn("stop_cnt",
+        expr(s"size(filter(tokens, t -> ${TextAnalysis.inList(allStops)}))"))
+      .withColumn("short_cnt",
+        expr(s"size(filter(tokens, t -> length(t) <= ${TextAnalysis.ShortTokenLen}))"))
+      .withColumn("is_eval",
+        expr(s"${Portable.phashExpr("concat('ev:', CAST(doc_id AS STRING))")} % ${Dedup.EvalMod} = 0"))
+      .withColumn("qs",
+        expr("""1.0 - 0.5 * (CAST(stop_cnt AS DOUBLE) / CAST(nullif(n, 0) AS DOUBLE))
+               |    - 0.5 * (CAST(short_cnt AS DOUBLE) / CAST(nullif(n, 0) AS DOUBLE))""".stripMargin))
+      .withColumn("best", greatest(col("en_s"), col("de_s"), col("es_s"), col("fr_s")))
+      .withColumn("own",
+        expr("""CASE lang WHEN 'en' THEN en_s WHEN 'de' THEN de_s
+               |          WHEN 'es' THEN es_s WHEN 'fr' THEN fr_s ELSE 0 END""".stripMargin))
+      .withColumn("shingles", expr(shinglesExpr))
+      .withColumn("shs",
+        expr(s"array_distinct(transform(shingles, s -> ${Portable.phashExpr("s")}))"))
+      .withColumn("gate0",
+        when(col("is_eval"), "eval")
+          .when(col("qs").isNull || col("qs") < QualityMin, "quality")
+          .when(col("best") - col("own") >= LangIdMargin, "langid"))
+    // the holdout's shingle set is corpus-defined and STATIC — the
+    // stream side sees it as a broadcast dimension
+    val evalSh = Dedup.memoFrame(s, d, "evalsh")(
+      Tables.documents(s, d)
+        .filter(expr(s"${Portable.phashExpr("concat('ev:', CAST(doc_id AS STRING))")} % ${Dedup.EvalMod} = 0"))
+        .withColumn("tokens", expr(tokensExpr))
+        .withColumn("shingles", expr(shinglesExpr))
+        .select(explode(expr(
+          s"array_distinct(transform(shingles, s -> ${Portable.phashExpr("s")}))")).as("sh"))
+        .distinct().cache())
+    val ct = scored.filter(col("gate0").isNull)
+      .select(col("doc_id"), size(col("shs")).as("n_sh"), explode(col("shs")).as("sh"))
+      .join(broadcast(evalSh), Seq("sh"))
+      .groupBy("doc_id", "n_sh").agg(count(lit(1)).as("n_hit"))
+      .filter(col("n_hit") >= Dedup.DecontamMinOverlap &&
+        col("n_hit").cast("double") / col("n_sh").cast("double") >= Dedup.DecontamMinRatio)
+      .select("doc_id").withColumn("ct", lit(true))
+    val gated = scored.join(ct, Seq("doc_id"), "left")
+      .withColumn("gate", coalesce(col("gate0"), when(col("ct"), "contaminated")))
+    // gated rows never reach the index; their window comes from the
+    // same floor(epoch/600) arithmetic the probe's window() computes
+    val gatedRows = gated.filter(col("gate").isNotNull)
+      .select(
+        expr("""date_format(timestamp_seconds(CAST(floor(unix_timestamp(ts) / 600) AS BIGINT) * 600),
+               |            'yyyy-MM-dd HH:mm:ss')""".stripMargin).as("window_start"),
+        col("doc_id").as("batch_doc"), col("gate").as("verdict"),
+        lit(null).cast("bigint").as("dup_of"),
+        lit(null).cast("double").as("est_jaccard"))
+    val probe = Dedup.nearDupDecisions(
+      gated.filter(col("gate").isNull).select(col("doc_id"), col("text"), col("ts")),
+      s.table(BandIndex.bandsTable(prefix)),
+      s.table(BandIndex.sigsTable(prefix)))
+      .select(col("window_start"), col("batch_doc"),
+        when(col("dup_of").isNotNull, "dup").otherwise("admit").as("verdict"),
+        col("dup_of"), col("est_jaccard"))
+    gatedRows.unionByName(probe)
+  }
+
+  /** Oracle for st15 — the gate CTEs composed with st05's probe
+    * shape (bands over all docs, batch∩survivor vs corpus sides,
+    * best-witness row_number), verdicts coalesced exactly as
+    * [[admissionCore]] does. */
+  private[graft] lazy val st15Sql: String = {
+    val langScores = TextAnalysis.LangStopwords.map { case (lang, words) =>
+      s"len(list_filter(tokens, t -> ${TextAnalysis.inList(words)})) AS ${lang}_s"
+    }.mkString(",\n         ")
+    s"""WITH ${Dedup.minhashCte},
+       |bands AS (
+       |  ${Dedup.bandSelects}
+       |),
+       |arr AS (
+       |  SELECT doc_id, lang, $tokensSql AS tokens,
+       |         TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND AS ts
+       |  FROM documents WHERE source = '${Dedup.IncBatchSrc}'
+       |),
+       |featq AS (
+       |  SELECT doc_id, lang, ts,
+       |         len(tokens) AS n,
+       |         len(list_filter(tokens, t -> ${TextAnalysis.inList(allStops)})) AS stop_cnt,
+       |         len(list_filter(tokens, t -> length(t) <= ${TextAnalysis.ShortTokenLen})) AS short_cnt,
+       |         $langScores,
+       |         ${Portable.phashSql("'ev:' || CAST(doc_id AS VARCHAR)")} % ${Dedup.EvalMod} = 0 AS is_eval,
+       |         list_distinct(list_transform($shinglesSql, s -> ${Portable.phashSql("s")})) AS shs
+       |  FROM arr
+       |),
+       |g0 AS (
+       |  SELECT doc_id, ts, shs,
+       |         CASE WHEN is_eval THEN 'eval'
+       |              WHEN qs IS NULL OR qs < $QualityMin THEN 'quality'
+       |              WHEN best - own >= $LangIdMargin THEN 'langid' END AS gate0
+       |  FROM (
+       |    SELECT *,
+       |           1.0 - 0.5 * (CAST(stop_cnt AS DOUBLE) / CAST(nullif(n, 0) AS DOUBLE))
+       |               - 0.5 * (CAST(short_cnt AS DOUBLE) / CAST(nullif(n, 0) AS DOUBLE)) AS qs,
+       |           greatest(en_s, de_s, es_s, fr_s) AS best,
+       |           CASE lang WHEN 'en' THEN en_s WHEN 'de' THEN de_s
+       |                     WHEN 'es' THEN es_s WHEN 'fr' THEN fr_s ELSE 0 END AS own
+       |    FROM featq
+       |  ) q0
+       |),
+       |ev3 AS (
+       |  SELECT DISTINCT unnest(list_distinct(list_transform($shinglesSql, s -> ${Portable.phashSql("s")}))) AS sh
+       |  FROM (
+       |    SELECT $tokensSql AS tokens FROM documents
+       |    WHERE ${Portable.phashSql("'ev:' || CAST(doc_id AS VARCHAR)")} % ${Dedup.EvalMod} = 0
+       |  ) z
+       |),
+       |ctq AS (
+       |  SELECT doc_id FROM (
+       |    SELECT g.doc_id, max(len(g.shs)) AS n_sh, count(*) AS n_hit
+       |    FROM (SELECT doc_id, shs, unnest(shs) AS sh FROM g0 WHERE gate0 IS NULL) g
+       |    JOIN ev3 USING (sh) GROUP BY g.doc_id
+       |  ) h
+       |  WHERE n_hit >= ${Dedup.DecontamMinOverlap}
+       |    AND CAST(n_hit AS DOUBLE) / CAST(n_sh AS DOUBLE) >= ${Dedup.DecontamMinRatio}
+       |),
+       |gate AS (
+       |  SELECT doc_id, ts,
+       |         coalesce(gate0,
+       |           CASE WHEN doc_id IN (SELECT doc_id FROM ctq) THEN 'contaminated' END) AS gate
+       |  FROM g0
+       |),
+       |bb2 AS (
+       |  SELECT b.* FROM bands b JOIN gate g ON b.doc_id = g.doc_id WHERE g.gate IS NULL
+       |),
+       |cb2 AS (
+       |  SELECT b.* FROM bands b JOIN documents d2 ON b.doc_id = d2.doc_id
+       |  WHERE d2.source <> '${Dedup.IncBatchSrc}'
+       |),
+       |cand2 AS (
+       |  SELECT DISTINCT a.doc_id AS batch_doc, c.doc_id AS corpus_doc
+       |  FROM bb2 a JOIN cb2 c ON a.key = c.key AND a.band = c.band
+       |),
+       |best2 AS (
+       |  SELECT batch_doc, corpus_doc, est,
+       |         row_number() OVER (PARTITION BY batch_doc
+       |                            ORDER BY est DESC, corpus_doc ASC) AS rn
+       |  FROM (
+       |    SELECT batch_doc, corpus_doc,
+       |           CAST(${Dedup.matchSum} AS DOUBLE) / ${Dedup.MinhashK}.0 AS est
+       |    FROM cand2
+       |    JOIN sigs sa ON sa.doc_id = batch_doc
+       |    JOIN sigs sb ON sb.doc_id = corpus_doc
+       |  ) t WHERE est >= 0.5
+       |)
+       |SELECT strftime(to_timestamp(CAST(floor(epoch(g.ts) / 600) AS BIGINT) * 600),
+       |                '%Y-%m-%d %H:%M:%S') AS window_start,
+       |       g.doc_id AS batch_doc,
+       |       coalesce(g.gate,
+       |         CASE WHEN b.corpus_doc IS NOT NULL THEN 'dup' ELSE 'admit' END) AS verdict,
+       |       CASE WHEN g.gate IS NULL THEN b.corpus_doc END AS dup_of,
+       |       CASE WHEN g.gate IS NULL THEN round(b.est, 6) END AS est_jaccard
+       |FROM gate g LEFT JOIN best2 b ON b.batch_doc = g.doc_id AND b.rn = 1
+       |ORDER BY batch_doc""".stripMargin
+  }
+
   /** Oracle CTE chain ending in `audit(doc_id, stage)` — the full
     * composed pipeline. Shared by pipe01 (dumps it) and pipe02
     * (shards its kept set), so the two entries agree on every stage

@@ -754,6 +754,24 @@ object Streams {
           expr("timestamp'2024-01-01 00:00:00' + make_dt_interval(0, 0, 0, vec_id)").as("ts"))
       graft.ops.VecIndex.streamingCellDrift(s, d, batch)
         .orderBy("window_start")
+    }),
+
+    // STREAMING ADMISSION PIPELINE (round 12, st15): the composed
+    // ingest flow — eval/quality/langid gates (row-local), the
+    // contamination check against the static broadcast eval shingle
+    // set, then the persisted-index near-dup probe for gate survivors
+    // only (the production ordering: cheap stateless checks cut probe
+    // volume). One verdict row per arriving doc. Batch analog of
+    // Pipeline.admissionCore; StreamingSpec drives the same core
+    // per micro-batch through a real readStream + foreachBatch and
+    // requires row-identical verdicts.
+    "st15_stream_admission" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, expr}
+      val arrivals = graft.Tables.documents(s, d)
+        .filter(col("source") === graft.ops.Dedup.IncBatchSrc)
+        .select(col("doc_id"), col("lang"), col("text"),
+          expr("timestamp'2024-01-01 00:00:00' + make_dt_interval(0, 0, 0, doc_id)").as("ts"))
+      graft.ops.Pipeline.admissionCore(s, d, arrivals).orderBy("batch_doc")
     })
   )
 
@@ -793,7 +811,10 @@ object Streams {
     // st14 = dq07's KL decision per arrival window (see
     // Similarity.st14Sql — assignment, smoothing, and the
     // decimal-exact term fold mirrored end to end).
-    ("st14_stream_drift" -> graft.ops.Similarity.st14Sql)
+    ("st14_stream_drift" -> graft.ops.Similarity.st14Sql) +
+    // st15 = the admission gates composed with st05's probe shape;
+    // the oracle coalesces verdicts exactly as admissionCore does.
+    ("st15_stream_admission" -> graft.ops.Pipeline.st15Sql)
 
   private lazy val st12OracleSql: String = {
     import graft.ops.Similarity.KnnQueries

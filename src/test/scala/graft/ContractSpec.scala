@@ -47,7 +47,8 @@ class ContractSpec extends AnyFunSuite {
       "Multimodal2" -> ops.Multimodal.queries2, "Multimodal3" -> ops.Multimodal.queries3,
       "DataQuality" -> ops.DataQuality.queries, "Incremental" -> ops.Incremental.queries,
       "Streams" -> streaming.Streams.queries, "Analytics" -> ops.Analytics.queries,
-      "Layout" -> ops.Layout.queries, "Graph" -> ops.Graph.queries)
+      "Layout" -> ops.Layout.queries, "Graph" -> ops.Graph.queries,
+      "Pipeline" -> ops.Pipeline.queries)
     val all = modules.flatMap { case (m, q) => q.keys.map(_ -> m) }
     val dups = all.groupBy(_._1).filter(_._2.size > 1)
     assert(dups.isEmpty,

@@ -583,6 +583,65 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming admission pipeline equals the batch core per micro-batch (st15)") {
+    // The composed ingest admission as a real stream: each
+    // micro-batch runs Pipeline.admissionCore — row-local gates,
+    // contamination vs the STATIC broadcast eval shingle set, then
+    // the persisted-index near-dup probe for gate survivors. A doc's
+    // verdict needs only its own rows, so the per-micro-batch form
+    // must equal the whole-feed batch entry row for row.
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorExprs.register(spark)
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("st15_stream_admission")(spark, sf).collect()
+    // the fixture must exercise every verdict, or the composition is vacuous
+    val verdicts = batch.map(_.getString(2)).toSet
+    assert(Set("eval", "quality", "langid", "contaminated", "dup", "admit")
+      .subsetOf(verdicts), s"fixture misses verdicts: got $verdicts")
+
+    val docs = graft.Tables.documents(spark, sf)
+      .filter(col("source") === graft.ops.Dedup.IncBatchSrc)
+      .select(col("doc_id"), col("lang"), col("text"),
+        expr("timestamp'2024-01-01 00:00:00' + make_dt_interval(0, 0, 0, doc_id)").as("ts"))
+    val srcDir = Files.createTempDirectory("graft-st15src").toString
+    def stamp(sub: String): Unit = {
+      val t = mtimeClock.addAndGet(2000)
+      Files.walk(Paths.get(srcDir, sub)).iterator().forEachRemaining { p =>
+        if (Files.isRegularFile(p))
+          Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime.fromMillis(t))
+      }
+    }
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(s"$srcDir/part_a")
+    stamp("part_a")
+    docs.filter(col("doc_id") % 2 =!= 0).coalesce(1).write.parquet(s"$srcDir/part_b")
+    stamp("part_b")
+
+    val streamed = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Any])]
+    var batches = 0
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$srcDir/part_a").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$srcDir/part_*")
+    val q = stream.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val rows = graft.ops.Pipeline.admissionCore(spark, sf, df.localCheckpoint())
+          .collect()
+        streamed.synchronized {
+          batches += 1
+          streamed ++= rows.map(r => (r.getLong(1), r.toSeq))
+        }
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(batches == 2, s"expected exactly 2 micro-batches, got $batches")
+      val got = streamed.sortBy(_._1).map(_._2).toSeq
+      assert(got == batch.map(_.toSeq).toSeq,
+        "per-micro-batch admission verdicts diverge from the batch core")
+    } finally q.stop()
+  }
+
   test("streaming ANN probe of the persisted vector index equals the batch top-k (st09)") {
     // ANN serving as a stream: query vectors arrive over multiple
     // micro-batches, select probe cells via broadcast centroids in a
