@@ -149,6 +149,37 @@ object Dedup {
       lshVerifiedPairs(minhashSignatures(spark, dir))
         .select("doc_a", "doc_b").cache())
 
+  /** Min-label propagation to fixpoint — the shared connected-
+    * components core (dd07's cluster map, the pipeline's survivor
+    * clustering). `edges` must be BIDIRECTIONAL (src, dst); `nodes`
+    * (one `node` column) seeds the label set — pass the full node
+    * universe, which may exceed the edge endpoints (isolated nodes
+    * label themselves). Each iteration is one distributed join +
+    * aggregate; the driver sees only a scalar convergence count, and
+    * localCheckpoint() cuts the growing lineage (iterative-plan
+    * hygiene). Converges in O(component diameter) rounds — near-dup
+    * graphs are dense blobs with tiny diameters; a corpus with long
+    * chain topologies would switch to the large-star/small-star
+    * alternation, which is the same join primitive. Returns
+    * (node, label) with label = the component's min node id. */
+  private[graft] def minLabelFixpoint(edges: DataFrame, nodes: DataFrame): DataFrame = {
+    var labels = nodes.withColumn("label", col("node")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      // one join per round: keep the old label alongside the
+      // propagated min so the convergence count needs no re-join
+      val prop = edges.join(labels, edges("src") === labels("node"))
+        .groupBy(col("dst")).agg(min(col("label")).as("nlabel"))
+      val step = labels.join(prop, labels("node") === prop("dst"), "left")
+        .select(labels("node"), labels("label").as("old_label"),
+          least(labels("label"), coalesce(col("nlabel"), labels("label"))).as("label"))
+        .localCheckpoint()
+      changed = step.filter(col("label") < col("old_label")).count()
+      labels = step.select("node", "label")
+    }
+    labels
+  }
+
   /** Both-direction edge list over [[verifiedPairs]] — g01 and g02
     * build byte-identical plans for this, so sharing one cached frame
     * also removes the hazard of one query's unpersist silently
@@ -498,21 +529,11 @@ object Dedup {
         .select("canon_a", "canon_b").distinct()
       val edges = cPairs.union(cPairs.select(col("canon_b"), col("canon_a")))
         .toDF("src", "dst").cache()
-      var labels = inPairs.select(col("canon").as("node")).distinct()
-        .withColumn("label", col("node")).localCheckpoint()
-      var changed = 1L
-      while (changed > 0) {
-        // one join per round: keep the old label alongside the
-        // propagated min so the convergence count needs no re-join
-        val prop = edges.join(labels, edges("src") === labels("node"))
-          .groupBy(col("dst")).agg(min(col("label")).as("nlabel"))
-        val step = labels.join(prop, labels("node") === prop("dst"), "left")
-          .select(labels("node"), labels("label").as("old_label"),
-            least(labels("label"), coalesce(col("nlabel"), labels("label"))).as("label"))
-          .localCheckpoint()
-        changed = step.filter(col("label") < col("old_label")).count()
-        labels = step.select("node", "label")
-      }
+      // nodes = ALL canon nodes in pairs, not just edge endpoints: a
+      // signature group whose pairs are all internal has no cross-
+      // canon edge but must still label itself
+      val labels = minLabelFixpoint(edges,
+        inPairs.select(col("canon").as("node")).distinct())
       // materialize the (small) result, then release every frame this
       // build pinned (pairs stays — it is the shared memo frame) — a
       // long-lived driver must not accumulate cached relations

@@ -71,28 +71,17 @@ object Pipeline {
   private val allStops = TextAnalysis.LangStopwords.flatMap(_._2)
 
   /** Min-label connected components over an undirected pair set —
-    * dd07's propagation loop without its canonicalize-first collapse
-    * (the pipeline's pair set already excludes exact duplicates, so
-    * signature-identical multiplicity is gone before we get here).
-    * Returns (doc_id, rep); docs with no edges are absent (their
-    * component is themselves). */
+    * [[Dedup.minLabelFixpoint]] without dd07's canonicalize-first
+    * collapse (the pipeline's pair set already excludes exact
+    * duplicates, so signature-identical multiplicity is gone before
+    * we get here). Returns (doc_id, rep); docs with no edges are
+    * absent (their component is themselves). */
   private def ccMinLabel(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")).localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
-      val prop = edges.join(labels, edges("src") === labels("node"))
-        .groupBy(col("dst")).agg(min(col("label")).as("nlabel"))
-      val step = labels.join(prop, labels("node") === prop("dst"), "left")
-        .select(labels("node"), labels("label").as("old_label"),
-          least(labels("label"), coalesce(col("nlabel"), labels("label"))).as("label"))
-        .localCheckpoint()
-      changed = step.filter(col("label") < col("old_label")).count()
-      labels = step.select("node", "label")
-    }
+    val labels = Dedup.minLabelFixpoint(edges,
+      edges.select(col("src").as("node")).distinct())
     edges.unpersist()
     labels.select(col("node").as("doc_id"), col("label").as("rep"))
   }
