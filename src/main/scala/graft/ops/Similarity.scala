@@ -842,6 +842,13 @@ object Similarity {
     "sim14_ivf_index_probe" -> ((s, d) =>
       VecIndex.probe(s, d, VecIndex.ensurePersisted(s, d))),
 
+    // Round 12: metadata-predicated ANN — top-k among corpus vectors
+    // sharing the query's label, post-filtered inside the probed
+    // cells before the re-rank (see VecIndex.filteredProbe for the
+    // covering-index scale argument).
+    "sim22_filtered_ann" -> ((s, d) =>
+      VecIndex.filteredProbe(s, d, VecIndex.ensurePersisted(s, d))),
+
     // Round 11: the vector index's day-N lifecycle, mirroring the
     // band index's dd16/dd17/dd18 verbs (VERDICT r10 item 2). Each
     // runs a FULL fresh cycle per invocation (honest bench timing,
@@ -1382,6 +1389,43 @@ object Similarity {
 
   private lazy val sim04Sql: String = sim04SqlWhere("TRUE")
 
+  /** sim22's oracle: sim04's probe body with the label predicate
+    * applied at pair formation — candidates must share the query's
+    * label BEFORE the top-k window, exactly where the engine filters. */
+  private lazy val sim22Sql: String =
+    s"""WITH $normedCte,
+       |cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS ce, norm AS cnorm
+       |  FROM e WHERE vec_id < $IvfCentroids
+       |),
+       |scored AS (
+       |  SELECT e.vec_id, e.label, e.embedding, e.norm, c.cent_id,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY ${dotSql("e.embedding", "c.ce")} / (e.norm * c.cnorm) DESC,
+       |                    c.cent_id ASC) AS crn
+       |  FROM e, cents c
+       |),
+       |assigned AS (
+       |  SELECT vec_id, label, cent_id AS cluster, embedding, norm
+       |  FROM scored WHERE crn = 1
+       |),
+       |probes AS (
+       |  SELECT vec_id AS query_id, label AS qlabel, cent_id AS cluster,
+       |         embedding AS qe, norm AS qn
+       |  FROM scored WHERE vec_id < $KnnQueries AND crn <= $IvfNProbe
+       |),
+       |pairs AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id, a.cluster,
+       |         ${dotSql("p.qe", "a.embedding")} / (p.qn * a.norm) AS cos
+       |  FROM assigned a JOIN probes p USING (cluster)
+       |  WHERE a.vec_id <> p.query_id AND a.label = p.qlabel
+       |)
+       |SELECT query_id, neighbor_id, cluster, round(cos, 6) AS cosine FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY cos DESC, neighbor_id ASC) AS rn
+       |  FROM pairs) t
+       |WHERE rn <= $LshK ORDER BY query_id, neighbor_id""".stripMargin
+
   /** sim21's oracle: the coarse-quantizer Lloyd training mirrored
     * iteration for iteration (assignment ranked by cosine with the
     * cent_id tiebreak; decimal-exact per-dim means; empty cells
@@ -1663,6 +1707,11 @@ object Similarity {
     // defined identical, so a divergence means the persisted layout
     // changed the dataflow's semantics — what the gate must catch.
     "sim14_ivf_index_probe" -> sim04Sql,
+
+    // sim22 = sim04's dataflow with the label predicate at pair
+    // formation; served from the same persisted index, so a
+    // divergence means the filter moved relative to the top-k.
+    "sim22_filtered_ann" -> sim22Sql,
 
     // sim15/sim16 = sim04 served from an index grown by append (and
     // compacted, for sim16): the final index contents equal the full

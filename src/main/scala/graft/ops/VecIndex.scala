@@ -155,6 +155,54 @@ object VecIndex {
       .orderBy("query_id", "neighbor_id")
   }
 
+  /** FILTERED ANN against the persisted index (sim22): each query
+    * wants top-k among corpus vectors sharing its OWN label — the
+    * metadata-predicated search every production vector store serves
+    * (category-scoped retrieval, tenant isolation, language-filtered
+    * RAG). POST-FILTER composition: probe cells as [[probe]], then
+    * drop label-mismatched candidates BEFORE the cosine re-rank and
+    * the top-k window, so the filter also cuts the scoring work. The
+    * label rides in from a column-pruned dimension scan (vec_id,
+    * label — the embedding column, the heavy one, is never read) and
+    * joins the bounded probed-candidate set. At 100 TB you would
+    * COLOCATE the label in the cell table instead (a covering index —
+    * one schema change in [[persist]]/[[append]] away); the demo
+    * keeps the base cell schema because the whole lifecycle family
+    * (sim14–17, st09/st10, the tombstone and maintenance cycles)
+    * shares it. Post-filter IVF can under-fill k for rare labels
+    * (the probed cells may hold < k matching vectors) — inherent to
+    * the composition and mirrored exactly by the oracle. */
+  def filteredProbe(spark: SparkSession, dir: String, prefix: String): DataFrame = {
+    VectorExprs.register(spark)
+    val labels = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").as("nlabel"))
+    val queries = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < Similarity.KnnQueries)
+      .select("vec_id", "embedding", "label")
+    val probes = queries.crossJoin(broadcast(centroids(spark, dir)))
+      .withColumn("cos_c", expr("cosine_sim(embedding, ce)"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("vec_id")
+          .orderBy(col("cos_c").desc, col("cent_id").asc)))
+      .filter(col("crn") <= Similarity.IvfNProbe)
+      .select(col("vec_id").as("query_id"), col("cent_id").as("cluster"),
+        col("embedding").as("qe"), col("label").as("qlabel"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cellFrame(spark, prefix)
+      .join(broadcast(probes), Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(labels, Seq("vec_id"))
+      .filter(col("nlabel") === col("qlabel"))
+      .withColumnRenamed("vec_id", "neighbor_id")
+      .withColumn("cos", expr("cosine_sim(qe, embedding)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= Similarity.LshK)
+      .select(col("query_id"), col("neighbor_id"), col("cluster"),
+        round(col("cos"), 6).as("cosine"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
   /** Streaming-safe ANN top-k core — the dataflow shared by the
     * batch catalog entry `st09_stream_ann_probe` (Streams.scala) and
     * the real readStream form StreamingSpec drives. `queries`

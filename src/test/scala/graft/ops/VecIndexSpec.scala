@@ -159,6 +159,46 @@ class VecIndexSpec extends SparkSpec {
     }
   }
 
+  test("filtered ANN: label predicate inside the probed cells, dim scan column-pruned (sim22)") {
+    val prefix = VecIndex.ensurePersisted(spark, sf)
+    val rows = VecIndex.filteredProbe(spark, sf, prefix).collect()
+    assert(rows.nonEmpty, "filtered probe returned no rows")
+    // every neighbor shares its query's label — the predicate the
+    // entry exists for
+    val labels = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      assert(labels(r.getLong(1)) == labels(r.getLong(0)),
+        s"neighbor label diverges from query label: $r")
+    }
+    // the filter narrows sim14's candidate set, never widens it: each
+    // (query, neighbor) must come from a probed cell of that query
+    val unfilteredCells = VecIndex.probe(spark, sf, prefix).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val probedCells = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    // (cluster ids agree with sim14's probed clusters for shared queries)
+    assert(probedCells.map(_._1).subsetOf(unfilteredCells.map(_._1)),
+      "filtered probe answered a query sim14 did not")
+    // plan: the label dimension rides in COLUMN-PRUNED — a raw
+    // embeddings scan without the embedding column — and the
+    // persisted cells are still read exactly once
+    val frame = VecIndex.filteredProbe(spark, sf, prefix)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = frame.queryExecution.executedPlan
+      val scans = plan.collect { case s: FileSourceScanExec => s }
+      val cellScans = scans.filter(
+        _.relation.location.rootPaths.exists(_.toString.contains("graft-bandidx")))
+      assert(cellScans.size == 1,
+        s"expected exactly one persisted-cell scan:\n$plan")
+      val rawScans = scans.filter(
+        _.relation.location.rootPaths.exists(_.toString.contains("embeddings.parquet")))
+      assert(rawScans.exists(s => !s.schema.fieldNames.contains("embedding")),
+        s"label dimension scan was not column-pruned:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("IVF-PQ probe serves from code cells: raw corpus vectors are off the read path") {
     // sim18's plan property: the ADC serving plan reads the persisted
     // CODE cells once (cluster, vec_id, c0..cM-1 — no embedding
