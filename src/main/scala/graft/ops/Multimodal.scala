@@ -57,9 +57,14 @@ object Multimodal {
     * through the decoder. Pixel (x, y) carries text byte
     * `(y·w + x) mod len` (0 for an empty doc) — ASCII corpus, so
     * byte == codepoint on the oracle side. */
-  def encodePng(docId: Long, text: String): Array[Byte] = {
-    val w = (docId % 64 + 1).toInt
-    val h = (docId % 48 + 1).toInt
+  def encodePng(docId: Long, text: String): Array[Byte] =
+    encodePngDims(docId, text, (docId % 64 + 1).toInt, (docId % 48 + 1).toInt)
+
+  /** [[encodePng]] with caller-fixed dimensions — mm05's fixture
+    * needs every payload on the SAME raster so perceptual hashes of
+    * near-identical texts land near each other (mm01's doc_id-varied
+    * dims would shift every sampling position). */
+  def encodePngDims(docId: Long, text: String, w: Int, h: Int): Array[Byte] = {
     val gray = docId % 2 == 1
     val img = new BufferedImage(w, h,
       if (gray) BufferedImage.TYPE_BYTE_GRAY else BufferedImage.TYPE_3BYTE_BGR)
@@ -219,8 +224,105 @@ object Multimodal {
             .otherwise(org.apache.spark.sql.functions.min(col("doc_id")).over(w)))
         .withColumn("is_dup", (col("doc_id") =!= col("canonical_doc")).cast("int"))
         .orderBy("doc_id")
+    }),
+
+    // PERCEPTUAL media near-dup (round 12) — the stage above mm04's
+    // exact digest: re-encodes and slight edits defeat byte hashing,
+    // so production media dedup hashes the DECODED CONTENT. Average-
+    // hash (nearest-neighbor 8×8 thumbnail off the decoded raster,
+    // 1 bit per cell vs the integer mean), banded 4×16 bits so
+    // candidate pairs form only inside shared band buckets — never
+    // all-pairs, the dd03 discipline — then exact Hamming verify
+    // (codegen bit_count over xor) at ≤ [[HammingMax]]. Recall is the
+    // LSH tradeoff (a pair differing in every band is unseen — with
+    // 4 bands, Hamming ≤ 3 is pigeonhole-guaranteed, the classic
+    // simhash dedup bound); the oracle mirrors the banding exactly,
+    // so the gate checks the dataflow, not an idealized all-pairs
+    // scan. The decode is REAL (ImageIO from bytes, mm01's bar) and
+    // all-integer (NN sample, sum div 64 threshold), which is what
+    // lets DuckDB reproduce the hash arithmetically from the fixture
+    // parameters — a faked decode hash-mismatches.
+    "mm05_perceptual_dedup" -> ((s, d) => {
+      import s.implicits._
+      // canonicalize-first, the dd05 guard at the payload level:
+      // byte-identical payloads are mm04's job, and each copy
+      // multiplies every band bucket it lands in (quadratic pair
+      // blowup on a dup-stacked corpus — ScaleStress measured 71x
+      // at 100x before this guard, 2.0x after)
+      val media = graft.Tables.documents(s, d)
+        .groupBy(col("text")).agg(org.apache.spark.sql.functions.min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          MediaRow(id, "image/png",
+            encodePngDims(id, Option(text).getOrElse(""), ThumbW, ThumbH))
+        })
+      val hashes = media.mapPartitions { it =>
+        it.grouped(DecodeBatchSize).flatMap(_.iterator.map(perceptualHash))
+      }.toDF().cache() // two consumers: band explode + verify join
+      val bandKeys = (0 until PHashBands).map(b => col(s"k$b"))
+      val bands = hashes.select(col("doc_id"),
+        posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
+      val cand = bands.as("x")
+        .join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val ha = hashes.toDF("doc_a" +: (0 until PHashBands).map(b => s"a$b"): _*)
+      val hb = hashes.toDF("doc_b" +: (0 until PHashBands).map(b => s"b$b"): _*)
+      val hamming = (0 until PHashBands)
+        .map(b => s"bit_count(a$b ^ b$b)").mkString(" + ")
+      cand.join(ha, "doc_a").join(hb, "doc_b")
+        .withColumn("hamming", expr(s"CAST($hamming AS BIGINT)"))
+        .filter(col("hamming") <= HammingMax)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
     })
   )
+
+  /** mm05: fixed thumbnail raster (every payload same dims — see
+    * [[encodePngDims]]), 4 bands × 16 bits, Hamming verify bound. */
+  val ThumbW = 32
+  val ThumbH = 24
+  val PHashBands = 4
+  val BandBits = 16
+  val HammingMax = 8
+
+  /** Average-hash banded signature of a decoded payload: 64 nearest-
+    * neighbor samples (cell (cx,cy) reads decoded pixel
+    * (cx·w div 8, cy·h div 8), band 0), integer mean threshold
+    * (sum div 64), bit per cell, packed into [[PHashBands]] band keys
+    * of [[BandBits]] bits. All-integer so the oracle reproduces it
+    * exactly. An undecodable payload signs (-1,-1,-1,-1) — it pairs
+    * with nothing real. */
+  final case class PHashRow(doc_id: Long, k0: Long, k1: Long, k2: Long, k3: Long)
+
+  def perceptualHash(r: MediaRow): PHashRow = {
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(r.payload))
+      catch { case _: java.io.IOException => null }
+    if (img == null) PHashRow(r.doc_id, -1L, -1L, -1L, -1L)
+    else {
+      val raster = img.getRaster
+      val w = img.getWidth
+      val h = img.getHeight
+      val cells = new Array[Int](64)
+      var i = 0
+      while (i < 64) {
+        cells(i) = raster.getSample((i % 8) * w / 8, (i / 8) * h / 8, 0)
+        i += 1
+      }
+      val thr = cells.sum / 64
+      val bands = new Array[Long](PHashBands)
+      i = 0
+      while (i < 64) {
+        if (cells(i) > thr) bands(i / BandBits) |= 1L << (i % BandBits)
+        i += 1
+      }
+      PHashRow(r.doc_id, bands(0), bands(1), bands(2), bands(3))
+    }
+  }
 
   val oracle3: Map[String, String] = Map(
     "mm03_chunk_manifest" ->
@@ -246,7 +348,53 @@ object Multimodal {
          |            ELSE min(doc_id) OVER (PARTITION BY payload_md5) END AS canonical_doc,
          |       CAST(doc_id <> (CASE WHEN payload_md5 IS NULL THEN doc_id
          |            ELSE min(doc_id) OVER (PARTITION BY payload_md5) END) AS INT) AS is_dup
-         |FROM h ORDER BY doc_id""".stripMargin
+         |FROM h ORDER BY doc_id""".stripMargin,
+
+    // mm05: the fixture's pixel (x, y) is the text byte at
+    // (y·W + x) mod len (ASCII corpus, so ord(substr) IS the byte),
+    // and the hash is all-integer — the oracle recomputes the decoded
+    // samples arithmetically and must match the engine's REAL
+    // ImageIO-decoded hash bit for bit, banding and verify included.
+    "mm05_perceptual_dedup" -> {
+      val cellRows = (0 until 64).map { i =>
+        val pos = ((i / 8) * ThumbH / 8) * ThumbW + (i % 8) * ThumbW / 8
+        s"($i, $pos)"
+      }.mkString(", ")
+      s"""WITH docs AS (
+         |  SELECT min(doc_id) AS doc_id, text, length(text) AS len
+         |  FROM documents GROUP BY text, length(text)
+         |),
+         |cells(bit, pos) AS (VALUES $cellRows),
+         |px AS (
+         |  SELECT d.doc_id, c.bit,
+         |         ord(substr(d.text, (c.pos % d.len) + 1, 1)) AS v
+         |  FROM docs d, cells c
+         |),
+         |t AS (SELECT doc_id, CAST(sum(v) // 64 AS BIGINT) AS thr FROM px GROUP BY 1),
+         |bits AS (
+         |  SELECT px.doc_id, bit, CASE WHEN v > thr THEN 1 ELSE 0 END AS b
+         |  FROM px JOIN t USING (doc_id)
+         |),
+         |bands AS (
+         |  SELECT doc_id, bit // $BandBits AS band,
+         |         CAST(sum(b * (CAST(1 AS BIGINT) << (bit % $BandBits))) AS BIGINT) AS key
+         |  FROM bits GROUP BY 1, 2
+         |),
+         |h AS (SELECT doc_id, list(key ORDER BY band) AS ks FROM bands GROUP BY 1),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+         |),
+         |ver AS (
+         |  SELECT doc_a, doc_b,
+         |         CAST(${(1 to PHashBands).map(b =>
+                      s"bit_count(CAST(xor(a.ks[$b], b.ks[$b]) AS BIT))").mkString(" + ")} AS BIGINT) AS hamming
+         |  FROM cand JOIN h a ON a.doc_id = doc_a JOIN h b ON b.doc_id = doc_b
+         |)
+         |SELECT doc_a, doc_b, hamming FROM ver
+         |WHERE hamming <= $HammingMax ORDER BY doc_a, doc_b""".stripMargin
+    }
   )
 
   val oracle2: Map[String, String] = Map(

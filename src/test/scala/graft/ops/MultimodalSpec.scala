@@ -91,6 +91,42 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.filter(org.apache.spark.sql.functions.col("doc_id") === 1L).count() === 1)
   }
 
+  test("perceptual hash: real decode, banded pairs share a band, Hamming bound holds (mm05)") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    // identical texts hash identically through the real codec path;
+    // a one-byte tweak moves the hash by a small Hamming step only
+    val a = Multimodal.perceptualHash(MediaRow(2L, "image/png",
+      Multimodal.encodePngDims(2L, "the quick brown fox jumps over the lazy dog",
+        Multimodal.ThumbW, Multimodal.ThumbH)))
+    val b = Multimodal.perceptualHash(MediaRow(4L, "image/png",
+      Multimodal.encodePngDims(4L, "the quick brown fox jumps over the lazy dog",
+        Multimodal.ThumbW, Multimodal.ThumbH)))
+    assert((a.k0, a.k1, a.k2, a.k3) === ((b.k0, b.k1, b.k2, b.k3)),
+      "same payload pixels must produce the same perceptual hash")
+    // an undecodable payload signs the quarantine row
+    val bad = Multimodal.perceptualHash(MediaRow(9L, "image/png", Array[Byte](1, 2, 3)))
+    assert(bad.k0 === -1L && bad.k3 === -1L)
+    // the catalog entry: pairs exist at sf0.001, every pair shares at
+    // least one band key (the LSH containment) and obeys the bound
+    val pairs = Multimodal.queries3("mm05_perceptual_dedup")(spark, sf).collect()
+    assert(pairs.nonEmpty, "no perceptual near-dup pairs at sf0.001 — vacuous fixture")
+    assert(pairs.forall(_.getLong(2) <= Multimodal.HammingMax))
+    import spark.implicits._
+    val media = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        MediaRow(id, "image/png", Multimodal.encodePngDims(id,
+          Option(t).getOrElse(""), Multimodal.ThumbW, Multimodal.ThumbH)) })
+    val hs = media.collect().map(Multimodal.perceptualHash)
+      .map(p => p.doc_id -> Seq(p.k0, p.k1, p.k2, p.k3)).toMap
+    pairs.foreach { r =>
+      val (da, db) = (r.getLong(0), r.getLong(1))
+      assert(hs(da).zip(hs(db)).exists { case (x, y) => x == y },
+        s"pair ($da, $db) shares no band key — candidate generation widened")
+    }
+  }
+
   test("decode checksum is bounded: at most ChecksumPixels samples regardless of image size") {
     // doc_id 63 → 64×16 = 1024 pixels, every pixel 'a' (text "a"
     // repeats): the checksum must fold exactly ChecksumPixels of
