@@ -227,6 +227,55 @@ object VecIndex {
     * Output: one row per (arrival window, query, ranked neighbor) —
     * sim04's decision columns behind a window_start, the st05
     * convention. */
+  /** [[annTopK]] with sim22's label predicate — the streaming form of
+    * filtered ANN serving. `queries` carries (query_id, embedding,
+    * label, ts); candidates join the static column-pruned label dim
+    * (a stream-static join, like the cell table itself) and
+    * label-mismatched rows drop BEFORE the cosine and the K-bounded
+    * top-k state, so the filter cuts both scoring work and state
+    * pressure. Every construct stays streaming-legal: the label dim
+    * is a batch frame, the probe-cell selection is the stateless HOF
+    * projection, and the per-query state is still K rows. */
+  def filteredAnnTopK(spark: SparkSession, dir: String, queries: DataFrame,
+      cells: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{collect_list, date_format, explode, struct, window}
+    VectorExprs.register(spark)
+    val centArr = centroids(spark, dir)
+      .agg(collect_list(struct(col("cent_id"), col("ce"))).as("cents"))
+    val labels = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").as("nlabel"))
+    val probes = queries
+      .crossJoin(broadcast(centArr))
+      .select(col("query_id"), col("ts"), col("embedding").as("qe"),
+        col("label").as("qlabel"),
+        explode(expr(
+          s"""slice(
+             |  transform(
+             |    array_sort(transform(cents,
+             |      c -> struct(-cosine_sim(embedding, c.ce) AS nc,
+             |                  c.cent_id AS cent_id))),
+             |    s -> s.cent_id),
+             |  1, ${Similarity.IvfNProbe})""".stripMargin)).as("cluster"))
+    val cand = cells.join(probes, Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(labels, Seq("vec_id"))
+      .filter(col("nlabel") === col("qlabel"))
+      .withColumn("cos", expr("cosine_sim(qe, embedding)"))
+    cand
+      .select(col("query_id"), col("ts"),
+        struct((-col("cos")).as("nc"), col("vec_id").as("neighbor_id"),
+          col("cluster"), round(col("cos"), 6).as("cosine")).as("s"))
+      .groupBy(window(col("ts"), "10 minutes"), col("query_id"))
+      .agg(expr(s"topk_struct(s, ${Similarity.LshK})").as("top"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("query_id"), explode(col("top")).as("t"))
+      .select(col("window_start"), col("query_id"),
+        col("t.neighbor_id").as("neighbor_id"),
+        col("t.cluster").as("cluster"),
+        col("t.cosine").as("cosine"))
+  }
+
   def annTopK(spark: SparkSession, dir: String, queries: DataFrame,
       cells: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{collect_list, date_format, explode, struct, window}

@@ -449,6 +449,15 @@ object Streams {
     graft.ops.VecIndex.annTopK(spark, dir,
       queries.withWatermark("ts", delay), cells)
 
+  /** st16's real-stream form: [[graft.ops.VecIndex.filteredAnnTopK]]
+    * behind a watermark — metadata-predicated ANN serving, the
+    * stream-static label dim join inside. */
+  def filteredAnnProbeStream(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, cells: DataFrame,
+      delay: String = "30 minutes"): DataFrame =
+    graft.ops.VecIndex.filteredAnnTopK(spark, dir,
+      queries.withWatermark("ts", delay), cells)
+
   /** st12's real-stream form: [[graft.ops.VecIndex.pqAnnTopK]] behind
     * a watermark — ADC serving from the persisted IVF-PQ code cells. */
   def pqServeStream(spark: org.apache.spark.sql.SparkSession, dir: String,
@@ -756,6 +765,24 @@ object Streams {
         .orderBy("window_start")
     }),
 
+    // STREAMING FILTERED ANN (round 12, st16): sim22's
+    // metadata-predicated serving as a stream — st09's dataflow with
+    // the label predicate applied via a stream-static join against
+    // the column-pruned label dim, BEFORE the cosine and the
+    // K-bounded top-k state. Decisions = sim22's behind a
+    // window_start; StreamingSpec drives a real readStream.
+    "st16_stream_filtered_ann" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, expr}
+      val queries = graft.Tables.embeddings(s, d)
+        .filter(col("vec_id") < graft.ops.Similarity.KnnQueries)
+        .select(col("vec_id").as("query_id"), col("embedding"), col("label"),
+          expr("timestamp'2024-01-01 00:00:00' + make_dt_interval(0, 0, 0, vec_id)").as("ts"))
+      val prefix = graft.ops.VecIndex.ensurePersisted(s, d)
+      graft.ops.VecIndex.filteredAnnTopK(s, d, queries,
+          s.table(graft.ops.VecIndex.cellsTable(prefix)))
+        .orderBy("query_id", "neighbor_id")
+    }),
+
     // STREAMING ADMISSION PIPELINE (round 12, st15): the composed
     // ingest flow — eval/quality/langid gates (row-local), the
     // contamination check against the static broadcast eval shingle
@@ -814,7 +841,10 @@ object Streams {
     ("st14_stream_drift" -> graft.ops.Similarity.st14Sql) +
     // st15 = the admission gates composed with st05's probe shape;
     // the oracle coalesces verdicts exactly as admissionCore does.
-    ("st15_stream_admission" -> graft.ops.Pipeline.st15Sql)
+    ("st15_stream_admission" -> graft.ops.Pipeline.st15Sql) +
+    // st16 = sim22's decisions behind the arrival window (the st09
+    // wrapper shape over the filtered-ANN oracle).
+    ("st16_stream_filtered_ann" -> st16OracleSql)
 
   private lazy val st12OracleSql: String = {
     import graft.ops.Similarity.KnnQueries
@@ -829,6 +859,23 @@ object Streams {
        |SELECT strftime(to_timestamp(CAST(floor(epoch(q.ts) / 600) AS BIGINT) * 600),
        |                '%Y-%m-%d %H:%M:%S') AS window_start,
        |       t.query_id, t.neighbor_id, t.cluster, t.adc_dist
+       |FROM t JOIN q ON q.query_id = t.query_id
+       |ORDER BY t.query_id, t.neighbor_id""".stripMargin
+  }
+
+  private lazy val st16OracleSql: String = {
+    import graft.ops.Similarity.KnnQueries
+    s"""WITH t AS (
+       |  ${graft.ops.Similarity.oracle("sim22_filtered_ann")}
+       |),
+       |q AS (
+       |  SELECT vec_id AS query_id,
+       |         TIMESTAMP '2024-01-01 00:00:00' + vec_id * INTERVAL 1 SECOND AS ts
+       |  FROM embeddings WHERE vec_id < $KnnQueries
+       |)
+       |SELECT strftime(to_timestamp(CAST(floor(epoch(q.ts) / 600) AS BIGINT) * 600),
+       |                '%Y-%m-%d %H:%M:%S') AS window_start,
+       |       t.query_id, t.neighbor_id, t.cluster, t.cosine
        |FROM t JOIN q ON q.query_id = t.query_id
        |ORDER BY t.query_id, t.neighbor_id""".stripMargin
   }
