@@ -86,10 +86,17 @@ object Pipeline {
     labels.select(col("node").as("doc_id"), col("label").as("rep"))
   }
 
-  val queries: Map[String, Q] = Map(
-    "pipe01_curation_audit" -> ((s, d) => Dedup.memoFrame(s, d, "pipe01") {
+  /** The audit dataflow over an arbitrary document snapshot —
+    * pipe01 runs it over the full corpus, pipe03 additionally over
+    * the pre-ingest snapshot (source ≠ [[Dedup.IncBatchSrc]]) and
+    * diffs the two. The near-dup pair set is the memoized ALL-docs
+    * verified set restricted to this snapshot's survivor endpoints
+    * (signatures are doc-local, so that restriction IS the snapshot's
+    * own pair set); the eval holdout and its shingle side derive from
+    * the snapshot — the holdout as known at that point in time. */
+  private def buildAudit(s: SparkSession, d: String, docs: DataFrame): DataFrame = {
       val scored = TextAnalysis.LangStopwords.foldLeft(
-        Tables.documents(s, d).withColumn("tokens", expr(tokensExpr))) {
+        docs.withColumn("tokens", expr(tokensExpr))) {
         case (df, (lang, words)) =>
           df.withColumn(s"${lang}_s",
             expr(s"size(filter(tokens, t -> ${TextAnalysis.inList(words)}))"))
@@ -161,6 +168,37 @@ object Pipeline {
         .localCheckpoint()
       Seq(feat, early).foreach(_.unpersist())
       out
+  }
+
+  val queries: Map[String, Q] = Map(
+    "pipe01_curation_audit" -> ((s, d) => Dedup.memoFrame(s, d, "pipe01") {
+      buildAudit(s, d, Tables.documents(s, d))
+    }),
+
+    // VERDICT-STABILITY DELTA (pipe03): what the ingest batch's
+    // arrival changes. The audit re-runs over the pre-ingest snapshot
+    // (source ≠ IncBatchSrc — the corpus as it stood before today's
+    // feed, the dd13/st05 convention) and diffs against the full-
+    // corpus audit: one row per doc whose verdict changed, plus each
+    // new arrival with stage_old NULL. Quality/langid/eval are
+    // row-local and can never flip for an existing doc; every real
+    // change comes from the non-monotone stages — a new doc stealing
+    // an exact-dup canonical, a near-dup edge merging components, or
+    // the grown holdout contaminating a previously-kept doc — which
+    // is exactly the instability a training-data team needs to see
+    // before re-cutting shards. Oracle: two suffixed audit chains
+    // over one shared pair CTE, full-joined.
+    "pipe03_audit_delta" -> ((s, d) => {
+      val newA = queries("pipe01_curation_audit")(s, d)
+      val oldA = Dedup.memoFrame(s, d, "pipe03_old") {
+        buildAudit(s, d,
+          Tables.documents(s, d).filter(col("source") =!= Dedup.IncBatchSrc))
+      }
+      oldA.toDF("doc_id", "stage_old")
+        .join(newA.toDF("doc_id", "stage_new"), Seq("doc_id"), "full_outer")
+        .filter(!(col("stage_old") <=> col("stage_new")))
+        .select("doc_id", "stage_old", "stage_new")
+        .orderBy("doc_id")
     }),
 
     // The manifest stage: pipe01's kept set packed into training
@@ -381,110 +419,128 @@ object Pipeline {
        |ORDER BY batch_doc""".stripMargin
   }
 
-  /** Oracle CTE chain ending in `audit(doc_id, stage)` — the full
-    * composed pipeline. Shared by pipe01 (dumps it) and pipe02
-    * (shards its kept set), so the two entries agree on every stage
-    * decision by construction. */
-  private lazy val auditCte: String = {
+  /** Oracle CTE chain ending in `audit$x(doc_id, stage)` — the full
+    * composed pipeline over `docsRel`, every CTE name suffixed `$x`
+    * so two snapshots can audit in one query (pipe03). The near-dup
+    * pair set `p` (from [[Dedup.lshPairsCte]], all docs) is SHARED
+    * unsuffixed: signatures are doc-local, so restricting it to this
+    * chain's survivor endpoints IS the pair set of an LSH run over
+    * `docsRel` — the same argument the Spark side uses. pipe01 dumps
+    * the unsuffixed chain, pipe02 shards its kept set, pipe03 diffs
+    * two chains, so all three agree on every stage decision by
+    * construction. */
+  private def auditChain(docsRel: String, x: String): String = {
     val langScores = TextAnalysis.LangStopwords.map { case (lang, words) =>
       s"len(list_filter(tokens, t -> ${TextAnalysis.inList(words)})) AS ${lang}_s"
     }.mkString(",\n         ")
-    s"""${Dedup.lshPairsCte},
-         |tok2 AS (
-         |  SELECT doc_id, lang, text, $tokensSql AS tokens FROM documents
+    s"""tok2$x AS (
+         |  SELECT doc_id, lang, text, $tokensSql AS tokens FROM $docsRel
          |),
-         |feat AS (
+         |feat$x AS (
          |  SELECT doc_id, lang, text, tokens,
          |         len(tokens) AS n,
          |         len(list_filter(tokens, t -> ${TextAnalysis.inList(allStops)})) AS stop_cnt,
          |         len(list_filter(tokens, t -> length(t) <= ${TextAnalysis.ShortTokenLen})) AS short_cnt,
          |         $langScores,
          |         ${Portable.phashSql("'ev:' || CAST(doc_id AS VARCHAR)")} % ${Dedup.EvalMod} = 0 AS is_eval
-         |  FROM tok2
+         |  FROM tok2$x
          |),
-         |m2 AS (
+         |m2$x AS (
          |  SELECT doc_id, tokens, is_eval, md5(text) AS th,
          |         1.0 - 0.5 * (CAST(stop_cnt AS DOUBLE) / CAST(nullif(n, 0) AS DOUBLE))
          |             - 0.5 * (CAST(short_cnt AS DOUBLE) / CAST(nullif(n, 0) AS DOUBLE)) AS qs,
          |         greatest(en_s, de_s, es_s, fr_s) AS best,
          |         CASE lang WHEN 'en' THEN en_s WHEN 'de' THEN de_s
          |                   WHEN 'es' THEN es_s WHEN 'fr' THEN fr_s ELSE 0 END AS own
-         |  FROM feat
+         |  FROM feat$x
          |),
-         |e1 AS (
+         |e1$x AS (
          |  SELECT doc_id, tokens, is_eval, th,
          |         CASE WHEN is_eval THEN 'eval'
          |              WHEN qs IS NULL OR qs < $QualityMin THEN 'quality'
          |              WHEN best - own >= $LangIdMargin THEN 'langid' END AS early
-         |  FROM m2
+         |  FROM m2$x
          |),
-         |e2 AS (
+         |e2$x AS (
          |  SELECT doc_id, tokens, is_eval, early,
          |         min(CASE WHEN early IS NULL THEN doc_id END)
          |           OVER (PARTITION BY th) AS mcanon
-         |  FROM e1
+         |  FROM e1$x
          |),
-         |e3 AS (
+         |e3$x AS (
          |  SELECT doc_id, tokens, is_eval,
          |         coalesce(early, CASE WHEN doc_id <> mcanon THEN 'exact_dup' END) AS early
-         |  FROM e2
+         |  FROM e2$x
          |),
-         |s4 AS (SELECT doc_id FROM e3 WHERE early IS NULL),
-         |p4 AS (
+         |s4$x AS (SELECT doc_id FROM e3$x WHERE early IS NULL),
+         |p4$x AS (
          |  SELECT doc_a, doc_b FROM p
-         |  WHERE doc_a IN (SELECT doc_id FROM s4)
-         |    AND doc_b IN (SELECT doc_id FROM s4)
+         |  WHERE doc_a IN (SELECT doc_id FROM s4$x)
+         |    AND doc_b IN (SELECT doc_id FROM s4$x)
          |),
-         |edges2 AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM p4
+         |edges2$x AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM p4$x
          |  UNION ALL
-         |  SELECT doc_b, doc_a FROM p4
+         |  SELECT doc_b, doc_a FROM p4$x
          |),
-         |cc2(doc_id, label) AS (
-         |  SELECT DISTINCT src, src FROM edges2
+         |cc2$x(doc_id, label) AS (
+         |  SELECT DISTINCT src, src FROM edges2$x
          |  UNION
-         |  SELECT e.dst, cc2.label FROM cc2 JOIN edges2 e ON cc2.doc_id = e.src
+         |  SELECT e.dst, cc2$x.label FROM cc2$x JOIN edges2$x e ON cc2$x.doc_id = e.src
          |),
-         |nd AS (
+         |nd$x AS (
          |  SELECT doc_id
-         |  FROM (SELECT doc_id, min(label) AS rep FROM cc2 GROUP BY doc_id) t
+         |  FROM (SELECT doc_id, min(label) AS rep FROM cc2$x GROUP BY doc_id) t
          |  WHERE rep <> doc_id
          |),
-         |s5 AS (
-         |  SELECT doc_id FROM s4 WHERE doc_id NOT IN (SELECT doc_id FROM nd)
+         |s5$x AS (
+         |  SELECT doc_id FROM s4$x WHERE doc_id NOT IN (SELECT doc_id FROM nd$x)
          |),
-         |shd AS (
+         |shd$x AS (
          |  SELECT doc_id, is_eval,
          |         list_distinct(list_transform($shinglesSql, s -> ${Portable.phashSql("s")})) AS shs
-         |  FROM e3
+         |  FROM e3$x
          |),
-         |ev2 AS (SELECT DISTINCT unnest(shs) AS sh2 FROM shd WHERE is_eval),
-         |tr2 AS (
-         |  SELECT shd.doc_id, len(shs) AS n_sh, unnest(shs) AS sh2
-         |  FROM shd JOIN s5 USING (doc_id)
+         |ev2$x AS (SELECT DISTINCT unnest(shs) AS sh2 FROM shd$x WHERE is_eval),
+         |tr2$x AS (
+         |  SELECT shd$x.doc_id, len(shs) AS n_sh, unnest(shs) AS sh2
+         |  FROM shd$x JOIN s5$x USING (doc_id)
          |),
-         |ct AS (
+         |ct$x AS (
          |  SELECT doc_id FROM (
-         |    SELECT tr2.doc_id, max(n_sh) AS n_sh, count(*) AS n_hit
-         |    FROM tr2 JOIN ev2 USING (sh2) GROUP BY tr2.doc_id
+         |    SELECT tr2$x.doc_id, max(n_sh) AS n_sh, count(*) AS n_hit
+         |    FROM tr2$x JOIN ev2$x USING (sh2) GROUP BY tr2$x.doc_id
          |  ) h
          |  WHERE n_hit >= ${Dedup.DecontamMinOverlap}
          |    AND CAST(n_hit AS DOUBLE) / CAST(n_sh AS DOUBLE) >= ${Dedup.DecontamMinRatio}
          |),
-         |audit AS (
+         |audit$x AS (
          |  SELECT doc_id,
          |         coalesce(early,
-         |           CASE WHEN doc_id IN (SELECT doc_id FROM nd) THEN 'near_dup'
-         |                WHEN doc_id IN (SELECT doc_id FROM ct) THEN 'contaminated'
+         |           CASE WHEN doc_id IN (SELECT doc_id FROM nd$x) THEN 'near_dup'
+         |                WHEN doc_id IN (SELECT doc_id FROM ct$x) THEN 'contaminated'
          |                ELSE 'kept' END) AS stage
-         |  FROM e3
+         |  FROM e3$x
          |)""".stripMargin
   }
+
+  private lazy val auditCte: String =
+    s"""${Dedup.lshPairsCte},
+       |${auditChain("documents", "")}""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "pipe01_curation_audit" ->
       s"""WITH RECURSIVE $auditCte
          |SELECT doc_id, stage FROM audit ORDER BY doc_id""".stripMargin,
+
+    "pipe03_audit_delta" ->
+      s"""WITH RECURSIVE $auditCte,
+         |${auditChain(s"(SELECT * FROM documents WHERE source <> '${Dedup.IncBatchSrc}')", "_o")}
+         |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         |       o.stage AS stage_old, n.stage AS stage_new
+         |FROM audit_o o FULL JOIN audit n ON o.doc_id = n.doc_id
+         |WHERE o.stage IS DISTINCT FROM n.stage
+         |ORDER BY doc_id""".stripMargin,
 
     "pipe02_shard_manifest" ->
       s"""WITH RECURSIVE $auditCte,

@@ -71,6 +71,31 @@ class PipelineSpec extends SparkSpec {
     manifest.unpersist()
   }
 
+  test("pipe03: every arrival surfaces; only non-monotone stages ever flip for old docs") {
+    val delta = Pipeline.queries("pipe03_audit_delta")(spark, sf).cache()
+    val rows = delta.collect()
+    assert(rows.nonEmpty, "empty delta — the ingest batch changed nothing, vacuous fixture")
+    // every ingest-batch doc appears with stage_old NULL
+    val arrivals = Tables.documents(spark, sf)
+      .filter(col("source") === Dedup.IncBatchSrc).count()
+    assert(rows.count(_.isNullAt(1)) == arrivals,
+      s"expected $arrivals stage_old=NULL arrival rows")
+    // quality/langid/eval are row-local: an existing doc can never
+    // flip into or out of them — all real flips are the non-monotone
+    // stages (canonical steal, component merge, holdout growth)
+    val nonMono = Set("exact_dup", "near_dup", "contaminated", "kept")
+    rows.filterNot(_.isNullAt(1)).foreach { r =>
+      assert(nonMono(r.getString(1)) && nonMono(r.getString(2)),
+        s"row-local stage flipped for an existing doc: $r")
+    }
+    // stage_new agrees with pipe01's audit row for row
+    val mismatch = delta.select(col("doc_id"), col("stage_new"))
+      .join(audit, "doc_id")
+      .filter(col("stage_new") =!= col("stage"))
+    assert(mismatch.count() == 0, "delta's stage_new diverges from pipe01")
+    delta.unpersist()
+  }
+
   test("sf0.1: exact_dup fires, and each text-digest group keeps exactly one canonical") {
     val auditL = Pipeline.queries("pipe01_curation_audit")(spark, sfL).cache()
     val counts = auditL.groupBy("stage").count().collect()
