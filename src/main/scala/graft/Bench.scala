@@ -145,6 +145,47 @@ object Bench {
       (memBw < 0 || r.memBwGbps <= 0 || memBw >= r.memBwGbps * 0.90)
   }
 
+  /** The shared axis GATE: starting from `firstCalib`, wait up to 10
+    * minutes for all three host axes (all-core CPU ref, trivial scan,
+    * memory bandwidth) to enter the best-ever band before a sweep.
+    * Returns (axesOk, calibration, trivialMs); ratchets nothing.
+    * Shared with [[graft.tools.BenchCold]] — round 12's three
+    * degraded cold captures in one afternoon (mem_bw 35–68 GB/s vs
+    * the 82–84 band, every swing host-attributed by cold_compare)
+    * showed the cold instrument needs this gate as much as the warm
+    * one; its old guard banded only the CPU reference. */
+  private[graft] def awaitAxes(firstCalib: graft.tools.LoadGuard.Calibration,
+      trivialProbe: () => Double): (Boolean, graft.tools.LoadGuard.Calibration, Double) = {
+    val axesRef = readAxesRef()
+    var calibNow = firstCalib
+    var trivialMs = Seq.fill(3)(trivialProbe()).min
+    var axesOk = axesInBand(axesRef, calibNow.cpuRefAllCoreMs, trivialMs,
+      calibNow.memBwGbps)
+    val gateDeadline = System.nanoTime() + 600L * 1000000000L
+    while (!axesOk && System.nanoTime() < gateDeadline) {
+      System.err.println(f"[bench] axes out of band vs best-ever " +
+        f"(all_core ${calibNow.cpuRefAllCoreMs}%.1f ms, trivial $trivialMs%.1f ms, " +
+        f"mem_bw ${calibNow.memBwGbps}%.1f GB/s vs $axesRef) — waiting")
+      Thread.sleep(30000)
+      calibNow = graft.tools.LoadGuard.calibrate()
+      trivialMs = Seq.fill(3)(trivialProbe()).min
+      axesOk = axesInBand(axesRef, calibNow.cpuRefAllCoreMs, trivialMs,
+        calibNow.memBwGbps)
+    }
+    (axesOk, calibNow, trivialMs)
+  }
+
+  /** Ratchet the best-axes record toward health (any run may improve
+    * it; a degraded run never worsens it). */
+  private[graft] def ratchetAxes(calibNow: graft.tools.LoadGuard.Calibration,
+      trivialMs: Double): Unit = {
+    val axesRef = readAxesRef()
+    writeAxesRef(AxesRef(
+      axesRef.fold(calibNow.cpuRefAllCoreMs)(r => math.min(r.allCoreMs, calibNow.cpuRefAllCoreMs)),
+      axesRef.fold(trivialMs)(r => math.min(r.trivialMs, trivialMs)),
+      axesRef.fold(calibNow.memBwGbps)(r => math.max(r.memBwGbps, calibNow.memBwGbps))))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -200,7 +241,6 @@ object Bench {
       (System.nanoTime() - t0) / 1e6
     }
     trivialProbe() // warm the probe itself
-    var trivialMs = Seq.fill(3)(trivialProbe()).min
     // Axis GATE at sweep start (round-11 VERDICT item 1): the r11
     // final warm artifact was captured on a session whose axes sat
     // outside the round's own calibration band (all-core 105.2 ms vs
@@ -211,21 +251,7 @@ object Bench {
     // minutes for the host to recover; if it never does, the sweep
     // still runs but the artifact is stamped axes_ok=false and the
     // acceptance guard below treats its swings as unattributable.
-    val axesRef = readAxesRef()
-    var calibNow = calib
-    var axesOk = axesInBand(axesRef, calibNow.cpuRefAllCoreMs, trivialMs,
-      calibNow.memBwGbps)
-    val gateDeadline = System.nanoTime() + 600L * 1000000000L
-    while (!axesOk && System.nanoTime() < gateDeadline) {
-      System.err.println(f"[bench] axes out of band vs best-ever " +
-        f"(all_core ${calibNow.cpuRefAllCoreMs}%.1f ms, trivial $trivialMs%.1f ms, " +
-        f"mem_bw ${calibNow.memBwGbps}%.1f GB/s vs $axesRef) — waiting")
-      Thread.sleep(30000)
-      calibNow = graft.tools.LoadGuard.calibrate()
-      trivialMs = Seq.fill(3)(trivialProbe()).min
-      axesOk = axesInBand(axesRef, calibNow.cpuRefAllCoreMs, trivialMs,
-        calibNow.memBwGbps)
-    }
+    val (axesOk, calibNow, trivialMs) = awaitAxes(calib, () => trivialProbe())
     val s1 = sweep()
     val s2 = sweep()
     val results = s1.map { case (k, v1) =>
@@ -272,12 +298,7 @@ object Bench {
     val suspect =
       (sameCode && priorTotal.exists(p => p > 0 && (total - p) / p > 0.15)) ||
         (!axesOk && commonRatio > 1.10)
-    // Ratchet the best-axes record toward health (any run may improve
-    // it; a degraded run never worsens it).
-    writeAxesRef(AxesRef(
-      axesRef.fold(calibNow.cpuRefAllCoreMs)(r => math.min(r.allCoreMs, calibNow.cpuRefAllCoreMs)),
-      axesRef.fold(trivialMs)(r => math.min(r.trivialMs, trivialMs)),
-      axesRef.fold(calibNow.memBwGbps)(r => math.max(r.memBwGbps, calibNow.memBwGbps))))
+    ratchetAxes(calibNow, trivialMs)
     val phases = graft.tools.Phases.json()
     val loadJson = graft.tools.LoadGuard.jsonFields(load0, loadOk, calibNow) +
       String.format(java.util.Locale.ROOT, ""","trivial_scan_ms":%.1f""",

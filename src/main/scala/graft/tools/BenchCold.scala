@@ -51,12 +51,28 @@ object BenchCold {
     // a fixed CPU loop). Wait for the host to return to the healthy
     // band; if it never does, the artifact is stamped calib_ok=false
     // and carries the normalization factor so a reader can discount.
-    val calib = LoadGuard.awaitCalibrated()
+    val calib0 = LoadGuard.awaitCalibrated()
 
     // Warm the JVM once (codegen, parquet reader, shuffle machinery);
     // the per-query resets below only drop DATA caches, not JIT state.
     spark.range(1000000L).selectExpr("sum(id)").collect()
     try { graft.SparkEntry.entry(spark).count() } catch { case _: Throwable => () }
+
+    // Full AXIS gate, shared with the warm bench (round 12: three
+    // degraded cold captures in one afternoon slipped past the
+    // CPU-only calibration band above — the contention was memory-
+    // bandwidth- and trivial-scan-shaped, which awaitCalibrated never
+    // sees). Wait for all three axes to enter the best-ever band
+    // (BENCH_AXES.json); if the host never recovers, sweep anyway and
+    // stamp axes_ok=false so the artifact self-labels.
+    def trivialProbe(): Double = {
+      val t0 = System.nanoTime()
+      spark.read.parquet(s"$sfDir/region.parquet").count()
+      spark.read.parquet(s"$sfDir/nation.parquet").count()
+      (System.nanoTime() - t0) / 1e6
+    }
+    trivialProbe() // warm the probe itself
+    val (axesOk, calib, trivialMs) = graft.Bench.awaitAxes(calib0, () => trivialProbe())
     coldReset()
 
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
@@ -75,8 +91,12 @@ object BenchCold {
     val qs = best.map { case (k, v) =>
       "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     }.mkString("{", ",", "}")
+    graft.Bench.ratchetAxes(calib, trivialMs)
+    val axisJson = String.format(java.util.Locale.ROOT,
+      ""","trivial_scan_ms":%.1f,"axes_ok":%b""",
+      Double.box(trivialMs), Boolean.box(axesOk))
     val json =
-      s"""{"metric":"total_cold","value":$total,"unit":"sec","protocol":"min-of-2 cold sweeps, memo+cache cleared per query"${LoadGuard.jsonFields(load0, loadOk, calib)},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total_cold","value":$total,"unit":"sec","protocol":"min-of-2 cold sweeps, memo+cache cleared per query"${LoadGuard.jsonFields(load0, loadOk, calib)}$axisJson,"queries":$qs,"sf":"$sfDir"}"""
     val w = new java.io.PrintWriter(outPath)
     try w.println(json) finally w.close()
     println(json)
