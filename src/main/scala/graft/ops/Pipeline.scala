@@ -59,6 +59,20 @@ object Pipeline {
     * ~0.91 across sf0.001–0.1, so the gate bites without gutting the
     * survivor set downstream stages need). */
   val QualityMin = 0.91
+
+  // CALIBRATION NOTE (knobs, not constants of nature): the
+  // decontamination stage reuses dd10's demo thresholds
+  // (3-word-shingle overlap, ≥ 2 hits, ratio ≥ 0.1) verbatim so the
+  // composed pipeline and the standalone operator agree. On this
+  // template-generated synthetic corpus the shingle-overlap rate
+  // GROWS with the holdout: at sf0.001/0.01 (25-doc holdout) the
+  // stage drops ~5%, at sf0.1 (250-doc holdout, heavily shared
+  // templates) it dominates — kept = 23/5000, visible in pipe02's
+  // thin sf0.1 manifest. That is the fixture's shape, not a bug
+  // (both engines agree row-for-row at every scale); a production
+  // run calibrates DecontamMinOverlap/DecontamMinRatio — or moves to
+  // a higher-precision unit like exact 8-gram containment (dd11's
+  // machinery) — against its own corpus before trusting the gate.
   /** Language contradiction margin: drop only when some other
     * language's stopword count beats the recorded language's by this
     * many hits. */
