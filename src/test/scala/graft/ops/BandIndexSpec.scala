@@ -415,4 +415,104 @@ class BandIndexSpec extends SparkSpec {
       .collect().map(_.toString).toSeq
     assert(viaEntry == derived)
   }
+
+  test("self-excluding fence keeps unstamped (NULL ingest_batch) corpus rows") {
+    // A legacy index — one written before batch stamping existed, or
+    // by an external writer that omitted the column — carries NULL in
+    // `ingest_batch`. The fence predicate must KEEP those rows
+    // (they are by definition not the in-flight batch); a bare
+    // three-valued `=!=` would silently drop every one of them from
+    // the probe corpus and change dedup decisions. Simulate the
+    // legacy table by rewriting a fresh index's stamp column to NULL,
+    // then require a fenced probe to decide identically to an
+    // unfenced one.
+    import org.apache.spark.sql.functions.{col, lit}
+    val prefix = BandIndex.ensurePersisted(spark, sf, "specnullstamp")
+    def nullifyStamp(table: String, key: String): Unit = {
+      val pinned = spark.table(table)
+        .withColumn("ingest_batch", lit(null).cast("long"))
+        .localCheckpoint()
+      val loc = BandIndex.indexRootOf(spark, table)
+      spark.sql(s"DROP TABLE $table")
+      pinned.write
+        .bucketBy(BandIndex.Buckets, key).sortBy(key)
+        .option("path", s"$loc/${table.split('_').last}_nullstamp")
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .saveAsTable(table)
+    }
+    nullifyStamp(BandIndex.bandsTable(prefix), "bkey")
+    nullifyStamp(BandIndex.sigsTable(prefix), "corpus_doc")
+    assert(spark.table(BandIndex.sigsTable(prefix))
+      .filter(col("ingest_batch").isNotNull).isEmpty,
+      "fixture failed to null the stamp column")
+
+    val unfenced = BandIndex.probe(spark, sf, prefix)
+      .collect().map(_.toString).toSeq
+    val fenced = BandIndex.probe(spark, sf, prefix, excludeBatch = Some(7L))
+      .collect().map(_.toString).toSeq
+    assert(fenced == unfenced,
+      "fence dropped unstamped corpus rows: a NULL-stamped legacy index " +
+        "must probe identically whether or not a batch fence is active")
+    // the fixture bites: with the corpus really gone the probe would
+    // return all-novel, so require at least one dup decision
+    assert(fenced.exists(!_.contains("null")),
+      "fixture has no dup decisions — the fence test cannot bite")
+  }
+
+  test("maintainBatch rejects the BaseBatch sentinel id") {
+    // BaseBatch (-1) stamps the base build and ad-hoc appends; a
+    // streaming batch admitted with a colliding id would false-skip
+    // (batchPresent sees the base build's stamp). The guard must fire
+    // BEFORE any catalog access, so no index is needed.
+    import org.apache.spark.sql.functions.col
+    val ids = spark.range(1).select(col("id").as("doc_id"))
+    val e = intercept[IllegalArgumentException] {
+      BandIndex.maintainBatch(spark, sf, "graft_no_such_prefix", ids,
+        BandIndex.BaseBatch)
+    }
+    assert(e.getMessage.contains("must be >= 0"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      BandIndex.maintainBatch(spark, sf, "graft_no_such_prefix", ids, -42L)
+    }
+  }
+
+  test("replay after a lost ledger backfills it and converges to the fast guard") {
+    // Crash window: sigs landed (batch fully absorbed) but the ledger
+    // row was lost. The first replay must (a) no-op via the
+    // sigs-present fence and (b) BACKFILL the ledger so every future
+    // replay takes the tiny ledger read instead of re-paying the
+    // stats-pruned fence scan.
+    import org.apache.spark.sql.functions.col
+    val prefix = BandIndex.ensurePersisted(spark, sf, "specledger")
+    val day0Ids = graft.Tables.documents(spark, sf)
+      .filter(col("source") === Dedup.IncBatchSrc)
+      .select("doc_id")
+    assert(BandIndex.maintainBatch(spark, sf, prefix, day0Ids, 0L).nonEmpty,
+      "first maintenance of a fresh index must run")
+
+    // simulate the lost ledger: drop the table and delete its files
+    val ledger = BandIndex.ledgerTable(prefix)
+    val root = BandIndex.indexRootOf(spark, BandIndex.bandsTable(prefix))
+    spark.sql(s"DROP TABLE IF EXISTS $ledger")
+    val dir = new java.io.File(new java.net.URI(
+      if (root.startsWith("file:")) root else s"file:$root").getPath, "ledger")
+    def rmr(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmr)); f.delete(); ()
+    }
+    rmr(dir)
+    assert(!BandIndex.ledgerDoneIn(spark, ledger, 0L),
+      "fixture failed to lose the ledger row")
+
+    // replay: sigs-present fence fires, batch is NOT re-run, and the
+    // ledger row is backfilled
+    assert(BandIndex.maintainBatch(spark, sf, prefix, day0Ids, 0L).isEmpty,
+      "replay of a fully-landed batch must no-op")
+    assert(BandIndex.ledgerDoneIn(spark, ledger, 0L),
+      "sigs-present fence did not backfill the ledger")
+
+    // converged: the next replay takes the ledger short-circuit (same
+    // observable no-op; the backfill assertion above is what pins
+    // WHICH guard answers it)
+    assert(BandIndex.maintainBatch(spark, sf, prefix, day0Ids, 0L).isEmpty)
+  }
 }
