@@ -249,37 +249,59 @@ object Multimodal {
       // multiplies every band bucket it lands in (quadratic pair
       // blowup on a dup-stacked corpus — ScaleStress measured 71x
       // at 100x before this guard, 2.0x after)
-      val media = graft.Tables.documents(s, d)
-        .groupBy(col("text")).agg(org.apache.spark.sql.functions.min(col("doc_id")).as("doc_id"))
-        .select(col("doc_id"), col("text"))
-        .as[(Long, String)]
-        .mapPartitions(_.map { case (id, text) =>
-          MediaRow(id, "image/png",
-            encodePngDims(id, Option(text).getOrElse(""), ThumbW, ThumbH))
-        })
-      val hashes = media.mapPartitions { it =>
-        it.grouped(DecodeBatchSize).flatMap(_.iterator.map(perceptualHash))
-      }.toDF().cache() // two consumers: band explode + verify join
-      val bandKeys = (0 until PHashBands).map(b => col(s"k$b"))
-      val bands = hashes.select(col("doc_id"),
-        posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
-      val cand = bands.as("x")
-        .join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
-      val ha = hashes.toDF("doc_a" +: (0 until PHashBands).map(b => s"a$b"): _*)
-      val hb = hashes.toDF("doc_b" +: (0 until PHashBands).map(b => s"b$b"): _*)
-      val hamming = (0 until PHashBands)
-        .map(b => s"bit_count(a$b ^ b$b)").mkString(" + ")
-      cand.join(ha, "doc_a").join(hb, "doc_b")
-        .withColumn("hamming", expr(s"CAST($hamming AS BIGINT)"))
-        .filter(col("hamming") <= HammingMax)
-        .select("doc_a", "doc_b", "hamming")
-        .orderBy("doc_a", "doc_b")
+      // memoFrame, not a per-invocation cache: the bench's repeated
+      // sweeps re-invoke this lambda, and an unmemoized cache() here
+      // would accumulate one cached copy of the identical plan per
+      // sweep (dd07's unpersist discipline, applied via the shared
+      // session+dir memo instead).
+      val hashes = Dedup.memoFrame(s, d, "mm05_hashes") {
+        val media = graft.Tables.documents(s, d)
+          .groupBy(col("text")).agg(org.apache.spark.sql.functions.min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, text) =>
+            MediaRow(id, "image/png",
+              encodePngDims(id, Option(text).getOrElse(""), ThumbW, ThumbH))
+          })
+        media.mapPartitions { it =>
+          it.grouped(DecodeBatchSize).flatMap(_.iterator.map(perceptualHash))
+        }.toDF().cache() // two consumers: band explode + verify join
+      }
+      perceptualPairs(hashes)
     })
   )
+
+  /** The banded-candidate + Hamming-verify dataflow over a frame of
+    * [[PHashRow]]s — split from the mm05 entry so the quarantine
+    * contract is testable against hand-built corrupt rows
+    * (MultimodalSpec), not just the all-decodable fixture. */
+  private[ops] def perceptualPairs(hashes: DataFrame): DataFrame = {
+    val bandKeys = (0 until PHashBands).map(b => col(s"k$b"))
+    // Quarantined (undecodable) payloads sign the shared (-1,…)
+    // sentinel; excluding them HERE is what makes "pairs with
+    // nothing real" true by construction — left in, two corrupt
+    // payloads would share every band key and verify at Hamming 0,
+    // an engine-only pair the arithmetic oracle (which never
+    // decodes) has no path to produce. k0 is a 16-bit band key
+    // (0..65535), so -1 is unambiguous.
+    val bands = hashes.filter(col("k0") =!= -1L).select(col("doc_id"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val ha = hashes.toDF("doc_a" +: (0 until PHashBands).map(b => s"a$b"): _*)
+    val hb = hashes.toDF("doc_b" +: (0 until PHashBands).map(b => s"b$b"): _*)
+    val hamming = (0 until PHashBands)
+      .map(b => s"bit_count(a$b ^ b$b)").mkString(" + ")
+    cand.join(ha, "doc_a").join(hb, "doc_b")
+      .withColumn("hamming", expr(s"CAST($hamming AS BIGINT)"))
+      .filter(col("hamming") <= HammingMax)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
 
   /** mm05: fixed thumbnail raster (every payload same dims — see
     * [[encodePngDims]]), 4 bands × 16 bits, Hamming verify bound. */
@@ -294,8 +316,11 @@ object Multimodal {
     * (cx·w div 8, cy·h div 8), band 0), integer mean threshold
     * (sum div 64), bit per cell, packed into [[PHashBands]] band keys
     * of [[BandBits]] bits. All-integer so the oracle reproduces it
-    * exactly. An undecodable payload signs (-1,-1,-1,-1) — it pairs
-    * with nothing real. */
+    * exactly. An undecodable payload signs (-1,-1,-1,-1) — a
+    * QUARANTINE marker, not a signature: mm05 filters k0 = -1 rows
+    * out before the band explode, so quarantined payloads pair with
+    * nothing (including each other — two corrupt payloads sharing
+    * the sentinel would otherwise verify at Hamming 0). */
   final case class PHashRow(doc_id: Long, k0: Long, k1: Long, k2: Long, k3: Long)
 
   def perceptualHash(r: MediaRow): PHashRow = {

@@ -49,8 +49,9 @@ import graft.functions.Portable
   * recursive CC included.
   *
   * Reference analog: the reference's pipeline composes its stages in
-  * one `main` (/root/reference/main.py:86-116); this entry is that
-  * composition discipline applied to the LLM-curation surface.
+  * one `main` (/root/reference/main.py:49-75 — read_bronze →
+  * transform → create_daily_report → most_exp_line); this entry is
+  * that composition discipline applied to the LLM-curation surface.
   */
 object Pipeline {
   type Q = (SparkSession, String) => DataFrame

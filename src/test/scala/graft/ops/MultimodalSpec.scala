@@ -136,4 +136,32 @@ class MultimodalSpec extends SparkSpec {
     assert(big.width === 64 && big.height === 16)
     assert(big.pix_checksum === Multimodal.ChecksumPixels.toLong * 'a'.toLong)
   }
+
+  test("quarantined payloads never pair — not with real docs, not with each other") {
+    // Two corrupt payloads both sign the (-1,-1,-1,-1) sentinel; if
+    // the sentinel entered candidate generation they would share
+    // every band key and verify at Hamming 0 — an engine-only pair
+    // the arithmetic oracle has no path to produce. The pairing
+    // dataflow must treat the sentinel as quarantine, not signature.
+    import spark.implicits._
+    val corrupt = Seq(
+      MediaRow(9001L, "image/png", Array[Byte](1, 2, 3)),
+      MediaRow(9002L, "image/png", "not a png".getBytes))
+    corrupt.foreach { r =>
+      val h = Multimodal.perceptualHash(r)
+      assert(h.k0 == -1L && h.k3 == -1L, s"corrupt payload signed $h")
+    }
+    // two real near-identical payloads (the fixture pair guarantee)
+    val real = Seq(
+      MediaRow(1L, "image/png",
+        Multimodal.encodePngDims(1L, "same text", Multimodal.ThumbW, Multimodal.ThumbH)),
+      MediaRow(2L, "image/png",
+        Multimodal.encodePngDims(2L, "same text", Multimodal.ThumbW, Multimodal.ThumbH)))
+    val hashes = (real ++ corrupt).map(Multimodal.perceptualHash).toDF()
+    val pairs = Multimodal.perceptualPairs(hashes).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "real near-identical pair lost")
+    assert(pairs.forall { case (a, b) => a < 9000L && b < 9000L },
+      s"quarantined doc appeared in a pair: $pairs")
+  }
 }
