@@ -34,9 +34,11 @@ import graft.functions.Portable
   * components (signatures are doc-local, so filtering the memoized
   * all-docs pair set to survivor endpoints is EXACTLY the pair set of
   * an LSH run over the survivor corpus — and shares the dd03/dd07
-  * memo); decontamination = dd10's shingle-overlap flag with the eval
-  * side built from the FULL corpus (the holdout set is defined
-  * externally, not by what curation kept).
+  * memo); decontamination = exact [[DecontamGramN]]-gram containment
+  * against the holdout's gram set (dd11's exact-span unit at
+  * production precision — see [[DecontamGramN]]), with the eval side
+  * built from the FULL corpus (the holdout set is defined externally,
+  * not by what curation kept).
   *
   * 100 TB posture: one narrow tokenize/score scan (no full-text
   * shuffle — the exact-dup window partitions on md5(text), a 128-bit
@@ -61,19 +63,22 @@ object Pipeline {
     * survivor set downstream stages need). */
   val QualityMin = 0.91
 
-  // CALIBRATION NOTE (knobs, not constants of nature): the
-  // decontamination stage reuses dd10's demo thresholds
-  // (3-word-shingle overlap, ≥ 2 hits, ratio ≥ 0.1) verbatim so the
-  // composed pipeline and the standalone operator agree. On this
-  // template-generated synthetic corpus the shingle-overlap rate
-  // GROWS with the holdout: at sf0.001/0.01 (25-doc holdout) the
-  // stage drops ~5%, at sf0.1 (250-doc holdout, heavily shared
-  // templates) it dominates — kept = 23/5000, visible in pipe02's
-  // thin sf0.1 manifest. That is the fixture's shape, not a bug
-  // (both engines agree row-for-row at every scale); a production
-  // run calibrates DecontamMinOverlap/DecontamMinRatio — or moves to
-  // a higher-precision unit like exact 8-gram containment (dd11's
-  // machinery) — against its own corpus before trusting the gate.
+  /** Decontamination unit: exact [[DecontamGramN]]-token grams, a doc
+    * contaminated on ANY gram shared with the eval holdout — the
+    * production-precision containment gate (GPT-3's 13-gram filter,
+    * Lee et al.'s ExactSubstr, here at 8 tokens: long enough that a
+    * shared gram means a shared SPAN, not a shared template phrase).
+    * Round-12 VERDICT item 4: the previous stage reused dd10's demo
+    * 3-word-shingle ratio thresholds, which on this template-generated
+    * corpus collapsed the sf0.1 manifest to kept = 23/5000 — the
+    * composed bench entry mostly measured a fixture artifact. The
+    * 8-gram unit keeps the same broadcast-eval/narrow-train dataflow
+    * (the holdout's distinct gram-hash set is bounded and broadcast;
+    * the train side moves 60-bit longs, never text) and restores a
+    * realistic kept mass at every SF. dd10 remains the standalone
+    * ratio-threshold operator; the pipeline now composes the
+    * higher-precision unit its own calibration note asked for. */
+  val DecontamGramN = 8
   /** Language contradiction margin: drop only when some other
     * language's stopword count beats the recorded language's by this
     * many hits. */
@@ -157,20 +162,22 @@ object Pipeline {
       val nd = ccMinLabel(p4).filter(col("rep") =!= col("doc_id"))
         .select("doc_id").withColumn("nd", lit(true))
       val s5 = s4.join(nd, Seq("doc_id"), "left_anti")
-      // Decontamination: eval shingle set from the FULL corpus
-      // holdout; train side = docs still alive after near-dup.
+      // Decontamination: exact DecontamGramN-gram CONTAINMENT — the
+      // eval holdout's distinct gram-hash set (bounded, broadcast)
+      // against the docs still alive after near-dup; any shared gram
+      // contaminates. Same dataflow shape as before (broadcast semi-
+      // join on 60-bit gram hashes, no text moves), higher-precision
+      // unit (see [[DecontamGramN]]).
       val shd = feat
-        .withColumn("shingles", expr(shinglesExpr))
+        .withColumn("grams", expr(TextAnalysis.gramsExpr(DecontamGramN)))
         .select(col("doc_id"), col("is_eval"),
-          expr(s"array_distinct(transform(shingles, s -> ${Portable.phashExpr("s")}))").as("shs"))
-      val evalSh = shd.filter(col("is_eval")).select(explode(col("shs")).as("sh")).distinct()
-      val train = shd.join(s5, Seq("doc_id"))
-        .select(col("doc_id"), size(col("shs")).as("n_sh"), explode(col("shs")).as("sh"))
-      val ct = train.join(broadcast(evalSh), Seq("sh"))
-        .groupBy("doc_id", "n_sh").agg(count(lit(1)).as("n_hit"))
-        .filter(col("n_hit") >= Dedup.DecontamMinOverlap &&
-          col("n_hit").cast("double") / col("n_sh").cast("double") >= Dedup.DecontamMinRatio)
-        .select("doc_id").withColumn("ct", lit(true))
+          expr(s"array_distinct(transform(grams, g -> ${Portable.phashExpr("g")}))").as("ghs"))
+      val evalSh = shd.filter(col("is_eval")).select(explode(col("ghs")).as("gh")).distinct()
+      val ct = shd.join(s5, Seq("doc_id"))
+        .select(col("doc_id"), explode(col("ghs")).as("gh"))
+        .join(broadcast(evalSh), Seq("gh"))
+        .select("doc_id").distinct()
+        .withColumn("ct", lit(true))
       val out = early
         .join(nd, Seq("doc_id"), "left")
         .join(ct, Seq("doc_id"), "left")
@@ -513,21 +520,17 @@ object Pipeline {
          |),
          |shd$x AS (
          |  SELECT doc_id, is_eval,
-         |         list_distinct(list_transform($shinglesSql, s -> ${Portable.phashSql("s")})) AS shs
+         |         list_distinct(list_transform(${TextAnalysis.gramsSql(DecontamGramN)},
+         |                                      g -> ${Portable.phashSql("g")})) AS ghs
          |  FROM e3$x
          |),
-         |ev2$x AS (SELECT DISTINCT unnest(shs) AS sh2 FROM shd$x WHERE is_eval),
+         |ev2$x AS (SELECT DISTINCT unnest(ghs) AS gh2 FROM shd$x WHERE is_eval),
          |tr2$x AS (
-         |  SELECT shd$x.doc_id, len(shs) AS n_sh, unnest(shs) AS sh2
+         |  SELECT shd$x.doc_id, unnest(ghs) AS gh2
          |  FROM shd$x JOIN s5$x USING (doc_id)
          |),
          |ct$x AS (
-         |  SELECT doc_id FROM (
-         |    SELECT tr2$x.doc_id, max(n_sh) AS n_sh, count(*) AS n_hit
-         |    FROM tr2$x JOIN ev2$x USING (sh2) GROUP BY tr2$x.doc_id
-         |  ) h
-         |  WHERE n_hit >= ${Dedup.DecontamMinOverlap}
-         |    AND CAST(n_hit AS DOUBLE) / CAST(n_sh AS DOUBLE) >= ${Dedup.DecontamMinRatio}
+         |  SELECT DISTINCT doc_id FROM tr2$x JOIN ev2$x USING (gh2)
          |),
          |audit$x AS (
          |  SELECT doc_id,

@@ -38,6 +38,29 @@ object TextAnalysis {
       |                      i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])
       |  ELSE [] END""".stripMargin
 
+  /** n-word grams over a `tokens` column — the parameterized
+    * generalization of [[shinglesExpr]] (0-based arrays in Spark,
+    * 1-based in DuckDB). Production decontamination units are LONG
+    * exact grams (GPT-3 used 13-grams, Lee et al. 50-char spans);
+    * [[Pipeline.DecontamGramN]] uses 8. */
+  def gramsExpr(n: Int): String = {
+    val parts = (0 until n)
+      .map(j => if (j == 0) "tokens[i]" else s"tokens[i+$j]").mkString(", ")
+    s"""CASE WHEN size(tokens) >= $n
+       |  THEN transform(sequence(0, size(tokens) - $n),
+       |                 i -> concat_ws(' ', $parts))
+       |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin
+  }
+  def gramsSql(n: Int): String = {
+    val parts = (0 until n)
+      .map(j => if (j == 0) "tokens[i]" else s"tokens[i+$j]")
+      .mkString(" || ' ' || ")
+    s"""CASE WHEN len(tokens) >= $n
+       |  THEN list_transform(generate_series(1, len(tokens) - ${n - 1}),
+       |                      i -> $parts)
+       |  ELSE [] END""".stripMargin
+  }
+
   /** 2-word shingles over a `tokens` column — tx10's corpus-level
     * n-gram unit (3-word shingles stay the dedup-family unit). */
   val bigramsExpr =
