@@ -203,6 +203,78 @@ object VecIndex {
       .orderBy("query_id", "neighbor_id")
   }
 
+  /** COVERING-INDEX build for the filtered-ANN serving path (sim23;
+    * round-12 VERDICT item 3): [[persist]]'s cell table with the
+    * filter label COLOCATED in the cell row — (cluster, vec_id,
+    * label, embedding, ingest_batch). One narrow extra column at
+    * build time buys the serving path out of [[filteredProbe]]'s
+    * (vec_id, label) dimension join: at 100 TB that join is one
+    * extra corpus-cardinality exchange-free-but-still-IO probe-time
+    * scan PER QUERY BATCH, and the covering row makes the label a
+    * pushable cell-scan column instead. The base cell schema stays
+    * untouched — the whole lifecycle family (sim14–17, st09/st10,
+    * tombstones, compaction) shares it; this is a second, serving-
+    * specialized layout of the same assignment, the classic
+    * covering-index storage/write tradeoff made explicit. */
+  def persistCovering(spark: SparkSession, dir: String, path: String,
+      prefix: String): Unit = {
+    import org.apache.spark.sql.functions.lit
+    VectorExprs.register(spark)
+    val e = Tables.embeddings(spark, dir).select("vec_id", "label", "embedding")
+    e.crossJoin(broadcast(centroids(spark, dir)))
+      .withColumn("cos_c", expr("cosine_sim(embedding, ce)"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("vec_id")
+          .orderBy(col("cos_c").desc, col("cent_id").asc)))
+      .filter(col("crn") === 1)
+      .select(col("cent_id").as("cluster"), col("vec_id"), col("label"),
+        col("embedding"))
+      .withColumn("ingest_batch", lit(BandIndex.BaseBatch))
+      .write
+      .bucketBy(Buckets, "cluster").sortBy("cluster")
+      .option("path", s"$path/cells")
+      .mode(SaveMode.Overwrite)
+      .saveAsTable(cellsTable(prefix))
+  }
+
+  /** [[filteredProbe]] served from a COVERING index
+    * ([[persistCovering]]): the label predicate reads the cell row
+    * itself — the probe plan holds exactly one corpus-sized scan
+    * (the bucketed cells) and two bounded raw-embeddings scans
+    * (query batch, centroids), both with their `vec_id <` bound
+    * pushed. Decisions are DEFINED identical to [[filteredProbe]]'s
+    * (same assignment, same predicate, same ranking), so sim23
+    * shares sim22's oracle; VecIndexSpec asserts both the
+    * row-identity and the no-dim-join plan property. */
+  def coveringFilteredProbe(spark: SparkSession, dir: String,
+      prefix: String): DataFrame = {
+    VectorExprs.register(spark)
+    val queries = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < Similarity.KnnQueries)
+      .select("vec_id", "embedding", "label")
+    val probes = queries.crossJoin(broadcast(centroids(spark, dir)))
+      .withColumn("cos_c", expr("cosine_sim(embedding, ce)"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("vec_id")
+          .orderBy(col("cos_c").desc, col("cent_id").asc)))
+      .filter(col("crn") <= Similarity.IvfNProbe)
+      .select(col("vec_id").as("query_id"), col("cent_id").as("cluster"),
+        col("embedding").as("qe"), col("label").as("qlabel"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cellFrame(spark, prefix)
+      .join(broadcast(probes), Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .filter(col("label") === col("qlabel"))
+      .withColumnRenamed("vec_id", "neighbor_id")
+      .withColumn("cos", expr("cosine_sim(qe, embedding)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= Similarity.LshK)
+      .select(col("query_id"), col("neighbor_id"), col("cluster"),
+        round(col("cos"), 6).as("cosine"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
   /** Streaming-safe ANN top-k core — the dataflow shared by the
     * batch catalog entry `st09_stream_ann_probe` (Streams.scala) and
     * the real readStream form StreamingSpec drives. `queries`
@@ -260,6 +332,52 @@ object VecIndex {
       .filter(col("vec_id") =!= col("query_id"))
       .join(labels, Seq("vec_id"))
       .filter(col("nlabel") === col("qlabel"))
+      .withColumn("cos", expr("cosine_sim(qe, embedding)"))
+    cand
+      .select(col("query_id"), col("ts"),
+        struct((-col("cos")).as("nc"), col("vec_id").as("neighbor_id"),
+          col("cluster"), round(col("cos"), 6).as("cosine")).as("s"))
+      .groupBy(window(col("ts"), "10 minutes"), col("query_id"))
+      .agg(expr(s"topk_struct(s, ${Similarity.LshK})").as("top"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("query_id"), explode(col("top")).as("t"))
+      .select(col("window_start"), col("query_id"),
+        col("t.neighbor_id").as("neighbor_id"),
+        col("t.cluster").as("cluster"),
+        col("t.cosine").as("cosine"))
+  }
+
+  /** [[filteredAnnTopK]] served from COVERING cells
+    * ([[persistCovering]]): the label predicate reads the cell row —
+    * the stream-static label dim join is gone, so each candidate row
+    * costs one stream-static join (the cells) instead of two. The
+    * 100 TB argument is sim23's, applied to the serving stream: at a
+    * large corpus the (vec_id, label) dim is a second
+    * corpus-cardinality input on every micro-batch. Decisions are
+    * DEFINED identical to [[filteredAnnTopK]]'s over the same
+    * corpus, so st17 shares st16's oracle. */
+  def coveringFilteredAnnTopK(spark: SparkSession, dir: String,
+      queries: DataFrame, cells: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{collect_list, date_format, explode, struct, window}
+    VectorExprs.register(spark)
+    val centArr = centroids(spark, dir)
+      .agg(collect_list(struct(col("cent_id"), col("ce"))).as("cents"))
+    val probes = queries
+      .crossJoin(broadcast(centArr))
+      .select(col("query_id"), col("ts"), col("embedding").as("qe"),
+        col("label").as("qlabel"),
+        explode(expr(
+          s"""slice(
+             |  transform(
+             |    array_sort(transform(cents,
+             |      c -> struct(-cosine_sim(embedding, c.ce) AS nc,
+             |                  c.cent_id AS cent_id))),
+             |    s -> s.cent_id),
+             |  1, ${Similarity.IvfNProbe})""".stripMargin)).as("cluster"))
+    val cand = cells.join(probes, Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .filter(col("label") === col("qlabel"))
       .withColumn("cos", expr("cosine_sim(qe, embedding)"))
     cand
       .select(col("query_id"), col("ts"),
@@ -1112,6 +1230,24 @@ object VecIndex {
           s"_s${serial.incrementAndGet()}"
         val path = BandIndex.newTempDir(s"vec$tag")
         persist(spark, dir, path, prefix)
+        prefix
+      })
+    })
+  }
+
+  /** [[ensurePersisted]] for the COVERING layout ([[persistCovering]])
+    * — its own registry key so the base and covering indexes coexist
+    * in one session (they are different durable artifacts). */
+  def ensureCoveringPersisted(spark: SparkSession, dir: String,
+      tag: String = "sim23"): String = {
+    val key = (spark, dir, s"covering-$tag")
+    persistedFor.get(key).getOrElse(persistLock.synchronized {
+      persistedFor.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+      persistedFor.getOrElseUpdate(key, {
+        val prefix = s"graft_vec_${tag}_${Integer.toHexString(dir.hashCode)}" +
+          s"_s${serial.incrementAndGet()}"
+        val path = BandIndex.newTempDir(s"vec$tag")
+        persistCovering(spark, dir, path, prefix)
         prefix
       })
     })

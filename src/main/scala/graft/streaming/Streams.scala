@@ -458,6 +458,15 @@ object Streams {
     graft.ops.VecIndex.filteredAnnTopK(spark, dir,
       queries.withWatermark("ts", delay), cells)
 
+  /** st17's real-stream form: [[graft.ops.VecIndex.coveringFilteredAnnTopK]]
+    * behind a watermark — the covering-index serving stream, label
+    * read from the cell row (no stream-static dim join). */
+  def coveringAnnProbeStream(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, cells: DataFrame,
+      delay: String = "30 minutes"): DataFrame =
+    graft.ops.VecIndex.coveringFilteredAnnTopK(spark, dir,
+      queries.withWatermark("ts", delay), cells)
+
   /** st12's real-stream form: [[graft.ops.VecIndex.pqAnnTopK]] behind
     * a watermark — ADC serving from the persisted IVF-PQ code cells. */
   def pqServeStream(spark: org.apache.spark.sql.SparkSession, dir: String,
@@ -783,6 +792,24 @@ object Streams {
         .orderBy("query_id", "neighbor_id")
     }),
 
+    // STREAMING COVERING-INDEX ANN (round 13, st17): st16's serving
+    // stream against the COVERING cells (sim23's layout) — the label
+    // predicate reads the cell row, so the per-micro-batch
+    // stream-static dim join is gone. Decisions = st16's (same
+    // assignment, same predicate, same ranking), so the oracle is
+    // shared; StreamingSpec drives a real readStream.
+    "st17_stream_covering_ann" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, expr}
+      val queries = graft.Tables.embeddings(s, d)
+        .filter(col("vec_id") < graft.ops.Similarity.KnnQueries)
+        .select(col("vec_id").as("query_id"), col("embedding"), col("label"),
+          expr("timestamp'2024-01-01 00:00:00' + make_dt_interval(0, 0, 0, vec_id)").as("ts"))
+      val prefix = graft.ops.VecIndex.ensureCoveringPersisted(s, d)
+      graft.ops.VecIndex.coveringFilteredAnnTopK(s, d, queries,
+          s.table(graft.ops.VecIndex.cellsTable(prefix)))
+        .orderBy("query_id", "neighbor_id")
+    }),
+
     // STREAMING ADMISSION PIPELINE (round 12, st15): the composed
     // ingest flow — eval/quality/langid gates (row-local), the
     // contamination check against the static broadcast eval shingle
@@ -844,7 +871,10 @@ object Streams {
     ("st15_stream_admission" -> graft.ops.Pipeline.st15Sql) +
     // st16 = sim22's decisions behind the arrival window (the st09
     // wrapper shape over the filtered-ANN oracle).
-    ("st16_stream_filtered_ann" -> st16OracleSql)
+    ("st16_stream_filtered_ann" -> st16OracleSql) +
+    // st17 = st16 served from the covering cells; decisions defined
+    // identical, so the oracle is shared.
+    ("st17_stream_covering_ann" -> st16OracleSql)
 
   private lazy val st12OracleSql: String = {
     import graft.ops.Similarity.KnnQueries

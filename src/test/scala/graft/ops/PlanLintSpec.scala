@@ -92,6 +92,7 @@ class PlanLintSpec extends SparkSpec {
     // static estimate is garbage; the crossJoin is explicitly
     // broadcast-hinted
     "sim07_pq_adc",
+    "sim24_opq_adc", // sim07's codebook chain over the permuted frame
     "sim12_pq_train_eval", // embeds both sim07 codebook modes
     // SemDeDup centroid frame (Similarity.scala `cents`): reps
     // crossJoin'd with a broadcast 1-row ncells frame, filtered to
@@ -169,6 +170,9 @@ class PlanLintSpec extends SparkSpec {
     // occupancy-total window over GROUP BY cluster — ≤ IvfCentroids
     // (16) rows by construction, never the corpus
     "dq07_cell_drift",
+    // OPQ variance rank: window input is the Dims-row (64) per-dim
+    // variance frame, never the corpus
+    "sim24_opq_adc",
     // ds09's bucket-offset form over pipe01's kept set — same
     // GROUP BY n bounded-domain argument as ds09
     "pipe02_shard_manifest")

@@ -199,6 +199,42 @@ class VecIndexSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("covering index: filtered probe loses the label dim join, decisions unchanged (sim23)") {
+    val base = VecIndex.ensurePersisted(spark, sf)
+    val cov = VecIndex.ensureCoveringPersisted(spark, sf)
+    // decisions are DEFINED identical to the dim-join form's
+    val viaDim = VecIndex.filteredProbe(spark, sf, base)
+      .collect().map(_.toString).toSeq
+    val viaCov = VecIndex.coveringFilteredProbe(spark, sf, cov)
+      .collect().map(_.toString).toSeq
+    assert(viaCov == viaDim, "covering layout changed the decisions")
+    assert(viaCov.nonEmpty, "covering probe returned no rows")
+    // THE plan property: exactly one corpus-sized scan (the covering
+    // cells, label included); every remaining raw-embeddings scan is
+    // a bounded query/centroid frame with its vec_id bound PUSHED —
+    // the (vec_id, label) dimension scan is gone
+    val frame = VecIndex.coveringFilteredProbe(spark, sf, cov)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = frame.queryExecution.executedPlan
+      val scans = plan.collect { case s: FileSourceScanExec => s }
+      val cellScans = scans.filter(
+        _.relation.location.rootPaths.exists(_.toString.contains("vecsim23")))
+      assert(cellScans.size == 1,
+        s"expected exactly one covering-cell scan:\n$plan")
+      assert(cellScans.head.schema.fieldNames.contains("label"),
+        "covering-cell scan does not carry the colocated label")
+      val rawScans = scans.filter(
+        _.relation.location.rootPaths.exists(_.toString.contains("embeddings.parquet")))
+      assert(rawScans.nonEmpty, s"probe lost its query/centroid scans:\n$plan")
+      rawScans.foreach { s =>
+        val pushed = s.metadata.getOrElse("PushedFilters", "")
+        assert(pushed.contains("LessThan(vec_id"),
+          s"unbounded raw-embeddings scan — the dim join is back:\n$s")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("IVF-PQ probe serves from code cells: raw corpus vectors are off the read path") {
     // sim18's plan property: the ADC serving plan reads the persisted
     // CODE cells once (cluster, vec_id, c0..cM-1 — no embedding

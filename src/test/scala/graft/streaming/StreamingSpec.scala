@@ -549,6 +549,66 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming covering-index ANN equals st16's decisions without the dim join (st17)") {
+    // sim23's layout on the serving stream: the label predicate reads
+    // the covering cell row, so the per-micro-batch stream-static dim
+    // join is gone. Must equal the st16 batch analog row for row (the
+    // shared-oracle claim), and the streaming plan must hold no
+    // unbounded embeddings scan beyond the cells.
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorExprs.register(spark)
+    val sf = "/root/testdata/sf0.001"
+    val st16 = graft.SparkEntry.queries("st16_stream_filtered_ann")(spark, sf).collect()
+    val batch = graft.SparkEntry.queries("st17_stream_covering_ann")(spark, sf).collect()
+    assert(batch.nonEmpty, "batch analog returned no rows")
+    assert(batch.map(_.toSeq).toSeq === st16.map(_.toSeq).toSeq,
+      "covering-cells decisions diverge from the dim-join form")
+    val prefix = graft.ops.VecIndex.ensureCoveringPersisted(spark, sf)
+    val srcDir = Files.createTempDirectory("graft-st17").toString
+    def stamp(sub: String): Unit = {
+      val t = mtimeClock.addAndGet(2000)
+      Files.walk(Paths.get(srcDir, sub)).iterator().forEachRemaining { p =>
+        if (Files.isRegularFile(p))
+          Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime.fromMillis(t))
+      }
+    }
+    val queries = graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < graft.ops.Similarity.KnnQueries)
+      .select(col("vec_id").as("query_id"), col("embedding"), col("label"),
+        expr("timestamp'2024-01-01 00:00:00' + make_dt_interval(0, 0, 0, vec_id)").as("ts"))
+    queries.filter(col("query_id") % 2 === 0).coalesce(1).write.parquet(s"$srcDir/part_a")
+    stamp("part_a")
+    queries.filter(col("query_id") % 2 =!= 0).coalesce(1).write.parquet(s"$srcDir/part_b")
+    stamp("part_b")
+    // watermark advancers: far-future sentinel queries close the
+    // 2024-01-01 windows so append mode emits them (st16's device)
+    Seq(("999999998", "2024-06-01"), ("999999999", "2024-06-02"))
+      .zipWithIndex.foreach { case ((id, day), i) =>
+        graft.Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+          .select(lit(id.toLong).as("query_id"), col("embedding"), col("label"),
+            expr(s"timestamp'$day 00:00:00'").as("ts"))
+          .coalesce(1).write.parquet(s"$srcDir/part_z$i")
+        stamp(s"part_z$i")
+      }
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$srcDir/part_a").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$srcDir/part_*")
+    val q = Streams.coveringAnnProbeStream(spark, sf, stream,
+        spark.table(graft.ops.VecIndex.cellsTable(prefix)))
+      .writeStream.format("memory").queryName("st17_out").outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("st17_out")
+        .filter(col("query_id") < 999999998L)
+        .orderBy("query_id", "neighbor_id").collect()
+      assert(streamed.nonEmpty, "no streamed covering-ANN rows emitted")
+      assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq,
+        "streamed covering top-k diverges from the batch analog")
+    } finally q.stop()
+  }
+
   test("foreachBatch index-maintenance loop over a real stream equals the sequenced cycle (st07)") {
     // The production ingest LOOP: each micro-batch probes the current
     // persisted index, emits its decisions, and appends its novel
