@@ -57,6 +57,18 @@ object Curation {
       .select(col("t.t1").as("t1"), col("t.t2").as("t2"))
   private val tokensSql = TextAnalysis.tokensSql
 
+  /** cur08: C4-style boilerplate removal unit — fixed-width token
+    * chunks (this corpus has no line structure, so the chunk grid is
+    * the segment unit, tx11's convention) flagged when the SAME chunk
+    * appears in ≥ [[BoilerMinDocs]] distinct documents (C4 discarded
+    * any line occurring ≥ 3 times; CCNet dedups paragraphs by hash).
+    * The frequency table groups on a 60-bit chunk hash so the
+    * exchange moves fixed-width longs, never text (dd11's argument);
+    * the sub-chunk tail of each doc is KEPT verbatim (segments
+    * shorter than the unit are never boilerplate-tested). */
+  val BoilerChunk = 16
+  val BoilerMinDocs = 3
+
   /** Per-mille keep thresholds per stratum for ds02 (src0 is
     * over-represented in the corpus, so it is down-sampled hardest —
     * the usual domain-rebalancing move). */
@@ -633,6 +645,54 @@ object Curation {
             .when(col("bin") <= col("t2"), "middle")
             .otherwise("tail").as("bucket"))
         .orderBy("doc_id")
+    }),
+
+    // Boilerplate strip (cur08; round 13): the C4/CCNet cleaning
+    // stage this engine was missing — segments repeated across
+    // [[BoilerMinDocs]]+ documents ("click here to subscribe") are
+    // cut from every document, and the cleaned text is reassembled in
+    // segment order. One tokenize pass → chunk grid → 60-bit-hash
+    // frequency table (map-side-combinable countDistinct, fixed-width
+    // exchange) → join back → per-doc ordered reassembly (collect_list
+    // is doc-length-bounded, never corpus). clean_text is defined
+    // over the tokenized stream (lower + single-space), so both
+    // engines agree byte for byte.
+    "cur08_boilerplate_strip" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .withColumn("tokens", expr(tokensExpr))
+        .withColumn("nch", expr(s"CAST(size(tokens) DIV $BoilerChunk AS INT)"))
+        .select(col("doc_id"), col("tokens"), col("nch"))
+      val ch = base.select(col("doc_id"),
+          posexplode_outer(expr(
+            s"""CASE WHEN nch >= 1
+               |  THEN transform(sequence(0, nch - 1),
+               |    i -> concat_ws(' ', slice(tokens, i * $BoilerChunk + 1, $BoilerChunk)))
+               |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+            .as(Seq("idx", "chunk")))
+        .filter(col("chunk").isNotNull)
+        .withColumn("chash", expr(Portable.phashExpr("chunk")))
+      val freq = ch.groupBy("chash")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      val perDoc = ch.join(freq, "chash")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("nd") >= BoilerMinDocs, 1L).otherwise(0L)).as("n_boiler"),
+          expr(s"""array_join(
+                  |  transform(
+                  |    array_sort(collect_list(
+                  |      CASE WHEN nd < $BoilerMinDocs THEN struct(idx, chunk) END)),
+                  |    t -> t.chunk),
+                  |  ' ')""".stripMargin).as("body"))
+      base
+        .withColumn("tail",
+          expr(s"concat_ws(' ', slice(tokens, nch * $BoilerChunk + 1, size(tokens)))"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+          coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+          expr("concat_ws(' ', nullif(coalesce(body, ''), ''), nullif(tail, ''))")
+            .as("clean_text"))
+        .orderBy("doc_id")
     })
   )
 
@@ -936,6 +996,50 @@ object Curation {
          |            WHEN bin <= t1 THEN 'head'
          |            WHEN bin <= t2 THEN 'middle'
          |            ELSE 'tail' END AS bucket
-         |FROM documents d LEFT JOIN b ON b.doc_id = d.doc_id, th ORDER BY doc_id""".stripMargin
+         |FROM documents d LEFT JOIN b ON b.doc_id = d.doc_id, th ORDER BY doc_id""".stripMargin,
+
+    // mirrors cur08 stage for stage: tokenize → chunk grid (1-based
+    // slices in DuckDB) → chunk-hash document frequency → flag at
+    // BoilerMinDocs → ordered reassembly, sub-chunk tail appended
+    "cur08_boilerplate_strip" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, $tokensSql AS tokens FROM documents
+         |),
+         |base AS (
+         |  SELECT doc_id, tokens,
+         |         CAST(floor(len(tokens) / $BoilerChunk.0) AS INT) AS nch
+         |  FROM tok
+         |),
+         |ch AS (
+         |  SELECT doc_id, s.idx AS idx, s.chunk AS chunk,
+         |         ${Portable.phashSql("s.chunk")} AS chash
+         |  FROM (
+         |    SELECT doc_id,
+         |           unnest(CASE WHEN nch >= 1
+         |             THEN list_transform(generate_series(0, nch - 1),
+         |               i -> struct_pack(idx := i,
+         |                 chunk := array_to_string(
+         |                   tokens[(i * $BoilerChunk + 1):((i + 1) * $BoilerChunk)], ' ')))
+         |             ELSE [] END) AS s
+         |    FROM base) z
+         |),
+         |freq AS (SELECT chash, count(DISTINCT doc_id) AS nd FROM ch GROUP BY chash),
+         |agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         |         CAST(sum(CASE WHEN nd >= $BoilerMinDocs THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+         |         string_agg(chunk, ' ' ORDER BY idx)
+         |           FILTER (WHERE nd < $BoilerMinDocs) AS body
+         |  FROM ch JOIN freq USING (chash)
+         |  GROUP BY doc_id
+         |)
+         |SELECT b.doc_id,
+         |       coalesce(n_chunks, 0) AS n_chunks,
+         |       coalesce(n_boiler, 0) AS n_boiler,
+         |       concat_ws(' ', nullif(coalesce(body, ''), ''),
+         |                 nullif(array_to_string(
+         |                   tokens[(nch * $BoilerChunk + 1):len(tokens)], ' '), ''))
+         |         AS clean_text
+         |FROM base b LEFT JOIN agg USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
   )
 }

@@ -681,6 +681,49 @@ object Dedup {
         .orderBy("doc_id")
     }),
 
+    // Multi-scale duplicated-span profile (dd21; round 13): dd11 at
+    // dyadic span lengths {8, 16, 32} — per doc, how many positions
+    // start a gram that occurs ≥ 2 times corpus-wide at each scale,
+    // and the LARGEST scale with any repeat. This is Lee et al.'s
+    // ExactSubstr span-length question answered at dyadic resolution
+    // WITHOUT a suffix array: a distributed SA costs log(n) global
+    // sorts (it is sort-based by nature), while each dyadic level
+    // here is one map-side-combinable gram-hash aggregate over
+    // fixed-width longs — no sort, no window, no text in the
+    // exchange. Resolution is the honest tradeoff: a doc whose true
+    // max span is 20 reports max_scale 16. Levels share one
+    // memoized tokenize pass.
+    "dd21_dup_span_scale" -> ((s, d) => {
+      val scales = Seq(8, 16, 32)
+      val tok = memoFrame(s, d, "dd21_tok")(Tables.documents(s, d)
+        .withColumn("tokens", expr(tokensExpr))
+        .select(col("doc_id"), col("tokens"))
+        .cache())
+      def dups(l: Int): DataFrame = {
+        // explode_outer + isnotnull: the round-4 inferred-filter
+        // lesson (computed arrays explode outer)
+        val grams = tok.select(col("doc_id"),
+            explode_outer(expr(TextAnalysis.gramsExpr(l))).as("gram"))
+          .filter(col("gram").isNotNull)
+          .select(col("doc_id"), expr(Portable.phashExpr("gram")).as("gh"))
+        val occ = grams.groupBy("gh").agg(count(lit(1)).as("occ"))
+        grams.join(occ, "gh").filter(col("occ") >= 2)
+          .groupBy("doc_id").agg(count(lit(1)).as(s"d$l"))
+      }
+      val spine = tok.select(col("doc_id"),
+        expr("CAST(size(tokens) AS BIGINT)").as("n_tokens"))
+      scales.foldLeft(spine)((df, l) => df.join(dups(l), Seq("doc_id"), "left"))
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("d8"), lit(0L)).as("d8"),
+          coalesce(col("d16"), lit(0L)).as("d16"),
+          coalesce(col("d32"), lit(0L)).as("d32"),
+          expr("""CASE WHEN coalesce(d32, 0) > 0 THEN 32
+                 |     WHEN coalesce(d16, 0) > 0 THEN 16
+                 |     WHEN coalesce(d8, 0) > 0 THEN 8
+                 |     ELSE 0 END""".stripMargin).as("max_scale"))
+        .orderBy("doc_id")
+    }),
+
     // PageRank over the near-dup graph (dd07's sibling: CC answers
     // "which docs form one duplicate family", PageRank answers "which
     // doc is the family's center" — the natural canonical-document
@@ -1379,6 +1422,36 @@ object Dedup {
          |             / CAST(count(*) AS DOUBLE), 6) AS dup_frac
          |FROM g JOIN df USING (gh)
          |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin,
+
+    // mirrors dd21 level for level: per-position gram hashes, total
+    // occurrence counts, dup positions per doc at each dyadic scale
+    "dd21_dup_span_scale" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, $tokensSql AS tokens FROM documents
+         |),
+         |${Seq(8, 16, 32).map { l =>
+             s"""g$l AS (
+                |  SELECT doc_id, ${Portable.phashSql("gram")} AS gh
+                |  FROM (SELECT doc_id, unnest(${TextAnalysis.gramsSql(l)}) AS gram FROM tok) z$l
+                |),
+                |o$l AS (SELECT gh, count(*) AS occ FROM g$l GROUP BY gh),
+                |dup$l AS (
+                |  SELECT doc_id, CAST(count(*) AS BIGINT) AS d$l
+                |  FROM g$l JOIN o$l USING (gh) WHERE occ >= 2 GROUP BY doc_id
+                |)""".stripMargin
+           }.mkString(",\n")}
+         |SELECT t.doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens,
+         |       coalesce(d8, 0) AS d8, coalesce(d16, 0) AS d16,
+         |       coalesce(d32, 0) AS d32,
+         |       CASE WHEN coalesce(d32, 0) > 0 THEN 32
+         |            WHEN coalesce(d16, 0) > 0 THEN 16
+         |            WHEN coalesce(d8, 0) > 0 THEN 8
+         |            ELSE 0 END AS max_scale
+         |FROM tok t
+         |LEFT JOIN dup8 USING (doc_id)
+         |LEFT JOIN dup16 USING (doc_id)
+         |LEFT JOIN dup32 USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "g01_pagerank" -> {
       def iter(k: Int): String =

@@ -113,6 +113,32 @@ class AnalyticsSpec extends SparkSpec {
         "full-text duplicates must be fully span-duplicated")
   }
 
+  // --- dd21_dup_span_scale ---------------------------------------------
+
+  test("dup span scale: monotone down the ladder, max_scale consistent, exact dups saturate") {
+    val rows = q("dd21_dup_span_scale").collect()
+    rows.foreach { r =>
+      val (n, d8, d16, d32, ms) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("d8"),
+        r.getAs[Long]("d16"), r.getAs[Long]("d32"), r.getAs[Int]("max_scale"))
+      // a duplicated 32-gram's start position also starts a duplicated
+      // 16-gram and 8-gram (prefix containment) — counts are monotone
+      // non-increasing up the ladder
+      assert(d32 <= d16 && d16 <= d8, s"ladder not monotone: $r")
+      assert(d8 <= math.max(0L, n - 8 + 1), s"more dup positions than positions: $r")
+      val expectedMs = if (d32 > 0) 32 else if (d16 > 0) 16 else if (d8 > 0) 8 else 0
+      assert(ms == expectedMs, s"max_scale inconsistent: $r")
+    }
+    // exact-duplicate texts (dd01's subject) saturate every scale
+    // their length supports
+    val dupTexts = Tables.documents(spark, sf)
+      .groupBy("text").agg(count(lit(1)).as("c"),
+        min(expr("size(filter(split(lower(text), ' +'), t -> t <> ''))")).as("len"))
+      .filter(col("c") >= 2 && col("len") >= 32).count()
+    if (dupTexts > 0)
+      assert(rows.exists(_.getAs[Int]("max_scale") == 32),
+        "full-text duplicates of length >= 32 must saturate the ladder")
+  }
+
   // --- r02_transitions -----------------------------------------------
 
   test("transitions: rows per from_type sum to probability 1 and pair counts to n-1 per user") {

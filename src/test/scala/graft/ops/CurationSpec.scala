@@ -82,4 +82,39 @@ class CurationSpec extends SparkSpec {
     // and it actually gates something
     assert(rows.length < Tables.documents(spark, sf).count())
   }
+
+  test("boilerplate strip removes exactly the corpus-frequent chunks and keeps order") {
+    val rows = q("cur08_boilerplate_strip").collect()
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("doc_id",
+        s"filter(split(lower(text), ' +'), t -> t <> '') AS tokens")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(rows.length == docs.size, "one output row per document")
+    // the stage bites at this SF
+    assert(rows.map(_.getLong(2)).sum > 0, "no boilerplate flagged — vacuous fixture")
+    // recompute chunk document frequencies independently
+    val C = Curation.BoilerChunk
+    val chunkDocs = scala.collection.mutable.Map.empty[String, Set[Long]]
+    docs.foreach { case (id, toks) =>
+      toks.grouped(C).filter(_.length == C).foreach { c =>
+        val k = c.mkString(" ")
+        chunkDocs(k) = chunkDocs.getOrElse(k, Set.empty) + id
+      }
+    }
+    rows.foreach { r =>
+      val (id, nCh, nBo, clean) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+      val toks = docs(id)
+      val chunks = toks.grouped(C).filter(_.length == C).map(_.mkString(" ")).toSeq
+      assert(nCh == chunks.length, s"doc $id chunk count")
+      val kept = chunks.filter(c => chunkDocs(c).size < Curation.BoilerMinDocs)
+      assert(nBo == chunks.length - kept.length, s"doc $id boiler count")
+      val tail = toks.drop(chunks.length * C)
+      val expected = (kept ++ (if (tail.nonEmpty) Seq(tail.mkString(" ")) else Nil))
+        .mkString(" ")
+      assert(clean == expected, s"doc $id clean_text mismatch")
+      // idempotence-adjacent sanity: no flagged chunk survives
+      kept.foreach(c => assert(chunkDocs(c).size < Curation.BoilerMinDocs))
+    }
+  }
 }
