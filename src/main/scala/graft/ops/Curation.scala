@@ -647,6 +647,69 @@ object Curation {
         .orderBy("doc_id")
     }),
 
+    // Contrastive pair mining (ds11; round 13): the training-data
+    // constructor an embedding-model team runs over a curated corpus
+    // — per anchor vector, one POSITIVE (its highest-cosine in-cell
+    // neighbor at or above Similarity.DupThreshold — the SemDeDup
+    // "same meaning" band) and one HARD NEGATIVE (the highest-cosine
+    // in-cell neighbor BELOW the threshold: close enough to be
+    // informative, far enough to be a true negative — in-batch
+    // random negatives are easy; hard negatives come from exactly
+    // this near-miss band). Candidates form only inside the √n-cell
+    // quantizer's cells (dd14's assignment, never all-pairs) and
+    // carry 8-byte ids until the single re-join that scores them —
+    // dd06's exchange argument. CANONICALIZE-FIRST (dd06's guard,
+    // and the honest semantics): byte-identical embeddings are
+    // deduplicated to their min-id rep before mining — identical
+    // pairs teach a contrastive loss nothing (cos 1), a real
+    // pipeline dedupes before pair mining, and without the guard a
+    // dup-stacked corpus blows up quadratically inside cells
+    // (measured 65.6× at a 100× replica before; see SCALE_NOTES).
+    // Anchors with no in-cell positive are dropped (no pair to train
+    // on); a missing hard negative emits NULL (the trainer falls
+    // back to in-batch negatives). Ranking is (cosine DESC, cand
+    // ASC) on the raw bit-identical cosine, so the oracle replays
+    // the choice exactly.
+    "ds11_contrastive_pairs" -> ((s, d) => {
+      graft.functions.VectorExprs.register(s)
+      val e = Tables.embeddings(s, d)
+        .groupBy("embedding").agg(min(col("vec_id")).as("vec_id"))
+        .select("vec_id", "embedding")
+      val nc = e.agg(ceil(sqrt(count(lit(1)).cast("double"))).cast("long").as("ncells"))
+      val cents = e.crossJoin(broadcast(nc)).filter(col("vec_id") < col("ncells"))
+        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("cos_c", expr("cosine_sim(embedding, ce)"))
+        .withColumn("crn", row_number().over(
+          Window.partitionBy("vec_id")
+            .orderBy(col("cos_c").desc, col("cent_id").asc)))
+        .filter(col("crn") === 1)
+        .select(col("vec_id"), col("cent_id").as("cluster"))
+      val pairs = assigned.as("a").join(assigned.as("b"),
+          col("a.cluster") === col("b.cluster") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("anchor"), col("b.vec_id").as("cand"))
+        .join(e.toDF("anchor", "ea"), "anchor")
+        .join(e.toDF("cand", "eb"), "cand")
+        .withColumn("cos", expr("cosine_sim(ea, eb)"))
+        .select("anchor", "cand", "cos")
+      val w = Window.partitionBy("anchor")
+        .orderBy(col("cos").desc, col("cand").asc)
+      val tau = Similarity.DupThreshold
+      val pos = pairs.filter(col("cos") >= tau)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("anchor"), col("cand").as("pos_id"),
+          round(col("cos"), 6).as("pos_cosine"))
+      val neg = pairs.filter(col("cos") < tau)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("anchor"), col("cand").as("neg_id"),
+          round(col("cos"), 6).as("neg_cosine"))
+      pos.join(neg, Seq("anchor"), "left")
+        .select(col("anchor").as("anchor_id"), col("pos_id"),
+          col("pos_cosine"), col("neg_id"), col("neg_cosine"))
+        .orderBy("anchor_id")
+    }),
+
     // Boilerplate strip (cur08; round 13): the C4/CCNet cleaning
     // stage this engine was missing — segments repeated across
     // [[BoilerMinDocs]]+ documents ("click here to subscribe") are
@@ -997,6 +1060,59 @@ object Curation {
          |            WHEN bin <= t2 THEN 'middle'
          |            ELSE 'tail' END AS bucket
          |FROM documents d LEFT JOIN b ON b.doc_id = d.doc_id, th ORDER BY doc_id""".stripMargin,
+
+    // mirrors ds11 move for move: √n-cell argmax assignment, in-cell
+    // candidate pairs both directions, (cosine DESC, cand ASC) rank
+    // per band, positives joined left to hard negatives
+    "ds11_contrastive_pairs" -> {
+      val dot = Similarity.dotSql("ea.embedding", "eb.embedding")
+      s"""WITH canon AS (
+         |  SELECT min(vec_id) AS vec_id, embedding FROM embeddings GROUP BY embedding
+         |),
+         |e AS (
+         |  SELECT vec_id, embedding,
+         |         sqrt(${Similarity.dotSql("embedding", "embedding")}) AS norm
+         |  FROM canon
+         |),
+         |nc AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS ncells FROM e),
+         |cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS ce, norm AS cnorm
+         |  FROM e, nc WHERE vec_id < ncells
+         |),
+         |scored AS (
+         |  SELECT e.vec_id, c.cent_id,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY ${Similarity.dotSql("e.embedding", "c.ce")} / (e.norm * c.cnorm) DESC,
+         |                    c.cent_id ASC) AS crn
+         |  FROM e, cents c
+         |),
+         |assigned AS (SELECT vec_id, cent_id AS cluster FROM scored WHERE crn = 1),
+         |pr AS (
+         |  SELECT a.vec_id AS anchor, b.vec_id AS cand,
+         |         $dot / (ea.norm * eb.norm) AS cos
+         |  FROM assigned a
+         |  JOIN assigned b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+         |  JOIN e ea ON ea.vec_id = a.vec_id
+         |  JOIN e eb ON eb.vec_id = b.vec_id
+         |),
+         |pos AS (
+         |  SELECT anchor, cand AS pos_id, round(cos, 6) AS pos_cosine
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY anchor
+         |                    ORDER BY cos DESC, cand ASC) AS rn
+         |        FROM pr WHERE cos >= ${Similarity.DupThreshold}) t
+         |  WHERE rn = 1
+         |),
+         |neg AS (
+         |  SELECT anchor, cand AS neg_id, round(cos, 6) AS neg_cosine
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY anchor
+         |                    ORDER BY cos DESC, cand ASC) AS rn
+         |        FROM pr WHERE cos < ${Similarity.DupThreshold}) t
+         |  WHERE rn = 1
+         |)
+         |SELECT pos.anchor AS anchor_id, pos_id, pos_cosine, neg_id, neg_cosine
+         |FROM pos LEFT JOIN neg USING (anchor)
+         |ORDER BY anchor_id""".stripMargin
+    },
 
     // mirrors cur08 stage for stage: tokenize → chunk grid (1-based
     // slices in DuckDB) → chunk-hash document frequency → flag at

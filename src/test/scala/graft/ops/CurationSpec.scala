@@ -83,6 +83,58 @@ class CurationSpec extends SparkSpec {
     assert(rows.length < Tables.documents(spark, sf).count())
   }
 
+  test("contrastive pairs: bands respected, ids distinct, choices are in-cell argmaxes") {
+    graft.functions.VectorExprs.register(spark)
+    val rows = q("ds11_contrastive_pairs").collect()
+    assert(rows.nonEmpty, "no anchors mined — vacuous fixture")
+    val tau = Similarity.DupThreshold
+    rows.foreach { r =>
+      val (a, p, pc) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(a != p, s"anchor paired with itself: $r")
+      assert(pc >= tau - 1e-9, s"positive below band: $r")
+      if (!r.isNullAt(3)) {
+        val (n, ncos) = (r.getLong(3), r.getDouble(4))
+        assert(n != a && n != p, s"negative collides: $r")
+        assert(ncos < tau + 1e-9, s"negative inside the positive band: $r")
+        assert(ncos <= pc + 1e-9, s"negative scores above the positive: $r")
+      }
+    }
+    // brute-force recheck at this SF: recompute the canonicalized
+    // cell assignment and verify each anchor's choices are the
+    // in-cell argmaxes
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, sf)
+      .groupBy("embedding").agg(min(col("vec_id")).as("vec_id"))
+      .select("vec_id", "embedding")
+    val nc = e.agg(ceil(sqrt(count(lit(1)).cast("double"))).cast("long").as("ncells"))
+    val cents = e.crossJoin(broadcast(nc)).filter(col("vec_id") < col("ncells"))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("cos_c", expr("cosine_sim(embedding, ce)"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("cos_c").desc, col("cent_id").asc)))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("cent_id").as("cluster"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val embs = e.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    def cos(x: Seq[Double], y: Seq[Double]): Double = {
+      val dot = x.zip(y).map { case (u, v) => u * v }.sum
+      dot / (math.sqrt(x.map(u => u * u).sum) * math.sqrt(y.map(v => v * v).sum))
+    }
+    rows.foreach { r =>
+      val a = r.getLong(0)
+      val inCell = assigned.collect {
+        case (v, c) if c == assigned(a) && v != a => v -> cos(embs(a), embs(v))
+      }.toSeq
+      val bestPos = inCell.filter(_._2 >= tau - 1e-9)
+        .sortBy { case (v, c) => (-c, v) }.headOption
+      assert(bestPos.exists(_._1 == r.getLong(1)),
+        s"anchor $a positive is not the in-cell argmax: got ${r.getLong(1)}, " +
+          s"expected ${bestPos.map(_._1)}")
+    }
+  }
+
   test("boilerplate strip removes exactly the corpus-frequent chunks and keeps order") {
     val rows = q("cur08_boilerplate_strip").collect()
     val docs = Tables.documents(spark, sf)

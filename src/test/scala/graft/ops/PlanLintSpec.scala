@@ -102,6 +102,12 @@ class PlanLintSpec extends SparkSpec {
     // selectivity for the computed-scalar comparison — same
     // runtime-bounded-cells pattern as dd06/dd08/sim06
     "dd14_semantic_dedup",
+    // ds11 reuses dd14's √n-cell centroid frame (reps crossJoin'd
+    // with the broadcast 1-row ncells count, filtered vec_id < ncells
+    // → ⌈√n⌉ rows by construction, broadcast-hinted) — the same
+    // runtime-bounded-cells pattern; the optimizer has no selectivity
+    // for the computed-scalar comparison
+    "ds11_contrastive_pairs",
     // embeds sim06's two-level quantizer twice (1-probe and
     // multi-probe variants share twoLevelParts) → the same
     // runtime-bounded ⌈n^¼⌉/√n cell frames, broadcast-hinted
