@@ -106,6 +106,82 @@ object Bench {
     }
   }
 
+  /** The prior artifact's per-phase map (`"phases":{"dd17":{"persist":
+    * 3.11,…},…}`) — nested one level, parsed with the same no-library
+    * discipline as [[extractQueries]]. */
+  private[graft] def extractPhases(json: String): Map[String, Map[String, Double]] = {
+    val start = json.indexOf("\"phases\":{")
+    if (start < 0) Map.empty
+    else {
+      // the phases object nests one level: scan to its matching brace
+      var i = start + 9
+      var depth = 0
+      var end = -1
+      while (end < 0 && i < json.length) {
+        json.charAt(i) match {
+          case '{' => depth += 1
+          case '}' => depth -= 1; if (depth == 0) end = i
+          case _ =>
+        }
+        i += 1
+      }
+      if (end < 0) Map.empty
+      else {
+        val sub = json.substring(start + 10, end)
+        val tagPat = java.util.regex.Pattern
+          .compile("\"([A-Za-z0-9_]+)\":\\{([^}]*)\\}").matcher(sub)
+        val out = scala.collection.mutable.Map.empty[String, Map[String, Double]]
+        while (tagPat.find()) {
+          val inner = java.util.regex.Pattern
+            .compile("\"([A-Za-z0-9_]+)\":(-?[0-9.]+)").matcher(tagPat.group(2))
+          val m = scala.collection.mutable.Map.empty[String, Double]
+          while (inner.find()) m(inner.group(1)) = inner.group(2).toDouble
+          out(tagPat.group(1)) = m.toMap
+        }
+        out.toMap
+      }
+    }
+  }
+
+  /** Phases whose wall time is raw bucketed-parquet WRITE I/O
+    * (fixture rebuild + ingest), not the graded operator decision —
+    * the host-bandwidth antenna the guard must not listen to
+    * (round-14, VERDICT r13 item 3: the maintenance-cycle fixtures
+    * are ~18% of total wall and dominated by these phases, so every
+    * host-bandwidth wobble read as a bench swing). */
+  private[graft] val WritePhases = Set("persist", "append")
+
+  /** GRADED common-subset ratio: like the raw common ratio, but a
+    * query with a per-phase breakdown in BOTH artifacts contributes
+    * only its graded phases (probe/compact/retire/replay/… — every
+    * phase not in [[WritePhases]]); queries without phase rows
+    * contribute their full wall. This is the ratio the acceptance
+    * guard trusts on a degraded host: raw write-phase wall moves
+    * with host bandwidth, the graded phases move with the code. */
+  private[graft] def gradedCommonRatio(
+      cur: Map[String, Double], prior: Map[String, Double],
+      curPhases: Map[String, Map[String, Double]],
+      priorPhases: Map[String, Map[String, Double]]): Double = {
+    val common = cur.keySet.intersect(prior.keySet)
+      .filter(k => cur(k) >= 0 && prior(k) >= 0)
+    def graded(q: String,
+        phases: Map[String, Map[String, Double]]): Option[Double] =
+      phases.collectFirst {
+        case (tag, ps) if q.startsWith(tag + "_") && ps.nonEmpty =>
+          ps.collect { case (p, v) if !WritePhases(p) => v }.sum
+      }.filter(_ > 0)
+    val pairs = common.toSeq.map { q =>
+      (graded(q, curPhases), graded(q, priorPhases)) match {
+        // graded lane only when BOTH sides have phase rows — a
+        // one-sided breakdown would compare a phase sum to full wall
+        case (Some(c), Some(p)) => (c, p)
+        case _                  => (cur(q), prior(q))
+      }
+    }
+    val priorSum = pairs.map(_._2).sum
+    if (priorSum > 0) pairs.map(_._1).sum / priorSum else 1.0
+  }
+
   /** Rolling best-observed host axes (BENCH_AXES.json): the minimum
     * all-core CPU reference, minimum trivial-scan, and maximum memory
     * bandwidth any accepted sweep has measured on this box. This is
@@ -113,7 +189,7 @@ object Bench {
     * axes would let a polluted artifact (the round-11 blemish: 105.2 ms
     * all-core / 320 ms trivial committed as final) redefine "healthy"
     * downward; the best-ever record only ratchets toward health. */
-  private case class AxesRef(allCoreMs: Double, trivialMs: Double, memBwGbps: Double)
+  private[graft] case class AxesRef(allCoreMs: Double, trivialMs: Double, memBwGbps: Double)
 
   private val AxesPath = Paths.get("BENCH_AXES.json")
 
@@ -145,6 +221,32 @@ object Bench {
       (memBw < 0 || r.memBwGbps <= 0 || memBw >= r.memBwGbps * 0.90)
   }
 
+  /** COMPOUND axis-drift ratio (round-14, VERDICT r13 item 8): the
+    * product of each axis's worse-direction ratio vs the best-ever
+    * reference, clamped at 1 per axis so a better-than-best axis
+    * never masks a degraded one. The round-13 222-entry warm
+    * supplement passed the per-axis 10% bands with EVERY axis at the
+    * worse edge — individually in band, compounding to >1.1× of
+    * uniform host drift that then read as in-band bench movement.
+    * The per-axis band stays the `axes_ok` GATE (this box's probes
+    * wobble ±10% run to run — mem_bw sampled 66/89/81 GB/s in three
+    * consecutive idle probes, so a hard compound gate would flap);
+    * the compound ratio is STAMPED (`axes_compound`, with
+    * `axes_tight` = compound ≤ [[AxesTightMax]]) so a band-edge
+    * capture self-labels as degraded, and the acceptance guard
+    * treats compound > [[AxesCompoundSuspect]] like axes_ok=false. */
+  private[graft] def axesCompound(ref: Option[AxesRef], allCore: Double,
+      trivial: Double, memBw: Double): Double = ref.fold(1.0) { r =>
+    def worse(cur: Double, best: Double) =
+      if (cur <= 0 || best <= 0) 1.0 else math.max(1.0, cur / best)
+    worse(allCore, r.allCoreMs) * worse(trivial, r.trivialMs) *
+      (if (memBw < 0 || r.memBwGbps <= 0) 1.0
+       else math.max(1.0, r.memBwGbps / memBw))
+  }
+
+  private[graft] val AxesTightMax = 1.10
+  private[graft] val AxesCompoundSuspect = 1.15
+
   /** The shared axis GATE: starting from `firstCalib`, wait up to 10
     * minutes for all three host axes (all-core CPU ref, trivial scan,
     * memory bandwidth) to enter the best-ever band before a sweep.
@@ -155,24 +257,30 @@ object Bench {
     * showed the cold instrument needs this gate as much as the warm
     * one; its old guard banded only the CPU reference. */
   private[graft] def awaitAxes(firstCalib: graft.tools.LoadGuard.Calibration,
-      trivialProbe: () => Double): (Boolean, graft.tools.LoadGuard.Calibration, Double) = {
+      trivialProbe: () => Double): (Boolean, graft.tools.LoadGuard.Calibration, Double, Double) = {
     val axesRef = readAxesRef()
     var calibNow = firstCalib
     var trivialMs = Seq.fill(3)(trivialProbe()).min
-    var axesOk = axesInBand(axesRef, calibNow.cpuRefAllCoreMs, trivialMs,
+    def okNow() = axesInBand(axesRef, calibNow.cpuRefAllCoreMs, trivialMs,
       calibNow.memBwGbps)
+    def compoundNow() = axesCompound(axesRef, calibNow.cpuRefAllCoreMs,
+      trivialMs, calibNow.memBwGbps)
+    var axesOk = okNow()
+    var compound = compoundNow()
     val gateDeadline = System.nanoTime() + 600L * 1000000000L
-    while (!axesOk && System.nanoTime() < gateDeadline) {
+    // wait for TIGHT (per-axis band AND compound ≤ AxesTightMax) but
+    // settle for the per-axis band at the deadline — see axesCompound
+    while ((!axesOk || compound > AxesTightMax) && System.nanoTime() < gateDeadline) {
       System.err.println(f"[bench] axes out of band vs best-ever " +
         f"(all_core ${calibNow.cpuRefAllCoreMs}%.1f ms, trivial $trivialMs%.1f ms, " +
-        f"mem_bw ${calibNow.memBwGbps}%.1f GB/s vs $axesRef) — waiting")
+        f"mem_bw ${calibNow.memBwGbps}%.1f GB/s, compound $compound%.3f vs $axesRef) — waiting")
       Thread.sleep(30000)
       calibNow = graft.tools.LoadGuard.calibrate()
       trivialMs = Seq.fill(3)(trivialProbe()).min
-      axesOk = axesInBand(axesRef, calibNow.cpuRefAllCoreMs, trivialMs,
-        calibNow.memBwGbps)
+      axesOk = okNow()
+      compound = compoundNow()
     }
-    (axesOk, calibNow, trivialMs)
+    (axesOk, calibNow, trivialMs, compound)
   }
 
   /** Ratchet the best-axes record toward health (any run may improve
@@ -251,7 +359,8 @@ object Bench {
     // minutes for the host to recover; if it never does, the sweep
     // still runs but the artifact is stamped axes_ok=false and the
     // acceptance guard below treats its swings as unattributable.
-    val (axesOk, calibNow, trivialMs) = awaitAxes(calib, () => trivialProbe())
+    val (axesOk, calibNow, trivialMs, axesCompoundRatio) =
+      awaitAxes(calib, () => trivialProbe())
     val s1 = sweep()
     val s2 = sweep()
     val results = s1.map { case (k, v1) =>
@@ -295,15 +404,28 @@ object Bench {
     val commonSum = common.toSeq.map(results).sum
     val priorCommonSum = common.toSeq.map(priorQueries).sum
     val commonRatio = if (priorCommonSum > 0) commonSum / priorCommonSum else 1.0
+    // PHASE-SPLIT ratio (round-14, VERDICT r13 item 3): on a host
+    // whose axes are suspect, raw write-phase wall (bucketed-parquet
+    // fixture I/O) tracks host bandwidth, not the code — the guard's
+    // degraded-host trigger compares the GRADED phases instead, so a
+    // bandwidth wobble on dd17's 8 s of fixture writes can neither
+    // trip the guard nor hide a real probe/compact regression.
+    val phases = graft.tools.Phases.json()
+    val priorPhases = prior.map(extractPhases).getOrElse(Map.empty)
+    val gradedRatio = gradedCommonRatio(results, priorQueries,
+      extractPhases(s"""{"phases":$phases}"""), priorPhases)
+    // degraded-host trigger: per-axis band broken OR compound drift
+    // past AxesCompoundSuspect (round-14: individually-in-band axes
+    // at the worse edge compound into uniform drift — VERDICT item 8)
+    val axesSuspect = !axesOk || axesCompoundRatio > AxesCompoundSuspect
     val suspect =
       (sameCode && priorTotal.exists(p => p > 0 && (total - p) / p > 0.15)) ||
-        (!axesOk && commonRatio > 1.10)
+        (axesSuspect && gradedRatio > 1.10)
     ratchetAxes(calibNow, trivialMs)
-    val phases = graft.tools.Phases.json()
     val loadJson = graft.tools.LoadGuard.jsonFields(load0, loadOk, calibNow) +
       String.format(java.util.Locale.ROOT, ""","trivial_scan_ms":%.1f""",
         Double.box(trivialMs)) +
-      s""","axes_ok":$axesOk,"common_n":${common.size},"common_sum":${fmt(commonSum)},"common_ratio":${fmt(commonRatio)}""" +
+      s""","axes_ok":$axesOk,"axes_compound":${fmt(axesCompoundRatio)},"axes_tight":${axesCompoundRatio <= AxesTightMax},"common_n":${common.size},"common_sum":${fmt(commonSum)},"common_ratio":${fmt(commonRatio)},"graded_common_ratio":${fmt(gradedRatio)}""" +
       s""","code_fp":"$fp","protocol":"min-of-2 warm; pre-ANSI lane; fresh index per maintenance cycle (phases in full file)"""" +
       (if (failed.nonEmpty) s""","failed":${failed.size}""" else "") +
       (if (suspect) s""","suspect_swing":true,"prior_total":${fmt(priorTotal.getOrElse(-1.0))}""" else "")
@@ -318,7 +440,8 @@ object Bench {
 """.getBytes(StandardCharsets.UTF_8))
       catch { case _: Throwable => () }
     else System.err.println(
-      f"[bench] SUSPECT artifact (axes_ok=$axesOk%b, common_ratio $commonRatio%.3f, " +
+      f"[bench] SUSPECT artifact (axes_ok=$axesOk%b, compound $axesCompoundRatio%.3f, " +
+        f"common_ratio $commonRatio%.3f, graded_ratio $gradedRatio%.3f, " +
         f"total $total%.1f s vs prior ${priorTotal.getOrElse(-1.0)}%.1f s) — " +
         "keeping the prior BENCH_FULL_last.json")
     // stdout is the driver-captured artifact and the harness keeps

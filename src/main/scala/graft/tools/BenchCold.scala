@@ -72,7 +72,8 @@ object BenchCold {
       (System.nanoTime() - t0) / 1e6
     }
     trivialProbe() // warm the probe itself
-    val (axesOk, calib, trivialMs) = graft.Bench.awaitAxes(calib0, () => trivialProbe())
+    val (axesOk, calib, trivialMs, axesCompound) =
+      graft.Bench.awaitAxes(calib0, () => trivialProbe())
     coldReset()
 
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
@@ -93,8 +94,9 @@ object BenchCold {
     }.mkString("{", ",", "}")
     graft.Bench.ratchetAxes(calib, trivialMs)
     val axisJson = String.format(java.util.Locale.ROOT,
-      ""","trivial_scan_ms":%.1f,"axes_ok":%b""",
-      Double.box(trivialMs), Boolean.box(axesOk))
+      ""","trivial_scan_ms":%.1f,"axes_ok":%b,"axes_compound":%.3f,"axes_tight":%b""",
+      Double.box(trivialMs), Boolean.box(axesOk), Double.box(axesCompound),
+      Boolean.box(axesCompound <= graft.Bench.AxesTightMax))
     val json =
       s"""{"metric":"total_cold","value":$total,"unit":"sec","protocol":"min-of-2 cold sweeps, memo+cache cleared per query"${LoadGuard.jsonFields(load0, loadOk, calib)}$axisJson,"queries":$qs,"sf":"$sfDir"}"""
     val w = new java.io.PrintWriter(outPath)

@@ -29,6 +29,13 @@ class LoadGuardSpec extends AnyFunSuite {
   }
 
   test("bandwidth probe runs clean on this host and reports a sane number") {
+    // LIVE host-calibration probe (up to 2 GB allocated, a timed
+    // all-core DRAM streaming pass) — slow and load-sensitive on a
+    // constrained CI host, so it runs only when explicitly requested
+    // (round-13 ADVICE: keep the default test run hermetic). The
+    // bench tooling exercises it on every sweep regardless.
+    assume(sys.env.get("SPARK_GRAFT_HOST_PROBES").contains("1"),
+      "live host probe; set SPARK_GRAFT_HOST_PROBES=1 to run")
     val gbps = LoadGuard.memBwGbps()
     // -1 is the declared degraded sentinel; anything else must be a
     // physically plausible DRAM figure (loose band: this box
