@@ -209,6 +209,13 @@ class VecIndexSpec extends SparkSpec {
       .collect().map(_.toString).toSeq
     assert(viaCov == viaDim, "covering layout changed the decisions")
     assert(viaCov.nonEmpty, "covering probe returned no rows")
+    // round 14: the DEFAULT serving entry point resolves to the
+    // covering layout (and reuses the registered index — no rebuild)
+    val viaDefault = VecIndex.filteredServing(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(viaDefault == viaCov, "filteredServing does not serve the covering layout")
+    assert(VecIndex.ensureCoveringPersisted(spark, sf) == cov,
+      "filteredServing rebuilt the covering index instead of reusing it")
     // THE plan property: exactly one corpus-sized scan (the covering
     // cells, label included); every remaining raw-embeddings scan is
     // a bounded query/centroid frame with its vec_id bound PUSHED —
