@@ -31,6 +31,24 @@ object Portable {
   def phashSql(e: String): String =
     s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
 
+  /** SECOND independent 60-bit lane: the LAST 15 hex chars of the
+    * same MD5 (chars 18-32 — char 16/17 deliberately skipped so the
+    * two lanes share no hex digit). For DESTRUCTIVE decisions keyed
+    * by hash equality (cur08 strips text chunks), one 60-bit lane
+    * inherits birthday collisions around 2^30 distinct keys —
+    * expected false merges at the 100 TB chunk count (~1e10-1e11).
+    * Keying by BOTH lanes is a 120-bit match (collision odds ~1e-14
+    * even at 1e11 keys) while the exchange stays two fixed-width
+    * longs — the reason this beats verifying on the chunk string,
+    * which would put variable-width text back into the shuffle the
+    * hash exists to avoid. */
+  def phash2Expr(e: String): String =
+    s"CAST(conv(substring(md5($e), 18, 15), 16, 10) AS BIGINT)"
+
+  /** DuckDB form of [[phash2Expr]]. */
+  def phash2Sql(e: String): String =
+    s"CAST(('0x' || substr(md5($e), 18, 15)) AS BIGINT)"
+
   /** Deterministic pseudo-random projection planes for LSH: values in
     * [-1, 1), generated once (seeded) and inlined as double literals
     * into BOTH the Spark plan and the oracle SQL — identical by

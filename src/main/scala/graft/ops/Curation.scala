@@ -69,6 +69,18 @@ object Curation {
   val BoilerChunk = 16
   val BoilerMinDocs = 3
 
+  /** ds11's per-anchor candidate cap: each anchor scores at most this
+    * many in-cell candidates — the cell's top-[[Ds11CandCap]] members
+    * by quantizer residual (cosine to their own centroid, the score
+    * the assignment already computed). Bounds in-cell pair work to
+    * |cell|·C instead of |cell|² — the lever that survives an
+    * ε-perturbed dup-stacked corpus where canonicalize-first cannot
+    * merge (round 14, VERDICT r13 item 4; the exact-dup guard's
+    * measured 65.6× blowup re-opens under perturbation without it).
+    * Deterministic rank (cos_c DESC, vec_id ASC), so the oracle
+    * replays the cap move for move. */
+  val Ds11CandCap = 32
+
   /** Per-mille keep thresholds per stratum for ds02 (src0 is
     * over-represented in the corpus, so it is down-sampled hardest —
     * the usual domain-rebalancing move). */
@@ -656,7 +668,9 @@ object Curation {
     // informative, far enough to be a true negative — in-batch
     // random negatives are easy; hard negatives come from exactly
     // this near-miss band). Candidates form only inside the √n-cell
-    // quantizer's cells (dd14's assignment, never all-pairs) and
+    // quantizer's cells (dd14's assignment, never all-pairs), are
+    // capped per anchor at the cell's top-[[Ds11CandCap]] members by
+    // quantizer residual (deterministic rank, oracle-replayed), and
     // carry 8-byte ids until the single re-join that scores them —
     // dd06's exchange argument. CANONICALIZE-FIRST (dd06's guard,
     // and the honest semantics): byte-identical embeddings are
@@ -675,8 +689,23 @@ object Curation {
       val e = Tables.embeddings(s, d)
         .groupBy("embedding").agg(min(col("vec_id")).as("vec_id"))
         .select("vec_id", "embedding")
-      val nc = e.agg(ceil(sqrt(count(lit(1)).cast("double"))).cast("long").as("ncells"))
-      val cents = e.crossJoin(broadcast(nc)).filter(col("vec_id") < col("ncells"))
+      // HASH-SAMPLED centroid pool (round 14, r13 ADVICE): the old
+      // `vec_id < ncells` rule shrank on dup-heavy corpora (canonical
+      // ids are sparse, so the sub-ncells pool under-fills and cells
+      // grow past √n). Rank-based selection would need a GLOBAL
+      // row_number over the canonical corpus — a single-partition
+      // pass at 100 TB — so instead each canonical row self-selects
+      // with probability ncells/n via the portable hash: expected
+      // pool size is exactly ncells regardless of id density, fully
+      // distributed, and the oracle replays the same md5 arithmetic.
+      // The min-id row is always included so a tiny fixture can
+      // never draw an empty pool.
+      val nc = e.agg(
+        ceil(sqrt(count(lit(1)).cast("double"))).cast("long").as("ncells"),
+        count(lit(1)).as("n"), min(col("vec_id")).as("mid"))
+      val cents = e.crossJoin(broadcast(nc))
+        .filter(expr(s"${Portable.phashExpr("concat('ct|', CAST(vec_id AS STRING))")} % n")
+          < col("ncells") || col("vec_id") === col("mid"))
         .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
       val assigned = e.crossJoin(broadcast(cents))
         .withColumn("cos_c", expr("cosine_sim(embedding, ce)"))
@@ -684,8 +713,18 @@ object Curation {
           Window.partitionBy("vec_id")
             .orderBy(col("cos_c").desc, col("cent_id").asc)))
         .filter(col("crn") === 1)
-        .select(col("vec_id"), col("cent_id").as("cluster"))
-      val pairs = assigned.as("a").join(assigned.as("b"),
+        .select(col("vec_id"), col("cent_id").as("cluster"), col("cos_c"))
+      // per-anchor candidate CAP (see [[Ds11CandCap]]): candidates are
+      // the cell's top-C members by quantizer residual — |cell|·C
+      // pairs, never |cell|². The cluster-partitioned window is
+      // cell-bounded (~√n rows), never corpus-wide.
+      val capped = assigned
+        .withColumn("mrn", row_number().over(
+          Window.partitionBy("cluster")
+            .orderBy(col("cos_c").desc, col("vec_id").asc)))
+        .filter(col("mrn") <= Ds11CandCap)
+        .select(col("vec_id"), col("cluster"))
+      val pairs = assigned.as("a").join(capped.as("b"),
           col("a.cluster") === col("b.cluster") &&
             col("a.vec_id") =!= col("b.vec_id"))
         .select(col("a.vec_id").as("anchor"), col("b.vec_id").as("cand"))
@@ -714,9 +753,11 @@ object Curation {
     // stage this engine was missing — segments repeated across
     // [[BoilerMinDocs]]+ documents ("click here to subscribe") are
     // cut from every document, and the cleaned text is reassembled in
-    // segment order. One tokenize pass → chunk grid → 60-bit-hash
-    // frequency table (map-side-combinable countDistinct, fixed-width
-    // exchange) → join back → per-doc ordered reassembly (collect_list
+    // segment order. One tokenize pass → chunk grid → dual-lane
+    // 120-bit-hash frequency table (map-side-combinable countDistinct,
+    // fixed-width exchange — collision-safe for a DESTRUCTIVE stage at
+    // 1e11 chunks, see Portable.phash2Expr)
+    // → join back → per-doc ordered reassembly (collect_list
     // is doc-length-bounded, never corpus). clean_text is defined
     // over the tokenized stream (lower + single-space), so both
     // engines agree byte for byte.
@@ -733,10 +774,16 @@ object Curation {
                |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
             .as(Seq("idx", "chunk")))
         .filter(col("chunk").isNotNull)
+        // BOTH md5 lanes (round 14, r13 ADVICE): this stage DELETES
+        // text on hash equality — unlike dd10/dd11, which only flag —
+        // so the match is 120-bit (see Portable.phash2Expr for the
+        // collision arithmetic at 1e11 chunks). Exchange width stays
+        // two longs; the chunk string never enters the shuffle.
         .withColumn("chash", expr(Portable.phashExpr("chunk")))
-      val freq = ch.groupBy("chash")
+        .withColumn("chash2", expr(Portable.phash2Expr("chunk")))
+      val freq = ch.groupBy("chash", "chash2")
         .agg(countDistinct(col("doc_id")).as("nd"))
-      val perDoc = ch.join(freq, "chash")
+      val perDoc = ch.join(freq, Seq("chash", "chash2"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_chunks"),
           sum(when(col("nd") >= BoilerMinDocs, 1L).otherwise(0L)).as("n_boiler"),
@@ -1074,24 +1121,36 @@ object Curation {
          |         sqrt(${Similarity.dotSql("embedding", "embedding")}) AS norm
          |  FROM canon
          |),
-         |nc AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS ncells FROM e),
+         |nc AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS ncells,
+         |              count(*) AS n, min(vec_id) AS mid FROM e),
          |cents AS (
          |  SELECT vec_id AS cent_id, embedding AS ce, norm AS cnorm
-         |  FROM e, nc WHERE vec_id < ncells
+         |  FROM e, nc
+         |  WHERE ${Portable.phashSql("'ct|' || CAST(vec_id AS VARCHAR)")} % n < ncells
+         |     OR vec_id = mid
          |),
          |scored AS (
          |  SELECT e.vec_id, c.cent_id,
+         |         ${Similarity.dotSql("e.embedding", "c.ce")} / (e.norm * c.cnorm) AS cos_c,
          |         row_number() OVER (PARTITION BY e.vec_id
          |           ORDER BY ${Similarity.dotSql("e.embedding", "c.ce")} / (e.norm * c.cnorm) DESC,
          |                    c.cent_id ASC) AS crn
          |  FROM e, cents c
          |),
-         |assigned AS (SELECT vec_id, cent_id AS cluster FROM scored WHERE crn = 1),
+         |assigned AS (SELECT vec_id, cent_id AS cluster, cos_c FROM scored WHERE crn = 1),
+         |capped AS (
+         |  SELECT vec_id, cluster FROM (
+         |    SELECT vec_id, cluster,
+         |           row_number() OVER (PARTITION BY cluster
+         |             ORDER BY cos_c DESC, vec_id ASC) AS mrn
+         |    FROM assigned) t
+         |  WHERE mrn <= ${Ds11CandCap}
+         |),
          |pr AS (
          |  SELECT a.vec_id AS anchor, b.vec_id AS cand,
          |         $dot / (ea.norm * eb.norm) AS cos
          |  FROM assigned a
-         |  JOIN assigned b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+         |  JOIN capped b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
          |  JOIN e ea ON ea.vec_id = a.vec_id
          |  JOIN e eb ON eb.vec_id = b.vec_id
          |),
@@ -1128,7 +1187,8 @@ object Curation {
          |),
          |ch AS (
          |  SELECT doc_id, s.idx AS idx, s.chunk AS chunk,
-         |         ${Portable.phashSql("s.chunk")} AS chash
+         |         ${Portable.phashSql("s.chunk")} AS chash,
+         |         ${Portable.phash2Sql("s.chunk")} AS chash2
          |  FROM (
          |    SELECT doc_id,
          |           unnest(CASE WHEN nch >= 1
@@ -1139,13 +1199,14 @@ object Curation {
          |             ELSE [] END) AS s
          |    FROM base) z
          |),
-         |freq AS (SELECT chash, count(DISTINCT doc_id) AS nd FROM ch GROUP BY chash),
+         |freq AS (SELECT chash, chash2, count(DISTINCT doc_id) AS nd
+         |         FROM ch GROUP BY chash, chash2),
          |agg AS (
          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
          |         CAST(sum(CASE WHEN nd >= $BoilerMinDocs THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
          |         string_agg(chunk, ' ' ORDER BY idx)
          |           FILTER (WHERE nd < $BoilerMinDocs) AS body
-         |  FROM ch JOIN freq USING (chash)
+         |  FROM ch JOIN freq USING (chash, chash2)
          |  GROUP BY doc_id
          |)
          |SELECT b.doc_id,

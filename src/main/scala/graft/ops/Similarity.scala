@@ -313,7 +313,59 @@ object Similarity {
     * candidate dedup exchange is needed; candidate cost scales
     * linearly in `probes` while the corpus-side plan (one projection
     * pass + one bucket aggregate) is shared and unchanged. */
-  private[graft] def lshAnn(s: SparkSession, d: String, probes: Int): DataFrame = {
+  /** Flat-IVF ANN (sim04's body), parameterized on query count and k
+    * for the widened recall instruments; defaults reproduce the sim04
+    * catalog plan byte for byte. */
+  private[graft] def ivfAnn(s: SparkSession, d: String,
+      nQ: Long = KnnQueries, k: Int = LshK): DataFrame = {
+    VectorExprs.register(s)
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val cents = e.filter(col("vec_id") < IvfCentroids)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+    val scored = e.crossJoin(broadcast(cents))
+      .withColumn("cos_c", expr("cosine_sim(embedding, ce)"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("cos_c").desc, col("cent_id").asc)))
+    val assigned = scored.filter(col("crn") === 1)
+      .select(col("vec_id"), col("cent_id").as("cluster"), col("embedding"))
+    val probes = scored.filter(col("vec_id") < nQ && col("crn") <= IvfNProbe)
+      .select(col("vec_id").as("query_id"), col("cent_id").as("cluster"),
+        col("embedding").as("qe"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    assigned.join(broadcast(probes), Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumnRenamed("vec_id", "neighbor_id")
+      .withColumn("cos", expr("cosine_sim(qe, embedding)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cluster"),
+        round(col("cos"), 6).as("cosine"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  /** Brute-force cosine top-k (sim01's body), parameterized on query
+    * count and k so the recall instruments (tools/OpqProbe, round-14
+    * power-up) can run the SAME kernel over ≥100 queries at k=10
+    * instead of the catalog's 5×5. Defaults reproduce the sim01
+    * catalog plan byte for byte. */
+  private[graft] def bruteKnn(s: SparkSession, d: String,
+      nQ: Long = KnnQueries, k: Int = KnnK): DataFrame = {
+    VectorExprs.register(s)
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val t = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("te"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    t.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", expr("cosine_sim(qe, te)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cosine"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  private[graft] def lshAnn(s: SparkSession, d: String, probes: Int,
+      nQ: Long = KnnQueries, k: Int = LshK): DataFrame = {
     VectorExprs.register(s)
     val e = Tables.embeddings(s, d)
     val planesDf = s.sql(planesRelation("array(", ")"))
@@ -329,13 +381,13 @@ object Similarity {
         expr("CASE WHEN pdot > 0.0 THEN shiftleft(CAST(1 AS BIGINT), p) ELSE CAST(0 AS BIGINT) END"))
       .groupBy("vec_id").agg(sum(col("bit")).as("bucket"))
     val eb = e.join(buckets, "vec_id")
-    val q = eb.filter(col("vec_id") < KnnQueries)
+    val q = eb.filter(col("vec_id") < nQ)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("bucket").as("pbucket"))
     val probeFrame =
       if (probes <= 1) q
       else {
-        val flips = proj.filter(col("vec_id") < KnnQueries)
+        val flips = proj.filter(col("vec_id") < nQ)
           .withColumn("frn", row_number().over(
             Window.partitionBy("vec_id").orderBy(abs(col("pdot")).asc, col("p").asc)))
           .filter(col("frn") <= probes - 1)
@@ -351,7 +403,7 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", expr("cosine_sim(qe, te)"))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= LshK)
+      .filter(col("rn") <= k)
       .select(col("query_id"), col("neighbor_id"), col("bucket"),
         round(col("cos"), 6).as("cosine"))
       .orderBy("query_id", "neighbor_id")
@@ -366,7 +418,8 @@ object Similarity {
     * L1 boundary gives up (the trade sim06's scaladoc states). The
     * corpus-side assignment is shared and unchanged; candidate cost
     * scales linearly in `l1probes`. */
-  private[graft] def ivf2Ann(s: SparkSession, d: String, l1probes: Int): DataFrame = {
+  private[graft] def ivf2Ann(s: SparkSession, d: String, l1probes: Int,
+      nQ: Long = KnnQueries, k: Int = LshK): DataFrame = {
     VectorExprs.register(s)
     val e = Tables.embeddings(s, d).select("vec_id", "embedding")
     val (l1cents, l2cents, scored) = twoLevelParts(e)
@@ -374,11 +427,11 @@ object Similarity {
       .select(col("vec_id"), col("g"), col("sub"), col("embedding"))
     val probes =
       if (l1probes <= 1)
-        scored.filter(col("vec_id") < KnnQueries && col("srn") <= IvfNProbe)
+        scored.filter(col("vec_id") < nQ && col("srn") <= IvfNProbe)
           .select(col("vec_id").as("query_id"), col("g"), col("sub"),
             col("embedding").as("qe"))
       else {
-        val qcells = e.filter(col("vec_id") < KnnQueries)
+        val qcells = e.filter(col("vec_id") < nQ)
           .crossJoin(broadcast(l1cents))
           .withColumn("cos_g", expr("cosine_sim(embedding, g_ce)"))
           .withColumn("grn", row_number().over(
@@ -398,7 +451,7 @@ object Similarity {
       .withColumnRenamed("vec_id", "neighbor_id")
       .withColumn("cos", expr("cosine_sim(qe, embedding)"))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= LshK)
+      .filter(col("rn") <= k)
       .select(col("query_id"), col("neighbor_id"), col("g").as("l1_cell"),
         col("sub").as("l2_cell"), round(col("cos"), 6).as("cosine"))
       .orderBy("query_id", "neighbor_id")
@@ -415,20 +468,7 @@ object Similarity {
     // Brute-force cosine top-k: the exact baseline. The kernel is the
     // native codegen CosineSimilarity expression — numerically
     // identical to the HOF fold (see VectorExprs), ~20× faster.
-    "sim01_knn" -> ((s, d) => {
-      VectorExprs.register(s)
-      val e = Tables.embeddings(s, d)
-      val q = e.filter(col("vec_id") < KnnQueries)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-      val t = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("te"))
-      val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
-      t.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-        .withColumn("cos", expr("cosine_sim(qe, te)"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= KnnK)
-        .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cosine"))
-        .orderBy("query_id", "neighbor_id")
-    }),
+    "sim01_knn" -> ((s, d) => bruteKnn(s, d)),
 
     // LSH-bucketed ANN: random-hyperplane sign buckets, exact cosine
     // re-ranking within the query's probed bucket(s). probes = 1 is
@@ -453,31 +493,7 @@ object Similarity {
     // The production scale path: candidate work drops from O(n) per
     // query to O(n·nprobe/ncells), and the assignment pass is one
     // broadcast-join scan.
-    "sim04_ivf_ann" -> ((s, d) => {
-      VectorExprs.register(s)
-      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
-      val cents = e.filter(col("vec_id") < IvfCentroids)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
-      val scored = e.crossJoin(broadcast(cents))
-        .withColumn("cos_c", expr("cosine_sim(embedding, ce)"))
-        .withColumn("crn", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("cos_c").desc, col("cent_id").asc)))
-      val assigned = scored.filter(col("crn") === 1)
-        .select(col("vec_id"), col("cent_id").as("cluster"), col("embedding"))
-      val probes = scored.filter(col("vec_id") < KnnQueries && col("crn") <= IvfNProbe)
-        .select(col("vec_id").as("query_id"), col("cent_id").as("cluster"),
-          col("embedding").as("qe"))
-      val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
-      assigned.join(broadcast(probes), Seq("cluster"))
-        .filter(col("vec_id") =!= col("query_id"))
-        .withColumnRenamed("vec_id", "neighbor_id")
-        .withColumn("cos", expr("cosine_sim(qe, embedding)"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= LshK)
-        .select(col("query_id"), col("neighbor_id"), col("cluster"),
-          round(col("cos"), 6).as("cosine"))
-        .orderBy("query_id", "neighbor_id")
-    }),
+    "sim04_ivf_ann" -> ((s, d) => ivfAnn(s, d)),
 
     // Embedding-cosine near-duplicate pairs (dedup family), blocked
     // by IVF cluster so block size stays BOUNDED as the corpus grows
@@ -584,8 +600,9 @@ object Similarity {
     // embeddings to their min-id rep first (the dd05/dd07 guard — the
     // d² pairwork inside identical-vector groups collapses to a
     // broadcast-back of the rep's decision); (2) k-means-style
-    // assignment of each rep to its single nearest of ⌈√n⌉ seed
-    // centroids (cluster work stays ~√n per cell); (3) within-cluster
+    // assignment of each rep to its single nearest of ~⌈√n⌉
+    // hash-sampled seed centroids (cluster work stays ~√n per cell);
+    // (3) within-cluster
     // pairwise cosine, greedy-by-id pruning: a rep is dropped iff a
     // LOWER-id rep in its cluster sits at cosine ≥ DupThreshold, with
     // the minimum such witness as dup_of. Exact twins inherit their
@@ -597,8 +614,19 @@ object Similarity {
       val all = Tables.embeddings(s, d).select("vec_id", "embedding")
       val canon = all.groupBy("embedding").agg(min(col("vec_id")).as("rep"))
       val reps = canon.select(col("rep").as("vec_id"), col("embedding"))
-      val nc = reps.agg(ceil(sqrt(count(lit(1)).cast("double"))).cast("long").as("ncells"))
-      val cents = reps.crossJoin(broadcast(nc)).filter(col("vec_id") < col("ncells"))
+      // hash-sampled centroid pool (round 14, r13 ADVICE — shared
+      // rationale with ds11): canonical ids are sparse on dup-heavy
+      // corpora, so `vec_id < ncells` under-fills the pool and cells
+      // grow past √n; self-selection at rate ncells/n keeps the
+      // expected pool at ncells independent of id density, with no
+      // global window and no collect. Min-id fallback guarantees a
+      // non-empty pool on tiny fixtures.
+      val nc = reps.agg(
+        ceil(sqrt(count(lit(1)).cast("double"))).cast("long").as("ncells"),
+        count(lit(1)).as("n"), min(col("vec_id")).as("mid"))
+      val cents = reps.crossJoin(broadcast(nc))
+        .filter(expr(s"${Portable.phashExpr("concat('ct|', CAST(vec_id AS STRING))")} % n")
+          < col("ncells") || col("vec_id") === col("mid"))
         .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
       val assigned = reps.crossJoin(broadcast(cents))
         .withColumn("cos_c", expr("cosine_sim(embedding, ce)"))
@@ -909,10 +937,10 @@ object Similarity {
     // colocated in the cell row (VecIndex.persistCovering), so the
     // serving path loses its (vec_id, label) dim join: one
     // corpus-sized scan total. Decisions are DEFINED identical to
-    // sim22's, so the entry shares its oracle.
-    "sim23_covering_filtered_ann" -> ((s, d) =>
-      VecIndex.coveringFilteredProbe(s, d,
-        VecIndex.ensureCoveringPersisted(s, d))),
+    // sim22's, so the entry shares its oracle. Round 14: this IS the
+    // declared default serving lane (VecIndex.filteredServing); the
+    // dim-join sim22 stays as the back-compat/oracle lane.
+    "sim23_covering_filtered_ann" -> ((s, d) => VecIndex.filteredServing(s, d)),
 
     // Round 11: the vector index's day-N lifecycle, mirroring the
     // band index's dd16/dd17/dd18 verbs (VERDICT r10 item 2). Each
@@ -1239,8 +1267,10 @@ object Similarity {
     * `sq_dist` fuses either element type into the same left fold, so
     * both modes share every downstream stage and their oracle SQL
     * differs only in the codebook CTE. */
-  private[graft] def pqAdc(s: SparkSession, d: String, trained: Boolean): DataFrame =
-    pqAdcOver(s, Tables.embeddings(s, d).select("vec_id", "embedding"), trained)
+  private[graft] def pqAdc(s: SparkSession, d: String, trained: Boolean,
+      nQ: Long = KnnQueries, k: Int = KnnK): DataFrame =
+    pqAdcOver(s, Tables.embeddings(s, d).select("vec_id", "embedding"), trained,
+      nQ, k)
 
   /** [[pqAdc]] over an arbitrary (vec_id, embedding) frame — the OPQ
     * path (sim24) serves from the permuted-space frame; ADC distances
@@ -1249,7 +1279,7 @@ object Similarity {
     * kNN) are invariant — only the SUBSPACE PARTITION moves, which is
     * exactly OPQ's lever. */
   private[graft] def pqAdcOver(s: SparkSession, e: DataFrame,
-      trained: Boolean): DataFrame = {
+      trained: Boolean, nQ: Long = KnnQueries, k: Int = KnnK): DataFrame = {
     VectorExprs.register(s)
     val cb =
       if (trained) pqTrainedCodebookOver(s, e)
@@ -1265,7 +1295,7 @@ object Similarity {
       .agg(aggCols.head, aggCols.tail: _*)
       .select(col("vec_id") +:
         (0 until PqM).map(m => col(s"b$m.code").as(s"c$m")): _*)
-    val q = e.filter(col("vec_id") < KnnQueries)
+    val q = e.filter(col("vec_id") < nQ)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val qtabs = (0 until PqM).map { m =>
       // broadcast hint: the trained codebook arrives from an
@@ -1286,7 +1316,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("adc", expr("qd0 + qd1 + qd2 + qd3"))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= KnnK)
+      .filter(col("rn") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(col("adc"), 6).as("adc_dist"))
       .orderBy("query_id", "neighbor_id")
@@ -2070,11 +2100,15 @@ object Similarity {
          |  FROM canon
          |),
          |nc AS (
-         |  SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS ncells FROM canon
+         |  SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS ncells,
+         |         count(*) AS n, min(rep) AS mid
+         |  FROM canon
          |),
          |cents AS (
          |  SELECT vec_id AS cent_id, embedding AS ce, norm AS cnorm
-         |  FROM e, nc WHERE vec_id < ncells
+         |  FROM e, nc
+         |  WHERE ${Portable.phashSql("'ct|' || CAST(vec_id AS VARCHAR)")} % n < ncells
+         |     OR vec_id = mid
          |),
          |scored AS (
          |  SELECT e.vec_id, c.cent_id,

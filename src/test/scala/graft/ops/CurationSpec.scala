@@ -100,22 +100,36 @@ class CurationSpec extends SparkSpec {
       }
     }
     // brute-force recheck at this SF: recompute the canonicalized
-    // cell assignment and verify each anchor's choices are the
-    // in-cell argmaxes
+    // cell assignment (round-14 rules: hash-sampled centroid pool +
+    // per-anchor top-C candidate cap) and verify each anchor's
+    // choices are the argmaxes over its CAPPED candidate set
     import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(spark, sf)
       .groupBy("embedding").agg(min(col("vec_id")).as("vec_id"))
       .select("vec_id", "embedding")
-    val nc = e.agg(ceil(sqrt(count(lit(1)).cast("double"))).cast("long").as("ncells"))
-    val cents = e.crossJoin(broadcast(nc)).filter(col("vec_id") < col("ncells"))
+    val nc = e.agg(
+      ceil(sqrt(count(lit(1)).cast("double"))).cast("long").as("ncells"),
+      count(lit(1)).as("n"), min(col("vec_id")).as("mid"))
+    val cents = e.crossJoin(broadcast(nc))
+      .filter(expr(
+        s"${graft.functions.Portable.phashExpr("concat('ct|', CAST(vec_id AS STRING))")} % n")
+        < col("ncells") || col("vec_id") === col("mid"))
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
-    val assigned = e.crossJoin(broadcast(cents))
+    val assignedRows = e.crossJoin(broadcast(cents))
       .withColumn("cos_c", expr("cosine_sim(embedding, ce)"))
       .withColumn("crn", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("cos_c").desc, col("cent_id").asc)))
       .filter(col("crn") === 1)
-      .select(col("vec_id"), col("cent_id").as("cluster"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .select(col("vec_id"), col("cent_id").as("cluster"), col("cos_c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val assigned = assignedRows.map { case (v, c, _) => v -> c }.toMap
+    // the cell's top-C members by quantizer residual — the capped
+    // candidate pool every anchor draws from
+    val capped: Map[Long, Seq[Long]] = assignedRows.groupBy(_._2)
+      .map { case (c, ms) =>
+        c -> ms.sortBy { case (v, _, cc) => (-cc, v) }
+          .take(Curation.Ds11CandCap).map(_._1).toSeq
+      }
     val embs = e.collect().map(r =>
       r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
     def cos(x: Seq[Double], y: Seq[Double]): Double = {
@@ -124,13 +138,12 @@ class CurationSpec extends SparkSpec {
     }
     rows.foreach { r =>
       val a = r.getLong(0)
-      val inCell = assigned.collect {
-        case (v, c) if c == assigned(a) && v != a => v -> cos(embs(a), embs(v))
-      }.toSeq
+      val inCell = capped(assigned(a)).filter(_ != a)
+        .map(v => v -> cos(embs(a), embs(v)))
       val bestPos = inCell.filter(_._2 >= tau - 1e-9)
         .sortBy { case (v, c) => (-c, v) }.headOption
       assert(bestPos.exists(_._1 == r.getLong(1)),
-        s"anchor $a positive is not the in-cell argmax: got ${r.getLong(1)}, " +
+        s"anchor $a positive is not the capped in-cell argmax: got ${r.getLong(1)}, " +
           s"expected ${bestPos.map(_._1)}")
     }
   }

@@ -95,18 +95,20 @@ class PlanLintSpec extends SparkSpec {
     "sim24_opq_adc", // sim07's codebook chain over the permuted frame
     "sim12_pq_train_eval", // embeds both sim07 codebook modes
     // SemDeDup centroid frame (Similarity.scala `cents`): reps
-    // crossJoin'd with a broadcast 1-row ncells frame, filtered to
-    // vec_id < ncells → ⌈√n⌉ rows by construction and explicitly
-    // broadcast-hinted into the assignment join; the static estimate
-    // is the whole unfiltered reps table because the optimizer has no
-    // selectivity for the computed-scalar comparison — same
-    // runtime-bounded-cells pattern as dd06/dd08/sim06
+    // crossJoin'd with a broadcast 1-row (ncells, n, mid) frame,
+    // hash-sampled at rate ncells/n (round 14) → ~⌈√n⌉ rows by
+    // construction and explicitly broadcast-hinted into the
+    // assignment join; the static estimate is the whole unfiltered
+    // reps table because the optimizer has no selectivity for the
+    // computed-scalar predicate — same runtime-bounded-cells pattern
+    // as dd06/dd08/sim06
     "dd14_semantic_dedup",
-    // ds11 reuses dd14's √n-cell centroid frame (reps crossJoin'd
-    // with the broadcast 1-row ncells count, filtered vec_id < ncells
-    // → ⌈√n⌉ rows by construction, broadcast-hinted) — the same
-    // runtime-bounded-cells pattern; the optimizer has no selectivity
-    // for the computed-scalar comparison
+    // ds11 reuses dd14's hash-sampled ~√n-cell centroid frame (reps
+    // crossJoin'd with the broadcast 1-row counts frame,
+    // self-selected at rate ncells/n → ~⌈√n⌉ rows by construction,
+    // broadcast-hinted) — the same runtime-bounded-cells pattern;
+    // the optimizer has no selectivity for the computed-scalar
+    // predicate
     "ds11_contrastive_pairs",
     // embeds sim06's two-level quantizer twice (1-probe and
     // multi-probe variants share twoLevelParts) → the same
