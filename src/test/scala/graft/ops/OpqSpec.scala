@@ -59,6 +59,32 @@ class OpqSpec extends SparkSpec {
     }
   }
 
+  test("sim24 recall is not below trained PQ beyond the binomial interval (n>=640)") {
+    // Round-14 adjudication of the r13 instrument reading (OPQ 0.080
+    // vs trained 0.240 at 5 queries × k=5): at n=1280 the drop does
+    // NOT replicate — sf0.01 reads 0.125±0.018 vs 0.133±0.019 and
+    // sf0.1 reads 0.066 vs 0.060 (tools/OpqProbe, SCALE_NOTES round
+    // 14). This pins the claim at statistical power: the permutation
+    // must never degrade serving recall beyond the interval noise of
+    // a ≥640-trial measurement on the synthetic corpus.
+    val nQ = 64L
+    val k = 10
+    val bf = Similarity.bruteKnn(spark, sf, nQ, k)
+      .select("query_id", "neighbor_id").cache()
+    val n = bf.count()
+    assert(n >= 640, s"ground truth underpowered: $n trials")
+    def recall(lane: org.apache.spark.sql.DataFrame): Double =
+      lane.select("query_id", "neighbor_id")
+        .join(bf, Seq("query_id", "neighbor_id")).count().toDouble / n
+    val trained = recall(Similarity.pqAdc(spark, sf, trained = true, nQ, k))
+    val opq = recall(Similarity.pqAdcOver(spark,
+      Similarity.opqPermuted(spark, sf), trained = true, nQ, k))
+    val ci = 1.96 * math.sqrt(trained * (1 - trained) / n)
+    assert(opq >= trained - ci,
+      f"OPQ degrades serving recall beyond noise: $opq%.3f vs trained " +
+        f"$trained%.3f - CI $ci%.3f at n=$n")
+  }
+
   test("sim24 output shape matches sim07's and ranks by permuted-space ADC") {
     val rows = graft.SparkEntry.queries("sim24_opq_adc")(spark, sf)
     assert(rows.columns.toSeq == Seq("query_id", "neighbor_id", "adc_dist"))
