@@ -91,6 +91,48 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.filter(org.apache.spark.sql.functions.col("doc_id") === 1L).count() === 1)
   }
 
+  test("mm02 decodes REAL animated-GIF frames (>1 per long payload), exact pixel round-trip") {
+    import org.apache.spark.sql.functions.col
+    val text = "the quick brown fox jumps over the lazy dog 0123456789 " * 4 // 224 chars
+    val docId = 3L // w=4, h=4 → 2×2 resample
+    val gif = Multimodal.encodeGif(docId, text)
+    val feats = Multimodal.decodeFrameSamples(MediaRow(docId, "image/gif", gif))
+    val nFrames = (text.length + Multimodal.FrameBytes - 1) / Multimodal.FrameBytes
+    assert(nFrames >= 5, "fixture too short to need a second sampled frame")
+    assert(feats.map(_.frame_idx) == (0 until nFrames by Multimodal.SampleEvery),
+      "sampled frame indices drifted")
+    assert(feats.length > 1, "payload must yield more than one REAL decoded frame")
+    val bytes = text.getBytes("US-ASCII")
+    val w = Multimodal.frameW(docId)
+    val h = Multimodal.frameH(docId)
+    feats.foreach { ft =>
+      val off = ft.frame_idx * Multimodal.FrameBytes
+      val clen = math.min(Multimodal.FrameBytes, bytes.length - off)
+      assert(ft.first_byte == (bytes(off) & 0xff), s"frame ${ft.frame_idx} pixel(0,0)")
+      val rw = (w + 1) / 2
+      val rh = (h + 1) / 2
+      assert(ft.resized_w == rw && ft.resized_h == rh)
+      val expect = (for (y <- 0 until rh; x <- 0 until rw)
+        yield (bytes(off + (2 * y * w + 2 * x) % clen) & 0xff).toLong).sum
+      assert(ft.resized_checksum == expect,
+        s"frame ${ft.frame_idx} resample checksum: got ${ft.resized_checksum}, want $expect")
+    }
+    // catalog entry over the real table: every doc long enough for a
+    // second sampled frame (len ≥ FrameBytes·SampleEvery + 1) yields
+    // more than one decoded-frame row
+    val dirSf = "/root/testdata/sf0.001"
+    val perDoc = Multimodal.queries2("mm02_frame_sample")(spark, dirSf)
+      .groupBy("doc_id").count()
+    val long = graft.Tables.documents(spark, dirSf)
+      .filter(org.apache.spark.sql.functions.length(col("text"))
+        >= Multimodal.FrameBytes * Multimodal.SampleEvery + 1)
+      .select("doc_id")
+    val nLong = long.count()
+    val nMulti = long.join(perDoc, "doc_id").filter(col("count") >= 2).count()
+    assert(nLong > 0, "fixture has no multi-sample docs — vacuous")
+    assert(nMulti == nLong, s"docs with one sampled frame where two are due: ${nLong - nMulti}")
+  }
+
   test("perceptual hash: real decode, banded pairs share a band, Hamming bound holds (mm05)") {
     import org.apache.spark.sql.functions.col
     val sf = "/root/testdata/sf0.001"
