@@ -54,6 +54,18 @@ object Similarity {
   val DupThreshold = 0.4
   val RangeTau = 0.2 // sim08: radius-search cosine threshold
 
+  /** sim25 reciprocal-rank-fusion constant — Cormack et al.'s k=60,
+    * the value every production hybrid retriever ships (Elasticsearch
+    * RRF, Vespa, LanceDB all default to it): small enough that rank-1
+    * agreement dominates, large enough that a single lane's rank-1
+    * cannot outvote two-lane agreement at rank ~3. */
+  val RrfK = 60
+  val FusionTopK = 5
+
+  /** ds12: max results per (query, coarse cell) before the global
+    * top-k — the diversity quota. */
+  val DiverseQuota = 2
+
   /** Product quantization (sim07): M subspaces × SubDims dims; K
     * codewords per subspace. 64 float dims compress to
     * M log2(K) = 12 bits per vector. Codebooks are TRAINED (round
@@ -710,6 +722,90 @@ object Similarity {
     // (SCALE_NOTES). ADC output columns match sim07's.
     "sim24_opq_adc" -> ((s, d) =>
       pqAdcOver(s, opqPermuted(s, d), trained = true)),
+
+    // Reciprocal-rank fusion (sim25; round 14) — the hybrid-retrieval
+    // combiner: two independent ANN lanes (sim04's IVF probe and
+    // sim13's 4-probe LSH) each rank their candidates per query, and
+    // the fused score is Σ 1/(RrfK + rank) over the lanes that
+    // surfaced the candidate (Cormack/Clarke/Buettcher's RRF — score-
+    // scale-free, so a cosine lane and a BM25 lane fuse identically;
+    // the two-ANN-lane form here exercises the operator over the
+    // tables this repo has). Lane ranks re-derive from each lane's
+    // ROUNDED cosine output (desc, id asc) so both engines rank
+    // identical keys; the fused double is 1/(int) + 1/(int) — the
+    // same IEEE expression both sides, safe to rank raw. Scale shape:
+    // the lanes are the already-cell/bucket-pruned plans (k rows per
+    // query each), the fusion itself is a full-outer join of two
+    // k-row-per-query frames plus one k-bounded window — fusion cost
+    // is independent of corpus size by construction.
+    "sim25_rrf_fusion" -> ((s, d) => {
+      def ranked(lane: DataFrame, out: String): DataFrame = lane
+        .withColumn(out, row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(col("cosine").desc, col("neighbor_id").asc)))
+        .select(col("query_id"), col("neighbor_id"), col(out))
+      val a = ranked(ivfAnn(s, d), "ra")
+      val b = ranked(lshAnn(s, d, probes = LshMultiProbes), "rb")
+      val fused = a.join(b, Seq("query_id", "neighbor_id"), "full_outer")
+        .withColumn("rrf", expr(
+          s"""coalesce(CAST(1 AS DOUBLE) / CAST($RrfK + ra AS DOUBLE), 0.0)
+             | + coalesce(CAST(1 AS DOUBLE) / CAST($RrfK + rb AS DOUBLE), 0.0)"""
+            .stripMargin))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("rrf").desc, col("neighbor_id").asc)
+      fused.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= FusionTopK)
+        .select(col("query_id"), col("rk").cast("int").as("rk"),
+          col("neighbor_id"), col("ra").cast("int").as("ra"),
+          col("rb").cast("int").as("rb"), round(col("rrf"), 6).as("rrf"))
+        .orderBy("query_id", "rk")
+    }),
+
+    // Diversified top-k selection (ds12; round 14) — the
+    // data-selection counterpart of MMR, housed with the retrieval
+    // kernels it composes: per query, candidates are scored exactly
+    // (sim01's broadcast pass), assigned to their nearest coarse cell
+    // (sim04's quantizer), and the final top-k is taken AFTER a
+    // per-(query, cell) quota of [[DiverseQuota]] — so no semantic
+    // cluster can monopolize the selected set. This is the
+    // scale-honest form of diversification: MMR's greedy loop is
+    // inherently sequential (each pick re-scores all remaining
+    // candidates against the growing selected set — a k-step serial
+    // dependency no cluster parallelizes), while the cluster-quota
+    // form is two bounded windows — the quota window partitions by
+    // (query, cell) and the final one sees ≤ cells × quota rows per
+    // query. Used for diverse few-shot example selection and
+    // dedup-aware eval-set construction.
+    "ds12_diverse_topk" -> ((s, d) => {
+      VectorExprs.register(s)
+      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val cents = e.filter(col("vec_id") < IvfCentroids)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("cos_c", expr("cosine_sim(embedding, ce)"))
+        .withColumn("crn", row_number().over(
+          Window.partitionBy("vec_id")
+            .orderBy(col("cos_c").desc, col("cent_id").asc)))
+        .filter(col("crn") === 1)
+        .select(col("vec_id"), col("cent_id").as("cluster"), col("embedding"))
+      val q = e.filter(col("vec_id") < KnnQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val scored = assigned
+        .join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .withColumn("cos", expr("cosine_sim(qe, embedding)"))
+      val wq = Window.partitionBy("query_id", "cluster")
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      val wf = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      scored.withColumn("qrn", row_number().over(wq))
+        .filter(col("qrn") <= DiverseQuota)
+        .withColumn("rk", row_number().over(wf))
+        .filter(col("rk") <= KnnK)
+        .select(col("query_id"), col("rk").cast("int").as("rk"),
+          col("vec_id").as("neighbor_id"), col("cluster"),
+          round(col("cos"), 6).as("cosine"))
+        .orderBy("query_id", "rk")
+    }),
 
     // Radius (range) search — the other half of the similarity API:
     // not "k nearest" but "ALL neighbors with cosine ≥ τ" (the query
@@ -2205,6 +2301,79 @@ object Similarity {
     // of the replayed SQL, so the gate hashes the rotation itself.
     "sim24_opq_adc" ->
       pqAdcSql(trained = true, rel = "pemb", prelude = opqPreludeSql),
+
+    // Lane ranks re-derive from the lanes' ROUNDED cosine outputs
+    // (identical keys both engines); the fused score is int-rational
+    // IEEE arithmetic — rankable raw (see the Spark entry's note).
+    "sim25_rrf_fusion" ->
+      s"""WITH la AS (
+         |  SELECT query_id, neighbor_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY cosine DESC, neighbor_id ASC) AS ra
+         |  FROM ( $sim04Sql ) a
+         |),
+         |lb AS (
+         |  SELECT query_id, neighbor_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY cosine DESC, neighbor_id ASC) AS rb
+         |  FROM ( ${lshSql(LshMultiProbes)} ) b
+         |),
+         |fused AS (
+         |  SELECT coalesce(la.query_id, lb.query_id) AS query_id,
+         |         coalesce(la.neighbor_id, lb.neighbor_id) AS neighbor_id,
+         |         la.ra AS ra, lb.rb AS rb,
+         |         coalesce(CAST(1 AS DOUBLE) / CAST($RrfK + la.ra AS DOUBLE), 0.0)
+         |           + coalesce(CAST(1 AS DOUBLE) / CAST($RrfK + lb.rb AS DOUBLE), 0.0) AS rrf
+         |  FROM la FULL OUTER JOIN lb
+         |    ON la.query_id = lb.query_id AND la.neighbor_id = lb.neighbor_id
+         |)
+         |SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id,
+         |       CAST(ra AS INT) AS ra, CAST(rb AS INT) AS rb,
+         |       round(rrf, 6) AS rrf FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY rrf DESC, neighbor_id ASC) AS rk
+         |  FROM fused) t
+         |WHERE rk <= $FusionTopK ORDER BY query_id, rk""".stripMargin,
+
+    "ds12_diverse_topk" ->
+      s"""WITH $normedCte,
+         |cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS ce, norm AS cnorm
+         |  FROM e WHERE vec_id < $IvfCentroids
+         |),
+         |scored AS (
+         |  SELECT e.vec_id, e.embedding, e.norm, c.cent_id,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY ${dotSql("e.embedding", "c.ce")} / (e.norm * c.cnorm) DESC,
+         |                    c.cent_id ASC) AS crn
+         |  FROM e, cents c
+         |),
+         |assigned AS (
+         |  SELECT vec_id, cent_id AS cluster, embedding, norm
+         |  FROM scored WHERE crn = 1
+         |),
+         |qs AS (
+         |  SELECT vec_id AS query_id, embedding AS qe, norm AS qn
+         |  FROM e WHERE vec_id < $KnnQueries
+         |),
+         |pairs AS (
+         |  SELECT q.query_id, a.vec_id AS neighbor_id, a.cluster,
+         |         ${dotSql("q.qe", "a.embedding")} / (q.qn * a.norm) AS cos
+         |  FROM assigned a JOIN qs q ON a.vec_id <> q.query_id
+         |),
+         |quota AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id, cluster
+         |                                 ORDER BY cos DESC, neighbor_id ASC) AS qrn
+         |    FROM pairs) t
+         |  WHERE qrn <= $DiverseQuota
+         |)
+         |SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id, cluster,
+         |       round(cos, 6) AS cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY cos DESC, neighbor_id ASC) AS rk
+         |  FROM quota) t
+         |WHERE rk <= $KnnK ORDER BY query_id, rk""".stripMargin,
 
     "sim12_pq_train_eval" ->
       s"""WITH bf AS (

@@ -104,6 +104,31 @@ object TextAnalysis {
   /** Top-k terms kept per document by tx07. */
   val TfidfTopK = 3
 
+  /** tx15 BM25 parameters — the Robertson/Sparck-Jones defaults every
+    * production lexical retriever ships (Lucene, Elasticsearch,
+    * Pyserini all default to k1∈[1.2,2], b=0.75). */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  /** Documents returned per query by tx15. */
+  val Bm25TopK = 10
+
+  /** tx15's fixed query workload — term sets over the synthetic
+    * corpus vocabulary, including one rare term (`dup`, df ≈ n/400)
+    * so the idf axis is non-degenerate: q2's ranking is dominated by
+    * the rare term while q0/q1/q3 exercise the tf/length
+    * normalization axes. Literal VALUES in both engines. */
+  val Bm25Queries: Seq[(Int, Seq[String])] = Seq(
+    0 -> Seq("query", "filter", "join"),
+    1 -> Seq("stream", "window", "batch"),
+    2 -> Seq("dup", "scan"),
+    3 -> Seq("customer", "order", "line"))
+
+  /** `(VALUES ...)`-body shared by the Spark and DuckDB forms. */
+  private def bm25Values: String = Bm25Queries
+    .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }
+    .mkString(", ")
+
   /** "Short token" length bound shared by tx02 and the fused
     * `token_stats` kernel. */
   val ShortTokenLen = 2
@@ -489,6 +514,62 @@ object TextAnalysis {
             round(col("n_tokens").cast("double") / col("n_words").cast("double"), 6))
             .as("fertility"))
         .orderBy("doc_id")
+    }),
+
+    // BM25 top-k retrieval (tx15; round 14) — the lexical-search
+    // scorer tx07's tf-idf approximates: Robertson idf with tf
+    // saturation ([[Bm25K1]]) and length normalization ([[Bm25B]]),
+    // over the fixed [[Bm25Queries]] workload. The dataflow is the
+    // inverted-index build a batch retriever runs at corpus scale:
+    // ONE tokenize+explode pass semi-joined to the BROADCAST query
+    // vocabulary (candidates shrink to matching postings before any
+    // exchange — at 100 TB the only corpus-sized shuffle is the
+    // (doc, term) partial-aggregated tf), df and the corpus stats
+    // are term- and 1-row-sized broadcasts. Per-term scores are
+    // rounded at 6 dp (ln is libm — tx07's parity rule) and summed
+    // DECIMAL-exact per (query, doc) so grouping order can't flip a
+    // rank (lm01's rationale). The final per-query top-k runs as a
+    // rank-filter window: Spark 4 plans it as WindowGroupLimit with
+    // a PARTIAL map-side pass, so each task keeps k rows and the
+    // query_id exchange carries k·tasks rows, never the postings —
+    // Round14OpsSpec pins that plan shape.
+    "tx15_bm25_topk" -> ((s, d) => {
+      val qt = s.sql(
+        s"SELECT query_id, term FROM (VALUES $bm25Values) AS q(query_id, term)")
+      val docs = Tables.documents(s, d).withColumn("tokens", expr(tokensExpr))
+      val dl = docs.select(col("doc_id"),
+        expr("CAST(size(tokens) AS BIGINT)").as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      val tf = docs
+        .select(col("doc_id"), explode_outer(col("tokens")).as("term"))
+        .filter(col("term").isNotNull)
+        .join(broadcast(qt.select("term").distinct()), Seq("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val scored = tf
+        .join(broadcast(df), Seq("term"))
+        .join(broadcast(qt), Seq("term"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .withColumn("score", expr(
+          s"""round(
+             |  ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+             |           / (CAST(df AS DOUBLE) + 0.5))
+             |  * (CAST(tf AS DOUBLE) * ($Bm25K1 + 1.0))
+             |  / (CAST(tf AS DOUBLE)
+             |     + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * CAST(dl AS DOUBLE)
+             |                  * CAST(n_docs AS DOUBLE) / CAST(sum_dl AS DOUBLE))),
+             |  6)""".stripMargin))
+      val perDoc = scored.groupBy("query_id", "doc_id")
+        .agg(sum(col("score").cast(DecimalType(18, 8))).cast(DoubleType).as("bm25"),
+          count(lit(1)).as("n_terms"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("bm25").desc, col("doc_id").asc)
+      perDoc.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= Bm25TopK)
+        .select(col("query_id"), col("rk").cast("int").as("rk"),
+          col("doc_id"), col("bm25"), col("n_terms"))
+        .orderBy("query_id", "rk")
     })
   )
 
@@ -897,6 +978,42 @@ object TextAnalysis {
          |       round(CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
          |             / CAST(count(*) AS DOUBLE), 6) AS oov_rate
          |FROM t LEFT JOIN v ON t.token = v.token
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "tx15_bm25_topk" ->
+      s"""WITH q AS (SELECT * FROM (VALUES $bm25Values) AS q(query_id, term)),
+         |tok AS (SELECT doc_id, $tokensSql AS tokens FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(tokens) AS BIGINT) AS dl FROM tok),
+         |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(tokens) AS term FROM tok) t
+         |  JOIN (SELECT DISTINCT term FROM q) USING (term)
+         |  GROUP BY 1, 2
+         |),
+         |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |scored AS (
+         |  SELECT q.query_id, tf.doc_id,
+         |         round(
+         |           ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+         |                    / (CAST(df AS DOUBLE) + 0.5))
+         |           * (CAST(tf AS DOUBLE) * ($Bm25K1 + 1.0))
+         |           / (CAST(tf AS DOUBLE)
+         |              + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * CAST(dl AS DOUBLE)
+         |                           * CAST(n_docs AS DOUBLE) / CAST(sum_dl AS DOUBLE))),
+         |           6) AS score
+         |  FROM tf JOIN dfc USING (term) JOIN q USING (term) JOIN dl USING (doc_id), st
+         |),
+         |agg AS (
+         |  SELECT query_id, doc_id,
+         |         CAST(sum(CAST(score AS DECIMAL(18,8))) AS DOUBLE) AS bm25,
+         |         count(*) AS n_terms
+         |  FROM scored GROUP BY 1, 2
+         |)
+         |SELECT query_id, CAST(rk AS INT) AS rk, doc_id, bm25, n_terms FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY bm25 DESC, doc_id ASC) AS rk
+         |  FROM agg) t
+         |WHERE rk <= $Bm25TopK ORDER BY query_id, rk""".stripMargin
   )
 }
