@@ -761,6 +761,43 @@ object Similarity {
         .orderBy("query_id", "rk")
     }),
 
+    // Hybrid text+vector search (sim26; round 14) — sim25's RRF over
+    // the two MODALITIES a production hybrid retriever actually
+    // fuses: the BM25 lexical lane (tx15's ranked lists, rank = its
+    // rk output) and the IVF vector lane, joined on the shared item
+    // id domain (doc_id ↔ vec_id — the synthetic corpus keys
+    // documents and their embeddings identically, the usual
+    // embeddings-of-the-corpus layout). Text queries 0–3 carry both
+    // lanes; vector query 4 has no lexical workload and fuses as
+    // vector-only — RRF's missing-lane zero handles the asymmetry,
+    // which is exactly why hybrid stores use RRF instead of score
+    // mixing (cosine and BM25 share no scale). Same
+    // corpus-independence argument as sim25: both lanes arrive
+    // k-row-per-query.
+    "sim26_hybrid_search" -> ((s, d) => {
+      val bm = TextAnalysis.queries("tx15_bm25_topk")(s, d)
+        .select(col("query_id").cast("bigint").as("query_id"),
+          col("doc_id").as("item_id"), col("rk").as("ra"))
+      val vr = ivfAnn(s, d)
+        .withColumn("rb", row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(col("cosine").desc, col("neighbor_id").asc)))
+        .select(col("query_id"), col("neighbor_id").as("item_id"), col("rb"))
+      val fused = bm.join(vr, Seq("query_id", "item_id"), "full_outer")
+        .withColumn("rrf", expr(
+          s"""coalesce(CAST(1 AS DOUBLE) / CAST($RrfK + ra AS DOUBLE), 0.0)
+             | + coalesce(CAST(1 AS DOUBLE) / CAST($RrfK + rb AS DOUBLE), 0.0)"""
+            .stripMargin))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("rrf").desc, col("item_id").asc)
+      fused.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= FusionTopK)
+        .select(col("query_id"), col("rk").cast("int").as("rk"),
+          col("item_id"), col("ra").cast("int").as("ra"),
+          col("rb").cast("int").as("rb"), round(col("rrf"), 6).as("rrf"))
+        .orderBy("query_id", "rk")
+    }),
+
     // Diversified top-k selection (ds12; round 14) — the
     // data-selection counterpart of MMR, housed with the retrieval
     // kernels it composes: per query, candidates are scored exactly
@@ -2332,6 +2369,37 @@ object Similarity {
          |       round(rrf, 6) AS rrf FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |                               ORDER BY rrf DESC, neighbor_id ASC) AS rk
+         |  FROM fused) t
+         |WHERE rk <= $FusionTopK ORDER BY query_id, rk""".stripMargin,
+
+    // The BM25 lane's rank IS tx15's rk output (its CTE chain is
+    // embedded verbatim); the vector lane re-ranks sim04's rounded
+    // cosines — sim25's parity argument applies to both.
+    "sim26_hybrid_search" ->
+      s"""WITH bm AS (
+         |  SELECT CAST(query_id AS BIGINT) AS query_id, doc_id AS item_id, rk AS ra
+         |  FROM ( ${TextAnalysis.oracle("tx15_bm25_topk")} ) b
+         |),
+         |vr AS (
+         |  SELECT query_id, neighbor_id AS item_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY cosine DESC, neighbor_id ASC) AS rb
+         |  FROM ( $sim04Sql ) v
+         |),
+         |fused AS (
+         |  SELECT coalesce(bm.query_id, vr.query_id) AS query_id,
+         |         coalesce(bm.item_id, vr.item_id) AS item_id,
+         |         bm.ra AS ra, vr.rb AS rb,
+         |         coalesce(CAST(1 AS DOUBLE) / CAST($RrfK + bm.ra AS DOUBLE), 0.0)
+         |           + coalesce(CAST(1 AS DOUBLE) / CAST($RrfK + vr.rb AS DOUBLE), 0.0) AS rrf
+         |  FROM bm FULL OUTER JOIN vr
+         |    ON bm.query_id = vr.query_id AND bm.item_id = vr.item_id
+         |)
+         |SELECT query_id, CAST(rk AS INT) AS rk, item_id,
+         |       CAST(ra AS INT) AS ra, CAST(rb AS INT) AS rb,
+         |       round(rrf, 6) AS rrf FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY rrf DESC, item_id ASC) AS rk
          |  FROM fused) t
          |WHERE rk <= $FusionTopK ORDER BY query_id, rk""".stripMargin,
 

@@ -119,6 +119,36 @@ class Round14OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- sim26: hybrid text+vector search ---------------------------------
+
+  test("sim26: lanes fuse across modalities; the vector-only query degrades gracefully") {
+    val bm = q("tx15_bm25_topk").collect()
+      .map(r => (r.getInt(0).toLong, r.getLong(2)) -> r.getInt(1)).toMap
+    val vec = SparkEntry.queries("sim04_ivf_ann")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val vr = vec.groupBy(_._1).flatMap { case (_, rows) =>
+      rows.sortBy { case (_, nb, cos) => (-cos, nb) }.zipWithIndex
+        .map { case ((qid, nb, _), i) => (qid, nb) -> (i + 1) }.toSeq
+    }
+    val fused = q("sim26_hybrid_search").collect()
+    assert(fused.nonEmpty)
+    fused.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      val expA = bm.get(key)
+      val expB = vr.get(key)
+      assert(expA.isDefined || expB.isDefined, s"$key in neither lane")
+      assert(Option(r.get(3)).map(_.asInstanceOf[Int]) == expA, s"ra mismatch at $key")
+      assert(Option(r.get(4)).map(_.asInstanceOf[Int]) == expB, s"rb mismatch at $key")
+      val exp = expA.map(x => 1.0 / (Similarity.RrfK + x)).getOrElse(0.0) +
+        expB.map(x => 1.0 / (Similarity.RrfK + x)).getOrElse(0.0)
+      assert(math.abs(r.getDouble(5) - exp) < 1e-6, s"rrf mismatch at $key")
+    }
+    // query 4 has no BM25 workload: it must still serve, vector-only
+    val q4 = fused.filter(_.getLong(0) == 4L)
+    assert(q4.nonEmpty, "vector-only query 4 returned nothing")
+    assert(q4.forall(_.isNullAt(3)), "query 4 grew a lexical rank from nowhere")
+  }
+
   // ---- ds12: diversified top-k ------------------------------------------
 
   test("ds12: per-(query, cell) quota binds and survivors are the cosine top-k") {
