@@ -467,6 +467,45 @@ object Streams {
     graft.ops.VecIndex.coveringFilteredAnnTopK(spark, dir,
       queries.withWatermark("ts", delay), cells)
 
+  /** st18's per-micro-batch core: hybrid text+vector serving over an
+    * arrivals frame (query_id, embedding, ts). The lexical lane is
+    * the MEMOIZED static BM25 index (tx15's ranked lists, localCheckpoint-
+    * pinned — built once, joined per batch), the vector lane probes
+    * the persisted IVF cells ([[graft.ops.VecIndex.annTopK]], st09's
+    * lane), and the two rank lists fuse with RRF exactly as sim26.
+    * Each query's result depends only on its own rows + static state
+    * — streaming-legal per micro-batch by construction. */
+  def hybridServeCore(s: SparkSession, d: String,
+      arrivals: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val K = graft.ops.Similarity.RrfK
+    val bmIndex = graft.ops.Dedup.memoFrame(s, d, "st18_bm25")(
+      graft.ops.TextAnalysis.queries("tx15_bm25_topk")(s, d).localCheckpoint())
+    val bm = bmIndex
+      .select(col("query_id").cast("bigint").as("query_id"),
+        col("doc_id").as("item_id"), col("rk").as("ra"))
+      .join(broadcast(arrivals.select("query_id").distinct()), Seq("query_id"))
+    val prefix = graft.ops.VecIndex.ensurePersisted(s, d)
+    val vr = graft.ops.VecIndex.annTopK(s, d, arrivals,
+        s.table(graft.ops.VecIndex.cellsTable(prefix)))
+      .withColumn("rb", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("neighbor_id").asc)))
+      .select(col("query_id"), col("neighbor_id").as("item_id"), col("rb"))
+    val fused = bm.join(vr, Seq("query_id", "item_id"), "full_outer")
+      .withColumn("rrf", expr(
+        s"""coalesce(CAST(1 AS DOUBLE) / CAST($K + ra AS DOUBLE), 0.0)
+           | + coalesce(CAST(1 AS DOUBLE) / CAST($K + rb AS DOUBLE), 0.0)"""
+          .stripMargin))
+    fused.withColumn("rk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("rrf").desc, col("item_id").asc)))
+      .filter(col("rk") <= graft.ops.Similarity.FusionTopK)
+      .select(col("query_id"), col("rk").cast("int").as("rk"),
+        col("item_id"), col("ra").cast("int").as("ra"),
+        col("rb").cast("int").as("rb"), round(col("rrf"), 6).as("rrf"))
+  }
+
   /** st12's real-stream form: [[graft.ops.VecIndex.pqAnnTopK]] behind
     * a watermark — ADC serving from the persisted IVF-PQ code cells. */
   def pqServeStream(spark: org.apache.spark.sql.SparkSession, dir: String,
@@ -810,6 +849,29 @@ object Streams {
         .orderBy("query_id", "neighbor_id")
     }),
 
+    // STREAMING HYBRID SEARCH (round 14, st18): sim26's text+vector
+    // serving as an ingest stream — arriving query vectors probe the
+    // PERSISTED IVF cell table (st09's lane) while their lexical
+    // ranks come from the memoized static BM25 index (tx15's ranked
+    // lists, built once and pinned — the train-once/serve-many split:
+    // per micro-batch the lexical lane is a k-bounded join, never a
+    // postings rebuild), fused with RRF per query. A query's fused
+    // result needs only its own rows plus static state, so the
+    // per-micro-batch form equals the whole-workload batch core row
+    // for row (StreamingSpec drives a real readStream + foreachBatch).
+    // Decisions are DEFINED identical to sim26's (the persisted-index
+    // probe's decisions are sim04's — st09/st10's established
+    // equivalence — and the lexical lane IS tx15's output), so the
+    // oracle is shared.
+    "st18_stream_hybrid_search" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, expr}
+      val arrivals = graft.Tables.embeddings(s, d)
+        .filter(col("vec_id") < graft.ops.Similarity.KnnQueries)
+        .select(col("vec_id").as("query_id"), col("embedding"),
+          expr("timestamp'2024-01-01 00:00:00' + make_dt_interval(0, 0, 0, vec_id)").as("ts"))
+      hybridServeCore(s, d, arrivals).orderBy("query_id", "rk")
+    }),
+
     // STREAMING ADMISSION PIPELINE (round 12, st15): the composed
     // ingest flow — eval/quality/langid gates (row-local), the
     // contamination check against the static broadcast eval shingle
@@ -866,6 +928,12 @@ object Streams {
     // Similarity.st14Sql — assignment, smoothing, and the
     // decimal-exact term fold mirrored end to end).
     ("st14_stream_drift" -> graft.ops.Similarity.st14Sql) +
+    // st18 = sim26's fused decisions: the persisted-index vector
+    // lane's decisions are sim04's (st09/st10's equivalence) and the
+    // lexical lane IS tx15's output, so the fusion is DEFINED
+    // identical — a divergence means the persisted probe or the
+    // memoized lexical index changed the dataflow's semantics.
+    ("st18_stream_hybrid_search" -> graft.ops.Similarity.oracle("sim26_hybrid_search")) +
     // st15 = the admission gates composed with st05's probe shape;
     // the oracle coalesces verdicts exactly as admissionCore does.
     ("st15_stream_admission" -> graft.ops.Pipeline.st15Sql) +

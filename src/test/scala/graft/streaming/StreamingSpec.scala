@@ -756,6 +756,64 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming hybrid search equals the batch core per micro-batch (st18)") {
+    // Hybrid text+vector serving as a real stream: each micro-batch's
+    // arriving query vectors probe the persisted IVF cells and join
+    // the memoized static BM25 index, fused with RRF. A query's fused
+    // result needs only its own rows + static state, so the
+    // per-micro-batch form must equal the whole-workload batch entry
+    // row for row.
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorExprs.register(spark)
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("st18_stream_hybrid_search")(spark, sf).collect()
+    assert(batch.nonEmpty, "batch analog returned no rows")
+    // the fixture must exercise the fusion, or the test is vacuous:
+    // at least one fused row per lane-presence shape
+    assert(batch.exists(r => !r.isNullAt(3)), "no lexical-lane row fused")
+    assert(batch.exists(r => !r.isNullAt(4)), "no vector-lane row fused")
+    assert(batch.exists(_.isNullAt(3)), "no vector-only row (query 4 missing?)")
+    val arrivals = graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < graft.ops.Similarity.KnnQueries)
+      .select(col("vec_id").as("query_id"), col("embedding"),
+        expr("timestamp'2024-01-01 00:00:00' + make_dt_interval(0, 0, 0, vec_id)").as("ts"))
+    val srcDir = Files.createTempDirectory("graft-st18").toString
+    def stamp(sub: String): Unit = {
+      val t = mtimeClock.addAndGet(2000)
+      Files.walk(Paths.get(srcDir, sub)).iterator().forEachRemaining { p =>
+        if (Files.isRegularFile(p))
+          Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime.fromMillis(t))
+      }
+    }
+    arrivals.filter(col("query_id") % 2 === 0).coalesce(1).write.parquet(s"$srcDir/part_a")
+    stamp("part_a")
+    arrivals.filter(col("query_id") % 2 =!= 0).coalesce(1).write.parquet(s"$srcDir/part_b")
+    stamp("part_b")
+    val streamed = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Seq[Any])]
+    var batches = 0
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$srcDir/part_a").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$srcDir/part_*")
+    val q = stream.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val rows = Streams.hybridServeCore(spark, sf, df.localCheckpoint()).collect()
+        streamed.synchronized {
+          batches += 1
+          streamed ++= rows.map(r => (r.getLong(0), r.getInt(1), r.toSeq))
+        }
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(batches == 2, s"expected exactly 2 micro-batches, got $batches")
+      val got = streamed.sortBy(t => (t._1, t._2)).map(_._3).toSeq
+      assert(got == batch.map(_.toSeq).toSeq,
+        "per-micro-batch hybrid results diverge from the batch core")
+    } finally q.stop()
+  }
+
   test("streaming ANN probe of the persisted vector index equals the batch top-k (st09)") {
     // ANN serving as a stream: query vectors arrive over multiple
     // micro-batches, select probe cells via broadcast centroids in a
