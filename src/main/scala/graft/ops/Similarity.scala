@@ -66,6 +66,13 @@ object Similarity {
     * top-k — the diversity quota. */
   val DiverseQuota = 2
 
+  /** sim27 Matryoshka serving knobs: candidate generation scores only
+    * the first [[MatryoshkaPrefix]] dims (the MRL paper's nested-
+    * prefix property — truncated embeddings stay meaningful), the
+    * exact full-dim re-rank touches [[MatryoshkaCand]] rows/query. */
+  val MatryoshkaPrefix = 16
+  val MatryoshkaCand = 16
+
   /** Product quantization (sim07): M subspaces × SubDims dims; K
     * codewords per subspace. 64 float dims compress to
     * M log2(K) = 12 bits per vector. Codebooks are TRAINED (round
@@ -94,8 +101,13 @@ object Similarity {
 
   /** The left-fold dot product in DuckDB SQL (list_reduce has no seed; a fold of
     * [v1..vn] from v1 equals Spark's 0.0-seeded fold bit-for-bit). */
-  private[ops] def dotSql(a: String, b: String): String =
-    s"list_reduce(list_transform(generate_series(1, $Dims), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+  private[ops] def dotSql(a: String, b: String): String = dotSqlN(a, b, Dims)
+
+  /** Length-parameterized prefix form — sim27 folds the first `n`
+    * dims; the no-seed fold-from-v1 parity argument holds at any
+    * length. */
+  private[ops] def dotSqlN(a: String, b: String, n: Int): String =
+    s"list_reduce(list_transform(generate_series(1, $n), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
 
   /** Squared L2 between subspace m of `a` and `b` in DuckDB SQL — the
     * same left fold as the codegen `sq_dist` over a `slice`, written
@@ -373,6 +385,36 @@ object Similarity {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cosine"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  /** sim27's body, parameterized on query count / k / candidate
+    * budget so tools/OpqProbe can measure the matryoshka lane at
+    * statistical power (the bruteKnn precedent). Defaults reproduce
+    * the catalog plan byte for byte. */
+  private[graft] def matryoshkaAnn(s: SparkSession, d: String,
+      nQ: Long = KnnQueries, k: Int = KnnK,
+      cand: Int = MatryoshkaCand): DataFrame = {
+    VectorExprs.register(s)
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val t = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("te"))
+    val wp = Window.partitionBy("query_id")
+      .orderBy(col("pcos").desc, col("neighbor_id").asc)
+    val cands = t.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("pcos", expr(
+        s"cosine_sim(slice(qe, 1, $MatryoshkaPrefix), slice(te, 1, $MatryoshkaPrefix))"))
+      .withColumn("prn", row_number().over(wp))
+      .filter(col("prn") <= cand)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cands.withColumn("cos", expr("cosine_sim(qe, te)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("pcos"), 6).as("prefix_cosine"),
+        round(col("cos"), 6).as("cosine"))
       .orderBy("query_id", "neighbor_id")
   }
 
@@ -760,6 +802,21 @@ object Similarity {
           col("rb").cast("int").as("rb"), round(col("rrf"), 6).as("rrf"))
         .orderBy("query_id", "rk")
     }),
+
+    // Matryoshka progressive ANN (sim27; round 14) — the two-stage
+    // serving shape truncation-robust (MRL-style) embeddings enable:
+    // candidate generation scores only the first [[MatryoshkaPrefix]]
+    // of [[Dims]] dims (a 4× cheaper scan; at scale the prefix slice
+    // is stored as its own column/file so the candidate pass READS
+    // 4× less, not just computes less), then an exact full-dim
+    // re-rank over the [[MatryoshkaCand]] survivors. The same
+    // funnel-retrieval shape as sim07's ADC→exact and sim04's
+    // cell→exact — a third, orthogonal cost lever (dimension
+    // truncation) that composes with both: an IVF cell probe can
+    // score prefixes inside the cell. Both stages rank on raw
+    // bit-identical cosines (slice folds left like the full fold —
+    // dotSql's seed argument applies at any length).
+    "sim27_matryoshka_ann" -> ((s, d) => matryoshkaAnn(s, d)),
 
     // Hybrid text+vector search (sim26; round 14) — sim25's RRF over
     // the two MODALITIES a production hybrid retriever actually
@@ -2338,6 +2395,43 @@ object Similarity {
     // of the replayed SQL, so the gate hashes the rotation itself.
     "sim24_opq_adc" ->
       pqAdcSql(trained = true, rel = "pemb", prelude = opqPreludeSql),
+
+    // Both stages rank on raw cosines: the prefix cosine is the same
+    // left fold over the first MatryoshkaPrefix elements in both
+    // engines, the full cosine is sim01's kernel.
+    "sim27_matryoshka_ann" -> {
+      val P = MatryoshkaPrefix
+      def pnorm(c: String) = s"sqrt(${dotSqlN(c, c, P)})"
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |q AS (
+         |  SELECT vec_id AS query_id, embedding AS qe FROM e WHERE vec_id < $KnnQueries
+         |),
+         |pairs AS (
+         |  SELECT q.query_id, t.vec_id AS neighbor_id, q.qe, t.embedding AS te,
+         |         ${dotSqlN("q.qe", "t.embedding", P)}
+         |           / (${pnorm("q.qe")} * ${pnorm("t.embedding")}) AS pcos
+         |  FROM e t JOIN q ON t.vec_id <> q.query_id
+         |),
+         |cand AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY pcos DESC, neighbor_id ASC) AS prn
+         |    FROM pairs) t
+         |  WHERE prn <= $MatryoshkaCand
+         |),
+         |rer AS (
+         |  SELECT query_id, neighbor_id, pcos,
+         |         ${dotSql("qe", "te")}
+         |           / (sqrt(${dotSql("qe", "qe")}) * sqrt(${dotSql("te", "te")})) AS cos
+         |  FROM cand
+         |)
+         |SELECT query_id, neighbor_id, round(pcos, 6) AS prefix_cosine,
+         |       round(cos, 6) AS cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY cos DESC, neighbor_id ASC) AS rn
+         |  FROM rer) t
+         |WHERE rn <= $KnnK ORDER BY query_id, neighbor_id""".stripMargin
+    },
 
     // Lane ranks re-derive from the lanes' ROUNDED cosine outputs
     // (identical keys both engines); the fused score is int-rational

@@ -71,7 +71,13 @@ object OpqProbe {
         (() => Similarity.lshAnn(spark, sfDir, Similarity.LshMultiProbes, nQ, k)),
       "IVF2 1-L1-probe (sim06)" -> (() => Similarity.ivf2Ann(spark, sfDir, 1, nQ, k)),
       s"IVF2 ${Similarity.Ivf2L1Probes}-L1-probe (sim13)" ->
-        (() => Similarity.ivf2Ann(spark, sfDir, Similarity.Ivf2L1Probes, nQ, k)))
+        (() => Similarity.ivf2Ann(spark, sfDir, Similarity.Ivf2L1Probes, nQ, k)),
+      // the candidate budget scales with k (catalog: 16 cands for
+      // k=5) so the funnel's selectivity, not a too-small C, is
+      // what the recall number measures
+      s"Matryoshka ${Similarity.MatryoshkaPrefix}/${Similarity.Dims}-dim (sim27)" ->
+        (() => Similarity.matryoshkaAnn(spark, sfDir, nQ, k,
+          cand = math.max(Similarity.MatryoshkaCand, 3 * k))))
 
     println(f"recall@$k over $sfDir — $nQ queries, n=$nBf ground-truth " +
       f"neighbors (M=${Similarity.PqM}, K=${Similarity.PqK}, " +

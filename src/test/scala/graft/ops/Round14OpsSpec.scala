@@ -149,6 +149,36 @@ class Round14OpsSpec extends SparkSpec {
     assert(q4.forall(_.isNullAt(3)), "query 4 grew a lexical rank from nowhere")
   }
 
+  // ---- sim27: matryoshka progressive ANN ---------------------------------
+
+  test("sim27: naive prefix-funnel recomputation agrees on every row") {
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    def cos(a: Seq[Double], b: Seq[Double], n: Int): Double = {
+      // left fold in array order — the engine kernel's summation order
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val P = Similarity.MatryoshkaPrefix
+    val expected = (0L until Similarity.KnnQueries).flatMap { qid =>
+      val qe = emb(qid)
+      val cands = emb.toSeq.filter(_._1 != qid)
+        .map { case (id, te) => (id, cos(qe, te, P)) }
+        .sortBy { case (id, p) => (-p, id) }.take(Similarity.MatryoshkaCand)
+      cands.map { case (id, p) => (id, p, cos(qe, emb(id), Similarity.Dims)) }
+        .sortBy { case (id, _, c) => (-c, id) }.take(Similarity.KnnK)
+        .map { case (id, p, c) =>
+          (qid, id,
+            BigDecimal(p).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+            BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+    }.toSet
+    val got = q("sim27_matryoshka_ann").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(got == expected)
+  }
+
   // ---- ds12: diversified top-k ------------------------------------------
 
   test("ds12: per-(query, cell) quota binds and survivors are the cosine top-k") {
