@@ -33,6 +33,12 @@ import org.apache.spark.sql.types.BinaryType
   * on the decoded raster — no video codec ships in this container,
   * but multi-frame GIF IS a real frame-indexed media container the
   * JDK decodes natively, so nothing in the dataflow is a stand-in.
+  * The AUDIO path (mm06, round 14) is real the same way: 16-bit PCM
+  * WAV payloads synthesized from doc-derived parameters, parsed from
+  * bytes by `javax.sound.sampled.AudioSystem` (pure-JVM RIFF/PCM
+  * decode, no audio device needed), features computed on the DECODED
+  * samples — and the oracle recomputes them arithmetically from the
+  * synthesis formula, so a faked decode hash-mismatches.
   */
 object Multimodal {
   type Q = (SparkSession, String) => DataFrame
@@ -262,6 +268,88 @@ object Multimodal {
     } finally iis.close()
   }
 
+  // ------------------------------------------------------------------
+  // mm06: real audio — 16-bit PCM WAV synth + javax.sound decode
+  // ------------------------------------------------------------------
+
+  /** Sample rates cycled by doc_id — the metadata axis mm06's decode
+    * must read back from the RIFF header. */
+  val AudioRates = Seq(8000, 12000, 16000, 20000) // 8000 + (doc_id % 4)·4000
+  def audioRate(docId: Long): Int = AudioRates((docId % 4).toInt)
+
+  /** Deterministic 16-bit mono PCM WAV: one sample per text byte,
+    * sample = byte·257 − 32768 (spans the full signed-16 range:
+    * 0 → −32768, 255 → 32767 — exact integers, so the oracle can
+    * recompute every decoded sample from `ascii()` arithmetic).
+    * RIFF/fmt/data assembled by hand (44-byte canonical header);
+    * empty text → empty payload, the no-media case. */
+  def encodeWav(docId: Long, text: String): Array[Byte] = {
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (bytes.isEmpty) return Array.emptyByteArray
+    val rate = audioRate(docId)
+    val n = bytes.length
+    val dataLen = n * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(rate).putInt(rate * 2) // byte rate = rate · blockAlign
+      .putShort(2).putShort(16) // blockAlign, bits
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      buf.putShort(((bytes(i) & 0xff) * 257 - 32768).toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** Typed decode output: features of REAL decoded PCM. Quarantine
+    * convention (mm01's): undecodable payload → −1 metadata, null
+    * stats; empty payload → a 0-sample row. `sum_sq` is an exact
+    * integer (≤ 2³¹ per sample², bounded corpus) so `rms` is one
+    * IEEE sqrt both engines compute identically. */
+  final case class AudioFeat(doc_id: Long, sample_rate: Int, n_samples: Long,
+      peak: java.lang.Long, sum_sq: java.lang.Long, rms: java.lang.Double)
+
+  /** REAL WAV parse: `AudioSystem.getAudioInputStream` over the
+    * payload bytes (pure-JVM RIFF/PCM — no audio device), the format
+    * read from the header, every frame decoded to its signed-16
+    * sample, peak/energy folded over the DECODED values. */
+  def decodeAudio(r: MediaRow): AudioFeat = {
+    if (r.payload == null || r.payload.isEmpty)
+      return AudioFeat(r.doc_id, audioRate(r.doc_id), 0L, null, null, null)
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(r.payload))
+      try {
+        val fmt = ais.getFormat
+        val rate = fmt.getSampleRate.toInt
+        val all = ais.readAllBytes()
+        val n = all.length / 2
+        var peak = 0L
+        var sumSq = 0L
+        var i = 0
+        while (i < n) {
+          val s = ((all(2 * i) & 0xff) | (all(2 * i + 1) << 8)).toShort.toLong
+          val a = math.abs(s)
+          if (a > peak) peak = a
+          sumSq += s * s
+          i += 1
+        }
+        val rms = math.sqrt(sumSq.toDouble / n.toDouble)
+        AudioFeat(r.doc_id, rate, n.toLong, peak, sumSq,
+          BigDecimal(rms).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      } finally ais.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException |
+          _: java.io.IOException =>
+        AudioFeat(r.doc_id, -1, -1L, null, null, null)
+    }
+  }
+
   val queries2: Map[String, Q] = Map(
     // Video-shaped frame sampling over REAL multi-frame payloads
     // (round 14): animated-GIF bytes → batched mapPartitions decode
@@ -308,6 +396,29 @@ object Multimodal {
           expr(s"CAST(length(substring(text, chunk_idx * $ChunkBytes + 1, $ChunkBytes)) AS INT)")
             .as("chunk_len"))
         .orderBy("doc_id", "chunk_idx")),
+
+    // REAL audio decode (round 14): 16-bit PCM WAV payloads
+    // synthesized in-plan from doc-derived parameters, parsed from
+    // bytes by javax.sound.sampled (pure-JVM RIFF/PCM, headless-safe)
+    // inside the batched mapPartitions, features folded over the
+    // DECODED samples — sample_rate read back from the header, peak
+    // and energy exact integers, rms one IEEE sqrt. The oracle
+    // recomputes everything from ascii() arithmetic over the text —
+    // a decode that faked sample values, dropped frames, or misread
+    // the header hash-mismatches. Completes the modality set: image
+    // (mm01), frame-indexed video-shaped (mm02), audio (mm06).
+    "mm06_audio_features" -> ((s, d) => {
+      import s.implicits._
+      val media = graft.Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          MediaRow(id, "audio/wav", encodeWav(id, Option(text).getOrElse("")))
+        })
+      media.mapPartitions(_.grouped(DecodeBatchSize)
+          .flatMap(_.iterator.map(decodeAudio)))
+        .toDF().orderBy("doc_id")
+    }),
 
     // Whole-payload digest dedup — how media dedup actually works at
     // 100 TB: the bytes are far too large to compare, so the
@@ -454,6 +565,34 @@ object Multimodal {
   }
 
   val oracle3: Map[String, String] = Map(
+    // every decoded sample replayed as ascii()·257−32768; peak and
+    // energy are exact integer folds, rms one IEEE sqrt both engines
+    // compute identically from the same integers
+    "mm06_audio_features" ->
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |         list_transform(generate_series(1, length(coalesce(text, ''))),
+         |                        i -> ascii(substring(text, i, 1)) * 257 - 32768) AS samples
+         |  FROM documents
+         |),
+         |agg AS (
+         |  SELECT doc_id, len(samples) AS n,
+         |         list_max(list_transform(samples, x -> abs(x))) AS peak,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(samples, x -> CAST(x AS BIGINT) * x)),
+         |           (a, b) -> a + b) AS sum_sq
+         |  FROM s
+         |)
+         |SELECT doc_id,
+         |       CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+         |       CAST(n AS BIGINT) AS n_samples,
+         |       CASE WHEN n = 0 THEN NULL ELSE CAST(peak AS BIGINT) END AS peak,
+         |       CASE WHEN n = 0 THEN NULL ELSE CAST(sum_sq AS BIGINT) END AS sum_sq,
+         |       CASE WHEN n = 0 THEN NULL
+         |            ELSE round(sqrt(CAST(sum_sq AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+         |       END AS rms
+         |FROM agg ORDER BY doc_id""".stripMargin,
+
     "mm03_chunk_manifest" ->
       s"""WITH c AS (
          |  SELECT doc_id, text,

@@ -206,4 +206,28 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.forall { case (a, b) => a < 9000L && b < 9000L },
       s"quarantined doc appeared in a pair: $pairs")
   }
+
+  test("mm06 decodes REAL WAV audio: header rate + exact sample round-trip; corrupt quarantines") {
+    // happy path: decoded features equal the synthesis arithmetic
+    val text = "the quick spark fox"
+    val f = Multimodal.decodeAudio(
+      Multimodal.MediaRow(6L, "audio/wav", Multimodal.encodeWav(6L, text)))
+    val samples = text.getBytes("UTF-8").map(b => (b & 0xff) * 257 - 32768)
+    assert(f.sample_rate == Multimodal.audioRate(6L), "header rate not read back")
+    assert(f.n_samples == samples.length)
+    assert(f.peak == samples.map(s => math.abs(s.toLong)).max)
+    assert(f.sum_sq == samples.map(s => s.toLong * s).sum)
+    // empty payload: the 0-sample row, not a quarantine
+    val e = Multimodal.decodeAudio(Multimodal.MediaRow(7L, "audio/wav",
+      Multimodal.encodeWav(7L, "")))
+    assert(e.n_samples == 0L && e.peak == null && e.rms == null)
+    assert(e.sample_rate == Multimodal.audioRate(7L))
+    // corrupt payloads quarantine (-1 metadata), never throw — so a
+    // faked parser that ignored the bytes could not pass this suite
+    Seq(Array[Byte](1, 2, 3), "RIFFnot a wav".getBytes("UTF-8")).foreach { bad =>
+      val c = Multimodal.decodeAudio(Multimodal.MediaRow(9L, "audio/wav", bad))
+      assert(c.sample_rate == -1 && c.n_samples == -1L && c.rms == null,
+        "corrupt payload decoded")
+    }
+  }
 }
