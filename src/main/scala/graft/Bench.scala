@@ -203,18 +203,64 @@ object Bench {
       } yield AxesRef(a, t, b)
     } catch { case _: Throwable => None }
 
-  private def writeAxesRef(r: AxesRef): Unit =
-    try Files.write(AxesPath, String.format(java.util.Locale.ROOT,
-      """{"best_all_core_ms":%.1f,"best_trivial_scan_ms":%.1f,"best_mem_bw_gbps":%.1f}
-""", Double.box(r.allCoreMs), Double.box(r.trivialMs), Double.box(r.memBwGbps))
-      .getBytes(StandardCharsets.UTF_8))
-    catch { case _: Throwable => () }
+  /** Bounded history of axes from ACCEPTED in-band sweeps (newest
+    * last, capped at [[AxesHistoryMax]]). The round-14 session showed
+    * the pure best-ever reference can STRAND the gate: one lucky
+    * snapshot (mem_bw 123.3 GB/s) set a band the host did not revisit
+    * for the following hour, so two cold sweeps whose per-query
+    * numbers were FLAT against the clean base still timed out and
+    * self-labeled degraded. The gate therefore compares against the
+    * component-wise MEDIAN of this history once it holds
+    * [[AxesHistoryMin]] entries (best-ever until then): a single
+    * lucky — or polluted — capture moves a median of 8 very little,
+    * and only in-band captures may append, so "healthy" can drift
+    * only gradually and only through sweeps the band itself
+    * accepted. The best-ever fields stay recorded for reference. */
+  private[graft] val AxesHistoryMax = 8
+  private[graft] val AxesHistoryMin = 3
+
+  private def readAxesHistory(): Seq[AxesRef] =
+    try {
+      val s = new String(Files.readAllBytes(AxesPath), StandardCharsets.UTF_8)
+      val arr = """"history":\[(.*?)\]""".r.findFirstMatchIn(s).map(_.group(1)).getOrElse("")
+      """\{[^}]*\}""".r.findAllIn(arr).toSeq.flatMap { obj =>
+        for {
+          a <- extractField(obj, "a").flatMap(_.toDoubleOption)
+          t <- extractField(obj, "t").flatMap(_.toDoubleOption)
+          b <- extractField(obj, "b").flatMap(_.toDoubleOption)
+        } yield AxesRef(a, t, b)
+      }
+    } catch { case _: Throwable => Seq.empty }
+
+  /** The reference the gate compares against: component-wise median
+    * of the in-band history when it is deep enough, else best-ever. */
+  private[graft] def gatingRef(best: Option[AxesRef], history: Seq[AxesRef]): Option[AxesRef] = {
+    def med(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    if (history.size >= AxesHistoryMin)
+      Some(AxesRef(med(history.map(_.allCoreMs)), med(history.map(_.trivialMs)),
+        med(history.map(_.memBwGbps))))
+    else best
+  }
+
+  private def writeAxesRef(r: AxesRef, history: Seq[AxesRef]): Unit =
+    try {
+      def f(v: Double) = String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+      val hist = history.takeRight(AxesHistoryMax)
+        .map(h => s"""{"a":${f(h.allCoreMs)},"t":${f(h.trivialMs)},"b":${f(h.memBwGbps)}}""")
+        .mkString("[", ",", "]")
+      Files.write(AxesPath,
+        (s"""{"best_all_core_ms":${f(r.allCoreMs)},"best_trivial_scan_ms":${f(r.trivialMs)},"best_mem_bw_gbps":${f(r.memBwGbps)},"history":$hist}""" + "\n")
+          .getBytes(StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () }
 
   /** Degradation-direction band check: axes are "in band" when none
     * sits more than 10% WORSE than the best-ever reference (better
     * than the reference is always fine — it just ratchets the
     * record). A missing reference or a failed probe (-1) passes. */
-  private def axesInBand(ref: Option[AxesRef], allCore: Double,
+  private[graft] def axesInBand(ref: Option[AxesRef], allCore: Double,
       trivial: Double, memBw: Double): Boolean = ref.forall { r =>
     allCore <= r.allCoreMs * 1.10 &&
       trivial <= r.trivialMs * 1.10 &&
@@ -258,7 +304,7 @@ object Bench {
     * one; its old guard banded only the CPU reference. */
   private[graft] def awaitAxes(firstCalib: graft.tools.LoadGuard.Calibration,
       trivialProbe: () => Double): (Boolean, graft.tools.LoadGuard.Calibration, Double, Double) = {
-    val axesRef = readAxesRef()
+    val axesRef = gatingRef(readAxesRef(), readAxesHistory())
     var calibNow = firstCalib
     var trivialMs = Seq.fill(3)(trivialProbe()).min
     def okNow() = axesInBand(axesRef, calibNow.cpuRefAllCoreMs, trivialMs,
@@ -284,14 +330,20 @@ object Bench {
   }
 
   /** Ratchet the best-axes record toward health (any run may improve
-    * it; a degraded run never worsens it). */
+    * it; a degraded run never worsens it), and — when the session's
+    * axes were IN BAND — append them to the rolling history the gate
+    * medians over ([[gatingRef]]'s anti-stranding design). */
   private[graft] def ratchetAxes(calibNow: graft.tools.LoadGuard.Calibration,
-      trivialMs: Double): Unit = {
+      trivialMs: Double, inBand: Boolean = false): Unit = {
     val axesRef = readAxesRef()
+    val history = readAxesHistory() ++
+      (if (inBand) Seq(AxesRef(calibNow.cpuRefAllCoreMs, trivialMs, calibNow.memBwGbps))
+       else Seq.empty)
     writeAxesRef(AxesRef(
       axesRef.fold(calibNow.cpuRefAllCoreMs)(r => math.min(r.allCoreMs, calibNow.cpuRefAllCoreMs)),
       axesRef.fold(trivialMs)(r => math.min(r.trivialMs, trivialMs)),
-      axesRef.fold(calibNow.memBwGbps)(r => math.max(r.memBwGbps, calibNow.memBwGbps))))
+      axesRef.fold(calibNow.memBwGbps)(r => math.max(r.memBwGbps, calibNow.memBwGbps))),
+      history)
   }
 
   def main(args: Array[String]): Unit = {
@@ -421,7 +473,8 @@ object Bench {
     val suspect =
       (sameCode && priorTotal.exists(p => p > 0 && (total - p) / p > 0.15)) ||
         (axesSuspect && gradedRatio > 1.10)
-    ratchetAxes(calibNow, trivialMs)
+    ratchetAxes(calibNow, trivialMs,
+      inBand = axesOk && axesCompoundRatio <= AxesTightMax)
     val loadJson = graft.tools.LoadGuard.jsonFields(load0, loadOk, calibNow) +
       String.format(java.util.Locale.ROOT, ""","trivial_scan_ms":%.1f""",
         Double.box(trivialMs)) +

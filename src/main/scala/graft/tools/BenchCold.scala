@@ -92,7 +92,8 @@ object BenchCold {
     val qs = best.map { case (k, v) =>
       "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     }.mkString("{", ",", "}")
-    graft.Bench.ratchetAxes(calib, trivialMs)
+    graft.Bench.ratchetAxes(calib, trivialMs,
+      inBand = axesOk && axesCompound <= graft.Bench.AxesTightMax)
     val axisJson = String.format(java.util.Locale.ROOT,
       ""","trivial_scan_ms":%.1f,"axes_ok":%b,"axes_compound":%.3f,"axes_tight":%b""",
       Double.box(trivialMs), Boolean.box(axesOk), Double.box(axesCompound),

@@ -37,6 +37,33 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.axesCompound(ref, 100.2, 240.3, -1.0) === 1.0)
   }
 
+  test("gating reference is the history median once deep enough; best-ever until then") {
+    val best = Some(Bench.AxesRef(94.0, 204.5, 123.3)) // the r14 lucky snapshot
+    // the three accepted in-band r14 captures
+    val hist = Seq(Bench.AxesRef(98.2, 259.9, 117.9), Bench.AxesRef(94.0, 246.4, 116.2),
+      Bench.AxesRef(97.4, 211.0, 114.5))
+    assert(Bench.gatingRef(best, hist.take(2)) == best, "shallow history must not gate")
+    val g = Bench.gatingRef(best, hist).get
+    assert(g == Bench.AxesRef(97.4, 246.4, 116.2), s"component-wise median wrong: $g")
+  }
+
+  test("replayed r14 stranding: the lucky-snapshot band rejects a capture the history median accepts") {
+    // the session that motivated this: host at all_core 99.2 ms /
+    // trivial 227.6 ms / mem_bw 111.5 GB/s — flat against the clean
+    // base by direct per-query comparison, yet stranded for an hour
+    // by the (94.0, 204.5, 123.3) best-ever snapshot
+    val lucky = Some(Bench.AxesRef(94.0, 204.5, 123.3))
+    assert(!Bench.axesInBand(lucky, 99.2, 227.6, 111.5),
+      "fixture drifted: the lucky band should reject this capture")
+    val median = Bench.gatingRef(lucky, Seq(Bench.AxesRef(98.2, 259.9, 117.9),
+      Bench.AxesRef(94.0, 246.4, 116.2), Bench.AxesRef(97.4, 211.0, 114.5)))
+    assert(Bench.axesInBand(median, 99.2, 227.6, 111.5),
+      "history median still strands the healthy capture")
+    // and the median reference stays pollution-resistant: a capture
+    // 30% degraded on every axis is out of band against it too
+    assert(!Bench.axesInBand(median, 99.2 * 1.3, 227.6 * 1.3, 111.5 / 1.3))
+  }
+
   test("graded ratio ignores write-phase wobble but catches a graded-op regression") {
     // prior artifact: dd17 full cycle 10.0 s of which persist+append
     // 8.8 s (the r13 shape), plus a plain query at 2.0 s
