@@ -388,6 +388,35 @@ object Similarity {
       .orderBy("query_id", "neighbor_id")
   }
 
+  /** sim25's fusion, parameterized for the recall instrument: RRF of
+    * the IVF lane and the multi-probe LSH lane, each asked for k
+    * candidates, fused top-k returned. Catalog defaults reproduce
+    * sim25's plan. */
+  private[graft] def rrfFused(s: SparkSession, d: String,
+      nQ: Long = KnnQueries, k: Int = FusionTopK,
+      laneK: Int = LshK): DataFrame = {
+    def ranked(lane: DataFrame, out: String): DataFrame = lane
+      .withColumn(out, row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("neighbor_id").asc)))
+      .select(col("query_id"), col("neighbor_id"), col(out))
+    val a = ranked(ivfAnn(s, d, nQ, laneK), "ra")
+    val b = ranked(lshAnn(s, d, LshMultiProbes, nQ, laneK), "rb")
+    val fused = a.join(b, Seq("query_id", "neighbor_id"), "full_outer")
+      .withColumn("rrf", expr(
+        s"""coalesce(CAST(1 AS DOUBLE) / CAST($RrfK + ra AS DOUBLE), 0.0)
+           | + coalesce(CAST(1 AS DOUBLE) / CAST($RrfK + rb AS DOUBLE), 0.0)"""
+          .stripMargin))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("neighbor_id").asc)
+    fused.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk").cast("int").as("rk"),
+        col("neighbor_id"), col("ra").cast("int").as("ra"),
+        col("rb").cast("int").as("rb"), round(col("rrf"), 6).as("rrf"))
+      .orderBy("query_id", "rk")
+  }
+
   /** sim27's body, parameterized on query count / k / candidate
     * budget so tools/OpqProbe can measure the matryoshka lane at
     * statistical power (the bruteKnn precedent). Defaults reproduce
@@ -780,28 +809,7 @@ object Similarity {
     // query each), the fusion itself is a full-outer join of two
     // k-row-per-query frames plus one k-bounded window — fusion cost
     // is independent of corpus size by construction.
-    "sim25_rrf_fusion" -> ((s, d) => {
-      def ranked(lane: DataFrame, out: String): DataFrame = lane
-        .withColumn(out, row_number().over(
-          Window.partitionBy("query_id")
-            .orderBy(col("cosine").desc, col("neighbor_id").asc)))
-        .select(col("query_id"), col("neighbor_id"), col(out))
-      val a = ranked(ivfAnn(s, d), "ra")
-      val b = ranked(lshAnn(s, d, probes = LshMultiProbes), "rb")
-      val fused = a.join(b, Seq("query_id", "neighbor_id"), "full_outer")
-        .withColumn("rrf", expr(
-          s"""coalesce(CAST(1 AS DOUBLE) / CAST($RrfK + ra AS DOUBLE), 0.0)
-             | + coalesce(CAST(1 AS DOUBLE) / CAST($RrfK + rb AS DOUBLE), 0.0)"""
-            .stripMargin))
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("rrf").desc, col("neighbor_id").asc)
-      fused.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= FusionTopK)
-        .select(col("query_id"), col("rk").cast("int").as("rk"),
-          col("neighbor_id"), col("ra").cast("int").as("ra"),
-          col("rb").cast("int").as("rb"), round(col("rrf"), 6).as("rrf"))
-        .orderBy("query_id", "rk")
-    }),
+    "sim25_rrf_fusion" -> ((s, d) => rrfFused(s, d)),
 
     // Matryoshka progressive ANN (sim27; round 14) — the two-stage
     // serving shape truncation-robust (MRL-style) embeddings enable:

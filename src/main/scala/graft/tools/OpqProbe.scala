@@ -77,7 +77,11 @@ object OpqProbe {
       // what the recall number measures
       s"Matryoshka ${Similarity.MatryoshkaPrefix}/${Similarity.Dims}-dim (sim27)" ->
         (() => Similarity.matryoshkaAnn(spark, sfDir, nQ, k,
-          cand = math.max(Similarity.MatryoshkaCand, 3 * k))))
+          cand = math.max(Similarity.MatryoshkaCand, 3 * k))),
+      // each lane asked for k candidates, fused top-k graded — the
+      // does-fusion-beat-its-lanes question at power
+      "RRF IVF+LSH4 (sim25)" ->
+        (() => Similarity.rrfFused(spark, sfDir, nQ, k, laneK = k)))
 
     println(f"recall@$k over $sfDir — $nQ queries, n=$nBf ground-truth " +
       f"neighbors (M=${Similarity.PqM}, K=${Similarity.PqK}, " +
