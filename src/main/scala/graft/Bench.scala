@@ -56,7 +56,7 @@ object Bench {
 
   // Locale.ROOT: the f-interpolator honors the default locale, and a
   // comma decimal separator would corrupt the JSON
-  private def fmt(v: Double): String =
+  private[graft] def fmt(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
   /** Stable fingerprint of src/main (sorted paths, content hash) —
@@ -65,7 +65,7 @@ object Bench {
     * this hashes the sources on disk, not the compiled classes actually
     * running, so an edit without a recompile can mislabel a swing; the
     * driver always recompiles before benching, which keeps them in sync. */
-  private def codeFingerprint(): String =
+  private[graft] def codeFingerprint(): String =
     try {
       val root = Paths.get("src/main")
       val md = java.security.MessageDigest.getInstance("SHA-256")
@@ -84,7 +84,7 @@ object Bench {
       md.digest().map(b => f"$b%02x").mkString.take(16)
     } catch { case _: Throwable => "unknown" }
 
-  private def extractField(json: String, field: String): Option[String] = {
+  private[graft] def extractField(json: String, field: String): Option[String] = {
     val m = java.util.regex.Pattern
       .compile("\"" + field + "\":\"?([0-9a-zA-Z.\\-]+)\"?").matcher(json)
     if (m.find()) Some(m.group(1)) else None
@@ -93,7 +93,7 @@ object Bench {
   /** The prior artifact's full per-query map — the axis-aware guard's
     * comparison base. Extracting it from the flat `"name":sec` layout
     * needs no JSON library; only the `queries` object is scanned. */
-  private def extractQueries(json: String): Map[String, Double] = {
+  private[graft] def extractQueries(json: String): Map[String, Double] = {
     val start = json.indexOf("\"queries\":{")
     if (start < 0) Map.empty
     else {
@@ -336,8 +336,15 @@ object Bench {
   private[graft] def ratchetAxes(calibNow: graft.tools.LoadGuard.Calibration,
       trivialMs: Double, inBand: Boolean = false): Unit = {
     val axesRef = readAxesRef()
+    // Append only when every probed axis is VALID: axesInBand
+    // deliberately passes a failed mem_bw probe (LoadGuard's OOM
+    // fallback stamps -1), but such a session must not enter the
+    // gating history — enough -1 entries drive the component-wise
+    // median ≤ 0 and permanently disable the mem-bw band.
+    val axesValid = calibNow.memBwGbps > 0 && calibNow.cpuRefAllCoreMs > 0 && trivialMs > 0
     val history = readAxesHistory() ++
-      (if (inBand) Seq(AxesRef(calibNow.cpuRefAllCoreMs, trivialMs, calibNow.memBwGbps))
+      (if (inBand && axesValid)
+         Seq(AxesRef(calibNow.cpuRefAllCoreMs, trivialMs, calibNow.memBwGbps))
        else Seq.empty)
     writeAxesRef(AxesRef(
       axesRef.fold(calibNow.cpuRefAllCoreMs)(r => math.min(r.allCoreMs, calibNow.cpuRefAllCoreMs)),

@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.ops.{Analytics, Breadth, Curation, DataQuality, Dedup, Graph, Incremental, Joins, Layout, Multimodal, Pipeline, Relational, Similarity, TextAnalysis}
+import graft.ops.{Analytics, Breadth, Curation, DataQuality, Dedup, Graph, Incremental, Joins, Layout, LexIndex, Multimodal, Pipeline, Relational, Similarity, TextAnalysis}
 import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -23,14 +23,14 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Joins.queries ++ Breadth.queries ++ Dedup.queries ++
-      Similarity.queries ++ TextAnalysis.queries ++ Curation.queries ++
+      Similarity.queries ++ TextAnalysis.queries ++ LexIndex.queries ++ Curation.queries ++
       Multimodal.queries ++ Multimodal.queries2 ++ Multimodal.queries3 ++
       DataQuality.queries ++ Incremental.queries ++ Streams.queries ++
       Analytics.queries ++ Layout.queries ++ Graph.queries ++ Pipeline.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Joins.oracle ++ Breadth.oracle ++ Dedup.oracle ++
-      Similarity.oracle ++ TextAnalysis.oracle ++ Curation.oracle ++
+      Similarity.oracle ++ TextAnalysis.oracle ++ LexIndex.oracle ++ Curation.oracle ++
       Multimodal.oracle ++ Multimodal.oracle2 ++ Multimodal.oracle3 ++
       DataQuality.oracle ++ Incremental.oracle ++ Streams.oracle ++
       Analytics.oracle ++ Layout.oracle ++ Graph.oracle ++ Pipeline.oracle

@@ -1,0 +1,532 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, expr, hash, lit, pmod, row_number, sum}
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.Tables
+
+/** Persisted form of the BM25 inverted index — [[VecIndex]]'s
+  * lifecycle applied to the LEXICAL retrieval lane (round-15 VERDICT
+  * item 1).
+  *
+  * tx15 derives the inverted index in-session each run: every
+  * execution pays tokenize → postings aggregate → df/dl stats over
+  * the raw corpus before any query work happens. Correct, but at
+  * corpus scale that build IS the index — the expensive artifact a
+  * production lexical retriever (Lucene/Elasticsearch) persists once
+  * and serves from forever. This object writes it ONCE as bucketed
+  * parquet tables:
+  *
+  *   - `<prefix>_postings` (term, doc_id, tf, dl, ingest_batch),
+  *     bucketed AND sorted by `term` — the probe key. The row is
+  *     COVERING: `dl` (the doc's token count, BM25's length-norm
+  *     input) rides on every posting so the probe never joins a
+  *     doc-side table — the lexical analog of the covering-cells
+  *     layout ([[VecIndex.persistCovering]]), paying one extra long
+  *     per posting at write time to delete a corpus-sized join from
+  *     every read.
+  *   - `<prefix>_docstats` (doc_id, dl, ingest_batch), bucketed by
+  *     `doc_id` — Lucene's norms file: the per-doc length table,
+  *     read ONLY by maintenance (retire's dl lookup, compact's stats
+  *     rebuild), never by the probe.
+  *   - `<prefix>_stats` (ingest_batch, n_docs, sum_dl) — one row per
+  *     ingest batch; the probe sums this batch-count-sized table to
+  *     recover the corpus stats, so an append maintains global state
+  *     by writing ONE row, never re-aggregating the corpus.
+  *
+  * The probe ([[probe]]) is the serving read path: the fixed query
+  * workload's term set is pushed as an `IN` filter on the bucketed
+  * `term` column (bucket-pruned, footer-pruned scan — only matched
+  * postings are ever read), df per term falls out of counting the
+  * matched postings, and the corpus stats arrive as a 1-row
+  * broadcast. Scoring, 6-dp rounding, DECIMAL-exact per-(query,doc)
+  * summation and the partial-WindowGroupLimit top-k are tx15's, line
+  * for line — the decisions are DEFINED identical, so tx16 shares
+  * tx15's oracle: a divergence means persistence changed the
+  * dataflow's semantics. Round15OpsSpec proves the plan property:
+  * the probe plan contains NO scan of the raw documents parquet and
+  * no tokenizer expression — the corpus build is GONE from the read
+  * path.
+  *
+  * Lifecycle — the three verbs the BandIndex/VecIndex families
+  * established, proven under the same oracle gate:
+  *   - [[append]] (tx17): a NEW document batch tokenizes ONLY
+  *     itself (tf/dl are doc-local — the batch's postings are
+  *     exactly the full build's postings for those docs), appends
+  *     postings + docstats + ONE stats row under a fresh
+  *     `ingest_batch` stamp.
+  *   - [[compact]] (tx18): [[BandIndex.compactTable]]'s per-bucket
+  *     local rewrite over both bucketed tables (one file per bucket,
+  *     zero exchange), pending tombstones physically purged, stats
+  *     re-based to a single row recomputed from the surviving
+  *     docstats.
+  *   - [[retire]] (tx19): right-to-be-forgotten for documents — the
+  *     retired ids land in a tombstone table (O(retired) write; dl
+  *     recorded at retire time from the norms table so the stats
+  *     correction never rescans anything), probes mask them with a
+  *     broadcast anti-join AND subtract their (count, Σdl) from the
+  *     corpus stats, so a retired doc vanishes from ranks, df, idf
+  *     and length normalization alike — exactly what the oracle's
+  *     `doc_id NOT IN (...)` replay demands.
+  *
+  * 100 TB posture: the build pays one corpus tokenize (once, not per
+  * query); the probe exchanges matched postings only (query-vocab
+  * bucket pruning upstream of everything); maintenance is
+  * batch-proportional. The serving delta vs tx15 is the entire
+  * corpus-side build — see SCALE_NOTES.md's third-decade row.
+  */
+object LexIndex {
+
+  val Buckets = 8
+
+  def postingsTable(prefix: String): String = s"${prefix}_postings"
+  def docstatsTable(prefix: String): String = s"${prefix}_docstats"
+  def statsTable(prefix: String): String = s"${prefix}_stats"
+
+  import TextAnalysis.{tokensExpr, Bm25K1, Bm25B, Bm25TopK, Bm25Queries}
+
+  /** Tokenized view of a document frame: (doc_id, tokens, dl).
+    * `dl` carries tx15's exact semantics (CAST(size AS BIGINT) of the
+    * tokenizer output — null for null text, matching the oracle's
+    * `len(tokens)` null propagation). */
+  private def tokenized(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), expr(tokensExpr).as("tokens"))
+      .withColumn("dl", expr("CAST(size(tokens) AS BIGINT)"))
+
+  /** Build and persist the inverted index over `docs` (defaults to
+    * the full corpus; the lifecycle cycles build from a slice and
+    * grow via [[append]]). One tokenize pass feeds the postings
+    * aggregate — a single (doc_id, term, dl) shuffle, tf counted
+    * map-side — and one feeds the norms table; the stats row is
+    * aggregated from the WRITTEN norms table (batch-count-sized
+    * read), not a third corpus pass. */
+  def persist(spark: SparkSession, dir: String, path: String,
+      prefix: String, docs: Option[DataFrame] = None): Unit = {
+    val base = docs.getOrElse(Tables.documents(spark, dir))
+    writeBatch(spark, tokenized(base), path, prefix,
+      BandIndex.BaseBatch, firstWrite = true)
+  }
+
+  /** Shared build/append writer: postings + docstats + one stats row
+    * for a tokenized batch, stamped `batch`. */
+  private def writeBatch(spark: SparkSession, tok: DataFrame, path: String,
+      prefix: String, batch: Long, firstWrite: Boolean): Unit = {
+    val mode = if (firstWrite) SaveMode.Overwrite else SaveMode.Append
+    // dl is functionally dependent on doc_id, so folding it into the
+    // group key keeps the build a single shuffle (no corpus-sized
+    // dl-join back): explode → groupBy(doc_id, term, dl) → count.
+    val postings = tok
+      .select(col("doc_id"), col("dl"),
+        org.apache.spark.sql.functions.explode_outer(col("tokens")).as("term"))
+      .filter(col("term").isNotNull)
+      .groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).as("tf"))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+      .withColumn("ingest_batch", lit(batch))
+    val pw = postings.write
+      .bucketBy(Buckets, "term").sortBy("term")
+      .mode(mode)
+    (if (firstWrite) pw.option("path", s"$path/postings") else pw)
+      .saveAsTable(postingsTable(prefix))
+
+    val docstats = tok.select(col("doc_id"), col("dl"))
+      .withColumn("ingest_batch", lit(batch))
+    val dw = docstats.write
+      .bucketBy(Buckets, "doc_id").sortBy("doc_id")
+      .mode(mode)
+    (if (firstWrite) dw.option("path", s"$path/docstats") else dw)
+      .saveAsTable(docstatsTable(prefix))
+
+    // ONE row of global state per batch — read back from the table
+    // just written so the stats can never drift from the norms.
+    spark.catalog.refreshTable(docstatsTable(prefix))
+    val st = spark.table(docstatsTable(prefix))
+      .filter(col("ingest_batch") === batch)
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .select(lit(batch).as("ingest_batch"), col("n_docs"), col("sum_dl"))
+      .coalesce(1)
+    val sw = st.write.mode(mode)
+    (if (firstWrite) sw.option("path", s"$path/stats") else sw)
+      .saveAsTable(statsTable(prefix))
+  }
+
+  /** Append a NEW document batch: tokenize the batch only (tf and dl
+    * are doc-local, so batch postings ≡ the full build's postings for
+    * those docs), append under a fresh stamp. Batch-proportional —
+    * the existing index is never read, let alone rewritten. */
+  def append(spark: SparkSession, dir: String, newDocs: DataFrame,
+      prefix: String, batch: Long = 0L): Unit = {
+    writeBatch(spark, tokenized(newDocs), path = "", prefix = prefix,
+      batch = batch, firstWrite = false)
+  }
+
+  /** Current tombstones as (retired_id, dl), or None. dl was recorded
+    * at retire time ([[retire]]), so the probe's stats correction is
+    * an aggregate over this O(retired) frame. */
+  private def tombstones(spark: SparkSession, prefix: String): Option[DataFrame] = {
+    val t = BandIndex.tombstonesTable(prefix)
+    if (!spark.catalog.tableExists(t)) None
+    else { spark.catalog.refreshTable(t); Some(spark.table(t)) }
+  }
+
+  /** Retire documents (right-to-be-forgotten): record (doc_id, dl)
+    * tombstones — dl looked up in the norms table (the one read this
+    * table exists for), already-retired ids excluded so a double
+    * retire can't double-subtract from the stats. Probes mask +
+    * correct immediately; [[compact]] purges physically. */
+  def retire(spark: SparkSession, prefix: String, docIds: DataFrame): Unit = {
+    val ids = broadcast(docIds
+      .select(col(docIds.columns.head).cast("long").as("rid")))
+    val norms = spark.table(docstatsTable(prefix))
+    var expired = norms.join(ids, norms("doc_id") === col("rid"))
+      .select(col("doc_id").as("retired_id"), col("dl"))
+    tombstones(spark, prefix).foreach { ts =>
+      expired = expired.join(broadcast(ts.select(col("retired_id").as("already"))),
+        col("retired_id") === col("already"), "left_anti")
+    }
+    val t = BandIndex.tombstonesTable(prefix)
+    val w = expired.coalesce(1).write.mode(SaveMode.Append)
+    if (spark.catalog.tableExists(t)) w.saveAsTable(t)
+    else w.option("path",
+      s"${BandIndex.indexRootOf(spark, postingsTable(prefix))}/tombstones")
+      .saveAsTable(t)
+  }
+
+  /** Compact both bucketed tables (one file per bucket, per-bucket
+    * local rewrite — [[BandIndex.compactTable]]'s plan), physically
+    * purging pending tombstones, then re-base the stats table to ONE
+    * row recomputed from the surviving norms and clear the
+    * tombstones. Probe decisions are unchanged — the masks were
+    * already hiding exactly the purged rows. */
+  def compact(spark: SparkSession, prefix: String): Unit = {
+    val tomb = tombstones(spark, prefix).map(_.select("retired_id"))
+    BandIndex.compactTable(spark, postingsTable(prefix), "term",
+      tomb, minusIdCol = "doc_id")
+    BandIndex.compactTable(spark, docstatsTable(prefix), "doc_id",
+      tomb, minusIdCol = "doc_id")
+    val st = spark.table(docstatsTable(prefix))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .select(lit(BandIndex.BaseBatch).as("ingest_batch"),
+        col("n_docs"), col("sum_dl"))
+      .coalesce(1)
+    // Re-base via an EXTERNAL-location swap (compactTable's pattern).
+    // A bare saveAsTable(Overwrite) would silently re-create the
+    // table as MANAGED under the persistent spark-warehouse — files
+    // that outlive the JVM and collide with the next session's
+    // fresh-serial prefix (the exact failure the driver's full
+    // verify surfaced on tx18's second run).
+    val statsT = statsTable(prefix)
+    val catalog = spark.sessionState.catalog
+    val oldLoc = catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(statsT))
+      .location.toString
+    val newLoc = oldLoc.stripSuffix("/") + s"_c${serial.incrementAndGet()}"
+    val tmpT = s"${statsT}_compact"
+    st.write.option("path", newLoc).saveAsTable(tmpT)
+    val oldT = s"${statsT}_old${serial.incrementAndGet()}"
+    spark.sql(s"ALTER TABLE $statsT RENAME TO $oldT")
+    try spark.sql(s"ALTER TABLE $tmpT RENAME TO $statsT")
+    catch {
+      case e: Throwable =>
+        try spark.sql(s"ALTER TABLE $oldT RENAME TO $statsT")
+        catch { case _: Throwable => () }
+        throw e
+    }
+    spark.sql(s"DROP TABLE $oldT")
+    deleteDir(oldLoc.stripPrefix("file:"))
+    BandIndex.clearTombstones(spark, prefix)
+  }
+
+  /** Corpus stats as a 1-row frame (n_docs, sum_dl): the sum of the
+    * batch-count-sized stats table, minus the tombstoned docs'
+    * contribution (count and Σdl both recorded at retire time —
+    * nothing here scales with the corpus). */
+  private def statsFrame(spark: SparkSession, prefix: String): DataFrame = {
+    spark.catalog.refreshTable(statsTable(prefix))
+    val base = spark.table(statsTable(prefix))
+      .agg(sum(col("n_docs")).as("nd0"), sum(col("sum_dl")).as("sd0"))
+    tombstones(spark, prefix) match {
+      case None => base.select(col("nd0").as("n_docs"), col("sd0").as("sum_dl"))
+      case Some(ts) =>
+        val corr = ts.agg(count(lit(1)).as("ndr"),
+          coalesce(sum(col("dl")), lit(0L)).as("sdr"))
+        base.crossJoin(broadcast(corr))
+          .select((col("nd0") - col("ndr")).as("n_docs"),
+            (col("sd0") - col("sdr")).as("sum_dl"))
+    }
+  }
+
+  /** BM25 top-k SERVING against the persisted index — tx15's scoring
+    * dataflow with the corpus build deleted from the read path. The
+    * query term set is a literal `IN` filter on the bucketed `term`
+    * column (bucket- and footer-pruned scan: only matched postings
+    * are read), df counts the matched postings, stats broadcast from
+    * the 1-row [[statsFrame]]. Output = tx15's, column for column. */
+  def probe(spark: SparkSession, dir: String, prefix: String): DataFrame = {
+    val qt = spark.sql(
+      s"SELECT query_id, term FROM (VALUES ${TextAnalysis.bm25Values}) AS q(query_id, term)")
+    val terms = Bm25Queries.flatMap(_._2).distinct
+    spark.catalog.refreshTable(postingsTable(prefix))
+    val matchedAll = spark.table(postingsTable(prefix))
+      .filter(col("term").isin(terms: _*))
+    val matched = tombstones(spark, prefix).fold(matchedAll)(ts =>
+      matchedAll.join(broadcast(ts.select("retired_id")),
+        matchedAll("doc_id") === col("retired_id"), "left_anti"))
+    val dfc = matched.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = matched
+      .join(broadcast(dfc), Seq("term"))
+      .join(broadcast(qt), Seq("term"))
+      .crossJoin(broadcast(statsFrame(spark, prefix)))
+      .withColumn("score", expr(
+        s"""round(
+           |  ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+           |           / (CAST(df AS DOUBLE) + 0.5))
+           |  * (CAST(tf AS DOUBLE) * ($Bm25K1 + 1.0))
+           |  / (CAST(tf AS DOUBLE)
+           |     + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * CAST(dl AS DOUBLE)
+           |                  * CAST(n_docs AS DOUBLE) / CAST(sum_dl AS DOUBLE))),
+           |  6)""".stripMargin))
+    val perDoc = scored.groupBy("query_id", "doc_id")
+      .agg(sum(col("score").cast(DecimalType(18, 8))).cast(DoubleType).as("bm25"),
+        count(lit(1)).as("n_terms"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+    perDoc.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= Bm25TopK)
+      .select(col("query_id"), col("rk").cast("int").as("rk"),
+        col("doc_id"), col("bm25"), col("n_terms"))
+      .orderBy("query_id", "rk")
+  }
+
+  private def deleteDir(path: String): Unit = {
+    def rec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rec))
+      f.delete(); ()
+    }
+    rec(new java.io.File(path))
+  }
+
+  /** Drop the registered tables (files are external; the temp-dir
+    * lifecycle owns them). */
+  def drop(spark: SparkSession, prefix: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS ${postingsTable(prefix)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${docstatsTable(prefix)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${statsTable(prefix)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${BandIndex.tombstonesTable(prefix)}")
+  }
+
+  // Idempotent persist registry — same shape and rationale as
+  // VecIndex.ensurePersisted: the index is a durable artifact, the
+  // bench's repeated sweeps re-time the PROBE (the production read
+  // path), temp dirs ride BandIndex's shutdown-hook cleanup.
+  private val persistedFor =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), String]
+  private val persistLock = new Object
+  private val serial = new java.util.concurrent.atomic.AtomicLong(0)
+
+  def ensurePersisted(spark: SparkSession, dir: String,
+      tag: String = "tx16"): String = {
+    val key = (spark, dir, tag)
+    persistedFor.get(key).getOrElse(persistLock.synchronized {
+      persistedFor.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+      persistedFor.getOrElseUpdate(key, {
+        val prefix = s"graft_lex_${tag}_${Integer.toHexString(dir.hashCode)}" +
+          s"_s${serial.incrementAndGet()}"
+        val path = BandIndex.newTempDir(s"lex$tag")
+        persist(spark, dir, path, prefix)
+        prefix
+      })
+    })
+  }
+
+  // ------------------------------------------------------------------
+  // Fresh lifecycle cycles (tx17/tx18/tx19) — honest bench timing: a
+  // fresh index per invocation, per-phase wall times in tools.Phases,
+  // the final probe materialized INSIDE the cycle (the sim15–17
+  // template).
+  // ------------------------------------------------------------------
+
+  private val lastCycle =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), (String, String)]
+
+  private def freshIndex(spark: SparkSession, dir: String, tag: String,
+      docs: Option[DataFrame]): (String, String) = {
+    val key = (spark, dir, tag)
+    persistLock.synchronized {
+      lastCycle.remove(key).foreach { case (oldPrefix, oldPath) =>
+        drop(spark, oldPrefix)
+        BandIndex.retireTempDir(oldPath)
+      }
+      lastCycle.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    }
+    val prefix = s"graft_lex_${tag}_${Integer.toHexString(dir.hashCode)}" +
+      s"_s${serial.incrementAndGet()}"
+    val path = BandIndex.newTempDir(s"lex$tag")
+    persist(spark, dir, path, prefix, docs)
+    (prefix, path)
+  }
+
+  /** Deterministic new-document predicate for the lifecycle fixtures:
+    * ~1/4 of the corpus arrives as the "new" batch. The FINAL index
+    * always equals the full corpus, so tx17/tx18 share tx15's
+    * oracle. */
+  private def isNewDoc: org.apache.spark.sql.Column =
+    pmod(hash(col("doc_id")), lit(4)) === lit(0)
+
+  /** tx17: fresh index on 3/4 of the corpus → append the remaining
+    * 1/4 → probe. tf/dl are doc-local, so the union of the two
+    * builds' postings equals the full build's — a divergence from
+    * tx15's oracle means append broke the layout or the stats. */
+  def appendCycle(spark: SparkSession, dir: String, tag: String): DataFrame = {
+    import graft.tools.Phases
+    val key = (spark, dir, tag)
+    val docs = Tables.documents(spark, dir)
+    val (prefix, path) = Phases.time(tag, "persist") {
+      freshIndex(spark, dir, tag, Some(docs.filter(!isNewDoc)))
+    }
+    Phases.time(tag, "append") {
+      append(spark, dir, docs.filter(isNewDoc), prefix)
+    }
+    val dec = Phases.time(tag, "probe") {
+      probe(spark, dir, prefix).localCheckpoint()
+    }
+    persistLock.synchronized { lastCycle(key) = (prefix, path) }
+    dec
+  }
+
+  /** tx18: tx17's cycle with the append split into 3 disjoint
+    * day-slices (the file-growth regime) and a compaction before the
+    * probe — same oracle, plus Round15OpsSpec's file-count
+    * assertion. */
+  def compactCycle(spark: SparkSession, dir: String, tag: String): DataFrame = {
+    import graft.tools.Phases
+    val key = (spark, dir, tag)
+    val docs = Tables.documents(spark, dir)
+    val (prefix, path) = Phases.time(tag, "persist") {
+      freshIndex(spark, dir, tag, Some(docs.filter(!isNewDoc)))
+    }
+    Phases.time(tag, "append") {
+      // pmod(h,12) ∈ {0,4,8} partitions pmod(h,4)=0 into 3 slices
+      Seq(0, 4, 8).foreach { r =>
+        append(spark, dir,
+          docs.filter(pmod(hash(col("doc_id")), lit(12)) === lit(r)),
+          prefix, batch = r.toLong)
+      }
+    }
+    Phases.time(tag, "compact") { compact(spark, prefix) }
+    val dec = Phases.time(tag, "probe") {
+      probe(spark, dir, prefix).localCheckpoint()
+    }
+    persistLock.synchronized { lastCycle(key) = (prefix, path) }
+    dec
+  }
+
+  /** tx19: retention made OBSERVABLE by construction — probe the full
+    * index (phase 0), retire exactly the distinct documents phase 0
+    * returned (bounded ≤ queries×k — the right-to-be-forgotten
+    * shape), re-probe (phase 1): ranks, df, idf AND length
+    * normalization must all re-settle over the surviving corpus. The
+    * oracle replays phase 1 with `doc_id NOT IN (phase-0 docs)`. */
+  def retentionCycle(spark: SparkSession, dir: String, tag: String): DataFrame = {
+    import graft.tools.Phases
+    val key = (spark, dir, tag)
+    val (prefix, path) = Phases.time(tag, "persist") {
+      freshIndex(spark, dir, tag, None)
+    }
+    val dec0 = Phases.time(tag, "probe") {
+      probe(spark, dir, prefix).localCheckpoint()
+    }
+    val expired = dec0.select(col("doc_id")).distinct()
+    Phases.time(tag, "retire") { retire(spark, prefix, expired) }
+    val dec1 = Phases.time(tag, "reprobe") {
+      probe(spark, dir, prefix).localCheckpoint()
+    }
+    persistLock.synchronized { lastCycle(key) = (prefix, path) }
+    dec0.select(lit(0).as("phase"), col("query_id"), col("rk"),
+        col("doc_id"), col("bm25"), col("n_terms"))
+      .unionByName(dec1.select(lit(1).as("phase"), col("query_id"),
+        col("rk"), col("doc_id"), col("bm25"), col("n_terms")))
+      .orderBy("phase", "query_id", "rk")
+  }
+
+  // ------------------------------------------------------------------
+  // Catalog entries + oracles
+  // ------------------------------------------------------------------
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "tx16_bm25_index_probe" -> ((s, d) =>
+      probe(s, d, ensurePersisted(s, d))),
+    "tx17_bm25_index_append" -> ((s, d) => appendCycle(s, d, "tx17")),
+    "tx18_bm25_index_compact" -> ((s, d) => compactCycle(s, d, "tx18")),
+    "tx19_bm25_index_retire" -> ((s, d) => retentionCycle(s, d, "tx19"))
+  )
+
+  /** The tx15 BM25 body over a `tok(doc_id, tokens)` CTE already in
+    * scope, emitted as CTE definitions ending in `<out>` —
+    * parameterized so tx19's oracle can run it twice over different
+    * document sets without drift between the copies. */
+  private def bm25Body(p: String, out: String): String =
+    s"""${p}dl AS (SELECT doc_id, CAST(len(tokens) AS BIGINT) AS dl FROM ${p}tok),
+       |${p}st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM ${p}dl),
+       |${p}tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(tokens) AS term FROM ${p}tok) t
+       |  JOIN (SELECT DISTINCT term FROM q) USING (term)
+       |  GROUP BY 1, 2
+       |),
+       |${p}dfc AS (SELECT term, count(*) AS df FROM ${p}tf GROUP BY 1),
+       |${p}scored AS (
+       |  SELECT q.query_id, ${p}tf.doc_id,
+       |         round(
+       |           ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+       |                    / (CAST(df AS DOUBLE) + 0.5))
+       |           * (CAST(tf AS DOUBLE) * ($Bm25K1 + 1.0))
+       |           / (CAST(tf AS DOUBLE)
+       |              + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * CAST(dl AS DOUBLE)
+       |                           * CAST(n_docs AS DOUBLE) / CAST(sum_dl AS DOUBLE))),
+       |           6) AS score
+       |  FROM ${p}tf JOIN ${p}dfc USING (term) JOIN q USING (term)
+       |       JOIN ${p}dl USING (doc_id), ${p}st
+       |),
+       |${p}agg AS (
+       |  SELECT query_id, doc_id,
+       |         CAST(sum(CAST(score AS DECIMAL(18,8))) AS DOUBLE) AS bm25,
+       |         count(*) AS n_terms
+       |  FROM ${p}scored GROUP BY 1, 2
+       |),
+       |$out AS (
+       |  SELECT query_id, CAST(rk AS INT) AS rk, doc_id, bm25, n_terms FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY bm25 DESC, doc_id ASC) AS rk
+       |    FROM ${p}agg) t
+       |  WHERE rk <= $Bm25TopK
+       |)""".stripMargin
+
+  /** tx19's oracle: phase 0 = tx15 over the full corpus; phase 1 =
+    * the same body over the corpus minus phase 0's returned docs. */
+  private def retireSql: String =
+    s"""WITH q AS (SELECT * FROM (VALUES ${TextAnalysis.bm25Values}) AS q(query_id, term)),
+       |tok AS (SELECT doc_id, ${TextAnalysis.tokensSql} AS tokens FROM documents),
+       |${bm25Body("", "ph0")},
+       |retired AS (SELECT DISTINCT doc_id FROM ph0),
+       |rtok AS (SELECT * FROM tok WHERE doc_id NOT IN (SELECT doc_id FROM retired)),
+       |${bm25Body("r", "ph1")}
+       |SELECT 0 AS phase, * FROM ph0
+       |UNION ALL
+       |SELECT 1 AS phase, * FROM ph1
+       |ORDER BY phase, query_id, rk""".stripMargin
+
+  val oracle: Map[String, String] = {
+    val tx15 = TextAnalysis.oracle("tx15_bm25_topk")
+    Map(
+      "tx16_bm25_index_probe" -> tx15,
+      "tx17_bm25_index_append" -> tx15,
+      "tx18_bm25_index_compact" -> tx15,
+      "tx19_bm25_index_retire" -> retireSql
+    )
+  }
+}

@@ -239,32 +239,58 @@ object Multimodal {
       if (!readers.hasNext) return Seq.empty
       val reader = readers.next()
       reader.setInput(iis)
-      try {
-        val n = reader.getNumImages(true)
-        (0 until n by SampleEvery).map { f =>
-          val img = reader.read(f)
-          val w = img.getWidth
-          val h = img.getHeight
-          val rw = (w + 1) / 2
-          val rh = (h + 1) / 2
-          // the actual resample: a half-size raster built from the
-          // decoded frame (bounded: rw·rh ≤ 8·6 on this fixture)
-          val resized = new BufferedImage(rw, rh, BufferedImage.TYPE_INT_RGB)
-          var sum = 0L
-          var y = 0
-          while (y < rh) {
-            var x = 0
-            while (x < rw) {
-              val v = img.getRGB(2 * x, 2 * y)
-              resized.setRGB(x, y, v)
-              sum += (v & 0xff)
-              x += 1
-            }
-            y += 1
-          }
-          FrameFeat(r.doc_id, f, img.getRGB(0, 0) & 0xff, rw, rh, sum)
+      try readFrames(r.doc_id, reader)
+      finally reader.dispose()
+    } finally iis.close()
+  }
+
+  /** The shared frame-decode fold over an already-inputted reader. */
+  private def readFrames(docId: Long,
+      reader: javax.imageio.ImageReader): Seq[FrameFeat] = {
+    val n = reader.getNumImages(true)
+    (0 until n by SampleEvery).map { f =>
+      val img = reader.read(f)
+      val w = img.getWidth
+      val h = img.getHeight
+      val rw = (w + 1) / 2
+      val rh = (h + 1) / 2
+      // the actual resample: a half-size raster built from the
+      // decoded frame (bounded: rw·rh ≤ 8·6 on this fixture)
+      val resized = new BufferedImage(rw, rh, BufferedImage.TYPE_INT_RGB)
+      var sum = 0L
+      var y = 0
+      while (y < rh) {
+        var x = 0
+        while (x < rw) {
+          val v = img.getRGB(2 * x, 2 * y)
+          resized.setRGB(x, y, v)
+          sum += (v & 0xff)
+          x += 1
         }
-      } finally reader.dispose()
+        y += 1
+      }
+      FrameFeat(docId, f, img.getRGB(0, 0) & 0xff, rw, rh, sum)
+    }
+  }
+
+  /** [[decodeFrameSamples]] with a caller-owned (partition-scoped)
+    * reader — round-15 VERDICT item 4: the general entry allocates a
+    * fresh `ImageReader` per document (stream sniffing keeps it
+    * format-agnostic), which at the third decade shows up as per-doc
+    * allocation drift. The mm02 hot path knows every payload is a
+    * GIF, so it hands ONE reader per partition and this variant only
+    * re-points its input per document. A payload the reader cannot
+    * parse degrades to the no-frames row (mm01's quarantine
+    * convention), matching the sniffing entry's behavior. */
+  private[ops] def decodeFrameSamplesPooled(r: MediaRow,
+      reader: javax.imageio.ImageReader): Seq[FrameFeat] = {
+    if (r.payload == null || r.payload.isEmpty) return Seq.empty
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(r.payload))
+    try {
+      reader.setInput(iis)
+      try readFrames(r.doc_id, reader)
+      catch { case _: java.io.IOException => Seq.empty }
+      finally reader.reset() // detach the stream, keep the reader reusable
     } finally iis.close()
   }
 
@@ -314,10 +340,24 @@ object Multimodal {
   final case class AudioFeat(doc_id: Long, sample_rate: Int, n_samples: Long,
       peak: java.lang.Long, sum_sq: java.lang.Long, rms: java.lang.Double)
 
+  /** Per-thread decode scratch (round-15 VERDICT item 4): the r14
+    * third-decade sweep measured the per-doc codec constant drifting
+    * 2.8 → 3.6 ms from per-doc `readAllBytes` allocation pressure —
+    * a payload-sized array per document, GC'd immediately. The fold
+    * only ever needs ONE frame chunk at a time, so a fixed 64 KiB
+    * per-thread buffer (an even size: PCM `AudioInputStream.read`
+    * returns whole frames) replaces the payload-sized allocation
+    * entirely; executor threads are long-lived, so the scratch is
+    * allocated once per thread, not once per document. */
+  private val audioScratch = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](1 << 16)
+  }
+
   /** REAL WAV parse: `AudioSystem.getAudioInputStream` over the
     * payload bytes (pure-JVM RIFF/PCM — no audio device), the format
     * read from the header, every frame decoded to its signed-16
-    * sample, peak/energy folded over the DECODED values. */
+    * sample, peak/energy folded over the DECODED values — streamed
+    * through the per-thread scratch buffer, never materialized. */
   def decodeAudio(r: MediaRow): AudioFeat = {
     if (r.payload == null || r.payload.isEmpty)
       return AudioFeat(r.doc_id, audioRate(r.doc_id), 0L, null, null, null)
@@ -327,26 +367,98 @@ object Multimodal {
       try {
         val fmt = ais.getFormat
         val rate = fmt.getSampleRate.toInt
-        val all = ais.readAllBytes()
-        val n = all.length / 2
+        val buf = audioScratch.get()
+        var n = 0L
         var peak = 0L
         var sumSq = 0L
-        var i = 0
-        while (i < n) {
-          val s = ((all(2 * i) & 0xff) | (all(2 * i + 1) << 8)).toShort.toLong
-          val a = math.abs(s)
-          if (a > peak) peak = a
-          sumSq += s * s
-          i += 1
+        var read = ais.read(buf)
+        while (read > 0) {
+          // whole 16-bit frames per read (PCM AudioInputStream
+          // contract + even buffer size)
+          var i = 0
+          while (i + 1 < read) {
+            val s = ((buf(i) & 0xff) | (buf(i + 1) << 8)).toShort.toLong
+            val a = math.abs(s)
+            if (a > peak) peak = a
+            sumSq += s * s
+            i += 2
+          }
+          n += read / 2
+          read = ais.read(buf)
         }
+        // A structurally valid WAV with an empty data chunk decodes
+        // to 0 samples; sqrt(0/0) = NaN would escape the codec-error
+        // catch below, so mirror the empty-payload row here.
+        if (n == 0) return AudioFeat(r.doc_id, rate, 0L, null, null, null)
         val rms = math.sqrt(sumSq.toDouble / n.toDouble)
-        AudioFeat(r.doc_id, rate, n.toLong, peak, sumSq,
+        AudioFeat(r.doc_id, rate, n, peak, sumSq,
           BigDecimal(rms).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
       } finally ais.close()
     } catch {
       case _: javax.sound.sampled.UnsupportedAudioFileException |
           _: java.io.IOException =>
         AudioFeat(r.doc_id, -1, -1L, null, null, null)
+    }
+  }
+
+  /** mm07: banded spectral-contour fingerprint over REAL decoded PCM
+    * — the audio leg of the perceptual-dedup story (round-15 VERDICT
+    * item 7), mm05's dataflow over the time axis instead of the
+    * raster: the decoded sample stream splits into 64 equal windows
+    * (window of sample j = j·64/n, integer), each window's mean
+    * absolute amplitude (integer division) compares against the
+    * whole-clip mean, 1 bit per window, packed into the same
+    * 4×[[BandBits]] band keys [[perceptualPairs]] banded-joins and
+    * Hamming-verifies. All-integer on decoded values, so the oracle
+    * replays it from `ascii()` arithmetic — a faked decode
+    * hash-mismatches. Quarantine: undecodable, empty, or
+    * header-inconsistent (frame count ≠ decoded count) payloads sign
+    * the (-1,…) sentinel and never pair. */
+  def audioFingerprint(r: MediaRow): PHashRow = {
+    if (r.payload == null || r.payload.isEmpty)
+      return PHashRow(r.doc_id, -1L, -1L, -1L, -1L)
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(r.payload))
+      try {
+        // mono 16-bit PCM: frames == samples; the window map needs n
+        // BEFORE the fold, and the RIFF header carries it
+        val n = ais.getFrameLength
+        if (n <= 0) return PHashRow(r.doc_id, -1L, -1L, -1L, -1L)
+        val sums = new Array[Long](64)
+        val cnts = new Array[Long](64)
+        var total = 0L
+        var j = 0L
+        val buf = audioScratch.get()
+        var read = ais.read(buf)
+        while (read > 0) {
+          var i = 0
+          while (i + 1 < read) {
+            val s = ((buf(i) & 0xff) | (buf(i + 1) << 8)).toShort.toLong
+            val a = math.abs(s)
+            val w = ((j * 64L) / n).toInt
+            if (w < 64) { sums(w) += a; cnts(w) += 1 }
+            total += a
+            j += 1
+            i += 2
+          }
+          read = ais.read(buf)
+        }
+        if (j != n) return PHashRow(r.doc_id, -1L, -1L, -1L, -1L)
+        val thr = total / n
+        val bands = new Array[Long](PHashBands)
+        var w = 0
+        while (w < 64) {
+          if (cnts(w) > 0 && sums(w) / cnts(w) > thr)
+            bands(w / BandBits) |= 1L << (w % BandBits)
+          w += 1
+        }
+        PHashRow(r.doc_id, bands(0), bands(1), bands(2), bands(3))
+      } finally ais.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException |
+          _: java.io.IOException =>
+        PHashRow(r.doc_id, -1L, -1L, -1L, -1L)
     }
   }
 
@@ -367,7 +479,14 @@ object Multimodal {
           MediaRow(id, "image/gif", encodeGif(id, text))
         })
       media.mapPartitions { it =>
-        it.grouped(DecodeBatchSize).flatMap(_.iterator.flatMap(decodeFrameSamples))
+        // ONE reader per partition (round-15: per-doc reader
+        // allocation was the mm02 constant's drift); disposed lazily
+        // when the partition iterator exhausts
+        val reader = ImageIO.getImageReadersByFormatName("gif").next()
+        it.grouped(DecodeBatchSize)
+          .flatMap(_.iterator.flatMap(decodeFrameSamplesPooled(_, reader))) ++ {
+            reader.dispose(); Iterator.empty
+          }
       }.toDF().orderBy("doc_id", "frame_idx")
     })
   )
@@ -418,6 +537,31 @@ object Multimodal {
       media.mapPartitions(_.grouped(DecodeBatchSize)
           .flatMap(_.iterator.map(decodeAudio)))
         .toDF().orderBy("doc_id")
+    }),
+
+    // mm07: audio perceptual dedup (round 15) — mm05's
+    // banded-LSH-then-verify dataflow over [[audioFingerprint]]'s
+    // spectral-contour signature of REAL decoded PCM. Canonicalize
+    // first (byte-identical payloads are mm04's job and would
+    // multiply every band bucket), band-join candidates (never
+    // all-pairs — PlanLint's zero-cartesian gate covers this entry
+    // like every other), exact Hamming verify ≤ [[HammingMax]].
+    // Completes the multimodal-dedup story: image (mm05) + audio.
+    "mm07_audio_dedup" -> ((s, d) => {
+      import s.implicits._
+      val hashes = Dedup.memoFrame(s, d, "mm07_hashes") {
+        val media = graft.Tables.documents(s, d)
+          .groupBy(col("text")).agg(org.apache.spark.sql.functions.min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, text) =>
+            MediaRow(id, "audio/wav", encodeWav(id, Option(text).getOrElse("")))
+          })
+        media.mapPartitions { it =>
+          it.grouped(DecodeBatchSize).flatMap(_.iterator.map(audioFingerprint))
+        }.toDF().cache() // two consumers: band explode + verify join
+      }
+      perceptualPairs(hashes)
     }),
 
     // Whole-payload digest dedup — how media dedup actually works at
@@ -567,7 +711,14 @@ object Multimodal {
   val oracle3: Map[String, String] = Map(
     // every decoded sample replayed as ascii()·257−32768; peak and
     // energy are exact integer folds, rms one IEEE sqrt both engines
-    // compute identically from the same integers
+    // compute identically from the same integers.
+    // ASCII-ONLY INVARIANT: the engine encodes one sample per UTF-8
+    // BYTE of `text` (encodeWav), the oracle one per CHARACTER via
+    // ascii(substring(...)). These agree only because the synthetic
+    // documents corpus is ASCII (verified on the fixtures); a
+    // non-ASCII document would diverge in both n_samples and sample
+    // values. If the corpus ever gains non-ASCII text, switch the
+    // oracle to byte-based (encode(text)/octet_length) first.
     "mm06_audio_features" ->
       s"""WITH s AS (
          |  SELECT doc_id,
@@ -592,6 +743,59 @@ object Multimodal {
          |            ELSE round(sqrt(CAST(sum_sq AS DOUBLE) / CAST(n AS DOUBLE)), 6)
          |       END AS rms
          |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // mm07: the oracle replays the spectral-contour fingerprint from
+    // ascii() arithmetic over the canonicalized corpus (ASCII-only
+    // invariant — mm06's, stated there), window of sample j =
+    // j·64//len, all-integer means and threshold, then mirrors the
+    // banding + Hamming verify exactly (mm05's discipline: the gate
+    // checks the dataflow, not an idealized all-pairs scan).
+    "mm07_audio_dedup" ->
+      s"""WITH docs AS (
+         |  SELECT min(doc_id) AS doc_id, text, length(text) AS len
+         |  FROM documents GROUP BY text, length(text)
+         |  HAVING length(text) > 0
+         |),
+         |sa AS (
+         |  SELECT doc_id, len,
+         |         CAST((i - 1) * 64 // len AS INT) AS w,
+         |         abs(ascii(substring(text, i, 1)) * 257 - 32768) AS a
+         |  FROM (SELECT doc_id, len, text,
+         |               unnest(generate_series(1, len)) AS i FROM docs)
+         |),
+         |t AS (SELECT doc_id, sum(a) // len AS thr FROM sa GROUP BY doc_id, len),
+         |wagg AS (SELECT doc_id, w, sum(a) AS s, count(*) AS c FROM sa GROUP BY 1, 2),
+         |wins AS (
+         |  SELECT d.doc_id, u.w
+         |  FROM docs d, (SELECT unnest(generate_series(0, 63)) AS w) u
+         |),
+         |bits AS (
+         |  SELECT wins.doc_id, wins.w,
+         |         CASE WHEN wagg.c > 0 AND wagg.s // wagg.c > t.thr
+         |              THEN 1 ELSE 0 END AS b
+         |  FROM wins
+         |  LEFT JOIN wagg ON wins.doc_id = wagg.doc_id AND wins.w = wagg.w
+         |  JOIN t ON t.doc_id = wins.doc_id
+         |),
+         |bands AS (
+         |  SELECT doc_id, w // $BandBits AS band,
+         |         CAST(sum(b * (CAST(1 AS BIGINT) << (w % $BandBits))) AS BIGINT) AS key
+         |  FROM bits GROUP BY 1, 2
+         |),
+         |h AS (SELECT doc_id, list(key ORDER BY band) AS ks FROM bands GROUP BY 1),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+         |),
+         |ver AS (
+         |  SELECT doc_a, doc_b,
+         |         CAST(${(1 to PHashBands).map(b =>
+                    s"bit_count(CAST(xor(a.ks[$b], b.ks[$b]) AS BIT))").mkString(" + ")} AS BIGINT) AS hamming
+         |  FROM cand JOIN h a ON a.doc_id = doc_a JOIN h b ON b.doc_id = doc_b
+         |)
+         |SELECT doc_a, doc_b, hamming FROM ver
+         |WHERE hamming <= $HammingMax ORDER BY doc_a, doc_b""".stripMargin,
 
     "mm03_chunk_manifest" ->
       s"""WITH c AS (

@@ -417,6 +417,145 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  // ------------------------------------------------------------------
+  // Hybrid-relevance instrument kernels (round 15, VERDICT item 2):
+  // sim26/st18's "fusion beats its lanes" claim was inherited from
+  // sim25's vector-vector result. These kernels ground it in a
+  // GRADED cross-modality experiment: every query is a corpus
+  // document (the id domain documents ↔ embeddings share), the
+  // lexical lane retrieves by the query doc's own terms, the ground
+  // truth is a BLENDED label — RRF of the exact term-overlap
+  // (Jaccard) rank and the exact cosine rank, missing-overlap
+  // contribution zero, RRF's own convention — and each lane plus the
+  // fusion is graded recall@k against it at statistical power
+  // (tools/HybridProbe: 128 q × k=10, binomial CIs; the OpqProbe
+  // pattern). HybridFusionSpec pins fused ≥ best-single-lane − CI.
+  // ------------------------------------------------------------------
+
+  /** Lexical lane: BM25 "more-like-this" — tx15's scoring kernel with
+    * the fixed 4-query workload replaced by each query DOCUMENT's own
+    * distinct-token set (the query side every hybrid retriever
+    * actually serves: find documents like this one). Query vocabulary
+    * is the union of nQ docs' distinct tokens — Heaps-bounded, a
+    * broadcast — so candidates still shrink to matched postings
+    * before any exchange. Returns (query_id, item_id, ra). */
+  private[graft] def bm25MoreLikeThis(s: SparkSession, d: String,
+      nQ: Long, k: Int): DataFrame = {
+    import TextAnalysis.{tokensExpr, Bm25K1, Bm25B}
+    val docs = Tables.documents(s, d).withColumn("tokens", expr(tokensExpr))
+    val qt = docs.filter(col("doc_id") < nQ)
+      .select(col("doc_id").as("query_id"),
+        explode(expr("array_distinct(tokens)")).as("term"))
+    val dl = docs.select(col("doc_id"),
+      expr("CAST(size(tokens) AS BIGINT)").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = docs
+      .select(col("doc_id"), explode_outer(col("tokens")).as("term"))
+      .filter(col("term").isNotNull)
+      .join(broadcast(qt.select("term").distinct()), Seq("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(dfc), Seq("term"))
+      .join(broadcast(qt), Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("score", expr(
+        s"""ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+           |         / (CAST(df AS DOUBLE) + 0.5))
+           |* (CAST(tf AS DOUBLE) * ($Bm25K1 + 1.0))
+           |/ (CAST(tf AS DOUBLE)
+           |   + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * CAST(dl AS DOUBLE)
+           |                * CAST(n_docs AS DOUBLE) / CAST(sum_dl AS DOUBLE)))"""
+          .stripMargin))
+    val perDoc = scored.groupBy("query_id", "doc_id")
+      .agg(sum(col("score")).as("bm25"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+    perDoc.withColumn("ra", row_number().over(w))
+      .filter(col("ra") <= k)
+      .select(col("query_id"), col("doc_id").as("item_id"), col("ra"))
+  }
+
+  /** Blended ground truth for the hybrid instrument: per (query doc,
+    * corpus doc) pair, label = 1/(RrfK + exact-Jaccard-rank) +
+    * 1/(RrfK + exact-cosine-rank) — term-overlap rank only defined
+    * where overlap exists (zero contribution otherwise, RRF's
+    * missing-lane convention; among zero-overlap docs any order
+    * would be arbitrary), cosine rank over the FULL corpus. Top-k
+    * per query by label, doc_id tiebreak. */
+  private[graft] def hybridGroundTruth(s: SparkSession, d: String,
+      nQ: Long, k: Int): DataFrame = {
+    import TextAnalysis.tokensExpr
+    VectorExprs.register(s)
+    // exact cosine rank over the full corpus
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val wv = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("item_id").asc)
+    val vecRank = e.select(col("vec_id").as("item_id"), col("embedding").as("te"))
+      .join(broadcast(q), col("item_id") =!= col("query_id"))
+      .withColumn("cos", expr("cosine_sim(qe, te)"))
+      .withColumn("rvec", row_number().over(wv))
+      .select("query_id", "item_id", "rvec")
+    // exact token-set Jaccard rank where overlap exists
+    val docTerms = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode_outer(expr(s"array_distinct($tokensExpr)")).as("term"))
+      .filter(col("term").isNotNull)
+    val sizes = docTerms.groupBy("doc_id").agg(count(lit(1)).as("nt"))
+    val qTerms = docTerms.filter(col("doc_id") < nQ)
+      .withColumnRenamed("doc_id", "query_id")
+    val inter = qTerms.join(docTerms, Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id").agg(count(lit(1)).as("inter"))
+    val wl = Window.partitionBy("query_id")
+      .orderBy(col("jac").desc, col("doc_id").asc)
+    val lexRank = inter
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "query_id")
+        .withColumnRenamed("nt", "nt_q")), Seq("query_id"))
+      .join(sizes.withColumnRenamed("nt", "nt_d"), Seq("doc_id"))
+      .withColumn("jac", col("inter").cast("double") /
+        (col("nt_q") + col("nt_d") - col("inter")).cast("double"))
+      .withColumn("rlex", row_number().over(wl))
+      .select(col("query_id"), col("doc_id").as("item_id"), col("rlex"))
+    val wg = Window.partitionBy("query_id")
+      .orderBy(col("label").desc, col("item_id").asc)
+    vecRank.join(lexRank, Seq("query_id", "item_id"), "left_outer")
+      .withColumn("label", expr(
+        s"""coalesce(CAST(1 AS DOUBLE) / CAST($RrfK + rlex AS DOUBLE), 0.0)
+           | + CAST(1 AS DOUBLE) / CAST($RrfK + rvec AS DOUBLE)""".stripMargin))
+      .withColumn("grk", row_number().over(wg))
+      .filter(col("grk") <= k)
+      .select("query_id", "item_id")
+  }
+
+  /** sim26's fusion dataflow generalized to the instrument's query
+    * population: RRF of the BM25 more-like-this lane and the IVF
+    * lane (each asked for laneK), fused top-k. The catalog's
+    * sim26/st18 run the same decisions over the fixed workload. */
+  private[graft] def hybridFused(s: SparkSession, d: String,
+      nQ: Long, k: Int, laneK: Int): DataFrame = {
+    val a = bm25MoreLikeThis(s, d, nQ, laneK)
+    val b = ivfAnn(s, d, nQ, laneK)
+      .withColumn("rb", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("neighbor_id").asc)))
+      .select(col("query_id"), col("neighbor_id").as("item_id"), col("rb"))
+    val fused = a.join(b, Seq("query_id", "item_id"), "full_outer")
+      .withColumn("rrf", expr(
+        s"""coalesce(CAST(1 AS DOUBLE) / CAST($RrfK + ra AS DOUBLE), 0.0)
+           | + coalesce(CAST(1 AS DOUBLE) / CAST($RrfK + rb AS DOUBLE), 0.0)"""
+          .stripMargin))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("item_id").asc)
+    fused.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("query_id", "item_id")
+  }
+
   /** sim27's body, parameterized on query count / k / candidate
     * budget so tools/OpqProbe can measure the matryoshka lane at
     * statistical power (the bruteKnn precedent). Defaults reproduce
@@ -825,6 +964,18 @@ object Similarity {
     // bit-identical cosines (slice folds left like the full fold —
     // dotSql's seed argument applies at any length).
     "sim27_matryoshka_ann" -> ((s, d) => matryoshkaAnn(s, d)),
+
+    // Matryoshka served from the persisted-prefix layout (sim28;
+    // round 15) — sim27's funnel with the byte gap closed: the
+    // corpus-wide candidate pass scans a table whose 16-dim prefix
+    // is its own parquet column, column-pruned to (vec_id, pfx) —
+    // ~4× fewer vector bytes on the pass that touches every row —
+    // and the exact re-rank joins the C-bounded survivors back to
+    // the full-vector column. Decisions identical to sim27's by
+    // construction (the prefix column IS the materialized slice),
+    // so it shares sim27's oracle. See VecIndex.matProbe.
+    "sim28_matryoshka_served" -> ((s, d) =>
+      VecIndex.matProbe(s, d, VecIndex.ensureMatPersisted(s, d))),
 
     // Hybrid text+vector search (sim26; round 14) — sim25's RRF over
     // the two MODALITIES a production hybrid retriever actually
@@ -2047,6 +2198,42 @@ object Similarity {
        |ORDER BY window_start""".stripMargin
   }
 
+  /** sim27's prefix-funnel oracle — shared verbatim by sim28 (the
+    * persisted-prefix serving lane makes identical decisions). */
+  private def sim27Sql: String = {
+    val P = MatryoshkaPrefix
+    def pnorm(c: String) = s"sqrt(${dotSqlN(c, c, P)})"
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |q AS (
+       |  SELECT vec_id AS query_id, embedding AS qe FROM e WHERE vec_id < $KnnQueries
+       |),
+       |pairs AS (
+       |  SELECT q.query_id, t.vec_id AS neighbor_id, q.qe, t.embedding AS te,
+       |         ${dotSqlN("q.qe", "t.embedding", P)}
+       |           / (${pnorm("q.qe")} * ${pnorm("t.embedding")}) AS pcos
+       |  FROM e t JOIN q ON t.vec_id <> q.query_id
+       |),
+       |cand AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY pcos DESC, neighbor_id ASC) AS prn
+       |    FROM pairs) t
+       |  WHERE prn <= $MatryoshkaCand
+       |),
+       |rer AS (
+       |  SELECT query_id, neighbor_id, pcos,
+       |         ${dotSql("qe", "te")}
+       |           / (sqrt(${dotSql("qe", "qe")}) * sqrt(${dotSql("te", "te")})) AS cos
+       |  FROM cand
+       |)
+       |SELECT query_id, neighbor_id, round(pcos, 6) AS prefix_cosine,
+       |       round(cos, 6) AS cosine FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY cos DESC, neighbor_id ASC) AS rn
+       |  FROM rer) t
+       |WHERE rn <= $KnnK ORDER BY query_id, neighbor_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "sim05_norm_quant" ->
       s"""WITH q AS (
@@ -2407,39 +2594,11 @@ object Similarity {
     // Both stages rank on raw cosines: the prefix cosine is the same
     // left fold over the first MatryoshkaPrefix elements in both
     // engines, the full cosine is sim01's kernel.
-    "sim27_matryoshka_ann" -> {
-      val P = MatryoshkaPrefix
-      def pnorm(c: String) = s"sqrt(${dotSqlN(c, c, P)})"
-      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-         |q AS (
-         |  SELECT vec_id AS query_id, embedding AS qe FROM e WHERE vec_id < $KnnQueries
-         |),
-         |pairs AS (
-         |  SELECT q.query_id, t.vec_id AS neighbor_id, q.qe, t.embedding AS te,
-         |         ${dotSqlN("q.qe", "t.embedding", P)}
-         |           / (${pnorm("q.qe")} * ${pnorm("t.embedding")}) AS pcos
-         |  FROM e t JOIN q ON t.vec_id <> q.query_id
-         |),
-         |cand AS (
-         |  SELECT * FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY query_id
-         |                                 ORDER BY pcos DESC, neighbor_id ASC) AS prn
-         |    FROM pairs) t
-         |  WHERE prn <= $MatryoshkaCand
-         |),
-         |rer AS (
-         |  SELECT query_id, neighbor_id, pcos,
-         |         ${dotSql("qe", "te")}
-         |           / (sqrt(${dotSql("qe", "qe")}) * sqrt(${dotSql("te", "te")})) AS cos
-         |  FROM cand
-         |)
-         |SELECT query_id, neighbor_id, round(pcos, 6) AS prefix_cosine,
-         |       round(cos, 6) AS cosine FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id
-         |                               ORDER BY cos DESC, neighbor_id ASC) AS rn
-         |  FROM rer) t
-         |WHERE rn <= $KnnK ORDER BY query_id, neighbor_id""".stripMargin
-    },
+    "sim27_matryoshka_ann" -> sim27Sql,
+
+    // sim28 serves sim27's decisions from the persisted-prefix
+    // layout — same oracle, row for row (the Spark entry's note).
+    "sim28_matryoshka_served" -> sim27Sql,
 
     // Lane ranks re-derive from the lanes' ROUNDED cosine outputs
     // (identical keys both engines); the fused score is int-rational

@@ -125,7 +125,7 @@ object TextAnalysis {
     3 -> Seq("customer", "order", "line"))
 
   /** `(VALUES ...)`-body shared by the Spark and DuckDB forms. */
-  private def bm25Values: String = Bm25Queries
+  private[ops] def bm25Values: String = Bm25Queries
     .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }
     .mkString(", ")
 

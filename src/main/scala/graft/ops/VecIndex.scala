@@ -1226,10 +1226,101 @@ object VecIndex {
     })
   }
 
+  // ------------------------------------------------------------------
+  // Matryoshka persisted-prefix layout (sim28; round-15 VERDICT
+  // item 8). sim27's funnel SAVES COMPUTE (score 16 of 64 dims) but
+  // still READS full 64-dim vectors on the candidate pass — the
+  // floor/ceiling gap its scaladoc names. This layout closes it
+  // physically: the serving table carries the [[Similarity
+  // .MatryoshkaPrefix]]-dim prefix as its OWN parquet column
+  // (vec_id, pfx, embedding), so the corpus-wide candidate scan
+  // column-prunes to (vec_id, pfx) — ~4× fewer vector bytes read
+  // where it matters, the pass that touches every row per query
+  // batch. The exact re-rank joins the C-bounded survivors back to
+  // the same table's full-vector column. Honest accounting: in a
+  // pure columnar harness that re-rank is a second scan of the
+  // embedding column (row-bounded compute, column-sized bytes); a
+  // production serving store does the bounded fetch as point reads —
+  // SCALE_NOTES carries the measured per-column byte split. Both
+  // stages fold bit-identically to sim27's (pfx IS the materialized
+  // slice; the re-rank reads the untouched full vector), so sim28
+  // shares sim27's oracle row for row.
+  // ------------------------------------------------------------------
+
+  def matTable(prefix: String): String = s"${prefix}_mat"
+
+  def persistMat(spark: SparkSession, dir: String, path: String,
+      prefix: String): Unit = {
+    import org.apache.spark.sql.functions.lit
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        expr(s"slice(embedding, 1, ${Similarity.MatryoshkaPrefix})").as("pfx"),
+        col("embedding"))
+      .withColumn("ingest_batch", lit(BandIndex.BaseBatch))
+      .write
+      .bucketBy(Buckets, "vec_id").sortBy("vec_id")
+      .option("path", s"$path/mat")
+      .mode(SaveMode.Overwrite)
+      .saveAsTable(matTable(prefix))
+  }
+
+  /** Matryoshka serving against the persisted-prefix layout: the
+    * candidate pass scans ONLY (vec_id, pfx) — Round15OpsSpec pins
+    * the pruned ReadSchema — and the exact re-rank joins the
+    * C-bounded survivors back to the full-vector column of the same
+    * bucketed table (both sides bucketed by vec_id: no shuffle on
+    * the corpus side). Decisions are DEFINED identical to sim27's. */
+  def matProbe(spark: SparkSession, dir: String, prefix: String): DataFrame = {
+    VectorExprs.register(spark)
+    val t = spark.table(matTable(prefix))
+    val q = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < Similarity.KnnQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        expr(s"slice(embedding, 1, ${Similarity.MatryoshkaPrefix})").as("qp"))
+    val wp = Window.partitionBy("query_id")
+      .orderBy(col("pcos").desc, col("neighbor_id").asc)
+    val cands = t.select(col("vec_id").as("neighbor_id"), col("pfx"))
+      .join(broadcast(q.select("query_id", "qp")),
+        col("neighbor_id") =!= col("query_id"))
+      .withColumn("pcos", expr("cosine_sim(qp, pfx)"))
+      .withColumn("prn", row_number().over(wp))
+      .filter(col("prn") <= Similarity.MatryoshkaCand)
+      .select("query_id", "neighbor_id", "pcos")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cands
+      .join(t.select(col("vec_id").as("neighbor_id"), col("embedding").as("te")),
+        Seq("neighbor_id"))
+      .join(broadcast(q.select("query_id", "qe")), Seq("query_id"))
+      .withColumn("cos", expr("cosine_sim(qe, te)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= Similarity.KnnK)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("pcos"), 6).as("prefix_cosine"),
+        round(col("cos"), 6).as("cosine"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  def ensureMatPersisted(spark: SparkSession, dir: String,
+      tag: String = "sim28"): String = {
+    val key = (spark, dir, s"mat-$tag")
+    persistedFor.get(key).getOrElse(persistLock.synchronized {
+      persistedFor.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+      persistedFor.getOrElseUpdate(key, {
+        val prefix = s"graft_vec_${tag}_${Integer.toHexString(dir.hashCode)}" +
+          s"_s${serial.incrementAndGet()}"
+        val path = BandIndex.newTempDir(s"vec$tag")
+        persistMat(spark, dir, path, prefix)
+        prefix
+      })
+    })
+  }
+
   /** Drop the registered tables (files under the index path are
     * external; the temp-dir lifecycle owns them). */
   def drop(spark: SparkSession, prefix: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS ${cellsTable(prefix)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${matTable(prefix)}")
     spark.sql(s"DROP TABLE IF EXISTS ${ledgerTable(prefix)}")
     spark.sql(s"DROP TABLE IF EXISTS ${pqCellsTable(prefix)}")
     spark.sql(s"DROP TABLE IF EXISTS ${codebookTable(prefix)}")

@@ -98,10 +98,43 @@ object BenchCold {
       ""","trivial_scan_ms":%.1f,"axes_ok":%b,"axes_compound":%.3f,"axes_tight":%b""",
       Double.box(trivialMs), Boolean.box(axesOk), Double.box(axesCompound),
       Boolean.box(axesCompound <= graft.Bench.AxesTightMax))
+    // SELF-DESCRIBING cold artifact (round-15, VERDICT item 5): the
+    // warm maps have carried n/common_n/common_ratio since round 11,
+    // but the cold comparisons lived in SCALE_NOTES prose +
+    // tools/cold_compare.py. Stamp the same summary block here, with
+    // BENCH_COLD_last.json as the rolling comparison base (the
+    // BENCH_FULL_last pattern) — kept fresh only by in-band captures,
+    // so the ratio always reads against a clean cold base.
+    val fp = graft.Bench.codeFingerprint()
+    val resMap = best.toMap
+    val prior = (try Some(new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("BENCH_COLD_last.json")),
+      java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => None })
+      .filter(_.contains("\"sf\":\"" + sfDir + "\""))
+    val priorQueries = prior.map(graft.Bench.extractQueries).getOrElse(Map.empty)
+    val common = resMap.keySet.intersect(priorQueries.keySet)
+    val commonSum = common.toSeq.map(resMap).sum
+    val priorCommonSum = common.toSeq.map(priorQueries).sum
+    val commonRatio = if (priorCommonSum > 0) commonSum / priorCommonSum else 1.0
+    val summaryJson =
+      s""","n":${best.size},"common_n":${common.size},"common_sum":${graft.Bench.fmt(commonSum)},"common_ratio":${graft.Bench.fmt(commonRatio)},"code_fp":"$fp""""
     val json =
-      s"""{"metric":"total_cold","value":$total,"unit":"sec","protocol":"min-of-2 cold sweeps, memo+cache cleared per query"${LoadGuard.jsonFields(load0, loadOk, calib)}$axisJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total_cold","value":$total,"unit":"sec","protocol":"min-of-2 cold sweeps, memo+cache cleared per query"${LoadGuard.jsonFields(load0, loadOk, calib)}$axisJson$summaryJson,"queries":$qs,"sf":"$sfDir"}"""
     val w = new java.io.PrintWriter(outPath)
     try w.println(json) finally w.close()
+    // Roll the comparison base only when this capture is IN BAND —
+    // a degraded capture must not become the thing future captures
+    // normalize against (the warm guard's acceptance discipline).
+    if (axesOk && axesCompound <= graft.Bench.AxesTightMax)
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_COLD_last.json"),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case _: Throwable => () }
+    else System.err.println(
+      f"[bench-cold] capture out of band (axes_ok=$axesOk%b, compound " +
+        f"$axesCompound%.3f) — keeping the prior BENCH_COLD_last.json base")
     println(json)
     spark.stop()
   }

@@ -1,0 +1,83 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Graded hybrid-relevance instrument (round 15, VERDICT item 2):
+  * sim26/st18's "fusion helps" was inherited from sim25's
+  * vector-vector experiment — this measures it CROSS-MODALITY, at
+  * statistical power, against a blended ground truth.
+  *
+  * Construction (kernels in [[graft.ops.Similarity]]):
+  *   - every query is a corpus document (the shared doc_id ↔ vec_id
+  *     domain sim26 fuses over);
+  *   - ground truth@k = top-k by blended label, RRF of the exact
+  *     term-overlap (Jaccard) rank and the exact full-corpus cosine
+  *     rank — both modalities carry signal by construction;
+  *   - graded lanes: BM25 more-like-this (lexical only), IVF
+  *     (vector only), and sim26's RRF fusion of the two — each lane
+  *     asked for k, recall@k = fraction of ground-truth pairs
+  *     recovered, ± a simple 95% binomial interval (hits within a
+  *     query correlate, so the interval is approximate — stated,
+  *     not hidden; OpqProbe's convention).
+  *
+  * The claim this instrument exists to test: the fused lane's
+  * recall is not below the better single lane's beyond the CI —
+  * HybridFusionSpec pins exactly that, permanently, on the suite.
+  *
+  * Run: tools/run.sh graft.tools.HybridProbe [sfDir] [nQueries] [k]
+  */
+object HybridProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val nQ = args.lift(1).map(_.toLong).getOrElse(128L)
+    val k = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = Runtime.getRuntime.availableProcessors()
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Logs.muteReviewedWindowWarning()
+    graft.Tables.pin(spark)
+
+    import graft.ops.Similarity
+    val (lex, vec, fus, n) = measure(spark, sfDir, nQ, k)
+    println(f"hybrid recall@$k over $sfDir — $nQ queries, n=$n blended " +
+      "ground-truth pairs; ±95% binomial (approximate: hits correlate " +
+      "within a query)")
+    def show(name: String, pc: (Double, Double)): Unit =
+      println(f"  $name%-28s ${pc._1}%6.3f ± ${pc._2}%5.3f")
+    show("BM25 more-like-this (lexical)", lex)
+    show("IVF (vector, sim04 lane)", vec)
+    show("RRF fusion (sim26 dataflow)", fus)
+    val bestSingle = math.max(lex._1, vec._1)
+    println(f"  fused - best single lane: ${fus._1 - bestSingle}%+.3f " +
+      f"(CI ${fus._2}%.3f)")
+    spark.stop()
+  }
+
+  /** Shared measurement core (HybridFusionSpec runs the same code):
+    * returns ((recall, ci) lexical, (recall, ci) vector,
+    * (recall, ci) fused, n ground-truth pairs). */
+  def measure(spark: SparkSession, sfDir: String, nQ: Long, k: Int)
+      : ((Double, Double), (Double, Double), (Double, Double), Long) = {
+    import graft.ops.Similarity
+    val gt = Similarity.hybridGroundTruth(spark, sfDir, nQ, k).cache()
+    val n = gt.count()
+    def recall(lane: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val hits = lane.join(gt, Seq("query_id", "item_id")).count()
+      val p = hits.toDouble / n
+      (p, 1.96 * math.sqrt(p * (1 - p) / n))
+    }
+    val lex = recall(Similarity.bm25MoreLikeThis(spark, sfDir, nQ, k)
+      .select("query_id", "item_id"))
+    val vec = recall(Similarity.ivfAnn(spark, sfDir, nQ, k)
+      .select(col("query_id"), col("neighbor_id").as("item_id")))
+    val fus = recall(Similarity.hybridFused(spark, sfDir, nQ, k, laneK = k))
+    gt.unpersist()
+    (lex, vec, fus, n)
+  }
+}

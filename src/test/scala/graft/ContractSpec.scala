@@ -43,6 +43,7 @@ class ContractSpec extends AnyFunSuite {
       "Relational" -> ops.Relational.queries, "Joins" -> ops.Joins.queries,
       "Breadth" -> ops.Breadth.queries, "Dedup" -> ops.Dedup.queries,
       "Similarity" -> ops.Similarity.queries, "TextAnalysis" -> ops.TextAnalysis.queries,
+      "LexIndex" -> ops.LexIndex.queries,
       "Curation" -> ops.Curation.queries, "Multimodal" -> ops.Multimodal.queries,
       "Multimodal2" -> ops.Multimodal.queries2, "Multimodal3" -> ops.Multimodal.queries3,
       "DataQuality" -> ops.DataQuality.queries, "Incremental" -> ops.Incremental.queries,

@@ -229,5 +229,62 @@ class MultimodalSpec extends SparkSpec {
       assert(c.sample_rate == -1 && c.n_samples == -1L && c.rms == null,
         "corrupt payload decoded")
     }
+    // a STRUCTURALLY VALID WAV with an empty data chunk (44-byte
+    // header, dataLen 0 — unreachable via encodeWav, reachable via
+    // the general decode entry) must yield the 0-sample row, not a
+    // NaN-rms NumberFormatException (round-15 ADVICE)
+    val hdr = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    hdr.put("RIFF".getBytes("US-ASCII")).putInt(36)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(0)
+    val z = Multimodal.decodeAudio(
+      Multimodal.MediaRow(10L, "audio/wav", hdr.array()))
+    assert(z.n_samples == 0L && z.peak == null && z.sum_sq == null && z.rms == null,
+      "empty-data-chunk WAV did not produce the 0-sample row")
+    assert(z.sample_rate == 8000, "header rate lost on the 0-sample path")
+  }
+
+  test("mm07 audio fingerprint: naive recompute agrees; near-dups band-pair; quarantine never pairs") {
+    // naive recompute of the spectral contour from the text bytes —
+    // the engine must reproduce it through a REAL WAV decode
+    def naive(text: String): Seq[Long] = {
+      val a = text.getBytes("UTF-8").map(b => math.abs(((b & 0xff) * 257 - 32768).toLong))
+      val n = a.length
+      val thr = a.sum / n
+      val sums = new Array[Long](64); val cnts = new Array[Long](64)
+      a.zipWithIndex.foreach { case (v, j) =>
+        val w = ((j.toLong * 64L) / n).toInt; sums(w) += v; cnts(w) += 1
+      }
+      val bands = new Array[Long](Multimodal.PHashBands)
+      (0 until 64).foreach { w =>
+        if (cnts(w) > 0 && sums(w) / cnts(w) > thr)
+          bands(w / Multimodal.BandBits) |= 1L << (w % Multimodal.BandBits)
+      }
+      bands.toSeq
+    }
+    val text = "spark streams window the batch of tokens through a filter " * 4
+    val f = Multimodal.audioFingerprint(
+      Multimodal.MediaRow(1L, "audio/wav", Multimodal.encodeWav(1L, text)))
+    assert(Seq(f.k0, f.k1, f.k2, f.k3) == naive(text),
+      "decoded fingerprint diverged from the byte arithmetic")
+    // a small edit keeps at least one band intact (bucketable) and
+    // the signature within the Hamming bound
+    val near = text.replaceFirst("filter", "filtre")
+    val g = Multimodal.audioFingerprint(
+      Multimodal.MediaRow(2L, "audio/wav", Multimodal.encodeWav(2L, near)))
+    val ham = Seq(f.k0 ^ g.k0, f.k1 ^ g.k1, f.k2 ^ g.k2, f.k3 ^ g.k3)
+      .map(java.lang.Long.bitCount(_).toLong).sum
+    assert(ham <= Multimodal.HammingMax, s"near-dup Hamming $ham exceeds bound")
+    assert(Seq((f.k0, g.k0), (f.k1, g.k1), (f.k2, g.k2), (f.k3, g.k3))
+      .exists { case (x, y) => x == y }, "near-dup shares no band — unbucketable")
+    // quarantine: empty and corrupt payloads sign the -1 sentinel
+    Seq(Array.emptyByteArray, Array[Byte](1, 2, 3)).foreach { bad =>
+      val qr = Multimodal.audioFingerprint(Multimodal.MediaRow(3L, "audio/wav", bad))
+      assert(qr.k0 == -1L && qr.k1 == -1L && qr.k2 == -1L && qr.k3 == -1L)
+    }
   }
 }

@@ -1,0 +1,200 @@
+package graft.ops
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Invariants for the round-15 additions: the persisted BM25 postings
+  * index family (tx16–tx19) and the ds12 quota-window plan pin the
+  * round-14 VERDICT asked for. Exact result parity is the DuckDB
+  * oracle's job — these pin the PLAN properties the 100 TB serving
+  * story depends on: the probe must never re-read raw text, must
+  * bucket-prune the postings scan to the query vocabulary, and must
+  * keep the map-side top-k; compaction must leave one file per
+  * bucket; retire must actually remove documents from serving.
+  */
+class Round15OpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  // walks through the AdaptiveSparkPlanExec wrapper (PlanLintSpec's
+  // collectAll rationale — a bare .collect sees only the AQE shell)
+  private def collectAll(plan: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val expanded = plan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    expanded +: (expanded.children.flatMap(collectAll) ++
+      expanded.subqueries.flatMap(collectAll))
+  }
+
+  // ---- tx16: persisted-index probe ------------------------------------
+
+  test("tx16: probe equals the in-session tx15 result row for row") {
+    val served = q("tx16_bm25_index_probe").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    val fresh = q("tx15_bm25_topk").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(served.nonEmpty)
+    assert(served.toSeq == fresh.toSeq,
+      "persisted-index serving diverged from the in-session build")
+  }
+
+  test("tx16: the probe plan reads NO raw text and bucket-prunes the postings") {
+    val plan = q("tx16_bm25_index_probe").queryExecution.executedPlan
+    val s = plan.toString
+    // the corpus build is gone from the read path: no documents scan,
+    // no tokenizer expression anywhere in the serving plan
+    assert(!s.contains("documents"),
+      "probe plan scans the raw documents parquet — the index build leaked into serving")
+    assert(!s.contains("split(lower"),
+      "probe plan re-tokenizes text — the index build leaked into serving")
+    // the query vocabulary's IN filter prunes postings buckets: only
+    // matched-term buckets are ever read
+    assert(s.contains("SelectedBucketsCount"),
+      "postings scan lost bucket pruning — a probe would read every bucket at 100 TB")
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+    val pruned = sel.findAllMatchIn(s).exists(m => m.group(1).toInt < m.group(2).toInt)
+    assert(pruned, s"no postings scan actually pruned buckets:\n" +
+      sel.findAllMatchIn(s).map(_.matched).mkString("; "))
+  }
+
+  test("tx16: the per-query top-k keeps its map-side (partial) WindowGroupLimit") {
+    val partials = collectAll(q("tx16_bm25_index_probe").queryExecution.executedPlan)
+      .collect {
+        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+            if w.mode == org.apache.spark.sql.execution.window.Partial => w
+      }
+    assert(partials.nonEmpty,
+      "served BM25 top-k lost its map-side WindowGroupLimit")
+  }
+
+  // ---- tx18: compaction layout ---------------------------------------
+
+  test("tx18: compaction leaves one postings file per bucket") {
+    val docs = graft.Tables.documents(spark, sf)
+    val prefix = s"graft_lex_spec_${System.nanoTime()}"
+    val path = BandIndex.newTempDir("lexspec")
+    try {
+      import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+      LexIndex.persist(spark, sf, path, prefix,
+        Some(docs.filter(pmod(hash(col("doc_id")), lit(4)) =!= lit(0))))
+      Seq(0, 4, 8).foreach { r =>
+        LexIndex.append(spark, sf,
+          docs.filter(pmod(hash(col("doc_id")), lit(12)) === lit(r)),
+          prefix, batch = r.toLong)
+      }
+      def parquetFiles(sub: String): Int =
+        Option(new java.io.File(s"$path/$sub").listFiles()).fold(0)(
+          _.count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")))
+      val before = parquetFiles("postings")
+      assert(before > LexIndex.Buckets,
+        s"fixture never grew multi-file buckets (saw $before files)")
+      LexIndex.compact(spark, prefix)
+      // compact relocates the table; count files at the new location
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(
+          LexIndex.postingsTable(prefix))).location.toString.stripPrefix("file:")
+      val after = Option(new java.io.File(loc).listFiles()).fold(0)(
+        _.count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")))
+      assert(after == LexIndex.Buckets,
+        s"compaction left $after postings files, expected one per bucket (${LexIndex.Buckets})")
+      // decisions survive the rewrite
+      val dec = LexIndex.probe(spark, sf, prefix).collect()
+      val fresh = q("tx15_bm25_topk").collect()
+      assert(dec.map(_.toString).toSeq == fresh.map(_.toString).toSeq,
+        "compaction changed serving decisions")
+    } finally {
+      LexIndex.drop(spark, prefix)
+      BandIndex.retireTempDir(path)
+    }
+  }
+
+  // ---- tx19: retention ------------------------------------------------
+
+  test("tx19: retired documents vanish from ranks, df and length stats") {
+    val rows = q("tx19_bm25_index_retire").collect()
+    val ph0 = rows.filter(_.getInt(0) == 0)
+    val ph1 = rows.filter(_.getInt(0) == 1)
+    assert(ph0.nonEmpty && ph1.nonEmpty)
+    val retired = ph0.map(_.getLong(3)).toSet
+    assert(ph1.forall(r => !retired.contains(r.getLong(3))),
+      "a retired document was served in phase 1")
+    // phase 1 must re-fill: every query that had matches beyond its
+    // phase-0 top-k serves a non-empty result set
+    val ph0q = ph0.map(_.getInt(1)).toSet
+    val ph1q = ph1.map(_.getInt(1)).toSet
+    assert(ph1q.subsetOf(ph0q))
+  }
+
+  // ---- sim28: persisted-prefix matryoshka serving ---------------------
+
+  test("sim28: serves sim27's decisions row for row") {
+    val served = q("sim28_matryoshka_served").collect().map(_.toString).toSeq
+    val fresh = q("sim27_matryoshka_ann").collect().map(_.toString).toSeq
+    assert(served.nonEmpty)
+    assert(served == fresh, "persisted-prefix serving diverged from the in-session funnel")
+  }
+
+  test("sim28: the candidate pass column-prunes to the prefix (no full-vector read)") {
+    val s = q("sim28_matryoshka_served").queryExecution.executedPlan.toString
+    val readSchemas = s.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(readSchemas.exists(l => l.contains("pfx") && !l.contains("embedding")),
+      "no scan reads the prefix column without the full vector — the " +
+        s"candidate pass lost its 4x byte cut:\n${readSchemas.mkString("\n")}")
+  }
+
+  test("sim28: the prefix column is ~4x fewer bytes than the full-vector column on disk") {
+    // parquet footer accounting over the persisted mat table: the
+    // candidate pass reads the pfx column chunks, sim27's reads the
+    // embedding column — the byte ratio IS the serving read delta
+    val prefix = VecIndex.ensureMatPersisted(spark, sf)
+    val loc = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(
+        VecIndex.matTable(prefix))).location
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = org.apache.hadoop.fs.FileSystem.get(loc, conf)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(loc))
+      .filter(f => f.getPath.getName.endsWith(".parquet"))
+    var pfxBytes = 0L
+    var embBytes = 0L
+    files.foreach { f =>
+      val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+        conf, f.getPath,
+        org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+      footer.getBlocks.forEach { b =>
+        b.getColumns.forEach { c =>
+          val col0 = c.getPath.toDotString
+          if (col0.startsWith("pfx")) pfxBytes += c.getTotalSize
+          else if (col0.startsWith("embedding")) embBytes += c.getTotalSize
+        }
+      }
+    }
+    assert(pfxBytes > 0 && embBytes > 0, "footer accounting found no vector columns")
+    val ratio = embBytes.toDouble / pfxBytes.toDouble
+    info(f"embedding/pfx column bytes: $embBytes/$pfxBytes = $ratio%.2f")
+    assert(ratio > 3.0 && ratio < 5.0,
+      f"prefix column is not ~4x smaller than the full vector: $ratio%.2f " +
+        "(16 of 64 dims should cost ~1/4 of the bytes)")
+  }
+
+  // ---- ds12: quota-window plan pin (round-14 VERDICT item 3) ----------
+
+  test("ds12: BOTH windows plan as map-side (partial) WindowGroupLimit") {
+    val partials = collectAll(q("ds12_diverse_topk").queryExecution.executedPlan)
+      .collect {
+        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+            if w.mode == org.apache.spark.sql.execution.window.Partial => w
+      }
+    // the (query_id, cluster) quota window — if its partial pass is
+    // ever lost, the full scored frame crosses the exchange
+    assert(partials.exists(_.partitionSpec.length == 2),
+      "ds12 quota window lost its map-side WindowGroupLimit — the full " +
+        "scored frame would cross the query_id×cluster exchange at 100 TB")
+    // the final per-query top-k window
+    assert(partials.exists(_.partitionSpec.length == 1),
+      "ds12 final top-k window lost its map-side WindowGroupLimit")
+  }
+}
