@@ -1014,6 +1014,41 @@ object Similarity {
         .orderBy("query_id", "rk")
     }),
 
+    // Fully-served hybrid search (sim29; round 15) — sim26 with BOTH
+    // lanes on persisted indexes: the lexical ranks come from the
+    // BM25 postings index probe (tx16 — bucket-pruned matched
+    // postings, no raw-text scan) and the vector ranks from the IVF
+    // cell-table probe (sim14 — no corpus re-assignment pass). This
+    // is the batch twin of st18's serving split, now with the
+    // lexical index durable instead of session-memoized: a serving
+    // tier pays two index probes plus the k-bounded fusion join, and
+    // NOTHING corpus-sized rebuilds per query batch. Decisions
+    // DEFINED identical to sim26 (tx16 ≡ tx15's rows, sim14 ≡
+    // sim04's), shared oracle.
+    "sim29_hybrid_served" -> ((s, d) => {
+      val bm = LexIndex.probe(s, d, LexIndex.ensurePersisted(s, d))
+        .select(col("query_id").cast("bigint").as("query_id"),
+          col("doc_id").as("item_id"), col("rk").as("ra"))
+      val vr = VecIndex.probe(s, d, VecIndex.ensurePersisted(s, d))
+        .withColumn("rb", row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(col("cosine").desc, col("neighbor_id").asc)))
+        .select(col("query_id"), col("neighbor_id").as("item_id"), col("rb"))
+      val fused = bm.join(vr, Seq("query_id", "item_id"), "full_outer")
+        .withColumn("rrf", expr(
+          s"""coalesce(CAST(1 AS DOUBLE) / CAST($RrfK + ra AS DOUBLE), 0.0)
+             | + coalesce(CAST(1 AS DOUBLE) / CAST($RrfK + rb AS DOUBLE), 0.0)"""
+            .stripMargin))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("rrf").desc, col("item_id").asc)
+      fused.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= FusionTopK)
+        .select(col("query_id"), col("rk").cast("int").as("rk"),
+          col("item_id"), col("ra").cast("int").as("ra"),
+          col("rb").cast("int").as("rb"), round(col("rrf"), 6).as("rrf"))
+        .orderBy("query_id", "rk")
+    }),
+
     // Diversified top-k selection (ds12; round 14) — the
     // data-selection counterpart of MMR, housed with the retrieval
     // kernels it composes: per query, candidates are scored exactly
@@ -2198,6 +2233,36 @@ object Similarity {
        |ORDER BY window_start""".stripMargin
   }
 
+  /** sim26's hybrid-fusion oracle — shared verbatim by sim29 (the
+    * doubly-persisted serving lane makes identical decisions). */
+  private def sim26Sql: String =
+    s"""WITH bm AS (
+       |  SELECT CAST(query_id AS BIGINT) AS query_id, doc_id AS item_id, rk AS ra
+       |  FROM ( ${TextAnalysis.oracle("tx15_bm25_topk")} ) b
+       |),
+       |vr AS (
+       |  SELECT query_id, neighbor_id AS item_id,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cosine DESC, neighbor_id ASC) AS rb
+       |  FROM ( $sim04Sql ) v
+       |),
+       |fused AS (
+       |  SELECT coalesce(bm.query_id, vr.query_id) AS query_id,
+       |         coalesce(bm.item_id, vr.item_id) AS item_id,
+       |         bm.ra AS ra, vr.rb AS rb,
+       |         coalesce(CAST(1 AS DOUBLE) / CAST($RrfK + bm.ra AS DOUBLE), 0.0)
+       |           + coalesce(CAST(1 AS DOUBLE) / CAST($RrfK + vr.rb AS DOUBLE), 0.0) AS rrf
+       |  FROM bm FULL OUTER JOIN vr
+       |    ON bm.query_id = vr.query_id AND bm.item_id = vr.item_id
+       |)
+       |SELECT query_id, CAST(rk AS INT) AS rk, item_id,
+       |       CAST(ra AS INT) AS ra, CAST(rb AS INT) AS rb,
+       |       round(rrf, 6) AS rrf FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY rrf DESC, item_id ASC) AS rk
+       |  FROM fused) t
+       |WHERE rk <= $FusionTopK ORDER BY query_id, rk""".stripMargin
+
   /** sim27's prefix-funnel oracle — shared verbatim by sim28 (the
     * persisted-prefix serving lane makes identical decisions). */
   private def sim27Sql: String = {
@@ -2636,33 +2701,11 @@ object Similarity {
     // The BM25 lane's rank IS tx15's rk output (its CTE chain is
     // embedded verbatim); the vector lane re-ranks sim04's rounded
     // cosines — sim25's parity argument applies to both.
-    "sim26_hybrid_search" ->
-      s"""WITH bm AS (
-         |  SELECT CAST(query_id AS BIGINT) AS query_id, doc_id AS item_id, rk AS ra
-         |  FROM ( ${TextAnalysis.oracle("tx15_bm25_topk")} ) b
-         |),
-         |vr AS (
-         |  SELECT query_id, neighbor_id AS item_id,
-         |         row_number() OVER (PARTITION BY query_id
-         |                            ORDER BY cosine DESC, neighbor_id ASC) AS rb
-         |  FROM ( $sim04Sql ) v
-         |),
-         |fused AS (
-         |  SELECT coalesce(bm.query_id, vr.query_id) AS query_id,
-         |         coalesce(bm.item_id, vr.item_id) AS item_id,
-         |         bm.ra AS ra, vr.rb AS rb,
-         |         coalesce(CAST(1 AS DOUBLE) / CAST($RrfK + bm.ra AS DOUBLE), 0.0)
-         |           + coalesce(CAST(1 AS DOUBLE) / CAST($RrfK + vr.rb AS DOUBLE), 0.0) AS rrf
-         |  FROM bm FULL OUTER JOIN vr
-         |    ON bm.query_id = vr.query_id AND bm.item_id = vr.item_id
-         |)
-         |SELECT query_id, CAST(rk AS INT) AS rk, item_id,
-         |       CAST(ra AS INT) AS ra, CAST(rb AS INT) AS rb,
-         |       round(rrf, 6) AS rrf FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id
-         |                               ORDER BY rrf DESC, item_id ASC) AS rk
-         |  FROM fused) t
-         |WHERE rk <= $FusionTopK ORDER BY query_id, rk""".stripMargin,
+    "sim26_hybrid_search" -> sim26Sql,
+
+    // sim29 serves sim26's decisions with BOTH lanes on persisted
+    // indexes — same oracle, row for row (the Spark entry's note).
+    "sim29_hybrid_served" -> sim26Sql,
 
     "ds12_diverse_topk" ->
       s"""WITH $normedCte,
