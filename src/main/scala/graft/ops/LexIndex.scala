@@ -117,16 +117,37 @@ object LexIndex {
     // dl is functionally dependent on doc_id, so folding it into the
     // group key keeps the build a single shuffle (no corpus-sized
     // dl-join back): explode → groupBy(doc_id, term, dl) → count.
+    // Impact metadata (tx20, round 15): each posting carries its
+    // within-term IMPACT RANK — tf desc (more occurrences score
+    // higher under BM25's monotone tf saturation), dl asc (shorter
+    // docs normalize higher), doc_id tiebreak — and the term's df,
+    // both computed over THIS batch. On the fresh base build these
+    // are the global values; appends stamp batch-local ones, which
+    // go stale until a rebuild — the standard impact-ordered-index
+    // contract (Anh & Moffat): impact order refreshes at merge
+    // time. tx16's probe ignores both columns (exact df recomputed
+    // from matched postings, no cap); only tx20's capped probe
+    // reads them, and its catalog entry serves the fresh base
+    // build.
+    val wImp = Window.partitionBy("term")
+      .orderBy(col("tf").desc, col("dl").asc, col("doc_id").asc)
     val postings = tok
       .select(col("doc_id"), col("dl"),
         org.apache.spark.sql.functions.explode_outer(col("tokens")).as("term"))
       .filter(col("term").isNotNull)
       .groupBy("term", "doc_id", "dl")
       .agg(count(lit(1)).as("tf"))
-      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+      .withColumn("imp_rank", row_number().over(wImp))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+        col("imp_rank"), col("df"))
       .withColumn("ingest_batch", lit(batch))
+    // sortBy (term, imp_rank): within a bucket each term's postings
+    // lie in an impact-ascending run, so at real scale the capped
+    // probe's `imp_rank <= C` pushed filter prunes the row groups
+    // beyond the cap for high-df terms — bytes ∝ terms × C, not df.
     val pw = postings.write
-      .bucketBy(Buckets, "term").sortBy("term")
+      .bucketBy(Buckets, "term").sortBy("term", "imp_rank")
       .mode(mode)
     (if (firstWrite) pw.option("path", s"$path/postings") else pw)
       .saveAsTable(postingsTable(prefix))
@@ -269,8 +290,13 @@ object LexIndex {
       s"SELECT query_id, term FROM (VALUES ${TextAnalysis.bm25Values}) AS q(query_id, term)")
     val terms = Bm25Queries.flatMap(_._2).distinct
     spark.catalog.refreshTable(postingsTable(prefix))
+    // the impact metadata (imp_rank, stored df) belongs to tx20's
+    // capped lane; the EXACT probe recomputes df from the matched
+    // postings (correct under appends and tombstones) — drop the
+    // stored columns so they can't shadow the live aggregate
     val matchedAll = spark.table(postingsTable(prefix))
       .filter(col("term").isin(terms: _*))
+      .drop("imp_rank", "df")
     val matched = tombstones(spark, prefix).fold(matchedAll)(ts =>
       matchedAll.join(broadcast(ts.select("retired_id")),
         matchedAll("doc_id") === col("retired_id"), "left_anti"))
@@ -306,6 +332,60 @@ object LexIndex {
       f.delete(); ()
     }
     rec(new java.io.File(path))
+  }
+
+  /** Per-term candidate cap for the impact-ordered probe (tx20). */
+  val ImpactCap = 64
+
+  /** BM25 top-k with an IMPACT-ORDERED candidate cap (tx20, round
+    * 15) — the approximation family (Anh & Moffat's impact-ordered
+    * indexes; MaxScore/WAND's goal by storage layout) that makes
+    * lexical top-k SUBLINEAR in document frequency: only each query
+    * term's top-[[ImpactCap]] postings by impact order (tf desc,
+    * dl asc — BM25's term score is monotone up in tf, down in dl)
+    * are read and scored, then ranked exactly. The cap is pushed to
+    * the scan as `imp_rank <= C` alongside the term `IN` — with the
+    * postings sorted (term, imp_rank), high-df terms' beyond-cap row
+    * groups prune by footer min/max, so probe bytes are
+    * ∝ terms × C instead of ∝ Σ df. df for scoring rides the
+    * posting row (build-time global — see the writeBatch note);
+    * corpus stats broadcast from [[statsFrame]]. Deterministic by
+    * construction: the oracle replays the identical cap, so the
+    * APPROXIMATION ITSELF is hash-checked, not compared against the
+    * uncapped answer. Round15OpsSpec additionally measures the
+    * capped/uncapped rank agreement at the fixture scale. */
+  def impactProbe(spark: SparkSession, dir: String, prefix: String): DataFrame = {
+    val qt = spark.sql(
+      s"SELECT query_id, term FROM (VALUES ${TextAnalysis.bm25Values}) AS q(query_id, term)")
+    val terms = Bm25Queries.flatMap(_._2).distinct
+    spark.catalog.refreshTable(postingsTable(prefix))
+    val cappedAll = spark.table(postingsTable(prefix))
+      .filter(col("term").isin(terms: _*) && col("imp_rank") <= ImpactCap)
+    val capped = tombstones(spark, prefix).fold(cappedAll)(ts =>
+      cappedAll.join(broadcast(ts.select("retired_id")),
+        cappedAll("doc_id") === col("retired_id"), "left_anti"))
+    val scored = capped
+      .join(broadcast(qt), Seq("term"))
+      .crossJoin(broadcast(statsFrame(spark, prefix)))
+      .withColumn("score", expr(
+        s"""round(
+           |  ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+           |           / (CAST(df AS DOUBLE) + 0.5))
+           |  * (CAST(tf AS DOUBLE) * ($Bm25K1 + 1.0))
+           |  / (CAST(tf AS DOUBLE)
+           |     + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * CAST(dl AS DOUBLE)
+           |                  * CAST(n_docs AS DOUBLE) / CAST(sum_dl AS DOUBLE))),
+           |  6)""".stripMargin))
+    val perDoc = scored.groupBy("query_id", "doc_id")
+      .agg(sum(col("score").cast(DecimalType(18, 8))).cast(DoubleType).as("bm25"),
+        count(lit(1)).as("n_terms"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+    perDoc.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= Bm25TopK)
+      .select(col("query_id"), col("rk").cast("int").as("rk"),
+        col("doc_id"), col("bm25"), col("n_terms"))
+      .orderBy("query_id", "rk")
   }
 
   /** Drop the registered tables (files are external; the temp-dir
@@ -462,7 +542,9 @@ object LexIndex {
       probe(s, d, ensurePersisted(s, d))),
     "tx17_bm25_index_append" -> ((s, d) => appendCycle(s, d, "tx17")),
     "tx18_bm25_index_compact" -> ((s, d) => compactCycle(s, d, "tx18")),
-    "tx19_bm25_index_retire" -> ((s, d) => retentionCycle(s, d, "tx19"))
+    "tx19_bm25_index_retire" -> ((s, d) => retentionCycle(s, d, "tx19")),
+    "tx20_bm25_impact_topk" -> ((s, d) =>
+      impactProbe(s, d, ensurePersisted(s, d)))
   )
 
   /** The tx15 BM25 body over a `tok(doc_id, tokens)` CTE already in
@@ -520,13 +602,64 @@ object LexIndex {
        |SELECT 1 AS phase, * FROM ph1
        |ORDER BY phase, query_id, rk""".stripMargin
 
+  /** tx20's oracle: tx15's chain with the SAME deterministic
+    * per-term impact cap inserted before scoring — the approximation
+    * itself is hash-checked, not measured against the uncapped
+    * answer. Per-term ranking over query-term postings equals the
+    * build-time ranking over all postings (terms do not interfere
+    * with each other's ranks). */
+  private def impactSql: String =
+    s"""WITH q AS (SELECT * FROM (VALUES ${TextAnalysis.bm25Values}) AS q(query_id, term)),
+       |tok AS (SELECT doc_id, ${TextAnalysis.tokensSql} AS tokens FROM documents),
+       |dl AS (SELECT doc_id, CAST(len(tokens) AS BIGINT) AS dl FROM tok),
+       |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+       |tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(tokens) AS term FROM tok) t
+       |  JOIN (SELECT DISTINCT term FROM q) USING (term)
+       |  GROUP BY 1, 2
+       |),
+       |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |cand AS (
+       |  SELECT doc_id, term, tf, dl FROM (
+       |    SELECT tf.doc_id, tf.term, tf.tf, dl.dl,
+       |           row_number() OVER (PARTITION BY tf.term
+       |             ORDER BY tf.tf DESC, dl.dl ASC, tf.doc_id ASC) AS imp_rank
+       |    FROM tf JOIN dl USING (doc_id)) z
+       |  WHERE imp_rank <= $ImpactCap
+       |),
+       |scored AS (
+       |  SELECT q.query_id, cand.doc_id,
+       |         round(
+       |           ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+       |                    / (CAST(df AS DOUBLE) + 0.5))
+       |           * (CAST(tf AS DOUBLE) * ($Bm25K1 + 1.0))
+       |           / (CAST(tf AS DOUBLE)
+       |              + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * CAST(dl AS DOUBLE)
+       |                           * CAST(n_docs AS DOUBLE) / CAST(sum_dl AS DOUBLE))),
+       |           6) AS score
+       |  FROM cand JOIN dfc USING (term) JOIN q USING (term), st
+       |),
+       |agg AS (
+       |  SELECT query_id, doc_id,
+       |         CAST(sum(CAST(score AS DECIMAL(18,8))) AS DOUBLE) AS bm25,
+       |         count(*) AS n_terms
+       |  FROM scored GROUP BY 1, 2
+       |)
+       |SELECT query_id, CAST(rk AS INT) AS rk, doc_id, bm25, n_terms FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY bm25 DESC, doc_id ASC) AS rk
+       |  FROM agg) t
+       |WHERE rk <= ${TextAnalysis.Bm25TopK} ORDER BY query_id, rk""".stripMargin
+
   val oracle: Map[String, String] = {
     val tx15 = TextAnalysis.oracle("tx15_bm25_topk")
     Map(
       "tx16_bm25_index_probe" -> tx15,
       "tx17_bm25_index_append" -> tx15,
       "tx18_bm25_index_compact" -> tx15,
-      "tx19_bm25_index_retire" -> retireSql
+      "tx19_bm25_index_retire" -> retireSql,
+      "tx20_bm25_impact_topk" -> impactSql
     )
   }
 }

@@ -129,6 +129,55 @@ class Round15OpsSpec extends SparkSpec {
     assert(ph1q.subsetOf(ph0q))
   }
 
+  // ---- tx20: impact-ordered candidate cap -----------------------------
+
+  test("tx20: the impact cap is PUSHED to the postings scan with the term filter") {
+    // inspect the scan nodes directly — the plan STRING truncates
+    // long filter lists, which hid the cap on first authoring
+    val scans = collectAll(q("tx20_bm25_impact_topk").queryExecution.executedPlan)
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    val postingsScans = scans.filter(_.tableIdentifier.exists(_.table.endsWith("_postings")))
+    assert(postingsScans.nonEmpty, "no postings scan in the capped probe plan")
+    val withCap = postingsScans.filter { f =>
+      val filters = f.dataFilters.map(_.toString).mkString(" ")
+      filters.contains(s"<= ${LexIndex.ImpactCap}") && filters.contains("term")
+    }
+    assert(withCap.nonEmpty,
+      "the imp_rank cap (or the term IN) did not reach the postings scan — " +
+        "probe bytes would scale with df, not terms x cap:\n" +
+        postingsScans.map(_.dataFilters.mkString(", ")).mkString("\n"))
+    val s = q("tx20_bm25_impact_topk").queryExecution.executedPlan.toString
+    assert(!s.contains("documents"), "capped probe scans raw text")
+  }
+
+  test("tx20: the approximation contract holds — rare-term query intact, bounded loss overall") {
+    val exactRows = q("tx16_bm25_index_probe").collect()
+    val cappedRows = q("tx20_bm25_impact_topk").collect()
+    assert(cappedRows.nonEmpty)
+    def pairs(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getInt(0), r.getLong(2))).toSet
+    val exact = pairs(exactRows)
+    val capped = pairs(cappedRows)
+    val overlap = (exact & capped).size.toDouble / exact.size
+    info(f"capped/exact top-k overlap: $overlap%.3f (${(exact & capped).size}/${exact.size})")
+    // The fixture corpus is ADVERSARIAL for impact capping: every
+    // doc matches every common term with tf 1-2, so scores cluster
+    // and multi-term docs can sit below the cap in EVERY per-term
+    // list (the union problem WAND's upper bounds exist to fix —
+    // stated in the scaladoc, measured here rather than hidden).
+    // Real corpora are Zipfian, where the measured loss is far
+    // smaller. The floor pins the contract against regression.
+    assert(overlap >= 0.5,
+      f"impact cap degraded top-k beyond the approximation contract: $overlap%.3f")
+    // the query the impact family serves BEST — the rare-term (high
+    // idf) query 2, whose df sits inside the cap — must keep its
+    // exact top-k SET intact
+    def q2(rows: Set[(Int, Long)]) = rows.filter(_._1 == 2)
+    val q2overlap = (q2(exact) & q2(capped)).size.toDouble / q2(exact).size
+    info(f"rare-term (q2) overlap: $q2overlap%.3f")
+    assert(q2overlap >= 0.9, f"rare-term query lost its top-k under the cap: $q2overlap%.3f")
+  }
+
   // ---- sim28: persisted-prefix matryoshka serving ---------------------
 
   test("sim28: serves sim27's decisions row for row") {
