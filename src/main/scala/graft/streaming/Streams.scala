@@ -506,6 +506,47 @@ object Streams {
         col("rb").cast("int").as("rb"), round(col("rrf"), 6).as("rrf"))
   }
 
+  /** st19's per-micro-batch core (round 15): [[hybridServeCore]] with
+    * the lexical lane on the PERSISTED BM25 postings index
+    * ([[graft.ops.LexIndex.probe]] — bucket-pruned matched postings,
+    * no raw-text scan, durable across sessions) instead of the
+    * session-memoized tx15 frame. Both lanes now have the full
+    * train-once/serve-many story: per micro-batch the serving tier
+    * pays one bucket-pruned postings probe + one cell-pruned vector
+    * probe + the k-bounded fusion join — nothing corpus-sized
+    * rebuilds, in-session or otherwise. Decisions identical to
+    * sim26/st18 (LexIndex.probe ≡ tx15's rows; the vector lane is
+    * st18's own). */
+  def hybridServedCore(s: SparkSession, d: String,
+      arrivals: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val K = graft.ops.Similarity.RrfK
+    val lexPrefix = graft.ops.LexIndex.ensurePersisted(s, d)
+    val bm = graft.ops.LexIndex.probe(s, d, lexPrefix)
+      .select(col("query_id").cast("bigint").as("query_id"),
+        col("doc_id").as("item_id"), col("rk").as("ra"))
+      .join(broadcast(arrivals.select("query_id").distinct()), Seq("query_id"))
+    val prefix = graft.ops.VecIndex.ensurePersisted(s, d)
+    val vr = graft.ops.VecIndex.annTopK(s, d, arrivals,
+        s.table(graft.ops.VecIndex.cellsTable(prefix)))
+      .withColumn("rb", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("neighbor_id").asc)))
+      .select(col("query_id"), col("neighbor_id").as("item_id"), col("rb"))
+    val fused = bm.join(vr, Seq("query_id", "item_id"), "full_outer")
+      .withColumn("rrf", expr(
+        s"""coalesce(CAST(1 AS DOUBLE) / CAST($K + ra AS DOUBLE), 0.0)
+           | + coalesce(CAST(1 AS DOUBLE) / CAST($K + rb AS DOUBLE), 0.0)"""
+          .stripMargin))
+    fused.withColumn("rk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("rrf").desc, col("item_id").asc)))
+      .filter(col("rk") <= graft.ops.Similarity.FusionTopK)
+      .select(col("query_id"), col("rk").cast("int").as("rk"),
+        col("item_id"), col("ra").cast("int").as("ra"),
+        col("rb").cast("int").as("rb"), round(col("rrf"), 6).as("rrf"))
+  }
+
   /** st12's real-stream form: [[graft.ops.VecIndex.pqAnnTopK]] behind
     * a watermark — ADC serving from the persisted IVF-PQ code cells. */
   def pqServeStream(spark: org.apache.spark.sql.SparkSession, dir: String,
@@ -872,6 +913,21 @@ object Streams {
       hybridServeCore(s, d, arrivals).orderBy("query_id", "rk")
     }),
 
+    // FULLY-SERVED STREAMING HYBRID (round 15, st19): st18 with the
+    // lexical lane moved from the session memo onto the PERSISTED
+    // BM25 postings index — the durable serving split on both lanes
+    // (sim29's streaming twin). Decisions DEFINED identical to
+    // sim26/st18, shared oracle; StreamingSpec drives the served
+    // core through the same two-micro-batch readStream protocol.
+    "st19_stream_hybrid_served" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, expr}
+      val arrivals = graft.Tables.embeddings(s, d)
+        .filter(col("vec_id") < graft.ops.Similarity.KnnQueries)
+        .select(col("vec_id").as("query_id"), col("embedding"),
+          expr("timestamp'2024-01-01 00:00:00' + make_dt_interval(0, 0, 0, vec_id)").as("ts"))
+      hybridServedCore(s, d, arrivals).orderBy("query_id", "rk")
+    }),
+
     // STREAMING ADMISSION PIPELINE (round 12, st15): the composed
     // ingest flow — eval/quality/langid gates (row-local), the
     // contamination check against the static broadcast eval shingle
@@ -934,6 +990,10 @@ object Streams {
     // identical — a divergence means the persisted probe or the
     // memoized lexical index changed the dataflow's semantics.
     ("st18_stream_hybrid_search" -> graft.ops.Similarity.oracle("sim26_hybrid_search")) +
+    // st19 = st18's decisions with the lexical lane on the persisted
+    // postings index; LexIndex.probe ≡ tx15's rows (tx16's oracle
+    // identity), so the fusion is DEFINED identical — shared oracle.
+    ("st19_stream_hybrid_served" -> graft.ops.Similarity.oracle("sim26_hybrid_search")) +
     // st15 = the admission gates composed with st05's probe shape;
     // the oracle coalesces verdicts exactly as admissionCore does.
     ("st15_stream_admission" -> graft.ops.Pipeline.st15Sql) +

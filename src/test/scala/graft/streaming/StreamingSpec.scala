@@ -814,6 +814,60 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("fully-served streaming hybrid equals st18 and the batch core per micro-batch (st19)") {
+    // st19 = st18 with the lexical lane on the PERSISTED BM25
+    // postings index instead of the session memo. Decisions must be
+    // identical to st18's batch entry, and the served core must
+    // reproduce them per micro-batch through a real readStream.
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorExprs.register(spark)
+    val sf = "/root/testdata/sf0.001"
+    val st18 = graft.SparkEntry.queries("st18_stream_hybrid_search")(spark, sf).collect()
+    val st19 = graft.SparkEntry.queries("st19_stream_hybrid_served")(spark, sf).collect()
+    assert(st19.nonEmpty)
+    assert(st19.map(_.toSeq).toSeq == st18.map(_.toSeq).toSeq,
+      "the persisted lexical lane changed the fused decisions")
+    val arrivals = graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < graft.ops.Similarity.KnnQueries)
+      .select(col("vec_id").as("query_id"), col("embedding"),
+        expr("timestamp'2024-01-01 00:00:00' + make_dt_interval(0, 0, 0, vec_id)").as("ts"))
+    val srcDir = Files.createTempDirectory("graft-st19").toString
+    def stamp(sub: String): Unit = {
+      val t = mtimeClock.addAndGet(2000)
+      Files.walk(Paths.get(srcDir, sub)).iterator().forEachRemaining { p =>
+        if (Files.isRegularFile(p))
+          Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime.fromMillis(t))
+      }
+    }
+    arrivals.filter(col("query_id") % 2 === 0).coalesce(1).write.parquet(s"$srcDir/part_a")
+    stamp("part_a")
+    arrivals.filter(col("query_id") % 2 =!= 0).coalesce(1).write.parquet(s"$srcDir/part_b")
+    stamp("part_b")
+    val streamed = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Seq[Any])]
+    var batches = 0
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$srcDir/part_a").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$srcDir/part_*")
+    val q = stream.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val rows = Streams.hybridServedCore(spark, sf, df.localCheckpoint()).collect()
+        streamed.synchronized {
+          batches += 1
+          streamed ++= rows.map(r => (r.getLong(0), r.getInt(1), r.toSeq))
+        }
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(batches == 2, s"expected exactly 2 micro-batches, got $batches")
+      val got = streamed.sortBy(t => (t._1, t._2)).map(_._3).toSeq
+      assert(got == st19.map(_.toSeq).toSeq,
+        "per-micro-batch served-hybrid results diverge from the batch core")
+    } finally q.stop()
+  }
+
   test("streaming ANN probe of the persisted vector index equals the batch top-k (st09)") {
     // ANN serving as a stream: query vectors arrive over multiple
     // micro-batches, select probe cells via broadcast centroids in a
