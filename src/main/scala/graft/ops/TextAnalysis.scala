@@ -133,6 +133,15 @@ object TextAnalysis {
     * `token_stats` kernel. */
   val ShortTokenLen = 2
 
+  /** Re-index trigger for the lexical-index lifecycle (dq08):
+    * smoothed KL divergence of a new batch's term distribution
+    * (top-[[VocabTopK]] vocabulary + OOV bucket) from the indexed
+    * corpus's, above which the batch is declared vocabulary-shifted
+    * and a postings rebuild (refreshing tx20's impact ranks and
+    * stored df) is warranted — [[Similarity.KlRetrainThreshold]]'s
+    * lexical sibling. */
+  val VocabDriftThreshold = 0.05
+
   /** GPT-2-ish pretokenizer pattern (contractions, space-prefixed
     * letter runs, digit runs, punct runs), kept in the Java∩RE2
     * common regex subset; SQL-literal form with doubled apostrophes
@@ -514,6 +523,56 @@ object TextAnalysis {
             round(col("n_tokens").cast("double") / col("n_words").cast("double"), 6))
             .as("fertility"))
         .orderBy("doc_id")
+    }),
+
+    // VOCABULARY-DRIFT re-index trigger (dq08; round 15) — dq07's
+    // KL-divergence discipline applied to the LEXICAL index: the
+    // monitored distribution is term occupancy over the indexed
+    // corpus's top-[[VocabTopK]] vocabulary plus an OOV bucket (the
+    // fixed-vocab drift monitor production text pipelines run), old
+    // corpus vs the arriving quarter (the lifecycle fixtures'
+    // batch convention), add-1 smoothed, per-bucket contributions
+    // rounded 6 dp (ln parity) and summed DECIMAL-exact. The summary
+    // row's `reindex` flag is the signal that tx20's build-time
+    // impact ranks and stored df have gone stale enough to warrant a
+    // postings rebuild — the detector that closes the
+    // impact-ordered-index maintenance loop. Bounded state: ≤
+    // VocabTopK+1 grouped rows; the only corpus-sized work is one
+    // tokenize pass.
+    "dq08_vocab_drift" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode_outer(expr(tokensExpr)).as("term"))
+        .filter(col("term").isNotNull)
+        .withColumn("is_new", pmod(col("doc_id"), lit(4)) === lit(0))
+      val vocab = toks.filter(!col("is_new")).groupBy("term")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term").asc).limit(VocabTopK)
+        .select(col("term").as("vterm"))
+      val counts = toks
+        .join(broadcast(vocab), toks("term") === col("vterm"), "left")
+        .withColumn("bucket", coalesce(col("vterm"), lit("__oov__")))
+        .groupBy("bucket").agg(
+          sum(when(!col("is_new"), 1L).otherwise(0L)).as("old_n"),
+          sum(when(col("is_new"), 1L).otherwise(0L)).as("new_n"))
+      val w = Window.partitionBy() // bounded: ≤ VocabTopK+1 rows
+      val terms = counts
+        .withColumn("kk", count(lit(1)).over(w).cast(DoubleType))
+        .withColumn("p", (col("old_n") + lit(1L)).cast(DoubleType) /
+          (sum(col("old_n")).over(w).cast(DoubleType) + col("kk")))
+        .withColumn("q", (col("new_n") + lit(1L)).cast(DoubleType) /
+          (sum(col("new_n")).over(w).cast(DoubleType) + col("kk")))
+        .withColumn("kl_term", round(col("q") * log(col("q") / col("p")), 6))
+      val perBucket = terms.select(col("bucket"), col("old_n"), col("new_n"),
+        col("kl_term"),
+        lit(null).cast(DoubleType).as("kl_total"),
+        lit(null).cast("boolean").as("reindex"))
+      val summary = terms.agg(
+        sum(col("old_n")).as("old_n"), sum(col("new_n")).as("new_n"),
+        sum(col("kl_term").cast(DecimalType(18, 6))).cast(DoubleType).as("kl_total"))
+        .select(lit("__total__").as("bucket"), col("old_n"), col("new_n"),
+          lit(null).cast(DoubleType).as("kl_term"), col("kl_total"),
+          (col("kl_total") > lit(VocabDriftThreshold)).as("reindex"))
+      perBucket.unionByName(summary).orderBy("bucket")
     }),
 
     // BM25 top-k retrieval (tx15; round 14) — the lexical-search
@@ -979,6 +1038,50 @@ object TextAnalysis {
          |             / CAST(count(*) AS DOUBLE), 6) AS oov_rate
          |FROM t LEFT JOIN v ON t.token = v.token
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // dq08: the KL fold mirrored bucket for bucket — smoothing,
+    // realized bucket count kk, 6-dp term rounding, decimal-exact
+    // total (dq07's oracle discipline over the lexical axis)
+    "dq08_vocab_drift" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($tokensSql) AS term FROM documents
+         |),
+         |t AS (SELECT doc_id, term, (doc_id % 4 = 0) AS is_new FROM tok),
+         |vocab AS (
+         |  SELECT term FROM (
+         |    SELECT term, count(*) AS n FROM t WHERE NOT is_new
+         |    GROUP BY term ORDER BY n DESC, term ASC LIMIT $VocabTopK) z
+         |),
+         |counts AS (
+         |  SELECT CASE WHEN v.term IS NULL THEN '__oov__' ELSE t.term END AS bucket,
+         |         CAST(sum(CASE WHEN NOT is_new THEN 1 ELSE 0 END) AS BIGINT) AS old_n,
+         |         CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS new_n
+         |  FROM t LEFT JOIN vocab v ON t.term = v.term
+         |  GROUP BY 1
+         |),
+         |k AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS kk,
+         |         CAST(sum(old_n) AS DOUBLE) AS ot,
+         |         CAST(sum(new_n) AS DOUBLE) AS nt
+         |  FROM counts
+         |),
+         |terms AS (
+         |  SELECT bucket, old_n, new_n,
+         |         round(((CAST(new_n AS DOUBLE) + 1.0) / (nt + kk))
+         |               * ln(((CAST(new_n AS DOUBLE) + 1.0) / (nt + kk))
+         |                    / ((CAST(old_n AS DOUBLE) + 1.0) / (ot + kk))), 6) AS kl_term
+         |  FROM counts, k
+         |)
+         |SELECT bucket, old_n, new_n, kl_term,
+         |       CAST(NULL AS DOUBLE) AS kl_total, CAST(NULL AS BOOLEAN) AS reindex
+         |FROM terms
+         |UNION ALL
+         |SELECT '__total__', CAST(sum(old_n) AS BIGINT), CAST(sum(new_n) AS BIGINT),
+         |       CAST(NULL AS DOUBLE),
+         |       CAST(sum(CAST(kl_term AS DECIMAL(18,6))) AS DOUBLE),
+         |       CAST(sum(CAST(kl_term AS DECIMAL(18,6))) AS DOUBLE) > $VocabDriftThreshold
+         |FROM terms
+         |ORDER BY bucket""".stripMargin,
 
     "tx15_bm25_topk" ->
       s"""WITH q AS (SELECT * FROM (VALUES $bm25Values) AS q(query_id, term)),

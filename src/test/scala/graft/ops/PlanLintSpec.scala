@@ -178,6 +178,10 @@ class PlanLintSpec extends SparkSpec {
     // occupancy-total window over GROUP BY cluster — ≤ IvfCentroids
     // (16) rows by construction, never the corpus
     "dq07_cell_drift",
+    // smoothing-total window over GROUP BY bucket — ≤ VocabTopK+1
+    // (17) rows by construction (top-16 vocabulary + OOV), never
+    // the corpus
+    "dq08_vocab_drift",
     // OPQ variance rank: window input is the Dims-row (64) per-dim
     // variance frame, never the corpus
     "sim24_opq_adc",
