@@ -229,6 +229,34 @@ class Round15OpsSpec extends SparkSpec {
         "(16 of 64 dims should cost ~1/4 of the bytes)")
   }
 
+  // ---- dq08: vocabulary-drift trigger sensitivity ----------------------
+
+  test("dq08: fires on a vocabulary-shifted batch, stays quiet on a stable one") {
+    import org.apache.spark.sql.functions.{col, concat_ws, lit, when}
+    def corpus(newText: org.apache.spark.sql.Column): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-dq08").toString
+      spark.range(400)
+        .select(col("id").as("doc_id"),
+          when(org.apache.spark.sql.functions.pmod(col("id"), lit(4)) === 0, newText)
+            .otherwise(lit("alpha beta gamma delta epsilon")).as("text"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    def summary(dir: String) = SparkEntry.queries("dq08_vocab_drift")(spark, dir)
+      .filter(col("bucket") === "__total__").collect().head
+    // shifted: the arriving quarter speaks a DISJOINT vocabulary —
+    // every token lands in OOV, the old vocabulary empties out
+    val shifted = summary(corpus(lit("zulu yankee xray whiskey victor")))
+    assert(!shifted.isNullAt(5) && shifted.getBoolean(5),
+      s"disjoint-vocabulary batch did not trigger reindex: $shifted")
+    // stable: identical text — the distributions coincide, KL ~ 0
+    val stable = summary(corpus(lit("alpha beta gamma delta epsilon")))
+    assert(!stable.getBoolean(5),
+      s"identical-vocabulary batch falsely triggered reindex: $stable")
+    assert(stable.getDouble(4) < 0.001,
+      s"stable corpus KL not ~0: ${stable.getDouble(4)}")
+  }
+
   // ---- ds12: quota-window plan pin (round-14 VERDICT item 3) ----------
 
   test("ds12: BOTH windows plan as map-side (partial) WindowGroupLimit") {
