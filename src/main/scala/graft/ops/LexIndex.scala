@@ -388,6 +388,76 @@ object LexIndex {
       .orderBy("query_id", "rk")
   }
 
+  /** REBUILD the impact metadata globally (tx21) — the maintenance
+    * verb dq08's reindex flag triggers: appends stamp BATCH-LOCAL
+    * imp_rank/df (a batch knows nothing of the resident postings),
+    * so after enough arrivals the capped probe's per-term top-C
+    * drifts from the true global impact order and the stored df
+    * undercounts. This rewrites the postings with imp_rank and df
+    * recomputed over the WHOLE resident table — one bounded window
+    * per term partition, re-written bucketed (term, imp_rank) via
+    * the external-location swap (a bare managed overwrite would
+    * leak warehouse files across JVMs — the tx18 lesson). The
+    * production analog is the merge/optimize pass every
+    * impact-ordered index runs (Anh & Moffat; Lucene's
+    * forceMerge). */
+  def reindexImpact(spark: SparkSession, prefix: String): Unit = {
+    val t = postingsTable(prefix)
+    spark.catalog.refreshTable(t)
+    val wImp = Window.partitionBy("term")
+      .orderBy(col("tf").desc, col("dl").asc, col("doc_id").asc)
+    val fresh = spark.table(t)
+      .select("term", "doc_id", "tf", "dl")
+      .withColumn("imp_rank", row_number().over(wImp))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      .withColumn("ingest_batch", lit(BandIndex.BaseBatch))
+    val catalog = spark.sessionState.catalog
+    val oldLoc = catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(t))
+      .location.toString
+    val newLoc = oldLoc.stripSuffix("/") + s"_r${serial.incrementAndGet()}"
+    val tmpT = s"${t}_reindex"
+    fresh.write
+      .bucketBy(Buckets, "term").sortBy("term", "imp_rank")
+      .option("path", newLoc)
+      .saveAsTable(tmpT)
+    val oldT = s"${t}_old${serial.incrementAndGet()}"
+    spark.sql(s"ALTER TABLE $t RENAME TO $oldT")
+    try spark.sql(s"ALTER TABLE $tmpT RENAME TO $t")
+    catch {
+      case e: Throwable =>
+        try spark.sql(s"ALTER TABLE $oldT RENAME TO $t")
+        catch { case _: Throwable => () }
+        throw e
+    }
+    spark.sql(s"DROP TABLE $oldT")
+    deleteDir(oldLoc.stripPrefix("file:"))
+  }
+
+  /** tx21: the dq08→reindex maintenance cycle made observable —
+    * fresh index on 3/4 of the corpus, append the arriving quarter
+    * (impact metadata now batch-local/stale), [[reindexImpact]],
+    * then the capped probe: the result must equal the GLOBAL-cap
+    * oracle (tx20's SQL over the full corpus) — a divergence means
+    * the rebuild failed to restore global impact order or df. */
+  def reindexCycle(spark: SparkSession, dir: String, tag: String): DataFrame = {
+    import graft.tools.Phases
+    val key = (spark, dir, tag)
+    val docs = Tables.documents(spark, dir)
+    val (prefix, path) = Phases.time(tag, "persist") {
+      freshIndex(spark, dir, tag, Some(docs.filter(!isNewDoc)))
+    }
+    Phases.time(tag, "append") {
+      append(spark, dir, docs.filter(isNewDoc), prefix)
+    }
+    Phases.time(tag, "reindex") { reindexImpact(spark, prefix) }
+    val dec = Phases.time(tag, "probe") {
+      impactProbe(spark, dir, prefix).localCheckpoint()
+    }
+    persistLock.synchronized { lastCycle(key) = (prefix, path) }
+    dec
+  }
+
   /** Drop the registered tables (files are external; the temp-dir
     * lifecycle owns them). */
   def drop(spark: SparkSession, prefix: String): Unit = {
@@ -544,7 +614,8 @@ object LexIndex {
     "tx18_bm25_index_compact" -> ((s, d) => compactCycle(s, d, "tx18")),
     "tx19_bm25_index_retire" -> ((s, d) => retentionCycle(s, d, "tx19")),
     "tx20_bm25_impact_topk" -> ((s, d) =>
-      impactProbe(s, d, ensurePersisted(s, d)))
+      impactProbe(s, d, ensurePersisted(s, d))),
+    "tx21_bm25_reindex" -> ((s, d) => reindexCycle(s, d, "tx21"))
   )
 
   /** The tx15 BM25 body over a `tok(doc_id, tokens)` CTE already in
@@ -659,7 +730,11 @@ object LexIndex {
       "tx17_bm25_index_append" -> tx15,
       "tx18_bm25_index_compact" -> tx15,
       "tx19_bm25_index_retire" -> retireSql,
-      "tx20_bm25_impact_topk" -> impactSql
+      "tx20_bm25_impact_topk" -> impactSql,
+      // tx21 = tx20's GLOBAL-cap semantics restored by the rebuild:
+      // same oracle — a divergence means the reindex failed to
+      // recompute the impact order or df over the whole table.
+      "tx21_bm25_reindex" -> impactSql
     )
   }
 }

@@ -229,6 +229,51 @@ class Round15OpsSpec extends SparkSpec {
         "(16 of 64 dims should cost ~1/4 of the bytes)")
   }
 
+  // ---- tx21: impact reindex restores global rank order -----------------
+
+  test("tx21: appends leave batch-local impact ranks; reindex makes them globally contiguous") {
+    import org.apache.spark.sql.functions.{col, countDistinct, hash, lit, max, pmod}
+    val docs = graft.Tables.documents(spark, sf)
+    val prefix = s"graft_lex_r15spec_${System.nanoTime()}"
+    val path = BandIndex.newTempDir("lexr15spec")
+    try {
+      LexIndex.persist(spark, sf, path, prefix,
+        Some(docs.filter(pmod(hash(col("doc_id")), lit(4)) =!= lit(0))))
+      LexIndex.append(spark, sf,
+        docs.filter(pmod(hash(col("doc_id")), lit(4)) === lit(0)), prefix)
+      def rankProfile() = spark.table(LexIndex.postingsTable(prefix))
+        .groupBy("term").agg(
+          org.apache.spark.sql.functions.count(lit(1)).as("n"),
+          countDistinct(col("imp_rank")).as("distinct_rk"),
+          max(col("imp_rank")).as("max_rk"))
+        .collect()
+      // after the append, any term present in BOTH batches carries
+      // duplicate (batch-local) ranks — the staleness dq08 detects
+      val before = rankProfile()
+      assert(before.exists(r => r.getLong(1) > r.getLong(2)),
+        "fixture never produced a cross-batch term — the staleness case is untested")
+      LexIndex.reindexImpact(spark, prefix)
+      // after the rebuild every term's ranks are globally unique and
+      // contiguous 1..n — the invariant the capped probe's top-C
+      // semantics rest on
+      val after = rankProfile()
+      after.foreach { r =>
+        assert(r.getLong(1) == r.getLong(2) && r.getInt(3).toLong == r.getLong(1),
+          s"term ${r.getString(0)}: ranks not contiguous after reindex " +
+            s"(n=${r.getLong(1)}, distinct=${r.getLong(2)}, max=${r.getInt(3)})")
+      }
+      // and the capped probe over the rebuilt index equals the
+      // fresh-build capped probe decision for decision
+      val served = LexIndex.impactProbe(spark, sf, prefix).collect().map(_.toString)
+      val fresh = q("tx20_bm25_impact_topk").collect().map(_.toString)
+      assert(served.toSeq == fresh.toSeq,
+        "reindexed capped probe diverged from the fresh-build capped probe")
+    } finally {
+      LexIndex.drop(spark, prefix)
+      BandIndex.retireTempDir(path)
+    }
+  }
+
   // ---- dq08: vocabulary-drift trigger sensitivity ----------------------
 
   test("dq08: fires on a vocabulary-shifted batch, stays quiet on a stable one") {
