@@ -160,11 +160,16 @@ object LexIndex {
     (if (firstWrite) dw.option("path", s"$path/docstats") else dw)
       .saveAsTable(docstatsTable(prefix))
 
-    // ONE row of global state per batch — read back from the table
-    // just written so the stats can never drift from the norms.
-    spark.catalog.refreshTable(docstatsTable(prefix))
-    val st = spark.table(docstatsTable(prefix))
-      .filter(col("ingest_batch") === batch)
+    // ONE row of global state per batch — aggregated from THIS
+    // batch's docstats frame, not a stamp-filtered table read-back:
+    // a read-back keyed on ingest_batch double-counts every earlier
+    // row carrying the same stamp (append's default batch = 0L made
+    // stamp collision the default), silently inflating n_docs/sum_dl
+    // and corrupting idf + length normalization. Aggregating the
+    // in-scope frame makes each append contribute exactly its own
+    // row whatever the stamp, at the cost of one extra tokenize
+    // execution at build time.
+    val st = docstats
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .select(lit(batch).as("ingest_batch"), col("n_docs"), col("sum_dl"))
       .coalesce(1)
@@ -238,26 +243,49 @@ object LexIndex {
     // that outlive the JVM and collide with the next session's
     // fresh-serial prefix (the exact failure the driver's full
     // verify surfaced on tx18's second run).
-    val statsT = statsTable(prefix)
+    swapTable(spark, statsTable(prefix), "compact") { (tmpT, newLoc) =>
+      st.write.option("path", newLoc).saveAsTable(tmpT)
+    }
+    BandIndex.clearTombstones(spark, prefix)
+  }
+
+  /** The EXTERNAL-location rename swap shared by the stats re-base
+    * and [[reindexImpact]]: `write(tmpTable, newLocation)` lays the
+    * replacement down, then the live name swings over with
+    * crash-safe ordering (compactTable's discipline). Failure
+    * handling closes the retry wedge a bare swap leaves: on a failed
+    * promotion the ORIGINAL registration is restored, the temp table
+    * AND its files are removed (so a retry's saveAsTable cannot hit
+    * TableAlreadyExists), and a rollback failure is logged rather
+    * than silently swallowed. */
+  private def swapTable(spark: SparkSession, table: String, tag: String)(
+      write: (String, String) => Unit): Unit = {
     val catalog = spark.sessionState.catalog
     val oldLoc = catalog.getTableMetadata(
-      spark.sessionState.sqlParser.parseTableIdentifier(statsT))
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
       .location.toString
-    val newLoc = oldLoc.stripSuffix("/") + s"_c${serial.incrementAndGet()}"
-    val tmpT = s"${statsT}_compact"
-    st.write.option("path", newLoc).saveAsTable(tmpT)
-    val oldT = s"${statsT}_old${serial.incrementAndGet()}"
-    spark.sql(s"ALTER TABLE $statsT RENAME TO $oldT")
-    try spark.sql(s"ALTER TABLE $tmpT RENAME TO $statsT")
+    val newLoc = oldLoc.stripSuffix("/") + s"_$tag${serial.incrementAndGet()}"
+    val tmpT = s"${table}_$tag"
+    write(tmpT, newLoc)
+    val oldT = s"${table}_old${serial.incrementAndGet()}"
+    spark.sql(s"ALTER TABLE $table RENAME TO $oldT")
+    try spark.sql(s"ALTER TABLE $tmpT RENAME TO $table")
     catch {
       case e: Throwable =>
-        try spark.sql(s"ALTER TABLE $oldT RENAME TO $statsT")
-        catch { case _: Throwable => () }
+        try spark.sql(s"ALTER TABLE $oldT RENAME TO $table")
+        catch {
+          case r: Throwable => System.err.println(
+            s"[lexindex] ROLLBACK FAILED for $table (recover manually from " +
+              s"$oldT at $oldLoc): ${r.getMessage}")
+        }
+        try {
+          spark.sql(s"DROP TABLE IF EXISTS $tmpT")
+          deleteDir(newLoc.stripPrefix("file:"))
+        } catch { case _: Throwable => () }
         throw e
     }
     spark.sql(s"DROP TABLE $oldT")
     deleteDir(oldLoc.stripPrefix("file:"))
-    BandIndex.clearTombstones(spark, prefix)
   }
 
   /** Corpus stats as a 1-row frame (n_docs, sum_dl): the sum of the
@@ -301,19 +329,29 @@ object LexIndex {
       matchedAll.join(broadcast(ts.select("retired_id")),
         matchedAll("doc_id") === col("retired_id"), "left_anti"))
     val dfc = matched.groupBy("term").agg(count(lit(1)).as("df"))
-    val scored = matched
+    scoreRankTopK(matched
       .join(broadcast(dfc), Seq("term"))
       .join(broadcast(qt), Seq("term"))
-      .crossJoin(broadcast(statsFrame(spark, prefix)))
-      .withColumn("score", expr(
-        s"""round(
-           |  ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
-           |           / (CAST(df AS DOUBLE) + 0.5))
-           |  * (CAST(tf AS DOUBLE) * ($Bm25K1 + 1.0))
-           |  / (CAST(tf AS DOUBLE)
-           |     + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * CAST(dl AS DOUBLE)
-           |                  * CAST(n_docs AS DOUBLE) / CAST(sum_dl AS DOUBLE))),
-           |  6)""".stripMargin))
+      .crossJoin(broadcast(statsFrame(spark, prefix))))
+  }
+
+  /** tx15's scoring/ranking tail, shared VERBATIM by the exact
+    * ([[probe]]) and capped ([[impactProbe]]) serving lanes so the
+    * oracle-hash-checked arithmetic (6-dp rounded per-term scores,
+    * DECIMAL-exact per-(query,doc) summation, the (bm25 desc,
+    * doc_id) tie-break) can never diverge between them. `cands`
+    * carries (query_id, doc_id, tf, dl, df, n_docs, sum_dl) — the
+    * lanes differ only in how candidates and df are produced. */
+  private def scoreRankTopK(cands: DataFrame): DataFrame = {
+    val scored = cands.withColumn("score", expr(
+      s"""round(
+         |  ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+         |           / (CAST(df AS DOUBLE) + 0.5))
+         |  * (CAST(tf AS DOUBLE) * ($Bm25K1 + 1.0))
+         |  / (CAST(tf AS DOUBLE)
+         |     + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * CAST(dl AS DOUBLE)
+         |                  * CAST(n_docs AS DOUBLE) / CAST(sum_dl AS DOUBLE))),
+         |  6)""".stripMargin))
     val perDoc = scored.groupBy("query_id", "doc_id")
       .agg(sum(col("score").cast(DecimalType(18, 8))).cast(DoubleType).as("bm25"),
         count(lit(1)).as("n_terms"))
@@ -364,28 +402,9 @@ object LexIndex {
     val capped = tombstones(spark, prefix).fold(cappedAll)(ts =>
       cappedAll.join(broadcast(ts.select("retired_id")),
         cappedAll("doc_id") === col("retired_id"), "left_anti"))
-    val scored = capped
+    scoreRankTopK(capped
       .join(broadcast(qt), Seq("term"))
-      .crossJoin(broadcast(statsFrame(spark, prefix)))
-      .withColumn("score", expr(
-        s"""round(
-           |  ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
-           |           / (CAST(df AS DOUBLE) + 0.5))
-           |  * (CAST(tf AS DOUBLE) * ($Bm25K1 + 1.0))
-           |  / (CAST(tf AS DOUBLE)
-           |     + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * CAST(dl AS DOUBLE)
-           |                  * CAST(n_docs AS DOUBLE) / CAST(sum_dl AS DOUBLE))),
-           |  6)""".stripMargin))
-    val perDoc = scored.groupBy("query_id", "doc_id")
-      .agg(sum(col("score").cast(DecimalType(18, 8))).cast(DoubleType).as("bm25"),
-        count(lit(1)).as("n_terms"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("bm25").desc, col("doc_id").asc)
-    perDoc.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= Bm25TopK)
-      .select(col("query_id"), col("rk").cast("int").as("rk"),
-        col("doc_id"), col("bm25"), col("n_terms"))
-      .orderBy("query_id", "rk")
+      .crossJoin(broadcast(statsFrame(spark, prefix))))
   }
 
   /** REBUILD the impact metadata globally (tx21) — the maintenance
@@ -411,27 +430,12 @@ object LexIndex {
       .withColumn("imp_rank", row_number().over(wImp))
       .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
       .withColumn("ingest_batch", lit(BandIndex.BaseBatch))
-    val catalog = spark.sessionState.catalog
-    val oldLoc = catalog.getTableMetadata(
-      spark.sessionState.sqlParser.parseTableIdentifier(t))
-      .location.toString
-    val newLoc = oldLoc.stripSuffix("/") + s"_r${serial.incrementAndGet()}"
-    val tmpT = s"${t}_reindex"
-    fresh.write
-      .bucketBy(Buckets, "term").sortBy("term", "imp_rank")
-      .option("path", newLoc)
-      .saveAsTable(tmpT)
-    val oldT = s"${t}_old${serial.incrementAndGet()}"
-    spark.sql(s"ALTER TABLE $t RENAME TO $oldT")
-    try spark.sql(s"ALTER TABLE $tmpT RENAME TO $t")
-    catch {
-      case e: Throwable =>
-        try spark.sql(s"ALTER TABLE $oldT RENAME TO $t")
-        catch { case _: Throwable => () }
-        throw e
+    swapTable(spark, t, "reindex") { (tmpT, newLoc) =>
+      fresh.write
+        .bucketBy(Buckets, "term").sortBy("term", "imp_rank")
+        .option("path", newLoc)
+        .saveAsTable(tmpT)
     }
-    spark.sql(s"DROP TABLE $oldT")
-    deleteDir(oldLoc.stripPrefix("file:"))
   }
 
   /** tx21: the dq08→reindex maintenance cycle made observable —

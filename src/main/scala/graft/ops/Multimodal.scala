@@ -285,11 +285,21 @@ object Multimodal {
   private[ops] def decodeFrameSamplesPooled(r: MediaRow,
       reader: javax.imageio.ImageReader): Seq[FrameFeat] = {
     if (r.payload == null || r.payload.isEmpty) return Seq.empty
-    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(r.payload))
+    // parity with the sniffing entry, case for case: a payload NO
+    // reader would claim (not GIF — the magic check stands in for
+    // getImageReaders' sniff) returns empty exactly as the general
+    // entry does; a payload that IS a GIF but fails mid-read
+    // PROPAGATES, exactly as the general entry's reader.read would —
+    // swallowing it here would silently drop documents from the
+    // output where the unpooled path fails the task loudly.
+    val p = r.payload
+    val isGif = p.length >= 4 &&
+      p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8'
+    if (!isGif) return Seq.empty
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(p))
     try {
       reader.setInput(iis)
       try readFrames(r.doc_id, reader)
-      catch { case _: java.io.IOException => Seq.empty }
       finally reader.reset() // detach the stream, keep the reader reusable
     } finally iis.close()
   }
@@ -480,13 +490,15 @@ object Multimodal {
         })
       media.mapPartitions { it =>
         // ONE reader per partition (round-15: per-doc reader
-        // allocation was the mm02 constant's drift); disposed lazily
-        // when the partition iterator exhausts
+        // allocation was the mm02 constant's drift); disposed via the
+        // task-completion hook so early termination (limit/abort)
+        // cannot leak it — an `++ {dispose}` iterator suffix only
+        // runs on full exhaustion
         val reader = ImageIO.getImageReadersByFormatName("gif").next()
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => reader.dispose()))
         it.grouped(DecodeBatchSize)
-          .flatMap(_.iterator.flatMap(decodeFrameSamplesPooled(_, reader))) ++ {
-            reader.dispose(); Iterator.empty
-          }
+          .flatMap(_.iterator.flatMap(decodeFrameSamplesPooled(_, reader)))
       }.toDF().orderBy("doc_id", "frame_idx")
     })
   )

@@ -990,29 +990,9 @@ object Similarity {
     // mixing (cosine and BM25 share no scale). Same
     // corpus-independence argument as sim25: both lanes arrive
     // k-row-per-query.
-    "sim26_hybrid_search" -> ((s, d) => {
-      val bm = TextAnalysis.queries("tx15_bm25_topk")(s, d)
-        .select(col("query_id").cast("bigint").as("query_id"),
-          col("doc_id").as("item_id"), col("rk").as("ra"))
-      val vr = ivfAnn(s, d)
-        .withColumn("rb", row_number().over(
-          Window.partitionBy("query_id")
-            .orderBy(col("cosine").desc, col("neighbor_id").asc)))
-        .select(col("query_id"), col("neighbor_id").as("item_id"), col("rb"))
-      val fused = bm.join(vr, Seq("query_id", "item_id"), "full_outer")
-        .withColumn("rrf", expr(
-          s"""coalesce(CAST(1 AS DOUBLE) / CAST($RrfK + ra AS DOUBLE), 0.0)
-             | + coalesce(CAST(1 AS DOUBLE) / CAST($RrfK + rb AS DOUBLE), 0.0)"""
-            .stripMargin))
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("rrf").desc, col("item_id").asc)
-      fused.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= FusionTopK)
-        .select(col("query_id"), col("rk").cast("int").as("rk"),
-          col("item_id"), col("ra").cast("int").as("ra"),
-          col("rb").cast("int").as("rb"), round(col("rrf"), 6).as("rrf"))
-        .orderBy("query_id", "rk")
-    }),
+    "sim26_hybrid_search" -> ((s, d) =>
+      fuseHybridLanes(
+        TextAnalysis.queries("tx15_bm25_topk")(s, d), ivfAnn(s, d))),
 
     // Fully-served hybrid search (sim29; round 15) — sim26 with BOTH
     // lanes on persisted indexes: the lexical ranks come from the
@@ -1025,29 +1005,10 @@ object Similarity {
     // NOTHING corpus-sized rebuilds per query batch. Decisions
     // DEFINED identical to sim26 (tx16 ≡ tx15's rows, sim14 ≡
     // sim04's), shared oracle.
-    "sim29_hybrid_served" -> ((s, d) => {
-      val bm = LexIndex.probe(s, d, LexIndex.ensurePersisted(s, d))
-        .select(col("query_id").cast("bigint").as("query_id"),
-          col("doc_id").as("item_id"), col("rk").as("ra"))
-      val vr = VecIndex.probe(s, d, VecIndex.ensurePersisted(s, d))
-        .withColumn("rb", row_number().over(
-          Window.partitionBy("query_id")
-            .orderBy(col("cosine").desc, col("neighbor_id").asc)))
-        .select(col("query_id"), col("neighbor_id").as("item_id"), col("rb"))
-      val fused = bm.join(vr, Seq("query_id", "item_id"), "full_outer")
-        .withColumn("rrf", expr(
-          s"""coalesce(CAST(1 AS DOUBLE) / CAST($RrfK + ra AS DOUBLE), 0.0)
-             | + coalesce(CAST(1 AS DOUBLE) / CAST($RrfK + rb AS DOUBLE), 0.0)"""
-            .stripMargin))
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("rrf").desc, col("item_id").asc)
-      fused.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= FusionTopK)
-        .select(col("query_id"), col("rk").cast("int").as("rk"),
-          col("item_id"), col("ra").cast("int").as("ra"),
-          col("rb").cast("int").as("rb"), round(col("rrf"), 6).as("rrf"))
-        .orderBy("query_id", "rk")
-    }),
+    "sim29_hybrid_served" -> ((s, d) =>
+      fuseHybridLanes(
+        LexIndex.probe(s, d, LexIndex.ensurePersisted(s, d)),
+        VecIndex.probe(s, d, VecIndex.ensurePersisted(s, d)))),
 
     // Diversified top-k selection (ds12; round 14) — the
     // data-selection counterpart of MMR, housed with the retrieval
@@ -2231,6 +2192,37 @@ object Similarity {
        |       CAST($fold AS DOUBLE) > $KlRetrainThreshold AS retrain
        |FROM counts, ptot
        |ORDER BY window_start""".stripMargin
+  }
+
+  /** The hybrid-fusion tail sim26 and sim29 share VERBATIM (round-15
+    * dedup: they differ only in lane sources — in-session tx15/ivfAnn
+    * vs the persisted LexIndex/VecIndex probes — so the RRF
+    * arithmetic, tie-breaks and rounding their shared oracle
+    * hash-checks cannot diverge). `bmRanked` carries tx15's output
+    * shape (query_id, rk, doc_id, …); `vecLane` carries the IVF
+    * decision shape (query_id, neighbor_id, cluster, cosine). */
+  private def fuseHybridLanes(bmRanked: DataFrame, vecLane: DataFrame): DataFrame = {
+    val bm = bmRanked
+      .select(col("query_id").cast("bigint").as("query_id"),
+        col("doc_id").as("item_id"), col("rk").as("ra"))
+    val vr = vecLane
+      .withColumn("rb", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("neighbor_id").asc)))
+      .select(col("query_id"), col("neighbor_id").as("item_id"), col("rb"))
+    val fused = bm.join(vr, Seq("query_id", "item_id"), "full_outer")
+      .withColumn("rrf", expr(
+        s"""coalesce(CAST(1 AS DOUBLE) / CAST($RrfK + ra AS DOUBLE), 0.0)
+           | + coalesce(CAST(1 AS DOUBLE) / CAST($RrfK + rb AS DOUBLE), 0.0)"""
+          .stripMargin))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("item_id").asc)
+    fused.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= FusionTopK)
+      .select(col("query_id"), col("rk").cast("int").as("rk"),
+        col("item_id"), col("ra").cast("int").as("ra"),
+        col("rb").cast("int").as("rb"), round(col("rrf"), 6).as("rrf"))
+      .orderBy("query_id", "rk")
   }
 
   /** sim26's hybrid-fusion oracle — shared verbatim by sim29 (the

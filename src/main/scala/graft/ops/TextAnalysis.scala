@@ -530,8 +530,13 @@ object TextAnalysis {
     // monitored distribution is term occupancy over the indexed
     // corpus's top-[[VocabTopK]] vocabulary plus an OOV bucket (the
     // fixed-vocab drift monitor production text pipelines run), old
-    // corpus vs the arriving quarter (the lifecycle fixtures'
-    // batch convention), add-1 smoothed, per-bucket contributions
+    // corpus vs an arriving quarter. The batch boundary is a dense-id
+    // modulo — dq07's convention: an ORACLE-EXPRESSIBLE STAND-IN for
+    // the lifecycle fixtures' hash quarter (Spark's hash has no
+    // DuckDB mirror; doc_ids are dense so the quarter is the same
+    // size — NOT the same rows, which is fine: the detector monitors
+    // whatever batch its caller designates). Add-1 smoothed,
+    // per-bucket contributions
     // rounded 6 dp (ln parity) and summed DECIMAL-exact. The summary
     // row's `reindex` flag is the signal that tx20's build-time
     // impact ranks and stored df have gone stale enough to warrant a

@@ -476,12 +476,22 @@ object Streams {
     * Each query's result depends only on its own rows + static state
     * — streaming-legal per micro-batch by construction. */
   def hybridServeCore(s: SparkSession, d: String,
-      arrivals: DataFrame): DataFrame = {
+      arrivals: DataFrame): DataFrame =
+    fuseLexAndVec(s, d, arrivals,
+      graft.ops.Dedup.memoFrame(s, d, "st18_bm25")(
+        graft.ops.TextAnalysis.queries("tx15_bm25_topk")(s, d).localCheckpoint()))
+
+  /** The fusion core st18 and st19 share VERBATIM (they differ only
+    * in where the lexical ranked lists come from — session memo vs
+    * persisted postings index), so the RRF arithmetic, tie-breaks
+    * and rounding their shared oracle hash-checks cannot diverge
+    * between the two entries. `lexRanked` carries tx15's output
+    * shape (query_id, rk, doc_id, …). */
+  private def fuseLexAndVec(s: SparkSession, d: String,
+      arrivals: DataFrame, lexRanked: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val K = graft.ops.Similarity.RrfK
-    val bmIndex = graft.ops.Dedup.memoFrame(s, d, "st18_bm25")(
-      graft.ops.TextAnalysis.queries("tx15_bm25_topk")(s, d).localCheckpoint())
-    val bm = bmIndex
+    val bm = lexRanked
       .select(col("query_id").cast("bigint").as("query_id"),
         col("doc_id").as("item_id"), col("rk").as("ra"))
       .join(broadcast(arrivals.select("query_id").distinct()), Seq("query_id"))
@@ -518,34 +528,9 @@ object Streams {
     * sim26/st18 (LexIndex.probe ≡ tx15's rows; the vector lane is
     * st18's own). */
   def hybridServedCore(s: SparkSession, d: String,
-      arrivals: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val K = graft.ops.Similarity.RrfK
-    val lexPrefix = graft.ops.LexIndex.ensurePersisted(s, d)
-    val bm = graft.ops.LexIndex.probe(s, d, lexPrefix)
-      .select(col("query_id").cast("bigint").as("query_id"),
-        col("doc_id").as("item_id"), col("rk").as("ra"))
-      .join(broadcast(arrivals.select("query_id").distinct()), Seq("query_id"))
-    val prefix = graft.ops.VecIndex.ensurePersisted(s, d)
-    val vr = graft.ops.VecIndex.annTopK(s, d, arrivals,
-        s.table(graft.ops.VecIndex.cellsTable(prefix)))
-      .withColumn("rb", row_number().over(
-        Window.partitionBy("query_id")
-          .orderBy(col("cosine").desc, col("neighbor_id").asc)))
-      .select(col("query_id"), col("neighbor_id").as("item_id"), col("rb"))
-    val fused = bm.join(vr, Seq("query_id", "item_id"), "full_outer")
-      .withColumn("rrf", expr(
-        s"""coalesce(CAST(1 AS DOUBLE) / CAST($K + ra AS DOUBLE), 0.0)
-           | + coalesce(CAST(1 AS DOUBLE) / CAST($K + rb AS DOUBLE), 0.0)"""
-          .stripMargin))
-    fused.withColumn("rk", row_number().over(
-        Window.partitionBy("query_id")
-          .orderBy(col("rrf").desc, col("item_id").asc)))
-      .filter(col("rk") <= graft.ops.Similarity.FusionTopK)
-      .select(col("query_id"), col("rk").cast("int").as("rk"),
-        col("item_id"), col("ra").cast("int").as("ra"),
-        col("rb").cast("int").as("rb"), round(col("rrf"), 6).as("rrf"))
-  }
+      arrivals: DataFrame): DataFrame =
+    fuseLexAndVec(s, d, arrivals,
+      graft.ops.LexIndex.probe(s, d, graft.ops.LexIndex.ensurePersisted(s, d)))
 
   /** st12's real-stream form: [[graft.ops.VecIndex.pqAnnTopK]] behind
     * a watermark — ADC serving from the persisted IVF-PQ code cells. */

@@ -112,6 +112,49 @@ class Round15OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- stats integrity under stamp collision ---------------------------
+
+  test("two appends sharing one batch stamp do not double-count the corpus stats") {
+    // regression (round-15 review): the stats row was built by
+    // re-reading docstats filtered on ingest_batch === batch, so a
+    // second append with the same stamp (append's DEFAULT) aggregated
+    // the first append's rows again — inflated n_docs/sum_dl, wrong
+    // idf and length norm on every subsequent probe
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    val docs = graft.Tables.documents(spark, sf)
+    val prefix = s"graft_lex_stamp_${System.nanoTime()}"
+    val path = BandIndex.newTempDir("lexstamp")
+    try {
+      LexIndex.persist(spark, sf, path, prefix,
+        Some(docs.filter(pmod(hash(col("doc_id")), lit(4)) =!= lit(0))))
+      // the arriving quarter lands as TWO appends with the SAME
+      // default stamp — the collision case
+      Seq(0, 4, 8).foreach { r =>
+        LexIndex.append(spark, sf,
+          docs.filter(pmod(hash(col("doc_id")), lit(12)) === lit(r)), prefix)
+      }
+      val stats = spark.table(LexIndex.statsTable(prefix))
+        .agg(org.apache.spark.sql.functions.sum("n_docs"),
+          org.apache.spark.sql.functions.sum("sum_dl")).collect().head
+      val truth = docs.selectExpr(
+        "count(*) AS n", s"sum(CAST(size(${TextAnalysis.tokensExpr}) AS BIGINT)) AS s")
+        .collect().head
+      assert(stats.getLong(0) == truth.getLong(0),
+        s"n_docs double-counted: ${stats.getLong(0)} vs ${truth.getLong(0)}")
+      assert(stats.getLong(1) == truth.getLong(1),
+        s"sum_dl double-counted: ${stats.getLong(1)} vs ${truth.getLong(1)}")
+      // and the probe over the collided-stamp index still equals the
+      // fresh-build probe decision for decision
+      val served = LexIndex.probe(spark, sf, prefix).collect().map(_.toString)
+      val fresh = q("tx16_bm25_index_probe").collect().map(_.toString)
+      assert(served.toSeq == fresh.toSeq,
+        "stamp collision changed serving decisions")
+    } finally {
+      LexIndex.drop(spark, prefix)
+      BandIndex.retireTempDir(path)
+    }
+  }
+
   // ---- tx19: retention ------------------------------------------------
 
   test("tx19: retired documents vanish from ranks, df and length stats") {
