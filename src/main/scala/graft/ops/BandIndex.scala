@@ -448,6 +448,14 @@ object BandIndex {
   private[ops] def compactTable(spark: SparkSession, table: String,
       key: String, minus: Option[DataFrame] = None,
       minusIdCol: String = "corpus_doc"): Unit = {
+    // the last writer may have been ANOTHER session (a streaming
+    // foreachBatch runs in the query's session clone, whose appends
+    // don't invalidate this session's cached file listing) — without
+    // the refresh the rewrite silently drops every file this session
+    // hasn't seen. Caught live by the st20 StreamingSpec: the
+    // post-restart compact rebuilt docstats from the base build only,
+    // leaving n_docs=384 under postings' 500 docs — negative idf.
+    spark.catalog.refreshTable(table)
     val catalog = spark.sessionState.catalog
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val oldLoc = catalog.getTableMetadata(ident).location.toString

@@ -142,6 +142,64 @@ object TextAnalysis {
     * lexical sibling. */
   val VocabDriftThreshold = 0.05
 
+  /** dq08's detector as a reusable core (round 16, VERDICT item 4 —
+    * so the tx22 maintenance loop CONSUMES the same arithmetic the
+    * dq08 catalog entry hash-checks): term-occupancy KL of the
+    * `isNew` batch vs the rest over the old batch's
+    * top-[[VocabTopK]] vocabulary + OOV bucket, add-1 smoothed,
+    * per-bucket contributions rounded 6 dp and summed DECIMAL-exact.
+    * Returns the per-bucket frame + the `__total__` summary row
+    * whose `reindex` flag is the trigger. Bounded state:
+    * ≤ VocabTopK+1 grouped rows; the only corpus-sized work is one
+    * tokenize pass. */
+  def vocabDriftSummary(docs: org.apache.spark.sql.DataFrame,
+      isNew: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode_outer(expr(tokensExpr)).as("term"))
+      .filter(col("term").isNotNull)
+      .withColumn("is_new", isNew)
+    val vocab = toks.filter(!col("is_new")).groupBy("term")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term").asc).limit(VocabTopK)
+      .select(col("term").as("vterm"))
+    val counts = toks
+      .join(broadcast(vocab), toks("term") === col("vterm"), "left")
+      .withColumn("bucket", coalesce(col("vterm"), lit("__oov__")))
+      .groupBy("bucket").agg(
+        sum(when(!col("is_new"), 1L).otherwise(0L)).as("old_n"),
+        sum(when(col("is_new"), 1L).otherwise(0L)).as("new_n"))
+    val w = Window.partitionBy() // bounded: ≤ VocabTopK+1 rows
+    val terms = counts
+      .withColumn("kk", count(lit(1)).over(w).cast(DoubleType))
+      .withColumn("p", (col("old_n") + lit(1L)).cast(DoubleType) /
+        (sum(col("old_n")).over(w).cast(DoubleType) + col("kk")))
+      .withColumn("q", (col("new_n") + lit(1L)).cast(DoubleType) /
+        (sum(col("new_n")).over(w).cast(DoubleType) + col("kk")))
+      .withColumn("kl_term", round(col("q") * log(col("q") / col("p")), 6))
+    val perBucket = terms.select(col("bucket"), col("old_n"), col("new_n"),
+      col("kl_term"),
+      lit(null).cast(DoubleType).as("kl_total"),
+      lit(null).cast("boolean").as("reindex"))
+    val summary = terms.agg(
+      sum(col("old_n")).as("old_n"), sum(col("new_n")).as("new_n"),
+      sum(col("kl_term").cast(DecimalType(18, 6))).cast(DoubleType).as("kl_total"))
+      .select(lit("__total__").as("bucket"), col("old_n"), col("new_n"),
+        lit(null).cast(DoubleType).as("kl_term"), col("kl_total"),
+        (col("kl_total") > lit(VocabDriftThreshold)).as("reindex"))
+    perBucket.unionByName(summary)
+  }
+
+  /** The drift DECISION alone: `true` when the batch's vocabulary
+    * shifted past [[VocabDriftThreshold]] — the 1-row driver-side
+    * read the tx22 maintenance loop gates its conditional
+    * [[LexIndex.reindexImpact]] on (a control-flow scalar, not data
+    * movement). */
+  def vocabDriftReindex(docs: org.apache.spark.sql.DataFrame,
+      isNew: org.apache.spark.sql.Column): Boolean =
+    vocabDriftSummary(docs, isNew)
+      .filter(col("bucket") === "__total__")
+      .select("reindex").collect().head.getBoolean(0)
+
   /** GPT-2-ish pretokenizer pattern (contractions, space-prefixed
     * letter runs, digit runs, punct runs), kept in the Java∩RE2
     * common regex subset; SQL-literal form with doubled apostrophes
@@ -544,41 +602,9 @@ object TextAnalysis {
     // impact-ordered-index maintenance loop. Bounded state: ≤
     // VocabTopK+1 grouped rows; the only corpus-sized work is one
     // tokenize pass.
-    "dq08_vocab_drift" -> ((s, d) => {
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), explode_outer(expr(tokensExpr)).as("term"))
-        .filter(col("term").isNotNull)
-        .withColumn("is_new", pmod(col("doc_id"), lit(4)) === lit(0))
-      val vocab = toks.filter(!col("is_new")).groupBy("term")
-        .agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("term").asc).limit(VocabTopK)
-        .select(col("term").as("vterm"))
-      val counts = toks
-        .join(broadcast(vocab), toks("term") === col("vterm"), "left")
-        .withColumn("bucket", coalesce(col("vterm"), lit("__oov__")))
-        .groupBy("bucket").agg(
-          sum(when(!col("is_new"), 1L).otherwise(0L)).as("old_n"),
-          sum(when(col("is_new"), 1L).otherwise(0L)).as("new_n"))
-      val w = Window.partitionBy() // bounded: ≤ VocabTopK+1 rows
-      val terms = counts
-        .withColumn("kk", count(lit(1)).over(w).cast(DoubleType))
-        .withColumn("p", (col("old_n") + lit(1L)).cast(DoubleType) /
-          (sum(col("old_n")).over(w).cast(DoubleType) + col("kk")))
-        .withColumn("q", (col("new_n") + lit(1L)).cast(DoubleType) /
-          (sum(col("new_n")).over(w).cast(DoubleType) + col("kk")))
-        .withColumn("kl_term", round(col("q") * log(col("q") / col("p")), 6))
-      val perBucket = terms.select(col("bucket"), col("old_n"), col("new_n"),
-        col("kl_term"),
-        lit(null).cast(DoubleType).as("kl_total"),
-        lit(null).cast("boolean").as("reindex"))
-      val summary = terms.agg(
-        sum(col("old_n")).as("old_n"), sum(col("new_n")).as("new_n"),
-        sum(col("kl_term").cast(DecimalType(18, 6))).cast(DoubleType).as("kl_total"))
-        .select(lit("__total__").as("bucket"), col("old_n"), col("new_n"),
-          lit(null).cast(DoubleType).as("kl_term"), col("kl_total"),
-          (col("kl_total") > lit(VocabDriftThreshold)).as("reindex"))
-      perBucket.unionByName(summary).orderBy("bucket")
-    }),
+    "dq08_vocab_drift" -> ((s, d) =>
+      vocabDriftSummary(Tables.documents(s, d),
+        pmod(col("doc_id"), lit(4)) === lit(0)).orderBy("bucket")),
 
     // BM25 top-k retrieval (tx15; round 14) — the lexical-search
     // scorer tx07's tf-idf approximates: Robertson idf with tf

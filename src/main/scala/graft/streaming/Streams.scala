@@ -913,6 +913,23 @@ object Streams {
       hybridServedCore(s, d, arrivals).orderBy("query_id", "rk")
     }),
 
+    // STREAMING LEXICAL MAINTENANCE (round 16, st20): the lexical
+    // lane's st10 — the vector lane has had foreachBatch index
+    // maintenance since round 11, but until now a restart after new
+    // document arrivals would serve a STALE lexical postings index.
+    // A fresh index on 3/4 of the corpus takes the arriving quarter
+    // through the batch-stamp-guarded LexIndex.maintainBatch (stats
+    // row written LAST certifies the batch; per-table idempotence
+    // completes exactly what a crash left unwritten), the batch is
+    // REPLAYED (commit marker lost) and must be a whole-batch no-op,
+    // a compaction folds the appended files to one per bucket, then
+    // the serving probe runs. Final index = full corpus, so the
+    // oracle is tx15's; StreamingSpec drives the same maintenance
+    // through a real readStream foreachBatch with a checkpoint
+    // restart.
+    "st20_stream_lex_maintain" -> ((s, d) =>
+      graft.ops.LexIndex.maintainedCycle(s, d, "st20")),
+
     // STREAMING ADMISSION PIPELINE (round 12, st15): the composed
     // ingest flow — eval/quality/langid gates (row-local), the
     // contamination check against the static broadcast eval shingle
@@ -965,6 +982,11 @@ object Streams {
     // identical to the full build, so the oracle is sim18's — a
     // divergence means maintenance re-encoded or mutated the cells.
     ("st13_stream_pq_maintain" -> graft.ops.Similarity.oracle("sim18_ivfpq_probe")) +
+    // st20 = tx15's decisions from a maintained (build-on-3/4 →
+    // stamp-guarded append + replay no-op → compact) lexical index:
+    // the final index equals the full corpus, so the oracle is
+    // tx15's — a divergence means maintenance changed serving.
+    ("st20_stream_lex_maintain" -> graft.ops.TextAnalysis.oracle("tx15_bm25_topk")) +
     // st14 = dq07's KL decision per arrival window (see
     // Similarity.st14Sql — assignment, smoothing, and the
     // decimal-exact term fold mirrored end to end).

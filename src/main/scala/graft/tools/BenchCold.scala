@@ -118,10 +118,24 @@ object BenchCold {
     val commonSum = common.toSeq.map(resMap).sum
     val priorCommonSum = common.toSeq.map(priorQueries).sum
     val commonRatio = if (priorCommonSum > 0) commonSum / priorCommonSum else 1.0
+    // Per-phase breakdown for the maintenance-cycle entries (round-16,
+    // VERDICT r15 item 8): the warm artifact has carried `phases` +
+    // the graded ratio since round 14, but the COLD map reported only
+    // opaque full-cycle walls, so cold round-over-round attribution of
+    // maintenance-cost changes stayed prose-driven. Phases holds the
+    // LAST recording — under min-of-2 cold sweeps, sweep 2's values,
+    // the same regime the headline cold numbers report. The graded
+    // ratio (write phases excluded — the host-bandwidth antenna)
+    // rides next to the raw common ratio for the same degraded-host
+    // reading the warm guard does.
+    val phases = Phases.json()
+    val priorPhases = prior.map(graft.Bench.extractPhases).getOrElse(Map.empty)
+    val gradedRatio = graft.Bench.gradedCommonRatio(resMap, priorQueries,
+      graft.Bench.extractPhases(s"""{"phases":$phases}"""), priorPhases)
     val summaryJson =
-      s""","n":${best.size},"common_n":${common.size},"common_sum":${graft.Bench.fmt(commonSum)},"common_ratio":${graft.Bench.fmt(commonRatio)},"code_fp":"$fp""""
+      s""","n":${best.size},"common_n":${common.size},"common_sum":${graft.Bench.fmt(commonSum)},"common_ratio":${graft.Bench.fmt(commonRatio)},"graded_common_ratio":${graft.Bench.fmt(gradedRatio)},"code_fp":"$fp""""
     val json =
-      s"""{"metric":"total_cold","value":$total,"unit":"sec","protocol":"min-of-2 cold sweeps, memo+cache cleared per query"${LoadGuard.jsonFields(load0, loadOk, calib)}$axisJson$summaryJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total_cold","value":$total,"unit":"sec","protocol":"min-of-2 cold sweeps, memo+cache cleared per query"${LoadGuard.jsonFields(load0, loadOk, calib)}$axisJson$summaryJson,"queries":$qs,"phases":$phases,"sf":"$sfDir"}"""
     val w = new java.io.PrintWriter(outPath)
     try w.println(json) finally w.close()
     // Roll the comparison base only when this capture is IN BAND —

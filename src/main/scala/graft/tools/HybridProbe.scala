@@ -25,6 +25,14 @@ import org.apache.spark.sql.functions._
   * recall is not below the better single lane's beyond the CI —
   * HybridFusionSpec pins exactly that, permanently, on the suite.
   *
+  * Round 16 (VERDICT r15 item 7): the instrument also grades LANE
+  * DEPTH — round 15 showed the lexical lane collapsing to 0.036
+  * recall at sf0.1 because each lane contributed only k=10
+  * candidates regardless of corpus size, where the RRF literature
+  * fuses DEEP lists (k≈60–1000) into a short final ranking. The
+  * sweep runs laneK ∈ {k, 60, 100} at fixed final k, so the
+  * depth-vs-recall curve is measured, not assumed.
+  *
   * Run: tools/run.sh graft.tools.HybridProbe [sfDir] [nQueries] [k]
   */
 object HybridProbe {
@@ -43,28 +51,33 @@ object HybridProbe {
     Logs.muteReviewedWindowWarning()
     graft.Tables.pin(spark)
 
-    import graft.ops.Similarity
-    val (lex, vec, fus, n) = measure(spark, sfDir, nQ, k)
-    println(f"hybrid recall@$k over $sfDir — $nQ queries, n=$n blended " +
-      "ground-truth pairs; ±95% binomial (approximate: hits correlate " +
-      "within a query)")
     def show(name: String, pc: (Double, Double)): Unit =
-      println(f"  $name%-28s ${pc._1}%6.3f ± ${pc._2}%5.3f")
-    show("BM25 more-like-this (lexical)", lex)
-    show("IVF (vector, sim04 lane)", vec)
-    show("RRF fusion (sim26 dataflow)", fus)
-    val bestSingle = math.max(lex._1, vec._1)
-    println(f"  fused - best single lane: ${fus._1 - bestSingle}%+.3f " +
-      f"(CI ${fus._2}%.3f)")
+      println(f"  $name%-34s ${pc._1}%6.3f ± ${pc._2}%5.3f")
+    Seq(k, 60, 100).distinct.foreach { laneK =>
+      val (lex, vec, fus, n) = measure(spark, sfDir, nQ, k, laneK)
+      println(f"hybrid recall@$k, laneK=$laneK over $sfDir — $nQ queries, " +
+        f"n=$n blended ground-truth pairs; ±95%% binomial (approximate: " +
+        "hits correlate within a query)")
+      show(s"BM25 more-like-this (lexical@$laneK)", lex)
+      show(s"IVF (vector lane @$laneK)", vec)
+      show(s"RRF fusion (deep lanes -> top-$k)", fus)
+      val bestSingle = math.max(lex._1, vec._1)
+      println(f"  fused - best single lane: ${fus._1 - bestSingle}%+.3f " +
+        f"(CI ${fus._2}%.3f)")
+    }
     spark.stop()
   }
 
   /** Shared measurement core (HybridFusionSpec runs the same code):
     * returns ((recall, ci) lexical, (recall, ci) vector,
-    * (recall, ci) fused, n ground-truth pairs). */
-  def measure(spark: SparkSession, sfDir: String, nQ: Long, k: Int)
-      : ((Double, Double), (Double, Double), (Double, Double), Long) = {
+    * (recall, ci) fused, n ground-truth pairs). Each lane is asked
+    * for `laneK` candidates; the lexical/vector recalls grade the
+    * deep lists themselves (capped at laneK), fusion re-ranks them
+    * to the final k the ground truth is built at. */
+  def measure(spark: SparkSession, sfDir: String, nQ: Long, k: Int,
+      laneK: Int = -1): ((Double, Double), (Double, Double), (Double, Double), Long) = {
     import graft.ops.Similarity
+    val lk = if (laneK > 0) laneK else k
     val gt = Similarity.hybridGroundTruth(spark, sfDir, nQ, k).cache()
     val n = gt.count()
     def recall(lane: org.apache.spark.sql.DataFrame): (Double, Double) = {
@@ -72,11 +85,11 @@ object HybridProbe {
       val p = hits.toDouble / n
       (p, 1.96 * math.sqrt(p * (1 - p) / n))
     }
-    val lex = recall(Similarity.bm25MoreLikeThis(spark, sfDir, nQ, k)
+    val lex = recall(Similarity.bm25MoreLikeThis(spark, sfDir, nQ, lk)
       .select("query_id", "item_id"))
-    val vec = recall(Similarity.ivfAnn(spark, sfDir, nQ, k)
+    val vec = recall(Similarity.ivfAnn(spark, sfDir, nQ, lk)
       .select(col("query_id"), col("neighbor_id").as("item_id")))
-    val fus = recall(Similarity.hybridFused(spark, sfDir, nQ, k, laneK = k))
+    val fus = recall(Similarity.hybridFused(spark, sfDir, nQ, k, laneK = lk))
     gt.unpersist()
     (lex, vec, fus, n)
   }

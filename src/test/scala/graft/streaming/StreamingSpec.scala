@@ -1154,6 +1154,76 @@ class StreamingSpec extends SparkSpec {
     } finally graft.ops.VecIndex.drop(spark, prefix)
   }
 
+  test("lexical-index maintenance survives a checkpoint restart (st20)") {
+    // st10's exactly-once proof on the LEXICAL lane: a fresh postings
+    // index on 3/4 of the corpus takes the remaining documents
+    // through a real readStream foreachBatch driving
+    // LexIndex.maintainBatch; we stop the query, delete batch 0's
+    // commit marker, restart, and require the replayed batch to be a
+    // stamp-skipped no-op (no duplicate postings or stats rows) — and
+    // the maintained index, after the periodic compact, to serve
+    // decisions identical to the full in-session build (tx15).
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val path = Files.createTempDirectory("graft-st20spec").toString
+    val prefix = s"graft_st20spec_${System.nanoTime()}"
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    val isNew = pmod(hash(col("doc_id")), lit(4)) === lit(0)
+    graft.ops.LexIndex.persist(spark, sf, path, prefix,
+      Some(docs.filter(!isNew)))
+    val srcDir = Files.createTempDirectory("graft-st20src").toString
+    val ckpt = Files.createTempDirectory("graft-st20ckpt").toString
+    docs.filter(isNew).coalesce(1).write.parquet(s"$srcDir/part_new")
+
+    val runs = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean)]
+    def startQuery() = spark.readStream
+      .schema(spark.read.parquet(s"$srcDir/part_new").schema)
+      .parquet(s"$srcDir/part_*")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val ran = graft.ops.LexIndex.maintainBatch(spark, sf, prefix,
+          df.localCheckpoint(), batchId)
+        runs.synchronized { runs += ((batchId, ran)) }
+        ()
+      }
+      .start()
+
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    // the append ran through the stream's isolated session clone —
+    // refresh before snapshotting (the st10 lesson)
+    spark.catalog.refreshTable(graft.ops.LexIndex.postingsTable(prefix))
+    spark.catalog.refreshTable(graft.ops.LexIndex.statsTable(prefix))
+    val postRows = spark.table(graft.ops.LexIndex.postingsTable(prefix)).count()
+    val statsRows = spark.table(graft.ops.LexIndex.statsTable(prefix)).count()
+    assert(runs.toList == List((0L, true)),
+      s"first run should maintain batch 0 once: $runs")
+
+    val marker = Paths.get(ckpt, "commits", "0")
+    assert(Files.deleteIfExists(marker), s"no commit marker at $marker")
+    Files.deleteIfExists(Paths.get(ckpt, "commits", ".0.crc"))
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    try {
+      assert(runs.toList == List((0L, true), (0L, false)),
+        s"replayed batch 0 was not stamp-skipped: $runs")
+      assert(spark.table(graft.ops.LexIndex.postingsTable(prefix)).count() == postRows,
+        "replay double-appended postings")
+      assert(spark.table(graft.ops.LexIndex.statsTable(prefix)).count() == statsRows,
+        "replay double-appended the stats row")
+      // the periodic compact, then serving — identical to the full build
+      graft.ops.LexIndex.compact(spark, prefix)
+      val served = graft.ops.LexIndex.probe(spark, sf, prefix)
+        .collect().map(_.toString).toSeq
+      val full = graft.ops.TextAnalysis.queries("tx15_bm25_topk")(spark, sf)
+        .collect().map(_.toString).toSeq
+      assert(served == full,
+        "post-maintenance lexical serving diverges from the full build")
+    } finally graft.ops.LexIndex.drop(spark, prefix)
+  }
+
   test("checkpoint replay of the maintenance batch is a ledger-skipped no-op (st08)") {
     // The exactly-once property for the ingest-maintenance loop: a
     // restarted query REPLAYS any batch whose commit marker was lost,
