@@ -814,6 +814,85 @@ object LexIndex {
     dec
   }
 
+  /** FUSED merge + impact refresh (tx24, round 16) — the maintenance
+    * pass Lucene's segment merge actually is: compaction's physical
+    * rewrite (fold per-append files to one per bucket, purge pending
+    * tombstones) and [[reindexImpact]]'s metadata refresh (global
+    * imp_rank/df over the resident rows) in ONE postings rewrite,
+    * instead of compact-then-reindex paying the corpus-sized write
+    * twice. The docstats fold and the stats re-base ride along as
+    * [[compact]] does them; tombstones clear once nothing masked
+    * remains. After this pass the naive [[impactProbe]] is exact
+    * again (single segment, global metadata), files are one per
+    * bucket, and footer (term, imp_rank) bounds are fresh — the
+    * state every serving path likes best. Skew posture is
+    * [[withImpactMeta]]'s; the write is the same bucketed
+    * (term, imp_rank) layout via the external-location swap. */
+  def mergeReindex(spark: SparkSession, prefix: String): Unit = {
+    val t = postingsTable(prefix)
+    spark.catalog.refreshTable(t)
+    val tomb = tombstones(spark, prefix).map(_.select("retired_id"))
+    val residentAll = spark.table(t).select("term", "doc_id", "tf", "dl")
+    val resident = tomb.fold(residentAll)(ts =>
+      residentAll.join(broadcast(ts),
+        residentAll("doc_id") === col("retired_id"), "left_anti"))
+    val fresh = withImpactMeta(resident)
+      .withColumn("ingest_batch", lit(BandIndex.BaseBatch))
+    swapTable(spark, t, "merge") { (tmpT, newLoc) =>
+      fresh.write
+        .bucketBy(Buckets, "term").sortBy("term", "imp_rank")
+        .option("path", newLoc)
+        .saveAsTable(tmpT)
+    }
+    BandIndex.compactTable(spark, docstatsTable(prefix), "doc_id",
+      tomb, minusIdCol = "doc_id")
+    val st = spark.table(docstatsTable(prefix))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .select(lit(BandIndex.BaseBatch).as("ingest_batch"),
+        col("n_docs"), col("sum_dl"))
+      .coalesce(1)
+    swapTable(spark, statsTable(prefix), "merge") { (tmpT, newLoc) =>
+      st.write.option("path", newLoc).saveAsTable(tmpT)
+    }
+    BandIndex.clearTombstones(spark, prefix)
+  }
+
+  /** tx24: the fused pass made observable — two stale segments plus
+    * a PENDING RETIRE (the state that trips both naive capped lanes:
+    * batch-local metadata AND tombstone holes), one [[mergeReindex]],
+    * then the plain capped probe. The oracle is the global-cap SQL
+    * over the SURVIVING corpus — hash-matching proves the single
+    * rewrite folded segments, purged the retiree, and refreshed
+    * global impact order/df all at once. Retiree choice is
+    * oracle-replayable: the doc_id ranked first by tx20's global cap
+    * (deterministic), retired via the tombstone path. */
+  def mergeCycle(spark: SparkSession, dir: String, tag: String): DataFrame = {
+    import graft.tools.Phases
+    val key = (spark, dir, tag)
+    val docs = Tables.documents(spark, dir)
+    val isNewDense = pmod(col("doc_id"), lit(4)) === lit(0)
+    val (prefix, path) = Phases.time(tag, "persist") {
+      freshIndex(spark, dir, tag, Some(docs.filter(!isNewDense)))
+    }
+    Phases.time(tag, "append") {
+      append(spark, dir, docs.filter(isNewDense), prefix, batch = 1L)
+    }
+    Phases.time(tag, "retire") {
+      // the top-ranked doc of the stale-but-exact segment merge —
+      // deterministic and SQL-replayable (rk=1, query 0)
+      val victim = segmentProbe(spark, dir, prefix)
+        .filter(col("query_id") === 0 && col("rk") === 1)
+        .select("doc_id")
+      retire(spark, prefix, victim)
+    }
+    Phases.time(tag, "merge") { mergeReindex(spark, prefix) }
+    val dec = Phases.time(tag, "probe") {
+      impactProbe(spark, dir, prefix).localCheckpoint()
+    }
+    persistLock.synchronized { lastCycle(key) = (prefix, path) }
+    dec
+  }
+
   /** tx23 (round 16): [[segmentProbe]] made observable on the exact
     * fixture that exposes the naive stale probe — build on the
     * dense-id 3/4, append the quarter (index now two segments with
@@ -1000,7 +1079,8 @@ object LexIndex {
       impactProbe(s, d, ensurePersisted(s, d))),
     "tx21_bm25_reindex" -> ((s, d) => reindexCycle(s, d, "tx21")),
     "tx22_bm25_maintain_loop" -> ((s, d) => driftGatedCycle(s, d, "tx22")),
-    "tx23_bm25_segment_probe" -> ((s, d) => segmentCycle(s, d, "tx23"))
+    "tx23_bm25_segment_probe" -> ((s, d) => segmentCycle(s, d, "tx23")),
+    "tx24_bm25_merge_reindex" -> ((s, d) => mergeCycle(s, d, "tx24"))
   )
 
   /** The tx15 BM25 body over a `tok(doc_id, tokens)` CTE already in
@@ -1213,6 +1293,70 @@ object LexIndex {
        |  FROM agg) t
        |WHERE rk <= ${TextAnalysis.Bm25TopK} ORDER BY query_id, rk""".stripMargin
 
+  /** The global-cap scoring chain over a `<p>tok(doc_id, tokens)` CTE
+    * already in scope, emitted as CTE definitions ending in `<out>` —
+    * parameterized so tx24's oracle can run it twice (full corpus to
+    * find the retiree, survivors for the served answer) without
+    * drift between the copies. Semantics = [[impactSql]]'s chain. */
+  private def impactBody(p: String, out: String): String =
+    s"""${p}dl AS (SELECT doc_id, CAST(len(tokens) AS BIGINT) AS dl FROM ${p}tok),
+       |${p}st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM ${p}dl),
+       |${p}tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(tokens) AS term FROM ${p}tok) t
+       |  JOIN (SELECT DISTINCT term FROM q) USING (term)
+       |  GROUP BY 1, 2
+       |),
+       |${p}dfc AS (SELECT term, count(*) AS df FROM ${p}tf GROUP BY 1),
+       |${p}cand AS (
+       |  SELECT doc_id, term, tf, dl FROM (
+       |    SELECT ${p}tf.doc_id, ${p}tf.term, ${p}tf.tf, ${p}dl.dl,
+       |           row_number() OVER (PARTITION BY ${p}tf.term
+       |             ORDER BY ${p}tf.tf DESC, ${p}dl.dl ASC, ${p}tf.doc_id ASC) AS imp_rank
+       |    FROM ${p}tf JOIN ${p}dl USING (doc_id)) z
+       |  WHERE imp_rank <= $ImpactCap
+       |),
+       |${p}scored AS (
+       |  SELECT q.query_id, ${p}cand.doc_id,
+       |         round(
+       |           ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+       |                    / (CAST(df AS DOUBLE) + 0.5))
+       |           * (CAST(tf AS DOUBLE) * ($Bm25K1 + 1.0))
+       |           / (CAST(tf AS DOUBLE)
+       |              + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * CAST(dl AS DOUBLE)
+       |                           * CAST(n_docs AS DOUBLE) / CAST(sum_dl AS DOUBLE))),
+       |           6) AS score
+       |  FROM ${p}cand JOIN ${p}dfc USING (term) JOIN q USING (term), ${p}st
+       |),
+       |${p}agg AS (
+       |  SELECT query_id, doc_id,
+       |         CAST(sum(CAST(score AS DECIMAL(18,8))) AS DOUBLE) AS bm25,
+       |         count(*) AS n_terms
+       |  FROM ${p}scored GROUP BY 1, 2
+       |),
+       |$out AS (
+       |  SELECT query_id, CAST(rk AS INT) AS rk, doc_id, bm25, n_terms FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY bm25 DESC, doc_id ASC) AS rk
+       |    FROM ${p}agg) t
+       |  WHERE rk <= $Bm25TopK
+       |)""".stripMargin
+
+  /** tx24's oracle: phase 0 = the global-cap answer over the full
+    * corpus (the deterministic retiree = its (query 0, rk 1) doc —
+    * what [[mergeCycle]] retires); the served answer = the same
+    * chain over the survivors. Hash-matching proves ONE fused
+    * rewrite purged the retiree, folded the segments and refreshed
+    * global impact order, df and corpus stats together. */
+  private def mergeSql: String =
+    s"""WITH q AS (SELECT * FROM (VALUES ${TextAnalysis.bm25Values}) AS q(query_id, term)),
+       |tok AS (SELECT doc_id, ${TextAnalysis.tokensSql} AS tokens FROM documents),
+       |${impactBody("", "ph0")},
+       |victim AS (SELECT doc_id FROM ph0 WHERE query_id = 0 AND rk = 1),
+       |rtok AS (SELECT * FROM tok WHERE doc_id NOT IN (SELECT doc_id FROM victim)),
+       |${impactBody("r", "served")}
+       |SELECT * FROM served ORDER BY query_id, rk""".stripMargin
+
   val oracle: Map[String, String] = {
     val tx15 = TextAnalysis.oracle("tx15_bm25_topk")
     Map(
@@ -1230,7 +1374,8 @@ object LexIndex {
       // a stale two-segment index (re-capped merge + summed df):
       // same oracle — a divergence means the merge failed to restore
       // the global candidate set or exact df.
-      "tx23_bm25_segment_probe" -> impactSql
+      "tx23_bm25_segment_probe" -> impactSql,
+      "tx24_bm25_merge_reindex" -> mergeSql
     )
   }
 }

@@ -343,6 +343,66 @@ class Round16OpsSpec extends SparkSpec {
       "a 311-term batch was inlined as a literal IN filter")
   }
 
+  // ---- tx24: the fused merge+reindex pass -------------------------------
+
+  test("tx24: one fused rewrite folds segments, purges the retiree, refreshes global metadata") {
+    val docs = graft.Tables.documents(spark, sf)
+    val isNewDense = pmod(col("doc_id"), lit(4)) === lit(0)
+    val prefix = s"graft_lex_merge_${System.nanoTime()}"
+    val path = BandIndex.newTempDir("lexmerge")
+    try {
+      LexIndex.persist(spark, sf, path, prefix,
+        Some(docs.filter(!isNewDense)))
+      LexIndex.append(spark, sf, docs.filter(isNewDense), prefix, batch = 1L)
+      val victim = LexIndex.segmentProbe(spark, sf, prefix)
+        .filter(col("query_id") === 0 && col("rk") === 1)
+        .select("doc_id")
+      val victimId = victim.collect().head.getLong(0)
+      LexIndex.retire(spark, prefix, victim)
+      LexIndex.mergeReindex(spark, prefix)
+      // physical: one postings file per bucket at the swapped location
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(
+          LexIndex.postingsTable(prefix))).location.toString.stripPrefix("file:")
+      val files = Option(new java.io.File(loc).listFiles()).fold(0)(
+        _.count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")))
+      assert(files == LexIndex.Buckets,
+        s"fused merge left $files postings files, expected ${LexIndex.Buckets}")
+      // logical: retiree physically gone, tombstones cleared, ranks
+      // globally contiguous per term (tx21's invariant)
+      val p = spark.table(LexIndex.postingsTable(prefix))
+      assert(p.filter(col("doc_id") === victimId).count() == 0,
+        "retired doc survived the fused rewrite")
+      assert(!spark.catalog.tableExists(BandIndex.tombstonesTable(prefix)),
+        "tombstones not cleared after the purge")
+      val bad = p.groupBy("term").agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("imp_rank")).as("d"),
+        max(col("imp_rank")).as("m"))
+        .filter(col("n") =!= col("d") || col("m") =!= col("n"))
+      assert(bad.isEmpty, "ranks not globally contiguous after the fused pass")
+      // serving: equals a FRESH build over the survivors
+      val served = LexIndex.impactProbe(spark, sf, prefix)
+        .collect().map(_.toString).toSeq
+      val fullPrefix = s"graft_lex_mergefull_${System.nanoTime()}"
+      val fullPath = BandIndex.newTempDir("lexmergefull")
+      try {
+        LexIndex.persist(spark, sf, fullPath, fullPrefix,
+          Some(docs.filter(col("doc_id") =!= victimId)))
+        val fresh = LexIndex.impactProbe(spark, sf, fullPrefix)
+          .collect().map(_.toString).toSeq
+        assert(served == fresh,
+          "fused merge+reindex diverged from a fresh build over the survivors")
+      } finally {
+        LexIndex.drop(spark, fullPrefix)
+        BandIndex.retireTempDir(fullPath)
+      }
+    } finally {
+      LexIndex.drop(spark, prefix)
+      BandIndex.retireTempDir(path)
+    }
+  }
+
   // ---- impactProbe precondition (round-16 ADVICE) ----------------------
 
   test("impactProbe fails fast on pending tombstones; compact + reindex restores it") {
