@@ -72,10 +72,19 @@ import graft.Tables
   *     `doc_id NOT IN (...)` replay demands.
   *
   * 100 TB posture: the build pays one corpus tokenize (once, not per
-  * query); the probe exchanges matched postings only (query-vocab
-  * bucket pruning upstream of everything); maintenance is
-  * batch-proportional. The serving delta vs tx15 is the entire
-  * corpus-side build — see SCALE_NOTES.md's third-decade row.
+  * query) with the impact ranking SKEW-SAFE ([[withImpactMeta]] —
+  * no per-term window, so a zipfian stopword cannot serialize a
+  * task); the probe exchanges matched postings only (query-vocab
+  * bucket pruning upstream of everything), takes its workload as a
+  * query FRAME, and the capped lanes read ∝ terms × cap bytes
+  * regardless of df; maintenance is batch-proportional
+  * ([[maintainBatch]] exactly-once for streaming appends), appends
+  * serve EXACTLY through the read-time segment merge
+  * ([[segmentProbe]]) with the rebuild demoted to a fused
+  * layout/throughput pass ([[mergeReindex]]) that the dq08 drift
+  * gate or a file-count policy schedules. The serving delta vs tx15
+  * is the entire corpus-side build — see SCALE_NOTES.md's
+  * third-decade row and the round-16 sections.
   */
 object LexIndex {
 
