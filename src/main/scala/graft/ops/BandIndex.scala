@@ -445,9 +445,20 @@ object BandIndex {
     * `minusIdCol` matches the (broadcast, bounded) expired frame.
     * The swap is metadata-only at the catalog layer; the old file set
     * is deleted after the new table is registered. */
+  /** `sortCols` preserves a table's within-bucket sort spec across
+    * the rewrite (default: the bucket key alone). Round-16 catch: the
+    * lexical postings table is sorted (term, imp_rank) so the capped
+    * probe's `imp_rank <= C` filter prunes row groups by footer
+    * min/max — a compaction that re-sorted by term alone silently
+    * destroyed that layout (loose footer bounds ⇒ capped-probe bytes
+    * scale with df again) AND wedged every later append on
+    * "Specified bucketing does not match" (the sort spec is part of
+    * the table's bucketing metadata). */
   private[ops] def compactTable(spark: SparkSession, table: String,
       key: String, minus: Option[DataFrame] = None,
-      minusIdCol: String = "corpus_doc"): Unit = {
+      minusIdCol: String = "corpus_doc",
+      sortCols: Seq[String] = Nil): Unit = {
+    val sortSpec = if (sortCols.nonEmpty) sortCols else Seq(key)
     // the last writer may have been ANOTHER session (a streaming
     // foreachBatch runs in the query's session clone, whose appends
     // don't invalidate this session's cached file listing) — without
@@ -501,7 +512,7 @@ object BandIndex {
         case None => spark.table(table)
       }
       source.write
-        .bucketBy(Buckets, key).sortBy(key)
+        .bucketBy(Buckets, key).sortBy(sortSpec.head, sortSpec.tail: _*)
         .option("path", newLoc)
         .mode(SaveMode.Overwrite)
         .saveAsTable(tmpTable)

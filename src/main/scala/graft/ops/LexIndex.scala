@@ -278,13 +278,22 @@ object LexIndex {
     * [[VecIndex.maintainBatch]]'s lexical analog): the foreachBatch
     * sink's idempotent form. The three batch writes land in a fixed
     * order (postings → docstats → stats), every row carries the
-    * batch stamp, and each write is one atomic job commit — so the
-    * stats row (written LAST, one row per batch) certifies the whole
-    * batch, and a replay completes exactly the tables the crash left
-    * unwritten ([[BandIndex.batchPresent]], storage-derived, holds
-    * across JVM restarts). A replayed micro-batch whose checkpoint
-    * commit marker was lost is a whole-batch no-op returning false.
-    * No self-fencing probe is needed (BandIndex's extra mechanism):
+    * batch stamp, and each write is one atomic job commit — so a
+    * replay completes exactly the tables the crash left unwritten
+    * ([[BandIndex.batchPresent]], storage-derived, holds across JVM
+    * restarts). A LEDGER row (BandIndex's mechanism, stored WITH the
+    * index, written LAST) certifies the completed batch — the stats
+    * stamp alone cannot (round-16 review): [[compact]] re-bases the
+    * stats table to a single BaseBatch row and
+    * [[reindexImpact]]/[[mergeReindex]] re-stamp postings, so after
+    * any maintenance rewrite the per-table stamps of ALREADY-FOLDED
+    * batches are gone and only the ledger can fence their replay.
+    * (The per-table stamp checks remain valid for the window they
+    * guard: a crash-interrupted batch is replayed BEFORE any later
+    * maintenance — [[requireLedgered]] enforces that ordering
+    * loudly.) A replayed micro-batch whose checkpoint commit marker
+    * was lost is a whole-batch no-op returning false. No
+    * self-fencing probe is needed (BandIndex's extra mechanism):
     * this sink makes no decisions from index state — a replay only
     * rewrites missing tables, so every crash point converges to the
     * same final state. Serving MID-crash-window (postings landed,
@@ -297,15 +306,50 @@ object LexIndex {
     require(batchId >= 0,
       s"maintainBatch batchId must be >= 0, got $batchId (ids < 0 are " +
         "reserved for the base-build/ad-hoc stamp)")
-    if (BandIndex.batchPresent(spark, statsTable(prefix), batchId)) false
-    else {
+    if (BandIndex.ledgerDoneIn(spark, BandIndex.ledgerTable(prefix), batchId))
+      false
+    else if (BandIndex.batchPresent(spark, statsTable(prefix), batchId)) {
+      // fully landed, crash took the ledger row — backfill it so the
+      // fence survives the next stats re-base (BandIndex's pattern)
+      BandIndex.ledgerRecordIn(spark, BandIndex.ledgerTable(prefix),
+        postingsTable(prefix), batchId)
+      false
+    } else {
       val tok = tokenized(newDocs)
       if (!BandIndex.batchPresent(spark, postingsTable(prefix), batchId))
         writePostings(tok, path = "", prefix, batchId, firstWrite = false)
       if (!BandIndex.batchPresent(spark, docstatsTable(prefix), batchId))
         writeDocstats(tok, path = "", prefix, batchId, firstWrite = false)
       writeStats(tok, path = "", prefix, batchId, firstWrite = false)
+      BandIndex.ledgerRecordIn(spark, BandIndex.ledgerTable(prefix),
+        postingsTable(prefix), batchId)
       true
+    }
+  }
+
+  /** Maintenance rewrites destroy per-table batch stamps (stats
+    * re-base, postings re-stamp), so they must not run while a
+    * streaming batch is mid-crash-window: every non-Base stamp in
+    * the index must be ledgered first. Indexes that never went
+    * through [[maintainBatch]] (no ledger table) are exempt — their
+    * ad-hoc appends carry no exactly-once contract. */
+  private def requireLedgered(spark: SparkSession, prefix: String,
+      verb: String): Unit = {
+    val lt = BandIndex.ledgerTable(prefix)
+    if (spark.catalog.tableExists(lt)) {
+      spark.catalog.refreshTable(lt)
+      spark.catalog.refreshTable(docstatsTable(prefix))
+      val ledgered = spark.table(lt).select("batch_id").distinct()
+        .collect().map(_.getLong(0)).toSet
+      val unledgered = spark.table(docstatsTable(prefix))
+        .select("ingest_batch").distinct()
+        .collect().map(_.getLong(0))
+        .filter(b => b >= 0 && !ledgered.contains(b))
+      require(unledgered.isEmpty,
+        s"$verb($prefix): batch(es) ${unledgered.mkString(",")} are " +
+          "mid-commit (stamped but not ledgered) — replay them through " +
+          "maintainBatch before any maintenance rewrite, or their " +
+          "replay fence is destroyed and a restart double-counts them")
     }
   }
 
@@ -351,9 +395,12 @@ object LexIndex {
     * tombstones. Probe decisions are unchanged — the masks were
     * already hiding exactly the purged rows. */
   def compact(spark: SparkSession, prefix: String): Unit = {
+    requireLedgered(spark, prefix, "compact")
     val tomb = tombstones(spark, prefix).map(_.select("retired_id"))
+    // sortCols: preserve the (term, imp_rank) layout the capped
+    // probe's footer pruning reads — see compactTable's scaladoc
     BandIndex.compactTable(spark, postingsTable(prefix), "term",
-      tomb, minusIdCol = "doc_id")
+      tomb, minusIdCol = "doc_id", sortCols = Seq("term", "imp_rank"))
     BandIndex.compactTable(spark, docstatsTable(prefix), "doc_id",
       tomb, minusIdCol = "doc_id")
     val st = spark.table(docstatsTable(prefix))
@@ -658,13 +705,29 @@ object LexIndex {
     val dfc = capped.groupBy("term", "ingest_batch")
       .agg(org.apache.spark.sql.functions.max(col("df")).as("bdf"))
       .groupBy("term").agg(sum(col("bdf")).as("df"))
+    // stamp-collision guard (round-16 review): two segments sharing an
+    // ingest_batch stamp fold into one df group and undercount df
+    // silently — the state a DEFAULT-stamp ad-hoc append on top of a
+    // base build produces. Detectable from the capped frame alone
+    // (workload-sized): a (term, stamp) pair with two rank-1 rows IS
+    // a collision.
+    val collided = capped.filter(col("imp_rank") === 1)
+      .groupBy("term", "ingest_batch").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).limit(1).collect()
+    require(collided.isEmpty,
+      s"segmentProbe($prefix): segments share ingest_batch stamp " +
+        s"${collided.headOption.map(_.getLong(1))} (term " +
+        s"${collided.headOption.map(_.getString(0))} has multiple rank-1 " +
+        "rows) — df would undercount; append segments with distinct " +
+        "stamps (maintainBatch does) or reindex/merge first")
     // re-cap the merged candidates at the GLOBAL top-C: the union of
     // per-segment top-C contains it (batch rank <= global rank), so
     // re-ranking the workload-sized frame restores tx20's exact
     // candidate set — this window's partitions are <= C x segments
-    // rows, bounded by the probe, never by df
-    val wG = Window.partitionBy("term")
-      .orderBy(col("tf").desc, col("dl").asc, col("doc_id").asc)
+    // rows, bounded by the probe, never by df. Order derives from the
+    // SHARED impactOrder (minus the term component) so the build's
+    // stored ranks and the re-cap can never diverge.
+    val wG = Window.partitionBy("term").orderBy(impactOrder.drop(1): _*)
     val recapped = capped.drop("df")
       .withColumn("grk", row_number().over(wG))
       .filter(col("grk") <= ImpactCap)
@@ -711,13 +774,21 @@ object LexIndex {
     * every impact-ordered index runs (Anh & Moffat; Lucene's
     * forceMerge). */
   def reindexImpact(spark: SparkSession, prefix: String): Unit = {
+    requireLedgered(spark, prefix, "reindexImpact")
     val t = postingsTable(prefix)
     spark.catalog.refreshTable(t)
     val fresh = withImpactMeta(
       spark.table(t).select("term", "doc_id", "tf", "dl"))
       .withColumn("ingest_batch", lit(BandIndex.BaseBatch))
     swapTable(spark, t, "reindex") { (tmpT, newLoc) =>
-      fresh.write
+      // repartition 1:1 with the bucket function (HashPartitioning on
+      // term == bucketBy's id expression) so each task owns exactly
+      // one bucket and the rewrite folds to ONE FILE PER BUCKET — a
+      // bare bucketed save writes tasks x buckets files (round-16
+      // review; the sf0.001 spec only passed via AQE's single-task
+      // coalesce). Bucket-grain write parallelism is this layout's
+      // unit, same as compactTable's aligned scan.
+      fresh.repartition(Buckets, col("term")).write
         .bucketBy(Buckets, "term").sortBy("term", "imp_rank")
         .option("path", newLoc)
         .saveAsTable(tmpT)
@@ -838,6 +909,7 @@ object LexIndex {
     * [[withImpactMeta]]'s; the write is the same bucketed
     * (term, imp_rank) layout via the external-location swap. */
   def mergeReindex(spark: SparkSession, prefix: String): Unit = {
+    requireLedgered(spark, prefix, "mergeReindex")
     val t = postingsTable(prefix)
     spark.catalog.refreshTable(t)
     val tomb = tombstones(spark, prefix).map(_.select("retired_id"))
@@ -848,7 +920,9 @@ object LexIndex {
     val fresh = withImpactMeta(resident)
       .withColumn("ingest_batch", lit(BandIndex.BaseBatch))
     swapTable(spark, t, "merge") { (tmpT, newLoc) =>
-      fresh.write
+      // bucket-aligned repartition: one task per bucket, one file per
+      // bucket — see reindexImpact's note
+      fresh.repartition(Buckets, col("term")).write
         .bucketBy(Buckets, "term").sortBy("term", "imp_rank")
         .option("path", newLoc)
         .saveAsTable(tmpT)
@@ -936,6 +1010,7 @@ object LexIndex {
     spark.sql(s"DROP TABLE IF EXISTS ${docstatsTable(prefix)}")
     spark.sql(s"DROP TABLE IF EXISTS ${statsTable(prefix)}")
     spark.sql(s"DROP TABLE IF EXISTS ${BandIndex.tombstonesTable(prefix)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${BandIndex.ledgerTable(prefix)}")
   }
 
   // Idempotent persist registry — same shape and rationale as

@@ -53,8 +53,14 @@ object HybridProbe {
 
     def show(name: String, pc: (Double, Double)): Unit =
       println(f"  $name%-34s ${pc._1}%6.3f ± ${pc._2}%5.3f")
+    // the blended ground truth depends only on the FINAL k — build it
+    // once for the whole depth sweep (it is the instrument's most
+    // expensive stage; rebuilding it per laneK tripled the wall)
+    val gt = graft.ops.Similarity.hybridGroundTruth(spark, sfDir, nQ, k).cache()
+    val gtN = gt.count()
     Seq(k, 60, 100).distinct.foreach { laneK =>
-      val (lex, vec, fus, n) = measure(spark, sfDir, nQ, k, laneK)
+      val (lex, vec, fus, n) = measure(spark, sfDir, nQ, k, laneK,
+        prebuilt = Some((gt, gtN)))
       println(f"hybrid recall@$k, laneK=$laneK over $sfDir — $nQ queries, " +
         f"n=$n blended ground-truth pairs; ±95%% binomial (approximate: " +
         "hits correlate within a query)")
@@ -65,6 +71,7 @@ object HybridProbe {
       println(f"  fused - best single lane: ${fus._1 - bestSingle}%+.3f " +
         f"(CI ${fus._2}%.3f)")
     }
+    gt.unpersist()
     spark.stop()
   }
 
@@ -75,11 +82,15 @@ object HybridProbe {
     * deep lists themselves (capped at laneK), fusion re-ranks them
     * to the final k the ground truth is built at. */
   def measure(spark: SparkSession, sfDir: String, nQ: Long, k: Int,
-      laneK: Int = -1): ((Double, Double), (Double, Double), (Double, Double), Long) = {
+      laneK: Int = -1,
+      prebuilt: Option[(org.apache.spark.sql.DataFrame, Long)] = None)
+      : ((Double, Double), (Double, Double), (Double, Double), Long) = {
     import graft.ops.Similarity
     val lk = if (laneK > 0) laneK else k
-    val gt = Similarity.hybridGroundTruth(spark, sfDir, nQ, k).cache()
-    val n = gt.count()
+    val (gt, n) = prebuilt.getOrElse {
+      val g = Similarity.hybridGroundTruth(spark, sfDir, nQ, k).cache()
+      (g, g.count())
+    }
     def recall(lane: org.apache.spark.sql.DataFrame): (Double, Double) = {
       val hits = lane.join(gt, Seq("query_id", "item_id")).count()
       val p = hits.toDouble / n
@@ -90,7 +101,7 @@ object HybridProbe {
     val vec = recall(Similarity.ivfAnn(spark, sfDir, nQ, lk)
       .select(col("query_id"), col("neighbor_id").as("item_id")))
     val fus = recall(Similarity.hybridFused(spark, sfDir, nQ, k, laneK = lk))
-    gt.unpersist()
+    if (prebuilt.isEmpty) gt.unpersist()
     (lex, vec, fus, n)
   }
 }

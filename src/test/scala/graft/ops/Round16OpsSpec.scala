@@ -282,6 +282,37 @@ class Round16OpsSpec extends SparkSpec {
       val fresh = q("tx15_bm25_topk").collect().map(_.toString)
       assert(served.toSeq == fresh.toSeq,
         "maintained index diverged from the full build")
+      // the replay fence must survive a stats re-base (round-16
+      // review): compact folds per-batch stats into ONE BaseBatch
+      // row, so the stats-stamp check alone would re-admit batch 1
+      // and double-count its docs — the ledger row is what holds
+      LexIndex.compact(spark, prefix)
+      // the rewrite must keep the (term, imp_rank) within-bucket sort
+      // (round-16 catch): dropping it both wedges later appends on a
+      // bucketing-mismatch and loosens the footer bounds the capped
+      // probe's imp_rank pruning reads
+      val bs = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(
+          LexIndex.postingsTable(prefix))).bucketSpec
+      assert(bs.exists(_.sortColumnNames == Seq("term", "imp_rank")),
+        s"compaction dropped the imp_rank sort: $bs")
+      assert(!LexIndex.maintainBatch(spark, sf, prefix, batch1, 1L),
+        "post-compact replay of a ledgered batch was not fenced")
+      assert(spark.table(LexIndex.statsTable(prefix)).count() == 1,
+        "post-compact replay appended a duplicate stats row")
+      // and a MID-crash-window batch (stamped but unledgered) blocks
+      // maintenance loudly instead of having its fence destroyed
+      val b2 = docs.filter(h === lit(0)).limit(7)
+      LexIndex.writeDocstats(LexIndex.tokenized(b2), path = "",
+        prefix, 2L, firstWrite = false)
+      val e = intercept[IllegalArgumentException] {
+        LexIndex.compact(spark, prefix)
+      }
+      assert(e.getMessage.contains("maintainBatch"),
+        s"guard message should point at the remedy: ${e.getMessage}")
+      // replaying the batch completes + ledgers it; maintenance unblocks
+      assert(LexIndex.maintainBatch(spark, sf, prefix, b2, 2L))
+      LexIndex.compact(spark, prefix)
     } finally {
       LexIndex.drop(spark, prefix)
       BandIndex.retireTempDir(path)
