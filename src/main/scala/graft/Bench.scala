@@ -293,6 +293,38 @@ object Bench {
   private[graft] val AxesTightMax = 1.10
   private[graft] val AxesCompoundSuspect = 1.15
 
+  // ------------------------------------------------------------------
+  // MID-SWEEP axis windows (round-17, VERDICT r16 item 1): the r16
+  // driver sweep passed the start-of-run snapshot gate (compound
+  // 1.012) yet landed a common-236 ratio of 1.185 — the host's
+  // bandwidth band degraded DURING the ~4-minute sweep (SCALE_NOTES:
+  // 13.8–113.9 GB/s waves on a ~5-minute period, exactly the shape a
+  // start snapshot cannot see). Every [[MidSampleEvery]] queries the
+  // sweep now re-samples memory bandwidth (a resident
+  // LoadGuard.MemBwSampler — cheap, GC-free) and the trivial scan,
+  // and compares each window against a BASELINE taken with the same
+  // probes right after the start gate passed. A sweep with any
+  // degraded window self-labels (`axes_mid_ok=false`) and the
+  // acceptance guard treats it like axes_ok=false. Thresholds: the
+  // observed polluted bands sit at ≤0.59× the healthy baseline while
+  // healthy wobble stays ≥0.78× (round-15/16 refusal ledger), so the
+  // 0.65 floor separates them with margin on both sides; the trivial
+  // scan gets a loose 1.6× ceiling — it runs right after a heavy
+  // query's GC tail, so a tight band would flap.
+  // ------------------------------------------------------------------
+  private[graft] val MidSampleEvery = 30
+  private[graft] val MidBwFloor = 0.65
+  private[graft] val MidTrivialCeil = 1.6
+
+  /** Are all mid-sweep windows within band of the sweep-start
+    * baseline? Failed probes (-1) and a missing baseline pass — the
+    * gate degrades to the start snapshot, never blocks on a broken
+    * probe. */
+  private[graft] def midWindowsOk(bwBase: Double, trivialBase: Double,
+      bws: Seq[Double], trivials: Seq[Double]): Boolean =
+    bws.forall(b => b < 0 || bwBase <= 0 || b >= bwBase * MidBwFloor) &&
+      trivials.forall(t => t < 0 || trivialBase <= 0 || t <= trivialBase * MidTrivialCeil)
+
   /** The shared axis GATE: starting from `firstCalib`, wait up to 10
     * minutes for all three host axes (all-core CPU ref, trivial scan,
     * memory bandwidth) to enter the best-ever band before a sweep.
@@ -386,11 +418,25 @@ object Bench {
     // negative timing is MISSING, not fast — fall back to the other
     // sweep's value so a transient one-sweep failure can't shave ~1 s
     // off the total unnoticed, and surface any query that failed both.
-    def sweep(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-    }.toMap
+    // Mid-sweep axis windows (see MidSampleEvery): sampled BETWEEN
+    // queries, so the overhead lands in wall clock only, never in any
+    // per-query timing or the total.
+    val midSampler = new graft.tools.LoadGuard.MemBwSampler()
+    val midBw = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val midTrivial = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var sinceSample = 0
+    def sweep(trivialProbe: () => Double): Map[String, Double] =
+      SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        sinceSample += 1
+        if (sinceSample >= MidSampleEvery) {
+          sinceSample = 0
+          midBw += midSampler.sample()
+          midTrivial += trivialProbe()
+        }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }.toMap
     // Warm trivial-scan host axis (round-10 VERDICT item 1): the CPU
     // calibration didn't move across rounds 9→10 while 56/62 common
     // queries drifted ~13%, so cpu_ref alone under-determines the
@@ -420,8 +466,12 @@ object Bench {
     // acceptance guard below treats its swings as unattributable.
     val (axesOk, calibNow, trivialMs, axesCompoundRatio) =
       awaitAxes(calib, () => trivialProbe())
-    val s1 = sweep()
-    val s2 = sweep()
+    // mid-window baseline: the same resident sampler the sweep uses,
+    // read right after the gate passed — self-calibrating, so the
+    // mid gate needs no cross-probe band in BENCH_AXES.json
+    val midBwBase = math.max(midSampler.sample(), midSampler.sample())
+    val s1 = sweep(() => trivialProbe())
+    val s2 = sweep(() => trivialProbe())
     val results = s1.map { case (k, v1) =>
       val v2 = s2.getOrElse(k, -1.0)
       k -> ((v1 >= 0, v2 >= 0) match {
@@ -473,19 +523,24 @@ object Bench {
     val priorPhases = prior.map(extractPhases).getOrElse(Map.empty)
     val gradedRatio = gradedCommonRatio(results, priorQueries,
       extractPhases(s"""{"phases":$phases}"""), priorPhases)
-    // degraded-host trigger: per-axis band broken OR compound drift
+    // degraded-host trigger: per-axis band broken, compound drift
     // past AxesCompoundSuspect (round-14: individually-in-band axes
-    // at the worse edge compound into uniform drift — VERDICT item 8)
-    val axesSuspect = !axesOk || axesCompoundRatio > AxesCompoundSuspect
+    // at the worse edge compound into uniform drift — VERDICT item 8),
+    // OR any mid-sweep window degraded vs the sweep's own start
+    // baseline (round-17: the start snapshot alone blessed the r16
+    // polluted sweep)
+    val axesMidOk = midWindowsOk(midBwBase, trivialMs, midBw.toSeq, midTrivial.toSeq)
+    val axesSuspect =
+      !axesOk || axesCompoundRatio > AxesCompoundSuspect || !axesMidOk
     val suspect =
       (sameCode && priorTotal.exists(p => p > 0 && (total - p) / p > 0.15)) ||
         (axesSuspect && gradedRatio > 1.10)
     ratchetAxes(calibNow, trivialMs,
-      inBand = axesOk && axesCompoundRatio <= AxesTightMax)
+      inBand = axesOk && axesCompoundRatio <= AxesTightMax && axesMidOk)
     val loadJson = graft.tools.LoadGuard.jsonFields(load0, loadOk, calibNow) +
       String.format(java.util.Locale.ROOT, ""","trivial_scan_ms":%.1f""",
         Double.box(trivialMs)) +
-      s""","axes_ok":$axesOk,"axes_compound":${fmt(axesCompoundRatio)},"axes_tight":${axesCompoundRatio <= AxesTightMax},"common_n":${common.size},"common_sum":${fmt(commonSum)},"common_ratio":${fmt(commonRatio)},"graded_common_ratio":${fmt(gradedRatio)}""" +
+      s""","axes_ok":$axesOk,"axes_compound":${fmt(axesCompoundRatio)},"axes_tight":${axesCompoundRatio <= AxesTightMax},"axes_mid_ok":$axesMidOk,"mid_n":${midBw.size},"mid_bw_base":${fmt(midBwBase)},"mid_bw_min":${fmt(if (midBw.nonEmpty) midBw.min else -1.0)},"mid_trivial_max":${fmt(if (midTrivial.nonEmpty) midTrivial.max else -1.0)},"common_n":${common.size},"common_sum":${fmt(commonSum)},"common_ratio":${fmt(commonRatio)},"graded_common_ratio":${fmt(gradedRatio)}""" +
       s""","code_fp":"$fp","protocol":"min-of-2 warm; pre-ANSI lane; fresh index per maintenance cycle (phases in full file)"""" +
       (if (failed.nonEmpty) s""","failed":${failed.size}""" else "") +
       (if (suspect) s""","suspect_swing":true,"prior_total":${fmt(priorTotal.getOrElse(-1.0))}""" else "")
@@ -501,6 +556,8 @@ object Bench {
       catch { case _: Throwable => () }
     else System.err.println(
       f"[bench] SUSPECT artifact (axes_ok=$axesOk%b, compound $axesCompoundRatio%.3f, " +
+        f"axes_mid_ok=$axesMidOk%b (bw base $midBwBase%.1f, min " +
+        f"${if (midBw.nonEmpty) midBw.min else -1.0}%.1f over ${midBw.size} windows), " +
         f"common_ratio $commonRatio%.3f, graded_ratio $gradedRatio%.3f, " +
         f"total $total%.1f s vs prior ${priorTotal.getOrElse(-1.0)}%.1f s) — " +
         "keeping the prior BENCH_FULL_last.json")

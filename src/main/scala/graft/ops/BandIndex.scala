@@ -895,9 +895,17 @@ object BandIndex {
 
   private[ops] def ledgerDoneIn(spark: SparkSession, ledgerTbl: String,
       batchId: Long): Boolean =
-    spark.catalog.tableExists(ledgerTbl) &&
+    spark.catalog.tableExists(ledgerTbl) && {
+      // same cross-session discipline as batchPresent (round-17
+      // ADVICE): the ledger row may have been written by a streaming
+      // foreachBatch session CLONE, whose append invalidates the
+      // clone's cache, not this session's — a stale file listing here
+      // reports the batch un-ledgered and the replay falls through to
+      // the slower fence checks and appends a duplicate ledger row.
+      spark.catalog.refreshTable(ledgerTbl)
       !spark.table(ledgerTbl)
         .filter(col("batch_id") === batchId).isEmpty
+    }
 
   private[ops] def ledgerRecordIn(spark: SparkSession, ledgerTbl: String,
       anchorTable: String, batchId: Long): Unit = {

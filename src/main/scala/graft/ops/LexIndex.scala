@@ -161,13 +161,32 @@ object LexIndex {
     * skew-safe by the same argument; locally AQE broadcasts the tiny
     * segment frame. Output columns and values are IDENTICAL to the
     * old `row_number().over(term)` form (Round16OpsSpec pins equality
-    * on a fixture), so tx20/tx21's oracles are untouched. */
+    * on a fixture), so tx20/tx21's oracles are untouched.
+    *
+    * The ranked frame is PINNED (localCheckpoint) before it fans out
+    * to its two consumers (round-17 ADVICE): both the segment
+    * aggregate and the join re-evaluate `ranked`, and rank
+    * correctness requires both evaluations to see IDENTICAL
+    * range-partition boundaries. Exchange reuse usually dedupes the
+    * range shuffle, but that is a plan-level accident — column
+    * pruning, `spark.sql.exchange.reuse=false`, or a future planner
+    * change can split the subtrees, after which each side samples its
+    * own boundaries from nondeterministically-ordered upstream rows
+    * and the (pid, min_mid, off) triples silently stop matching. The
+    * checkpoint computes the partitioning ONCE and hands both
+    * consumers the same blocks — correctness by construction, not by
+    * reuse (Round16OpsSpec re-proves equality with exchange reuse
+    * disabled). Cost: one extra materialization of the postings frame
+    * on the build/rebuild path, which already pays a corpus-sized
+    * write — and the lineage truncation drops the double tokenize the
+    * un-pinned form re-ran per consumer. */
   private[ops] def withImpactMeta(postings: DataFrame): DataFrame = {
     val ranked = postings
       .repartitionByRange(impactOrder: _*)
       .sortWithinPartitions(impactOrder: _*)
       .withColumn("pid", spark_partition_id())
       .withColumn("mid", monotonically_increasing_id())
+      .localCheckpoint()
     val segs = ranked.groupBy("pid", "term")
       .agg(count(lit(1)).as("cnt"), min(col("mid")).as("min_mid"))
     val wOff = Window.partitionBy("term").orderBy("pid")

@@ -77,15 +77,33 @@ object BenchCold {
     coldReset()
 
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
+    // Mid-sweep axis windows (round-17 — graft.Bench.MidSampleEvery's
+    // rationale): a cold sweep runs ~10 minutes, two full bandwidth
+    // waves on this host; sample between queries against a baseline
+    // taken right after the start gate, and refuse to roll the
+    // comparison base when any window degraded.
+    val midSampler = new LoadGuard.MemBwSampler()
+    val midBwBase = math.max(midSampler.sample(), midSampler.sample())
+    val midBw = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val midTrivial = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var sinceSample = 0
     def sweep(): Map[String, Double] = names.map { name =>
       coldReset()
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, sfDir).count()
+      sinceSample += 1
+      if (sinceSample >= graft.Bench.MidSampleEvery) {
+        sinceSample = 0
+        midBw += midSampler.sample()
+        midTrivial += trivialProbe()
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
 
     val a = sweep()
     val b = sweep()
+    val axesMidOk = graft.Bench.midWindowsOk(midBwBase, trivialMs,
+      midBw.toSeq, midTrivial.toSeq)
     val best = names.map(n => n -> math.min(a(n), b(n)))
     val total = best.map(_._2).sum
     // Locale.ROOT — a comma-decimal default locale would corrupt the JSON
@@ -93,11 +111,15 @@ object BenchCold {
       "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     }.mkString("{", ",", "}")
     graft.Bench.ratchetAxes(calib, trivialMs,
-      inBand = axesOk && axesCompound <= graft.Bench.AxesTightMax)
+      inBand = axesOk && axesCompound <= graft.Bench.AxesTightMax && axesMidOk)
     val axisJson = String.format(java.util.Locale.ROOT,
-      ""","trivial_scan_ms":%.1f,"axes_ok":%b,"axes_compound":%.3f,"axes_tight":%b""",
+      ""","trivial_scan_ms":%.1f,"axes_ok":%b,"axes_compound":%.3f,"axes_tight":%b,"axes_mid_ok":%b,"mid_n":%d,"mid_bw_base":%.1f,"mid_bw_min":%.1f,"mid_trivial_max":%.1f""",
       Double.box(trivialMs), Boolean.box(axesOk), Double.box(axesCompound),
-      Boolean.box(axesCompound <= graft.Bench.AxesTightMax))
+      Boolean.box(axesCompound <= graft.Bench.AxesTightMax),
+      Boolean.box(axesMidOk), Int.box(midBw.size),
+      Double.box(midBwBase),
+      Double.box(if (midBw.nonEmpty) midBw.min else -1.0),
+      Double.box(if (midTrivial.nonEmpty) midTrivial.max else -1.0))
     // SELF-DESCRIBING cold artifact (round-15, VERDICT item 5): the
     // warm maps have carried n/common_n/common_ratio since round 11,
     // but the cold comparisons lived in SCALE_NOTES prose +
@@ -141,14 +163,16 @@ object BenchCold {
     // Roll the comparison base only when this capture is IN BAND —
     // a degraded capture must not become the thing future captures
     // normalize against (the warm guard's acceptance discipline).
-    if (axesOk && axesCompound <= graft.Bench.AxesTightMax)
+    if (axesOk && axesCompound <= graft.Bench.AxesTightMax && axesMidOk)
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_COLD_last.json"),
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case _: Throwable => () }
     else System.err.println(
       f"[bench-cold] capture out of band (axes_ok=$axesOk%b, compound " +
-        f"$axesCompound%.3f) — keeping the prior BENCH_COLD_last.json base")
+        f"$axesCompound%.3f, axes_mid_ok=$axesMidOk%b, mid bw base " +
+        f"$midBwBase%.1f min ${if (midBw.nonEmpty) midBw.min else -1.0}%.1f) — " +
+        "keeping the prior BENCH_COLD_last.json base")
     println(json)
     spark.stop()
   }

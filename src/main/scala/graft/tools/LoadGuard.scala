@@ -162,6 +162,55 @@ object LoadGuard {
     case _: OutOfMemoryError => -1.0
   }
 
+  /** Reusable mid-sweep memory-bandwidth sampler (round-17, VERDICT
+    * r16 item 1): the start-of-sweep [[memBwGbps]] snapshot provably
+    * blessed a sweep that degraded MID-flight — SCALE_NOTES records
+    * the host's bandwidth oscillating 13.8–113.9 GB/s in ~5-minute
+    * waves, invisible to any single gate sample. This sampler is
+    * built for repeated in-sweep use: arrays are allocated and
+    * page-touched ONCE (so samples measure DRAM streaming, not
+    * allocation), the resident footprint is small (8 MB/core ≈
+    * 256 MB on this box — [[memBwGbps]]'s 2 GB transient would GC-
+    * thrash an 8 GB bench JVM if re-allocated every few queries), and
+    * each sample streams enough passes to be timing-robust (~40 ms
+    * healthy). The absolute number is NOT calibrated against
+    * [[memBwGbps]]'s — mid-sweep windows compare against a BASELINE
+    * taken with this same sampler right after the start gate passes,
+    * so the comparison is self-calibrating by construction. */
+  final class MemBwSampler {
+    private val n = Runtime.getRuntime.availableProcessors()
+    private val words = 1024 * 1024 // 8 MB of longs per core
+    private val passes = 16
+    private val arrays = Array.fill(n)(Array.tabulate(words)(_.toLong))
+
+    /** One aggregate GB/s reading (all cores, `passes` sequential
+      * streams each). Best-of-2 — mirrors [[memBwGbps]]'s max-of-N:
+      * a sample can only read LOW from interference, never high. */
+    def sample(): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        val threads = (0 until n).map { k =>
+          new Thread(() => {
+            val a = arrays(k)
+            var acc = 0L
+            var p = 0
+            while (p < passes) {
+              var i = 0
+              while (i < words) { acc += a(i); i += 1 }
+              p += 1
+            }
+            if (acc == 42) System.err.println("")
+          })
+        }
+        threads.foreach(_.start())
+        threads.foreach(_.join())
+        val sec = (System.nanoTime() - t0) / 1e9
+        n.toDouble * words * 8 * passes / sec / 1e9
+      }
+      math.max(once(), once())
+    }
+  }
+
   /** Healthy-host all-core CPU reference on this box, measured on the
     * calibration sessions that produced the round-7 artifacts (~95 ms
     * single-thread, all-core ≈ single-thread under perfect scaling).

@@ -9,10 +9,16 @@ import org.apache.spark.sql.functions._
   * index states (dense 3/4 base + appended quarter + one pending
   * tombstone). Both end in the same logical state — the comparison
   * is maintenance wall only; serving equality is Round16OpsSpec's
-  * job. min-of-1 per arm (each arm rebuilds its own fixture, so the
-  * fixture cost is printed separately and excluded).
+  * job.
   *
-  * Run: tools/run.sh graft.tools.MergeBench [sfDir]
+  * Protocol (round-17 ADVICE — the old min-of-1 fixed-order run let
+  * cold-JVM JIT and page-cache effects systematically favor the arm
+  * measured second): one DISCARDED warmup cycle per arm, then
+  * `reps` timed repetitions with the arm order ALTERNATING between
+  * repetitions, min-of-N per arm. Each arm rebuilds its own fixture,
+  * so fixture cost is excluded from the timed window.
+  *
+  * Run: tools/run.sh graft.tools.MergeBench [sfDir] [reps]
   */
 object MergeBench {
   def main(args: Array[String]): Unit = {
@@ -54,22 +60,41 @@ object MergeBench {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
 
-    // arm A: the sequential pair the fused pass replaces
-    val (pa, patha) = fixture("seq")
-    val tSeq = time {
-      LexIndex.compact(spark, pa)
-      LexIndex.reindexImpact(spark, pa)
+    def runSeq(): Double = {
+      val (p, path) = fixture("seq")
+      val t = time {
+        LexIndex.compact(spark, p)
+        LexIndex.reindexImpact(spark, p)
+      }
+      LexIndex.drop(spark, p); deleteDir(path)
+      t
     }
-    LexIndex.drop(spark, pa); deleteDir(patha)
+    def runFused(): Double = {
+      val (p, path) = fixture("fused")
+      val t = time { LexIndex.mergeReindex(spark, p) }
+      LexIndex.drop(spark, p); deleteDir(path)
+      t
+    }
 
-    // arm B: the fused pass
-    val (pb, pathb) = fixture("fused")
-    val tFused = time { LexIndex.mergeReindex(spark, pb) }
-    LexIndex.drop(spark, pb); deleteDir(pathb)
+    val reps = args.lift(1).flatMap(_.toIntOption).getOrElse(3)
+    // discarded warmup cycle per arm: JIT tiers, parquet reader and
+    // page cache warm up on throwaway fixtures, not arm A's timings
+    runSeq(); runFused()
+    val seqTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val fusedTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    (0 until reps).foreach { i =>
+      // alternate arm order so neither arm always pays (or inherits)
+      // whatever state the previous repetition left behind
+      if (i % 2 == 0) { seqTimes += runSeq(); fusedTimes += runFused() }
+      else { fusedTimes += runFused(); seqTimes += runSeq() }
+    }
+    val tSeq = seqTimes.min
+    val tFused = fusedTimes.min
 
     println(f"maintenance wall over $sfDir (identical two-segment+tombstone states):")
-    println(f"  compact + reindexImpact : $tSeq%7.2f s")
-    println(f"  mergeReindex (fused)    : $tFused%7.2f s  (${tSeq / tFused}%.2fx)")
+    println(f"  reps=$reps (alternating order, warmup discarded), min per arm")
+    println(f"  compact + reindexImpact : $tSeq%7.2f s  ${seqTimes.map(t => f"$t%.2f").mkString("[", " ", "]")}")
+    println(f"  mergeReindex (fused)    : $tFused%7.2f s  ${fusedTimes.map(t => f"$t%.2f").mkString("[", " ", "]")} (${tSeq / tFused}%.2fx)")
     spark.stop()
   }
 }

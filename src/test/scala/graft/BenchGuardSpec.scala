@@ -107,4 +107,29 @@ class BenchGuardSpec extends AnyFunSuite {
       "st08" -> Map("maintain0" -> 1.74)))
     assert(Bench.extractPhases("""{"value":1.0}""") == Map.empty)
   }
+
+  test("mid-sweep windows catch the in-flight bandwidth wave a start snapshot blesses") {
+    // the round-16 shape: start gate passed at a healthy baseline,
+    // then the host's band collapsed mid-sweep (SCALE_NOTES records
+    // 13.8–113.9 GB/s waves; the polluted driver sweep landed 1.185
+    // with compound 1.012 at start). Windows at the observed polluted
+    // levels must fail the gate...
+    val base = 113.0
+    assert(!Bench.midWindowsOk(base, 230.0,
+      bws = Seq(110.2, 67.8, 13.8), trivials = Seq(231.0, 240.0, 228.0)),
+      "a 13.8–68 GB/s mid-sweep band must label the sweep degraded")
+    // ...while healthy wobble (observed ≥0.78× of baseline on clean
+    // sessions) passes with margin
+    assert(Bench.midWindowsOk(base, 230.0,
+      bws = Seq(108.0, 91.5, 112.7), trivials = Seq(225.0, 244.0, 251.0)))
+    // a trivial-scan blowup alone is also a degraded window
+    assert(!Bench.midWindowsOk(base, 230.0,
+      bws = Seq(110.0), trivials = Seq(230.0 * 1.7)))
+    // failed probes (-1) and a missing baseline degrade to the start
+    // snapshot instead of blocking the sweep
+    assert(Bench.midWindowsOk(base, 230.0, bws = Seq(-1.0), trivials = Seq(-1.0)))
+    assert(Bench.midWindowsOk(-1.0, -1.0, bws = Seq(13.8), trivials = Seq(999.0)))
+    // and an empty window list (short sweep) passes vacuously
+    assert(Bench.midWindowsOk(base, 230.0, Nil, Nil))
+  }
 }
