@@ -42,7 +42,10 @@ import org.apache.spark.sql.functions.{col, concat_ws}
   */
 object BandIndex {
 
-  val Buckets = 8
+  /** DEFAULT bucket count — a BUILD parameter since round 17
+    * ([[persist]]'s `buckets`); post-build verbs read the table's
+    * actual count from the catalog ([[IndexCore.bucketsOf]]). */
+  val Buckets = IndexCore.DefaultBuckets
 
   def bandsTable(prefix: String): String = s"${prefix}_bands"
   def sigsTable(prefix: String): String = s"${prefix}_sigs"
@@ -109,7 +112,7 @@ object BandIndex {
     * external tables under `path`, registered as
     * `<prefix>_bands` / `<prefix>_sigs`. */
   def persist(spark: SparkSession, dir: String, path: String,
-      prefix: String = "graft_corpus"): Unit = {
+      prefix: String = "graft_corpus", buckets: Int = Buckets): Unit = {
     import org.apache.spark.sql.functions.lit
     val (bands, sigs) = Dedup.corpusIndex(spark, dir)
     bands
@@ -117,14 +120,14 @@ object BandIndex {
         col("corpus_doc"))
       .withColumn("ingest_batch", lit(BaseBatch))
       .write
-      .bucketBy(Buckets, "bkey").sortBy("bkey")
+      .bucketBy(buckets, "bkey").sortBy("bkey")
       .option("path", s"$path/bands")
       .mode(SaveMode.Overwrite)
       .saveAsTable(bandsTable(prefix))
     sigs
       .withColumn("ingest_batch", lit(BaseBatch))
       .write
-      .bucketBy(Buckets, "corpus_doc").sortBy("corpus_doc")
+      .bucketBy(buckets, "corpus_doc").sortBy("corpus_doc")
       .option("path", s"$path/sigs")
       .mode(SaveMode.Overwrite)
       .saveAsTable(sigsTable(prefix))
@@ -331,7 +334,8 @@ object BandIndex {
       .select(concat_ws(":", col("band"), col("key")).as("bkey"), col("corpus_doc"))
       .withColumn("ingest_batch", lit(batchId))
       .write.mode(SaveMode.Append)
-      .bucketBy(Buckets, "bkey").sortBy("bkey")
+      .bucketBy(IndexCore.bucketsOf(sigs.sparkSession, bandsTable(prefix)), "bkey")
+      .sortBy("bkey")
       .saveAsTable(bandsTable(prefix))
   }
 
@@ -344,7 +348,8 @@ object BandIndex {
     sigs.toDF("corpus_doc" +: (0 until Dedup.MinhashK).map(j => s"b_sig_$j"): _*)
       .withColumn("ingest_batch", lit(batchId))
       .write.mode(SaveMode.Append)
-      .bucketBy(Buckets, "corpus_doc").sortBy("corpus_doc")
+      .bucketBy(IndexCore.bucketsOf(sigs.sparkSession, sigsTable(prefix)), "corpus_doc")
+      .sortBy("corpus_doc")
       .saveAsTable(sigsTable(prefix))
   }
 
@@ -512,7 +517,11 @@ object BandIndex {
         case None => spark.table(table)
       }
       source.write
-        .bucketBy(Buckets, key).sortBy(sortSpec.head, sortSpec.tail: _*)
+        // the TABLE's own bucket count (round 17 — bucket count is a
+        // build parameter): a constant here would silently re-bucket
+        // any index built wider than the default
+        .bucketBy(IndexCore.bucketsOf(spark, table), key)
+        .sortBy(sortSpec.head, sortSpec.tail: _*)
         .option("path", newLoc)
         .mode(SaveMode.Overwrite)
         .saveAsTable(tmpTable)
@@ -749,7 +758,8 @@ object BandIndex {
       maxFilesPerBucket: Int = 4): Boolean = {
     append(spark, dir, admitted, prefix, batchId)
     val fired =
-      tableFiles(spark, bandsTable(prefix)).size > maxFilesPerBucket * Buckets
+      tableFiles(spark, bandsTable(prefix)).size >
+        maxFilesPerBucket * IndexCore.bucketsOf(spark, bandsTable(prefix))
     if (fired) compact(spark, prefix)
     fired
   }

@@ -37,8 +37,12 @@ object IndexCore {
   /** Default bucket count for index builds that don't choose one —
     * the historical constant, right for local[32] test scale. At
     * cluster scale pass an explicit count ≈ target write/compact
-    * parallelism (e.g. executors × cores). */
-  val DefaultBuckets = 8
+    * parallelism (e.g. executors × cores). `SPARK_GRAFT_INDEX_BUCKETS`
+    * overrides the default process-wide, which is how the FULL oracle
+    * sweep is re-run at a different width (round-17 evidence: the
+    * whole lexical/vector/band catalog hash-matches DuckDB at 64). */
+  val DefaultBuckets: Int = sys.env.get("SPARK_GRAFT_INDEX_BUCKETS")
+    .flatMap(_.toIntOption).filter(_ > 0).getOrElse(8)
 
   /** The bucket count `table` was BUILT with, from its catalog bucket
     * spec — the one source of truth every post-build verb (append,

@@ -88,7 +88,13 @@ import graft.Tables
   */
 object LexIndex {
 
-  val Buckets = 8
+  /** DEFAULT bucket count — a BUILD parameter since round 17
+    * ([[persist]]'s `buckets`): the fixed 8 capped maintenance
+    * parallelism at 8 tasks regardless of cluster size. Every
+    * post-build verb reads the table's actual count back from the
+    * catalog ([[IndexCore.bucketsOf]]), so appends and rewrites
+    * follow whatever the build chose. */
+  val Buckets = IndexCore.DefaultBuckets
 
   def postingsTable(prefix: String): String = s"${prefix}_postings"
   def docstatsTable(prefix: String): String = s"${prefix}_docstats"
@@ -115,10 +121,11 @@ object LexIndex {
     * writeBatch note), trading one extra build-time tokenize for
     * append-stamp safety. */
   def persist(spark: SparkSession, dir: String, path: String,
-      prefix: String, docs: Option[DataFrame] = None): Unit = {
+      prefix: String, docs: Option[DataFrame] = None,
+      buckets: Int = Buckets): Unit = {
     val base = docs.getOrElse(Tables.documents(spark, dir))
     writeBatch(spark, tokenized(base), path, prefix,
-      BandIndex.BaseBatch, firstWrite = true)
+      BandIndex.BaseBatch, firstWrite = true, buckets)
   }
 
   /** Impact order shared by the build, the rebuild and the oracle:
@@ -210,9 +217,10 @@ object LexIndex {
     * docstats → stats, so the stats row (written last) certifies the
     * whole batch. */
   private def writeBatch(spark: SparkSession, tok: DataFrame, path: String,
-      prefix: String, batch: Long, firstWrite: Boolean): Unit = {
-    writePostings(tok, path, prefix, batch, firstWrite)
-    writeDocstats(tok, path, prefix, batch, firstWrite)
+      prefix: String, batch: Long, firstWrite: Boolean,
+      buckets: Int = Buckets): Unit = {
+    writePostings(tok, path, prefix, batch, firstWrite, buckets)
+    writeDocstats(tok, path, prefix, batch, firstWrite, buckets)
     writeStats(tok, path, prefix, batch, firstWrite)
   }
 
@@ -230,7 +238,8 @@ object LexIndex {
   // only tx20's capped probe reads them, and its catalog entry
   // serves the fresh base build.
   private[ops] def writePostings(tok: DataFrame, path: String,
-      prefix: String, batch: Long, firstWrite: Boolean): Unit = {
+      prefix: String, batch: Long, firstWrite: Boolean,
+      buildBuckets: Int = Buckets): Unit = {
     val postings = withImpactMeta(tok
       .select(col("doc_id"), col("dl"),
         org.apache.spark.sql.functions.explode_outer(col("tokens")).as("term"))
@@ -238,23 +247,28 @@ object LexIndex {
       .groupBy("term", "doc_id", "dl")
       .agg(count(lit(1)).as("tf")))
       .withColumn("ingest_batch", lit(batch))
+    val b = if (firstWrite) buildBuckets
+      else IndexCore.bucketsOf(tok.sparkSession, postingsTable(prefix))
     // sortBy (term, imp_rank): within a bucket each term's postings
     // lie in an impact-ascending run, so at real scale the capped
     // probe's `imp_rank <= C` pushed filter prunes the row groups
     // beyond the cap for high-df terms — bytes ∝ terms × C, not df.
     val pw = postings.write
-      .bucketBy(Buckets, "term").sortBy("term", "imp_rank")
+      .bucketBy(b, "term").sortBy("term", "imp_rank")
       .mode(if (firstWrite) SaveMode.Overwrite else SaveMode.Append)
     (if (firstWrite) pw.option("path", s"$path/postings") else pw)
       .saveAsTable(postingsTable(prefix))
   }
 
   private[ops] def writeDocstats(tok: DataFrame, path: String,
-      prefix: String, batch: Long, firstWrite: Boolean): Unit = {
+      prefix: String, batch: Long, firstWrite: Boolean,
+      buildBuckets: Int = Buckets): Unit = {
     val docstats = tok.select(col("doc_id"), col("dl"))
       .withColumn("ingest_batch", lit(batch))
+    val b = if (firstWrite) buildBuckets
+      else IndexCore.bucketsOf(tok.sparkSession, docstatsTable(prefix))
     val dw = docstats.write
-      .bucketBy(Buckets, "doc_id").sortBy("doc_id")
+      .bucketBy(b, "doc_id").sortBy("doc_id")
       .mode(if (firstWrite) SaveMode.Overwrite else SaveMode.Append)
     (if (firstWrite) dw.option("path", s"$path/docstats") else dw)
       .saveAsTable(docstatsTable(prefix))
@@ -381,12 +395,45 @@ object LexIndex {
     else { spark.catalog.refreshTable(t); Some(spark.table(t)) }
   }
 
+  /** The postings table as EVERY reader and full rewrite must see it:
+    * refreshed (cross-session writers), with the merge log's row
+    * visibility applied ([[IndexCore.visibleUnder]] — folded segments
+    * dead, committed merge outputs live, uncommitted outputs
+    * invisible). One choke point so a fold can never double-serve or
+    * half-serve a segment, and a full rewrite can never resurrect
+    * folded rows. The predicate is literal comparisons on the stamp
+    * column — pushed and footer-pruned like every other fence. */
+  private def residentPostings(spark: SparkSession, prefix: String): DataFrame = {
+    spark.catalog.refreshTable(postingsTable(prefix))
+    val log = IndexCore.readMergeLog(spark, prefix)
+    // the filter applies even with an EMPTY log: a fold that crashed
+    // before its first commit leaves reserved-stamp rows on disk with
+    // no log table at all — they must stay invisible
+    spark.table(postingsTable(prefix)).filter(IndexCore.visibleUnder(log))
+  }
+
   /** Retire documents (right-to-be-forgotten): record (doc_id, dl)
     * tombstones — dl looked up in the norms table (the one read this
     * table exists for), already-retired ids excluded so a double
     * retire can't double-subtract from the stats. Probes mask +
-    * correct immediately; [[compact]] purges physically. */
-  def retire(spark: SparkSession, prefix: String, docIds: DataFrame): Unit = {
+    * correct immediately; [[compact]]/[[mergeReindex]] purge
+    * physically.
+    *
+    * `corpus` (round 17, VERDICT item 3) is the outgoing documents'
+    * text — available at delete time in any real retention feed (the
+    * doc is being removed FROM somewhere). When present, the retired
+    * docs are tokenized ONCE (O(retired·dl), never the corpus) and
+    * their per-term containment lands in `<prefix>_dfcorr`
+    * (retired_id, term — one row per pair, a null-term row for
+    * empty docs so coverage is checkable): the O(retired) side table
+    * that lets the CAPPED lanes keep serving exactly under pending
+    * tombstones (stored df − containment = survivors' df) instead of
+    * failing over to the df-proportional exact probe. Without
+    * `corpus` the tombstone write is unchanged and the capped lanes
+    * fail fast as before — masking candidates is possible from the
+    * tombstone ids alone, but exact df is not. */
+  def retire(spark: SparkSession, prefix: String, docIds: DataFrame,
+      corpus: Option[DataFrame] = None): Unit = {
     val ids = broadcast(docIds
       .select(col(docIds.columns.head).cast("long").as("rid")))
     // cross-session-writer safety (the compactTable lesson): the norms
@@ -399,13 +446,105 @@ object LexIndex {
       expired = expired.join(broadcast(ts.select(col("retired_id").as("already"))),
         col("retired_id") === col("already"), "left_anti")
     }
+    // pin the newly-expired set ONCE: it feeds two table writes, and
+    // the second must not re-derive it after the first mutated state
+    val exp = expired.localCheckpoint()
+    corpus.foreach { docs =>
+      val retiredDocs = docs.join(exp.select(col("retired_id").as("doc_id")), "doc_id")
+      val pairs = tokenized(retiredDocs)
+        .select(col("doc_id").as("retired_id"),
+          org.apache.spark.sql.functions.explode_outer(col("tokens")).as("term"))
+        .distinct()
+      val t = dfcorrTable(prefix)
+      val w = pairs.coalesce(1).write.mode(SaveMode.Append)
+      if (spark.catalog.tableExists(t)) w.saveAsTable(t)
+      else w.option("path",
+        s"${BandIndex.indexRootOf(spark, postingsTable(prefix))}/dfcorr")
+        .saveAsTable(t)
+    }
     val t = BandIndex.tombstonesTable(prefix)
-    val w = expired.coalesce(1).write.mode(SaveMode.Append)
+    val w = exp.coalesce(1).write.mode(SaveMode.Append)
     if (spark.catalog.tableExists(t)) w.saveAsTable(t)
     else w.option("path",
       s"${BandIndex.indexRootOf(spark, postingsTable(prefix))}/tombstones")
       .saveAsTable(t)
   }
+
+  def dfcorrTable(prefix: String): String = s"${prefix}_dfcorr"
+
+  /** Per-term df corrections for the CURRENT tombstones: how many
+    * pending-retired docs contain each term — the broadcast-sized
+    * frame the capped lanes subtract from stored df. Fails loudly
+    * when any pending tombstone has no recorded containment (a
+    * text-less [[retire]]): serving a silently-overcounted df is the
+    * degradation the round-16 fail-fast existed to prevent. */
+  private def dfCorrCounts(spark: SparkSession, prefix: String,
+      tomb: DataFrame): DataFrame = {
+    val t = dfcorrTable(prefix)
+    require(spark.catalog.tableExists(t),
+      s"capped serving under pending tombstones needs the retired docs' " +
+        s"term containment ($t) — retire(spark, prefix, ids, Some(corpus)) " +
+        "records it; a text-less retire demotes serving to the exact probe " +
+        "until compact+reindex (or mergeReindex) runs")
+    spark.catalog.refreshTable(t)
+    val corr = spark.table(t)
+      .join(broadcast(tomb.select("retired_id")), Seq("retired_id"), "left_semi")
+    val uncovered = broadcast(tomb.select("retired_id"))
+      .join(corr.select(col("retired_id").as("cid")).distinct(),
+        col("retired_id") === col("cid"), "left_anti")
+      .limit(1).collect()
+    require(uncovered.isEmpty,
+      s"pending tombstone ${uncovered.headOption.map(_.getLong(0))} has no " +
+        s"recorded term containment in $t — it was retired without text; " +
+        "run compact + reindexImpact (or mergeReindex) before capped serving")
+    broadcast(corr.filter(col("term").isNotNull)
+      .groupBy("term").agg(count(lit(1)).as("corr")))
+  }
+
+  private def clearDfCorr(spark: SparkSession, prefix: String): Unit = {
+    val t = dfcorrTable(prefix)
+    if (spark.catalog.tableExists(t)) {
+      val loc = spark.sessionState.catalog
+        .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(t))
+        .location.toString
+      spark.sql(s"DROP TABLE $t")
+      IndexCore.deleteDir(loc.stripPrefix("file:"))
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Needs-reindex fence (round-17 ADVICE): compact() physically purges
+  // tombstoned postings and clears the tombstone+dfcorr tables, but
+  // does NOT refresh stored imp_rank/df — after that state the capped
+  // lanes have neither valid metadata nor the side tables to correct
+  // it, so they must fail fast until a metadata-refreshing rewrite
+  // (reindexImpact / mergeReindex) runs. The fence is a marker file in
+  // the index root: durable, cross-session, written BEFORE the purge
+  // (a crash between purge and marker would otherwise leave exactly
+  // the silent overcount the fence exists to prevent).
+  // ------------------------------------------------------------------
+
+  private def markerPath(spark: SparkSession, prefix: String): java.nio.file.Path =
+    java.nio.file.Paths.get(
+      BandIndex.indexRootOf(spark, postingsTable(prefix)).stripPrefix("file:"),
+      "_NEEDS_REINDEX")
+
+  private def setNeedsReindex(spark: SparkSession, prefix: String): Unit = {
+    val p = markerPath(spark, prefix)
+    if (!java.nio.file.Files.exists(p)) { java.nio.file.Files.createFile(p); () }
+  }
+
+  private def clearNeedsReindex(spark: SparkSession, prefix: String): Unit = {
+    java.nio.file.Files.deleteIfExists(markerPath(spark, prefix)); ()
+  }
+
+  private def requireCappedServable(spark: SparkSession, prefix: String,
+      caller: String): Unit =
+    require(!java.nio.file.Files.exists(markerPath(spark, prefix)),
+      s"$caller($prefix): a compaction purged tombstoned postings without " +
+        "refreshing imp_rank/df (the _NEEDS_REINDEX fence) — stored ranks " +
+        "have holes and df overcounts; run reindexImpact or mergeReindex, " +
+        "or serve through the exact probe")
 
   /** Compact both bucketed tables (one file per bucket, per-bucket
     * local rewrite — [[BandIndex.compactTable]]'s plan), physically
@@ -416,6 +555,19 @@ object LexIndex {
   def compact(spark: SparkSession, prefix: String): Unit = {
     requireLedgered(spark, prefix, "compact")
     val tomb = tombstones(spark, prefix).map(_.select("retired_id"))
+    val purging = tomb.exists(ts => !ts.isEmpty)
+    // A purge without a metadata refresh leaves stored imp_rank with
+    // holes and df overcounting, with the side tables that could
+    // correct them cleared below — fence the capped lanes FIRST
+    // (round-17 ADVICE: marker before purge, so no crash point leaves
+    // the silent-overcount state), cleared by reindexImpact /
+    // mergeReindex.
+    if (purging) setNeedsReindex(spark, prefix)
+    // physically drop folded segments' dead files before the raw
+    // rewrite below reads the table — compactTable reads every row on
+    // disk, and resurrected fold inputs would double-count
+    IndexCore.gcDeadFiles(spark, postingsTable(prefix),
+      IndexCore.readMergeLog(spark, prefix))
     // sortCols: preserve the (term, imp_rank) layout the capped
     // probe's footer pruning reads — see compactTable's scaladoc
     BandIndex.compactTable(spark, postingsTable(prefix), "term",
@@ -437,54 +589,19 @@ object LexIndex {
       st.write.option("path", newLoc).saveAsTable(tmpT)
     }
     BandIndex.clearTombstones(spark, prefix)
+    clearDfCorr(spark, prefix)
+    // the merge log is KEPT: compactTable preserves row stamps, so
+    // committed merge-output rows (reserved stamps) survive the
+    // rewrite and still need the log to be visible — only the
+    // re-stamping rewrites (reindexImpact / mergeReindex) clear it
   }
 
   /** The EXTERNAL-location rename swap shared by the stats re-base
-    * and [[reindexImpact]]: `write(tmpTable, newLocation)` lays the
-    * replacement down, then the live name swings over with
-    * crash-safe ordering (compactTable's discipline). Failure
-    * handling closes the retry wedge a bare swap leaves: on a failed
-    * promotion the ORIGINAL registration is restored, the temp table
-    * AND its files are removed (so a retry's saveAsTable cannot hit
-    * TableAlreadyExists), and a rollback failure is logged rather
-    * than silently swallowed. */
+    * and [[reindexImpact]] — one copy for all families since round 17
+    * ([[IndexCore.swapTable]]). */
   private def swapTable(spark: SparkSession, table: String, tag: String)(
-      write: (String, String) => Unit): Unit = {
-    val catalog = spark.sessionState.catalog
-    val oldLoc = catalog.getTableMetadata(
-      spark.sessionState.sqlParser.parseTableIdentifier(table))
-      .location.toString
-    val newLoc = oldLoc.stripSuffix("/") + s"_$tag${serial.incrementAndGet()}"
-    val tmpT = s"${table}_$tag"
-    write(tmpT, newLoc)
-    val oldT = s"${table}_old${serial.incrementAndGet()}"
-    // BOTH renames live inside the cleanup scope (round-16 ADVICE):
-    // if the FIRST rename throws, tmpT and its files must still be
-    // removed, or a retry's saveAsTable wedges on TableAlreadyExists.
-    try {
-      spark.sql(s"ALTER TABLE $table RENAME TO $oldT")
-      try spark.sql(s"ALTER TABLE $tmpT RENAME TO $table")
-      catch {
-        case e: Throwable =>
-          try spark.sql(s"ALTER TABLE $oldT RENAME TO $table")
-          catch {
-            case r: Throwable => System.err.println(
-              s"[lexindex] ROLLBACK FAILED for $table (recover manually from " +
-                s"$oldT at $oldLoc): ${r.getMessage}")
-          }
-          throw e
-      }
-    } catch {
-      case e: Throwable =>
-        try {
-          spark.sql(s"DROP TABLE IF EXISTS $tmpT")
-          deleteDir(newLoc.stripPrefix("file:"))
-        } catch { case _: Throwable => () }
-        throw e
-    }
-    spark.sql(s"DROP TABLE $oldT")
-    deleteDir(oldLoc.stripPrefix("file:"))
-  }
+      write: (String, String) => Unit): Unit =
+    IndexCore.swapTable(spark, table, tag)(write)
 
   /** Corpus stats as a 1-row frame (n_docs, sum_dl): the sum of the
     * batch-count-sized stats table, minus the tombstoned docs'
@@ -492,7 +609,13 @@ object LexIndex {
     * nothing here scales with the corpus). */
   private def statsFrame(spark: SparkSession, prefix: String): DataFrame = {
     spark.catalog.refreshTable(statsTable(prefix))
+    // same merge-log visibility as the postings (a fold replaces its
+    // folded batches' stats rows with one summed row under the merge
+    // stamp — counting both sides would double the corpus; an
+    // uncommitted fold's row must stay invisible even with no log)
+    val log = IndexCore.readMergeLog(spark, prefix)
     val base = spark.table(statsTable(prefix))
+      .filter(IndexCore.visibleUnder(log))
       .agg(sum(col("n_docs")).as("nd0"), sum(col("sum_dl")).as("sd0"))
     tombstones(spark, prefix) match {
       case None => base.select(col("nd0").as("n_docs"), col("sd0").as("sum_dl"))
@@ -543,13 +666,12 @@ object LexIndex {
 
   private def probeFrame(spark: SparkSession, qt: DataFrame, prefix: String,
       fixedTerms: Option[Seq[String]]): DataFrame = {
-    spark.catalog.refreshTable(postingsTable(prefix))
     // the impact metadata (imp_rank, stored df) belongs to tx20's
     // capped lane; the EXACT probe recomputes df from the matched
     // postings (correct under appends and tombstones) — drop the
     // stored columns so they can't shadow the live aggregate
     val matchedAll = termPruned(
-      spark.table(postingsTable(prefix)).drop("imp_rank", "df"), qt, fixedTerms)
+      residentPostings(spark, prefix).drop("imp_rank", "df"), qt, fixedTerms)
     val matched = tombstones(spark, prefix).fold(matchedAll)(ts =>
       matchedAll.join(broadcast(ts.select("retired_id")),
         matchedAll("doc_id") === col("retired_id"), "left_anti"))
@@ -608,14 +730,6 @@ object LexIndex {
       .orderBy("query_id", "rk")
   }
 
-  private def deleteDir(path: String): Unit = {
-    def rec(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rec))
-      f.delete(); ()
-    }
-    rec(new java.io.File(path))
-  }
-
   /** Per-term candidate cap for the impact-ordered probe (tx20). */
   val ImpactCap = 64
 
@@ -639,15 +753,20 @@ object LexIndex {
     * Round16OpsSpec measures the post-append STALENESS window the
     * batch-local ranks open before [[reindexImpact]] runs.
     *
-    * PRECONDITION (round-16 ADVICE): the index must carry NO pending
-    * tombstones — the `imp_rank <= C` filter runs at the SCAN, so a
-    * retired doc inside a term's top-C would mask to a hole (the
-    * probe serves < C live candidates) and the stored df would
-    * overcount until a rebuild. Rather than silently serve degraded
-    * results, this probe fails fast; run [[compact]] +
-    * [[reindexImpact]] after [[retire]], which is also what
-    * refreshes the impact order the cap reads. The EXACT [[probe]]
-    * handles tombstones fine (it masks before counting df). */
+    * PENDING TOMBSTONES (round 17, VERDICT item 3) no longer demote
+    * this lane: the scan over-fetches `imp_rank <= C + |tombstones|`
+    * (still a pushed literal — at most |tombstones| fetched rows per
+    * (term, segment) can be masked, so the surviving fetch contains
+    * the true surviving top-C), masks with the broadcast anti-join,
+    * re-caps within (term, segment), and subtracts the retired docs'
+    * per-term containment (recorded at retire time — [[retire]]'s
+    * `corpus` argument) from the stored df. Lucene's live-docs-bitmap
+    * read path, with the df made exact. The remaining fail-fast is
+    * the [[requireCappedServable]] fence: after a [[compact]] purge
+    * the metadata is stale AND the correcting side tables are gone —
+    * run [[reindexImpact]]/[[mergeReindex]]. A text-less [[retire]]
+    * also fails loudly (candidates could be masked but df could not
+    * be corrected). */
   def impactProbe(spark: SparkSession, dir: String, prefix: String): DataFrame =
     impactProbeFrame(spark, fixedQueryFrame(spark), prefix,
       Some(Bm25Queries.flatMap(_._2).distinct))
@@ -696,9 +815,13 @@ object LexIndex {
     * tx20/tx21's ORACLE: hash-matching it proves a stale
     * multi-segment index serves exactly what the rebuilt index
     * would — reindex becomes a layout/throughput optimization, not a
-    * correctness event. Same tombstone precondition as
-    * [[impactProbe]] (capped scans cannot mask holes), plus one of
-    * its own: SEGMENTS MUST CARRY DISTINCT `ingest_batch` STAMPS —
+    * correctness event. Pending tombstones are served through the
+    * same over-fetch + mask + re-cap + df-correction path as
+    * [[impactProbe]] (round 17 — the fetch widens to C + |tombstones|
+    * per segment, the re-cap is the global window this lane already
+    * runs, and the summed segment dfs take the per-term containment
+    * correction), with one precondition of its own: SEGMENTS MUST
+    * CARRY DISTINCT `ingest_batch` STAMPS —
     * the df sum groups by (term, ingest_batch), so two segments
     * sharing a stamp would fold into one group and undercount df.
     * [[maintainBatch]] enforces unique non-negative ids; ad-hoc
@@ -714,23 +837,45 @@ object LexIndex {
 
   private def segmentProbeFrame(spark: SparkSession, qt: DataFrame,
       prefix: String, fixedTerms: Option[Seq[String]]): DataFrame = {
-    requireNoTombstones(spark, prefix, "segmentProbe")
-    spark.catalog.refreshTable(postingsTable(prefix))
-    val capped = termPruned(spark.table(postingsTable(prefix)), qt, fixedTerms)
-      .filter(col("imp_rank") <= ImpactCap)
-    // exact global df from the capped rows alone: each (term, batch)
+    requireCappedServable(spark, prefix, "segmentProbe")
+    // Pending tombstones no longer demote this lane (round 17, VERDICT
+    // item 3 — the Lucene live-docs read path): OVER-FETCH each
+    // segment's cap by |tombstones| (at most nT fetched rows per term
+    // can be masked, so the surviving fetch still contains every
+    // global-surviving top-C posting), MASK with the broadcast
+    // anti-join, and let the existing re-cap window restore the exact
+    // surviving top-C. The scan keeps a pushed literal
+    // `imp_rank <= C + nT` — same footer pruning, slightly wider.
+    val tomb = tombstones(spark, prefix)
+    val nT = tomb.map(_.count()).getOrElse(0L)
+    val capped0 = termPruned(residentPostings(spark, prefix), qt, fixedTerms)
+      .filter(col("imp_rank") <= lit(ImpactCap + nT))
+    // exact global df from the PRE-MASK fetch: each (term, batch)
     // contributes its stored df once (constant within the pair; its
-    // rank-1 row is always inside the cap), summed across segments
-    val dfc = capped.groupBy("term", "ingest_batch")
+    // rank-1 row is always fetched, masked or not), summed across
+    // segments — then the retired docs' per-term containment
+    // (recorded at retire time, O(retired)) is subtracted, so df is
+    // the SURVIVORS' df exactly.
+    val dfc0 = capped0.groupBy("term", "ingest_batch")
       .agg(org.apache.spark.sql.functions.max(col("df")).as("bdf"))
-      .groupBy("term").agg(sum(col("bdf")).as("df"))
+      .groupBy("term").agg(sum(col("bdf")).as("df0"))
+    val dfc = tomb match {
+      case None => dfc0.select(col("term"), col("df0").as("df"))
+      case Some(ts) =>
+        dfc0.join(dfCorrCounts(spark, prefix, ts), Seq("term"), "left")
+          .select(col("term"),
+            (col("df0") - coalesce(col("corr"), lit(0L))).as("df"))
+    }
+    val capped = tomb.fold(capped0)(ts =>
+      capped0.join(broadcast(ts.select("retired_id")),
+        capped0("doc_id") === col("retired_id"), "left_anti"))
     // stamp-collision guard (round-16 review): two segments sharing an
     // ingest_batch stamp fold into one df group and undercount df
     // silently — the state a DEFAULT-stamp ad-hoc append on top of a
-    // base build produces. Detectable from the capped frame alone
+    // base build produces. Detectable from the PRE-MASK fetch alone
     // (workload-sized): a (term, stamp) pair with two rank-1 rows IS
     // a collision.
-    val collided = capped.filter(col("imp_rank") === 1)
+    val collided = capped0.filter(col("imp_rank") === 1)
       .groupBy("term", "ingest_batch").agg(count(lit(1)).as("n"))
       .filter(col("n") > 1).limit(1).collect()
     require(collided.isEmpty,
@@ -757,24 +902,49 @@ object LexIndex {
       .crossJoin(broadcast(statsFrame(spark, prefix))))
   }
 
-  private def requireNoTombstones(spark: SparkSession, prefix: String,
-      caller: String): Unit =
-    tombstones(spark, prefix).foreach { ts =>
-      require(ts.isEmpty,
-        s"$caller($prefix): pending tombstones would punch holes in " +
-          "each term's capped top-C and leave df overcounted — run " +
-          "compact + reindexImpact after retire, then probe")
-    }
-
   private def impactProbeFrame(spark: SparkSession, qt: DataFrame,
       prefix: String, fixedTerms: Option[Seq[String]]): DataFrame = {
-    requireNoTombstones(spark, prefix, "impactProbe")
-    spark.catalog.refreshTable(postingsTable(prefix))
-    val capped = termPruned(spark.table(postingsTable(prefix)), qt, fixedTerms)
-      .filter(col("imp_rank") <= ImpactCap)
-    scoreRankTopK(capped
-      .join(broadcast(qt), Seq("term"))
-      .crossJoin(broadcast(statsFrame(spark, prefix))))
+    requireCappedServable(spark, prefix, "impactProbe")
+    tombstones(spark, prefix) match {
+      case None =>
+        // tombstone-free fast path: the stored rank IS the cap, no
+        // extra window on the serving plan
+        val capped = termPruned(residentPostings(spark, prefix), qt, fixedTerms)
+          .filter(col("imp_rank") <= ImpactCap)
+        scoreRankTopK(capped
+          .join(broadcast(qt), Seq("term"))
+          .crossJoin(broadcast(statsFrame(spark, prefix))))
+      case Some(ts) =>
+        // Pending tombstones (round 17, VERDICT item 3): over-fetch
+        // the stored cap by |tombstones| (at most nT fetched rows per
+        // (term, segment) can be masked, so the surviving fetch still
+        // contains that segment's true top-C survivors), mask, re-cap
+        // WITHIN each (term, segment) — this lane's contract is the
+        // stored (per-segment) impact order, so the re-cap restores
+        // exactly the top-C the stored ranks would carry had the
+        // retirees never been indexed. Stored df (batch-local) gets
+        // the same per-term containment correction the segment lane
+        // uses; on the single-segment index the catalog entry serves,
+        // stored df is global, so the corrected df is the survivors'.
+        val nT = ts.count()
+        val capped0 = termPruned(residentPostings(spark, prefix), qt, fixedTerms)
+          .filter(col("imp_rank") <= lit(ImpactCap + nT))
+        val masked = capped0.join(broadcast(ts.select("retired_id")),
+          capped0("doc_id") === col("retired_id"), "left_anti")
+        val wB = Window.partitionBy("term", "ingest_batch")
+          .orderBy(impactOrder.drop(1): _*)
+        val recapped = masked
+          .withColumn("brk", row_number().over(wB))
+          .filter(col("brk") <= ImpactCap)
+          .drop("brk")
+        val corrected = recapped
+          .join(dfCorrCounts(spark, prefix, ts), Seq("term"), "left")
+          .withColumn("df", col("df") - coalesce(col("corr"), lit(0L)))
+          .drop("corr")
+        scoreRankTopK(corrected
+          .join(broadcast(qt), Seq("term"))
+          .crossJoin(broadcast(statsFrame(spark, prefix))))
+    }
   }
 
   /** REBUILD the impact metadata globally (tx21) — the maintenance
@@ -795,9 +965,9 @@ object LexIndex {
   def reindexImpact(spark: SparkSession, prefix: String): Unit = {
     requireLedgered(spark, prefix, "reindexImpact")
     val t = postingsTable(prefix)
-    spark.catalog.refreshTable(t)
+    val b = IndexCore.bucketsOf(spark, t)
     val fresh = withImpactMeta(
-      spark.table(t).select("term", "doc_id", "tf", "dl"))
+      residentPostings(spark, prefix).select("term", "doc_id", "tf", "dl"))
       .withColumn("ingest_batch", lit(BandIndex.BaseBatch))
     swapTable(spark, t, "reindex") { (tmpT, newLoc) =>
       // repartition 1:1 with the bucket function (HashPartitioning on
@@ -807,11 +977,16 @@ object LexIndex {
       // review; the sf0.001 spec only passed via AQE's single-task
       // coalesce). Bucket-grain write parallelism is this layout's
       // unit, same as compactTable's aligned scan.
-      fresh.repartition(Buckets, col("term")).write
-        .bucketBy(Buckets, "term").sortBy("term", "imp_rank")
+      fresh.repartition(b, col("term")).write
+        .bucketBy(b, "term").sortBy("term", "imp_rank")
         .option("path", newLoc)
         .saveAsTable(tmpT)
     }
+    // every surviving row is re-stamped BaseBatch: the stamps the
+    // merge log names no longer exist, and the metadata the
+    // needs-reindex fence guarded is fresh again
+    IndexCore.clearMergeLog(spark, prefix)
+    clearNeedsReindex(spark, prefix)
   }
 
   /** tx21: the dq08→reindex maintenance cycle made observable —
@@ -864,7 +1039,12 @@ object LexIndex {
       if (maintainBatch(spark, dir, prefix, docs.filter(isNewDoc), 0L))
         sys.error("st20: replayed batch 0 was not stamp-skipped")
     }
-    Phases.time(tag, "compact") { compact(spark, prefix) }
+    // round 17 (VERDICT item 4): the periodic fold a maintenance sink
+    // schedules is the FUSED pass — it absorbs the appended files AND
+    // refreshes impact metadata in the one rewrite compact paid for
+    // file-folding alone, leaving every serving lane (not just the
+    // exact probe) fresh after the cycle
+    Phases.time(tag, "compact") { mergeReindex(spark, prefix) }
     val dec = Phases.time(tag, "probe") {
       probe(spark, dir, prefix).localCheckpoint()
     }
@@ -905,7 +1085,12 @@ object LexIndex {
     val fire = Phases.time(tag, "drift") {
       TextAnalysis.vocabDriftReindex(docs, isNewDense)
     }
-    if (fire) Phases.time(tag, "reindex") { reindexImpact(spark, prefix) }
+    // round 17 (VERDICT item 4): the loop's rebuild verb is the FUSED
+    // pass — one corpus write instead of compact-then-reindex's two,
+    // measured 1.17×@sf0.1 / 1.62×@100× cheaper, same logical result
+    // (no pending tombstones here, so mergeReindex ≡ reindexImpact +
+    // file fold)
+    if (fire) Phases.time(tag, "reindex") { mergeReindex(spark, prefix) }
     val dec = Phases.time(tag, "probe") {
       impactProbe(spark, dir, prefix).localCheckpoint()
     }
@@ -930,9 +1115,10 @@ object LexIndex {
   def mergeReindex(spark: SparkSession, prefix: String): Unit = {
     requireLedgered(spark, prefix, "mergeReindex")
     val t = postingsTable(prefix)
-    spark.catalog.refreshTable(t)
+    val b = IndexCore.bucketsOf(spark, t)
     val tomb = tombstones(spark, prefix).map(_.select("retired_id"))
-    val residentAll = spark.table(t).select("term", "doc_id", "tf", "dl")
+    val residentAll = residentPostings(spark, prefix)
+      .select("term", "doc_id", "tf", "dl")
     val resident = tomb.fold(residentAll)(ts =>
       residentAll.join(broadcast(ts),
         residentAll("doc_id") === col("retired_id"), "left_anti"))
@@ -941,8 +1127,8 @@ object LexIndex {
     swapTable(spark, t, "merge") { (tmpT, newLoc) =>
       // bucket-aligned repartition: one task per bucket, one file per
       // bucket — see reindexImpact's note
-      fresh.repartition(Buckets, col("term")).write
-        .bucketBy(Buckets, "term").sortBy("term", "imp_rank")
+      fresh.repartition(b, col("term")).write
+        .bucketBy(b, "term").sortBy("term", "imp_rank")
         .option("path", newLoc)
         .saveAsTable(tmpT)
     }
@@ -957,6 +1143,116 @@ object LexIndex {
       st.write.option("path", newLoc).saveAsTable(tmpT)
     }
     BandIndex.clearTombstones(spark, prefix)
+    clearDfCorr(spark, prefix)
+    IndexCore.clearMergeLog(spark, prefix)
+    clearNeedsReindex(spark, prefix)
+  }
+
+  /** SIZE-TIERED segment merge (round 17, VERDICT item 2) — the
+    * bounded-work maintenance verb between "do nothing" and the
+    * corpus-sized [[mergeReindex]]: fold ONLY the segments below the
+    * tier threshold into one merged segment, leaving the big tier's
+    * files untouched on disk. Lucene's size-tiered merge policy over
+    * the batch-stamped segments appends already write:
+    *
+    *   - the TIER PICK reads parquet FOOTERS only
+    *     ([[IndexCore.segmentSizes]]) — per-segment row counts from
+    *     file metadata, no data I/O;
+    *   - the FOLD reads exactly the sub-tier segments' rows (a pushed
+    *     `ingest_batch IN (S)` literal — every append file holds one
+    *     stamp, so the scan footer-prunes to S's files: bytes read
+    *     are bounded by |S| × tier, never the corpus), recomputes the
+    *     merged segment's impact metadata ([[withImpactMeta]] — the
+    *     merged segment is ONE proper segment with its own local
+    *     ranks and df), and appends it under a reserved stamp;
+    *   - the COMMIT is one atomic merge-log append
+    *     ([[IndexCore.commitFold]]): before it, the output rows are
+    *     invisible by construction (reserved stamp not in the log)
+    *     and the inputs still serve; after it, the inputs are dead
+    *     and the output serves. Every crash point therefore leaves
+    *     the index serving exactly its pre-fold or post-fold content,
+    *     never a mix;
+    *   - dead files (folded inputs, orphaned outputs of crashed
+    *     attempts) are physically deleted AFTER the commit — pure GC,
+    *     the rows were already invisible.
+    *
+    * Serving goes through [[segmentProbe]] (which round 16 proved
+    * serves bit-for-bit what a rebuild would, from any segment set),
+    * so this verb never changes an answer — Round17OpsSpec pins that
+    * the big tier's files are byte-identical across a fold, the
+    * crash-window invariants, and the probe-fan-in bound the policy
+    * exists to enforce. At 100 TB this is the difference between
+    * maintenance I/O ∝ arrivals and maintenance I/O ∝ corpus.
+    *
+    * Returns true when a fold ran (≥ 2 sub-tier segments existed). */
+  def tieredMerge(spark: SparkSession, prefix: String,
+      maxTierRows: Long = Long.MaxValue): Boolean = {
+    requireLedgered(spark, prefix, "tieredMerge")
+    val t = postingsTable(prefix)
+    spark.catalog.refreshTable(t)
+    val log = IndexCore.readMergeLog(spark, prefix)
+    // GC any prior fold's leftovers FIRST: a crashed attempt's orphan
+    // files must go before a stamp could be reused, and folded files
+    // this cleans keep the footer pass below honest
+    IndexCore.gcDeadFiles(spark, t, log)
+    val sizes = IndexCore.segmentSizes(spark, t, log)
+    val fold = sizes.collect {
+      case (stamp, (rows, _))
+        if stamp != BandIndex.BaseBatch && rows <= maxTierRows => stamp
+    }.toSeq.sorted
+    if (fold.size < 2) false
+    else {
+      // the output stamp must be fresh against BOTH the log's outputs
+      // and any stamp physically present (a crashed attempt's rows
+      // were GC'd above, but belt-and-braces against partial GC)
+      val usedMin = (IndexCore.fileSegments(spark, t).map(_._2) ++
+        log.outputs ++ Seq(IndexCore.MergeStampCeil + 1)).min
+      val out = math.min(log.nextStamp, usedMin - 1)
+      val b = IndexCore.bucketsOf(spark, t)
+      val merged = withImpactMeta(
+        spark.table(t).filter(col("ingest_batch").isin(fold: _*))
+          .select("term", "doc_id", "tf", "dl"))
+        .withColumn("ingest_batch", lit(out))
+      // bucket-aligned append: one task per bucket, one file for the
+      // merged segment per bucket (see reindexImpact's note)
+      merged.repartition(b, col("term")).write.mode(SaveMode.Append)
+        .bucketBy(b, "term").sortBy("term", "imp_rank")
+        .saveAsTable(t)
+      // the merged segment's stats row replaces its inputs' rows (the
+      // same visibility rule hides the folded ones after commit)
+      val st = spark.table(statsTable(prefix))
+        .filter(col("ingest_batch").isin(fold: _*))
+        .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+        .select(lit(out).as("ingest_batch"), col("n_docs"), col("sum_dl"))
+        .coalesce(1)
+      st.write.mode(SaveMode.Append).saveAsTable(statsTable(prefix))
+      IndexCore.commitFold(spark, prefix, t, fold, out)
+      IndexCore.gcDeadFiles(spark, t, IndexCore.readMergeLog(spark, prefix))
+      true
+    }
+  }
+
+  /** [[maintainBatch]] with the AUTO-MAINTENANCE policy inline
+    * (round 17, VERDICT item 8 — dd20's file-count policy, lexical
+    * form): after a live append, if the visible segment count exceeds
+    * `maxSegments`, fold the sub-tier segments ([[tieredMerge]]) so
+    * the probes' merge fan-in stays a CONSTANT regardless of append
+    * history. The policy fires the BOUNDED verb, not a corpus rewrite
+    * — at 100 TB an inline policy that scheduled mergeReindex would
+    * couple ingest latency to corpus size. Returns (appended,
+    * policyFired). */
+  def maintainBatchAuto(spark: SparkSession, dir: String, prefix: String,
+      newDocs: DataFrame, batchId: Long,
+      maxSegments: Int = 4): (Boolean, Boolean) = {
+    val appended = maintainBatch(spark, dir, prefix, newDocs, batchId)
+    val fired = appended && {
+      val t = postingsTable(prefix)
+      spark.catalog.refreshTable(t)
+      val log = IndexCore.readMergeLog(spark, prefix)
+      IndexCore.segmentSizes(spark, t, log).size > maxSegments &&
+        tieredMerge(spark, prefix)
+    }
+    (appended, fired)
   }
 
   /** tx24: the fused pass made observable — two stale segments plus
@@ -1022,6 +1318,119 @@ object LexIndex {
     dec
   }
 
+  /** tx25 (round 17, VERDICT item 3): capped serving under PENDING
+    * tombstones — [[mergeCycle]]'s exact fixture (two stale segments
+    * plus one pending retire, the state that used to fail fast) served
+    * WITHOUT any rewrite: the over-fetch + broadcast-mask + re-cap
+    * path must answer exactly what the fused rewrite would serve, so
+    * the entry SHARES tx24's oracle — hash-matching proves a deletion
+    * storm no longer demotes the cheap lane. The retire carries the
+    * outgoing docs' text, which is what records the df corrections
+    * the masked lane subtracts. */
+  def maskedRetireCycle(spark: SparkSession, dir: String, tag: String): DataFrame = {
+    import graft.tools.Phases
+    val key = (spark, dir, tag)
+    val docs = Tables.documents(spark, dir)
+    val isNewDense = pmod(col("doc_id"), lit(4)) === lit(0)
+    val (prefix, path) = Phases.time(tag, "persist") {
+      freshIndex(spark, dir, tag, Some(docs.filter(!isNewDense)))
+    }
+    Phases.time(tag, "append") {
+      append(spark, dir, docs.filter(isNewDense), prefix, batch = 1L)
+    }
+    Phases.time(tag, "retire") {
+      val victim = segmentProbe(spark, dir, prefix)
+        .filter(col("query_id") === 0 && col("rk") === 1)
+        .select("doc_id")
+      retire(spark, prefix, victim, Some(docs))
+    }
+    val dec = Phases.time(tag, "probe") {
+      segmentProbe(spark, dir, prefix).localCheckpoint()
+    }
+    persistLock.synchronized { lastCycle(key) = (prefix, path) }
+    dec
+  }
+
+  /** tx26 (round 17, VERDICT item 2): the size-tiered merge made
+    * observable — base build plus three small appends (the file/
+    * segment-growth regime), ONE [[tieredMerge]] that folds exactly
+    * the three sub-tier segments while the base tier's files stay
+    * byte-untouched (Round17OpsSpec pins that), then the segment
+    * probe. The final answer must equal the global cap over the full
+    * corpus (the fold is a layout event, not a semantic one), so the
+    * entry shares tx20's oracle. */
+  def tieredCycle(spark: SparkSession, dir: String, tag: String): DataFrame = {
+    import graft.tools.Phases
+    val key = (spark, dir, tag)
+    val docs = Tables.documents(spark, dir)
+    val isNewDense = pmod(col("doc_id"), lit(4)) === lit(0)
+    val (prefix, path) = Phases.time(tag, "persist") {
+      freshIndex(spark, dir, tag, Some(docs.filter(!isNewDense)))
+    }
+    Phases.time(tag, "append") {
+      // pmod(id,12) ∈ {0,4,8} partitions the dense quarter into 3
+      // slices, each under its own stamp — three sub-tier segments
+      Seq(0, 4, 8).foreach { r =>
+        append(spark, dir, docs.filter(pmod(col("doc_id"), lit(12)) === lit(r)),
+          prefix, batch = r.toLong)
+      }
+    }
+    Phases.time(tag, "merge") {
+      if (!tieredMerge(spark, prefix))
+        sys.error("tx26: three sub-tier segments present but no fold ran")
+      val segs = IndexCore.segmentSizes(spark, postingsTable(prefix),
+        IndexCore.readMergeLog(spark, prefix))
+      if (segs.size != 2)
+        sys.error(s"tx26: expected base + merged segment, got ${segs.keySet}")
+    }
+    val dec = Phases.time(tag, "probe") {
+      segmentProbe(spark, dir, prefix).localCheckpoint()
+    }
+    persistLock.synchronized { lastCycle(key) = (prefix, path) }
+    dec
+  }
+
+  /** tx27 (round 17, VERDICT item 8): the lexical AUTO-MAINTENANCE
+    * policy — dd20's in-cycle automation for this family. Three
+    * micro-batches land through [[maintainBatchAuto]] with a low
+    * segment bound so the policy fires MID-history (asserted, along
+    * with the fan-in bound it exists to enforce — the second fold
+    * also exercises the CASCADE: a previous fold's output folds
+    * again). Serving is the segment probe; the final content is the
+    * full corpus under the global cap, so the entry shares tx20's
+    * oracle. */
+  def autoMaintainCycle(spark: SparkSession, dir: String, tag: String): DataFrame = {
+    import graft.tools.Phases
+    val key = (spark, dir, tag)
+    val docs = Tables.documents(spark, dir)
+    val (prefix, path) = Phases.time(tag, "persist") {
+      freshIndex(spark, dir, tag,
+        Some(docs.filter(pmod(col("doc_id"), lit(4)) =!= lit(0))))
+    }
+    Phases.time(tag, "append") {
+      var fires = 0
+      val bound = 2 // base + one merged/fresh segment
+      Seq(0, 4, 8).foreach { r =>
+        val (appended, fired) = maintainBatchAuto(spark, dir, prefix,
+          docs.filter(pmod(col("doc_id"), lit(12)) === lit(r)),
+          batchId = r.toLong, maxSegments = bound)
+        if (!appended) sys.error(s"tx27: fresh batch $r claims already maintained")
+        if (fired) fires += 1
+        val segs = IndexCore.segmentSizes(spark, postingsTable(prefix),
+          IndexCore.readMergeLog(spark, prefix)).size
+        if (segs > bound + 1)
+          sys.error(s"tx27: policy failed to bound segments: $segs > ${bound + 1}")
+      }
+      if (fires == 0)
+        sys.error("tx27: fixture too small — the auto-maintenance policy never fired")
+    }
+    val dec = Phases.time(tag, "probe") {
+      segmentProbe(spark, dir, prefix).localCheckpoint()
+    }
+    persistLock.synchronized { lastCycle(key) = (prefix, path) }
+    dec
+  }
+
   /** Drop the registered tables (files are external; the temp-dir
     * lifecycle owns them). */
   def drop(spark: SparkSession, prefix: String): Unit = {
@@ -1030,6 +1439,8 @@ object LexIndex {
     spark.sql(s"DROP TABLE IF EXISTS ${statsTable(prefix)}")
     spark.sql(s"DROP TABLE IF EXISTS ${BandIndex.tombstonesTable(prefix)}")
     spark.sql(s"DROP TABLE IF EXISTS ${BandIndex.ledgerTable(prefix)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${dfcorrTable(prefix)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${IndexCore.mergeLogTable(prefix)}")
   }
 
   // Idempotent persist registry — same shape and rationale as
@@ -1183,7 +1594,10 @@ object LexIndex {
     "tx21_bm25_reindex" -> ((s, d) => reindexCycle(s, d, "tx21")),
     "tx22_bm25_maintain_loop" -> ((s, d) => driftGatedCycle(s, d, "tx22")),
     "tx23_bm25_segment_probe" -> ((s, d) => segmentCycle(s, d, "tx23")),
-    "tx24_bm25_merge_reindex" -> ((s, d) => mergeCycle(s, d, "tx24"))
+    "tx24_bm25_merge_reindex" -> ((s, d) => mergeCycle(s, d, "tx24")),
+    "tx25_bm25_masked_probe" -> ((s, d) => maskedRetireCycle(s, d, "tx25")),
+    "tx26_bm25_tiered_merge" -> ((s, d) => tieredCycle(s, d, "tx26")),
+    "tx27_bm25_auto_maintain" -> ((s, d) => autoMaintainCycle(s, d, "tx27"))
   )
 
   /** The tx15 BM25 body over a `tok(doc_id, tokens)` CTE already in
@@ -1478,7 +1892,17 @@ object LexIndex {
       // same oracle — a divergence means the merge failed to restore
       // the global candidate set or exact df.
       "tx23_bm25_segment_probe" -> impactSql,
-      "tx24_bm25_merge_reindex" -> mergeSql
+      "tx24_bm25_merge_reindex" -> mergeSql,
+      // tx25 = tx24's surviving-corpus answer served from the UNMERGED
+      // two-segment index under the pending tombstone (over-fetch +
+      // mask + re-cap + df correction): same oracle — a divergence
+      // means the masked lane drifted from what the rewrite serves.
+      "tx25_bm25_masked_probe" -> mergeSql,
+      // tx26/tx27 = tx20's global-cap semantics recovered at read time
+      // from a tiered-merged segment set (the fold is a layout event):
+      // same oracle as tx20/tx21/tx23.
+      "tx26_bm25_tiered_merge" -> impactSql,
+      "tx27_bm25_auto_maintain" -> impactSql
     )
   }
 }

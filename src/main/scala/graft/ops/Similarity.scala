@@ -475,7 +475,8 @@ object Similarity {
       .orderBy(col("bm25").desc, col("doc_id").asc)
     perDoc.withColumn("ra", row_number().over(w))
       .filter(col("ra") <= k)
-      .select(col("query_id"), col("doc_id").as("item_id"), col("ra"))
+      .select(col("query_id"), col("doc_id").as("item_id"), col("ra"),
+        col("bm25"))
   }
 
   /** Blended ground truth for the hybrid instrument: per (query doc,
@@ -551,6 +552,55 @@ object Similarity {
           .stripMargin))
     val w = Window.partitionBy("query_id")
       .orderBy(col("rrf").desc, col("item_id").asc)
+    fused.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("query_id", "item_id")
+  }
+
+  /** SCORE-NORMALIZED CombSUM fusion (round 17, VERDICT r16 item 7 —
+    * the third graded fusion alternative): instead of RRF's
+    * rank-reciprocal blend, normalize each lane's raw score PER QUERY
+    * (z-score or min-max over that query's laneK candidates) and sum.
+    * The hypothesis it tests: this corpus punishes RRF's missing-lane
+    * zero (two pinned negatives — OPQ, lane depth), and a
+    * score-calibrated blend where a missing lane contributes a
+    * NEUTRAL value (z-score 0 = "average candidate") might recover
+    * what rank fusion loses. Graded by tools/HybridProbe at power
+    * against the same blended ground truth; promote-or-pin decided by
+    * the measurement, not assumed. `norm` ∈ {"z", "minmax"}. */
+  private[graft] def hybridFusedScored(s: SparkSession, d: String,
+      nQ: Long, k: Int, laneK: Int, norm: String): DataFrame = {
+    def normalized(df: DataFrame, scoreCol: String, out: String): DataFrame =
+      norm match {
+        case "z" =>
+          val st = df.groupBy("query_id").agg(
+            avg(col(scoreCol)).as("mu"), stddev_samp(col(scoreCol)).as("sd"))
+          df.join(broadcast(st), Seq("query_id"))
+            .withColumn(out, when(col("sd") > 0,
+              (col(scoreCol) - col("mu")) / col("sd")).otherwise(lit(0.0)))
+            .drop("mu", "sd")
+        case "minmax" =>
+          val st = df.groupBy("query_id").agg(
+            min(col(scoreCol)).as("mn"), max(col(scoreCol)).as("mx"))
+          df.join(broadcast(st), Seq("query_id"))
+            .withColumn(out, when(col("mx") > col("mn"),
+              (col(scoreCol) - col("mn")) / (col("mx") - col("mn")))
+              .otherwise(lit(0.0)))
+            .drop("mn", "mx")
+        case other => sys.error(s"unknown normalization: $other")
+      }
+    val a = normalized(bm25MoreLikeThis(s, d, nQ, laneK), "bm25", "na")
+      .select("query_id", "item_id", "na")
+    val b = normalized(
+      ivfAnn(s, d, nQ, laneK)
+        .select(col("query_id"), col("neighbor_id").as("item_id"), col("cosine")),
+      "cosine", "nb")
+      .select("query_id", "item_id", "nb")
+    val fused = a.join(b, Seq("query_id", "item_id"), "full_outer")
+      .withColumn("comb",
+        coalesce(col("na"), lit(0.0)) + coalesce(col("nb"), lit(0.0)))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("comb").desc, col("item_id").asc)
     fused.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select("query_id", "item_id")

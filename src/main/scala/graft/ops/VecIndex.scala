@@ -61,7 +61,10 @@ import graft.functions.VectorExprs
   */
 object VecIndex {
 
-  val Buckets = 8
+  /** DEFAULT bucket count — a BUILD parameter since round 17
+    * ([[persist]]'s `buckets`); post-build verbs read the table's
+    * actual count from the catalog ([[IndexCore.bucketsOf]]). */
+  val Buckets = IndexCore.DefaultBuckets
 
   def cellsTable(prefix: String): String = s"${prefix}_cells"
   // pre-round-11 companion ledger (superseded by the in-row batch
@@ -97,7 +100,8 @@ object VecIndex {
     * `emb` restricts the indexed corpus (the lifecycle cycles build
     * from a slice and grow to the full corpus via [[append]]). */
   def persist(spark: SparkSession, dir: String, path: String,
-      prefix: String, emb: Option[DataFrame] = None): Unit = {
+      prefix: String, emb: Option[DataFrame] = None,
+      buckets: Int = Buckets): Unit = {
     import org.apache.spark.sql.functions.lit
     VectorExprs.register(spark)
     val e = emb.getOrElse(
@@ -105,7 +109,7 @@ object VecIndex {
     assignCells(spark, dir, e)
       .withColumn("ingest_batch", lit(BandIndex.BaseBatch))
       .write
-      .bucketBy(Buckets, "cluster").sortBy("cluster")
+      .bucketBy(buckets, "cluster").sortBy("cluster")
       .option("path", s"$path/cells")
       .mode(SaveMode.Overwrite)
       .saveAsTable(cellsTable(prefix))
@@ -128,11 +132,30 @@ object VecIndex {
       base.join(ts, base("vec_id") === ts("retired_id"), "left_anti"))
   }
 
-  def probe(spark: SparkSession, dir: String, prefix: String): DataFrame = {
-    VectorExprs.register(spark)
-    val queries = Tables.embeddings(spark, dir)
+  /** The fixed catalog workload as a (vec_id, embedding[, label])
+    * frame — the catalog instance of the query-frame serving APIs
+    * (round 17, VERDICT r16 item 6: a serving tier takes its workload
+    * as DATA, not as a compile-time constant; LexIndex.probe got its
+    * frame overload in round 16, these are the vector lanes').
+    * The `vec_id <` bound stays pushed to the parquet scan. */
+  private def fixedQueries(spark: SparkSession, dir: String,
+      withLabel: Boolean = false): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
       .filter(col("vec_id") < Similarity.KnnQueries)
-      .select("vec_id", "embedding")
+    if (withLabel) base.select("vec_id", "embedding", "label")
+    else base.select("vec_id", "embedding")
+  }
+
+  def probe(spark: SparkSession, dir: String, prefix: String): DataFrame =
+    probe(spark, dir, prefix, fixedQueries(spark, dir))
+
+  /** [[probe]] over a (vec_id, embedding) query FRAME — any bounded
+    * serving batch; the probe-cell selection and candidate join keep
+    * the broadcast-query / corpus-never-moves plan (VecIndexSpec
+    * asserts it on the frame arity too). */
+  def probe(spark: SparkSession, dir: String, prefix: String,
+      queries: DataFrame): DataFrame = {
+    VectorExprs.register(spark)
     val probes = queries.crossJoin(broadcast(centroids(spark, dir)))
       .withColumn("cos_c", expr("cosine_sim(embedding, ce)"))
       .withColumn("crn", row_number().over(
@@ -180,13 +203,15 @@ object VecIndex {
     * Post-filter IVF can under-fill k for rare labels (the probed
     * cells may hold < k matching vectors) — inherent to the
     * composition and mirrored exactly by the oracle. */
-  def filteredProbe(spark: SparkSession, dir: String, prefix: String): DataFrame = {
+  def filteredProbe(spark: SparkSession, dir: String, prefix: String): DataFrame =
+    filteredProbe(spark, dir, prefix, fixedQueries(spark, dir, withLabel = true))
+
+  /** [[filteredProbe]] over a (vec_id, embedding, label) query FRAME. */
+  def filteredProbe(spark: SparkSession, dir: String, prefix: String,
+      queries: DataFrame): DataFrame = {
     VectorExprs.register(spark)
     val labels = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label").as("nlabel"))
-    val queries = Tables.embeddings(spark, dir)
-      .filter(col("vec_id") < Similarity.KnnQueries)
-      .select("vec_id", "embedding", "label")
     val probes = queries.crossJoin(broadcast(centroids(spark, dir)))
       .withColumn("cos_c", expr("cosine_sim(embedding, ce)"))
       .withColumn("crn", row_number().over(
@@ -225,7 +250,7 @@ object VecIndex {
     * specialized layout of the same assignment, the classic
     * covering-index storage/write tradeoff made explicit. */
   def persistCovering(spark: SparkSession, dir: String, path: String,
-      prefix: String): Unit = {
+      prefix: String, buckets: Int = Buckets): Unit = {
     import org.apache.spark.sql.functions.lit
     VectorExprs.register(spark)
     val e = Tables.embeddings(spark, dir).select("vec_id", "label", "embedding")
@@ -239,7 +264,7 @@ object VecIndex {
         col("embedding"))
       .withColumn("ingest_batch", lit(BandIndex.BaseBatch))
       .write
-      .bucketBy(Buckets, "cluster").sortBy("cluster")
+      .bucketBy(buckets, "cluster").sortBy("cluster")
       .option("path", s"$path/cells")
       .mode(SaveMode.Overwrite)
       .saveAsTable(cellsTable(prefix))
@@ -272,11 +297,15 @@ object VecIndex {
     coveringFilteredProbe(spark, dir, ensureCoveringPersisted(spark, dir))
 
   def coveringFilteredProbe(spark: SparkSession, dir: String,
-      prefix: String): DataFrame = {
+      prefix: String): DataFrame =
+    coveringFilteredProbe(spark, dir, prefix,
+      fixedQueries(spark, dir, withLabel = true))
+
+  /** [[coveringFilteredProbe]] over a (vec_id, embedding, label)
+    * query FRAME. */
+  def coveringFilteredProbe(spark: SparkSession, dir: String,
+      prefix: String, queries: DataFrame): DataFrame = {
     VectorExprs.register(spark)
-    val queries = Tables.embeddings(spark, dir)
-      .filter(col("vec_id") < Similarity.KnnQueries)
-      .select("vec_id", "embedding", "label")
     val probes = queries.crossJoin(broadcast(centroids(spark, dir)))
       .withColumn("cos_c", expr("cosine_sim(embedding, ce)"))
       .withColumn("crn", row_number().over(
@@ -476,7 +505,8 @@ object VecIndex {
     assignCells(spark, dir, newVecs.select("vec_id", "embedding"))
       .withColumn("ingest_batch", lit(batchId))
       .write.mode(SaveMode.Append)
-      .bucketBy(Buckets, "cluster").sortBy("cluster")
+      .bucketBy(IndexCore.bucketsOf(spark, cellsTable(prefix)), "cluster")
+      .sortBy("cluster")
       .saveAsTable(cellsTable(prefix))
   }
 
@@ -746,7 +776,8 @@ object VecIndex {
     * trained on the generation's full reference sample regardless —
     * see the codebook-generation contract on [[pqAppend]]. */
   def pqPersist(spark: SparkSession, dir: String, path: String,
-      prefix: String, emb: Option[DataFrame] = None): Unit = {
+      prefix: String, emb: Option[DataFrame] = None,
+      buckets: Int = Buckets): Unit = {
     import org.apache.spark.sql.functions.lit
     VectorExprs.register(spark)
     val cb = Similarity.pqTrainedCodebook(spark, dir).localCheckpoint()
@@ -759,7 +790,7 @@ object VecIndex {
       .join(pqEncode(e, cb), "vec_id")
       .withColumn("ingest_batch", lit(BandIndex.BaseBatch))
       .write
-      .bucketBy(Buckets, "cluster").sortBy("cluster")
+      .bucketBy(buckets, "cluster").sortBy("cluster")
       .option("path", s"$path/pqcells")
       .mode(SaveMode.Overwrite)
       .saveAsTable(pqCellsTable(prefix))
@@ -783,12 +814,16 @@ object VecIndex {
       base.join(ts, base("vec_id") === ts("retired_id"), "left_anti"))
   }
 
-  def pqProbe(spark: SparkSession, dir: String, prefix: String): DataFrame = {
+  def pqProbe(spark: SparkSession, dir: String, prefix: String): DataFrame =
+    pqProbe(spark, dir, prefix, fixedQueries(spark, dir))
+
+  /** [[pqProbe]] over a (vec_id, embedding) query FRAME. */
+  def pqProbe(spark: SparkSession, dir: String, prefix: String,
+      qf: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.round
     VectorExprs.register(spark)
     val cb = spark.table(codebookTable(prefix))
-    val queries = Tables.embeddings(spark, dir)
-      .filter(col("vec_id") < Similarity.KnnQueries)
+    val queries = qf
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val probes = queries.crossJoin(broadcast(centroids(spark, dir)))
       .withColumn("cos_c", expr("cosine_sim(qe, ce)"))
@@ -931,7 +966,8 @@ object VecIndex {
       .join(pqEncode(e, cb), "vec_id")
       .withColumn("ingest_batch", lit(batchId))
       .write.mode(SaveMode.Append)
-      .bucketBy(Buckets, "cluster").sortBy("cluster")
+      .bucketBy(IndexCore.bucketsOf(spark, pqCellsTable(prefix)), "cluster")
+      .sortBy("cluster")
       .saveAsTable(pqCellsTable(prefix))
   }
 
@@ -1250,7 +1286,7 @@ object VecIndex {
   def matTable(prefix: String): String = s"${prefix}_mat"
 
   def persistMat(spark: SparkSession, dir: String, path: String,
-      prefix: String): Unit = {
+      prefix: String, buckets: Int = Buckets): Unit = {
     import org.apache.spark.sql.functions.lit
     Tables.embeddings(spark, dir)
       .select(col("vec_id"),
@@ -1258,7 +1294,7 @@ object VecIndex {
         col("embedding"))
       .withColumn("ingest_batch", lit(BandIndex.BaseBatch))
       .write
-      .bucketBy(Buckets, "vec_id").sortBy("vec_id")
+      .bucketBy(buckets, "vec_id").sortBy("vec_id")
       .option("path", s"$path/mat")
       .mode(SaveMode.Overwrite)
       .saveAsTable(matTable(prefix))
@@ -1270,11 +1306,15 @@ object VecIndex {
     * C-bounded survivors back to the full-vector column of the same
     * bucketed table (both sides bucketed by vec_id: no shuffle on
     * the corpus side). Decisions are DEFINED identical to sim27's. */
-  def matProbe(spark: SparkSession, dir: String, prefix: String): DataFrame = {
+  def matProbe(spark: SparkSession, dir: String, prefix: String): DataFrame =
+    matProbe(spark, dir, prefix, fixedQueries(spark, dir))
+
+  /** [[matProbe]] over a (vec_id, embedding) query FRAME. */
+  def matProbe(spark: SparkSession, dir: String, prefix: String,
+      qf: DataFrame): DataFrame = {
     VectorExprs.register(spark)
     val t = spark.table(matTable(prefix))
-    val q = Tables.embeddings(spark, dir)
-      .filter(col("vec_id") < Similarity.KnnQueries)
+    val q = qf
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         expr(s"slice(embedding, 1, ${Similarity.MatryoshkaPrefix})").as("qp"))
     val wp = Window.partitionBy("query_id")

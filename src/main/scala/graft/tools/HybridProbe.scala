@@ -67,9 +67,16 @@ object HybridProbe {
       show(s"BM25 more-like-this (lexical@$laneK)", lex)
       show(s"IVF (vector lane @$laneK)", vec)
       show(s"RRF fusion (deep lanes -> top-$k)", fus)
+      // round 17 (VERDICT item 7): the score-normalized CombSUM
+      // alternatives — the last untried fusion family after the OPQ
+      // and lane-depth negatives
+      val (z, mm) = measureScored(spark, sfDir, nQ, k, laneK, gt, gtN)
+      show(s"z-score CombSUM (deep -> top-$k)", z)
+      show(s"min-max CombSUM (deep -> top-$k)", mm)
       val bestSingle = math.max(lex._1, vec._1)
-      println(f"  fused - best single lane: ${fus._1 - bestSingle}%+.3f " +
-        f"(CI ${fus._2}%.3f)")
+      println(f"  RRF    - best single lane: ${fus._1 - bestSingle}%+.3f (CI ${fus._2}%.3f)")
+      println(f"  zComb  - best single lane: ${z._1 - bestSingle}%+.3f (CI ${z._2}%.3f)")
+      println(f"  mmComb - best single lane: ${mm._1 - bestSingle}%+.3f (CI ${mm._2}%.3f)")
     }
     gt.unpersist()
     spark.stop()
@@ -103,5 +110,21 @@ object HybridProbe {
     val fus = recall(Similarity.hybridFused(spark, sfDir, nQ, k, laneK = lk))
     if (prebuilt.isEmpty) gt.unpersist()
     (lex, vec, fus, n)
+  }
+
+  /** Recall of the two score-normalized CombSUM fusion variants
+    * (round 17, VERDICT item 7) against the same prebuilt ground
+    * truth — shares [[measure]]'s recall/CI arithmetic. */
+  def measureScored(spark: SparkSession, sfDir: String, nQ: Long, k: Int,
+      laneK: Int, gt: org.apache.spark.sql.DataFrame, n: Long)
+      : ((Double, Double), (Double, Double)) = {
+    import graft.ops.Similarity
+    def recall(lane: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val hits = lane.join(gt, Seq("query_id", "item_id")).count()
+      val p = hits.toDouble / n
+      (p, 1.96 * math.sqrt(p * (1 - p) / n))
+    }
+    (recall(Similarity.hybridFusedScored(spark, sfDir, nQ, k, laneK, "z")),
+      recall(Similarity.hybridFusedScored(spark, sfDir, nQ, k, laneK, "minmax")))
   }
 }

@@ -436,24 +436,35 @@ class Round16OpsSpec extends SparkSpec {
 
   // ---- impactProbe precondition (round-16 ADVICE) ----------------------
 
-  test("impactProbe fails fast on pending tombstones; compact + reindex restores it") {
-    val docs = graft.Tables.documents(spark, sf)
+  test("capped lanes under tombstones: text-less retire fails loudly; purge-without-reindex fences; reindex restores") {
+    // round 17 rewrote the blanket fail-fast into the over-fetch +
+    // mask + df-correction path — the REMAINING fail-fast states are
+    // (a) a retire that recorded no term containment (df can't be
+    // corrected) and (b) a compact purge that left metadata stale
+    // with the side tables cleared (the round-17 ADVICE marker).
     val prefix = s"graft_lex_tomb_${System.nanoTime()}"
     val path = BandIndex.newTempDir("lextomb")
     try {
       LexIndex.persist(spark, sf, path, prefix)
       val victim = LexIndex.probe(spark, sf, prefix)
         .select(col("doc_id")).limit(1)
-      LexIndex.retire(spark, prefix, victim)
+      LexIndex.retire(spark, prefix, victim) // no corpus → no dfcorr
       val e = intercept[IllegalArgumentException] {
         LexIndex.impactProbe(spark, sf, prefix).collect()
       }
-      assert(e.getMessage.contains("reindexImpact"),
-        s"guard message should point at the remedy: ${e.getMessage}")
+      assert(e.getMessage.contains("retire"),
+        s"guard message should point at the text-ful retire remedy: ${e.getMessage}")
       // the EXACT probe keeps serving through the tombstone window
       assert(LexIndex.probe(spark, sf, prefix).count() > 0)
-      // the documented remedy restores the capped lane
+      // a purge WITHOUT a metadata refresh must fence the capped lane
+      // (stale imp_rank holes + overcounted df, correction tables gone)
       LexIndex.compact(spark, prefix)
+      val e2 = intercept[IllegalArgumentException] {
+        LexIndex.impactProbe(spark, sf, prefix).collect()
+      }
+      assert(e2.getMessage.contains("_NEEDS_REINDEX"),
+        s"post-purge capped serve must hit the marker fence: ${e2.getMessage}")
+      // the metadata-refreshing rewrite clears the fence
       LexIndex.reindexImpact(spark, prefix)
       assert(LexIndex.impactProbe(spark, sf, prefix).count() > 0)
     } finally {

@@ -58,4 +58,184 @@ class Round17OpsSpec extends SparkSpec {
         "two-phase ranking diverged from the window form with exchange reuse off")
     } finally spark.conf.set("spark.sql.exchange.reuse", was)
   }
+
+  // ---- size-tiered merge: bounded work + crash safety -----------------
+
+  private def denseQuarter = pmod(col("doc_id"), lit(4)) === lit(0)
+
+  private def freshLex(tag: String, appendSlices: Seq[Int]): (String, String) = {
+    val prefix = s"graft_r17_${tag}_${System.nanoTime()}"
+    val path = BandIndex.newTempDir(s"r17$tag")
+    val docs = graft.Tables.documents(spark, sf)
+    LexIndex.persist(spark, sf, path, prefix, Some(docs.filter(!denseQuarter)))
+    appendSlices.foreach { r =>
+      LexIndex.append(spark, sf,
+        docs.filter(pmod(col("doc_id"), lit(12)) === lit(r)), prefix,
+        batch = r.toLong)
+    }
+    (prefix, path)
+  }
+
+  private def served(prefix: String): Seq[(Int, Int, Long, Double, Long)] =
+    LexIndex.segmentProbe(spark, sf, prefix).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4))).toSeq
+
+  test("tieredMerge folds only the sub-tier: base files byte-untouched, inputs GC'd, serving unchanged") {
+    val (prefix, path) = freshLex("tier", Seq(0, 4, 8))
+    try {
+      val t = LexIndex.postingsTable(prefix)
+      val baseFiles = IndexCore.fileSegments(spark, t)
+        .filter(f => f._2 == -1L && f._3 == -1L)
+        .map(f => (f._1, new java.io.File(f._1).length(),
+          new java.io.File(f._1).lastModified()))
+      assert(baseFiles.nonEmpty)
+      val before = served(prefix)
+      assert(LexIndex.tieredMerge(spark, prefix), "no fold ran")
+      // BOUNDED WORK: the big tier's files were never opened for
+      // write — same paths, same bytes, same mtimes
+      baseFiles.foreach { case (f, len, mtime) =>
+        val file = new java.io.File(f)
+        assert(file.exists() && file.length() == len && file.lastModified() == mtime,
+          s"base-tier file touched by the fold: $f")
+      }
+      // the fold inputs' files are physically gone (GC after commit)
+      val stamps = IndexCore.fileSegments(spark, t).map(_._2).toSet
+      assert(stamps == Set(-1L, -2L),
+        s"expected base + merged segment files only, got stamps $stamps")
+      // serving is bit-identical across the fold
+      assert(served(prefix) == before, "the fold changed an answer")
+    } finally {
+      LexIndex.drop(spark, prefix); BandIndex.retireTempDir(path)
+    }
+  }
+
+  test("tieredMerge crash window: an uncommitted merge output is invisible; one log append flips atomically") {
+    val (prefix, path) = freshLex("crash", Seq(0, 4))
+    try {
+      val t = LexIndex.postingsTable(prefix)
+      val before = served(prefix)
+      // replicate the fold's WRITE steps, crash before the commit:
+      // merged rows under the reserved stamp, stats row included
+      val b = IndexCore.bucketsOf(spark, t)
+      val merged = LexIndex.withImpactMeta(
+        spark.table(t).filter(col("ingest_batch").isin(0L, 4L))
+          .select("term", "doc_id", "tf", "dl"))
+        .withColumn("ingest_batch", lit(-2L))
+      merged.repartition(b, col("term")).write
+        .mode(org.apache.spark.sql.SaveMode.Append)
+        .bucketBy(b, "term").sortBy("term", "imp_rank").saveAsTable(t)
+      val stT = LexIndex.statsTable(prefix)
+      spark.table(stT).filter(col("ingest_batch").isin(0L, 4L))
+        .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+        .select(lit(-2L).as("ingest_batch"), col("n_docs"), col("sum_dl"))
+        .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Append)
+        .saveAsTable(stT)
+      // CRASHED state: output rows on disk, no log — serving must be
+      // the pre-fold answer (inputs live, output invisible)
+      assert(served(prefix) == before,
+        "an uncommitted merge output leaked into serving")
+      // the single log append flips the fold on
+      IndexCore.commitFold(spark, prefix, t, Seq(0L, 4L), -2L)
+      assert(served(prefix) == before,
+        "the committed fold changed an answer (content identity broken)")
+      val log = IndexCore.readMergeLog(spark, prefix)
+      assert(log.folded == Set(0L, 4L) && log.outputs == Set(-2L))
+      // GC removes exactly the dead inputs
+      assert(IndexCore.gcDeadFiles(spark, t, log) > 0)
+      val stamps = IndexCore.fileSegments(spark, t).map(_._2).toSet
+      assert(stamps == Set(-1L, -2L), s"dead input files survived GC: $stamps")
+      assert(served(prefix) == before)
+    } finally {
+      LexIndex.drop(spark, prefix); BandIndex.retireTempDir(path)
+    }
+  }
+
+  // ---- bucket count as a build parameter ------------------------------
+
+  test("a 64-bucket build probes identically, and every maintenance verb follows the catalog's bucket spec") {
+    val docs = graft.Tables.documents(spark, sf)
+    val prefix = s"graft_r17_b64_${System.nanoTime()}"
+    val path = BandIndex.newTempDir("r17b64")
+    val prefix8 = s"graft_r17_b8_${System.nanoTime()}"
+    val path8 = BandIndex.newTempDir("r17b8")
+    try {
+      LexIndex.persist(spark, sf, path, prefix, buckets = 64)
+      LexIndex.persist(spark, sf, path8, prefix8)
+      assert(IndexCore.bucketsOf(spark, LexIndex.postingsTable(prefix)) == 64)
+      def rows(p: String) = LexIndex.probe(spark, sf, p).collect().toSeq
+      def capped(p: String) = LexIndex.impactProbe(spark, sf, p).collect().toSeq
+      assert(rows(prefix) == rows(prefix8),
+        "bucket count changed the exact probe's answer")
+      assert(capped(prefix) == capped(prefix8),
+        "bucket count changed the capped probe's answer")
+      // append follows the 64-bucket spec (a mismatched bucketBy throws)
+      LexIndex.append(spark, sf, docs.filter(denseQuarter), prefix, batch = 1L)
+      // compact rewrites at the TABLE's own width: at most one file
+      // per bucket (empty buckets write none — the sf0.001 vocabulary
+      // does not fill all 64), strictly wider than the old fixed 8
+      LexIndex.compact(spark, prefix)
+      assert(IndexCore.bucketsOf(spark, LexIndex.postingsTable(prefix)) == 64)
+      val files = BandIndex.tableFiles(spark, LexIndex.postingsTable(prefix))
+      val bucketIds = files.map(f =>
+        "part-(\\d+)".r.findFirstMatchIn(new java.io.File(f).getName)
+          .map(_.group(1).toInt).getOrElse(-1))
+      assert(bucketIds.distinct.size == files.size,
+        s"compaction wrote more than one file for a bucket: $files")
+      assert(files.size > 8 && files.size <= 64,
+        s"compaction at 64 buckets wrote ${files.size} files — " +
+          "parallelism did not widen past the old fixed 8")
+    } finally {
+      LexIndex.drop(spark, prefix); BandIndex.retireTempDir(path)
+      LexIndex.drop(spark, prefix8); BandIndex.retireTempDir(path8)
+    }
+  }
+
+  // ---- tombstone-tolerant capped serving ------------------------------
+
+  test("masked capped serving: pushed widened cap, victim gone, equals the post-rewrite answer") {
+    val docs = graft.Tables.documents(spark, sf)
+    val (prefix, path) = freshLex("mask", Seq(0, 4, 8))
+    try {
+      val victim = LexIndex.segmentProbe(spark, sf, prefix)
+        .filter(col("query_id") === 0 && col("rk") === 1).select("doc_id")
+      val victimId = victim.collect().head.getLong(0)
+      LexIndex.retire(spark, prefix, victim, Some(docs))
+      val masked = LexIndex.segmentProbe(spark, sf, prefix)
+      // plan property: the scan still pushes the (widened) cap literal
+      // (collectAll descends through the AQE wrapper and subqueries)
+      def collectAll(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+        val expanded = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.executedPlan
+          case q => q
+        }
+        expanded +: (expanded.children.flatMap(collectAll) ++
+          expanded.subqueries.flatMap(collectAll))
+      }
+      val scans = collectAll(masked.queryExecution.executedPlan).collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      val postingsScans = scans.filter(
+        _.relation.location.rootPaths.exists(_.toString.contains("r17mask")))
+      assert(postingsScans.nonEmpty, "no postings scan in the masked plan")
+      assert(postingsScans.exists(_.metadata.getOrElse("PushedFilters", "")
+          .contains(s"LessThanOrEqual(imp_rank,${LexIndex.ImpactCap + 1})")),
+        s"widened cap not pushed: ${postingsScans.map(_.metadata.getOrElse("PushedFilters", ""))}")
+      val got = masked.collect().map(r => (r.getInt(0), r.getInt(1),
+        r.getLong(2), r.getDouble(3), r.getLong(4))).toSeq
+      assert(!got.exists(_._3 == victimId), "the retiree is still served")
+      // dd19-style equality: the masked serve must equal what the
+      // fused rewrite then serves
+      LexIndex.mergeReindex(spark, prefix)
+      val rebuilt = LexIndex.impactProbe(spark, sf, prefix).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+          r.getLong(4))).toSeq
+      assert(got == rebuilt,
+        "masked capped serving diverged from the post-rewrite answer")
+    } finally {
+      LexIndex.drop(spark, prefix); BandIndex.retireTempDir(path)
+    }
+  }
 }
