@@ -50,63 +50,20 @@ object BandIndex {
   def bandsTable(prefix: String): String = s"${prefix}_bands"
   def sigsTable(prefix: String): String = s"${prefix}_sigs"
 
-  // ------------------------------------------------------------------
-  // Temp-dir lifecycle (round-9 VERDICT item 7): every index directory
-  // this object creates is registered here and deleted by a JVM
-  // shutdown hook, so `sbt test` + a bench run leave no orphan
-  // graft-bandidx-* dirs behind. Dirs retired mid-run (a fresh cycle
-  // superseding the previous one) are deleted eagerly instead.
-  // ------------------------------------------------------------------
-  private val tempDirs = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+  // Temp-dir lifecycle, per-persist serial, batch stamps and the rest
+  // of the family-neutral lifecycle plumbing live in [[IndexCore]]
+  // (round-17, VERDICT r16 item 5: the round-16 durability holes were
+  // drift bugs between per-family copies; one copy ends the class).
+  // JVM-unique serial rationale (round-9 ADVICE): the persist
+  // registries below are keyed by SparkSession, but sessions created
+  // via spark.newSession() SHARE one catalog — a (tag, dir)-only
+  // prefix would have both sessions Overwrite the same table names
+  // and double-append dd16's tables.
+  private def deleteDir(path: String): Unit = IndexCore.deleteDir(path)
+  private def serial = IndexCore.serial
 
-  private def deleteDir(path: String): Unit =
-    try {
-      val root = java.nio.file.Paths.get(path)
-      if (java.nio.file.Files.exists(root)) {
-        val walk = java.nio.file.Files.walk(root)
-        try {
-          walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(p => java.nio.file.Files.deleteIfExists(p))
-        } finally walk.close()
-      }
-    } catch { case _: Throwable => () }
-
-  locally {
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      tempDirs.keySet().forEach(p => deleteDir(p))
-    }, "graft-bandidx-cleanup"))
-  }
-
-  private[ops] def newTempDir(tag: String): String = {
-    val p = java.nio.file.Files
-      .createTempDirectory(s"graft-bandidx-$tag").toString
-    tempDirs.put(p, true)
-    p
-  }
-
-  private[ops] def retireTempDir(path: String): Unit = {
-    tempDirs.remove(path)
-    deleteDir(path)
-  }
-
-  // JVM-unique component folded into every table prefix (round-9
-  // ADVICE): the persist registries below are keyed by SparkSession,
-  // but sessions created via spark.newSession() SHARE one catalog —
-  // a (tag, dir)-only prefix would have both sessions Overwrite the
-  // same table names and double-append dd16's tables. A per-persist
-  // serial makes each registration's table names unique in the shared
-  // catalog regardless of how many sessions race over it.
-  private val serial = new java.util.concurrent.atomic.AtomicLong(0)
-
-  /** Batch stamp carried by every index row (round-11): the base
-    * build writes [[BaseBatch]]; maintenance appends stamp their
-    * micro-batch id. The stamp is what makes exactly-once
-    * SELF-FENCING (see [[maintainBatch]]): each appended file set's
-    * per-file column statistics hold a single batch id, so a
-    * "did batch N land in this table?" probe prunes to footer reads,
-    * and a probe that must replay deterministically excludes its own
-    * in-flight batch with a pushed `ingest_batch != N` filter. */
-  val BaseBatch: Long = -1L
+  /** The base-build batch stamp — see [[IndexCore.BaseBatch]]. */
+  val BaseBatch: Long = IndexCore.BaseBatch
 
   /** Write the corpus band index + signature table as bucketed
     * external tables under `path`, registered as
@@ -159,71 +116,15 @@ object BandIndex {
   // dd19's three-phase oracle pins mask, purge, and their equality.
   // ------------------------------------------------------------------
 
-  def tombstonesTable(prefix: String): String = s"${prefix}_tombstones"
-
-  /** Record expired ids in the index's tombstone table — the
-    * O(retired) retention write. Shared with [[VecIndex]] (its anchor
-    * is the cells table; ids are vec_ids there, corpus docs here). */
-  private[ops] def recordTombstones(spark: SparkSession, prefix: String,
-      anchorTable: String, expired: DataFrame): Unit = {
-    val t = tombstonesTable(prefix)
-    // coalesce(1): the set is bounded by contract (it must broadcast
-    // at probe time), and the deriving filter often runs over a
-    // corpus-partitioned frame — without the coalesce the write's
-    // I/O would scale with the SOURCE's task count (K footer-only
-    // files), not the retired set, muddying the O(retired) property
-    // this path exists for (measured: 18.8 KB of footers for 2.5 KB
-    // of ids at a 100× corpus).
-    val w = expired
-      .select(col(expired.columns.head).cast("long").as("retired_id"))
-      .coalesce(1)
-      .write.mode(SaveMode.Append)
-    if (spark.catalog.tableExists(t)) w.saveAsTable(t)
-    else w.option("path", s"${indexRootOf(spark, anchorTable)}/tombstones")
-      .saveAsTable(t)
-  }
-
-  /** The current tombstone set as a broadcast-hinted frame, or None
-    * when the index has none. Refreshed before the read — the
-    * retention write may have run through a foreachBatch session
-    * clone (same rationale as [[batchPresent]]). The broadcast hint
-    * matters beyond size: it keeps the anti-join a broadcast-hash
-    * join even under `autoBroadcastJoinThreshold=-1`, so the masked
-    * corpus scan KEEPS its bucketed output partitioning and the
-    * probe's no-corpus-exchange property survives. */
-  private[ops] def tombstoneFrame(spark: SparkSession,
-      prefix: String): Option[DataFrame] = {
-    val t = tombstonesTable(prefix)
-    if (!spark.catalog.tableExists(t)) None
-    else {
-      spark.catalog.refreshTable(t)
-      Some(org.apache.spark.sql.functions.broadcast(
-        spark.table(t).select("retired_id")))
-    }
-  }
-
-  /** Drop the tombstone table AND its files — called after a
-    * compaction physically purged the masked rows. Files must go with
-    * the registration: a later `recordTombstones` re-creates the
-    * table at the same location, and surviving files would resurrect
-    * already-purged ids. */
-  private[ops] def clearTombstones(spark: SparkSession, prefix: String): Unit = {
-    val t = tombstonesTable(prefix)
-    if (spark.catalog.tableExists(t)) {
-      val loc = spark.sessionState.catalog
-        .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(t))
-        .location.toString
-      spark.sql(s"DROP TABLE $t")
-      deleteDir(loc.stripPrefix("file:"))
-    }
-  }
+  // Tombstone plumbing is family-neutral — [[IndexCore.tombstonesTable]] /
+  // recordTombstones / tombstoneFrame / clearTombstones (round 17).
 
   /** O(retired)-cost retention: tombstone the expired corpus docs.
     * Probes exclude them immediately; the physical rows persist until
     * the next [[compact]] absorbs them. */
   def retireTombstone(spark: SparkSession, prefix: String,
       expired: DataFrame): Unit =
-    recordTombstones(spark, prefix, bandsTable(prefix), expired)
+    IndexCore.recordTombstones(spark, prefix, bandsTable(prefix), expired)
 
   /** The persisted corpus frames, optionally excluding one batch's
     * rows ([[maintainBatch]]'s replay fence): the `ingest_batch != N`
@@ -243,7 +144,7 @@ object BandIndex {
     * parquet scan). */
   private def corpusFrames(spark: SparkSession, prefix: String,
       excludeBatch: Option[Long]): (DataFrame, DataFrame) = {
-    val tomb = tombstoneFrame(spark, prefix)
+    val tomb = IndexCore.tombstoneFrame(spark, prefix)
     def f(t: String): DataFrame = {
       val base = excludeBatch.foldLeft(spark.table(t))((d, n) =>
         d.filter(col("ingest_batch") =!= n || col("ingest_batch").isNull))
@@ -273,7 +174,7 @@ object BandIndex {
       persistedFor.getOrElseUpdate(key, {
         val prefix = s"graft_corpus_${tag}_${Integer.toHexString(dir.hashCode)}" +
           s"_s${serial.incrementAndGet()}"
-        val path = newTempDir(tag)
+        val path = IndexCore.newTempDir(tag)
         persist(spark, dir, path, prefix)
         prefix
       })
@@ -353,37 +254,8 @@ object BandIndex {
       .saveAsTable(sigsTable(prefix))
   }
 
-  /** Has batch `batchId`'s append landed in `table`? Storage-derived
-    * (survives JVM restarts, unlike any driver-side record) and
-    * footer-cheap: each append writes NEW files holding a single
-    * stamp value, so parquet row-group statistics prune the scan to
-    * O(files) metadata reads for any batch id outside a file's
-    * [min,max] — compaction later widens a file's range, but
-    * maintenance only ever probes RECENT ids, which sit above every
-    * compacted file's max. Caveat (round-11 ADVICE): that bound
-    * assumes compaction runs BEHIND the maintenance frontier — a
-    * compaction concurrent with active maintenance can fold a
-    * recently-stamped file into a wide-[min,max] rewrite, after which
-    * probing that id degrades to a full column scan of the compacted
-    * table (correct, no longer O(files) metadata). The ledger
-    * short-circuit in [[maintainBatch]] keeps the hot path off this
-    * probe for every batch that completed normally.
-    *
-    * The table is REFRESHED before the read: this guard's answer is
-    * load-bearing for exactly-once, and the appends it fences may
-    * have executed through a DIFFERENT session over the same catalog
-    * — Structured Streaming's foreachBatch hands the sink a frame
-    * bound to the stream's isolated session clone, so the write's
-    * cache invalidation lands in that clone, not here. Without the
-    * refresh, this session's cached relation (file listing taken
-    * before the append) reports the batch absent and a replay
-    * double-appends — caught by StreamingSpec's st10 restart test. */
-  private[ops] def batchPresent(spark: SparkSession, table: String,
-      batchId: Long): Boolean =
-    spark.catalog.tableExists(table) && {
-      spark.catalog.refreshTable(table)
-      !spark.table(table).filter(col("ingest_batch") === batchId).isEmpty
-    }
+  // "Has batch N landed?" is the family-neutral storage fence —
+  // [[IndexCore.batchPresent]] (footer-pruned, cross-session refresh).
 
   /** Probe the index, append the batch docs judged NOVEL (dup_of
     * null). Unlike the pre-round-10 run-once variant, this appends
@@ -417,138 +289,9 @@ object BandIndex {
   // Compaction — the day-N maintenance companion to `append`
   // ------------------------------------------------------------------
 
-  /** Files currently backing `table` (diagnostic for specs/benches:
-    * append growth and compaction are asserted on this count). */
-  def tableFiles(spark: SparkSession, table: String): Seq[String] = {
-    val loc = spark.sessionState.catalog
-      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(table))
-      .location
-    val dir = java.nio.file.Paths.get(loc)
-    if (!java.nio.file.Files.exists(dir)) Seq.empty
-    else {
-      val walk = java.nio.file.Files.walk(dir)
-      try {
-        val it = walk.iterator()
-        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-        while (it.hasNext) {
-          val p = it.next()
-          val n = p.getFileName.toString
-          if (java.nio.file.Files.isRegularFile(p) && n.endsWith(".parquet"))
-            buf += p.toString
-        }
-        buf.toSeq
-      } finally walk.close()
-    }
-  }
-
-  /** Bucket-preserving compaction of one bucketed table: rewrite all
-    * current files into exactly ONE file per bucket, same
-    * bucketBy/sortBy spec, then swap the catalog entry (write to
-    * `<table>_compact` at a sibling location, rename old aside,
-    * rename new in, drop old). Shared with [[VecIndex]] — the rewrite
-    * is key-agnostic; `minus` optionally filters rows whose
-    * `minusIdCol` matches the (broadcast, bounded) expired frame.
-    * The swap is metadata-only at the catalog layer; the old file set
-    * is deleted after the new table is registered. */
-  /** `sortCols` preserves a table's within-bucket sort spec across
-    * the rewrite (default: the bucket key alone). Round-16 catch: the
-    * lexical postings table is sorted (term, imp_rank) so the capped
-    * probe's `imp_rank <= C` filter prunes row groups by footer
-    * min/max — a compaction that re-sorted by term alone silently
-    * destroyed that layout (loose footer bounds ⇒ capped-probe bytes
-    * scale with df again) AND wedged every later append on
-    * "Specified bucketing does not match" (the sort spec is part of
-    * the table's bucketing metadata). */
-  private[ops] def compactTable(spark: SparkSession, table: String,
-      key: String, minus: Option[DataFrame] = None,
-      minusIdCol: String = "corpus_doc",
-      sortCols: Seq[String] = Nil): Unit = {
-    val sortSpec = if (sortCols.nonEmpty) sortCols else Seq(key)
-    // the last writer may have been ANOTHER session (a streaming
-    // foreachBatch runs in the query's session clone, whose appends
-    // don't invalidate this session's cached file listing) — without
-    // the refresh the rewrite silently drops every file this session
-    // hasn't seen. Caught live by the st20 StreamingSpec: the
-    // post-restart compact rebuilt docstats from the base build only,
-    // leaving n_docs=384 under postings' 500 docs — negative idf.
-    spark.catalog.refreshTable(table)
-    val catalog = spark.sessionState.catalog
-    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
-    val oldLoc = catalog.getTableMetadata(ident).location.toString
-    val newLoc = oldLoc.stripSuffix("/") + s"_c${serial.incrementAndGet()}"
-    val tmpTable = s"${table}_compact"
-    // The writer emits one file per (task, bucket), so one file per
-    // bucket needs write tasks aligned 1:1 with bucket ids. The
-    // cheapest alignment is no shuffle at all: a BUCKETED scan of the
-    // source table already yields exactly one bucket per partition
-    // (all of that bucket's historical files), and the write lays
-    // each back down as a single file — a per-bucket local rewrite,
-    // the plan you'd want at 100 TB. Two planner knobs make it hold:
-    //   - autoBucketedScan OFF: by default DisableUnnecessaryBucketedScan
-    //     downgrades the scan to size-based chunks because no
-    //     operator "needs" the distribution (a user
-    //     repartition(Buckets, key) does NOT survive as that need —
-    //     EnsureRequirements elides it against the bucketed scan's
-    //     partitioning BEFORE DisableUnnecessaryBucketedScan runs,
-    //     a pass-ordering trap measured here: the elided-then-
-    //     downgraded plan wrote 4 chunk-tasks × ~7 buckets each);
-    //   - AQE OFF: its local-read rewrite would likewise re-chunk
-    //     the read (the write side only REQUIRES an ordering).
-    // Verified: task p reads bucket p and writes part-0000p_0000p —
-    // zero exchange, one file per bucket.
-    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    val abs = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    val absWas = spark.conf.get(abs, "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set(abs, "false")
-    try {
-      // Retention rides the same per-bucket local rewrite: the
-      // expired-id set is K-sized, so a BROADCAST anti-join filters
-      // each bucket's rows in place without disturbing the
-      // one-bucket-per-task read (a broadcast join streams its left
-      // side — no exchange, the write still lays down one file per
-      // bucket).
-      val source = minus match {
-        case Some(ex) =>
-          val expired = org.apache.spark.sql.functions
-            .broadcast(ex.select(col(ex.columns.head).as("__expired_id")))
-          val t = spark.table(table)
-          t.join(expired, t(minusIdCol) === col("__expired_id"), "left_anti")
-        case None => spark.table(table)
-      }
-      source.write
-        // the TABLE's own bucket count (round 17 — bucket count is a
-        // build parameter): a constant here would silently re-bucket
-        // any index built wider than the default
-        .bucketBy(IndexCore.bucketsOf(spark, table), key)
-        .sortBy(sortSpec.head, sortSpec.tail: _*)
-        .option("path", newLoc)
-        .mode(SaveMode.Overwrite)
-        .saveAsTable(tmpTable)
-    } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
-      spark.conf.set(abs, absWas)
-    }
-    // Crash-safe swap (round-10 ADVICE): a bare DROP-then-RENAME has a
-    // window where NO table is registered while both file sets sit on
-    // disk. Instead rename the live table ASIDE first, then promote
-    // the compacted one — at every single-failure point either the
-    // original registration is intact, or a complete `_old`-named
-    // table remains recoverable next to the fully-written compacted
-    // table (external tables keep their location across RENAME). A
-    // failed promotion restores the original name before rethrowing.
-    val oldTable = s"${table}_old${serial.incrementAndGet()}"
-    spark.sql(s"ALTER TABLE $table RENAME TO $oldTable")
-    try spark.sql(s"ALTER TABLE $tmpTable RENAME TO $table")
-    catch {
-      case e: Throwable =>
-        try spark.sql(s"ALTER TABLE $oldTable RENAME TO $table")
-        catch { case _: Throwable => () }
-        throw e
-    }
-    spark.sql(s"DROP TABLE $oldTable")
-    deleteDir(oldLoc.stripPrefix("file:"))
-  }
+  // The bucket-preserving per-bucket local rewrite (zero exchange, one
+  // file per bucket, crash-safe swap) and the backing-file diagnostic
+  // are family-neutral — [[IndexCore.compactTable]] / [[IndexCore.tableFiles]].
 
   /** Compact both index tables (one file per bucket). Probe plans,
     * decisions, and the no-corpus-exchange property are unchanged —
@@ -560,10 +303,10 @@ object BandIndex {
     * tombstone set is cleared — decisions are unchanged because the
     * probes were already masking exactly these rows. */
   def compact(spark: SparkSession, prefix: String): Unit = {
-    val tomb = tombstoneFrame(spark, prefix)
-    compactTable(spark, bandsTable(prefix), "bkey", tomb)
-    compactTable(spark, sigsTable(prefix), "corpus_doc", tomb)
-    clearTombstones(spark, prefix)
+    val tomb = IndexCore.tombstoneFrame(spark, prefix)
+    IndexCore.compactTable(spark, bandsTable(prefix), "bkey", tomb)
+    IndexCore.compactTable(spark, sigsTable(prefix), "corpus_doc", tomb)
+    IndexCore.clearTombstones(spark, prefix)
   }
 
   /** RETENTION — remove a set of corpus docs from the persisted index
@@ -580,8 +323,8 @@ object BandIndex {
     * a surviving second-best match falls back to it. */
   def retire(spark: SparkSession, prefix: String,
       expired: DataFrame): Unit = {
-    compactTable(spark, bandsTable(prefix), "bkey", Some(expired))
-    compactTable(spark, sigsTable(prefix), "corpus_doc", Some(expired))
+    IndexCore.compactTable(spark, bandsTable(prefix), "bkey", Some(expired))
+    IndexCore.compactTable(spark, sigsTable(prefix), "corpus_doc", Some(expired))
   }
 
   /** Sources retired by the dd18 catalog entry — chosen so the
@@ -674,13 +417,13 @@ object BandIndex {
     persistLock.synchronized {
       lastCycle.remove(key).foreach { case (oldPrefix, oldPath) =>
         drop(spark, oldPrefix)
-        retireTempDir(oldPath)
+        IndexCore.retireTempDir(oldPath)
       }
       lastCycle.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
     }
     val prefix = s"graft_corpus_${tag}_${Integer.toHexString(dir.hashCode)}" +
       s"_s${serial.incrementAndGet()}"
-    val path = newTempDir(tag)
+    val path = IndexCore.newTempDir(tag)
     persist(spark, dir, path, prefix)
     (prefix, path)
   }
@@ -758,7 +501,7 @@ object BandIndex {
       maxFilesPerBucket: Int = 4): Boolean = {
     append(spark, dir, admitted, prefix, batchId)
     val fired =
-      tableFiles(spark, bandsTable(prefix)).size >
+      IndexCore.tableFiles(spark, bandsTable(prefix)).size >
         maxFilesPerBucket * IndexCore.bucketsOf(spark, bandsTable(prefix))
     if (fired) compact(spark, prefix)
     fired
@@ -795,7 +538,7 @@ object BandIndex {
             novel.filter(pmod(hash(col("doc_id")), lit(slices)) === lit(i)),
             prefix, maxFilesPerBucket = maxFilesPerBucket)) fires += 1
         val bound = (maxFilesPerBucket + 1) * Buckets
-        val files = tableFiles(spark, bandsTable(prefix)).size
+        val files = IndexCore.tableFiles(spark, bandsTable(prefix)).size
         require(files <= bound,
           s"auto-compaction failed to bound the file count: $files > $bound")
       }
@@ -888,52 +631,17 @@ object BandIndex {
   // Exactly-once maintenance (st08) — the append ledger
   // ------------------------------------------------------------------
 
-  def ledgerTable(prefix: String): String = s"${prefix}_ledger"
-
-  /** The index's storage root, derived from an anchor table's
-    * registered location — the ledger must live WITH the index (same
-    * durability domain), not in driver memory: a restarted query sees
-    * exactly the batches the index itself absorbed. Shared with
-    * [[VecIndex]] (its anchor is the cells table). */
-  private[ops] def indexRootOf(spark: SparkSession, anchorTable: String): String = {
-    val loc = spark.sessionState.catalog
-      .getTableMetadata(
-        spark.sessionState.sqlParser.parseTableIdentifier(anchorTable))
-      .location.toString.stripSuffix("/")
-    loc.substring(0, loc.lastIndexOf('/'))
-  }
-
-  private[ops] def ledgerDoneIn(spark: SparkSession, ledgerTbl: String,
-      batchId: Long): Boolean =
-    spark.catalog.tableExists(ledgerTbl) && {
-      // same cross-session discipline as batchPresent (round-17
-      // ADVICE): the ledger row may have been written by a streaming
-      // foreachBatch session CLONE, whose append invalidates the
-      // clone's cache, not this session's — a stale file listing here
-      // reports the batch un-ledgered and the replay falls through to
-      // the slower fence checks and appends a duplicate ledger row.
-      spark.catalog.refreshTable(ledgerTbl)
-      !spark.table(ledgerTbl)
-        .filter(col("batch_id") === batchId).isEmpty
-    }
-
-  private[ops] def ledgerRecordIn(spark: SparkSession, ledgerTbl: String,
-      anchorTable: String, batchId: Long): Unit = {
-    import org.apache.spark.sql.functions.lit
-    val w = spark.range(1).select(lit(batchId).as("batch_id"))
-      .write.mode(SaveMode.Append)
-    if (spark.catalog.tableExists(ledgerTbl)) w.saveAsTable(ledgerTbl)
-    else w.option("path", s"${indexRootOf(spark, anchorTable)}/ledger")
-      .saveAsTable(ledgerTbl)
-  }
+  // Ledger table naming, the storage-root derivation and the
+  // cross-session done/record primitives are family-neutral —
+  // [[IndexCore.ledgerTable]] / indexRootOf / ledgerDoneIn / ledgerRecordIn.
 
   private def ledgerDone(spark: SparkSession, prefix: String,
       batchId: Long): Boolean =
-    ledgerDoneIn(spark, ledgerTable(prefix), batchId)
+    IndexCore.ledgerDoneIn(spark, IndexCore.ledgerTable(prefix), batchId)
 
   private def ledgerRecord(spark: SparkSession, prefix: String,
       batchId: Long): Unit =
-    ledgerRecordIn(spark, ledgerTable(prefix), bandsTable(prefix), batchId)
+    IndexCore.ledgerRecordIn(spark, IndexCore.ledgerTable(prefix), bandsTable(prefix), batchId)
 
   /** One ledger-guarded maintenance micro-batch: probe the CURRENT
     * index with this batch's ids, append the novel docs, record the
@@ -985,7 +693,7 @@ object BandIndex {
       s"maintainBatch batchId must be >= 0, got $batchId (ids < 0 are " +
         "reserved for the base-build/ad-hoc stamp)")
     if (ledgerDone(spark, prefix, batchId)) None
-    else if (batchPresent(spark, sigsTable(prefix), batchId)) {
+    else if (IndexCore.batchPresent(spark, sigsTable(prefix), batchId)) {
       // The sigs-present fence fired: the batch fully landed but the
       // crash window took the ledger row with it. Backfill it so every
       // FUTURE replay of this id takes the tiny ledger read instead of
@@ -998,7 +706,7 @@ object BandIndex {
       val admitted =
         dec.filter(col("dup_of").isNull).select(col("batch_doc").as("doc_id"))
       withPinnedSigs(spark, dir, admitted) { sigs =>
-        if (!batchPresent(spark, bandsTable(prefix), batchId))
+        if (!IndexCore.batchPresent(spark, bandsTable(prefix), batchId))
           writeBandRows(sigs, prefix, batchId)
         writeSigRows(sigs, prefix, batchId)
       }
@@ -1104,7 +812,7 @@ object BandIndex {
   def drop(spark: SparkSession, prefix: String = "graft_corpus"): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS ${bandsTable(prefix)}")
     spark.sql(s"DROP TABLE IF EXISTS ${sigsTable(prefix)}")
-    spark.sql(s"DROP TABLE IF EXISTS ${ledgerTable(prefix)}")
-    spark.sql(s"DROP TABLE IF EXISTS ${tombstonesTable(prefix)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${IndexCore.ledgerTable(prefix)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${IndexCore.tombstonesTable(prefix)}")
   }
 }

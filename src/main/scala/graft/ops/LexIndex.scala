@@ -57,7 +57,7 @@ import graft.Tables
   *     exactly the full build's postings for those docs), appends
   *     postings + docstats + ONE stats row under a fresh
   *     `ingest_batch` stamp.
-  *   - [[compact]] (tx18): [[BandIndex.compactTable]]'s per-bucket
+  *   - [[compact]] (tx18): [[IndexCore.compactTable]]'s per-bucket
   *     local rewrite over both bucketed tables (one file per bucket,
   *     zero exchange), pending tombstones physically purged, stats
   *     re-based to a single row recomputed from the surviving
@@ -313,7 +313,7 @@ object LexIndex {
     * order (postings → docstats → stats), every row carries the
     * batch stamp, and each write is one atomic job commit — so a
     * replay completes exactly the tables the crash left unwritten
-    * ([[BandIndex.batchPresent]], storage-derived, holds across JVM
+    * ([[IndexCore.batchPresent]], storage-derived, holds across JVM
     * restarts). A LEDGER row (BandIndex's mechanism, stored WITH the
     * index, written LAST) certifies the completed batch — the stats
     * stamp alone cannot (round-16 review): [[compact]] re-bases the
@@ -339,22 +339,22 @@ object LexIndex {
     require(batchId >= 0,
       s"maintainBatch batchId must be >= 0, got $batchId (ids < 0 are " +
         "reserved for the base-build/ad-hoc stamp)")
-    if (BandIndex.ledgerDoneIn(spark, BandIndex.ledgerTable(prefix), batchId))
+    if (IndexCore.ledgerDoneIn(spark, IndexCore.ledgerTable(prefix), batchId))
       false
-    else if (BandIndex.batchPresent(spark, statsTable(prefix), batchId)) {
+    else if (IndexCore.batchPresent(spark, statsTable(prefix), batchId)) {
       // fully landed, crash took the ledger row — backfill it so the
       // fence survives the next stats re-base (BandIndex's pattern)
-      BandIndex.ledgerRecordIn(spark, BandIndex.ledgerTable(prefix),
+      IndexCore.ledgerRecordIn(spark, IndexCore.ledgerTable(prefix),
         postingsTable(prefix), batchId)
       false
     } else {
       val tok = tokenized(newDocs)
-      if (!BandIndex.batchPresent(spark, postingsTable(prefix), batchId))
+      if (!IndexCore.batchPresent(spark, postingsTable(prefix), batchId))
         writePostings(tok, path = "", prefix, batchId, firstWrite = false)
-      if (!BandIndex.batchPresent(spark, docstatsTable(prefix), batchId))
+      if (!IndexCore.batchPresent(spark, docstatsTable(prefix), batchId))
         writeDocstats(tok, path = "", prefix, batchId, firstWrite = false)
       writeStats(tok, path = "", prefix, batchId, firstWrite = false)
-      BandIndex.ledgerRecordIn(spark, BandIndex.ledgerTable(prefix),
+      IndexCore.ledgerRecordIn(spark, IndexCore.ledgerTable(prefix),
         postingsTable(prefix), batchId)
       true
     }
@@ -368,7 +368,7 @@ object LexIndex {
     * ad-hoc appends carry no exactly-once contract. */
   private def requireLedgered(spark: SparkSession, prefix: String,
       verb: String): Unit = {
-    val lt = BandIndex.ledgerTable(prefix)
+    val lt = IndexCore.ledgerTable(prefix)
     if (spark.catalog.tableExists(lt)) {
       spark.catalog.refreshTable(lt)
       spark.catalog.refreshTable(docstatsTable(prefix))
@@ -390,7 +390,7 @@ object LexIndex {
     * at retire time ([[retire]]), so the probe's stats correction is
     * an aggregate over this O(retired) frame. */
   private def tombstones(spark: SparkSession, prefix: String): Option[DataFrame] = {
-    val t = BandIndex.tombstonesTable(prefix)
+    val t = IndexCore.tombstonesTable(prefix)
     if (!spark.catalog.tableExists(t)) None
     else { spark.catalog.refreshTable(t); Some(spark.table(t)) }
   }
@@ -459,14 +459,14 @@ object LexIndex {
       val w = pairs.coalesce(1).write.mode(SaveMode.Append)
       if (spark.catalog.tableExists(t)) w.saveAsTable(t)
       else w.option("path",
-        s"${BandIndex.indexRootOf(spark, postingsTable(prefix))}/dfcorr")
+        s"${IndexCore.indexRootOf(spark, postingsTable(prefix))}/dfcorr")
         .saveAsTable(t)
     }
-    val t = BandIndex.tombstonesTable(prefix)
+    val t = IndexCore.tombstonesTable(prefix)
     val w = exp.coalesce(1).write.mode(SaveMode.Append)
     if (spark.catalog.tableExists(t)) w.saveAsTable(t)
     else w.option("path",
-      s"${BandIndex.indexRootOf(spark, postingsTable(prefix))}/tombstones")
+      s"${IndexCore.indexRootOf(spark, postingsTable(prefix))}/tombstones")
       .saveAsTable(t)
   }
 
@@ -526,7 +526,7 @@ object LexIndex {
 
   private def markerPath(spark: SparkSession, prefix: String): java.nio.file.Path =
     java.nio.file.Paths.get(
-      BandIndex.indexRootOf(spark, postingsTable(prefix)).stripPrefix("file:"),
+      IndexCore.indexRootOf(spark, postingsTable(prefix)).stripPrefix("file:"),
       "_NEEDS_REINDEX")
 
   private def setNeedsReindex(spark: SparkSession, prefix: String): Unit = {
@@ -547,7 +547,7 @@ object LexIndex {
         "or serve through the exact probe")
 
   /** Compact both bucketed tables (one file per bucket, per-bucket
-    * local rewrite — [[BandIndex.compactTable]]'s plan), physically
+    * local rewrite — [[IndexCore.compactTable]]'s plan), physically
     * purging pending tombstones, then re-base the stats table to ONE
     * row recomputed from the surviving norms and clear the
     * tombstones. Probe decisions are unchanged — the masks were
@@ -570,9 +570,9 @@ object LexIndex {
       IndexCore.readMergeLog(spark, prefix))
     // sortCols: preserve the (term, imp_rank) layout the capped
     // probe's footer pruning reads — see compactTable's scaladoc
-    BandIndex.compactTable(spark, postingsTable(prefix), "term",
+    IndexCore.compactTable(spark, postingsTable(prefix), "term",
       tomb, minusIdCol = "doc_id", sortCols = Seq("term", "imp_rank"))
-    BandIndex.compactTable(spark, docstatsTable(prefix), "doc_id",
+    IndexCore.compactTable(spark, docstatsTable(prefix), "doc_id",
       tomb, minusIdCol = "doc_id")
     val st = spark.table(docstatsTable(prefix))
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
@@ -588,7 +588,7 @@ object LexIndex {
     swapTable(spark, statsTable(prefix), "compact") { (tmpT, newLoc) =>
       st.write.option("path", newLoc).saveAsTable(tmpT)
     }
-    BandIndex.clearTombstones(spark, prefix)
+    IndexCore.clearTombstones(spark, prefix)
     clearDfCorr(spark, prefix)
     // the merge log is KEPT: compactTable preserves row stamps, so
     // committed merge-output rows (reserved stamps) survive the
@@ -1132,7 +1132,7 @@ object LexIndex {
         .option("path", newLoc)
         .saveAsTable(tmpT)
     }
-    BandIndex.compactTable(spark, docstatsTable(prefix), "doc_id",
+    IndexCore.compactTable(spark, docstatsTable(prefix), "doc_id",
       tomb, minusIdCol = "doc_id")
     val st = spark.table(docstatsTable(prefix))
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
@@ -1142,7 +1142,7 @@ object LexIndex {
     swapTable(spark, statsTable(prefix), "merge") { (tmpT, newLoc) =>
       st.write.option("path", newLoc).saveAsTable(tmpT)
     }
-    BandIndex.clearTombstones(spark, prefix)
+    IndexCore.clearTombstones(spark, prefix)
     clearDfCorr(spark, prefix)
     IndexCore.clearMergeLog(spark, prefix)
     clearNeedsReindex(spark, prefix)
@@ -1437,8 +1437,8 @@ object LexIndex {
     spark.sql(s"DROP TABLE IF EXISTS ${postingsTable(prefix)}")
     spark.sql(s"DROP TABLE IF EXISTS ${docstatsTable(prefix)}")
     spark.sql(s"DROP TABLE IF EXISTS ${statsTable(prefix)}")
-    spark.sql(s"DROP TABLE IF EXISTS ${BandIndex.tombstonesTable(prefix)}")
-    spark.sql(s"DROP TABLE IF EXISTS ${BandIndex.ledgerTable(prefix)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${IndexCore.tombstonesTable(prefix)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${IndexCore.ledgerTable(prefix)}")
     spark.sql(s"DROP TABLE IF EXISTS ${dfcorrTable(prefix)}")
     spark.sql(s"DROP TABLE IF EXISTS ${IndexCore.mergeLogTable(prefix)}")
   }
@@ -1460,7 +1460,7 @@ object LexIndex {
       persistedFor.getOrElseUpdate(key, {
         val prefix = s"graft_lex_${tag}_${Integer.toHexString(dir.hashCode)}" +
           s"_s${serial.incrementAndGet()}"
-        val path = BandIndex.newTempDir(s"lex$tag")
+        val path = IndexCore.newTempDir(s"lex$tag")
         persist(spark, dir, path, prefix)
         prefix
       })
@@ -1483,13 +1483,13 @@ object LexIndex {
     persistLock.synchronized {
       lastCycle.remove(key).foreach { case (oldPrefix, oldPath) =>
         drop(spark, oldPrefix)
-        BandIndex.retireTempDir(oldPath)
+        IndexCore.retireTempDir(oldPath)
       }
       lastCycle.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
     }
     val prefix = s"graft_lex_${tag}_${Integer.toHexString(dir.hashCode)}" +
       s"_s${serial.incrementAndGet()}"
-    val path = BandIndex.newTempDir(s"lex$tag")
+    val path = IndexCore.newTempDir(s"lex$tag")
     persist(spark, dir, path, prefix, docs)
     (prefix, path)
   }

@@ -44,7 +44,7 @@ import graft.functions.VectorExprs
   *     re-assigned) and insert into the bucketed cell table; bucketBy
   *     is stable under append, so the probe's one-scan/pushed-bounds
   *     plan property survives (VecIndexSpec re-asserts it);
-  *   - [[compact]] (sim16): [[BandIndex.compactTable]]'s per-bucket
+  *   - [[compact]] (sim16): [[IndexCore.compactTable]]'s per-bucket
   *     local rewrite applied to the cell table (key-agnostic — same
   *     zero-exchange one-file-per-bucket rewrite);
   *   - [[retire]] (sim17): right-to-be-forgotten for embeddings —
@@ -128,7 +128,7 @@ object VecIndex {
     * property is untouched. */
   private def cellFrame(spark: SparkSession, prefix: String): DataFrame = {
     val base = spark.table(cellsTable(prefix))
-    BandIndex.tombstoneFrame(spark, prefix).fold(base)(ts =>
+    IndexCore.tombstoneFrame(spark, prefix).fold(base)(ts =>
       base.join(ts, base("vec_id") === ts("retired_id"), "left_anti"))
   }
 
@@ -511,20 +511,20 @@ object VecIndex {
   }
 
   /** Compact the cell table to one file per bucket —
-    * [[BandIndex.compactTable]]'s zero-exchange per-bucket local
+    * [[IndexCore.compactTable]]'s zero-exchange per-bucket local
     * rewrite, key-agnostic by construction. Probe decisions and the
     * plan property are unchanged; the per-bucket merge reads ONE run
     * instead of one per historical append. */
   def compact(spark: SparkSession, prefix: String): Unit = {
-    val tomb = BandIndex.tombstoneFrame(spark, prefix)
-    BandIndex.compactTable(spark, cellsTable(prefix), "cluster",
+    val tomb = IndexCore.tombstoneFrame(spark, prefix)
+    IndexCore.compactTable(spark, cellsTable(prefix), "cluster",
       tomb, minusIdCol = "vec_id")
     // the tombstone set is per-PREFIX: clear it only when no sibling
     // table still carries masked rows (a prefix that persists both
     // raw cells and code cells purges on whichever compaction runs
     // LAST)
     if (!spark.catalog.tableExists(pqCellsTable(prefix)))
-      BandIndex.clearTombstones(spark, prefix)
+      IndexCore.clearTombstones(spark, prefix)
   }
 
   /** RETENTION — remove a (bounded, broadcastable) set of vec_ids
@@ -535,7 +535,7 @@ object VecIndex {
     * its probed cells. */
   def retire(spark: SparkSession, prefix: String,
       expired: DataFrame): Unit =
-    BandIndex.compactTable(spark, cellsTable(prefix), "cluster",
+    IndexCore.compactTable(spark, cellsTable(prefix), "cluster",
       Some(expired), minusIdCol = "vec_id")
 
   /** O(retired)-cost retention (round 12; VERDICT r11 item 3):
@@ -548,7 +548,7 @@ object VecIndex {
     * eager retire. */
   def retireTombstone(spark: SparkSession, prefix: String,
       expired: DataFrame): Unit =
-    BandIndex.recordTombstones(spark, prefix, cellsTable(prefix), expired)
+    IndexCore.recordTombstones(spark, prefix, cellsTable(prefix), expired)
 
   /** Exactly-once append, SINGLE-DURABLE-COMMIT form (round 11;
     * [[BandIndex.maintainBatch]]'s ANN analog, simplified by the
@@ -558,7 +558,7 @@ object VecIndex {
     * NO append→record window at all (the design the round-10 ADVICE
     * sketched; the two-table band index needs the self-fencing probe
     * on top, this index does not). Replay guard =
-    * [[BandIndex.batchPresent]] on the cell table: storage-derived
+    * [[IndexCore.batchPresent]] on the cell table: storage-derived
     * (holds across JVM restarts), footer-cheap (each append's files
     * carry a single stamp in their column stats). A replayed
     * micro-batch whose checkpoint commit marker was lost is a
@@ -574,7 +574,7 @@ object VecIndex {
     require(batchId >= 0,
       s"maintainBatch batchId must be >= 0, got $batchId (ids < 0 are " +
         "reserved for the base-build/ad-hoc stamp)")
-    if (BandIndex.batchPresent(spark, cellsTable(prefix), batchId)) false
+    if (IndexCore.batchPresent(spark, cellsTable(prefix), batchId)) false
     else {
       append(spark, dir, newVecs, prefix, batchId)
       true
@@ -598,13 +598,13 @@ object VecIndex {
     persistLock.synchronized {
       lastCycle.remove(key).foreach { case (oldPrefix, oldPath) =>
         drop(spark, oldPrefix)
-        BandIndex.retireTempDir(oldPath)
+        IndexCore.retireTempDir(oldPath)
       }
       lastCycle.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
     }
     val prefix = s"graft_vec_${tag}_${Integer.toHexString(dir.hashCode)}" +
       s"_s${serial.incrementAndGet()}"
-    val path = BandIndex.newTempDir(s"vec$tag")
+    val path = IndexCore.newTempDir(s"vec$tag")
     persist(spark, dir, path, prefix, emb)
     (prefix, path)
   }
@@ -810,7 +810,7 @@ object VecIndex {
     * code-cell read paths until the next compaction purges it). */
   private def pqCellFrame(spark: SparkSession, prefix: String): DataFrame = {
     val base = spark.table(pqCellsTable(prefix))
-    BandIndex.tombstoneFrame(spark, prefix).fold(base)(ts =>
+    IndexCore.tombstoneFrame(spark, prefix).fold(base)(ts =>
       base.join(ts, base("vec_id") === ts("retired_id"), "left_anti"))
   }
 
@@ -943,7 +943,7 @@ object VecIndex {
   // fresh prefix (retrain + re-encode from the raw vectors — one
   // corpus pass, the same cost as the original build) and swap
   // serving atomically via the catalog-rename discipline
-  // BandIndex.compactTable already uses. Nothing in the probe path
+  // IndexCore.compactTable already uses. Nothing in the probe path
   // ever reads two generations at once.
   // ------------------------------------------------------------------
 
@@ -972,17 +972,17 @@ object VecIndex {
   }
 
   /** Compact the code-cell table to one file per bucket —
-    * [[BandIndex.compactTable]]'s zero-exchange per-bucket local
+    * [[IndexCore.compactTable]]'s zero-exchange per-bucket local
     * rewrite (key-agnostic). Decisions and the read-path property are
     * unchanged; the per-bucket merge reads ONE run instead of one per
     * historical append. The codebook table (M·K rows) never needs
     * compaction. */
   def pqCompact(spark: SparkSession, prefix: String): Unit = {
-    val tomb = BandIndex.tombstoneFrame(spark, prefix)
-    BandIndex.compactTable(spark, pqCellsTable(prefix), "cluster",
+    val tomb = IndexCore.tombstoneFrame(spark, prefix)
+    IndexCore.compactTable(spark, pqCellsTable(prefix), "cluster",
       tomb, minusIdCol = "vec_id")
     if (!spark.catalog.tableExists(cellsTable(prefix)))
-      BandIndex.clearTombstones(spark, prefix)
+      IndexCore.clearTombstones(spark, prefix)
   }
 
   /** GENERATION PROMOTION — the codebook-drift remedy's final step
@@ -990,7 +990,7 @@ object VecIndex {
     * swap serving from `prefix`'s tables to `newPrefix`'s freshly
     * built generation (retrained codebook + re-encoded code cells),
     * under the serving prefix's names. The rename-aside discipline is
-    * [[BandIndex.compactTable]]'s: at every single-failure point
+    * [[IndexCore.compactTable]]'s: at every single-failure point
     * either the original registration is intact or a complete
     * aside-named table remains recoverable next to the fully-written
     * new one; a failed promotion restores the original name before
@@ -1022,7 +1022,7 @@ object VecIndex {
     * [[pqProbe]] immediately; purged by the next [[pqCompact]]. */
   def pqRetireTombstone(spark: SparkSession, prefix: String,
       expired: DataFrame): Unit =
-    BandIndex.recordTombstones(spark, prefix, pqCellsTable(prefix), expired)
+    IndexCore.recordTombstones(spark, prefix, pqCellsTable(prefix), expired)
 
   /** RETENTION for the serving index — remove a bounded vec_id set
     * from the code cells in place (broadcast anti-join inside the
@@ -1031,14 +1031,14 @@ object VecIndex {
     * no per-vector data). */
   def pqRetire(spark: SparkSession, prefix: String,
       expired: DataFrame): Unit =
-    BandIndex.compactTable(spark, pqCellsTable(prefix), "cluster",
+    IndexCore.compactTable(spark, pqCellsTable(prefix), "cluster",
       Some(expired), minusIdCol = "vec_id")
 
   /** Exactly-once append for the serving index — the same
     * single-durable-commit design as [[maintainBatch]]: the batch
     * stamp on the appended code-cell rows IS the ledger (one atomic
     * job commit, no append→record window), and the replay guard is
-    * [[BandIndex.batchPresent]] on the code-cell table —
+    * [[IndexCore.batchPresent]] on the code-cell table —
     * storage-derived, footer-cheap. A replayed micro-batch whose
     * checkpoint commit marker was lost is a whole-batch no-op. */
   def pqMaintainBatch(spark: SparkSession, dir: String, prefix: String,
@@ -1046,7 +1046,7 @@ object VecIndex {
     require(batchId >= 0,
       s"pqMaintainBatch batchId must be >= 0, got $batchId (ids < 0 are " +
         "reserved for the base-build/ad-hoc stamp)")
-    if (BandIndex.batchPresent(spark, pqCellsTable(prefix), batchId)) false
+    if (IndexCore.batchPresent(spark, pqCellsTable(prefix), batchId)) false
     else {
       pqAppend(spark, dir, newVecs, prefix, batchId)
       true
@@ -1059,13 +1059,13 @@ object VecIndex {
     persistLock.synchronized {
       lastCycle.remove(key).foreach { case (oldPrefix, oldPath) =>
         drop(spark, oldPrefix)
-        BandIndex.retireTempDir(oldPath)
+        IndexCore.retireTempDir(oldPath)
       }
       lastCycle.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
     }
     val prefix = s"graft_vec_${tag}_${Integer.toHexString(dir.hashCode)}" +
       s"_s${serial.incrementAndGet()}"
-    val path = BandIndex.newTempDir(s"vec$tag")
+    val path = IndexCore.newTempDir(s"vec$tag")
     pqPersist(spark, dir, path, prefix, emb)
     (prefix, path)
   }
@@ -1255,7 +1255,7 @@ object VecIndex {
       pqPersistedFor.getOrElseUpdate(key, {
         val prefix = s"graft_vec_${tag}_${Integer.toHexString(dir.hashCode)}" +
           s"_s${serial.incrementAndGet()}"
-        val path = BandIndex.newTempDir(s"vec$tag")
+        val path = IndexCore.newTempDir(s"vec$tag")
         pqPersist(spark, dir, path, prefix)
         prefix
       })
@@ -1349,7 +1349,7 @@ object VecIndex {
       persistedFor.getOrElseUpdate(key, {
         val prefix = s"graft_vec_${tag}_${Integer.toHexString(dir.hashCode)}" +
           s"_s${serial.incrementAndGet()}"
-        val path = BandIndex.newTempDir(s"vec$tag")
+        val path = IndexCore.newTempDir(s"vec$tag")
         persistMat(spark, dir, path, prefix)
         prefix
       })
@@ -1364,7 +1364,7 @@ object VecIndex {
     spark.sql(s"DROP TABLE IF EXISTS ${ledgerTable(prefix)}")
     spark.sql(s"DROP TABLE IF EXISTS ${pqCellsTable(prefix)}")
     spark.sql(s"DROP TABLE IF EXISTS ${codebookTable(prefix)}")
-    spark.sql(s"DROP TABLE IF EXISTS ${BandIndex.tombstonesTable(prefix)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${IndexCore.tombstonesTable(prefix)}")
   }
 
   // Idempotent persist registry — same shape and rationale as
@@ -1384,7 +1384,7 @@ object VecIndex {
       persistedFor.getOrElseUpdate(key, {
         val prefix = s"graft_vec_${tag}_${Integer.toHexString(dir.hashCode)}" +
           s"_s${serial.incrementAndGet()}"
-        val path = BandIndex.newTempDir(s"vec$tag")
+        val path = IndexCore.newTempDir(s"vec$tag")
         persist(spark, dir, path, prefix)
         prefix
       })
@@ -1402,7 +1402,7 @@ object VecIndex {
       persistedFor.getOrElseUpdate(key, {
         val prefix = s"graft_vec_${tag}_${Integer.toHexString(dir.hashCode)}" +
           s"_s${serial.incrementAndGet()}"
-        val path = BandIndex.newTempDir(s"vec$tag")
+        val path = IndexCore.newTempDir(s"vec$tag")
         persistCovering(spark, dir, path, prefix)
         prefix
       })

@@ -48,8 +48,8 @@ object CompactBench {
       }.min
 
     def files(): (Int, Int) = (
-      BandIndex.tableFiles(spark, BandIndex.bandsTable(prefix)).size,
-      BandIndex.tableFiles(spark, BandIndex.sigsTable(prefix)).size)
+      graft.ops.IndexCore.tableFiles(spark, BandIndex.bandsTable(prefix)).size,
+      graft.ops.IndexCore.tableFiles(spark, BandIndex.sigsTable(prefix)).size)
 
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

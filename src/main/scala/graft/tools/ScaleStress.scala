@@ -208,7 +208,7 @@ object ScaleStress {
     if (headline.contains("dd19_tombstone_retention")) {
       import graft.ops.BandIndex
       def tableBytes(tables: Seq[String]): Long =
-        tables.flatMap(t => BandIndex.tableFiles(spark, t))
+        tables.flatMap(t => graft.ops.IndexCore.tableFiles(spark, t))
           .map(p => java.nio.file.Files.size(java.nio.file.Paths.get(p))).sum
       def retCosts(dir: String, tag: String): (Double, Double, Long, Long) = {
         val expired = graft.Tables.documents(spark, dir)
@@ -234,7 +234,7 @@ object ScaleStress {
         val t1 = System.nanoTime()
         BandIndex.retireTombstone(spark, pTomb, expired)
         val tTomb = (System.nanoTime() - t1) / 1e9
-        val tombBytes = tableBytes(Seq(BandIndex.tombstonesTable(pTomb)))
+        val tombBytes = tableBytes(Seq(graft.ops.IndexCore.tombstonesTable(pTomb)))
         BandIndex.drop(spark, pTomb)
         (tEager, tTomb, tombBytes, idxBytes)
       }

@@ -155,7 +155,7 @@ class BandIndexSpec extends SparkSpec {
     BandIndex.appendNovel(spark, sf, prefix)
     val afterAppend = BandIndex.probe(spark, sf, prefix).collect().map(_.toString).toSeq
     BandIndex.appendNovel(spark, sf, prefix) // all now dup — zero-row append ok
-    val grown = BandIndex.tableFiles(spark, BandIndex.bandsTable(prefix)).size
+    val grown = IndexCore.tableFiles(spark, BandIndex.bandsTable(prefix)).size
     assert(grown > BandIndex.Buckets,
       s"append did not grow the file count ($grown files) — fixture too small?")
 
@@ -163,7 +163,7 @@ class BandIndexSpec extends SparkSpec {
 
     // exactly one file per (non-empty) bucket in both tables
     Seq(BandIndex.bandsTable(prefix), BandIndex.sigsTable(prefix)).foreach { t =>
-      val files = BandIndex.tableFiles(spark, t)
+      val files = IndexCore.tableFiles(spark, t)
       assert(files.size <= BandIndex.Buckets,
         s"$t not compacted: ${files.size} files\n${files.mkString("\n")}")
     }
@@ -243,7 +243,7 @@ class BandIndexSpec extends SparkSpec {
 
     // retention is also a compaction: one file per (non-empty) bucket
     Seq(BandIndex.bandsTable(prefix), BandIndex.sigsTable(prefix)).foreach { t =>
-      val files = BandIndex.tableFiles(spark, t)
+      val files = IndexCore.tableFiles(spark, t)
       assert(files.size <= BandIndex.Buckets,
         s"$t not rewritten to one file per bucket: ${files.size}")
     }
@@ -295,14 +295,14 @@ class BandIndexSpec extends SparkSpec {
     val expected = BandIndex.probe(spark, sf, eager).collect().map(_.toString).toSeq
 
     def dataFiles() =
-      (BandIndex.tableFiles(spark, BandIndex.bandsTable(prefix)) ++
-        BandIndex.tableFiles(spark, BandIndex.sigsTable(prefix))).sorted
+      (IndexCore.tableFiles(spark, BandIndex.bandsTable(prefix)) ++
+        IndexCore.tableFiles(spark, BandIndex.sigsTable(prefix))).sorted
     val filesBefore = dataFiles()
     BandIndex.retireTombstone(spark, prefix, expired)
     assert(dataFiles() == filesBefore,
       "tombstone retention touched the index's data files")
-    val tombBytes = BandIndex
-      .tableFiles(spark, BandIndex.tombstonesTable(prefix))
+    val tombBytes = IndexCore
+      .tableFiles(spark, IndexCore.tombstonesTable(prefix))
       .map(p => java.nio.file.Files.size(java.nio.file.Paths.get(p))).sum
     val indexBytes = filesBefore
       .map(p => java.nio.file.Files.size(java.nio.file.Paths.get(p))).sum
@@ -350,10 +350,10 @@ class BandIndexSpec extends SparkSpec {
     // purge: compaction absorbs the tombstones, clears the set, and
     // changes nothing observable
     BandIndex.compact(spark, prefix)
-    assert(!spark.catalog.tableExists(BandIndex.tombstonesTable(prefix)),
+    assert(!spark.catalog.tableExists(IndexCore.tombstonesTable(prefix)),
       "compaction did not clear the tombstone set")
     Seq(BandIndex.bandsTable(prefix), BandIndex.sigsTable(prefix)).foreach { t =>
-      assert(BandIndex.tableFiles(spark, t).size <= BandIndex.Buckets,
+      assert(IndexCore.tableFiles(spark, t).size <= BandIndex.Buckets,
         s"$t not rewritten to one file per bucket")
       val survivors = spark.table(t)
         .filter(col("corpus_doc").isin(expiredIds.toSeq: _*)).count()
@@ -432,7 +432,7 @@ class BandIndexSpec extends SparkSpec {
       val pinned = spark.table(table)
         .withColumn("ingest_batch", lit(null).cast("long"))
         .localCheckpoint()
-      val loc = BandIndex.indexRootOf(spark, table)
+      val loc = IndexCore.indexRootOf(spark, table)
       spark.sql(s"DROP TABLE $table")
       pinned.write
         .bucketBy(BandIndex.Buckets, key).sortBy(key)
@@ -491,8 +491,8 @@ class BandIndexSpec extends SparkSpec {
       "first maintenance of a fresh index must run")
 
     // simulate the lost ledger: drop the table and delete its files
-    val ledger = BandIndex.ledgerTable(prefix)
-    val root = BandIndex.indexRootOf(spark, BandIndex.bandsTable(prefix))
+    val ledger = IndexCore.ledgerTable(prefix)
+    val root = IndexCore.indexRootOf(spark, BandIndex.bandsTable(prefix))
     spark.sql(s"DROP TABLE IF EXISTS $ledger")
     val dir = new java.io.File(new java.net.URI(
       if (root.startsWith("file:")) root else s"file:$root").getPath, "ledger")
@@ -500,14 +500,14 @@ class BandIndexSpec extends SparkSpec {
       Option(f.listFiles()).foreach(_.foreach(rmr)); f.delete(); ()
     }
     rmr(dir)
-    assert(!BandIndex.ledgerDoneIn(spark, ledger, 0L),
+    assert(!IndexCore.ledgerDoneIn(spark, ledger, 0L),
       "fixture failed to lose the ledger row")
 
     // replay: sigs-present fence fires, batch is NOT re-run, and the
     // ledger row is backfilled
     assert(BandIndex.maintainBatch(spark, sf, prefix, day0Ids, 0L).isEmpty,
       "replay of a fully-landed batch must no-op")
-    assert(BandIndex.ledgerDoneIn(spark, ledger, 0L),
+    assert(IndexCore.ledgerDoneIn(spark, ledger, 0L),
       "sigs-present fence did not backfill the ledger")
 
     // converged: the next replay takes the ledger short-circuit (same

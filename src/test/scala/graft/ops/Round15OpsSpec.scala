@@ -76,7 +76,7 @@ class Round15OpsSpec extends SparkSpec {
   test("tx18: compaction leaves one postings file per bucket") {
     val docs = graft.Tables.documents(spark, sf)
     val prefix = s"graft_lex_spec_${System.nanoTime()}"
-    val path = BandIndex.newTempDir("lexspec")
+    val path = IndexCore.newTempDir("lexspec")
     try {
       import org.apache.spark.sql.functions.{col, hash, lit, pmod}
       LexIndex.persist(spark, sf, path, prefix,
@@ -108,7 +108,7 @@ class Round15OpsSpec extends SparkSpec {
         "compaction changed serving decisions")
     } finally {
       LexIndex.drop(spark, prefix)
-      BandIndex.retireTempDir(path)
+      IndexCore.retireTempDir(path)
     }
   }
 
@@ -123,7 +123,7 @@ class Round15OpsSpec extends SparkSpec {
     import org.apache.spark.sql.functions.{col, hash, lit, pmod}
     val docs = graft.Tables.documents(spark, sf)
     val prefix = s"graft_lex_stamp_${System.nanoTime()}"
-    val path = BandIndex.newTempDir("lexstamp")
+    val path = IndexCore.newTempDir("lexstamp")
     try {
       LexIndex.persist(spark, sf, path, prefix,
         Some(docs.filter(pmod(hash(col("doc_id")), lit(4)) =!= lit(0))))
@@ -151,7 +151,7 @@ class Round15OpsSpec extends SparkSpec {
         "stamp collision changed serving decisions")
     } finally {
       LexIndex.drop(spark, prefix)
-      BandIndex.retireTempDir(path)
+      IndexCore.retireTempDir(path)
     }
   }
 
@@ -278,7 +278,7 @@ class Round15OpsSpec extends SparkSpec {
     import org.apache.spark.sql.functions.{col, countDistinct, hash, lit, max, pmod}
     val docs = graft.Tables.documents(spark, sf)
     val prefix = s"graft_lex_r15spec_${System.nanoTime()}"
-    val path = BandIndex.newTempDir("lexr15spec")
+    val path = IndexCore.newTempDir("lexr15spec")
     try {
       LexIndex.persist(spark, sf, path, prefix,
         Some(docs.filter(pmod(hash(col("doc_id")), lit(4)) =!= lit(0))))
@@ -313,7 +313,7 @@ class Round15OpsSpec extends SparkSpec {
         "reindexed capped probe diverged from the fresh-build capped probe")
     } finally {
       LexIndex.drop(spark, prefix)
-      BandIndex.retireTempDir(path)
+      IndexCore.retireTempDir(path)
     }
   }
 

@@ -150,7 +150,7 @@ class Round16OpsSpec extends SparkSpec {
     val rows = Seq(8, 4, 2).map { m =>
       val isNew = pmod(hash(col("doc_id")), lit(m)) === lit(0)
       val prefix = s"graft_lex_stale${m}_${System.nanoTime()}"
-      val path = BandIndex.newTempDir(s"lexstale$m")
+      val path = IndexCore.newTempDir(s"lexstale$m")
       try {
         LexIndex.persist(spark, sf, path, prefix, Some(docs.filter(!isNew)))
         // distinct stamp: segmentProbe's df sum is per (term, batch)
@@ -166,7 +166,7 @@ class Round16OpsSpec extends SparkSpec {
         out
       } finally {
         LexIndex.drop(spark, prefix)
-        BandIndex.retireTempDir(path)
+        IndexCore.retireTempDir(path)
       }
     }
     val globalVsExact = agree(globalPairs, exactPairs)
@@ -218,7 +218,7 @@ class Round16OpsSpec extends SparkSpec {
     assert(phasesDrift.exists(_._1 == "reindex"),
       s"drifted corpus did not fire the rebuild: ${phasesDrift.map(_._1)}")
     val prefix = s"graft_lex_tx22full_${System.nanoTime()}"
-    val path = BandIndex.newTempDir("lextx22full")
+    val path = IndexCore.newTempDir("lextx22full")
     try {
       LexIndex.persist(spark, drifted, path, prefix)
       val fresh = LexIndex.impactProbe(spark, drifted, prefix)
@@ -228,7 +228,7 @@ class Round16OpsSpec extends SparkSpec {
         "post-rebuild serve diverged from the fresh full build's capped probe")
     } finally {
       LexIndex.drop(spark, prefix)
-      BandIndex.retireTempDir(path)
+      IndexCore.retireTempDir(path)
     }
   }
 
@@ -242,7 +242,7 @@ class Round16OpsSpec extends SparkSpec {
     val docs = graft.Tables.documents(spark, sf)
     val h = pmod(hash(col("doc_id")), lit(4))
     val prefix = s"graft_lex_mb_${System.nanoTime()}"
-    val path = BandIndex.newTempDir("lexmb")
+    val path = IndexCore.newTempDir("lexmb")
     try {
       LexIndex.persist(spark, sf, path, prefix,
         Some(docs.filter(h === lit(1) || h === lit(2))))
@@ -315,7 +315,7 @@ class Round16OpsSpec extends SparkSpec {
       LexIndex.compact(spark, prefix)
     } finally {
       LexIndex.drop(spark, prefix)
-      BandIndex.retireTempDir(path)
+      IndexCore.retireTempDir(path)
     }
   }
 
@@ -380,7 +380,7 @@ class Round16OpsSpec extends SparkSpec {
     val docs = graft.Tables.documents(spark, sf)
     val isNewDense = pmod(col("doc_id"), lit(4)) === lit(0)
     val prefix = s"graft_lex_merge_${System.nanoTime()}"
-    val path = BandIndex.newTempDir("lexmerge")
+    val path = IndexCore.newTempDir("lexmerge")
     try {
       LexIndex.persist(spark, sf, path, prefix,
         Some(docs.filter(!isNewDense)))
@@ -404,7 +404,7 @@ class Round16OpsSpec extends SparkSpec {
       val p = spark.table(LexIndex.postingsTable(prefix))
       assert(p.filter(col("doc_id") === victimId).count() == 0,
         "retired doc survived the fused rewrite")
-      assert(!spark.catalog.tableExists(BandIndex.tombstonesTable(prefix)),
+      assert(!spark.catalog.tableExists(IndexCore.tombstonesTable(prefix)),
         "tombstones not cleared after the purge")
       val bad = p.groupBy("term").agg(
         count(lit(1)).as("n"),
@@ -416,7 +416,7 @@ class Round16OpsSpec extends SparkSpec {
       val served = LexIndex.impactProbe(spark, sf, prefix)
         .collect().map(_.toString).toSeq
       val fullPrefix = s"graft_lex_mergefull_${System.nanoTime()}"
-      val fullPath = BandIndex.newTempDir("lexmergefull")
+      val fullPath = IndexCore.newTempDir("lexmergefull")
       try {
         LexIndex.persist(spark, sf, fullPath, fullPrefix,
           Some(docs.filter(col("doc_id") =!= victimId)))
@@ -426,11 +426,11 @@ class Round16OpsSpec extends SparkSpec {
           "fused merge+reindex diverged from a fresh build over the survivors")
       } finally {
         LexIndex.drop(spark, fullPrefix)
-        BandIndex.retireTempDir(fullPath)
+        IndexCore.retireTempDir(fullPath)
       }
     } finally {
       LexIndex.drop(spark, prefix)
-      BandIndex.retireTempDir(path)
+      IndexCore.retireTempDir(path)
     }
   }
 
@@ -443,7 +443,7 @@ class Round16OpsSpec extends SparkSpec {
     // corrected) and (b) a compact purge that left metadata stale
     // with the side tables cleared (the round-17 ADVICE marker).
     val prefix = s"graft_lex_tomb_${System.nanoTime()}"
-    val path = BandIndex.newTempDir("lextomb")
+    val path = IndexCore.newTempDir("lextomb")
     try {
       LexIndex.persist(spark, sf, path, prefix)
       val victim = LexIndex.probe(spark, sf, prefix)
@@ -469,7 +469,7 @@ class Round16OpsSpec extends SparkSpec {
       assert(LexIndex.impactProbe(spark, sf, prefix).count() > 0)
     } finally {
       LexIndex.drop(spark, prefix)
-      BandIndex.retireTempDir(path)
+      IndexCore.retireTempDir(path)
     }
   }
 }

@@ -65,7 +65,7 @@ class Round17OpsSpec extends SparkSpec {
 
   private def freshLex(tag: String, appendSlices: Seq[Int]): (String, String) = {
     val prefix = s"graft_r17_${tag}_${System.nanoTime()}"
-    val path = BandIndex.newTempDir(s"r17$tag")
+    val path = IndexCore.newTempDir(s"r17$tag")
     val docs = graft.Tables.documents(spark, sf)
     LexIndex.persist(spark, sf, path, prefix, Some(docs.filter(!denseQuarter)))
     appendSlices.foreach { r =>
@@ -106,7 +106,7 @@ class Round17OpsSpec extends SparkSpec {
       // serving is bit-identical across the fold
       assert(served(prefix) == before, "the fold changed an answer")
     } finally {
-      LexIndex.drop(spark, prefix); BandIndex.retireTempDir(path)
+      LexIndex.drop(spark, prefix); IndexCore.retireTempDir(path)
     }
   }
 
@@ -147,7 +147,7 @@ class Round17OpsSpec extends SparkSpec {
       assert(stamps == Set(-1L, -2L), s"dead input files survived GC: $stamps")
       assert(served(prefix) == before)
     } finally {
-      LexIndex.drop(spark, prefix); BandIndex.retireTempDir(path)
+      LexIndex.drop(spark, prefix); IndexCore.retireTempDir(path)
     }
   }
 
@@ -156,9 +156,9 @@ class Round17OpsSpec extends SparkSpec {
   test("a 64-bucket build probes identically, and every maintenance verb follows the catalog's bucket spec") {
     val docs = graft.Tables.documents(spark, sf)
     val prefix = s"graft_r17_b64_${System.nanoTime()}"
-    val path = BandIndex.newTempDir("r17b64")
+    val path = IndexCore.newTempDir("r17b64")
     val prefix8 = s"graft_r17_b8_${System.nanoTime()}"
-    val path8 = BandIndex.newTempDir("r17b8")
+    val path8 = IndexCore.newTempDir("r17b8")
     try {
       LexIndex.persist(spark, sf, path, prefix, buckets = 64)
       LexIndex.persist(spark, sf, path8, prefix8)
@@ -176,7 +176,7 @@ class Round17OpsSpec extends SparkSpec {
       // does not fill all 64), strictly wider than the old fixed 8
       LexIndex.compact(spark, prefix)
       assert(IndexCore.bucketsOf(spark, LexIndex.postingsTable(prefix)) == 64)
-      val files = BandIndex.tableFiles(spark, LexIndex.postingsTable(prefix))
+      val files = IndexCore.tableFiles(spark, LexIndex.postingsTable(prefix))
       val bucketIds = files.map(f =>
         "part-(\\d+)".r.findFirstMatchIn(new java.io.File(f).getName)
           .map(_.group(1).toInt).getOrElse(-1))
@@ -186,8 +186,8 @@ class Round17OpsSpec extends SparkSpec {
         s"compaction at 64 buckets wrote ${files.size} files — " +
           "parallelism did not widen past the old fixed 8")
     } finally {
-      LexIndex.drop(spark, prefix); BandIndex.retireTempDir(path)
-      LexIndex.drop(spark, prefix8); BandIndex.retireTempDir(path8)
+      LexIndex.drop(spark, prefix); IndexCore.retireTempDir(path)
+      LexIndex.drop(spark, prefix8); IndexCore.retireTempDir(path8)
     }
   }
 
@@ -235,7 +235,7 @@ class Round17OpsSpec extends SparkSpec {
       assert(got == rebuilt,
         "masked capped serving diverged from the post-rewrite answer")
     } finally {
-      LexIndex.drop(spark, prefix); BandIndex.retireTempDir(path)
+      LexIndex.drop(spark, prefix); IndexCore.retireTempDir(path)
     }
   }
 }

@@ -87,9 +87,9 @@ class VecIndexSpec extends SparkSpec {
     val prefix = s"graft_vec_specapp_${System.nanoTime()}"
     try {
       VecIndex.persist(spark, sf, path, prefix, Some(emb(sf).filter(!isNew)))
-      val filesBefore = BandIndex.tableFiles(spark, VecIndex.cellsTable(prefix)).size
+      val filesBefore = IndexCore.tableFiles(spark, VecIndex.cellsTable(prefix)).size
       VecIndex.append(spark, sf, emb(sf).filter(isNew), prefix)
-      assert(BandIndex.tableFiles(spark, VecIndex.cellsTable(prefix)).size > filesBefore,
+      assert(IndexCore.tableFiles(spark, VecIndex.cellsTable(prefix)).size > filesBefore,
         "append laid down no new file set")
       val viaAppend = VecIndex.probe(spark, sf, prefix).collect().map(_.toString).toSeq
       val full = Similarity.queries("sim04_ivf_ann")(spark, sf)
@@ -108,14 +108,14 @@ class VecIndexSpec extends SparkSpec {
         VecIndex.append(spark, sf,
           emb(sf).filter(pmod(hash(col("vec_id")), lit(12)) === lit(r)), prefix)
       }
-      val grown = BandIndex.tableFiles(spark, VecIndex.cellsTable(prefix)).size
+      val grown = IndexCore.tableFiles(spark, VecIndex.cellsTable(prefix)).size
       assert(grown > VecIndex.Buckets,
         s"appends did not grow the file count ($grown) — fixture too small?")
       val before = VecIndex.probe(spark, sf, prefix).collect().map(_.toString).toSeq
 
       VecIndex.compact(spark, prefix)
 
-      val files = BandIndex.tableFiles(spark, VecIndex.cellsTable(prefix))
+      val files = IndexCore.tableFiles(spark, VecIndex.cellsTable(prefix))
       assert(files.size <= VecIndex.Buckets,
         s"cells not compacted: ${files.size} files\n${files.mkString("\n")}")
       val after = VecIndex.probe(spark, sf, prefix).collect().map(_.toString).toSeq
@@ -149,7 +149,7 @@ class VecIndexSpec extends SparkSpec {
       assert(after.map(_.toString).toSeq == never,
         "post-retire decisions diverge from a never-indexed corpus")
       // retention is also a compaction: one file per (non-empty) bucket
-      val files = BandIndex.tableFiles(spark, VecIndex.cellsTable(prefix))
+      val files = IndexCore.tableFiles(spark, VecIndex.cellsTable(prefix))
       assert(files.size <= VecIndex.Buckets,
         s"retire did not rewrite to one file per bucket: ${files.size}")
       assertProbePlan(VecIndex.probe(spark, sf, prefix), "graft-vecidx-specret")
@@ -311,12 +311,12 @@ class VecIndexSpec extends SparkSpec {
     val refPrefix = s"graft_vec_specpqref_${System.nanoTime()}"
     try {
       VecIndex.pqPersist(spark, sf, path, prefix, Some(emb(sf).filter(!isNew)))
-      val filesBefore = BandIndex.tableFiles(spark, VecIndex.pqCellsTable(prefix)).size
+      val filesBefore = IndexCore.tableFiles(spark, VecIndex.pqCellsTable(prefix)).size
       Seq(0, 4, 8).foreach { r =>
         VecIndex.pqAppend(spark, sf,
           emb(sf).filter(pmod(hash(col("vec_id")), lit(12)) === lit(r)), prefix)
       }
-      val grown = BandIndex.tableFiles(spark, VecIndex.pqCellsTable(prefix)).size
+      val grown = IndexCore.tableFiles(spark, VecIndex.pqCellsTable(prefix)).size
       assert(grown > filesBefore, "pqAppend laid down no new file sets")
       val viaAppend = VecIndex.pqProbe(spark, sf, prefix).collect().map(_.toString).toSeq
       val full = Similarity.queries("sim18_ivfpq_probe")(spark, sf)
@@ -325,7 +325,7 @@ class VecIndexSpec extends SparkSpec {
       assertPqProbePlan(VecIndex.pqProbe(spark, sf, prefix))
 
       VecIndex.pqCompact(spark, prefix)
-      val files = BandIndex.tableFiles(spark, VecIndex.pqCellsTable(prefix))
+      val files = IndexCore.tableFiles(spark, VecIndex.pqCellsTable(prefix))
       assert(files.size <= VecIndex.Buckets,
         s"code cells not compacted: ${files.size} files")
       assert(VecIndex.pqProbe(spark, sf, prefix).collect().map(_.toString).toSeq == full,
@@ -376,15 +376,15 @@ class VecIndexSpec extends SparkSpec {
         .collect().map(_.toString).toSeq
 
       val filesBefore =
-        BandIndex.tableFiles(spark, VecIndex.pqCellsTable(prefix)).sorted
+        IndexCore.tableFiles(spark, VecIndex.pqCellsTable(prefix)).sorted
       VecIndex.pqRetireTombstone(spark, prefix, expired)
-      assert(BandIndex.tableFiles(spark, VecIndex.pqCellsTable(prefix)).sorted
+      assert(IndexCore.tableFiles(spark, VecIndex.pqCellsTable(prefix)).sorted
         == filesBefore, "tombstone retention touched the code-cell files")
       assert(VecIndex.pqProbe(spark, sf, prefix).collect().map(_.toString).toSeq
         == expected, "tombstone-masked ADC serve diverges from eager retire")
 
       VecIndex.pqCompact(spark, prefix)
-      assert(!spark.catalog.tableExists(BandIndex.tombstonesTable(prefix)),
+      assert(!spark.catalog.tableExists(IndexCore.tombstonesTable(prefix)),
         "pqCompact did not clear the tombstone set")
       val survivors = spark.table(VecIndex.pqCellsTable(prefix))
         .filter(col("vec_id").isin(expiredIds.toSeq: _*)).count()
