@@ -145,8 +145,20 @@ object BandIndex {
   private def corpusFrames(spark: SparkSession, prefix: String,
       excludeBatch: Option[Long]): (DataFrame, DataFrame) = {
     val tomb = IndexCore.tombstoneFrame(spark, prefix)
+    // Merge-log visibility (round 17 — [[tieredMerge]]): when a fold
+    // has run, folded input rows still on disk (commit → GC crash
+    // window) must not serve alongside their merged copy — the same
+    // single choke point LexIndex reads through. Absent a log the
+    // frames are untouched. Literal comparisons on one long column,
+    // fully pushed.
+    val logOpt =
+      if (spark.catalog.tableExists(IndexCore.mergeLogTable(prefix)))
+        Some(IndexCore.readMergeLog(spark, prefix))
+      else None
     def f(t: String): DataFrame = {
-      val base = excludeBatch.foldLeft(spark.table(t))((d, n) =>
+      val vis = logOpt.foldLeft(spark.table(t))((d, l) =>
+        d.filter(IndexCore.visibleUnder(l)))
+      val base = excludeBatch.foldLeft(vis)((d, n) =>
         d.filter(col("ingest_batch") =!= n || col("ingest_batch").isNull))
       tomb.fold(base)(ts =>
         base.join(ts, base("corpus_doc") === ts("retired_id"), "left_anti"))
@@ -544,6 +556,159 @@ object BandIndex {
       }
       require(fires > 0,
         "fixture too small: the auto-compaction policy never fired")
+    }
+    val dec = Phases.time(tag, "probe") {
+      probe(spark, dir, prefix).localCheckpoint()
+    }
+    persistLock.synchronized { lastCycle(key) = (prefix, path) }
+    dec
+  }
+
+  /** Refuse a maintenance fold while any stamped batch is mid-commit
+    * (stamped but not ledgered) — folding it would re-stamp its rows
+    * and destroy the replay fence, so a checkpoint restart would
+    * double-append the batch (the lexical family's round-16 hole,
+    * guarded identically there). Applies only where a ledger exists:
+    * ad-hoc appends on a never-streamed index have no replay to
+    * fence. */
+  private def requireLedgered(spark: SparkSession, prefix: String,
+      verb: String): Unit = {
+    val lt = IndexCore.ledgerTable(prefix)
+    if (spark.catalog.tableExists(lt)) {
+      spark.catalog.refreshTable(lt)
+      spark.catalog.refreshTable(sigsTable(prefix))
+      val ledgered = spark.table(lt).select("batch_id").distinct()
+        .collect().map(_.getLong(0)).toSet
+      val unledgered = spark.table(sigsTable(prefix))
+        .select("ingest_batch").distinct()
+        .collect().map(_.getLong(0))
+        .filter(b => b >= 0 && !ledgered.contains(b))
+      require(unledgered.isEmpty,
+        s"$verb($prefix): batch(es) ${unledgered.mkString(",")} are " +
+          "mid-commit (stamped but not ledgered) — replay them through " +
+          "maintainBatch before any maintenance fold, or their replay " +
+          "fence is destroyed and a restart double-appends them")
+    }
+  }
+
+  /** SIZE-TIERED segment merge for the band index (round 17 — the
+    * second family through [[IndexCore]]'s merge log, proving the
+    * mechanism is family-neutral): fold ONLY the batch-stamped
+    * segments at or below `maxTierRows` into one merged segment
+    * across BOTH tables, leaving the base tier's files byte-untouched
+    * on disk. The bounded-work verb between "do nothing" and the
+    * corpus-sized [[compact]]:
+    *
+    *   - tier pick from parquet FOOTERS of the sigs table (one row
+    *     per doc — the natural segment-size measure), no data I/O;
+    *   - the fold reads exactly the sub-tier segments' rows (pushed
+    *     `ingest_batch IN (S)` literal, footer-pruned to S's files —
+    *     bytes ∝ arrivals, never the corpus) and appends them under
+    *     one reserved stamp, bucket-aligned (one task per bucket);
+    *   - the COMMIT is one atomic merge-log append covering both
+    *     tables (appends stamp bands and sigs with the same batch id,
+    *     so one (folded → out) record retires both tables' input
+    *     rows); before it the output rows are invisible by
+    *     reserved-stamp construction and the inputs serve — every
+    *     crash point leaves the probes seeing exactly pre- or
+    *     post-fold content, never a mix ([[corpusFrames]]'s
+    *     visibility filter is the single choke point);
+    *   - dead files are GC'd after the commit — pure cleanup, the
+    *     rows were already invisible.
+    *
+    * Unlike the lexical fold there is no per-segment metadata to
+    * recompute: band decisions read raw (bkey, corpus_doc) and
+    * signature rows, so the fold is purely a LAYOUT event — the probe
+    * answers are defined unchanged, which is exactly what dd22's
+    * oracle (dd16's SQL) checks. Returns true when a fold ran. */
+  def tieredMerge(spark: SparkSession, prefix: String,
+      maxTierRows: Long = Long.MaxValue): Boolean = {
+    requireLedgered(spark, prefix, "tieredMerge")
+    val bt = bandsTable(prefix)
+    val st = sigsTable(prefix)
+    spark.catalog.refreshTable(bt)
+    spark.catalog.refreshTable(st)
+    val log = IndexCore.readMergeLog(spark, prefix)
+    // GC any prior fold's leftovers FIRST: a crashed attempt's orphan
+    // files must go before a stamp could be reused, and folded files
+    // this cleans keep the footer pass below honest
+    IndexCore.gcDeadFiles(spark, bt, log)
+    IndexCore.gcDeadFiles(spark, st, log)
+    val sizes = IndexCore.segmentSizes(spark, st, log)
+    val fold = sizes.collect {
+      case (stamp, (rows, _))
+        if stamp != BaseBatch && rows <= maxTierRows => stamp
+    }.toSeq.sorted
+    if (fold.size < 2) false
+    else {
+      val usedMin = (IndexCore.fileSegments(spark, st).map(_._2) ++
+        IndexCore.fileSegments(spark, bt).map(_._2) ++
+        log.outputs ++ Seq(IndexCore.MergeStampCeil + 1)).min
+      val out = math.min(log.nextStamp, usedMin - 1)
+      import org.apache.spark.sql.functions.lit
+      def foldInto(t: String, key: String): Unit = {
+        val b = IndexCore.bucketsOf(spark, t)
+        spark.table(t).filter(col("ingest_batch").isin(fold: _*))
+          .withColumn("ingest_batch", lit(out))
+          .repartition(b, col(key))
+          .write.mode(SaveMode.Append)
+          .bucketBy(b, key).sortBy(key)
+          .saveAsTable(t)
+      }
+      foldInto(bt, "bkey")
+      foldInto(st, "corpus_doc")
+      IndexCore.commitFold(spark, prefix, bt, fold, out)
+      val log2 = IndexCore.readMergeLog(spark, prefix)
+      IndexCore.gcDeadFiles(spark, bt, log2)
+      IndexCore.gcDeadFiles(spark, st, log2)
+      true
+    }
+  }
+
+  /** dd22 (round 17): the dd16 cycle with the growth regime
+    * maintained by the BOUNDED fold instead of the corpus-sized
+    * rewrite — the novel batch lands in 3 disjoint slices, each under
+    * its own stamp (three sub-tier segments), [[tieredMerge]] folds
+    * them into one merged segment (the base build's files
+    * byte-untouched — asserted in-cycle along with the post-fold
+    * segment count), and the re-probe serves through the merge-log
+    * visibility filter. The fold is content-preserving by
+    * construction, so decisions are DEFINED identical to dd16's —
+    * the oracle is the same SQL, and one hash-match proves the fold,
+    * the commit and the visibility rule compose to a no-op on
+    * answers. */
+  def tieredCycle(spark: SparkSession, dir: String, tag: String,
+      slices: Int = 3): DataFrame = {
+    import graft.tools.Phases
+    val key = (spark, dir, tag)
+    val (prefix, path) = Phases.time(tag, "persist") { freshIndex(spark, dir, tag) }
+    Phases.time(tag, "append") {
+      val novel = probe(spark, dir, prefix)
+        .filter(col("dup_of").isNull)
+        .select(col("batch_doc").as("doc_id"))
+        .localCheckpoint()
+      import org.apache.spark.sql.functions.{hash, lit, pmod}
+      (0 until slices).foreach { i =>
+        append(spark, dir,
+          novel.filter(pmod(hash(col("doc_id")), lit(slices)) === lit(i)),
+          prefix, batchId = i.toLong)
+      }
+    }
+    Phases.time(tag, "merge") {
+      val baseBefore = IndexCore.fileSegments(spark, bandsTable(prefix))
+        .filter(f => f._2 == BaseBatch && f._3 == BaseBatch)
+        .map(f => (f._1, f._5)).toSet
+      if (!tieredMerge(spark, prefix))
+        sys.error(s"$tag: sub-tier segments present but no fold ran")
+      val baseAfter = IndexCore.fileSegments(spark, bandsTable(prefix))
+        .filter(f => f._2 == BaseBatch && f._3 == BaseBatch)
+        .map(f => (f._1, f._5)).toSet
+      if (baseAfter != baseBefore)
+        sys.error(s"$tag: the fold touched the base tier's files")
+      val segs = IndexCore.segmentSizes(spark, sigsTable(prefix),
+        IndexCore.readMergeLog(spark, prefix))
+      if (segs.size != 2)
+        sys.error(s"$tag: expected base + merged segment, got ${segs.keySet}")
     }
     val dec = Phases.time(tag, "probe") {
       probe(spark, dir, prefix).localCheckpoint()

@@ -929,7 +929,19 @@ object Dedup {
     // in-cycle). Decisions invariant to when the policy fires, so
     // the oracle is dd16's.
     "dd20_auto_compact" -> ((s, d) =>
-      BandIndex.autoCompactCycle(s, d, "dd20"))
+      BandIndex.autoCompactCycle(s, d, "dd20")),
+
+    // SIZE-TIERED fold (round 17): dd17's growth regime maintained by
+    // the BOUNDED verb — the novel slices land under distinct stamps
+    // (three sub-tier segments), BandIndex.tieredMerge folds them into
+    // one merged segment through IndexCore's merge log (the second
+    // family through that mechanism), the base build's files stay
+    // byte-untouched (asserted in-cycle), and the re-probe reads
+    // through the merge-log visibility filter. The fold is a layout
+    // event — decisions are DEFINED identical to dd16's, so the
+    // oracle is the same SQL.
+    "dd22_band_tiered_merge" -> ((s, d) =>
+      BandIndex.tieredCycle(s, d, "dd22"))
   )
 
   /** Power-iteration PageRank over the near-dup graph (g01's body,
@@ -1081,7 +1093,11 @@ object Dedup {
     ("dd19_tombstone_retention" -> dd19OracleSql) +
     // dd20 = dd16's decisions with compaction automated mid-appends;
     // content-preserving either way, same SQL.
-    ("dd20_auto_compact" -> dd16OracleSql)
+    ("dd20_auto_compact" -> dd16OracleSql) +
+    // dd22 = dd16's decisions with the sliced appends folded by the
+    // size-tiered merge before the re-probe; the fold is a layout
+    // event (same rows, merged stamp), same SQL.
+    ("dd22_band_tiered_merge" -> dd16OracleSql)
 
   /** Two-phase replay of the retention cycle: phase 0 probes the full
     * corpus; phase 1 probes the corpus MINUS [[BandIndex.RetiredSrcs]]

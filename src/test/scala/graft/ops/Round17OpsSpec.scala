@@ -151,6 +151,60 @@ class Round17OpsSpec extends SparkSpec {
     }
   }
 
+  test("band tieredMerge crash window: uncommitted fold output invisible, one log append flips, GC exact") {
+    // the second family through IndexCore's merge log (round 17): the
+    // band probes read through corpusFrames' visibility filter, so
+    // the same crash-window invariants must hold — an uncommitted
+    // fold output (reserved stamp, no log row) never serves, and
+    // after the commit the folded inputs are dead even BEFORE GC
+    // (the double-serve window between commit and file deletion).
+    val prefix = s"graft_r17_band_${System.nanoTime()}"
+    val path = IndexCore.newTempDir("r17band")
+    BandIndex.persist(spark, sf, path, prefix)
+    try {
+      val bt = BandIndex.bandsTable(prefix)
+      val st = BandIndex.sigsTable(prefix)
+      val novel = BandIndex.probe(spark, sf, prefix)
+        .filter(col("dup_of").isNull)
+        .select(col("batch_doc").as("doc_id"))
+        .localCheckpoint()
+      Seq(0, 1).foreach { i =>
+        BandIndex.append(spark, sf,
+          novel.filter(pmod(hash(col("doc_id")), lit(2)) === lit(i)),
+          prefix, batchId = i.toLong)
+      }
+      def dec(): Seq[String] = BandIndex.probe(spark, sf, prefix)
+        .collect().map(_.toString).toSeq.sorted
+      val before = dec()
+      // replicate the fold's writes, crash BEFORE the commit
+      def foldInto(t: String, key: String): Unit = {
+        val b = IndexCore.bucketsOf(spark, t)
+        spark.table(t).filter(col("ingest_batch").isin(0L, 1L))
+          .withColumn("ingest_batch", lit(-2L))
+          .repartition(b, col(key))
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
+          .bucketBy(b, key).sortBy(key).saveAsTable(t)
+      }
+      foldInto(bt, "bkey")
+      foldInto(st, "corpus_doc")
+      assert(dec() == before,
+        "an uncommitted band fold output leaked into serving")
+      // one log append flips the fold on; inputs dead pre-GC
+      IndexCore.commitFold(spark, prefix, bt, Seq(0L, 1L), -2L)
+      assert(dec() == before,
+        "the committed band fold changed an answer before GC (double-serve)")
+      val log = IndexCore.readMergeLog(spark, prefix)
+      assert(log.folded == Set(0L, 1L) && log.outputs == Set(-2L))
+      assert(IndexCore.gcDeadFiles(spark, bt, log) > 0)
+      assert(IndexCore.gcDeadFiles(spark, st, log) > 0)
+      val stamps = IndexCore.fileSegments(spark, st).map(_._2).toSet
+      assert(stamps == Set(-1L, -2L), s"dead input files survived GC: $stamps")
+      assert(dec() == before)
+    } finally {
+      BandIndex.drop(spark, prefix); IndexCore.retireTempDir(path)
+    }
+  }
+
   // ---- bucket count as a build parameter ------------------------------
 
   test("a 64-bucket build probes identically, and every maintenance verb follows the catalog's bucket spec") {
