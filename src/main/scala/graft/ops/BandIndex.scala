@@ -145,19 +145,17 @@ object BandIndex {
   private def corpusFrames(spark: SparkSession, prefix: String,
       excludeBatch: Option[Long]): (DataFrame, DataFrame) = {
     val tomb = IndexCore.tombstoneFrame(spark, prefix)
-    // Merge-log visibility (round 17 — [[tieredMerge]]): when a fold
-    // has run, folded input rows still on disk (commit → GC crash
-    // window) must not serve alongside their merged copy — the same
-    // single choke point LexIndex reads through. Absent a log the
-    // frames are untouched. Literal comparisons on one long column,
+    // Merge-log visibility (round 17 — [[tieredMerge]]): folded input
+    // rows still on disk (commit → GC crash window) must not serve
+    // alongside their merged copy — the same single choke point
+    // LexIndex reads through. The filter applies even with an EMPTY
+    // log: a fold that crashed before its first commit leaves
+    // reserved-stamp rows on disk with no log table at all — they
+    // must stay invisible. Literal comparisons on one long column,
     // fully pushed.
-    val logOpt =
-      if (spark.catalog.tableExists(IndexCore.mergeLogTable(prefix)))
-        Some(IndexCore.readMergeLog(spark, prefix))
-      else None
+    val log = IndexCore.readMergeLog(spark, prefix)
     def f(t: String): DataFrame = {
-      val vis = logOpt.foldLeft(spark.table(t))((d, l) =>
-        d.filter(IndexCore.visibleUnder(l)))
+      val vis = spark.table(t).filter(IndexCore.visibleUnder(log))
       val base = excludeBatch.foldLeft(vis)((d, n) =>
         d.filter(col("ingest_batch") =!= n || col("ingest_batch").isNull))
       tomb.fold(base)(ts =>

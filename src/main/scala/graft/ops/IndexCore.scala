@@ -471,7 +471,10 @@ object IndexCore {
   /** Append the commit rows for one fold — `folded` stamps consumed,
     * `out` produced. ONE atomic job commit: the fold is invisible
     * before this write and fully visible after it; there is no state
-    * in between. */
+    * in between. The storage location carries the log's own table
+    * name, so TABLE-SCOPED logs (the vector family folds its cells
+    * table under scope `cellsTable(prefix)` — its pqcells stamps are
+    * independent) never collide under one index root. */
   private[ops] def commitFold(spark: SparkSession, prefix: String,
       anchorTable: String, folded: Seq[Long], out: Long): Unit = {
     import spark.implicits._
@@ -480,8 +483,21 @@ object IndexCore {
       .coalesce(1).write.mode(SaveMode.Append)
     if (spark.catalog.tableExists(t)) w.saveAsTable(t)
     else w.option("path",
-      s"${indexRootOf(spark, anchorTable)}/mergelog").saveAsTable(t)
+      s"${indexRootOf(spark, anchorTable)}/$t").saveAsTable(t)
   }
+
+  /** Was `batchId` consumed by a committed fold under `scope`'s merge
+    * log? The replay fence for STAMP-IS-THE-LEDGER maintenance
+    * ([[VecIndex.maintainBatch]]): a fold re-stamps a batch's rows
+    * and GC deletes its files, so [[batchPresent]] alone would report
+    * a folded batch absent and a checkpoint replay would
+    * double-append it. The log row recording the fold IS the durable
+    * evidence the batch landed — storage-derived, survives restarts,
+    * cleared only by full rewrites that also clear the stamps. */
+  private[ops] def foldedUnder(spark: SparkSession, scope: String,
+      batchId: Long): Boolean =
+    spark.catalog.tableExists(mergeLogTable(scope)) &&
+      readMergeLog(spark, scope).folded.contains(batchId)
 
   /** Drop the merge log (table + files) after a FULL rewrite
     * (compact/reindex/mergeReindex re-stamp every surviving row, so

@@ -1361,6 +1361,16 @@ object Similarity {
     "sim17_vec_retention" -> ((s, d) =>
       VecIndex.retentionCycle(s, d, "sim17")),
 
+    // sim30 (round 17) = sim16's growth regime maintained by the
+    // BOUNDED size-tiered fold (the third family through IndexCore's
+    // merge log): three stamped micro-batches, one fold, a
+    // replay-after-fold asserted a no-op (the merge-log fence that
+    // keeps stamp-is-the-ledger exactly-once through folds), probe
+    // through the visibility filter. Final index = full corpus, so
+    // the oracle is sim04's.
+    "sim30_vec_tiered_merge" -> ((s, d) =>
+      VecIndex.tieredCycle(s, d, "sim30")),
+
     // sim18 = the IVF-PQ SERVING index (VecIndex.pqPersist/pqProbe):
     // cells persist (cluster, vec_id, PQ codes) — 256-byte raw
     // vectors become M small ints, and the probe's read path is code
@@ -2397,6 +2407,10 @@ object Similarity {
     // invisible to the decisions.
     "sim15_vec_index_append" -> sim04Sql,
     "sim16_vec_index_compact" -> sim04Sql,
+    // sim30 = sim16's growth maintained by the size-tiered fold; the
+    // fold is a layout event over row-local cell rows, so the final
+    // index again equals the full build — same SQL.
+    "sim30_vec_tiered_merge" -> sim04Sql,
 
     // sim17 = the two-phase retention cycle (see sim17Sql).
     "sim17_vec_retention" -> sim17Sql,

@@ -127,7 +127,18 @@ object VecIndex {
     * streamed side keeps its bucketed partitioning, so the plan
     * property is untouched. */
   private def cellFrame(spark: SparkSession, prefix: String): DataFrame = {
-    val base = spark.table(cellsTable(prefix))
+    // Merge-log visibility (round 17 — [[tieredMerge]]): the log is
+    // TABLE-scoped (cells and pqcells stamps are independent), and
+    // absent a log the frame is untouched. Same single-choke-point
+    // rule as the band/lexical read paths: folded input rows still on
+    // disk (commit → GC crash window) must not serve alongside their
+    // merged copy.
+    val scope = cellsTable(prefix)
+    // the filter applies even with an EMPTY log: a fold that crashed
+    // before its first commit leaves reserved-stamp rows on disk with
+    // no log table at all — they must stay invisible
+    val base = spark.table(scope)
+      .filter(IndexCore.visibleUnder(IndexCore.readMergeLog(spark, scope)))
     IndexCore.tombstoneFrame(spark, prefix).fold(base)(ts =>
       base.join(ts, base("vec_id") === ts("retired_id"), "left_anti"))
   }
@@ -574,9 +585,58 @@ object VecIndex {
     require(batchId >= 0,
       s"maintainBatch batchId must be >= 0, got $batchId (ids < 0 are " +
         "reserved for the base-build/ad-hoc stamp)")
-    if (IndexCore.batchPresent(spark, cellsTable(prefix), batchId)) false
+    // Replay fence = the stamp itself, EXTENDED by the merge log
+    // (round 17): a tiered fold re-stamps the batch's rows and GC
+    // deletes its files, so the stamp probe alone would report a
+    // folded batch absent and a checkpoint replay would double-append
+    // — the fold's own commit row is the durable evidence instead.
+    if (IndexCore.batchPresent(spark, cellsTable(prefix), batchId) ||
+        IndexCore.foldedUnder(spark, cellsTable(prefix), batchId)) false
     else {
       append(spark, dir, newVecs, prefix, batchId)
+      true
+    }
+  }
+
+  /** SIZE-TIERED segment merge for the vector cells table (round 17
+    * — the THIRD family through [[IndexCore]]'s merge log): fold only
+    * the batch-stamped segments at or below `maxTierRows` into one
+    * merged segment, base files byte-untouched, one atomic log
+    * append, dead files GC'd after. The log is scoped to the CELLS
+    * table (pqcells stamps are independent — a shared prefix must
+    * not have one family's fold kill the other's stamps), and the
+    * fold is purely a layout event: cell rows are row-local
+    * (cluster, vec_id, …), so probe answers are defined unchanged.
+    * The stamp-is-the-ledger replay fence survives because
+    * [[maintainBatch]] also consults the log ([[IndexCore.foldedUnder]])
+    * — the one genuinely new invariant this family adds, spec-driven
+    * through a replay-after-fold. Returns true when a fold ran. */
+  def tieredMerge(spark: SparkSession, prefix: String,
+      maxTierRows: Long = Long.MaxValue): Boolean = {
+    val t = cellsTable(prefix)
+    spark.catalog.refreshTable(t)
+    val log = IndexCore.readMergeLog(spark, t)
+    IndexCore.gcDeadFiles(spark, t, log)
+    val sizes = IndexCore.segmentSizes(spark, t, log)
+    val fold = sizes.collect {
+      case (stamp, (rows, _))
+        if stamp != BandIndex.BaseBatch && rows <= maxTierRows => stamp
+    }.toSeq.sorted
+    if (fold.size < 2) false
+    else {
+      val usedMin = (IndexCore.fileSegments(spark, t).map(_._2) ++
+        log.outputs ++ Seq(IndexCore.MergeStampCeil + 1)).min
+      val out = math.min(log.nextStamp, usedMin - 1)
+      import org.apache.spark.sql.functions.lit
+      val b = IndexCore.bucketsOf(spark, t)
+      spark.table(t).filter(col("ingest_batch").isin(fold: _*))
+        .withColumn("ingest_batch", lit(out))
+        .repartition(b, col("cluster"))
+        .write.mode(SaveMode.Append)
+        .bucketBy(b, "cluster").sortBy("cluster")
+        .saveAsTable(t)
+      IndexCore.commitFold(spark, t, t, fold, out)
+      IndexCore.gcDeadFiles(spark, t, IndexCore.readMergeLog(spark, t))
       true
     }
   }
@@ -659,6 +719,63 @@ object VecIndex {
       }
     }
     Phases.time(tag, "compact") { compact(spark, prefix) }
+    val dec = Phases.time(tag, "probe") {
+      probe(spark, dir, prefix).localCheckpoint()
+    }
+    persistLock.synchronized { lastCycle(key) = (prefix, path) }
+    dec
+  }
+
+  /** sim30 (round 17): sim16's growth regime maintained by the
+    * BOUNDED fold instead of the corpus-sized rewrite — the new
+    * quarter lands in 3 micro-batches through [[maintainBatch]]
+    * (each under its own stamp), [[tieredMerge]] folds them into one
+    * merged segment (base files byte-untouched, post-fold segment
+    * count asserted in-cycle), a REPLAY of a folded batch is asserted
+    * a no-op (the merge-log fence — the invariant this family adds),
+    * and the probe serves through the visibility filter. The final
+    * index equals the full corpus, so the entry shares sim04's
+    * oracle. */
+  def tieredCycle(spark: SparkSession, dir: String, tag: String): DataFrame = {
+    import graft.tools.Phases
+    import org.apache.spark.sql.functions.{hash, lit, pmod}
+    val key = (spark, dir, tag)
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val (prefix, path) = Phases.time(tag, "persist") {
+      freshIndex(spark, dir, tag, Some(e.filter(!isNewVec)))
+    }
+    Phases.time(tag, "append") {
+      Seq(0, 4, 8).foreach { r =>
+        if (!maintainBatch(spark, dir, prefix,
+            e.filter(pmod(hash(col("vec_id")), lit(12)) === lit(r)),
+            batchId = r.toLong))
+          sys.error(s"$tag: fresh batch $r claims already maintained")
+      }
+    }
+    Phases.time(tag, "merge") {
+      val t = cellsTable(prefix)
+      val baseBefore = IndexCore.fileSegments(spark, t)
+        .filter(f => f._2 == BandIndex.BaseBatch && f._3 == BandIndex.BaseBatch)
+        .map(f => (f._1, f._5)).toSet
+      if (!tieredMerge(spark, prefix))
+        sys.error(s"$tag: sub-tier segments present but no fold ran")
+      val baseAfter = IndexCore.fileSegments(spark, t)
+        .filter(f => f._2 == BandIndex.BaseBatch && f._3 == BandIndex.BaseBatch)
+        .map(f => (f._1, f._5)).toSet
+      if (baseAfter != baseBefore)
+        sys.error(s"$tag: the fold touched the base tier's files")
+      val segs = IndexCore.segmentSizes(spark, t,
+        IndexCore.readMergeLog(spark, t))
+      if (segs.size != 2)
+        sys.error(s"$tag: expected base + merged segment, got ${segs.keySet}")
+      // the merge-log replay fence: a folded batch's replay must be a
+      // no-op even though its stamp's files are GC'd
+      if (maintainBatch(spark, dir, prefix,
+          e.filter(pmod(hash(col("vec_id")), lit(12)) === lit(0)),
+          batchId = 0L))
+        sys.error(s"$tag: a folded batch replayed as new — the " +
+          "merge-log fence failed and the index double-appended")
+    }
     val dec = Phases.time(tag, "probe") {
       probe(spark, dir, prefix).localCheckpoint()
     }

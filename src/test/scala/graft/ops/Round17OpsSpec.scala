@@ -205,6 +205,53 @@ class Round17OpsSpec extends SparkSpec {
     }
   }
 
+  test("vector tieredMerge crash window: uncommitted output invisible, fold changes no answer pre-GC, folded replay fenced") {
+    // the THIRD family through the merge log. The family-specific
+    // invariant: its maintenance is stamp-is-the-ledger, so after a
+    // fold + GC the stamp probe alone would replay a folded batch —
+    // the merge-log fence (IndexCore.foldedUnder) must catch it.
+    val e = graft.Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val newVec = pmod(hash(col("vec_id")), lit(4)) === lit(0)
+    val prefix = s"graft_r17_vec_${System.nanoTime()}"
+    val path = IndexCore.newTempDir("r17vec")
+    VecIndex.persist(spark, sf, path, prefix, Some(e.filter(!newVec)))
+    try {
+      val t = VecIndex.cellsTable(prefix)
+      Seq(0, 1).foreach { i =>
+        assert(VecIndex.maintainBatch(spark, sf, prefix,
+          e.filter(newVec && pmod(hash(col("vec_id")), lit(8)) === lit(i * 4)),
+          batchId = i.toLong))
+      }
+      def dec(): Seq[String] = VecIndex.probe(spark, sf, prefix)
+        .collect().map(_.toString).toSeq.sorted
+      val before = dec()
+      // replicate the fold's write, crash BEFORE the commit
+      val b = IndexCore.bucketsOf(spark, t)
+      spark.table(t).filter(col("ingest_batch").isin(0L, 1L))
+        .withColumn("ingest_batch", lit(-2L))
+        .repartition(b, col("cluster"))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .bucketBy(b, "cluster").sortBy("cluster").saveAsTable(t)
+      assert(dec() == before,
+        "an uncommitted vector fold output leaked into serving")
+      IndexCore.commitFold(spark, t, t, Seq(0L, 1L), -2L)
+      assert(dec() == before,
+        "the committed vector fold changed an answer before GC (double-serve)")
+      val log = IndexCore.readMergeLog(spark, t)
+      assert(IndexCore.gcDeadFiles(spark, t, log) > 0)
+      assert(dec() == before)
+      // replay of a folded batch: stamp files are gone, the log row
+      // must fence it
+      assert(!VecIndex.maintainBatch(spark, sf, prefix,
+        e.filter(newVec && pmod(hash(col("vec_id")), lit(8)) === lit(0)),
+        batchId = 0L),
+        "a folded batch replayed as new through the stamp-only fence")
+      assert(dec() == before)
+    } finally {
+      VecIndex.drop(spark, prefix); IndexCore.retireTempDir(path)
+    }
+  }
+
   // ---- bucket count as a build parameter ------------------------------
 
   test("a 64-bucket build probes identically, and every maintenance verb follows the catalog's bucket spec") {
