@@ -222,7 +222,14 @@ object BandIndex {
   private def withPinnedSigs(spark: SparkSession, dir: String,
       admitted: DataFrame)(body: DataFrame => Unit): Unit = {
     val adm = admitted.select(col(admitted.columns.head).as("doc_id"))
-    val sigs = Dedup.minhashSignatures(spark, dir).join(adm, "doc_id").cache()
+    // batch-scoped signing (round 17, guide §8): the id join prunes
+    // the documents scan BEFORE the signature projection, so an
+    // append's work is ∝ the batch — the old form joined the
+    // corpus-wide memoized signature array down to the batch, a
+    // dataflow that needs a corpus-sized cache at 100 TB
+    val sigs = Dedup.signDocs(
+      graft.Tables.documents(spark, dir).join(adm, "doc_id")
+        .select("doc_id", "text")).cache()
     try {
       sigs.count() // pin BEFORE the first write mutates the bands table
       body(sigs)
@@ -733,7 +740,14 @@ object BandIndex {
     val idc = col(ids.columns.head)
     val shaped = ids.select(idc.as("batch_id"),
       when(idc >= DayOffset, idc - DayOffset).otherwise(idc).as("orig_id"))
-    val sigs = Dedup.minhashSignatures(spark, dir)
+    // batch-scoped signing (round 17, guide §8): sign each DISTINCT
+    // original text once — work ∝ the micro-batch — then re-key to
+    // the batch ids; the old form joined the corpus-wide memoized
+    // signature array down to the batch
+    val sigs = Dedup.signDocs(
+      graft.Tables.documents(spark, dir)
+        .join(shaped.select(col("orig_id").as("doc_id")).distinct(), "doc_id")
+        .select("doc_id", "text"))
     val batchSigs = sigs.join(shaped, sigs("doc_id") === shaped("orig_id"))
       .select(col("batch_id").as("doc_id") +:
         (0 until Dedup.MinhashK).map(j => col(s"sig_$j")): _*)

@@ -223,6 +223,31 @@ object Dedup {
       .cache()
   }
 
+  /** BATCH-SCOPED signatures (round 17, optimization guide §8: decide
+    * with batch-sized work, never corpus-sized): sign ONLY the given
+    * docs — (doc_id, text, …) in, (doc_id, sig_0..k-1) out, the same
+    * one-codegen-pass inline form the streaming signer uses
+    * ([[nearDupDecisions]]). The maintenance paths (BandIndex append /
+    * probeIds / the incremental probe's batch side) use this instead
+    * of joining the corpus-wide memoized array down to the batch: an
+    * append's signature work is ∝ the batch it lands, and at 100 TB
+    * the corpus-sized cached array the old join depended on cannot
+    * exist. Per-row values are bit-identical to [[minhashSignatures]]
+    * (same tokens/shingles/minhash_mix chain), so every decision —
+    * and every oracle hash — is unchanged. No cache barrier is
+    * needed: the sig array is referenced k times, which stops
+    * CollapseProject from inlining the md5 chain per column. */
+  private[graft] def signDocs(docs: DataFrame): DataFrame = {
+    graft.functions.VectorExprs.register(docs.sparkSession)
+    docs
+      .withColumn("tokens", expr(tokensExpr))
+      .withColumn("shingles", expr(shinglesExpr))
+      .withColumn("sigarr",
+        expr(s"minhash_mix(transform(shingles, s -> ${Portable.phashExpr("s")} % $MixMod))"))
+      .select(col("doc_id") +:
+        (0 until MinhashK).map(j => element_at(col("sigarr"), j + 1).as(s"sig_$j")): _*)
+  }
+
   /** Shared oracle fragments for the LSH family (dd03/dd07/dd09):
     * band-key projection over `sigs` and the signature match-count
     * sum between aliases `sa`/`sb`. */
@@ -1024,18 +1049,21 @@ object Dedup {
     * doc — dup_of/est_jaccard null ⇒ novel, admit to the corpus. */
   private[graft] def incrementalDecisions(s: SparkSession, d: String,
       corpusBands: DataFrame, corpusSigs: DataFrame): DataFrame = {
-    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
-    val batchSigs = minhashSignatures(s, d)
-      .join(src.filter(col("source") === IncBatchSrc), "doc_id")
-      .drop("source")
+    // batch side signed batch-scoped (round 17): the source predicate
+    // prunes the documents scan BEFORE the signature projection, so
+    // the probe's signing work is ∝ the arriving batch — the old form
+    // joined the corpus-wide memoized array down to the batch
+    val batchSigs = signDocs(
+      Tables.documents(s, d).filter(col("source") === IncBatchSrc)
+        .select("doc_id", "text"))
     incrementalDecisionsFor(batchSigs, corpusBands, corpusSigs)
   }
 
   /** [[incrementalDecisions]] generalized over the BATCH side: the
     * probe dataflow for any (doc_id, sig_0..k-1) batch-signature
     * frame — st07's day-2 re-ingest presents yesterday's feed under
-    * shifted doc ids, reusing the memoized signatures rather than
-    * re-signing the text. */
+    * shifted doc ids, signing the batch's original texts batch-scoped
+    * ([[signDocs]]). */
   private[graft] def incrementalDecisionsFor(batchSigs: DataFrame,
       corpusBands: DataFrame, corpusSigs: DataFrame): DataFrame = {
     val bandKeys = (0 until Bands).map(b =>
