@@ -482,7 +482,13 @@ object BandIndex {
           // novel ids are residue-concentrated, so raw-mod slices can
           // be empty): same union as one append, but each append lays
           // down its own file set per bucket — the file-growth regime
-          // compaction exists for
+          // compaction exists for. SEQUENTIAL by necessity, not
+          // oversight (round 17): overlapping the slice appends
+          // (guide §2.6) was tried and REVERTED — concurrent
+          // saveAsTable appends to one table share the Hadoop
+          // committer's `_temporary/0` staging dir, and one job's
+          // cleanup deletes the other's in-flight task files
+          // (TASK_WRITE_FAILED, caught by BandIndexSpec).
           import org.apache.spark.sql.functions.{hash, lit, pmod}
           append(spark, dir,
             novel.filter(pmod(hash(col("doc_id")), lit(appendSlices)) === lit(i)),
@@ -634,20 +640,25 @@ object BandIndex {
     spark.catalog.refreshTable(bt)
     spark.catalog.refreshTable(st)
     val log = IndexCore.readMergeLog(spark, prefix)
+    // ONE footer sweep per table, shared by GC, the tier pick and
+    // the fresh-stamp scan (round 17: the fold paid six sweeps)
+    val bSegs0 = IndexCore.fileSegments(spark, bt)
+    val sSegs0 = IndexCore.fileSegments(spark, st)
     // GC any prior fold's leftovers FIRST: a crashed attempt's orphan
     // files must go before a stamp could be reused, and folded files
-    // this cleans keep the footer pass below honest
-    IndexCore.gcDeadFiles(spark, bt, log)
-    IndexCore.gcDeadFiles(spark, st, log)
-    val sizes = IndexCore.segmentSizes(spark, st, log)
+    // this cleans keep the footer listing below honest
+    val bGone = IndexCore.gcDeadFilesOf(spark, bt, log, bSegs0).toSet
+    val sGone = IndexCore.gcDeadFilesOf(spark, st, log, sSegs0).toSet
+    val bSegs = bSegs0.filterNot(s => bGone.contains(s._1))
+    val sSegs = sSegs0.filterNot(s => sGone.contains(s._1))
+    val sizes = IndexCore.segmentSizesOf(sSegs, log)
     val fold = sizes.collect {
       case (stamp, (rows, _))
         if stamp != BaseBatch && rows <= maxTierRows => stamp
     }.toSeq.sorted
     if (fold.size < 2) false
     else {
-      val usedMin = (IndexCore.fileSegments(spark, st).map(_._2) ++
-        IndexCore.fileSegments(spark, bt).map(_._2) ++
+      val usedMin = (sSegs.map(_._2) ++ bSegs.map(_._2) ++
         log.outputs ++ Seq(IndexCore.MergeStampCeil + 1)).min
       val out = math.min(log.nextStamp, usedMin - 1)
       import org.apache.spark.sql.functions.lit
@@ -663,9 +674,12 @@ object BandIndex {
       foldInto(bt, "bkey")
       foldInto(st, "corpus_doc")
       IndexCore.commitFold(spark, prefix, bt, fold, out)
-      val log2 = IndexCore.readMergeLog(spark, prefix)
-      IndexCore.gcDeadFiles(spark, bt, log2)
-      IndexCore.gcDeadFiles(spark, st, log2)
+      // post-commit GC: the dead set under the just-committed log is
+      // exactly the folded stamps' files, already in hand from the
+      // shared sweeps — no log re-read, no footer re-walk
+      val log2 = IndexCore.MergeLog(log.folded ++ fold, log.outputs + out)
+      IndexCore.gcDeadFilesOf(spark, bt, log2, bSegs.filter(s => fold.contains(s._2)))
+      IndexCore.gcDeadFilesOf(spark, st, log2, sSegs.filter(s => fold.contains(s._2)))
       true
     }
   }

@@ -157,10 +157,54 @@ object IndexCore {
     * StreamingSpec's st10 restart test. */
   private[ops] def batchPresent(spark: SparkSession, table: String,
       batchId: Long): Boolean =
-    spark.catalog.tableExists(table) && {
-      spark.catalog.refreshTable(table)
-      !spark.table(table).filter(col("ingest_batch") === batchId).isEmpty
+    spark.catalog.tableExists(table) &&
+      !footerProvenAbsent(spark, table, "ingest_batch", batchId) && {
+        spark.catalog.refreshTable(table)
+        !spark.table(table).filter(col("ingest_batch") === batchId).isEmpty
+      }
+
+  /** FOOTER-PROVEN absence (round 17, optimization guide §1.2 "per
+    * task work" / §7.3 driver costs): `id` cannot appear in `longCol`
+    * when every row group's [min, max] statistics exclude it —
+    * answered from driver-side parquet footer reads over the LIVE
+    * file listing ([[tableFiles]] walks the filesystem, so this is
+    * immune to the session-clone cache staleness refreshTable guards
+    * against), with NO Spark job. The stamp and ledger probes use it
+    * as their fast path: a FRESH batch — the common case on every
+    * maintenance cycle — was previously proven absent by
+    * refreshTable + plan + an isEmpty job PER TABLE (profiled at
+    * ~0.8 s of tx27's 13 s cycle across 11 probes); footers answer
+    * it in file-count-bounded metadata reads. Conservative by
+    * construction: a missing/empty statistics object, an unreadable
+    * file, or a block whose column is absent all return "maybe
+    * present", and the caller falls through to the exact check. */
+  private[ops] def footerProvenAbsent(spark: SparkSession, table: String,
+      longCol: String, id: Long): Boolean = {
+    val conf = spark.sessionState.newHadoopConf()
+    tableFiles(spark, table).forall { f =>
+      try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val blocks = reader.getFooter.getBlocks
+          (0 until blocks.size()).forall { i =>
+            val blk = blocks.get(i)
+            blk.getRowCount == 0L || (0 until blk.getColumns.size()).exists { j =>
+              val c = blk.getColumns.get(j)
+              c.getPath.toDotString == longCol && c.getStatistics != null &&
+                !c.getStatistics.isEmpty &&
+                c.getStatistics.hasNonNullValue && {
+                  val st = c.getStatistics
+                    .asInstanceOf[org.apache.parquet.column.statistics.LongStatistics]
+                  id < st.genericGetMin || id > st.genericGetMax
+                }
+            }
+          }
+        } finally reader.close()
+      } catch { case _: Throwable => false } // unreadable ⇒ maybe present
     }
+  }
 
   // ------------------------------------------------------------------
   // Tombstones — O(retired) retention, shared by all three families
@@ -233,17 +277,22 @@ object IndexCore {
 
   private[ops] def ledgerDoneIn(spark: SparkSession, ledgerTbl: String,
       batchId: Long): Boolean =
-    spark.catalog.tableExists(ledgerTbl) && {
-      // same cross-session discipline as batchPresent (round-17
-      // ADVICE): the ledger row may have been written by a streaming
-      // foreachBatch session CLONE, whose append invalidates the
-      // clone's cache, not this session's — a stale file listing here
-      // reports the batch un-ledgered and the replay falls through to
-      // the slower fence checks and appends a duplicate ledger row.
-      spark.catalog.refreshTable(ledgerTbl)
-      !spark.table(ledgerTbl)
-        .filter(col("batch_id") === batchId).isEmpty
-    }
+    spark.catalog.tableExists(ledgerTbl) &&
+      // footer fast path (round 17): a fresh batch is proven
+      // un-ledgered from footer statistics over the live file walk —
+      // no refresh, no job; only a possibly-present id pays the exact
+      // check below
+      !footerProvenAbsent(spark, ledgerTbl, "batch_id", batchId) && {
+        // same cross-session discipline as batchPresent (round-17
+        // ADVICE): the ledger row may have been written by a streaming
+        // foreachBatch session CLONE, whose append invalidates the
+        // clone's cache, not this session's — a stale file listing here
+        // reports the batch un-ledgered and the replay falls through to
+        // the slower fence checks and appends a duplicate ledger row.
+        spark.catalog.refreshTable(ledgerTbl)
+        !spark.table(ledgerTbl)
+          .filter(col("batch_id") === batchId).isEmpty
+      }
 
   private[ops] def ledgerRecordIn(spark: SparkSession, ledgerTbl: String,
       anchorTable: String, batchId: Long): Unit = {
@@ -438,13 +487,36 @@ object IndexCore {
       math.min(MergeStampCeil, outputs.minOption.getOrElse(MergeStampCeil + 1) - 1)
   }
 
+  /** Memo of decoded merge logs, keyed by the log table's LIVE file
+    * listing (path + length, sorted). The log is tiny but round 17's
+    * job profile showed each read costing ~0.14 s of driver work
+    * (refresh + plan + collect), ×8 per tx27 cycle — while the log
+    * only changes when a fold commits or a rewrite clears it, both of
+    * which change the file listing the key is built from. A
+    * session-clone's commit also appends a file, so the cross-session
+    * staleness hazard refreshTable guards is covered BY the key: any
+    * writer, any session, new key ⇒ fresh read. Parquet write paths
+    * never reuse file names (UUID parts), so a drop-and-recreate
+    * cannot collide with a stale entry. */
+  private val mergeLogMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (Seq[(String, Long)], MergeLog)]
+
   private[ops] def readMergeLog(spark: SparkSession, prefix: String): MergeLog = {
     val t = mergeLogTable(prefix)
     if (!spark.catalog.tableExists(t)) MergeLog(Set.empty, Set.empty)
     else {
-      spark.catalog.refreshTable(t)
-      val rows = spark.table(t).select("out_stamp", "folded_stamp").collect()
-      MergeLog(rows.map(_.getLong(1)).toSet, rows.map(_.getLong(0)).toSet)
+      val key = tableFiles(spark, t)
+        .map(f => (f, new java.io.File(f).length())).sortBy(_._1)
+      mergeLogMemo.get((spark, t)) match {
+        case Some((k, log)) if k == key => log
+        case _ =>
+          mergeLogMemo.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+          spark.catalog.refreshTable(t)
+          val rows = spark.table(t).select("out_stamp", "folded_stamp").collect()
+          val log = MergeLog(rows.map(_.getLong(1)).toSet, rows.map(_.getLong(0)).toSet)
+          mergeLogMemo.put((spark, t), (key, log))
+          log
+      }
     }
   }
 
@@ -569,7 +641,15 @@ object IndexCore {
     * before folding, so a spanning file can never be half-consumed. */
   private[ops] def segmentSizes(spark: SparkSession, table: String,
       log: MergeLog): Map[Long, (Long, Long)] =
-    fileSegments(spark, table)
+    segmentSizesOf(fileSegments(spark, table), log)
+
+  /** Pure form over a precomputed [[fileSegments]] listing — round
+    * 17: a fold was paying FOUR footer sweeps per cycle (gc, sizes,
+    * fresh-stamp pick, post-commit gc); the callers now take one
+    * sweep and share it. */
+  private[ops] def segmentSizesOf(segs: Seq[(String, Long, Long, Long, Long)],
+      log: MergeLog): Map[Long, (Long, Long)] =
+    segs
       .filter { case (_, mn, mx, _, _) =>
         mn == mx && !log.folded.contains(mn) &&
           (mn >= -1L || log.outputs.contains(mn))
@@ -586,8 +666,15 @@ object IndexCore {
     * Only single-stamp files are touched (min == max — a spanning
     * file could hold live rows). */
   private[ops] def gcDeadFiles(spark: SparkSession, table: String,
-      log: MergeLog): Int = {
-    val dead = fileSegments(spark, table).filter { case (_, mn, mx, _, _) =>
+      log: MergeLog): Int =
+    gcDeadFilesOf(spark, table, log, fileSegments(spark, table)).size
+
+  /** [[gcDeadFiles]] over a precomputed listing; returns the deleted
+    * paths so the caller can subtract them from its shared
+    * [[fileSegments]] sweep instead of re-walking footers. */
+  private[ops] def gcDeadFilesOf(spark: SparkSession, table: String,
+      log: MergeLog, segs: Seq[(String, Long, Long, Long, Long)]): Seq[String] = {
+    val dead = segs.filter { case (_, mn, mx, _, _) =>
       mn == mx &&
         (log.folded.contains(mn) || (mn <= MergeStampCeil && !log.outputs.contains(mn)))
     }
@@ -596,6 +683,6 @@ object IndexCore {
       catch { case _: Throwable => () }
     }
     if (dead.nonEmpty) spark.catalog.refreshTable(table)
-    dead.size
+    dead.map(_._1)
   }
 }

@@ -112,14 +112,14 @@ object LexIndex {
 
   /** Build and persist the inverted index over `docs` (defaults to
     * the full corpus; the lifecycle cycles build from a slice and
-    * grow via [[append]]). One tokenize pass feeds the postings
+    * grow via [[append]]). The tokenize executes ONCE and is pinned
+    * (writeBatch's localCheckpoint, round 17); the postings
     * aggregate — a single (doc_id, term, dl) shuffle, tf counted
-    * map-side — one feeds the norms table, and a THIRD executes for
-    * the stats row: it aggregates the in-scope docstats frame, not a
-    * stamp-filtered read-back of the written table (a read-back
-    * keyed on ingest_batch double-counts colliding stamps — see the
-    * writeBatch note), trading one extra build-time tokenize for
-    * append-stamp safety. */
+    * map-side — the norms table and the stats row all read the same
+    * materialization. The stats row still aggregates the in-scope
+    * docstats frame, not a stamp-filtered read-back of the written
+    * table (a read-back keyed on ingest_batch double-counts
+    * colliding stamps — see the writeBatch note). */
   def persist(spark: SparkSession, dir: String, path: String,
       prefix: String, docs: Option[DataFrame] = None,
       buckets: Int = Buckets): Unit = {
@@ -219,9 +219,17 @@ object LexIndex {
   private def writeBatch(spark: SparkSession, tok: DataFrame, path: String,
       prefix: String, batch: Long, firstWrite: Boolean,
       buckets: Int = Buckets): Unit = {
-    writePostings(tok, path, prefix, batch, firstWrite, buckets)
-    writeDocstats(tok, path, prefix, batch, firstWrite, buckets)
-    writeStats(tok, path, prefix, batch, firstWrite)
+    // Pin the tokenize ONCE (round 17, measured on tx27's profile):
+    // un-pinned, the tokenize chain re-executed FOUR times per batch
+    // — the impact rank's range-boundary sampling pass, the postings
+    // shuffle itself, the docstats write and the stats aggregate.
+    // Tokenization is the batch's dominant scalar work, so the three
+    // consumers (and the sampler) now read one materialization.
+    // Values are unchanged: tokenize is deterministic per row.
+    val pinned = tok.localCheckpoint()
+    writePostings(pinned, path, prefix, batch, firstWrite, buckets)
+    writeDocstats(pinned, path, prefix, batch, firstWrite, buckets)
+    writeStats(pinned, path, prefix, batch, firstWrite)
   }
 
   // dl is functionally dependent on doc_id, so folding it into the
@@ -348,7 +356,10 @@ object LexIndex {
         postingsTable(prefix), batchId)
       false
     } else {
-      val tok = tokenized(newDocs)
+      // pinned for the same reason as writeBatch: the three writers
+      // (plus the impact rank's boundary sampler) would otherwise
+      // re-tokenize the batch once each
+      val tok = tokenized(newDocs).localCheckpoint()
       if (!IndexCore.batchPresent(spark, postingsTable(prefix), batchId))
         writePostings(tok, path = "", prefix, batchId, firstWrite = false)
       if (!IndexCore.batchPresent(spark, docstatsTable(prefix), batchId))
@@ -1191,11 +1202,15 @@ object LexIndex {
     val t = postingsTable(prefix)
     spark.catalog.refreshTable(t)
     val log = IndexCore.readMergeLog(spark, prefix)
+    // ONE footer sweep shared by GC, the tier pick and the
+    // fresh-stamp scan (round 17: the fold paid four sweeps)
+    val segs0 = IndexCore.fileSegments(spark, t)
     // GC any prior fold's leftovers FIRST: a crashed attempt's orphan
     // files must go before a stamp could be reused, and folded files
-    // this cleans keep the footer pass below honest
-    IndexCore.gcDeadFiles(spark, t, log)
-    val sizes = IndexCore.segmentSizes(spark, t, log)
+    // this cleans keep the footer listing below honest
+    val gone = IndexCore.gcDeadFilesOf(spark, t, log, segs0).toSet
+    val segs = segs0.filterNot(s => gone.contains(s._1))
+    val sizes = IndexCore.segmentSizesOf(segs, log)
     val fold = sizes.collect {
       case (stamp, (rows, _))
         if stamp != BandIndex.BaseBatch && rows <= maxTierRows => stamp
@@ -1205,7 +1220,7 @@ object LexIndex {
       // the output stamp must be fresh against BOTH the log's outputs
       // and any stamp physically present (a crashed attempt's rows
       // were GC'd above, but belt-and-braces against partial GC)
-      val usedMin = (IndexCore.fileSegments(spark, t).map(_._2) ++
+      val usedMin = (segs.map(_._2) ++
         log.outputs ++ Seq(IndexCore.MergeStampCeil + 1)).min
       val out = math.min(log.nextStamp, usedMin - 1)
       val b = IndexCore.bucketsOf(spark, t)
@@ -1227,7 +1242,13 @@ object LexIndex {
         .coalesce(1)
       st.write.mode(SaveMode.Append).saveAsTable(statsTable(prefix))
       IndexCore.commitFold(spark, prefix, t, fold, out)
-      IndexCore.gcDeadFiles(spark, t, IndexCore.readMergeLog(spark, prefix))
+      // post-commit GC: under the just-committed log the dead set is
+      // exactly the folded stamps' files — already in hand from the
+      // shared sweep, no re-read, no re-walk (the merged segment's
+      // fresh files are alive by construction)
+      IndexCore.gcDeadFilesOf(spark, t,
+        IndexCore.MergeLog(log.folded ++ fold, log.outputs + out),
+        segs.filter(s => fold.contains(s._2)))
       true
     }
   }

@@ -616,15 +616,19 @@ object VecIndex {
     val t = cellsTable(prefix)
     spark.catalog.refreshTable(t)
     val log = IndexCore.readMergeLog(spark, t)
-    IndexCore.gcDeadFiles(spark, t, log)
-    val sizes = IndexCore.segmentSizes(spark, t, log)
+    // ONE footer sweep shared by GC, the tier pick and the
+    // fresh-stamp scan (round 17: the fold paid four sweeps)
+    val segs0 = IndexCore.fileSegments(spark, t)
+    val gone = IndexCore.gcDeadFilesOf(spark, t, log, segs0).toSet
+    val segs = segs0.filterNot(s => gone.contains(s._1))
+    val sizes = IndexCore.segmentSizesOf(segs, log)
     val fold = sizes.collect {
       case (stamp, (rows, _))
         if stamp != BandIndex.BaseBatch && rows <= maxTierRows => stamp
     }.toSeq.sorted
     if (fold.size < 2) false
     else {
-      val usedMin = (IndexCore.fileSegments(spark, t).map(_._2) ++
+      val usedMin = (segs.map(_._2) ++
         log.outputs ++ Seq(IndexCore.MergeStampCeil + 1)).min
       val out = math.min(log.nextStamp, usedMin - 1)
       import org.apache.spark.sql.functions.lit
@@ -636,7 +640,12 @@ object VecIndex {
         .bucketBy(b, "cluster").sortBy("cluster")
         .saveAsTable(t)
       IndexCore.commitFold(spark, t, t, fold, out)
-      IndexCore.gcDeadFiles(spark, t, IndexCore.readMergeLog(spark, t))
+      // post-commit GC: the dead set under the just-committed log is
+      // exactly the folded stamps' files, already in hand from the
+      // shared sweep — no log re-read, no footer re-walk
+      IndexCore.gcDeadFilesOf(spark, t,
+        IndexCore.MergeLog(log.folded ++ fold, log.outputs + out),
+        segs.filter(s => fold.contains(s._2)))
       true
     }
   }
