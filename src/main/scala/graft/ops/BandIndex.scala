@@ -219,21 +219,40 @@ object BandIndex {
   /** The admitted batch's signature frame, MATERIALIZED (cache +
     * count) before `body` runs its table writes — see the [[append]]
     * scaladoc's ordering-invariant rationale. */
+  /** The admitted batch's signature frame, batch-scoped (round 17,
+    * guide §8): the id join prunes the documents scan BEFORE the
+    * signature projection, so an append's work is ∝ the batch — the
+    * old form joined the corpus-wide memoized signature array down
+    * to the batch, a dataflow that needs a corpus-sized cache at
+    * 100 TB. */
+  private def signedFor(spark: SparkSession, dir: String,
+      admitted: DataFrame): DataFrame = {
+    val adm = admitted.select(col(admitted.columns.head).as("doc_id"))
+    Dedup.signDocs(
+      graft.Tables.documents(spark, dir).join(adm, "doc_id")
+        .select("doc_id", "text"))
+  }
+
   private def withPinnedSigs(spark: SparkSession, dir: String,
       admitted: DataFrame)(body: DataFrame => Unit): Unit = {
-    val adm = admitted.select(col(admitted.columns.head).as("doc_id"))
-    // batch-scoped signing (round 17, guide §8): the id join prunes
-    // the documents scan BEFORE the signature projection, so an
-    // append's work is ∝ the batch — the old form joined the
-    // corpus-wide memoized signature array down to the batch, a
-    // dataflow that needs a corpus-sized cache at 100 TB
-    val sigs = Dedup.signDocs(
-      graft.Tables.documents(spark, dir).join(adm, "doc_id")
-        .select("doc_id", "text")).cache()
+    val sigs = signedFor(spark, dir, admitted).cache()
     try {
       sigs.count() // pin BEFORE the first write mutates the bands table
       body(sigs)
     } finally sigs.unpersist()
+  }
+
+  /** [[append]] over a PRE-SIGNED, caller-pinned frame (round 17):
+    * the multi-slice cycles sign the admitted union ONCE and lay each
+    * slice down as its own file set — same tables, same rows, one
+    * signature pass instead of one per slice (dd17's profile charged
+    * ~0.3 s per slice to re-signing). Maintenance's fenced verb
+    * ([[maintainBatch]]) keeps signing per batch: its batches arrive
+    * separately by definition. */
+  private def appendSigned(sigs: DataFrame, prefix: String,
+      batchId: Long = BaseBatch): Unit = {
+    writeBandRows(sigs, prefix, batchId)
+    writeSigRows(sigs, prefix, batchId)
   }
 
   /** One atomic, batch-stamped band-table append: a Spark parquet
@@ -477,22 +496,31 @@ object BandIndex {
       try {
         novel.count()
         if (appendSlices <= 1) append(spark, dir, novel, prefix)
-        else (0 until appendSlices).foreach { i =>
+        else {
           // disjoint day-by-day slices (hash-sliced — the fixture's
           // novel ids are residue-concentrated, so raw-mod slices can
           // be empty): same union as one append, but each append lays
           // down its own file set per bucket — the file-growth regime
-          // compaction exists for. SEQUENTIAL by necessity, not
-          // oversight (round 17): overlapping the slice appends
-          // (guide §2.6) was tried and REVERTED — concurrent
-          // saveAsTable appends to one table share the Hadoop
-          // committer's `_temporary/0` staging dir, and one job's
-          // cleanup deletes the other's in-flight task files
-          // (TASK_WRITE_FAILED, caught by BandIndexSpec).
+          // compaction exists for. The union is SIGNED ONCE and each
+          // slice writes from the pinned frame (round 17): same rows,
+          // same per-slice file sets, one signature pass instead of
+          // one per slice. SEQUENTIAL writes by necessity, not
+          // oversight: overlapping the slice appends (guide §2.6) was
+          // tried and REVERTED — concurrent saveAsTable appends to
+          // one table share the Hadoop committer's `_temporary/0`
+          // staging dir, and one job's cleanup deletes the other's
+          // in-flight task files (TASK_WRITE_FAILED, caught by
+          // BandIndexSpec).
           import org.apache.spark.sql.functions.{hash, lit, pmod}
-          append(spark, dir,
-            novel.filter(pmod(hash(col("doc_id")), lit(appendSlices)) === lit(i)),
-            prefix)
+          val sigs = signedFor(spark, dir, novel).cache()
+          try {
+            sigs.count()
+            (0 until appendSlices).foreach { i =>
+              appendSigned(
+                sigs.filter(pmod(hash(col("doc_id")), lit(appendSlices)) === lit(i)),
+                prefix)
+            }
+          } finally sigs.unpersist()
         }
       } finally novel.unpersist()
     }
@@ -531,10 +559,11 @@ object BandIndex {
   }
 
   /** dd20: the dd16/dd17 maintenance cycle with compaction AUTOMATED
-    * — one decision probe, the novel set appended in `slices`
-    * disjoint day-slices through [[appendAuto]] with a low threshold
-    * so the policy fires mid-history (asserted in-cycle, along with
-    * the file-count bound it exists to enforce), then the re-probe.
+    * — one decision probe, the novel set signed once and appended in
+    * `slices` disjoint day-slices ([[appendSigned]]) under
+    * [[appendAuto]]'s file-count policy with a low threshold so it
+    * fires mid-history (asserted in-cycle, along with the file-count
+    * bound it exists to enforce), then the re-probe.
     * Slices union to the same rows as one append and compaction is
     * content-preserving, so decisions are DEFINED identical to
     * dd16's — the oracle is the same SQL. */
@@ -555,16 +584,28 @@ object BandIndex {
         .select(col("batch_doc").as("doc_id"))
         .localCheckpoint()
       import org.apache.spark.sql.functions.{hash, lit, pmod}
+      // signed once for all slices (round 17, as freshCycle): the
+      // sign frame derives from the documents parquet and the PINNED
+      // novel ids, so the in-policy compactions rewriting the index
+      // tables underneath never touch its lineage
+      val sigs = signedFor(spark, dir, novel).cache()
       var fires = 0
-      (0 until slices).foreach { i =>
-        if (appendAuto(spark, dir,
-            novel.filter(pmod(hash(col("doc_id")), lit(slices)) === lit(i)),
-            prefix, maxFilesPerBucket = maxFilesPerBucket)) fires += 1
-        val bound = (maxFilesPerBucket + 1) * Buckets
-        val files = IndexCore.tableFiles(spark, bandsTable(prefix)).size
-        require(files <= bound,
-          s"auto-compaction failed to bound the file count: $files > $bound")
-      }
+      try {
+        sigs.count()
+        (0 until slices).foreach { i =>
+          appendSigned(
+            sigs.filter(pmod(hash(col("doc_id")), lit(slices)) === lit(i)),
+            prefix)
+          val fired =
+            IndexCore.tableFiles(spark, bandsTable(prefix)).size >
+              maxFilesPerBucket * IndexCore.bucketsOf(spark, bandsTable(prefix))
+          if (fired) { compact(spark, prefix); fires += 1 }
+          val bound = (maxFilesPerBucket + 1) * Buckets
+          val files = IndexCore.tableFiles(spark, bandsTable(prefix)).size
+          require(files <= bound,
+            s"auto-compaction failed to bound the file count: $files > $bound")
+        }
+      } finally sigs.unpersist()
       require(fires > 0,
         "fixture too small: the auto-compaction policy never fired")
     }
