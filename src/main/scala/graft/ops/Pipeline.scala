@@ -322,7 +322,11 @@ object Pipeline {
       .filter(col("n_hit") >= Dedup.DecontamMinOverlap &&
         col("n_hit").cast("double") / col("n_sh").cast("double") >= Dedup.DecontamMinRatio)
       .select("doc_id").withColumn("ct", lit(true))
-    val gated = scored.join(ct, Seq("doc_id"), "left")
+    // ct ⊆ the arriving batch by construction — broadcast keeps the
+    // verdict attach a map-side join at every scale (round 17: the
+    // planner picked a sort-merge join here, two exchanges of the
+    // scored batch for a bounded right side)
+    val gated = scored.join(broadcast(ct), Seq("doc_id"), "left")
       .withColumn("gate", coalesce(col("gate0"), when(col("ct"), "contaminated")))
     // gated rows never reach the index; their window comes from the
     // same floor(epoch/600) arithmetic the probe's window() computes

@@ -1238,12 +1238,18 @@ object Similarity {
       val spine = Tables.embeddings(s, d)
         .filter(col("vec_id") < KnnQueries)
         .select(col("vec_id").as("query_id"))
+      // both sides are workload-bounded (|queries| × k rows) at ANY
+      // corpus scale — broadcast the ground truth and the per-query
+      // aggregate so the eval costs zero exchanges of either list
+      // (round 17: size misestimates after the ANN windows made the
+      // planner sort-merge these)
       val perQuery = iv
-        .join(bf.withColumn("hit", lit(1L)), Seq("query_id", "neighbor_id"), "left")
+        .join(broadcast(bf.withColumn("hit", lit(1L))),
+          Seq("query_id", "neighbor_id"), "left")
         .groupBy("query_id")
         .agg(count(lit(1)).as("n_ret"),
           sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hit"))
-      spine.join(perQuery, Seq("query_id"), "left")
+      spine.join(broadcast(perQuery), Seq("query_id"), "left")
         .select(col("query_id"),
           coalesce(col("n_ret"), lit(0L)).as("n_ret"),
           coalesce(col("n_hit"), lit(0L)).as("n_hit"),
@@ -1262,17 +1268,20 @@ object Similarity {
     // retrain/no-retrain decision signal for the index build.
     "sim12_pq_train_eval" -> ((s, d) => {
       val bf = queries("sim01_knn")(s, d).select("query_id", "neighbor_id")
+      // workload-bounded frames (|queries| × k) — broadcast both the
+      // ground truth and the per-query aggregates (see sim11)
       def hits(pq: DataFrame, out: String): DataFrame = pq
         .select("query_id", "neighbor_id")
-        .join(bf.withColumn("hit", lit(1L)), Seq("query_id", "neighbor_id"), "left")
+        .join(broadcast(bf.withColumn("hit", lit(1L))),
+          Seq("query_id", "neighbor_id"), "left")
         .groupBy("query_id")
         .agg(sum(coalesce(col("hit"), lit(0L))).cast("long").as(out))
       val spine = Tables.embeddings(s, d)
         .filter(col("vec_id") < KnnQueries)
         .select(col("vec_id").as("query_id"))
       spine
-        .join(hits(pqAdc(s, d, trained = false), "n_hit_seed"), Seq("query_id"), "left")
-        .join(hits(pqAdc(s, d, trained = true), "n_hit_trained"), Seq("query_id"), "left")
+        .join(broadcast(hits(pqAdc(s, d, trained = false), "n_hit_seed")), Seq("query_id"), "left")
+        .join(broadcast(hits(pqAdc(s, d, trained = true), "n_hit_trained")), Seq("query_id"), "left")
         .select(col("query_id"),
           coalesce(col("n_hit_seed"), lit(0L)).as("n_hit_seed"),
           coalesce(col("n_hit_trained"), lit(0L)).as("n_hit_trained"))
@@ -1290,19 +1299,22 @@ object Similarity {
     // linearly, and this table says what recall each step buys.
     "sim13_multiprobe_recall" -> ((s, d) => {
       val bf = queries("sim01_knn")(s, d).select("query_id", "neighbor_id")
+      // workload-bounded frames (|queries| × k) — broadcast both the
+      // ground truth and the per-query aggregates (see sim11)
       def hits(df: DataFrame, out: String): DataFrame = df
         .select("query_id", "neighbor_id")
-        .join(bf.withColumn("hit", lit(1L)), Seq("query_id", "neighbor_id"), "left")
+        .join(broadcast(bf.withColumn("hit", lit(1L))),
+          Seq("query_id", "neighbor_id"), "left")
         .groupBy("query_id")
         .agg(sum(coalesce(col("hit"), lit(0L))).cast("long").as(out))
       val spine = Tables.embeddings(s, d)
         .filter(col("vec_id") < KnnQueries)
         .select(col("vec_id").as("query_id"))
       spine
-        .join(hits(lshAnn(s, d, 1), "lsh_hits_p1"), Seq("query_id"), "left")
-        .join(hits(lshAnn(s, d, LshMultiProbes), "lsh_hits_mp"), Seq("query_id"), "left")
-        .join(hits(ivf2Ann(s, d, 1), "ivf2_hits_p1"), Seq("query_id"), "left")
-        .join(hits(ivf2Ann(s, d, Ivf2L1Probes), "ivf2_hits_mp"), Seq("query_id"), "left")
+        .join(broadcast(hits(lshAnn(s, d, 1), "lsh_hits_p1")), Seq("query_id"), "left")
+        .join(broadcast(hits(lshAnn(s, d, LshMultiProbes), "lsh_hits_mp")), Seq("query_id"), "left")
+        .join(broadcast(hits(ivf2Ann(s, d, 1), "ivf2_hits_p1")), Seq("query_id"), "left")
+        .join(broadcast(hits(ivf2Ann(s, d, Ivf2L1Probes), "ivf2_hits_mp")), Seq("query_id"), "left")
         .select(col("query_id"),
           coalesce(col("lsh_hits_p1"), lit(0L)).as("lsh_hits_p1"),
           coalesce(col("lsh_hits_mp"), lit(0L)).as("lsh_hits_mp"),
