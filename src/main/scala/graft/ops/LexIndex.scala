@@ -112,14 +112,15 @@ object LexIndex {
 
   /** Build and persist the inverted index over `docs` (defaults to
     * the full corpus; the lifecycle cycles build from a slice and
-    * grow via [[append]]). The tokenize executes ONCE and is pinned
-    * (writeBatch's localCheckpoint, round 17); the postings
-    * aggregate — a single (doc_id, term, dl) shuffle, tf counted
-    * map-side — the norms table and the stats row all read the same
-    * materialization. The stats row still aggregates the in-scope
-    * docstats frame, not a stamp-filtered read-back of the written
-    * table (a read-back keyed on ingest_batch double-counts
-    * colliding stamps — see the writeBatch note). */
+    * grow via [[append]]). The build-time tokenize re-executes per
+    * writer (postings aggregate — a single (doc_id, term, dl)
+    * shuffle, tf counted map-side — norms table, stats row): pinning
+    * a tokenized CORPUS would trade bounded CPU for corpus-sized
+    * executor scratch, so only append-sized batches pin (writeBatch,
+    * round 17). The stats row aggregates the in-scope docstats
+    * frame, not a stamp-filtered read-back of the written table (a
+    * read-back keyed on ingest_batch double-counts colliding stamps
+    * — see the writeBatch note). */
   def persist(spark: SparkSession, dir: String, path: String,
       prefix: String, docs: Option[DataFrame] = None,
       buckets: Int = Buckets): Unit = {
@@ -219,14 +220,17 @@ object LexIndex {
   private def writeBatch(spark: SparkSession, tok: DataFrame, path: String,
       prefix: String, batch: Long, firstWrite: Boolean,
       buckets: Int = Buckets): Unit = {
-    // Pin the tokenize ONCE (round 17, measured on tx27's profile):
-    // un-pinned, the tokenize chain re-executed FOUR times per batch
-    // — the impact rank's range-boundary sampling pass, the postings
-    // shuffle itself, the docstats write and the stats aggregate.
-    // Tokenization is the batch's dominant scalar work, so the three
-    // consumers (and the sampler) now read one materialization.
-    // Values are unchanged: tokenize is deterministic per row.
-    val pinned = tok.localCheckpoint()
+    // Pin the tokenize ONCE for APPENDS (round 17, measured on tx27's
+    // profile): un-pinned, the tokenize chain re-executed FOUR times
+    // per batch — the impact rank's range-boundary sampling pass, the
+    // postings shuffle itself, the docstats write and the stats
+    // aggregate. Batches are bounded, so the materialization is
+    // cheap; the BASE BUILD keeps the lazy recompute — checkpointing
+    // a tokenized CORPUS trades bounded CPU for corpus-sized
+    // executor scratch, the wrong trade at 100 TB (guide §5's
+    // cache-only-when-recompute-costs-more rule). Values are
+    // unchanged either way: tokenize is deterministic per row.
+    val pinned = if (firstWrite) tok else tok.localCheckpoint()
     writePostings(pinned, path, prefix, batch, firstWrite, buckets)
     writeDocstats(pinned, path, prefix, batch, firstWrite, buckets)
     writeStats(pinned, path, prefix, batch, firstWrite)
