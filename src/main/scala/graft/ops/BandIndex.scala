@@ -798,11 +798,13 @@ object BandIndex {
     // batch-scoped signing (round 17, guide §8): sign each DISTINCT
     // original text once — work ∝ the micro-batch — then re-key to
     // the batch ids; the old form joined the corpus-wide memoized
-    // signature array down to the batch
+    // signature array down to the batch. Pinned for the same reason
+    // as incrementalDecisions' batch side: the decision core consumes
+    // the signature frame three times.
     val sigs = Dedup.signDocs(
       graft.Tables.documents(spark, dir)
         .join(shaped.select(col("orig_id").as("doc_id")).distinct(), "doc_id")
-        .select("doc_id", "text"))
+        .select("doc_id", "text")).localCheckpoint()
     val batchSigs = sigs.join(shaped, sigs("doc_id") === shaped("orig_id"))
       .select(col("batch_id").as("doc_id") +:
         (0 until Dedup.MinhashK).map(j => col(s"sig_$j")): _*)

@@ -1052,10 +1052,13 @@ object Dedup {
     // batch side signed batch-scoped (round 17): the source predicate
     // prunes the documents scan BEFORE the signature projection, so
     // the probe's signing work is ∝ the arriving batch — the old form
-    // joined the corpus-wide memoized array down to the batch
+    // joined the corpus-wide memoized array down to the batch. PINNED
+    // because incrementalDecisionsFor consumes the frame three times
+    // (band explode, signature match, decision spine): the corpus
+    // memo used to be that barrier; this is its batch-sized analog.
     val batchSigs = signDocs(
       Tables.documents(s, d).filter(col("source") === IncBatchSrc)
-        .select("doc_id", "text"))
+        .select("doc_id", "text")).localCheckpoint()
     incrementalDecisionsFor(batchSigs, corpusBands, corpusSigs)
   }
 

@@ -15,9 +15,13 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    args.foreach { name =>
+    val names =
+      if (args.sameElements(Array("--all"))) graft.SparkEntry.queries.keys.toSeq.sorted
+      else args.toSeq
+    names.foreach { name =>
       println(s"========== $name ==========")
-      graft.SparkEntry.queries(name)(spark, dir).explain("formatted")
+      try graft.SparkEntry.queries(name)(spark, dir).explain("formatted")
+      catch { case e: Throwable => println(s"ERROR: ${e.getMessage}") }
     }
     spark.stop()
   }
