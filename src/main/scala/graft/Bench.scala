@@ -548,11 +548,25 @@ object Bench {
     val full = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":${fmt(v)}""" }
       .mkString("{", ",", "}")
+    val fullJson =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"cpus":$cpus$loadJson,"queries":$full,"phases":$phases,"sf":"$sfDir"}
+"""
+    // PER-RUN full map (round 18, VERDICT r17 item 1): the driver
+    // benches TWICE per round (32-core sweep, then an 8-core scaling
+    // sweep) and both used to write only BENCH_FULL_last.json — the
+    // second run clobbered the first's map before the driver's PERF
+    // comparison could read it, leaving per_query/scaling empty two
+    // rounds running. The core-count-suffixed file is written
+    // UNCONDITIONALLY (a suspect run stamps suspect_swing inside):
+    // it records "what this run measured", while _last keeps its
+    // guarded comparison-base semantics below.
+    try Files.write(Paths.get(s"BENCH_FULL_c$cpus.json"),
+      fullJson.getBytes(StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
     if (!suspect)
       try Files.write(
         Paths.get("BENCH_FULL_last.json"),
-        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size}$loadJson,"queries":$full,"phases":$phases,"sf":"$sfDir"}
-""".getBytes(StandardCharsets.UTF_8))
+        fullJson.getBytes(StandardCharsets.UTF_8))
       catch { case _: Throwable => () }
     else System.err.println(
       f"[bench] SUSPECT artifact (axes_ok=$axesOk%b, compound $axesCompoundRatio%.3f, " +
@@ -572,7 +586,7 @@ object Bench {
     val qs = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(15)
       .map { case (k, v) => s""""$k":${fmt2(v)}""" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","n":${results.size},"full_map":"BENCH_FULL_last.json","slowest":$qs$loadJson,"value":${fmt(total)}}""")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","n":${results.size},"full_map":"BENCH_FULL_c$cpus.json","slowest":$qs$loadJson,"value":${fmt(total)}}""")
     spark.stop()
   }
 }

@@ -627,14 +627,24 @@ object BandIndex {
       verb: String): Unit = {
     val lt = IndexCore.ledgerTable(prefix)
     if (spark.catalog.tableExists(lt)) {
-      spark.catalog.refreshTable(lt)
-      spark.catalog.refreshTable(sigsTable(prefix))
-      val ledgered = spark.table(lt).select("batch_id").distinct()
-        .collect().map(_.getLong(0)).toSet
-      val unledgered = spark.table(sigsTable(prefix))
-        .select("ingest_batch").distinct()
-        .collect().map(_.getLong(0))
-        .filter(b => b >= 0 && !ledgered.contains(b))
+      // footer fast path (round 18, VERDICT item 1) — see
+      // LexIndex.requireLedgered; sigs files hold one stamp each
+      val unledgered = (
+        IndexCore.stampSetFromFooters(spark, lt, "batch_id"),
+        IndexCore.stampSetFromFooters(spark, sigsTable(prefix), "ingest_batch")
+      ) match {
+        case (Some(ledgered), Some(stamps)) =>
+          stamps.filter(b => b >= 0 && !ledgered.contains(b)).toSeq
+        case _ =>
+          spark.catalog.refreshTable(lt)
+          spark.catalog.refreshTable(sigsTable(prefix))
+          val ledgered = spark.table(lt).select("batch_id").distinct()
+            .collect().map(_.getLong(0)).toSet
+          spark.table(sigsTable(prefix))
+            .select("ingest_batch").distinct()
+            .collect().map(_.getLong(0))
+            .filter(b => b >= 0 && !ledgered.contains(b)).toSeq
+      }
       require(unledgered.isEmpty,
         s"$verb($prefix): batch(es) ${unledgered.mkString(",")} are " +
           "mid-commit (stamped but not ledgered) — replay them through " +
