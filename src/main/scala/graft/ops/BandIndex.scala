@@ -100,6 +100,27 @@ object BandIndex {
     Dedup.incrementalDecisions(spark, dir, bands, sigs)
   }
 
+  /** [[probe]] that also returns the pinned batch signature frame the
+    * decisions were computed from (round 18, guide §1.2): the cycles'
+    * append step joins it down to the admitted ids instead of
+    * re-signing them from a second documents scan — one sign pass per
+    * cycle, identical written rows (signatures are deterministic per
+    * text). */
+  private def probeSigned(spark: SparkSession, dir: String,
+      prefix: String,
+      excludeBatch: Option[Long] = None): (DataFrame, DataFrame) = {
+    val (bands, sigs) = corpusFrames(spark, prefix, excludeBatch)
+    Dedup.incrementalDecisionsSigned(spark, dir, bands, sigs)
+  }
+
+  /** Restrict a probe's pinned batch signature frame to the admitted
+    * ids, shaped for the table writers (doc_id first, then the sig
+    * columns — [[writeSigRows]] renames positionally). */
+  private def sigsForAdmitted(batchSigs: DataFrame,
+      admitted: DataFrame): DataFrame =
+    batchSigs.join(
+      admitted.select(col(admitted.columns.head).as("doc_id")), "doc_id")
+
   // ------------------------------------------------------------------
   // Tombstone retention (round 12; VERDICT r11 item 3) — bounded-cost
   // deletes. `retire` rewrites the ENTIRE index to remove a bounded id
@@ -489,39 +510,42 @@ object BandIndex {
     // later cycle will drop.
     val (prefix, path) = Phases.time(tag, "persist") { freshIndex(spark, dir, tag) }
     Phases.time(tag, "append") {
-      val novel = probe(spark, dir, prefix)
+      // the probe's pinned batch signature frame feeds the writes
+      // (round 18): the append used to RE-SIGN the admitted ids from
+      // a second documents scan — signatures the probe had already
+      // materialized. Same rows either way (signing is deterministic
+      // per text); the sign pass now runs once per cycle, in the
+      // probe.
+      val (dec, batchSigs) = probeSigned(spark, dir, prefix)
+      val novel = dec
         .filter(col("dup_of").isNull)
         .select(col("batch_doc").as("doc_id"))
         .cache()
       try {
         novel.count()
-        if (appendSlices <= 1) append(spark, dir, novel, prefix)
-        else {
-          // disjoint day-by-day slices (hash-sliced — the fixture's
-          // novel ids are residue-concentrated, so raw-mod slices can
-          // be empty): same union as one append, but each append lays
-          // down its own file set per bucket — the file-growth regime
-          // compaction exists for. The union is SIGNED ONCE and each
-          // slice writes from the pinned frame (round 17): same rows,
-          // same per-slice file sets, one signature pass instead of
-          // one per slice. SEQUENTIAL writes by necessity, not
-          // oversight: overlapping the slice appends (guide §2.6) was
-          // tried and REVERTED — concurrent saveAsTable appends to
-          // one table share the Hadoop committer's `_temporary/0`
-          // staging dir, and one job's cleanup deletes the other's
-          // in-flight task files (TASK_WRITE_FAILED, caught by
-          // BandIndexSpec).
-          import org.apache.spark.sql.functions.{hash, lit, pmod}
-          val sigs = signedFor(spark, dir, novel).cache()
-          try {
-            sigs.count()
-            (0 until appendSlices).foreach { i =>
-              appendSigned(
-                sigs.filter(pmod(hash(col("doc_id")), lit(appendSlices)) === lit(i)),
-                prefix)
-            }
-          } finally sigs.unpersist()
-        }
+        // disjoint day-by-day slices when appendSlices > 1
+        // (hash-sliced — the fixture's novel ids are
+        // residue-concentrated, so raw-mod slices can be empty):
+        // same union as one append, but each append lays down its
+        // own file set per bucket — the file-growth regime
+        // compaction exists for. SEQUENTIAL writes by necessity,
+        // not oversight: overlapping the slice appends (guide §2.6)
+        // was tried and REVERTED — concurrent saveAsTable appends
+        // to one table share the Hadoop committer's `_temporary/0`
+        // staging dir, and one job's cleanup deletes the other's
+        // in-flight task files (TASK_WRITE_FAILED, caught by
+        // BandIndexSpec).
+        import org.apache.spark.sql.functions.{hash, lit, pmod}
+        val sigs = sigsForAdmitted(batchSigs, novel).cache()
+        try {
+          sigs.count() // materialize BEFORE the first write mutates the table
+          if (appendSlices <= 1) appendSigned(sigs, prefix)
+          else (0 until appendSlices).foreach { i =>
+            appendSigned(
+              sigs.filter(pmod(hash(col("doc_id")), lit(appendSlices)) === lit(i)),
+              prefix)
+          }
+        } finally sigs.unpersist()
       } finally novel.unpersist()
     }
     if (doCompact) Phases.time(tag, "compact") { compact(spark, prefix) }
@@ -579,16 +603,17 @@ object BandIndex {
       // the only derivation that survives the table being rewritten
       // underneath it (measured: a cached `novel` recompute after the
       // first in-policy compaction throws FILE_NOT_EXIST).
-      val novel = probe(spark, dir, prefix)
+      val (dec, batchSigs) = probeSigned(spark, dir, prefix)
+      val novel = dec
         .filter(col("dup_of").isNull)
         .select(col("batch_doc").as("doc_id"))
         .localCheckpoint()
       import org.apache.spark.sql.functions.{hash, lit, pmod}
-      // signed once for all slices (round 17, as freshCycle): the
-      // sign frame derives from the documents parquet and the PINNED
-      // novel ids, so the in-policy compactions rewriting the index
-      // tables underneath never touch its lineage
-      val sigs = signedFor(spark, dir, novel).cache()
+      // the probe's signatures feed all slices (round 18, as
+      // freshCycle — no re-sign); the frame derives from the PINNED
+      // batchSigs and novel ids only, so the in-policy compactions
+      // rewriting the index tables underneath never touch its lineage
+      val sigs = sigsForAdmitted(batchSigs, novel).cache()
       var fires = 0
       try {
         sigs.count()
@@ -753,16 +778,24 @@ object BandIndex {
     val key = (spark, dir, tag)
     val (prefix, path) = Phases.time(tag, "persist") { freshIndex(spark, dir, tag) }
     Phases.time(tag, "append") {
-      val novel = probe(spark, dir, prefix)
+      // one sign pass for the probe AND every stamped slice (round
+      // 18) — the per-slice append used to re-sign its slice from a
+      // fresh documents scan
+      val (dec, batchSigs) = probeSigned(spark, dir, prefix)
+      val novel = dec
         .filter(col("dup_of").isNull)
         .select(col("batch_doc").as("doc_id"))
         .localCheckpoint()
       import org.apache.spark.sql.functions.{hash, lit, pmod}
-      (0 until slices).foreach { i =>
-        append(spark, dir,
-          novel.filter(pmod(hash(col("doc_id")), lit(slices)) === lit(i)),
-          prefix, batchId = i.toLong)
-      }
+      val sigs = sigsForAdmitted(batchSigs, novel).cache()
+      try {
+        sigs.count() // materialize before the first write mutates the table
+        (0 until slices).foreach { i =>
+          appendSigned(
+            sigs.filter(pmod(hash(col("doc_id")), lit(slices)) === lit(i)),
+            prefix, batchId = i.toLong)
+        }
+      } finally sigs.unpersist()
     }
     Phases.time(tag, "merge") {
       val baseBefore = IndexCore.fileSegments(spark, bandsTable(prefix))
@@ -800,7 +833,17 @@ object BandIndex {
     * and gets one decision row per id back, probed against the
     * CURRENT persisted index. */
   def probeIds(spark: SparkSession, dir: String, prefix: String,
-      ids: DataFrame, excludeBatch: Option[Long] = None): DataFrame = {
+      ids: DataFrame, excludeBatch: Option[Long] = None): DataFrame =
+    probeIdsSigned(spark, dir, prefix, ids, excludeBatch)._1
+
+  /** [[probeIds]] that also returns the batch signature frame
+    * (batch-id-keyed, derived from the pinned original-text
+    * signatures) — [[maintainBatch]]'s writers join it down to the
+    * admitted ids instead of re-signing them (round 18, guide §1.2:
+    * the probe had already materialized exactly these signatures). */
+  private def probeIdsSigned(spark: SparkSession, dir: String, prefix: String,
+      ids: DataFrame,
+      excludeBatch: Option[Long] = None): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.functions.when
     val idc = col(ids.columns.head)
     val shaped = ids.select(idc.as("batch_id"),
@@ -819,7 +862,7 @@ object BandIndex {
       .select(col("batch_id").as("doc_id") +:
         (0 until Dedup.MinhashK).map(j => col(s"sig_$j")): _*)
     val (corpusBands, corpusSigs) = corpusFrames(spark, prefix, excludeBatch)
-    Dedup.incrementalDecisionsFor(batchSigs, corpusBands, corpusSigs)
+    (Dedup.incrementalDecisionsFor(batchSigs, corpusBands, corpusSigs), batchSigs)
   }
 
   /** The streaming ingest-maintenance LOOP's batch analog, two days
@@ -847,15 +890,19 @@ object BandIndex {
     import org.apache.spark.sql.functions.lit
     val key = (spark, dir, tag)
     val (prefix, path) = Phases.time(tag, "persist") { freshIndex(spark, dir, tag) }
+    val (rawDec0, day0Sigs) = probeSigned(spark, dir, prefix)
     val dec0 = Phases.time(tag, "probe") {
-      probe(spark, dir, prefix)
+      rawDec0
         .select(lit(0).as("day"), col("batch_doc"),
           col("dup_of"), col("est_jaccard"))
         .localCheckpoint()
     }
     Phases.time(tag, "append") {
-      append(spark, dir,
-        dec0.filter(col("dup_of").isNull).select(col("batch_doc").as("doc_id")),
+      // write from the probe's signatures (round 18) — dec0 is
+      // pinned and day0Sigs derives from the probe's checkpoint, so
+      // the writes read no table they mutate
+      appendSigned(sigsForAdmitted(day0Sigs,
+        dec0.filter(col("dup_of").isNull).select(col("batch_doc").as("doc_id"))),
         prefix)
     }
     val day2Ids = graft.Tables.documents(spark, dir)
@@ -945,15 +992,22 @@ object BandIndex {
       ledgerRecord(spark, prefix, batchId)
       None
     } else {
-      val dec = probeIds(spark, dir, prefix, ids,
-        excludeBatch = Some(batchId)).localCheckpoint()
+      val (dec0, batchSigs) = probeIdsSigned(spark, dir, prefix, ids,
+        excludeBatch = Some(batchId))
+      val dec = dec0.localCheckpoint()
       val admitted =
         dec.filter(col("dup_of").isNull).select(col("batch_doc").as("doc_id"))
-      withPinnedSigs(spark, dir, admitted) { sigs =>
-        if (!IndexCore.batchPresent(spark, bandsTable(prefix), batchId))
-          writeBandRows(sigs, prefix, batchId)
-        writeSigRows(sigs, prefix, batchId)
-      }
+      // writes join the PROBE's pinned signature frame down to the
+      // admitted ids (round 18) — the old withPinnedSigs path
+      // re-signed them from a second documents scan; same rows
+      // (signatures deterministic per text), one sign pass per batch.
+      // No extra pin needed: the frame derives from the probe's
+      // localCheckpoint and the pinned decision frame, so the writes
+      // read no table they mutate.
+      val sigs = sigsForAdmitted(batchSigs, admitted)
+      if (!IndexCore.batchPresent(spark, bandsTable(prefix), batchId))
+        writeBandRows(sigs, prefix, batchId)
+      writeSigRows(sigs, prefix, batchId)
       ledgerRecord(spark, prefix, batchId)
       Some(dec)
     }
@@ -1023,12 +1077,12 @@ object BandIndex {
       .select("doc_id")
     // First attempt: probe, commit BANDS ONLY, crash before sigs+ledger.
     val dec0a = Phases.time(tag, "partial") {
-      val dec = probeIds(spark, dir, prefix, day0Ids,
-        excludeBatch = Some(0L)).localCheckpoint()
-      withPinnedSigs(spark, dir,
-        dec.filter(col("dup_of").isNull).select(col("batch_doc").as("doc_id"))) {
-        sigs => writeBandRows(sigs, prefix, 0L)
-      }
+      val (d0, batchSigs) = probeIdsSigned(spark, dir, prefix, day0Ids,
+        excludeBatch = Some(0L))
+      val dec = d0.localCheckpoint()
+      writeBandRows(sigsForAdmitted(batchSigs,
+        dec.filter(col("dup_of").isNull).select(col("batch_doc").as("doc_id"))),
+        prefix, 0L)
       dec
     }
     val dec0 = Phases.time(tag, "replay") {

@@ -1048,7 +1048,20 @@ object Dedup {
     * (corpus_doc, b_sig_0..k-1). Output: one decision row per batch
     * doc — dup_of/est_jaccard null ⇒ novel, admit to the corpus. */
   private[graft] def incrementalDecisions(s: SparkSession, d: String,
-      corpusBands: DataFrame, corpusSigs: DataFrame): DataFrame = {
+      corpusBands: DataFrame, corpusSigs: DataFrame): DataFrame =
+    incrementalDecisionsSigned(s, d, corpusBands, corpusSigs)._1
+
+  /** [[incrementalDecisions]] that ALSO hands back the pinned batch
+    * signature frame (doc_id, sig_0..k-1) the decisions were computed
+    * from (round 18, guide §1.2 "don't compute things you throw
+    * away"): the maintenance cycles' append step used to re-sign the
+    * admitted subset from a fresh documents scan — a second
+    * batch-sized sign pass whose output the probe had already
+    * materialized. Callers join the returned frame down to the
+    * admitted ids and write; signatures are deterministic per text,
+    * so the written rows are bit-identical to a re-sign. */
+  private[graft] def incrementalDecisionsSigned(s: SparkSession, d: String,
+      corpusBands: DataFrame, corpusSigs: DataFrame): (DataFrame, DataFrame) = {
     // batch side signed batch-scoped (round 17): the source predicate
     // prunes the documents scan BEFORE the signature projection, so
     // the probe's signing work is ∝ the arriving batch — the old form
@@ -1059,7 +1072,7 @@ object Dedup {
     val batchSigs = signDocs(
       Tables.documents(s, d).filter(col("source") === IncBatchSrc)
         .select("doc_id", "text")).localCheckpoint()
-    incrementalDecisionsFor(batchSigs, corpusBands, corpusSigs)
+    (incrementalDecisionsFor(batchSigs, corpusBands, corpusSigs), batchSigs)
   }
 
   /** [[incrementalDecisions]] generalized over the BATCH side: the
