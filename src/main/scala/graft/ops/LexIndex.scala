@@ -188,6 +188,36 @@ object LexIndex {
     * on the build/rebuild path, which already pays a corpus-sized
     * write — and the lineage truncation drops the double tokenize the
     * un-pinned form re-ran per consumer. */
+  /** Row bound under which a fold's merged segment is ranked with the
+    * plain per-term window instead of the two-phase range-partitioned
+    * form. The two-phase machinery exists because a term's df can
+    * exceed one partition's memory — impossible when the WHOLE input
+    * is ≤ this many rows (~40 MB of postings), so the bounded form
+    * trades its extra passes (range-boundary sampling job, range
+    * exchange, checkpoint pin, segment aggregate + join) for one hash
+    * exchange. Only callers whose input size is PROVEN from metadata
+    * (the tier fold: manifest row counts, exact) may take it; a
+    * size-unknown frame always gets the skew-safe form. Not a local
+    * tuning knob: any value with rows × rowWidth under a task's
+    * memory is correct on any cluster. */
+  private[ops] val WindowRankMaxRows: Long = 1L << 20
+
+  /** [[withImpactMeta]] for a frame PROVEN bounded (caller holds a
+    * metadata row count ≤ [[WindowRankMaxRows]]): one per-term window
+    * — a single hash exchange, no boundary sampling, no checkpoint.
+    * Values are identical to the two-phase form (Round16OpsSpec pins
+    * the equality on a fixture; Round18OpsSpec re-pins it on a fold's
+    * actual inputs). */
+  private[ops] def withImpactMetaWindow(postings: DataFrame): DataFrame = {
+    val w = Window.partitionBy("term")
+      .orderBy(col("tf").desc, col("dl").asc, col("doc_id").asc)
+    postings
+      .withColumn("imp_rank", row_number().over(w))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+        col("imp_rank"), col("df"))
+  }
+
   private[ops] def withImpactMeta(postings: DataFrame): DataFrame = {
     val ranked = postings
       .repartitionByRange(impactOrder: _*)
@@ -1250,9 +1280,17 @@ object LexIndex {
         log.outputs ++ Seq(IndexCore.MergeStampCeil + 1)).min
       val out = math.min(log.nextStamp, usedMin - 1)
       val b = IndexCore.bucketsOf(spark, t)
-      val merged = withImpactMeta(
-        spark.table(t).filter(col("ingest_batch").isin(fold: _*))
-          .select("term", "doc_id", "tf", "dl"))
+      // rank-form choice from MEASURED metadata (round 18): the fold's
+      // input rows are known EXACTLY from the manifest's footer counts
+      // — a bounded merged segment takes the single-exchange window
+      // rank; anything larger keeps the skew-safe two-phase form
+      val foldRows = fold.map(s => sizes(s)._1).sum
+      val mergedIn = spark.table(t)
+        .filter(col("ingest_batch").isin(fold: _*))
+        .select("term", "doc_id", "tf", "dl")
+      val merged = (if (foldRows <= WindowRankMaxRows)
+          withImpactMetaWindow(mergedIn)
+        else withImpactMeta(mergedIn))
         .withColumn("ingest_batch", lit(out))
       // bucket-aligned append: one task per bucket, one file for the
       // merged segment per bucket (see reindexImpact's note)

@@ -14,7 +14,12 @@ object ScaleStress {
     val repl = args.headOption.map(_.toInt).getOrElse(10)
     val src = "/root/testdata/sf0.1"
     val dst = s"/tmp/graft-scale-x$repl"
-    val cpus = Runtime.getRuntime.availableProcessors()
+    // SPARK_GRAFT_CPUS override (round 18, VERDICT item 6): the
+    // core-SCALING axis — the same replica swept at two core counts
+    // exposes serial stages (ratio ≈ 1) that the sf0.1 bench's
+    // fixture-write floor hides. Same contract as graft.Bench.
+    val cpus = sys.env.get("SPARK_GRAFT_CPUS").flatMap(_.toIntOption)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
 
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

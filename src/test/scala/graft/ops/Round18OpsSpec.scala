@@ -125,6 +125,78 @@ class Round18OpsSpec extends SparkSpec {
     LexIndex.drop(spark, prefix)
   }
 
+  test("bounded window rank equals the two-phase skew-safe rank, values and types") {
+    import org.apache.spark.sql.functions.{concat, pmod, row_number, count}
+    import org.apache.spark.sql.expressions.Window
+    val p = spark.range(4000).select(
+      concat(lit("t"), pmod(col("id"), lit(37))).as("term"),
+      col("id").as("doc_id"),
+      (pmod(col("id") * 13, lit(5)) + 1).as("tf"),
+      (pmod(col("id") * 7, lit(20)) + 1).as("dl"))
+      .repartition(5, col("doc_id"))
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .select("term", "doc_id", "tf", "dl", "imp_rank", "df").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getLong(5)))
+      .sortBy(t => (t._1, t._5))
+    assert(shape(LexIndex.withImpactMetaWindow(p)).toSeq ==
+      shape(LexIndex.withImpactMeta(p)).toSeq,
+      "window rank diverged from the two-phase form")
+  }
+
+  test("maintenance cycles execute no unpartitioned window (internal plans)") {
+    // PlanLintSpec's exact-set gate reviews every CATALOG plan's
+    // unpartitioned windows, but the maintenance verbs execute
+    // internal actions (rank pipelines, fold rewrites, probe
+    // re-caps) whose plans the catalog lint never sees — the gap
+    // VERDICT r17 item 7 flags behind the reviewed-window log mute.
+    // Record every EXECUTED plan during one cycle per family and
+    // require zero unpartitioned WindowExec: a single-partition
+    // window over anything corpus-proportional is a §2 scale-killer,
+    // and the maintenance paths have no bounded-frame excuse — their
+    // windows are all term-/query-partitioned by design.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val offenders = java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      private def scan(p: SparkPlan): Unit = {
+        val expanded = p match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case x => x
+        }
+        expanded match {
+          case w: org.apache.spark.sql.execution.window.WindowExecBase
+              if w.partitionSpec.isEmpty =>
+            offenders.add(w.windowExpression.mkString(",").take(120)); ()
+          case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+              if w.partitionSpec.isEmpty =>
+            offenders.add(w.toString.take(120)); ()
+          case _ =>
+        }
+        expanded.children.foreach(scan)
+        expanded.subqueries.foreach(scan)
+      }
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        try scan(qe.executedPlan) catch { case _: Throwable => () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      LexIndex.autoMaintainCycle(spark, sf, "r18winlex").count()
+      BandIndex.tieredCycle(spark, sf, "r18winband").count()
+      // listener events are delivered asynchronously; give the bus a
+      // moment to drain before reading the offender set
+      Thread.sleep(3000)
+    } finally spark.listenerManager.unregister(listener)
+    assert(offenders.isEmpty,
+      s"maintenance cycles executed unpartitioned windows: $offenders")
+  }
+
   test("manifest trims to the live listing after compaction and GC") {
     val prefix = freshLex("m4", Seq(0, 4, 8))
     val t = LexIndex.postingsTable(prefix)
