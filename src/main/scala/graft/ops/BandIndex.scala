@@ -72,10 +72,14 @@ object BandIndex {
       prefix: String = "graft_corpus", buckets: Int = Buckets): Unit = {
     import org.apache.spark.sql.functions.lit
     val (bands, sigs) = Dedup.corpusIndex(spark, dir)
+    // bucket-aligned builds (round 18): one file per bucket — see
+    // LexIndex.writePostings; the build's exchange is the hash
+    // distribution a bucketed layout wants anyway (guide §6)
     bands
       .select(concat_ws(":", col("band"), col("key")).as("bkey"),
         col("corpus_doc"))
       .withColumn("ingest_batch", lit(BaseBatch))
+      .repartition(buckets, col("bkey"))
       .write
       .bucketBy(buckets, "bkey").sortBy("bkey")
       .option("path", s"$path/bands")
@@ -83,6 +87,7 @@ object BandIndex {
       .saveAsTable(bandsTable(prefix))
     sigs
       .withColumn("ingest_batch", lit(BaseBatch))
+      .repartition(buckets, col("corpus_doc"))
       .write
       .bucketBy(buckets, "corpus_doc").sortBy("corpus_doc")
       .option("path", s"$path/sigs")
@@ -285,14 +290,21 @@ object BandIndex {
     import org.apache.spark.sql.functions.lit
     val bandKeys = (0 until Dedup.Bands).map(b =>
       concat_ws(":", col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}")))
+    val b = IndexCore.bucketsOf(sigs.sparkSession, bandsTable(prefix))
     sigs
       .select(col("doc_id").as("corpus_doc"),
         org.apache.spark.sql.functions.posexplode(
           org.apache.spark.sql.functions.array(bandKeys: _*)).as(Seq("band", "key")))
       .select(concat_ws(":", col("band"), col("key")).as("bkey"), col("corpus_doc"))
       .withColumn("ingest_batch", lit(batchId))
+      // bucket-aligned append: one file per bucket per batch, a file
+      // count independent of cluster width (round 18 — see
+      // LexIndex.writePostings; the un-aligned form lays down
+      // tasks × buckets files per append and the driver pays for
+      // every one of them at commit, footer-probe and listing time)
+      .repartition(b, col("bkey"))
       .write.mode(SaveMode.Append)
-      .bucketBy(IndexCore.bucketsOf(sigs.sparkSession, bandsTable(prefix)), "bkey")
+      .bucketBy(b, "bkey")
       .sortBy("bkey")
       .saveAsTable(bandsTable(prefix))
   }
@@ -303,10 +315,13 @@ object BandIndex {
   private def writeSigRows(sigs: DataFrame, prefix: String,
       batchId: Long): Unit = {
     import org.apache.spark.sql.functions.lit
+    val b = IndexCore.bucketsOf(sigs.sparkSession, sigsTable(prefix))
     sigs.toDF("corpus_doc" +: (0 until Dedup.MinhashK).map(j => s"b_sig_$j"): _*)
       .withColumn("ingest_batch", lit(batchId))
+      // bucket-aligned append — see writeBandRows
+      .repartition(b, col("corpus_doc"))
       .write.mode(SaveMode.Append)
-      .bucketBy(IndexCore.bucketsOf(sigs.sparkSession, sigsTable(prefix)), "corpus_doc")
+      .bucketBy(b, "corpus_doc")
       .sortBy("corpus_doc")
       .saveAsTable(sigsTable(prefix))
   }

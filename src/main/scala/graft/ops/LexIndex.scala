@@ -262,8 +262,20 @@ object LexIndex {
     // unchanged either way: tokenize is deterministic per row.
     val pinned = if (firstWrite) tok else tok.localCheckpoint()
     writePostings(pinned, path, prefix, batch, firstWrite, buckets)
-    writeDocstats(pinned, path, prefix, batch, firstWrite, buckets)
-    writeStats(pinned, path, prefix, batch, firstWrite)
+    // BASE BUILD (round 18): docstats and the stats row need only
+    // (doc_id, dl) — two longs per doc, ~10³× lighter than the
+    // tokenized corpus whose pin round 17 rightly refused (§5). Pin
+    // just that projection once: the corpus-scan + regex tokenize
+    // that used to re-run for docstats AND AGAIN for the stats
+    // aggregate (3 full tokenizes per build) now runs twice — once
+    // inside the postings rank pipeline, once to materialize this
+    // doc-count-sized frame. Appends already pin the full tokenize
+    // (batch-bounded), so `pinned` is reused as-is there.
+    val dls = if (firstWrite)
+      pinned.select(col("doc_id"), col("dl")).localCheckpoint()
+    else pinned
+    writeDocstats(dls, path, prefix, batch, firstWrite, buckets)
+    writeStats(dls, path, prefix, batch, firstWrite)
   }
 
   // dl is functionally dependent on doc_id, so folding it into the
@@ -295,7 +307,17 @@ object LexIndex {
     // lie in an impact-ascending run, so at real scale the capped
     // probe's `imp_rank <= C` pushed filter prunes the row groups
     // beyond the cap for high-df terms — bytes ∝ terms × C, not df.
-    val pw = postings.write
+    // BUCKET-ALIGNED write (round 18, guide §6/§2.2 — tieredMerge's
+    // discipline applied to every writer): a bucketed writer emits
+    // one file per (task, bucket), so an un-aligned write from
+    // shuffle.partitions tasks lays down tasks × b files PER
+    // APPEND — measured at 10× data on this box, the 32-core cycles
+    // ran ~2× SLOWER than 8-core purely from the file-count fallout
+    // (serial commit renames, footer reads, listings all ∝ files).
+    // One batch-sized hash exchange buys one file per bucket, a file
+    // count independent of cluster width — at 100 TB the difference
+    // between bounded segments and a small-files explosion.
+    val pw = postings.repartition(b, col("term")).write
       .bucketBy(b, "term").sortBy("term", "imp_rank")
       .mode(if (firstWrite) SaveMode.Overwrite else SaveMode.Append)
     (if (firstWrite) pw.option("path", s"$path/postings") else pw)
@@ -309,7 +331,8 @@ object LexIndex {
       .withColumn("ingest_batch", lit(batch))
     val b = if (firstWrite) buildBuckets
       else IndexCore.bucketsOf(tok.sparkSession, docstatsTable(prefix))
-    val dw = docstats.write
+    // bucket-aligned: one file per bucket per write (see writePostings)
+    val dw = docstats.repartition(b, col("doc_id")).write
       .bucketBy(b, "doc_id").sortBy("doc_id")
       .mode(if (firstWrite) SaveMode.Overwrite else SaveMode.Append)
     (if (firstWrite) dw.option("path", s"$path/docstats") else dw)

@@ -108,6 +108,9 @@ object VecIndex {
       Tables.embeddings(spark, dir).select("vec_id", "embedding"))
     assignCells(spark, dir, e)
       .withColumn("ingest_batch", lit(BandIndex.BaseBatch))
+      // bucket-aligned build: one file per bucket (round 18 — see
+      // LexIndex.writePostings; file count independent of cluster width)
+      .repartition(buckets, col("cluster"))
       .write
       .bucketBy(buckets, "cluster").sortBy("cluster")
       .option("path", s"$path/cells")
@@ -274,6 +277,7 @@ object VecIndex {
       .select(col("cent_id").as("cluster"), col("vec_id"), col("label"),
         col("embedding"))
       .withColumn("ingest_batch", lit(BandIndex.BaseBatch))
+      .repartition(buckets, col("cluster")) // bucket-aligned (round 18)
       .write
       .bucketBy(buckets, "cluster").sortBy("cluster")
       .option("path", s"$path/cells")
@@ -513,10 +517,12 @@ object VecIndex {
       prefix: String, batchId: Long = BandIndex.BaseBatch): Unit = {
     import org.apache.spark.sql.functions.lit
     VectorExprs.register(spark)
+    val b = IndexCore.bucketsOf(spark, cellsTable(prefix))
     assignCells(spark, dir, newVecs.select("vec_id", "embedding"))
       .withColumn("ingest_batch", lit(batchId))
+      .repartition(b, col("cluster")) // bucket-aligned append (round 18)
       .write.mode(SaveMode.Append)
-      .bucketBy(IndexCore.bucketsOf(spark, cellsTable(prefix)), "cluster")
+      .bucketBy(b, "cluster")
       .sortBy("cluster")
       .saveAsTable(cellsTable(prefix))
   }
@@ -915,6 +921,7 @@ object VecIndex {
       .select("cluster", "vec_id")
       .join(pqEncode(e, cb), "vec_id")
       .withColumn("ingest_batch", lit(BandIndex.BaseBatch))
+      .repartition(buckets, col("cluster")) // bucket-aligned (round 18)
       .write
       .bucketBy(buckets, "cluster").sortBy("cluster")
       .option("path", s"$path/pqcells")
@@ -1091,6 +1098,8 @@ object VecIndex {
       .select("cluster", "vec_id")
       .join(pqEncode(e, cb), "vec_id")
       .withColumn("ingest_batch", lit(batchId))
+      .repartition(IndexCore.bucketsOf(spark, pqCellsTable(prefix)),
+        col("cluster")) // bucket-aligned append (round 18)
       .write.mode(SaveMode.Append)
       .bucketBy(IndexCore.bucketsOf(spark, pqCellsTable(prefix)), "cluster")
       .sortBy("cluster")
@@ -1419,6 +1428,7 @@ object VecIndex {
         expr(s"slice(embedding, 1, ${Similarity.MatryoshkaPrefix})").as("pfx"),
         col("embedding"))
       .withColumn("ingest_batch", lit(BandIndex.BaseBatch))
+      .repartition(buckets, col("vec_id")) // bucket-aligned (round 18)
       .write
       .bucketBy(buckets, "vec_id").sortBy("vec_id")
       .option("path", s"$path/mat")
